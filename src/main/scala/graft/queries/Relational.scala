@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Core relational operators (SURVEY.md §2.1–§2.9) re-expressed over the
+  * driver's TPC-H-ish tables so every one gets a DuckDB-oracle check.
+  *
+  * Conventions shared with the oracle SQL in [[Relational.oracle]]:
+  *  - Every numeric aggregate is computed over an exact `DecimalType`
+  *    cast of the input, then cast back to double. Decimal addition is
+  *    associative, so the Spark result is bit-identical to DuckDB's no
+  *    matter how partitions are summed — plain double sums would drift
+  *    in the last ulp and fail the driver's hash compare.
+  *  - Every query ends in a total-order `orderBy` whose key set is
+  *    unique per row, so row order matches the oracle deterministically.
+  *  - Small dimension tables are broadcast explicitly; at 100 TB these
+  *    stay broadcast-able (region/nation are bounded) while fact-fact
+  *    joins shuffle on their keys and rely on AQE for skew.
+  */
+object Relational {
+
+  /** Exact sum: cast to decimal (associative, order-independent), sum,
+    * cast back to double for a stable cross-engine hash. */
+  private def sumd(c: Column, prec: Int = 28, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(prec, scale))).cast(DoubleType)
+
+  // ---------------------------------------------------------------- q1
+  /** TPC-H Q1-shaped pricing summary: partial+final hash aggregation,
+    * whole-stage codegen, no join. (SURVEY A3/A4 family.) */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sumd($"l_quantity").as("sum_qty"),
+        sumd($"l_extendedprice").as("sum_base_price"),
+        // cast INPUTS to decimal, then multiply: decimal arithmetic is
+        // exact, whereas casting the double product would round
+        // differently across engines
+        sum($"l_extendedprice".cast(DecimalType(18, 2)) *
+            (lit(BigDecimal(1)) - $"l_discount".cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // ---------------------------------------------------------------- q2
+  /** Fact→dim star join: orders⋈customer shuffles on custkey;
+    * nation/region are broadcast (bounded dims — stays true at 100 TB).
+    * (SURVEY J1 scaled up.) */
+  def q2JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders   = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    val nation   = Tables(spark, dir, "nation")
+    val region   = Tables(spark, dir, "region")
+    orders
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sumd($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  // ---------------------------------------------------------------- q3
+  /** Filter + narrow projection: predicate and column pruning must both
+    * reach the parquet scan (SURVEY F5/F7, §4.2 pushdown). */
+  def q3FilterPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
+              $"l_shipdate" <  lit("1997-01-01").cast(TimestampType) &&
+              $"l_discount" >= 0.03)
+      .groupBy($"l_returnflag")
+      .agg(sumd($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- q4
+  /** Top-k: aggregate then global top-10 — Spark plans TakeOrderedAndProject,
+    * which never materializes a full sort at scale. */
+  def q4TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders   = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    orders
+      .groupBy($"o_custkey")
+      .agg(sumd($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"revenue", $"n_orders")
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q5
+  /** Ranking window: first 3 orders per customer (SURVEY W1 extended to
+    * analytic windows the reference lacks). */
+  def q5WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"rn", $"o_orderkey",
+        $"o_totalprice".cast(DecimalType(18, 2)).cast(DoubleType).as("o_totalprice"))
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  // ---------------------------------------------------------------- q6
+  /** Running-sum frame window per supplier — decimal-exact cumulative sum
+    * so every prefix matches the oracle bit-for-bit. */
+  def q6WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "lineitem")
+      .withColumn("running_qty",
+        sum($"l_quantity".cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+  }
+
+  // ---------------------------------------------------------------- q7
+  /** Distinct pairs (SURVEY A2 — `drop_duplicates` on a projection). */
+  def q7Distinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "customer")
+      .select($"c_nationkey", $"c_mktsegment")
+      .dropDuplicates()
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  // ---------------------------------------------------------------- q8
+  /** Semi/anti join shape (SURVEY J3 / S3's insert-if-absent dedupe):
+    * per nation, customers with vs without orders. */
+  def q8SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables(spark, dir, "customer")
+    val buyers = Tables(spark, dir, "orders").select($"o_custkey").distinct()
+    customer
+      .join(buyers, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_nationkey")
+      .agg(
+        count(when($"o_custkey".isNotNull, 1)).as("with_orders"),
+        count(when($"o_custkey".isNull, 1)).as("without_orders"))
+      .orderBy($"c_nationkey")
+  }
+
+  // ---------------------------------------------------------------- q9
+  /** Union + distinct (SURVEY U1): two order slices merged set-wise. */
+  def q9Union(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables(spark, dir, "orders")
+    val a = orders.filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_custkey")
+    val b = orders.filter($"o_totalprice" > 400000.0)
+      .select($"o_orderkey", $"o_custkey")
+    a.unionByName(b).distinct().orderBy($"o_orderkey")
+  }
+
+  // --------------------------------------------------------------- q10
+  /** The reference's `daily_company_totals` view re-expressed on the
+    * star schema: name×day revenue (SURVEY A3+J1, sql/02_view.sql:4-11).
+    * This is the flagship `entry` query. */
+  def q10DailyTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders   = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    orders
+      .join(customer, $"o_custkey" === $"c_custkey")
+      // date serialized as yyyy-MM-dd string: unambiguous across the
+      // parquet/DuckDB/pandas type lattice the compare crosses
+      .groupBy($"c_name",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("transaction_date"))
+      .agg(sumd($"o_totalprice").as("total_amount"))
+      .orderBy($"c_name", $"transaction_date")
+  }
+
+  // --------------------------------------------------------------- q11
+  /** One-pass null/row profile (SURVEY A7 — the notebook's isna().sum()):
+    * single aggregate, no per-column passes. */
+  def q11NullProfile(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val perCol = events.columns.toSeq.map(c =>
+      count(when(col(c).isNull, 1)).as(s"nulls_$c"))
+    events.agg(count(lit(1)).as("n_rows"), perCol: _*)
+  }
+
+  // --------------------------------------------------------------- q12
+  /** First100Set relational form (SURVEY M1–M4): domain = range(1,100],
+    * extract 57, recover it via the Gauss sum. */
+  def q12GaussMissing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.range(1, 101).toDF("n")
+      .filter($"n" =!= 57)
+      .agg((lit(5050L) - sum($"n")).as("missing"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"             -> (q1Agg _),
+    "q2_join_agg"        -> (q2JoinAgg _),
+    "q3_filter_pushdown" -> (q3FilterPushdown _),
+    "q4_topk"            -> (q4TopK _),
+    "q5_window_rank"     -> (q5WindowRank _),
+    "q6_window_running"  -> (q6WindowRunning _),
+    "q7_distinct"        -> (q7Distinct _),
+    "q8_semi_anti"       -> (q8SemiAnti _),
+    "q9_union"           -> (q9Union _),
+    "q10_daily_totals"   -> (q10DailyTotals _),
+    "q11_null_profile"   -> (q11NullProfile _),
+    "q12_gauss_missing"  -> (q12GaussMissing _))
+
+  /** DuckDB-dialect oracles. Integer SUMs are CAST to BIGINT (DuckDB
+    * widens to HUGEINT); decimal sums CAST to DOUBLE to match Spark. */
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q3_filter_pushdown" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q4_topk" ->
+      """SELECT c_custkey, c_name, revenue, n_orders FROM (
+        | SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        | FROM orders GROUP BY o_custkey) agg
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q5_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q6_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q7_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q8_semi_anti" ->
+      """SELECT c_nationkey,
+        | COUNT(CASE WHEN o_custkey IS NOT NULL THEN 1 END) AS with_orders,
+        | COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS without_orders
+        |FROM customer
+        |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) b ON c_custkey = o_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q9_union" ->
+      """SELECT DISTINCT o_orderkey, o_custkey FROM (
+        | SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        | UNION ALL
+        | SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000.0) t
+        |ORDER BY o_orderkey""".stripMargin,
+    "q10_daily_totals" ->
+      """SELECT c_name, strftime(o_orderdate, '%Y-%m-%d') AS transaction_date,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_amount
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_name, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY c_name, transaction_date""".stripMargin,
+    "q11_null_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        | COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS nulls_event_id,
+        | COUNT(CASE WHEN ts IS NULL THEN 1 END) AS nulls_ts,
+        | COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS nulls_user_id,
+        | COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS nulls_event_type,
+        | COUNT(CASE WHEN value IS NULL THEN 1 END) AS nulls_value,
+        | COUNT(CASE WHEN props IS NULL THEN 1 END) AS nulls_props
+        |FROM events""".stripMargin,
+    "q12_gauss_missing" ->
+      """SELECT CAST(5050 - SUM(n) AS BIGINT) AS missing
+        |FROM (SELECT CAST(range AS BIGINT) AS n FROM range(1, 101)) t
+        |WHERE n <> 57""".stripMargin)
+}
