@@ -5,6 +5,7 @@ name := "pythonetlrestapispark"
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
+scalacOptions ++= Seq("-encoding", "utf-8")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
@@ -23,7 +24,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// sun.jnu.encoding comes from the OS locale at JVM launch (-D can't
+// override it); without a UTF-8 locale the forked JVM can't see the
+// reference's accented CSV filename.
+Test / envVars ++= Map("LC_ALL" -> "C.utf8", "LANG" -> "C.utf8")
+run / envVars ++= Map("LC_ALL" -> "C.utf8", "LANG" -> "C.utf8")
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -1,0 +1,185 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-parity batch ETL (SURVEY.md §2–§4; reference
+  * etl/03_transform_and_load.py:22-114).
+  *
+  * Declarative re-expression of the pandas pipeline: one lazy plan from
+  * CSV scan to clean/quarantine split — Catalyst fuses the ~20 eager
+  * pandas passes into a single whole-stage-codegen stage. Every coercion
+  * reproduces the observable pandas semantics exactly (see the traps in
+  * SURVEY §4.3: strict-format dates, numpy rounding, file-order fill).
+  */
+object ChargesEtl {
+
+  /** Raw read schema: everything as string, coerced later — reproduces
+    * pandas' read-then-coerce behavior (reference :30,:42-52) and keeps
+    * the quarantine decision in our hands, not the CSV parser's. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("name", StringType),
+    StructField("company_id", StringType),
+    StructField("amount", StringType),
+    StructField("status", StringType),
+    StructField("created_at", StringType),
+    StructField("paid_at", StringType)))
+
+  /** DECIMAL(16,2) magnitude cap (reference :51-52; sql/01_schema.sql:14). */
+  val maxAmount = 99999999999999.99
+
+  final case class Result(
+      original: DataFrame,
+      clean: DataFrame,
+      critical: DataFrame,
+      companies: DataFrame,
+      companiesTable: DataFrame,
+      charges: DataFrame)
+
+  /** CSV scan (reference :26-30). `fileOrderId` pins pandas' implicit
+    * row order so the group-first fill is deterministic (SURVEY §4.3.1).
+    * Parity datasets are single-split so coalesce(1)+zipWithIndex is
+    * exact file order; at 100 TB the fill rule would key on an explicit
+    * ingest sequence column instead — file order is a single-node-ism
+    * of the reference, not a semantic we scale. */
+  def readRaw(spark: SparkSession, csvPath: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .schema(rawSchema)
+      .csv(csvPath)
+    val withId = raw.coalesce(1).rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    spark.createDataFrame(withId,
+      rawSchema.add(StructField("_row_id", LongType, nullable = false)))
+  }
+
+  /** pandas `pd.to_numeric(errors="coerce").round(2)` (reference :42).
+    * numpy round(x, 2) == rint(x * 100) / 100 — half-even on the BINARY
+    * double, not its decimal repr: np.round(2.675, 2) == 2.67 while
+    * bround(2.675, 2) == 2.68. `rint` is the exact replication. */
+  private def coerceAmount(c: Column): Column = {
+    // try_cast, not cast: Spark 4 runs ANSI mode by default, where a
+    // plain cast throws on junk instead of coercing to null
+    val parsed = c.try_cast(DoubleType) // null on junk, inf on overflow
+    val rounded = rint(parsed * lit(100.0)) / lit(100.0)
+    val noInf = when(
+      rounded === Double.PositiveInfinity || rounded === Double.NegativeInfinity,
+      lit(null)).otherwise(rounded) // reference :50
+    when(noInf.isNotNull && abs(noInf) > lit(maxAmount), lit(null)) // :51-52
+      .otherwise(noInf)
+  }
+
+  /** pandas `pd.to_datetime(errors="coerce")` (reference :43-44) infers
+    * "%Y-%m-%d" from the first row then coerces strictly — so
+    * `2019-02-27T00:00:00` and `20190516` become NaT (FIXTURES.md §2).
+    * `try_to_timestamp` with the exact pattern reproduces that. */
+  private def coerceDate(c: Column): Column =
+    try_to_timestamp(c, lit("yyyy-MM-dd"))
+
+  /** `.str.strip().str.lower()` (reference :47-49). */
+  private def norm(c: Column): Column = lower(trim(c))
+
+  /** Rename + coerce + normalize: reference :36-52 as one projection. */
+  def transform(raw: DataFrame): DataFrame =
+    raw.select(
+      norm(col("id")).as("id"),
+      col("name").as("company_name"), // rename only — name is NOT normalized
+      norm(col("company_id")).as("company_id"),
+      coerceAmount(col("amount")).as("amount"),
+      norm(col("status")).as("status"),
+      coerceDate(col("created_at")).as("created_at"),
+      coerceDate(col("paid_at")).as("updated_at"),
+      col("_row_id"))
+
+  /** The five quarantine masks (reference :56-60). The `== "nan"` arms
+    * survive verbatim: raw text "NaN"/"nan" lowers to "nan", and pandas'
+    * astype(str) manufactures the same sentinel for true NaN. */
+  private def missingStr(c: Column): Column =
+    c.isNull || c === "" || c === "nan"
+
+  def maskReasons(df: DataFrame): DataFrame = df
+    .withColumn("_r_id", missingStr(col("id")))
+    .withColumn("_r_company_id", missingStr(col("company_id")))
+    .withColumn("_r_amount", col("amount").isNull)
+    .withColumn("_r_created_at", col("created_at").isNull)
+    .withColumn("_r_status", missingStr(col("status")))
+    .withColumn("_critical_reason", concat_ws("|", // reference :77-83 order
+      when(col("_r_id"), "missing_id"),
+      when(col("_r_company_id"), "missing_company_id"),
+      when(col("_r_amount"), "invalid_amount"),
+      when(col("_r_created_at"), "missing_created_at"),
+      when(col("_r_status"), "missing_status")))
+
+  private val outCols = Seq(
+    "id", "company_name", "company_id", "amount", "status",
+    "created_at", "updated_at")
+
+  /** Full pipeline: one cached upstream, two complementary filters
+    * (SURVEY F4 — the clean/quarantine split primitive). */
+  def run(spark: SparkSession, csvPath: String): Result = {
+    val original = readRaw(spark, csvPath)
+    val masked = maskReasons(transform(original)).persist()
+    val isCritical = col("_critical_reason") =!= ""
+
+    val critical = masked.filter(isCritical)
+      .select((outCols :+ "_critical_reason").map(col): _*)
+
+    // Name fill (reference :90-94): sentinel→null, then first non-null
+    // name of the same company in file order, then "unknown".
+    val sentinelFree = when(
+      col("company_name").isin("", "nan", "<NA>"), lit(null))
+      .otherwise(col("company_name"))
+    val w = Window.partitionBy(col("company_id")).orderBy(col("_row_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cleanWithId = masked.filter(!isCritical)
+      .withColumn("company_name", sentinelFree)
+      .withColumn("company_name",
+        coalesce(
+          col("company_name"),
+          first(col("company_name"), ignoreNulls = true).over(w),
+          lit("unknown")))
+    val clean = cleanWithId.select(outCols.map(col): _*)
+
+    // Load projections (reference :113-114); amount lands as the DDL's
+    // DECIMAL(16,2) in the charges table (sql/01_schema.sql:14).
+    // `companies` = the distinct pairs the reference *attempts* to insert
+    // (5 at baseline); `companiesTable` = what MySQL's `INSERT IGNORE`
+    // leaves behind — one row per company_id PK, first in file order
+    // winning (reference :125-131). The view must join the PK-deduped
+    // table or charges with duplicate-named companies double-count.
+    val companies = clean.select("company_id", "company_name").dropDuplicates()
+    val wPk = Window.partitionBy(col("company_id")).orderBy(col("_row_id"))
+    val companiesTable = cleanWithId
+      .select(col("company_id"), col("company_name"), col("_row_id"))
+      .withColumn("_rn", row_number().over(wPk))
+      .filter(col("_rn") === 1)
+      .select("company_id", "company_name")
+    val charges = clean.select(
+      col("id"), col("company_id"),
+      col("amount").cast(DecimalType(16, 2)).as("amount"),
+      col("status"), col("created_at"), col("updated_at"))
+
+    Result(original, clean, critical, companies, companiesTable, charges)
+  }
+
+  /** The reference's daily_company_totals view (sql/02_view.sql:4-11):
+    * SUM(amount) per company_name × DATE(created_at). Registered as a
+    * temp view so spark.sql queries get Catalyst's view inlining +
+    * predicate pushdown (SURVEY §3.3). */
+  def registerDailyTotalsView(spark: SparkSession, r: Result): Unit = {
+    r.charges.createOrReplaceTempView("charges")
+    r.companiesTable.createOrReplaceTempView("companies")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW daily_company_totals AS
+        |SELECT c.company_name,
+        |       CAST(ch.created_at AS DATE) AS transaction_date,
+        |       SUM(ch.amount) AS total_amount
+        |FROM charges ch JOIN companies c ON ch.company_id = c.company_id
+        |GROUP BY c.company_name, CAST(ch.created_at AS DATE)
+        |""".stripMargin)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.etl.ChargesEtl
+
+/** Golden-output parity against the reference's own committed ETL run
+  * (SURVEY §5.2.1): exact row-set equality with df_clean.csv /
+  * df_critical.csv and the count quintuple 10000/9986/14/5/9986. */
+class GoldenEtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val refDir = "/root/reference"
+  // glob over the accented filename — immune to path-encoding quirks
+  private lazy val result = ChargesEtl.run(spark, s"$refDir/data_prueba_t*cnica.csv")
+
+  /** Canonical comparable form: amounts as double, timestamps as
+    * yyyy-MM-dd strings (how pandas serialized the golden CSVs). */
+  private def canon(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val c = df
+      .withColumn("amount", col("amount").cast("double"))
+      .withColumn("created_at", date_format(col("created_at"), "yyyy-MM-dd"))
+      .withColumn("updated_at", date_format(col("updated_at"), "yyyy-MM-dd"))
+    c.select(cols.map(col): _*)
+  }
+
+  private def readGolden(path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+      .withColumn("amount", col("amount").try_cast("double"))
+
+  private val cleanCols = Seq("id", "company_name", "company_id", "amount",
+    "status", "created_at", "updated_at")
+
+  test("count quintuple matches the published run: 10000/9986/14/5/9986") {
+    assert(result.original.count() == 10000L)
+    assert(result.clean.count() == 9986L)
+    assert(result.critical.count() == 14L)
+    assert(result.companies.count() == 5L)
+    // after INSERT IGNORE, only 3 distinct company_id PKs survive
+    assert(result.companiesTable.count() == 3L)
+    assert(result.charges.count() == 9986L)
+  }
+
+  test("clean rows equal df_clean.csv exactly (row-set, both directions)") {
+    val got = canon(result.clean, cleanCols)
+    val want = canon(readGolden(s"$refDir/df_clean.csv"), cleanCols)
+    assert(got.exceptAll(want).count() == 0, "rows we produced but golden lacks")
+    assert(want.exceptAll(got).count() == 0, "golden rows we failed to produce")
+  }
+
+  test("critical rows equal df_critical.csv exactly, including reasons") {
+    val cols = cleanCols :+ "_critical_reason"
+    val got = canon(result.critical, cols)
+    val want = canon(readGolden(s"$refDir/df_critical.csv"), cols)
+    assert(got.exceptAll(want).count() == 0, "rows we produced but golden lacks")
+    assert(want.exceptAll(got).count() == 0, "golden rows we failed to produce")
+  }
+
+  test("quarantine reason breakdown matches BASELINE.md") {
+    val reasons = result.critical.groupBy("_critical_reason").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reasons == Map(
+      "missing_id" -> 3L, "missing_company_id" -> 4L,
+      "invalid_amount" -> 4L, "missing_created_at" -> 3L))
+  }
+
+  test("daily_company_totals view answers the readme spot-check queries") {
+    ChargesEtl.registerDailyTotalsView(spark, result)
+    val eq = spark.sql(
+      "SELECT * FROM daily_company_totals WHERE transaction_date = DATE'2019-03-16'")
+    assert(eq.count() > 0)
+    val between = spark.sql(
+      """SELECT * FROM daily_company_totals
+        |WHERE transaction_date BETWEEN DATE'2019-03-16' AND DATE'2022-05-31'""".stripMargin)
+    assert(between.count() > 0)
+    // grand total over the view == sum over clean charges
+    val viaView = between.agg(sum($"total_amount")).head.getDecimal(0)
+    val direct = result.charges
+      .filter($"created_at" >= lit("2019-03-16").cast("timestamp"))
+      .agg(sum($"amount")).head.getDecimal(0)
+    assert(viaView.compareTo(direct) == 0)
+  }
+
+  test("name fill recovered null names from the company group") {
+    // input lines 733/2201/2202 had null name + valid company_id
+    // (FIXTURES.md §2) — they must come out as MiPasajefy, never null
+    val nulls = result.clean.filter($"company_name".isNull ||
+      $"company_name".isin("", "nan", "<NA>")).count()
+    assert(nulls == 0)
+  }
+}
