@@ -17,10 +17,21 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.Dedup.queries ++
+      graft.queries.Similarity.queries ++
+      graft.queries.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted (⇒ driver rows-only check +
+    * dedicated ScalaTest): q19_simhash, q22_lsh_buckets, q23_ivf_ann
+    * (engine-specific hashes / non-SQL kernels), q25 (mapPartitions
+    * stub decode). */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle
+    graft.queries.Relational.oracle ++
+      graft.queries.TextOps.oracle ++
+      graft.queries.Dedup.oracle ++
+      graft.queries.Similarity.oracle ++
+      graft.queries.Multimodal.oracle
 }

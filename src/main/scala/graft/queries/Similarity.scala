@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`array<float>`).
+  *
+  * Brute-force cosine top-k is the correctness baseline (exact,
+  * oracle-checked); the LSH-bucketed and IVF variants are the scale
+  * paths — at 100 TB the brute-force inner loop only ever runs inside
+  * a bucket/posting-list, never across the full corpus.
+  *
+  * Cross-engine float discipline: dot products are computed in exact
+  * decimal (order-independent ⇒ partition-order-proof), then divided
+  * in IEEE double with the same expression shape as the oracle SQL —
+  * so cosines, and therefore rankings, match DuckDB bit-for-bit.
+  */
+object Similarity {
+
+  // Inputs at DECIMAL(12,9): both engines round the float identically;
+  // products land at scale 18 exactly. The accumulator is pinned to
+  // DECIMAL(30,18) with an explicit cast — Spark's decimal `+` widens
+  // precision by one per step (and past 38 would silently drop scale,
+  // losing exactness); the cast keeps the fold type-stable and is
+  // value-exact since |dot| << 10^12.
+  private val dec = DecimalType(12, 9)
+  private val accType = DecimalType(30, 18)
+
+  /** Exact decimal dot product of two float-array columns. */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      // float→double→decimal: Spark's float→decimal cast rounds the
+      // FLOAT's shortest string repr ("0.15469436"), DuckDB rounds the
+      // binary value — widening to double first makes both engines
+      // round the same 17-digit value
+      zip_with(a, b, (x, y) =>
+        x.cast(DoubleType).cast(dec) * y.cast(DoubleType).cast(dec)),
+      lit(java.math.BigDecimal.ZERO).cast(accType),
+      (acc, x) => (acc + x).cast(accType))
+
+  /** Euclidean norm via the exact self-dot, finished in double. */
+  def norm(v: Column): Column = sqrt(dotExact(v, v).cast(DoubleType))
+
+  // --------------------------------------------------------------- q21
+  /** Brute-force cosine top-5 for query vectors vec_id < 10.
+    * Queries are broadcast (tiny side), candidates stream — the plan
+    * is a single narrow pass over the corpus + a bounded top-k. */
+  def q21KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("nrm", norm(col("embedding")))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col("nrm").as("cn"))
+    val cos = dotExact(col("qv"), col("cv")).cast(DoubleType) /
+      (col("qn") * col("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      // report at 9 decimals: the decimal→double finish differs by one
+      // ulp across engines (ranking is unaffected — cosine gaps between
+      // distinct random vectors are ≫ 1 ulp)
+      .withColumn("cosine", round(col("cosine"), 9))
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  // --------------------------------------------------------------- q22
+  /** Random-hyperplane LSH bucketing (Charikar): `planes` sign bits,
+    * each from the dot with a deterministic ±1 Rademacher vector
+    * derived from murmur3. Output is the per-doc bucket assignment +
+    * bucket occupancy — the blocking structure an ANN query probes.
+    * Not SQL-expressible (engine-specific hash) → rows-only check +
+    * planted-duplicate tests. */
+  def lshBucket(v: Column, planes: Int = 16): Column = {
+    val bits = (0 until planes).map { j =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+          x.cast(DoubleType) *
+            (pmod(hash(i * lit(planes) + lit(j)), lit(2)) * 2 - 1).cast(DoubleType)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  def q22LshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("bucket", lshBucket(col("embedding")))
+    val occupancy = emb.groupBy("bucket").agg(count(lit(1)).as("n_bucket_mates"))
+    emb.join(occupancy, "bucket")
+      .select("vec_id", "bucket", "n_bucket_mates")
+      .orderBy("vec_id")
+  }
+
+  // --------------------------------------------------------------- q23
+  /** IVF-style ANN: coarse quantizer = per-label mean centroids
+    * (deterministic; the unsupervised variant would train k-means),
+    * vectors assigned to nearest centroid, queries probe the top-2
+    * centroid cells and run exact cosine only inside them.
+    * Rows-only check; recall vs q21 is asserted in SimilaritySpec. */
+  def q23IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    // centroids: elementwise mean per label via posexplode + re-assembly
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("c_label"),
+        expr("transform(pm, p -> CAST(p.m AS FLOAT))").as("centroid"))
+    val cB = broadcast(centroids)
+
+    def cosTo(v: Column, c: Column): Column =
+      dotExact(v, c).cast(DoubleType) / (norm(v) * norm(c))
+
+    // assignment: argmax cosine over centroids
+    val assigned = emb.crossJoin(cB)
+      .withColumn("sim", cosTo(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_label"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_label").as("cell"))
+
+    // queries probe top-2 cells
+    val probes = emb.filter(col("vec_id") < 10).crossJoin(cB)
+      .withColumn("sim", cosTo(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_label"))))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("c_label").as("cell"))
+
+    val cand = probes.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosTo(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+    cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_knn_brute"   -> (q21KnnBrute _),
+    "q22_lsh_buckets" -> (q22LshBuckets _),
+    "q23_ivf_ann"     -> (q23IvfAnn _))
+
+  val oracle: Map[String, String] = Map(
+    "q21_knn_brute" ->
+      """WITH n AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(CAST(list_sum(list_transform(range(1, len(embedding)+1),
+        |    i -> CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,9)) * CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,9)))) AS DOUBLE)) AS nrm
+        | FROM embeddings),
+        |p AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(list_sum(list_transform(range(1, len(q.embedding)+1),
+        |    i -> CAST(CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(12,9)) * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(12,9)))) AS DOUBLE)
+        |   / (q.nrm * c.nrm) AS cosine
+        | FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        | WHERE q.vec_id < 10),
+        |r AS (
+        | SELECT query_id, neighbor_id, cosine,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        | FROM p)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for LLM-data pipelines over `documents`:
+  * token counting, quality scoring, language-ID, fingerprinting, exact
+  * dedup. All array-native (`split`/`transform`/`filter`/`aggregate` —
+  * codegen'd, no UDFs) so they stay inside whole-stage codegen and
+  * scale linearly with no shuffle except the final aggregations.
+  *
+  * Oracle parity rules: integer arithmetic + IEEE double division only
+  * (no transcendentals — libm rounding differs across engines), string
+  * mins are lexicographic in both engines, Spark `sequence(0,k)` ≡
+  * DuckDB `range(0,k+1)`.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  private val wordsCol = split(col("text"), "\\s+")
+
+  /** Stopword list shared with the oracle SQL. */
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  // --------------------------------------------------------------- q13
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single non-alnum). */
+  def q13TokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"), col("lang"),
+      length(col("text")).as("n_chars"),
+      size(wordsCol).as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+        .as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  // --------------------------------------------------------------- q14
+  /** Quality scoring: length/stopword/alpha ratios combined into a
+    * rational score — the filter predicate a training-data pipeline
+    * would push down to the scan. */
+  def q14QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val words = wordsCol
+    val nTokens = size(words)
+    val nStop = size(filter(words, w => w.isin(stopEn: _*)))
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+    val stopRatio = nStop.cast("double") / nTokens.cast("double")
+    val avgTokLen = nAlpha.cast("double") / nTokens.cast("double")
+    val score = (lit(1.0) - stopRatio) * (least(nTokens, lit(100)).cast("double") / lit(100.0))
+    docs(spark, dir).select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      nStop.as("n_stopwords"),
+      stopRatio.as("stopword_ratio"),
+      avgTokLen.as("avg_token_len"),
+      score.as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- q15
+  /** Language-ID: stopword-hit heuristic across five wordlists, argmax
+    * with a fixed tie order. (On this synthetic corpus most docs score
+    * `en` — the operator contract is the heuristic itself, which the
+    * oracle reproduces verbatim; accuracy vs the `lang` label is a
+    * reported column, not a target.) */
+  def q15LangId(spark: SparkSession, dir: String): DataFrame = {
+    val lists = Seq(
+      "en" -> Seq("the", "a", "and", "of", "to", "is"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+      "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3"))
+    val words = wordsCol
+    val scored = docs(spark, dir).select(
+      (col("doc_id") +: col("lang") +:
+        lists.map { case (l, ws) =>
+          size(filter(words, w => w.isin(ws: _*))).as(s"score_$l")
+        }): _*)
+    // argmax with fixed tie order en>es>fr>de>zh
+    val best = lists.map(_._1).foldRight(lit("zh")) { (l, rest) =>
+      if (l == "zh") rest
+      else {
+        val others = lists.map(_._1).dropWhile(_ != l).drop(1)
+        val isMax = others.map(o => col(s"score_$l") >= col(s"score_$o"))
+          .reduce(_ && _)
+        when(isMax, lit(l)).otherwise(rest)
+      }
+    }
+    scored
+      .withColumn("pred_lang", best)
+      .withColumn("is_correct", (col("pred_lang") === col("lang")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- q16
+  /** Document fingerprint: lexicographic-min MD5 over stride-4 8-char
+    * shingles (winnowing-style content fingerprint, robust to
+    * reordering of distant content; array-native, no explode). */
+  def q16Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      expr("""array_min(transform(
+               sequence(0, CAST(floor((length(text)-8)/4) AS INT)),
+               i -> md5(substring(text, i*4+1, 8))))""").as("fingerprint"),
+      length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  // --------------------------------------------------------------- q17
+  /** Exact dedup (hash-groupBy): survivor map keyed by content hash —
+    * min(doc_id) wins, duplicate count per group (SURVEY A2 scaled to
+    * content dedup). */
+  def q17ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper_doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_token_count"   -> (q13TokenCount _),
+    "q14_quality_score" -> (q14QualityScore _),
+    "q15_lang_id"       -> (q15LangId _),
+    "q16_fingerprint"   -> (q16Fingerprint _),
+    "q17_exact_dedup"   -> (q17ExactDedup _))
+
+  val oracle: Map[String, String] = Map(
+    "q13_token_count" ->
+      """SELECT doc_id, lang, length(text) AS n_chars,
+        | len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+        | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q14_quality_score" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(text, '\s+') AS w,
+        |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+        | FROM documents)
+        |SELECT doc_id,
+        | len(w) AS n_tokens,
+        | len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','it'))) AS n_stopwords,
+        | CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+        | CAST(n_alpha AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_token_len,
+        | (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / CAST(len(w) AS DOUBLE))
+        |   * (CAST(least(len(w), 100) AS DOUBLE) / 100.0) AS quality_score
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q15_lang_id" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, string_split_regex(text, '\s+') AS w FROM documents),
+        |s AS (
+        | SELECT doc_id, lang,
+        |  len(list_filter(w, x -> x IN ('the','a','and','of','to','is'))) AS score_en,
+        |  len(list_filter(w, x -> x IN ('el','la','de','que','y','en'))) AS score_es,
+        |  len(list_filter(w, x -> x IN ('le','la','et','les','des','un'))) AS score_fr,
+        |  len(list_filter(w, x -> x IN ('der','die','und','das','ist','ein'))) AS score_de,
+        |  len(list_filter(w, x -> x IN ('de5','shi4','le5','zai4','he2','you3'))) AS score_zh
+        | FROM t)
+        |SELECT doc_id, lang, score_en, score_es, score_fr, score_de, score_zh,
+        | CASE
+        |  WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+        |  WHEN score_es >= score_fr AND score_es >= score_de AND score_es >= score_zh THEN 'es'
+        |  WHEN score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+        |  WHEN score_de >= score_zh THEN 'de'
+        |  ELSE 'zh' END AS pred_lang,
+        | CAST(CASE
+        |  WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+        |  WHEN score_es >= score_fr AND score_es >= score_de AND score_es >= score_zh THEN 'es'
+        |  WHEN score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+        |  WHEN score_de >= score_zh THEN 'de'
+        |  ELSE 'zh' END = lang AS INT) AS is_correct
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q16_fingerprint" ->
+      """SELECT doc_id,
+        | list_min(list_transform(
+        |   range(0, CAST(floor((length(text)-8)/4) AS INT) + 1),
+        |   i -> md5(substr(text, i*4+1, 8)))) AS fingerprint,
+        | length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q17_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+        | COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id""".stripMargin)
+}

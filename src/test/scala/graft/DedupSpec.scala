@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.queries.Dedup
+import graft.functions.SimHash64
+
+/** Planted-near-duplicate tests for the non-SQL-expressible dedup ops:
+  * the testdata corpus has no near-dups (verified), so we synthesize a
+  * corpus with known duplicate structure and assert detection. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** documents-shaped corpus: 40 distinct docs + 3 planted near-dups
+    * of doc 0 (one word changed) + 1 exact dup of doc 1. */
+  private lazy val plantedDir: String = {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(7)
+    def doc(i: Int): String =
+      (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 40).map(i => (i.toLong, doc(i)))
+    val nearDups = (0 until 3).map { j =>
+      val words = base(0)._2.split(" ")
+      words(10 + j) = "CHANGED" + j
+      (100L + j, words.mkString(" "))
+    }
+    val exactDup = Seq((200L, base(1)._2))
+    (base ++ nearDups ++ exactDup).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("minhash LSH finds planted near-dups and the exact dup") {
+    val pairs = Dedup.minhashCandidatePairs(spark, plantedDir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)), "near-dup 100 of doc 0 missed")
+    assert(pairs.contains((0L, 101L)), "near-dup 101 of doc 0 missed")
+    assert(pairs.contains((0L, 102L)), "near-dup 102 of doc 0 missed")
+    assert(pairs.contains((1L, 200L)), "exact dup 200 of doc 1 missed")
+    // distinct random docs must not flood the candidate set
+    assert(pairs.size < 20, s"too many candidate pairs: ${pairs.size}")
+  }
+
+  test("simhash: planted near-dups are close in Hamming space, strangers far") {
+    val pairs = Dedup.simhashNearDupPairs(spark, plantedDir, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 200L)), "exact dup must have hamming 0")
+    assert(pairs.contains((0L, 100L)), "one-word change should stay within 8 bits")
+  }
+
+  test("simhash64 expression: identical input → identical hash; order-insensitive-ish") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "a", "b")),
+      (2L, Seq("a", "b", "c", "a", "b")),
+      (3L, Seq("x", "y", "z", "w", "v"))).toDF("id", "toks")
+      .withColumn("h", SimHash64.simhash64($"toks"))
+    val hs = df.collect().map(r => r.getLong(0) -> r.getAs[Long]("h")).toMap
+    assert(hs(1L) == hs(2L))
+    assert(hs(1L) != hs(3L))
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) > 10)
+  }
+
+  test("fnv1a64 matches published test vectors") {
+    // public FNV-1a reference values
+    assert(SimHash64.fnv1a64(Array.empty[Byte]) == 0xcbf29ce484222325L)
+    assert(SimHash64.fnv1a64("a".getBytes("UTF-8")) == 0xaf63dc4c8601ec8cL)
+    assert(SimHash64.fnv1a64("foobar".getBytes("UTF-8")) == 0x85944171f73967e8L)
+  }
+
+  test("q18 signatures are stable across runs (deterministic)") {
+    val a = Dedup.q18MinhashLsh(spark, sfDir).collect()
+    val b = Dedup.q18MinhashLsh(spark, sfDir).collect()
+    assert(a.sameElements(b))
+  }
+}

@@ -15,8 +15,11 @@ class RelationalSpec extends SparkSpec {
 
   test("every query has an oracle or a documented omission") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // non-SQL-expressible ops are allowed to omit; none exist yet
-    assert(missing.isEmpty, s"queries without oracle: $missing")
+    // documented rows-only ops (engine-specific hashes / mapPartitions
+    // kernels — see SparkEntry.oracleSql scaladoc); each has its own spec
+    val allowed = Set("q19_simhash", "q22_lsh_buckets", "q23_ivf_ann",
+      "q25_multimodal_features")
+    assert((missing -- allowed).isEmpty, s"queries without oracle: $missing")
   }
 
   test("q1 groups by (returnflag, linestatus) with positive sums") {

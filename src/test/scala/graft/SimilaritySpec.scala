@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force knn: self-similarity excluded, ranks 1..5 per query") {
+    val rows = Similarity.q21KnnBrute(spark, sfDir).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id"))
+      assert(r.getAs[Double]("cosine") <= 1.0 + 1e-9)
+    }
+    val ranks = rows.groupBy(_.getAs[Long]("query_id"))
+      .map { case (_, rs) => rs.map(_.getAs[Int]("rank")).sorted.toSeq }
+    assert(ranks.forall(_ == Seq(1, 2, 3, 4, 5)))
+  }
+
+  test("identical vectors share an LSH bucket") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-lsh").toString
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val v0 = vec()
+    val rows = (0 until 30).map(i => (i.toLong, vec(), i % 10)) :+
+      ((100L, v0, 0)) :+ ((101L, v0, 0)) // planted identical pair
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val buckets = Similarity.q22LshBuckets(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(buckets(100L) == buckets(101L), "identical vectors must collide")
+  }
+
+  test("IVF ANN achieves reasonable recall vs brute force") {
+    val brute = Similarity.q21KnnBrute(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.q23IvfAnn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    // embeddings are near-uniform random, so cells are uninformative —
+    // probing 2 of 10 cells bounds recall near 0.2; assert the machinery
+    // finds a nontrivial overlap and full output shape
+    assert(ivf.size == brute.size)
+    assert(recall > 0.05, s"recall $recall suspiciously low")
+  }
+}
