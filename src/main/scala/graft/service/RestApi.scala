@@ -1,0 +1,161 @@
+package graft.service
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicReference
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+/** REST layer (SURVEY §2.10 R1–R7) on the JDK's built-in HttpServer —
+  * zero extra dependencies, runs in the Spark driver process exactly
+  * like the reference's uvicorn+FastAPI singleton (api/main.py:10).
+  *
+  * Reference endpoints:
+  *   POST /extract {"number": n} → 400 on domain errors, 422 on range
+  *   GET  /missing → {"missing": n} | 400
+  *   POST /reset
+  * Engine extensions (R7, job orchestration):
+  *   POST /etl/run {"csvPath": p, "outDir": d} → runs the batch ETL
+  *   GET  /query/daily_totals?from=YYYY-MM-DD&to=YYYY-MM-DD → view rows
+  *   GET  /health
+  */
+final class RestApi(spark: Option[SparkSession], port: Int = 0) {
+
+  // R4: singleton rebound on /reset, like the reference's `global state`
+  private val state = new AtomicReference(new First100Set)
+  private var lastEtl: Option[graft.etl.ChargesEtl.Result] = None
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def reply(ex: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  /** Minimal field extractor for the flat request bodies we accept —
+    * mirrors pydantic's int coercion for {"number": n}. */
+  private def intField(body: String, field: String): Option[Int] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + field + "\"\\s*:\\s*(-?\\d+)").matcher(body)
+    if (m.find()) Some(m.group(1).toInt) else None
+  }
+  private def strField(body: String, field: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + field + "\"\\s*:\\s*\"([^\"]*)\"").matcher(body)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
+  server.createContext("/extract", (ex: HttpExchange) =>
+    if (ex.getRequestMethod != "POST") reply(ex, 405, """{"detail":"method not allowed"}""")
+    else {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      intField(body, "number") match {
+        case None => reply(ex, 422, """{"detail":"number: field required"}""")
+        // pydantic ge=1 le=100 rejects before the handler → 422 (R1)
+        case Some(n) if n < 1 || n > First100Set.Domain =>
+          reply(ex, 422, """{"detail":"number: must be between 1 and 100"}""")
+        case Some(n) => state.get.extract(n) match {
+          case Right(v) => reply(ex, 200, s"""{"extracted":$v}""")
+          case Left(err) => reply(ex, 400, s"""{"detail":"${esc(err)}"}""")
+        }
+      }
+    })
+
+  server.createContext("/missing", (ex: HttpExchange) =>
+    state.get.missingBySum match {
+      case Right(v) => reply(ex, 200, s"""{"missing":$v}""")
+      case Left(err) => reply(ex, 400, s"""{"detail":"${esc(err)}"}""")
+    })
+
+  server.createContext("/reset", (ex: HttpExchange) =>
+    if (ex.getRequestMethod != "POST") reply(ex, 405, """{"detail":"method not allowed"}""")
+    else { state.set(new First100Set); reply(ex, 200, """{"status":"reset"}""") })
+
+  server.createContext("/health", (ex: HttpExchange) =>
+    reply(ex, 200, """{"status":"ok"}"""))
+
+  // R7: job orchestration — routes that launch/inspect Spark jobs
+  server.createContext("/etl/run", (ex: HttpExchange) =>
+    (spark, ex.getRequestMethod) match {
+      case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
+      case (_, m) if m != "POST" => reply(ex, 405, """{"detail":"method not allowed"}""")
+      case (Some(s), _) =>
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        strField(body, "csvPath") match {
+          case None => reply(ex, 422, """{"detail":"csvPath: field required"}""")
+          case Some(p) =>
+            try {
+              val r = graft.etl.ChargesEtl.run(s, p)
+              lastEtl = Some(r)
+              graft.etl.ChargesEtl.registerDailyTotalsView(s, r)
+              reply(ex, 200,
+                s"""{"original":${r.original.count()},"clean":${r.clean.count()},"critical":${r.critical.count()}}""")
+            } catch {
+              case e: Exception =>
+                reply(ex, 500, s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+            }
+        }
+    })
+
+  server.createContext("/query/daily_totals", (ex: HttpExchange) =>
+    (spark, lastEtl) match {
+      case (Some(s), Some(_)) =>
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v
+          }.toMap
+        val datePat = "\\d{4}-\\d{2}-\\d{2}".r
+        (params.get("from"), params.get("to")) match {
+          case (Some(f), Some(t))
+              if datePat.matches(f) && datePat.matches(t) =>
+            val rows = s.sql(
+              s"""SELECT company_name, CAST(transaction_date AS STRING) d,
+                 |       CAST(total_amount AS STRING) total
+                 |FROM daily_company_totals
+                 |WHERE transaction_date BETWEEN DATE'$f' AND DATE'$t'
+                 |ORDER BY company_name, d""".stripMargin)
+              .collect().map(r =>
+                s"""{"company_name":"${esc(r.getString(0))}","transaction_date":"${r.getString(1)}","total_amount":${r.getString(2)}}""")
+            reply(ex, 200, rows.mkString("[", ",", "]"))
+          case _ => reply(ex, 422, """{"detail":"from/to: YYYY-MM-DD required"}""")
+        }
+      case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
+      case (_, None) => reply(ex, 409, """{"detail":"run /etl/run first"}""")
+    })
+
+  def start(): RestApi = { server.setExecutor(null); server.start(); this }
+  def stop(): Unit = server.stop(0)
+}
+
+/** CLI entry (R6): `--extract N` extracts then prints the missing
+  * number, exit 1 on error — mirroring `python -m api.main`. Without
+  * args it serves HTTP on --port (default 8000). */
+object RestApi {
+  def main(args: Array[String]): Unit = args.toList match {
+    case "--extract" :: n :: Nil =>
+      val s = new First100Set
+      s.extract(n.toInt) match {
+        case Left(err) => System.err.println(err); sys.exit(1)
+        case Right(_) => s.missingBySum match {
+          case Right(m) => println(s"missing: $m")
+          case Left(err) => System.err.println(err); sys.exit(1)
+        }
+      }
+    case rest =>
+      val port = rest match {
+        case "--port" :: p :: Nil => p.toInt
+        case _ => 8000
+      }
+      val api = new RestApi(None, port).start()
+      println(s"serving on :${api.boundPort}")
+      Thread.currentThread().join()
+  }
+}

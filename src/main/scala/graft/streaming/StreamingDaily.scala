@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension (SURVEY §2.12, §7.5): the batch
+  * daily-totals aggregate (A3) re-expressed as an incremental query —
+  * tumbling event-time windows + watermark for bounded state and
+  * late-data discard. The batch and streaming variants share one
+  * aggregation definition, so equivalence is testable (and is tested):
+  * stream over a finite directory == batch over the same directory.
+  *
+  * At scale this is the standing ingest pipeline: `readStream` over an
+  * arriving-files directory (or Kafka source), state in the default
+  * HDFS-backed store keyed by (window, event_type) — cardinality
+  * bounded by watermark horizon × type count, not by input volume.
+  */
+object StreamingDaily {
+
+  /** events-shaped schema for the file stream (ts already µs). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // raw nanos; converted below
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Shared aggregation: hourly totals per event type. Decimal-exact
+    * sum (same discipline as the batch oracles). */
+  def hourlyTotals(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Batch twin over the same input — the equivalence oracle. */
+  def hourlyTotalsBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Start the stream over a parquet directory into an in-memory sink
+    * named `queryName`. Finite-directory smoke: processAllAvailable()
+    * then read `spark.table(queryName)`. */
+  def startFileStream(spark: SparkSession, dir: String,
+      queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file streams list a DIRECTORY; when pointed at a single file,
+    // stream its parent with a glob filter
+    val f = new java.io.File(dir)
+    val (base, filter) =
+      if (f.isFile) (f.getParent, Some(f.getName)) else (dir, None)
+    val reader = spark.readStream.schema(eventsSchema)
+    val raw = filter.fold(reader)(g => reader.option("pathGlobFilter", g))
+      .parquet(base)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    hourlyTotals(raw).writeStream
+      .outputMode(OutputMode.Complete()) // agg w/o append-finalized windows
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.scalatest.funsuite.AnyFunSuite
+import graft.service.{First100Set, First100Relational, RestApi}
+
+/** First100 service semantics (FIXTURES.md §5) + REST route behavior
+  * (reference readme.md:180-196), driven over real HTTP. */
+class ServiceSpec extends AnyFunSuite {
+
+  test("exhaustive: ∀n∈[1,100], extract(n) ⇒ missingBySum == n") {
+    (1 to 100).foreach { n =>
+      val s = new First100Set
+      assert(s.extract(n).isRight)
+      assert(s.missingBySum == Right(n))
+      assert(s.missingByIdentity == Right(n))
+    }
+  }
+
+  test("double extraction and out-of-range rejected") {
+    val s = new First100Set
+    assert(s.extract(0).isLeft)
+    assert(s.extract(101).isLeft)
+    assert(s.extract(57).isRight)
+    assert(s.extract(57).isLeft)
+  }
+
+  test("missing with 0 or ≥2 extracted is an error") {
+    val s = new First100Set
+    assert(s.missingBySum.isLeft)
+    s.extract(3); s.extract(4)
+    assert(s.missingBySum.isLeft)
+  }
+
+  private def http(method: String, url: String, body: Option[String] = None)
+      : (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(b.getBytes(UTF_8))
+    }
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = new String(stream.readAllBytes(), UTF_8)
+    (code, text)
+  }
+
+  test("REST routes mirror the reference API contract") {
+    val api = new RestApi(None, 0).start()
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      assert(http("GET", s"$base/health")._1 == 200)
+      // R2: missing before any extraction → 400
+      assert(http("GET", s"$base/missing")._1 == 400)
+      // R1: range validation → 422 (pydantic layer), domain error → 400
+      assert(http("POST", s"$base/extract", Some("""{"number":0}"""))._1 == 422)
+      assert(http("POST", s"$base/extract", Some("""{"number":101}"""))._1 == 422)
+      assert(http("POST", s"$base/extract", Some("""{"nope":1}"""))._1 == 422)
+      val (c1, b1) = http("POST", s"$base/extract", Some("""{"number":57}"""))
+      assert(c1 == 200 && b1.contains("57"))
+      assert(http("POST", s"$base/extract", Some("""{"number":57}"""))._1 == 400)
+      val (c2, b2) = http("GET", s"$base/missing")
+      assert(c2 == 200 && b2 == """{"missing":57}""")
+      // R3: reset → missing 400 again
+      assert(http("POST", s"$base/reset")._1 == 200)
+      assert(http("GET", s"$base/missing")._1 == 400)
+      // method guards
+      assert(http("GET", s"$base/extract")._1 == 405)
+      // job route without a spark session → 503
+      assert(http("POST", s"$base/etl/run", Some("""{"csvPath":"x"}"""))._1 == 503)
+    } finally api.stop()
+  }
+
+  test("relational twin recovers the missing number via anti-join + Gauss") {
+    val spark = SparkSpec.spark
+    val m = First100Relational.missing(spark, Seq(42)).head().getLong(0)
+    assert(m == 42L)
+  }
+}
