@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import graft.functions.{DotLong, SimHash64, VectorQuantize}
+
+/** Session wiring for the engine.
+  *
+  * [[GraftExtensions]] registers the custom Catalyst expressions as SQL
+  * functions (usable from `spark.sql` and by any JDBC/Thrift client),
+  * injected via the standard `SparkSessionExtensions` hook — the same
+  * mechanism a deployed cluster enables with
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * [[GraftSession.builder]] carries the scale posture:
+  *  - AQE on (runtime coalescing, skew-join splitting) — on a real
+  *    cluster this is what absorbs the skew that local tests never see
+  *  - shuffle partitions sized to the machine, not the 200 default
+  *  - 128 MB scan partitions — the parquet-side parallelism knob
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[SimHash64].getName, "simhash64"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          SimHash64(children.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("vector_quantize"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[VectorQuantize].getName, "vector_quantize"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          VectorQuantize(children.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_long"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DotLong].getName, "dot_long"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          DotLong(children.head, children(1))))
+  }
+}
+
+object GraftSession {
+  /** Same registrations as [[GraftExtensions]] but onto a LIVE session
+    * (extensions only bind at session construction). */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_quantize",
+      exprs => VectorQuantize(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_long",
+      exprs => DotLong(exprs.head, exprs(1)), "scala_udf")
+  }
+
+  /** Tuned builder for local or cluster use. */
+  def builder(cores: Int = Runtime.getRuntime.availableProcessors())
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int): SparkSession =
+    builder(cores).master(s"local[$cores]").appName("graft").getOrCreate()
+}

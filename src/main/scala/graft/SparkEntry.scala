@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.TextOps.queries ++
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
-      graft.queries.Multimodal.queries
+      graft.queries.Multimodal.queries ++
+      graft.queries.DataQuality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (⇒ driver rows-only check +
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.TextOps.oracle ++
       graft.queries.Dedup.oracle ++
       graft.queries.Similarity.oracle ++
-      graft.queries.Multimodal.oracle
+      graft.queries.Multimodal.oracle ++
+      graft.queries.DataQuality.oracle
 }

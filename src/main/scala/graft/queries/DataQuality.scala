@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Load-time validation operators (SURVEY J3, S7, §1.3): Spark does
+  * not enforce FK or VARCHAR constraints, so the engine validates them
+  * relationally — anti-joins for referential integrity, predicates for
+  * schema caps — exactly what the reference delegates to MySQL DDL.
+  *
+  * All counts, so every check is oracle-exact; a violation count of 0
+  * is the passing state a load job asserts before commit.
+  */
+object DataQuality {
+
+  // --------------------------------------------------------------- q30
+  /** Referential integrity via left-anti joins: orphaned orders
+    * (no customer), orphaned lineitems (no order), orphaned customers
+    * (no nation). One row of violation counts. */
+  def q30FkCheck(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    val lineitem = Tables(spark, dir, "lineitem")
+    val nation = Tables(spark, dir, "nation")
+    // one lazy plan, no driver-side actions: each anti-join reduces to
+    // a scalar count, cross-joined into a single validation row
+    val orphanOrders = orders.join(customer,
+      col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_orders"))
+    val orphanLines = lineitem.join(orders,
+      col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitems"))
+    val orphanCust = customer.join(broadcast(nation),
+      col("c_nationkey") === col("n_nationkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_customers"))
+    orphanOrders.crossJoin(orphanLines).crossJoin(orphanCust)
+  }
+
+  // --------------------------------------------------------------- q31
+  /** Schema-cap validation (the DDL's VARCHAR/DECIMAL bounds as
+    * predicates): per-table counts of rows violating length or
+    * magnitude limits, one pass each. */
+  def q31SchemaCaps(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val part = Tables(spark, dir, "part")
+    customer.agg(
+      count(when(length(col("c_name")) > 25, 1)).as("c_name_over_25"),
+      count(when(abs(col("c_acctbal")) > lit(99999.99), 1)).as("c_acctbal_over_cap"),
+      count(when(col("c_mktsegment").isNull || col("c_mktsegment") === "", 1))
+        .as("c_mktsegment_empty"))
+      .crossJoin(part.agg(
+        count(when(length(col("p_name")) > 55, 1)).as("p_name_over_55"),
+        count(when(col("p_size") < 1 || col("p_size") > 50, 1)).as("p_size_out_of_range")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_fk_check"   -> (q30FkCheck _),
+    "q31_schema_caps" -> (q31SchemaCaps _))
+
+  val oracle: Map[String, String] = Map(
+    "q30_fk_check" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS orphan_orders,
+        | (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+        | (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        |   (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS orphan_customers""".stripMargin,
+    "q31_schema_caps" ->
+      """SELECT
+        | (SELECT COUNT(CASE WHEN length(c_name) > 25 THEN 1 END) FROM customer) AS c_name_over_25,
+        | (SELECT COUNT(CASE WHEN abs(c_acctbal) > 99999.99 THEN 1 END) FROM customer) AS c_acctbal_over_cap,
+        | (SELECT COUNT(CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 1 END) FROM customer) AS c_mktsegment_empty,
+        | (SELECT COUNT(CASE WHEN length(p_name) > 55 THEN 1 END) FROM part) AS p_name_over_55,
+        | (SELECT COUNT(CASE WHEN p_size < 1 OR p_size > 50 THEN 1 END) FROM part) AS p_size_out_of_range""".stripMargin)
+}
