@@ -70,6 +70,31 @@ case class DotLong(left: Expression, right: Expression) extends BinaryExpression
   override def prettyName: String = "dot_long"
 }
 
+/** Random-hyperplane LSH bucket (Charikar) over a QUANTIZED vector:
+  * `planes` sign bits, plane i,j components ±1 derived from a
+  * splitmix64 hash — one native pass, long arithmetic only. */
+case class LshBucket64(child: Expression, planes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"lsh_bucket needs array<long> (quantized), got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.lshBucket(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorOps.lshBucket($c, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket64 =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_bucket"
+}
+
 object VectorOps {
   final val Scale = 6
   /** 10^(2·Scale): a scale-12 dot in fixed point → double divisor. */
@@ -102,12 +127,41 @@ object VectorOps {
     acc
   }
 
+  /** splitmix64 finalizer (public domain, Steele et al.) — cheap
+    * stateless hash for deterministic Rademacher plane components. */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def lshBucket(v: ArrayData, planes: Int): Long = {
+    val n = v.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < planes) {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val sign = if ((mix64(i.toLong * planes + j) & 1L) == 1L) 1L else -1L
+        acc += sign * v.getLong(i)
+        i += 1
+      }
+      if (acc > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
   /** Column API. */
   def vector_quantize(v: Column): Column =
     GraftSqlBridge.column(VectorQuantize(GraftSqlBridge.expression(v)))
   def dot_long(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotLong(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  def lsh_bucket(v: Column, planes: Int = 16): Column =
+    GraftSqlBridge.column(LshBucket64(GraftSqlBridge.expression(v), planes))
 
   /** Exact cosine between two quantized vectors given precomputed
     * norms (computed from the same fixed-point dots). */

@@ -96,11 +96,30 @@ object EventsOps {
       .orderBy(col("event_id"))
   }
 
+  // --------------------------------------------------------------- q32
+  /** Gap-based sessionization via `session_window` (30 min inactivity
+    * gap) — the SAME definition runs incrementally under Structured
+    * Streaming with a watermark (see StreamingDaily/StreamingSpec).
+    * Oracle: the equivalent gaps-and-islands SQL. Session bounds as
+    * epoch-µs longs; Spark's session end = last event + gap. */
+  def q32Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gap = "30 minutes"
+    events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_json_extract"     -> (q26JsonExtract _),
     "q27_asof_join"        -> (q27AsofJoin _),
     "q28_coerce_clean"     -> (q28CoerceClean _),
-    "q29_group_first_fill" -> (q29GroupFirstFill _))
+    "q29_group_first_fill" -> (q29GroupFirstFill _),
+    "q32_sessionize"       -> (q32Sessionize _))
 
   val oracle: Map[String, String] = Map(
     "q26_json_extract" ->
@@ -132,6 +151,23 @@ object EventsOps {
         | COUNT(v) AS n_clean,
         | CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_clean
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q32_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |       >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        | FROM events),
+        |s AS (
+        | SELECT user_id, ts_us,
+        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        | FROM e)
+        |SELECT user_id, MIN(ts_us) AS session_start_us,
+        | MAX(ts_us) + 1800000000 AS session_end_us,
+        | COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "q29_group_first_fill" ->
       """SELECT event_id, user_id,
         | coalesce(

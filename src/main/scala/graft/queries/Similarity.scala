@@ -79,26 +79,17 @@ object Similarity {
 
   // --------------------------------------------------------------- q22
   /** Random-hyperplane LSH bucketing (Charikar): `planes` sign bits,
-    * each from the dot with a deterministic ±1 Rademacher vector
-    * derived from murmur3. Output is the per-doc bucket assignment +
-    * bucket occupancy — the blocking structure an ANN query probes.
-    * Not SQL-expressible (engine-specific hash) → rows-only check +
+    * each the sign of a dot with a deterministic ±1 Rademacher vector
+    * (splitmix64-derived), computed by the native [[graft.functions
+    * .LshBucket64]] kernel over the quantized vector — one long-loop
+    * pass per row. Output is the per-doc bucket assignment + bucket
+    * occupancy — the blocking structure an ANN query probes. Not
+    * SQL-expressible (engine-specific hash) → rows-only check +
     * planted-duplicate tests. */
-  def lshBucket(v: Column, planes: Int = 16): Column = {
-    val bits = (0 until planes).map { j =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-          x.cast(DoubleType) *
-            (pmod(hash(i * lit(planes) + lit(j)), lit(2)) * 2 - 1).cast(DoubleType)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
   def q22LshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps._
     val emb = Tables(spark, dir, "embeddings")
-      .withColumn("bucket", lshBucket(col("embedding")))
+      .withColumn("bucket", lsh_bucket(vector_quantize(col("embedding"))))
     val occupancy = emb.groupBy("bucket").agg(count(lit(1)).as("n_bucket_mates"))
     emb.join(occupancy, "bucket")
       .select("vec_id", "bucket", "n_bucket_mates")
