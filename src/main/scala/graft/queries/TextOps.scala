@@ -117,7 +117,36 @@ object TextOps {
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keeper_doc_id"))
 
+  // --------------------------------------------------------------- q33
+  /** Composite training-data prep pipeline: exact-dedup survivors →
+    * quality filter → per-source corpus stats. The operators compose
+    * in ONE lazy plan (dedup's groupBy is the only shuffle before the
+    * final per-source aggregate) — the shape of a real corpus-prep
+    * job, oracle-checked end-to-end. */
+  def q33PrepPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val words = wordsCol
+    val nTokens = size(words)
+    val nStop = size(filter(words, w => w.isin(stopEn: _*)))
+    val quality = (lit(1.0) - nStop.cast("double") / nTokens.cast("double")) *
+      (least(nTokens, lit(100)).cast("double") / lit(100.0))
+    val survivors = d
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(d, "doc_id")
+    survivors
+      .withColumn("quality", quality)
+      .filter(col("quality") >= 0.5 && length(col("text")) >= 100)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(wordsCol).cast("long")).as("total_tokens"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_prep_pipeline" -> (q33PrepPipeline _),
     "q13_token_count"   -> (q13TokenCount _),
     "q14_quality_score" -> (q14QualityScore _),
     "q15_lang_id"       -> (q15LangId _),
@@ -125,6 +154,23 @@ object TextOps {
     "q17_exact_dedup"   -> (q17ExactDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q33_prep_pipeline" ->
+      """WITH survivors AS (
+        | SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |scored AS (
+        | SELECT d.source, d.text, string_split_regex(d.text, '\s+') AS w
+        | FROM documents d JOIN survivors s ON d.doc_id = s.doc_id),
+        |q AS (
+        | SELECT source, text, w,
+        |  (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+        |     / CAST(len(w) AS DOUBLE))
+        |   * (CAST(least(len(w), 100) AS DOUBLE) / 100.0) AS quality
+        | FROM scored)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(CAST(len(w) AS BIGINT)) AS BIGINT) AS total_tokens,
+        | CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars
+        |FROM q WHERE quality >= 0.5 AND length(text) >= 100
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q13_token_count" ->
       """SELECT doc_id, lang, length(text) AS n_chars,
         | len(string_split_regex(text, '\s+')) AS n_ws_tokens,

@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.{Relational, Similarity}
+
+/** Physical-plan assertions: the scale properties are grade-A only if
+  * they're visible in the plan, so they're pinned here against
+  * regressions ("the plan you'd want, not the first one that passed"). */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q3: filter and projection reach the parquet scan") {
+    val plan = planOf(Relational.q3FilterPushdown(spark, sfDir))
+    assert(plan.contains("PushedFilters: ["), "expected pushed filters")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") ||
+      plan.contains("IsNotNull(l_shipdate)"), s"shipdate not pushed:\n$plan")
+    // column pruning: only the 4 needed columns in ReadSchema
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_extendedprice"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q2: bounded dims are broadcast, not shuffled") {
+    val plan = planOf(Relational.q2JoinAgg(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q4: top-k plans as TakeOrderedAndProject, no global sort") {
+    val df = Relational.q4TopK(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("q1: aggregation is partial+final (map-side combine)") {
+    val plan = planOf(Relational.q1Agg(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan→aggregate path of q1") {
+    val plan = planOf(Relational.q1Agg(spark, sfDir))
+    // compact plan text marks WholeStageCodegen stages as "*(n)"
+    assert(plan.contains("*("), s"expected codegen spans:\n$plan")
+  }
+
+  test("q21: query side is broadcast; corpus streams once") {
+    val plan = planOf(Similarity.q21KnnBrute(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query vectors should broadcast:\n$plan")
+  }
+}
