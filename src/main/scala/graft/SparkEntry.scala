@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
       graft.queries.Multimodal.queries ++
-      graft.queries.DataQuality.queries
+      graft.queries.DataQuality.queries ++
+      graft.queries.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (⇒ driver rows-only check +
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.Dedup.oracle ++
       graft.queries.Similarity.oracle ++
       graft.queries.Multimodal.oracle ++
-      graft.queries.DataQuality.oracle
+      graft.queries.DataQuality.oracle ++
+      graft.queries.Analytics.oracle
 }

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** OLAP shapes beyond the reference's surface: range joins, rollups,
+  * pivots, sketches — the analytics layer a warehouse user expects.
+  */
+object Analytics {
+
+  // --------------------------------------------------------------- q34
+  /** Range (non-equi) join: events against a derived table of 6-hour
+    * intervals. The interval side is tiny and broadcast — the plan is
+    * BroadcastNestedLoopJoin with the range predicate evaluated in
+    * codegen, which is exactly right when one side is bounded; a
+    * fact-fact range join would instead bucket both sides by coarse
+    * time and equi-join the bucket first (bounded fan-out). */
+  def q34RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    // deterministic interval table: 6-hour buckets over January 2024
+    val buckets = spark.range(0, 124).toDF("bucket_id")
+      .withColumn("start_us",
+        lit(1704067200000000L) + col("bucket_id") * lit(21600000000L))
+      .withColumn("end_us", col("start_us") + lit(21600000000L))
+    Tables(spark, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .join(broadcast(buckets),
+        col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+      .groupBy(col("bucket_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .orderBy(col("bucket_id"))
+  }
+
+  // --------------------------------------------------------------- q35
+  /** Rollup: revenue at (region, nation), (region), and grand-total
+    * levels in one pass — Catalyst expands to a single Expand+Agg. */
+  def q35Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    val region = Tables(spark, dir, "region")
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(28, 2))).cast(DoubleType)
+          .as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  // --------------------------------------------------------------- q36
+  /** Pivot: per-user event-type counts as columns (fixed type list so
+    * the schema is static — dynamic pivot would need a pre-pass). */
+  def q36Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  // --------------------------------------------------------------- q37
+  /** Sketches: HyperLogLog distinct + approximate quantiles. Engine-
+    * specific estimators → rows-only check; AnalyticsSpec bounds the
+    * error against exact answers (<5% rel. for HLL at default rsd). */
+  def q37Sketches(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_range_join" -> (q34RangeJoin _),
+    "q35_rollup"     -> (q35Rollup _),
+    "q36_pivot"      -> (q36Pivot _),
+    "q37_sketches"   -> (q37Sketches _))
+
+  val oracle: Map[String, String] = Map(
+    "q34_range_join" ->
+      """WITH buckets AS (
+        | SELECT CAST(range AS BIGINT) AS bucket_id,
+        |  1704067200000000 + CAST(range AS BIGINT) * 21600000000 AS start_us,
+        |  1704067200000000 + (CAST(range AS BIGINT) + 1) * 21600000000 AS end_us
+        | FROM range(0, 124))
+        |SELECT bucket_id, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN buckets
+        |  ON epoch_us(ts) >= start_us AND epoch_us(ts) < end_us
+        |GROUP BY bucket_id ORDER BY bucket_id""".stripMargin,
+    "q35_rollup" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q36_pivot" ->
+      """SELECT user_id,
+        | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.{UserEvent, UserSnapshot}
+
+/** flatMapGroupsWithState behavior across micro-batches: state must
+  * accumulate between batches and the burst flag must fire only on a
+  * dense run of events. */
+class StatefulSpec extends SparkSpec {
+
+  test("state accumulates across micro-batches; burst detection fires") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[UserEvent]
+    val query = StatefulOps.monitor(spark, input.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("snapshots").start()
+    try {
+      // batch 1: user 1 quiet (2 events, spread), user 2 idle
+      input.addData(UserEvent(1, 0L), UserEvent(1, 120L * 1000000))
+      query.processAllAvailable()
+      val s1 = spark.table("snapshots").as[UserSnapshot].collect()
+      assert(s1.exists(s => s.user_id == 1 && s.count == 2 && !s.burst))
+
+      // batch 2: user 1 bursts — 5 events within one minute
+      input.addData((1 to 5).map(i =>
+        UserEvent(1, 200L * 1000000 + i * 1000000)): _*)
+      query.processAllAvailable()
+      val s2 = spark.table("snapshots").as[UserSnapshot].collect()
+      // count proves state carried over (2 from batch 1 + 5 new)
+      assert(s2.exists(s => s.user_id == 1 && s.count == 7 && s.burst),
+        s"got: ${s2.mkString(", ")}")
+    } finally query.stop()
+  }
+}
