@@ -25,6 +25,10 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
   private val state = new AtomicReference(new First100Set)
   private var lastEtl: Option[graft.etl.ChargesEtl.Result] = None
 
+  /** R7 job state: idle → running → done|failed, inspectable while the
+    * Spark job executes on its own thread. */
+  private val jobStatus = new AtomicReference[String]("""{"state":"idle"}""")
+
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
   def boundPort: Int = server.getAddress.getPort
@@ -92,18 +96,37 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
         strField(body, "csvPath") match {
           case None => reply(ex, 422, """{"detail":"csvPath: field required"}""")
           case Some(p) =>
-            try {
-              val r = graft.etl.ChargesEtl.run(s, p)
-              lastEtl = Some(r)
-              graft.etl.ChargesEtl.registerDailyTotalsView(s, r)
-              reply(ex, 200,
-                s"""{"original":${r.original.count()},"clean":${r.clean.count()},"critical":${r.critical.count()}}""")
-            } catch {
-              case e: Exception =>
-                reply(ex, 500, s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+            val async = body.contains("\"async\"") && body.contains("true")
+            def run(): String =
+              try {
+                val r = graft.etl.ChargesEtl.run(s, p)
+                lastEtl = Some(r)
+                graft.etl.ChargesEtl.registerDailyTotalsView(s, r)
+                val summary =
+                  s"""{"state":"done","original":${r.original.count()},"clean":${r.clean.count()},"critical":${r.critical.count()}}"""
+                jobStatus.set(summary)
+                summary
+              } catch {
+                case e: Exception =>
+                  val err = s"""{"state":"failed","detail":"${esc(String.valueOf(e.getMessage))}"}"""
+                  jobStatus.set(err)
+                  err
+              }
+            if (async) {
+              jobStatus.set("""{"state":"running"}""")
+              new Thread(() => { run(); () }, "graft-etl-job").start()
+              reply(ex, 202, """{"state":"running"}""")
+            } else {
+              jobStatus.set("""{"state":"running"}""")
+              val out = run()
+              reply(ex, if (out.contains("\"done\"")) 200 else 500, out)
             }
         }
     })
+
+  // R7: job inspection
+  server.createContext("/etl/status", (ex: HttpExchange) =>
+    reply(ex, 200, jobStatus.get))
 
   server.createContext("/query/daily_totals", (ex: HttpExchange) =>
     (spark, lastEtl) match {

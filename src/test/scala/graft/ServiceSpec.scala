@@ -69,8 +69,34 @@ class ServiceSpec extends AnyFunSuite {
       assert(http("GET", s"$base/missing")._1 == 400)
       // method guards
       assert(http("GET", s"$base/extract")._1 == 405)
-      // job route without a spark session → 503
+      // job route without a spark session → 503; status starts idle
       assert(http("POST", s"$base/etl/run", Some("""{"csvPath":"x"}"""))._1 == 503)
+      assert(http("GET", s"$base/etl/status")._2 == """{"state":"idle"}""")
+    } finally api.stop()
+  }
+
+  test("R7 job orchestration: run the ETL and query the view over HTTP") {
+    val spark = SparkSpec.spark
+    val api = new RestApi(Some(spark), 0).start()
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      // bad path surfaces as failed state, not a hung route
+      assert(http("POST", s"$base/etl/run",
+        Some("""{"csvPath":"/nope/missing.csv"}"""))._1 == 500)
+      assert(http("GET", s"$base/etl/status")._2.contains("failed"))
+      // real run (sync): reference counts come back
+      val (code, bodyTxt) = http("POST", s"$base/etl/run",
+        Some("""{"csvPath":"/root/reference/data_prueba_t*cnica.csv"}"""))
+      assert(code == 200, bodyTxt)
+      assert(bodyTxt.contains("\"clean\":9986") && bodyTxt.contains("\"critical\":14"))
+      assert(http("GET", s"$base/etl/status")._2.contains("\"state\":\"done\""))
+      // view query route with pushdown-able date range
+      val (qc, rows) = http("GET",
+        s"$base/query/daily_totals?from=2019-03-16&to=2019-03-16")
+      assert(qc == 200 && rows.contains("transaction_date"), rows)
+      // malformed dates rejected (no SQL injection surface)
+      assert(http("GET",
+        s"$base/query/daily_totals?from=x&to=y")._1 == 422)
     } finally api.stop()
   }
 
