@@ -116,14 +116,18 @@ object Relational {
     * so every prefix matches the oracle bit-for-bit. */
   def q6WindowRunning(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // (l_orderkey, l_linenumber) is NOT unique in this data — the
+    // window order adds l_quantity so tied rows are either fully
+    // ordered or identical (⇒ prefix sums form the same multiset in
+    // any engine); running_qty joins the final sort for a total order
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables(spark, dir, "lineitem")
       .withColumn("running_qty",
         sum($"l_quantity".cast(DecimalType(18, 2))).over(w).cast(DoubleType))
       .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
-      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
   }
 
   // ---------------------------------------------------------------- q7
@@ -263,10 +267,10 @@ object Relational {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
         |   OVER (PARTITION BY l_suppkey
-        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
     "q7_distinct" ->
       """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
