@@ -50,6 +50,16 @@ object StreamingDaily {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: `dropDuplicates` with a watermark bounds
+    * the dedup state to the watermark horizon — the streaming face of
+    * the dedup family (batch: q17). Duplicate keys arriving within the
+    * horizon are dropped across micro-batches; later-than-watermark
+    * re-arrivals age out of state (documented at-least-once edge). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+
   /** Start the stream over a parquet directory into an in-memory sink
     * named `queryName`. Finite-directory smoke: processAllAvailable()
     * then read `spark.table(queryName)`. */

@@ -10,6 +10,27 @@ import graft.streaming.StatefulOps.{UserEvent, UserSnapshot}
   * dense run of events. */
 class StatefulSpec extends SparkSpec {
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, Long)] // (event_id, ts_us)
+    val deduped = graft.streaming.StreamingDaily.dedupedEvents(
+      input.toDS().toDF("event_id", "ts_us")
+        .withColumn("ts", timestamp_micros($"ts_us")))
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData((1L, 1000L), (2L, 2000L), (1L, 1000L)) // in-batch dup
+      q.processAllAvailable()
+      input.addData((2L, 2000L), (3L, 3000L)) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("state accumulates across micro-batches; burst detection fires") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
