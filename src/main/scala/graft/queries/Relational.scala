@@ -178,11 +178,15 @@ object Relational {
     val customer = Tables(spark, dir, "customer")
     orders
       .join(customer, $"o_custkey" === $"c_custkey")
-      // date serialized as yyyy-MM-dd string: unambiguous across the
-      // parquet/DuckDB/pandas type lattice the compare crosses
-      .groupBy($"c_name",
-        date_format($"o_orderdate", "yyyy-MM-dd").as("transaction_date"))
+      // group on the 4-byte DATE (cheap hash + narrow shuffle); format
+      // to yyyy-MM-dd string only AFTER aggregation — strings are for
+      // the compare (unambiguous across the parquet/DuckDB/pandas type
+      // lattice), not for the shuffle
+      .groupBy($"c_name", to_date($"o_orderdate").as("d"))
       .agg(sumd($"o_totalprice").as("total_amount"))
+      .select($"c_name",
+        date_format($"d", "yyyy-MM-dd").as("transaction_date"),
+        $"total_amount")
       .orderBy($"c_name", $"transaction_date")
   }
 

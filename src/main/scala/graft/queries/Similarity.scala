@@ -132,13 +132,22 @@ object Similarity {
     def cosPair(v6: Column, vn: Column, c6: Column, cn: Column): Column =
       cosineQ(dot_long(v6, c6), vn, cn)
 
-    // assignment: argmax cosine over centroids
-    val assigned = emb.crossJoin(cB)
-      .withColumn("sim", cosPair(col("q6"), col("nrm"), col("c6"), col("cnrm")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_label"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("q6"), col("nrm"), col("c_label").as("cell"))
+    // assignment: argmax cosine over centroids. Computed NARROW —
+    // (vec_id, sim, label) only — then aggregated with a max(struct)
+    // (map-side partial, no window sort) and joined back for the
+    // vectors; dragging the 64-long arrays through a window sort is
+    // what made the first version 2× slower. Tie-break: highest label
+    // (ties are measure-zero for real vectors; determinism is what
+    // matters).
+    val cells = emb.select(col("vec_id"), col("q6"), col("nrm")).crossJoin(cB)
+      .select(col("vec_id"),
+        struct(cosPair(col("q6"), col("nrm"), col("c6"), col("cnrm"))
+          .as("sim"), col("c_label")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), col("best.c_label").as("cell"))
+    val assigned = emb.select(col("vec_id"), col("q6"), col("nrm"))
+      .join(cells, "vec_id")
 
     // queries probe top-2 cells
     val probes = emb.filter(col("vec_id") < 10).crossJoin(cB)
