@@ -40,8 +40,10 @@ object EtlRunner {
     writeCsv(r.critical, "df_critical")
     r.companiesTable.write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/companies")
-    r.charges.write.mode(SaveMode.Overwrite)
-      .parquet(s"$outDir/charges")
+    // charges land date-partitioned — the 100 TB layout (SURVEY §7.3
+    // step 8): view queries with date ranges prune directories
+    graft.sources.Lake.writeDatePartitioned(
+      r.charges, "created_at", s"$outDir/charges")
 
     println(s"Total original: ${r.original.count()}")
     println(s"Total clean: ${r.clean.count()}")

@@ -171,10 +171,47 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-dup pairs: LSH-bucket blocking (cost
+    * Σ bucket², never N²), exact fixed-point cosine inside buckets,
+    * thresholded. The production dedup entry point for embedding
+    * near-dups; planted-pair correctness in SimilaritySpec. */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    import graft.functions.VectorOps._
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("q6", vector_quantize(col("embedding")))
+      .withColumn("nrm", normQ(dot_long(col("q6"), col("q6"))))
+      .withColumn("bucket", lsh_bucket(col("q6")))
+      .select("vec_id", "q6", "nrm", "bucket")
+    emb.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        cosineQ(dot_long(col("a.q6"), col("b.q6")), col("a.nrm"), col("b.nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  // --------------------------------------------------------------- q38
+  /** Near-dup summary over the corpus: candidate-pair and near-dup
+    * counts at two thresholds (single deterministic row — testdata has
+    * no planted dups, so counts are the stable observable; the pair
+    * stream itself is [[embeddingNearDupPairs]]). */
+  def q38EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = embeddingNearDupPairs(spark, dir, threshold = -1.0)
+    pairs.agg(
+      count(lit(1)).as("n_candidate_pairs"),
+      count(when(col("cosine") >= 0.9, 1)).as("n_neardup_090"),
+      count(when(col("cosine") >= 0.5, 1)).as("n_neardup_050"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q21_knn_brute"   -> (q21KnnBrute _),
-    "q22_lsh_buckets" -> (q22LshBuckets _),
-    "q23_ivf_ann"     -> (q23IvfAnn _))
+    "q21_knn_brute"    -> (q21KnnBrute _),
+    "q22_lsh_buckets"  -> (q22LshBuckets _),
+    "q23_ivf_ann"      -> (q23IvfAnn _),
+    "q38_embed_neardup" -> (q38EmbedNearDup _))
 
   val oracle: Map[String, String] = Map(
     "q21_knn_brute" ->

@@ -33,6 +33,23 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets(100L) == buckets(101L), "identical vectors must collide")
   }
 
+  test("embedding near-dup finds planted close vectors, not strangers") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-nd").toString
+    val rnd = new scala.util.Random(23)
+    def vec() = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val v0 = vec()
+    val v0close = v0.clone(); v0close(0) += 0.001f // near-identical
+    val rows = (0 until 30).map(i => (i.toLong, vec(), i % 10)) :+
+      ((100L, v0, 0)) :+ ((101L, v0close, 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = Similarity.embeddingNearDupPairs(spark, dir, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), "planted near-identical pair missed")
+    assert(pairs.size <= 2, s"strangers leaked in: $pairs")
+  }
+
   test("IVF ANN achieves reasonable recall vs brute force") {
     val brute = Similarity.q21KnnBrute(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
