@@ -15,8 +15,32 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     graft.queries.Relational.q10DailyTotals(spark, "/root/testdata/sf0.001")
 
+  /** The reference ETL run end-to-end as a gate query: full
+    * clean/quarantine pipeline on the reference's own CSV, reduced to
+    * its audit row (counts + reason breakdown). Rows-only check — the
+    * oracle mechanism only covers the sf tables — but the same
+    * pipeline is golden-tested against the reference's committed
+    * outputs in GoldenEtlSpec (exact row-set equality). */
+  def q39EtlParity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val r = graft.etl.ChargesEtl.run(spark,
+      "/root/reference/data_prueba_t*cnica.csv")
+    // sort_array, not orderBy: collect_list gives no order guarantee
+    // across shuffles
+    val reasons = r.critical.groupBy("_critical_reason").count()
+      .agg(concat_ws(",", sort_array(
+        collect_list(concat(col("_critical_reason"), lit(":"), col("count")))))
+        .as("reason_breakdown"))
+    r.original.agg(count(lit(1)).as("n_original"))
+      .crossJoin(r.clean.agg(count(lit(1)).as("n_clean")))
+      .crossJoin(r.critical.agg(count(lit(1)).as("n_critical")))
+      .crossJoin(r.companies.agg(count(lit(1)).as("n_company_pairs")))
+      .crossJoin(reasons)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q39_etl_parity" -> (q39EtlParity _)) ++
     graft.queries.Relational.queries ++
       graft.queries.EventsOps.queries ++
       graft.queries.TextOps.queries ++

@@ -18,7 +18,8 @@ class RelationalSpec extends SparkSpec {
     // documented rows-only ops (engine-specific hashes / mapPartitions
     // kernels — see SparkEntry.oracleSql scaladoc); each has its own spec
     val allowed = Set("q19_simhash", "q22_lsh_buckets", "q23_ivf_ann",
-      "q25_multimodal_features", "q37_sketches", "q38_embed_neardup")
+      "q25_multimodal_features", "q37_sketches", "q38_embed_neardup",
+      "q39_etl_parity")
     assert((missing -- allowed).isEmpty, s"queries without oracle: $missing")
   }
 
