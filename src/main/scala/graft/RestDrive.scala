@@ -1,0 +1,13 @@
+package graft
+object RestDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val api = new graft.service.RestApi(Some(spark), 18822).start()
+    println("READY " + api.boundPort)
+    Thread.sleep(120000); api.stop(); spark.stop()
+  }
+}

@@ -154,6 +154,36 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
       case (_, None) => reply(ex, 409, """{"detail":"run /etl/run first"}""")
     })
 
+  // R7 extension: run any registered engine query by name —
+  // GET /query/run?name=q1_agg&dir=/root/testdata/sf0.001&limit=20
+  // The name is validated against the registry (no arbitrary code) and
+  // results are capped — the driver-side collect is bounded by design.
+  server.createContext("/query/run", (ex: HttpExchange) =>
+    spark match {
+      case None => reply(ex, 503, """{"detail":"no spark session"}""")
+      case Some(s) =>
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v
+          }.toMap
+        val limit = math.min(params.get("limit").flatMap(_.toIntOption)
+          .getOrElse(20), 1000)
+        (params.get("name"), params.get("dir")) match {
+          case (Some(n), Some(dir)) if graft.SparkEntry.queries.contains(n) =>
+            try {
+              val rows = graft.SparkEntry.queries(n)(s, dir).limit(limit)
+                .toJSON.collect()
+              reply(ex, 200, rows.mkString("[", ",", "]"))
+            } catch {
+              case e: Exception =>
+                reply(ex, 500, s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+            }
+          case (Some(n), _) =>
+            reply(ex, 404, s"""{"detail":"unknown query ${esc(n)}"}""")
+          case _ => reply(ex, 422, """{"detail":"name and dir required"}""")
+        }
+    })
+
   def start(): RestApi = { server.setExecutor(null); server.start(); this }
   def stop(): Unit = server.stop(0)
 }

@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Lake {
 
-  /** Write `df` date-partitioned by `tsCol`'s date. */
+  /** Write `df` date-partitioned by `tsCol`'s date. zstd: the right
+    * storage/scan-cpu tradeoff for cold analytical data at scale. */
   def writeDatePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
     df.withColumn("part_date", to_date(col(tsCol)))
       .repartition(col("part_date")) // 1 writer set per partition dir
       .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
       .partitionBy("part_date")
       .parquet(path)
 

@@ -97,6 +97,13 @@ class ServiceSpec extends AnyFunSuite {
       // malformed dates rejected (no SQL injection surface)
       assert(http("GET",
         s"$base/query/daily_totals?from=x&to=y")._1 == 422)
+      // generic query runner: registered name works, junk 404s
+      val (gc, gb) = http("GET",
+        s"$base/query/run?name=q1_agg&dir=${SparkSpec.sfDir}&limit=3")
+      assert(gc == 200 && gb.contains("sum_qty"), gb)
+      assert(http("GET",
+        s"$base/query/run?name=DROP_TABLES&dir=x")._1 == 404)
+      assert(http("GET", s"$base/query/run")._1 == 422)
     } finally api.stop()
   }
 
