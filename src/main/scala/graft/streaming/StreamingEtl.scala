@@ -42,6 +42,8 @@ object StreamingEtl {
 
     masked.writeStream
       .outputMode("append")
+      // checkpoint => exactly-once file processing across restarts
+      .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()

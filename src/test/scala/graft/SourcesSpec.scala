@@ -31,6 +31,44 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(events).count() == 0)
   }
 
+  test("PERMISSIVE CSV read captures malformed rows in a corrupt-record column") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.csv"),
+      // not_an_int = type-malformed (captured, kept as null);
+      // extra-token row = structurally malformed (droppable; a SHORT
+      // row is just null-padded, not malformed)
+      "a,b\n1,x\nnot_an_int,y\n3,z\n9,w,EXTRA\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt",
+        org.apache.spark.sql.types.StringType)))
+    val df = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema)
+      .csv(s"$dir/bad.csv")
+      .cache() // corrupt-record column requires a materialized parse
+    // the type-failure and the extra-token rows are both captured with
+    // their raw text, parseable columns preserved — this is why the
+    // engine's ETL does its own coerce-and-quarantine (full control of
+    // what counts as malformed) instead of trusting parser modes
+    assert(df.filter(col("_corrupt").isNotNull).count() == 2)
+    assert(df.filter(col("_corrupt").isNull).count() == 2)
+  }
+
+  test("registerAll exposes every table as a SQL view") {
+    Tables.registerAll(spark, sfDir)
+    val n = spark.sql(
+      "SELECT (SELECT COUNT(*) FROM lineitem) + (SELECT COUNT(*) FROM documents) AS n")
+      .head.getLong(0)
+    assert(n > 0)
+  }
+
   test("zstd-compressed partitioned parquet reads back identically") {
     val dir = Files.createTempDirectory("graft-zstd").toString + "/e"
     graft.sources.Lake.writeDatePartitioned(events, "ts", dir)
