@@ -26,9 +26,13 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 // sun.jnu.encoding comes from the OS locale at JVM launch (-D can't
 // override it); without a UTF-8 locale the forked JVM can't see the
-// reference's accented CSV filename.
+// reference's accented CSV filename. ThisBuild-scoped so EVERY forked
+// task inherits it — r1's `run / envVars` didn't reach `runMain`, so
+// the forked Bench JVM crashed on the accented filename (VERDICT #2).
+ThisBuild / envVars := Map("LC_ALL" -> "C.utf8", "LANG" -> "C.utf8")
 Test / envVars ++= Map("LC_ALL" -> "C.utf8", "LANG" -> "C.utf8")
 run / envVars ++= Map("LC_ALL" -> "C.utf8", "LANG" -> "C.utf8")
+Compile / runMain / envVars := Map("LC_ALL" -> "C.utf8", "LANG" -> "C.utf8")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",

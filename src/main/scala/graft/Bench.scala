@@ -1,9 +1,24 @@
 package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry (driver contract): runs every SparkEntry query against
+  * `SPARK_GRAFT_SF_DIR`, prints ONE metric JSON line, and mirrors it to a
+  * plain file so the harness never depends on scraping sbt's stdout.
+  *
+  * Integrity rules (VERDICT r1 #1): a query that throws is reported as
+  * `-1` in `queries` and its message lands in `errors` — a failure can
+  * never masquerade as a timing. Each query runs `iters` times (default
+  * 3) and the median is reported; this box has ±30% run-to-run variance.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,15 +31,51 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case t: Throwable => Left(s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}") }
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = (1 to iters).map(_ => once(fn))
+      val oks = runs.collect { case Right(s) => s }
+      if (oks.isEmpty) {
+        errors(name) = runs.collectFirst { case Left(e) => e }.getOrElse("unknown")
+        name -> -1.0
+      } else name -> median(oks)
+    }
+
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => s"$c"
+      }
+    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    // failures are excluded from the headline total (they contribute no time)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"iters":$iters,"sf":"$sfDir"}"""
+    println(line)
+    // plain-file mirror (VERDICT r1 #10): BENCH_r01 had "parsed": null
+    // because the line only existed inside sbt's [info]-prefixed stdout
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try Files.write(Paths.get(out), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
+    // loud on stderr (but exit 0: the JSON already carries -1 + errors,
+    // and a nonzero exit would make the driver drop the partial results)
+    if (errors.nonEmpty)
+      System.err.println(s"BENCH FAILURES: ${errors.keys.mkString(", ")}")
   }
 }

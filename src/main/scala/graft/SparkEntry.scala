@@ -24,7 +24,7 @@ object SparkEntry {
   def q39EtlParity(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val r = graft.etl.ChargesEtl.run(spark,
-      "/root/reference/data_prueba_t*cnica.csv")
+      graft.etl.ChargesEtl.findReferenceCsv())
     // sort_array, not orderBy: collect_list gives no order guarantee
     // across shuffles
     val reasons = r.critical.groupBy("_critical_reason").count()

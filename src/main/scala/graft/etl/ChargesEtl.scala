@@ -31,6 +31,15 @@ object ChargesEtl {
   /** DECIMAL(16,2) magnitude cap (reference :51-52; sql/01_schema.sql:14). */
   val maxAmount = 99999999999999.99
 
+  /** Locates the reference's input CSV (`data_prueba_técnica.csv`) by
+    * directory listing — no accented literal, no glob, so it works
+    * regardless of JVM locale and triggers no metadata-probe WARNs. */
+  def findReferenceCsv(dir: String = "/root/reference"): String =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .find(f => f.getName.startsWith("data_prueba") && f.getName.endsWith(".csv"))
+      .map(_.getAbsolutePath)
+      .getOrElse(sys.error(s"reference CSV not found under $dir"))
+
   final case class Result(
       original: DataFrame,
       clean: DataFrame,

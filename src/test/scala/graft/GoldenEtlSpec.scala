@@ -11,8 +11,9 @@ class GoldenEtlSpec extends SparkSpec {
   import spark.implicits._
 
   private val refDir = "/root/reference"
-  // glob over the accented filename — immune to path-encoding quirks
-  private lazy val result = ChargesEtl.run(spark, s"$refDir/data_prueba_t*cnica.csv")
+  // directory-listing resolution of the accented filename — immune to
+  // path-encoding quirks, no glob metadata-probe WARN
+  private lazy val result = ChargesEtl.run(spark, ChargesEtl.findReferenceCsv(refDir))
 
   /** Canonical comparable form: amounts as double, timestamps as
     * yyyy-MM-dd strings (how pandas serialized the golden CSVs). */

@@ -86,7 +86,7 @@ class ServiceSpec extends AnyFunSuite {
       assert(http("GET", s"$base/etl/status")._2.contains("failed"))
       // real run (sync): reference counts come back
       val (code, bodyTxt) = http("POST", s"$base/etl/run",
-        Some("""{"csvPath":"/root/reference/data_prueba_t*cnica.csv"}"""))
+        Some(s"""{"csvPath":"${graft.etl.ChargesEtl.findReferenceCsv()}"}"""))
       assert(code == 200, bodyTxt)
       assert(bodyTxt.contains("\"clean\":9986") && bodyTxt.contains("\"critical\":14"))
       assert(http("GET", s"$base/etl/status")._2.contains("\"state\":\"done\""))
