@@ -21,6 +21,11 @@ import org.apache.spark.sql.types._
 case class VectorQuantize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // A vector with any NaN/Infinity/|x|>~9.2e12 element quantizes to
+  // NULL (coerce-to-null, like every other coercion in the engine) —
+  // one corrupt embedding must not fail a 100 TB stage.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other =>
@@ -37,8 +42,11 @@ case class VectorQuantize(child: Expression) extends UnaryExpression {
     VectorOps.quantize(input.asInstanceOf[ArrayData], isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VectorOps.quantize($c, $isFloat)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.VectorOps.quantize($c, $isFloat);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): VectorQuantize =
     copy(child = newChild)
@@ -100,12 +108,20 @@ object VectorOps {
   /** 10^(2·Scale): a scale-12 dot in fixed point → double divisor. */
   final val DotDivisor = 1e12
 
+  /** Max |x| a scale-6 fixed-point long can hold without overflow
+    * (Long.MaxValue / 10^6, with headroom). */
+  final val MaxAbs = 9.0e12
+
+  /** Returns null (⇒ NULL vector) if any element is NaN/Infinity or
+    * beyond fixed-point range — coerce-to-null, never a thrown
+    * `NumberFormatException` that would fail the whole stage. */
   def quantize(arr: ArrayData, isFloat: Boolean): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
       val d = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      if (!java.lang.Double.isFinite(d) || math.abs(d) > MaxAbs) return null
       // BigDecimal.valueOf == Double.toString-based, HALF_UP: exactly
       // Spark's double→decimal cast (and DuckDB's, for these values)
       out(i) = java.math.BigDecimal.valueOf(d)

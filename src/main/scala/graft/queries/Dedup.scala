@@ -27,37 +27,53 @@ object Dedup {
   val NumHashes = 8
   val BandSize = 2 // 4 bands of 2 minhashes
 
-  /** Word 3-gram shingles as an array column (0-based Spark `[]`). */
+  /** Word 3-gram shingles as an array column (0-based Spark `[]`).
+    * Guarded for <3-token documents: `sequence(0, size-3)` counts DOWN
+    * when size-3 < 0 (step inferred −1), and the resulting negative
+    * array index is a hard `INVALID_ARRAY_INDEX` under Spark 4's
+    * default ANSI mode — a real corpus WILL contain 1–2-token docs, so
+    * short docs get an empty shingle set (⇒ null minhashes/bands,
+    * which LSH then never buckets). */
   private val shinglesExpr =
-    """transform(sequence(0, size(split(text, '\\s+')) - 3),
-      |  i -> concat_ws(' ', split(text, '\\s+')[i],
-      |                      split(text, '\\s+')[i+1],
-      |                      split(text, '\\s+')[i+2]))""".stripMargin
+    """CASE WHEN size(split(text, '\\s+')) >= 3 THEN
+      |  transform(sequence(0, size(split(text, '\\s+')) - 3),
+      |    i -> concat_ws(' ', split(text, '\\s+')[i],
+      |                        split(text, '\\s+')[i+1],
+      |                        split(text, '\\s+')[i+2]))
+      |ELSE array() END""".stripMargin
 
   private def minhash(seed: Int): String =
     s"array_min(transform(sh, x -> md5(concat('$seed#', x))))"
+
+  /** The signature pipeline over any `(doc_id, text)` frame — split out
+    * of [[q18MinhashLsh]] so the short-document guard is testable on
+    * crafted inputs. Band keys use null-propagating `concat` (NOT
+    * `concat_ws`) so a short doc's null minhashes yield null bands —
+    * exactly what `mh0 || '|' || mh1` does in the DuckDB oracle. */
+  def minhashSignatures(docsDf: DataFrame): DataFrame = {
+    val withSh = docsDf.withColumn("sh", expr(shinglesExpr))
+    val withMh = (0 until NumHashes).foldLeft(withSh) { (df, i) =>
+      df.withColumn(s"mh$i", expr(minhash(i)))
+    }
+    val withBands = (0 until NumHashes / BandSize).foldLeft(withMh) { (df, b) =>
+      val parts = (0 until BandSize).map(j => col(s"mh${b * BandSize + j}"))
+      val joined = parts.tail.foldLeft(parts.head)((acc, c) =>
+        concat(acc, lit("|"), c))
+      df.withColumn(s"band$b", md5(joined))
+    }
+    withBands
+      .select((col("doc_id") +:
+        (0 until NumHashes).map(i => col(s"mh$i")) ++:
+        (0 until NumHashes / BandSize).map(b => col(s"band$b"))): _*)
+  }
 
   // --------------------------------------------------------------- q18
   /** MinHash signatures + LSH band keys per document. Band keys are
     * md5 of adjacent minhash pairs; equal band key ⇒ candidate pair.
     * Emitted per-doc (deterministic, N rows) — pair generation is the
     * groupBy in [[minhashCandidatePairs]]. */
-  def q18MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val withSh = docs(spark, dir)
-      .withColumn("sh", expr(shinglesExpr))
-    val withMh = (0 until NumHashes).foldLeft(withSh) { (df, i) =>
-      df.withColumn(s"mh$i", expr(minhash(i)))
-    }
-    val withBands = (0 until NumHashes / BandSize).foldLeft(withMh) { (df, b) =>
-      df.withColumn(s"band$b",
-        md5(concat_ws("|", (0 until BandSize).map(j => col(s"mh${b * BandSize + j}")): _*)))
-    }
-    withBands
-      .select((col("doc_id") +:
-        (0 until NumHashes).map(i => col(s"mh$i")) ++:
-        (0 until NumHashes / BandSize).map(b => col(s"band$b"))): _*)
-      .orderBy(col("doc_id"))
-  }
+  def q18MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(docs(spark, dir)).orderBy(col("doc_id"))
 
   /** LSH candidate pairs: docs sharing any band bucket, verified with
     * estimated Jaccard (fraction of equal minhashes). The production

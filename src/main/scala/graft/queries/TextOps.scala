@@ -97,13 +97,20 @@ object TextOps {
   // --------------------------------------------------------------- q16
   /** Document fingerprint: lexicographic-min MD5 over stride-4 8-char
     * shingles (winnowing-style content fingerprint, robust to
-    * reordering of distant content; array-native, no explode). */
+    * reordering of distant content; array-native, no explode).
+    * Texts shorter than one shingle get a NULL fingerprint: unguarded,
+    * Spark's `sequence(0, negative)` counts DOWN and a negative
+    * `substring` start then counts from the END of the string — while
+    * the DuckDB oracle's empty `range` yields NULL. The guard pins the
+    * NULL semantics on both engines. */
   def q16Fingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
-      expr("""array_min(transform(
-               sequence(0, CAST(floor((length(text)-8)/4) AS INT)),
-               i -> md5(substring(text, i*4+1, 8))))""").as("fingerprint"),
+      expr("""CASE WHEN length(text) >= 8 THEN
+               array_min(transform(
+                 sequence(0, CAST(floor((length(text)-8)/4) AS INT)),
+                 i -> md5(substring(text, i*4+1, 8))))
+              ELSE NULL END""").as("fingerprint"),
       length(col("text")).as("n_chars"))
       .orderBy(col("doc_id"))
 
@@ -216,9 +223,11 @@ object TextOps {
         |FROM s ORDER BY doc_id""".stripMargin,
     "q16_fingerprint" ->
       """SELECT doc_id,
-        | list_min(list_transform(
-        |   range(0, CAST(floor((length(text)-8)/4) AS INT) + 1),
-        |   i -> md5(substr(text, i*4+1, 8)))) AS fingerprint,
+        | CASE WHEN length(text) >= 8 THEN
+        |   list_min(list_transform(
+        |     range(0, CAST(floor((length(text)-8)/4) AS INT) + 1),
+        |     i -> md5(substr(text, i*4+1, 8))))
+        | ELSE NULL END AS fingerprint,
         | length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q17_exact_dedup" ->

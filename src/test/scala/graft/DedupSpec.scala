@@ -71,6 +71,28 @@ class DedupSpec extends SparkSpec {
     assert(SimHash64.fnv1a64("foobar".getBytes("UTF-8")) == 0x85944171f73967e8L)
   }
 
+  test("short documents (<3 tokens) survive the shingler under ANSI mode") {
+    // regression: sequence(0, size-3) counts DOWN for short docs and the
+    // negative array index crashed with INVALID_ARRAY_INDEX (ANSI on)
+    val docsDf = Seq(
+      (1L, "one"),
+      (2L, "two words"),
+      (3L, "exactly three words"),
+      (4L, "a fuller document with several words here")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docsDf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(sig.size == 4)
+    // <3 tokens ⇒ empty shingle set ⇒ null minhashes and null bands
+    assert(sig(1L).isNullAt(sig(1L).fieldIndex("mh0")))
+    assert(sig(2L).isNullAt(sig(2L).fieldIndex("band0")))
+    // >=3 tokens ⇒ real signature
+    assert(!sig(3L).isNullAt(sig(3L).fieldIndex("mh0")))
+    assert(!sig(4L).isNullAt(sig(4L).fieldIndex("band3")))
+    // and the pair generator must not bucket the null bands together
+    val bands = Seq(sig(1L), sig(2L)).map(_.getAs[String]("band0"))
+    assert(bands.forall(_ == null))
+  }
+
   test("q18 signatures are stable across runs (deterministic)") {
     val a = Dedup.q18MinhashLsh(spark, sfDir).collect()
     val b = Dedup.q18MinhashLsh(spark, sfDir).collect()

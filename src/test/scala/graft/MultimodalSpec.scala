@@ -21,7 +21,8 @@ class MultimodalSpec extends SparkSpec {
     assert(a.length == b.length && a.length > 0)
     a.zip(b).foreach { case (x, y) => assert(x == y) }
     a.foreach { r =>
-      assert(r.getAs[scala.collection.Seq[Float]]("features").length == 8)
+      // oracle-safe scalar schema: 8 exact integer lane sums, no raw arrays
+      assert(r.getAs[String]("lane_sums").split(",").length == 8)
       assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 256)
       assert(r.getAs[Int]("n_bytes") > 0)
     }
@@ -33,5 +34,15 @@ class MultimodalSpec extends SparkSpec {
     val expected = payload.map(b => (b & 0xff) / 255.0f).sum
     assert(math.abs(m.features.sum - expected) < 1e-4)
     assert(m.n_bytes == payload.length)
+    assert(m.lane_sums.sum == payload.map(b => (b & 0xff).toLong).sum)
+    assert(m.features.length == 8 && m.lane_sums.length == 8)
+  }
+
+  test("q25 feat_sum matches total byte sum / 255 exactly") {
+    val rows = Multimodal.q25MultimodalFeatures(spark, sfDir).limit(50).collect()
+    rows.foreach { r =>
+      val total = r.getAs[String]("lane_sums").split(",").map(_.toLong).sum
+      assert(r.getAs[Double]("feat_sum") == total.toDouble / 255.0)
+    }
   }
 }

@@ -50,6 +50,38 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.size <= 2, s"strangers leaked in: $pairs")
   }
 
+  test("quantize coerces NaN/Infinity/overflow vectors to null, never throws") {
+    // regression: longValueExact threw NumberFormatException on NaN,
+    // failing the whole stage for one corrupt embedding
+    import graft.functions.VectorOps._
+    val rows = Seq(
+      (1L, Array(0.5f, -0.25f, 1.0f)),
+      (2L, Array(Float.NaN, 0.1f, 0.2f)),
+      (3L, Array(Float.PositiveInfinity, 0.1f, 0.2f)),
+      (4L, Array(1.0e13f, 0.1f, 0.2f))).toDF("vec_id", "embedding")
+    val out = rows
+      .withColumn("q6", vector_quantize($"embedding"))
+      .withColumn("nrm", normQ(dot_long($"q6", $"q6")))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.isNullAt(r.fieldIndex("q6")), r.isNullAt(r.fieldIndex("nrm")))).toMap
+    assert(out(1L) == ((false, false)), "clean vector must quantize")
+    assert(out(2L)._1 && out(2L)._2, "NaN vector must coerce to null")
+    assert(out(3L)._1, "Infinity vector must coerce to null")
+    assert(out(4L)._1, "out-of-range vector must coerce to null")
+    // and a corrupt vector flows through the near-dup pipeline silently
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-nan").toString
+    val rnd = new scala.util.Random(5)
+    val ok = (0 until 10).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), i % 3))
+    val bad = Seq((99L, Array.fill(64)(Float.NaN), 0))
+    (ok ++ bad).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = Similarity.embeddingNearDupPairs(spark, dir, threshold = -1.0)
+      .collect()
+    assert(pairs.forall(r => r.getLong(0) != 99L && r.getLong(1) != 99L))
+  }
+
   test("IVF ANN achieves reasonable recall vs brute force") {
     val brute = Similarity.q21KnnBrute(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet

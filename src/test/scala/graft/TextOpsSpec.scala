@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.queries.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** documents-shaped dir with texts shorter than one 8-char shingle. */
+  private lazy val shortDir: String = {
+    val dir = Files.createTempDirectory("graft-short").toString
+    Seq(
+      (1L, "hi"),            // < 8 chars
+      (2L, "1234567"),       // exactly 7
+      (3L, "12345678"),      // exactly one shingle
+      (4L, "a much longer document body"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q16 fingerprint: <8-char texts get NULL, not end-relative substrings") {
+    // regression: unguarded, Spark's sequence(0, negative) counted DOWN
+    // and negative substring starts counted from the END of the string —
+    // silently diverging from the oracle's NULL on short docs
+    val rows = TextOps.q16Fingerprint(spark, shortDir).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("fingerprint"))).toMap
+    assert(rows(1L).isEmpty, "2-char text must fingerprint to NULL")
+    assert(rows(2L).isEmpty, "7-char text must fingerprint to NULL")
+    assert(rows(3L).contains(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("12345678".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString))
+    assert(rows(4L).nonEmpty)
+  }
+
+  test("q13/q14 run clean over degenerate short texts") {
+    assert(TextOps.q13TokenCount(spark, shortDir).count() == 4)
+    assert(TextOps.q14QualityScore(spark, shortDir).count() == 4)
+  }
+}
