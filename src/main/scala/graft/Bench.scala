@@ -39,17 +39,23 @@ object Bench {
       catch { case t: Throwable => Left(s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}") }
     }
     def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s(s.length / 2)
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to iters).map(_ => once(fn))
       val oks = runs.collect { case Right(s) => s }
-      if (oks.isEmpty) {
-        errors(name) = runs.collectFirst { case Left(e) => e }.getOrElse("unknown")
-        name -> -1.0
-      } else name -> median(oks)
+      val firstErr = runs.collectFirst { case Left(e) => e }
+      // ANY failed iteration surfaces in `errors` — a flaky query must
+      // not read as a clean timing. Full failure additionally voids the
+      // timing with -1.
+      firstErr.foreach(e =>
+        errors(name) =
+          (if (oks.isEmpty) "" else s"partial ${oks.length}/$iters ok: ") + e)
+      if (oks.isEmpty) name -> -1.0 else name -> median(oks)
     }
 
     def esc(s: String): String =
@@ -71,7 +77,47 @@ object Bench {
     // because the line only existed inside sbt's [info]-prefixed stdout
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.write(Paths.get(out), (line + "\n").getBytes(StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    catch {
+      // loud, not swallowed: a stale mirror file silently standing in
+      // for this run is worse than no mirror (stdout has the line)
+      case t: Throwable =>
+        System.err.println(s"BENCH WARN: mirror write to $out failed: $t")
+    }
+
+    // Opt-in second pass under the real scale posture (AQE + skew-join
+    // + 128 MB scan partitions — GraftSession's cluster config). The
+    // plain pass above stays the comparable headline; this exercises
+    // the adaptive paths the 100 TB story leans on. Emitted as a
+    // SECOND JSON line + its own mirror file, only when the env flag
+    // is set, so the driver contract (one line) is untouched.
+    if (sys.env.contains("SPARK_GRAFT_BENCH_AQE")) {
+      val aqe = spark.newSession()
+      aqe.conf.set("spark.sql.adaptive.enabled", "true")
+      aqe.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      aqe.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      aqe.conf.set("spark.sql.files.maxPartitionBytes",
+        (128 * 1024 * 1024).toString)
+      val aqeResults = SparkEntry.queries.toSeq.sortBy(_._1).map {
+        case (name, fn) =>
+          val runs = (1 to iters).map { _ =>
+            val t0 = System.nanoTime()
+            try { fn(aqe, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+            catch { case t: Throwable => Left(t.toString.take(200)) }
+          }
+          val oks = runs.collect { case Right(s) => s }
+          if (oks.isEmpty) name -> -1.0 else name -> median(oks)
+      }
+      val aqeQs = aqeResults.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+        .mkString("{", ",", "}")
+      val aqeTotal = aqeResults.collect { case (_, v) if v >= 0 => v }.sum
+      val aqeLine =
+        s"""{"metric":"total_aqe","value":$aqeTotal,"unit":"sec","queries":$aqeQs,"iters":$iters,"sf":"$sfDir"}"""
+      println(aqeLine)
+      try Files.write(Paths.get(out + ".aqe"),
+        (aqeLine + "\n").getBytes(StandardCharsets.UTF_8))
+      catch { case t: Throwable =>
+        System.err.println(s"BENCH WARN: aqe mirror write failed: $t") }
+    }
     spark.stop()
     // loud on stderr (but exit 0: the JSON already carries -1 + errors,
     // and a nonzero exit would make the driver drop the partial results)

@@ -31,11 +31,19 @@ object SparkEntry {
       .agg(concat_ws(",", sort_array(
         collect_list(concat(col("_critical_reason"), lit(":"), col("count")))))
         .as("reason_breakdown"))
-    r.original.agg(count(lit(1)).as("n_original"))
+    val summary = r.original.agg(count(lit(1)).as("n_original"))
       .crossJoin(r.clean.agg(count(lit(1)).as("n_clean")))
       .crossJoin(r.critical.agg(count(lit(1)).as("n_critical")))
       .crossJoin(r.companies.agg(count(lit(1)).as("n_company_pairs")))
       .crossJoin(reasons)
+    // materialize the single audit row, then release the run's cache —
+    // repeated invocations (bench iterations) must not accumulate
+    // cached partitions. The bounded collect is 1 row by construction.
+    val row = summary.collect().toSeq
+    r.release()
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(row).asJava), summary.schema)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -36,6 +36,7 @@ object ChargesEtl {
     * regardless of JVM locale and triggers no metadata-probe WARNs. */
   def findReferenceCsv(dir: String = "/root/reference"): String =
     Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .sortBy(_.getName) // listFiles order is fs-dependent; pin it
       .find(f => f.getName.startsWith("data_prueba") && f.getName.endsWith(".csv"))
       .map(_.getAbsolutePath)
       .getOrElse(sys.error(s"reference CSV not found under $dir"))
@@ -46,25 +47,32 @@ object ChargesEtl {
       critical: DataFrame,
       companies: DataFrame,
       companiesTable: DataFrame,
-      charges: DataFrame)
+      charges: DataFrame,
+      private[graft] val cached: DataFrame) {
+    /** Unpersist the pipeline's cached intermediate. Call once every
+      * consumer has materialized what it needs — otherwise each run
+      * leaks cached partitions for the JVM's lifetime (every frame in
+      * this Result recomputes from the CSV afterwards; results stay
+      * correct, just uncached). */
+    def release(): Unit = { cached.unpersist(); () }
+  }
 
-  /** CSV scan (reference :26-30). `fileOrderId` pins pandas' implicit
-    * row order so the group-first fill is deterministic (SURVEY §4.3.1).
-    * Parity datasets are single-split so coalesce(1)+zipWithIndex is
-    * exact file order; at 100 TB the fill rule would key on an explicit
-    * ingest sequence column instead — file order is a single-node-ism
-    * of the reference, not a semantic we scale. */
-  def readRaw(spark: SparkSession, csvPath: String): DataFrame = {
-    val raw = spark.read
+  /** CSV scan (reference :26-30). `_row_id` pins pandas' implicit row
+    * order so the group-first fill is deterministic (SURVEY §4.3.1).
+    * `monotonically_increasing_id` is (partitionIndex << 33) | position
+    * — fully distributed (no single-task coalesce), and its sort order
+    * IS file order for a single CSV: Spark's split planning keeps
+    * equal-size chunks of one file in offset order (stable sort by
+    * length) and the short tail chunk sorts last, which is also its
+    * file position. At 100 TB the fill rule would key on an explicit
+    * ingest-sequence column instead — file order is a semantic of the
+    * single-file reference, not something we'd scale across files. */
+  def readRaw(spark: SparkSession, csvPath: String): DataFrame =
+    spark.read
       .option("header", "true")
       .schema(rawSchema)
       .csv(csvPath)
-    val withId = raw.coalesce(1).rdd.zipWithIndex.map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
-    }
-    spark.createDataFrame(withId,
-      rawSchema.add(StructField("_row_id", LongType, nullable = false)))
-  }
+      .withColumn("_row_id", monotonically_increasing_id())
 
   /** pandas `pd.to_numeric(errors="coerce").round(2)` (reference :42).
     * numpy round(x, 2) == rint(x * 100) / 100 — half-even on the BINARY
@@ -172,7 +180,8 @@ object ChargesEtl {
       col("amount").cast(DecimalType(16, 2)).as("amount"),
       col("status"), col("created_at"), col("updated_at"))
 
-    Result(original, clean, critical, companies, companiesTable, charges)
+    Result(original, clean, critical, companies, companiesTable, charges,
+      cached = masked)
   }
 
   /** The reference's daily_company_totals view (sql/02_view.sql:4-11):

@@ -50,6 +50,7 @@ object EtlRunner {
     println(s"Total critical: ${r.critical.count()}")
     println(s"Companies insertadas: ${r.companies.count()}")
     println(s"Charges insertadas/actualizadas: ${r.charges.count()}")
+    r.release()
     spark.stop()
   }
 }

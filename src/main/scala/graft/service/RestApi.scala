@@ -23,7 +23,10 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
 
   // R4: singleton rebound on /reset, like the reference's `global state`
   private val state = new AtomicReference(new First100Set)
-  private var lastEtl: Option[graft.etl.ChargesEtl.Result] = None
+  // @volatile: written by the async job thread, read by HTTP handler
+  // threads — without it there is no happens-before edge and a reader
+  // can see None forever after a completed async run
+  @volatile private var lastEtl: Option[graft.etl.ChargesEtl.Result] = None
 
   /** R7 job state: idle → running → done|failed, inspectable while the
     * Spark job executes on its own thread. */
@@ -56,6 +59,24 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
       .compile("\"" + field + "\"\\s*:\\s*\"([^\"]*)\"").matcher(body)
     if (m.find()) Some(m.group(1)) else None
   }
+  /** Boolean field extractor — anchored to `"field": true|false`, so a
+    * string VALUE containing "true" (e.g. a csvPath) can never flip a
+    * request async. */
+  private def boolField(body: String, field: String): Option[Boolean] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + field + "\"\\s*:\\s*(true|false)").matcher(body)
+    if (m.find()) Some(m.group(1).toBoolean) else None
+  }
+
+  /** Query params, URL-decoded (a `%3A` in a dir path or a `+` in a
+    * query name must round-trip). */
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, UTF_8) ->
+          java.net.URLDecoder.decode(v, UTF_8)
+      }.toMap
 
   server.createContext("/extract", (ex: HttpExchange) =>
     if (ex.getRequestMethod != "POST") reply(ex, 405, """{"detail":"method not allowed"}""")
@@ -96,11 +117,15 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
         strField(body, "csvPath") match {
           case None => reply(ex, 422, """{"detail":"csvPath: field required"}""")
           case Some(p) =>
-            val async = body.contains("\"async\"") && body.contains("true")
+            val async = boolField(body, "async").getOrElse(false)
             def run(): String =
               try {
                 val r = graft.etl.ChargesEtl.run(s, p)
+                // keep exactly ONE run cached: release the replaced
+                // result or the block store grows on every /etl/run
+                val prev = lastEtl
                 lastEtl = Some(r)
+                prev.foreach(_.release())
                 graft.etl.ChargesEtl.registerDailyTotalsView(s, r)
                 val summary =
                   s"""{"state":"done","original":${r.original.count()},"clean":${r.clean.count()},"critical":${r.critical.count()}}"""
@@ -131,10 +156,7 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
   server.createContext("/query/daily_totals", (ex: HttpExchange) =>
     (spark, lastEtl) match {
       case (Some(s), Some(_)) =>
-        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
-          .split("&").filter(_.contains("=")).map { kv =>
-            val Array(k, v) = kv.split("=", 2); k -> v
-          }.toMap
+        val params = queryParams(ex)
         val datePat = "\\d{4}-\\d{2}-\\d{2}".r
         (params.get("from"), params.get("to")) match {
           case (Some(f), Some(t))
@@ -162,10 +184,7 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
     spark match {
       case None => reply(ex, 503, """{"detail":"no spark session"}""")
       case Some(s) =>
-        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
-          .split("&").filter(_.contains("=")).map { kv =>
-            val Array(k, v) = kv.split("=", 2); k -> v
-          }.toMap
+        val params = queryParams(ex)
         val limit = math.min(params.get("limit").flatMap(_.toIntOption)
           .getOrElse(20), 1000)
         (params.get("name"), params.get("dir")) match {
@@ -184,14 +203,64 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
         }
     })
 
-  def start(): RestApi = { server.setExecutor(null); server.start(); this }
-  def stop(): Unit = server.stop(0)
+  // R5: OpenAPI document at /docs, mirroring the reference's
+  // auto-served Swagger surface (readme.md:176-179, api/main.py:7).
+  // Hand-written JSON — the route inventory IS the contract.
+  server.createContext("/docs", (ex: HttpExchange) =>
+    reply(ex, 200, RestApi.openApiJson))
+
+  /** Multi-threaded dispatch: a synchronous /etl/run must not block
+    * /health or /etl/status (a single-threaded HttpServer serializes
+    * every route behind the running Spark job). */
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    8,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-http")
+      t.setDaemon(true)
+      t
+    })
+
+  def start(): RestApi = { server.setExecutor(pool); server.start(); this }
+  def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
 }
 
 /** CLI entry (R6): `--extract N` extracts then prints the missing
   * number, exit 1 on error — mirroring `python -m api.main`. Without
   * args it serves HTTP on --port (default 8000). */
 object RestApi {
+
+  /** OpenAPI 3 document for every served route (R5). The reference
+    * gets this generated by FastAPI (readme.md:176-179); here it is
+    * maintained by hand next to the handlers it describes. */
+  val openApiJson: String =
+    """{"openapi":"3.0.3",
+      |"info":{"title":"graft API","version":"1.0.0",
+      | "description":"First100 extraction service + Spark ETL orchestration"},
+      |"paths":{
+      |"/extract":{"post":{"summary":"Extract a number from the set",
+      | "requestBody":{"content":{"application/json":{"schema":{"type":"object","required":["number"],"properties":{"number":{"type":"integer","minimum":1,"maximum":100}}}}}},
+      | "responses":{"200":{"description":"extracted"},"400":{"description":"already extracted"},"422":{"description":"missing or out-of-range number"}}}},
+      |"/missing":{"get":{"summary":"The missing number via Gauss sum",
+      | "responses":{"200":{"description":"missing number"},"400":{"description":"not exactly one extracted"}}}},
+      |"/reset":{"post":{"summary":"Reset the set",
+      | "responses":{"200":{"description":"reset"}}}},
+      |"/health":{"get":{"summary":"Liveness probe",
+      | "responses":{"200":{"description":"ok"}}}},
+      |"/etl/run":{"post":{"summary":"Run the charges ETL",
+      | "requestBody":{"content":{"application/json":{"schema":{"type":"object","required":["csvPath"],"properties":{"csvPath":{"type":"string"},"async":{"type":"boolean","default":false}}}}}},
+      | "responses":{"200":{"description":"sync run done (counts)"},"202":{"description":"async run started"},"422":{"description":"csvPath required"},"500":{"description":"run failed"},"503":{"description":"no spark session"}}}},
+      |"/etl/status":{"get":{"summary":"Last/current job state",
+      | "responses":{"200":{"description":"idle|running|done|failed"}}}},
+      |"/query/daily_totals":{"get":{"summary":"daily_company_totals rows in a date range",
+      | "parameters":[{"name":"from","in":"query","required":true,"schema":{"type":"string","format":"date"}},{"name":"to","in":"query","required":true,"schema":{"type":"string","format":"date"}}],
+      | "responses":{"200":{"description":"rows"},"409":{"description":"run /etl/run first"},"422":{"description":"bad dates"},"503":{"description":"no spark session"}}}},
+      |"/query/run":{"get":{"summary":"Run a registered engine query by name",
+      | "parameters":[{"name":"name","in":"query","required":true,"schema":{"type":"string"}},{"name":"dir","in":"query","required":true,"schema":{"type":"string"}},{"name":"limit","in":"query","schema":{"type":"integer","default":20,"maximum":1000}}],
+      | "responses":{"200":{"description":"rows"},"404":{"description":"unknown query"},"422":{"description":"name and dir required"},"503":{"description":"no spark session"}}}},
+      |"/docs":{"get":{"summary":"This document",
+      | "responses":{"200":{"description":"OpenAPI JSON"}}}}
+      |}}""".stripMargin
+
   def main(args: Array[String]): Unit = args.toList match {
     case "--extract" :: n :: Nil =>
       val s = new First100Set

@@ -19,6 +19,67 @@ import org.apache.spark.sql.functions._
   */
 object Lake {
 
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private[graft] def stagingPath(dst: Path) =
+    new Path(dst.getParent, dst.getName + ".staging")
+  private[graft] def backupPath(dst: Path) =
+    new Path(dst.getParent, dst.getName + ".swapbackup")
+
+  /** Crash-safe promotion of a fully-written staging dir over `dst`:
+    * rename dst→backup, staging→dst, delete backup. Unlike
+    * delete-then-rename there is never a moment with ZERO copies at
+    * rest — a crash at any step leaves old or new data intact on disk
+    * and [[recoverSwap]] restores a readable table. The reader-visible
+    * gap shrinks from an O(files) recursive delete to two filesystem
+    * metadata renames.
+    *
+    * Precondition: `staging` was committed by Spark (has `_SUCCESS`) —
+    * recovery uses that marker to tell a mid-swap crash from a
+    * mid-write crash. */
+  private[graft] def promoteStaging(fs: FileSystem, staging: Path,
+      dst: Path): Unit = {
+    val backup = backupPath(dst)
+    fs.delete(backup, true) // stale backup from an earlier completed swap
+    if (fs.exists(dst) && !fs.rename(dst, backup))
+      sys.error(s"swap: could not move $dst aside to $backup")
+    if (!fs.rename(staging, dst)) {
+      // restore old data before failing — readers keep the old table
+      if (fs.exists(backup)) fs.rename(backup, dst)
+      sys.error(s"swap: could not promote $staging to $dst")
+    }
+    fs.delete(backup, true)
+  }
+
+  /** Recover `dst` after a crash anywhere in write-staging-then-swap:
+    *  - dst present → a swap never started or already finished: drop
+    *    leftover staging/backup, keep dst.
+    *  - dst absent + committed staging → crash between the two swap
+    *    renames: finish the promotion (staging IS the new table).
+    *  - dst absent + backup → crash after moving dst aside with an
+    *    uncommitted staging: restore the old table.
+    * Returns true if `dst` is readable afterwards. */
+  def recoverSwap(spark: SparkSession, path: String): Boolean = {
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = stagingPath(dst)
+    val backup = backupPath(dst)
+    val stagingCommitted =
+      fs.exists(staging) && fs.exists(new Path(staging, "_SUCCESS"))
+    if (fs.exists(dst)) {
+      fs.delete(staging, true)
+      fs.delete(backup, true)
+      true
+    } else if (stagingCommitted) {
+      val ok = fs.rename(staging, dst)
+      if (ok) fs.delete(backup, true)
+      ok
+    } else if (fs.exists(backup)) {
+      fs.delete(staging, true)
+      fs.rename(backup, dst)
+    } else false
+  }
+
   /** Write `df` date-partitioned by `tsCol`'s date. zstd: the right
     * storage/scan-cpu tradeoff for cold analytical data at scale. */
   def writeDatePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
@@ -45,12 +106,11 @@ object Lake {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
     val nFiles = math.max(1, (bytes / targetFileBytes).toInt)
-    val staging = path + ".compacting"
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite)
-      .option("compression", "zstd").parquet(staging)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    val staging = stagingPath(dst)
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(staging.toString)
+    promoteStaging(fs, staging, dst)
   }
 
   /** Bucketed catalog table for shuffle-free equi-joins on `keyCol`:

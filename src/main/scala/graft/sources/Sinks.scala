@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   * MySQL transaction. Spark's JDBC writes commit per partition; exact
   * single-transaction semantics at scale need a transactional table
   * format (Delta/Iceberg MERGE) or a staging-then-swap, which
-  * [[upsertParquet]] implements: write to a staging dir, then an atomic
-  * rename — readers see old or new, never a mix.
+  * [[upsertParquet]] implements: write to a staging dir, then promote
+  * it via [[Lake.promoteStaging]]'s rename-aside swap — a crash at any
+  * step leaves old or new data intact on disk ([[Lake.recoverSwap]]),
+  * and the reader-visible gap is two metadata renames, never a
+  * half-deleted table.
   */
 object Sinks {
 
@@ -51,13 +54,11 @@ object Sinks {
           keyCols, "left_anti").unionByName(df)
       case None => df
     }
-    val staging = path + ".staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    val staging = Lake.stagingPath(dst)
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Lake.promoteStaging(fs, staging, dst)
   }
 
   /** SQL text of the MySQL-dialect upsert the JDBC sink executes —

@@ -89,4 +89,30 @@ class GoldenEtlSpec extends SparkSpec {
       $"company_name".isin("", "nan", "<NA>")).count()
     assert(nulls == 0)
   }
+
+  test("release() drops the run's cached RDD — repeated runs don't grow") {
+    result.clean.count() // materialize the shared lazy result first
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // a distinct path: an identical plan would be deduped by the
+    // CacheManager and hide the growth this test guards against
+    val tmp = java.nio.file.Files.createTempFile("graft-golden", ".csv")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(ChargesEtl.findReferenceCsv(refDir)), tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val r = ChargesEtl.run(spark, tmp.toString)
+    r.clean.count()
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    r.release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "release() must unregister the run's cache")
+  }
+
+  test("ingest id assignment is distributed (no single-task coalesce)") {
+    val plan = ChargesEtl.readRaw(spark, ChargesEtl.findReferenceCsv(refDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Coalesce"), s"readRaw must not coalesce:\n$plan")
+    assert(!plan.contains("ExistingRDD"),
+      s"readRaw must stay declarative (no RDD round-trip):\n$plan")
+    assert(plan.contains("monotonically_increasing_id"), plan)
+  }
 }

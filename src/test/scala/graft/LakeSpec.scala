@@ -69,6 +69,58 @@ class LakeSpec extends SparkSpec {
     assert(back.exceptAll(df).count() == 0)
   }
 
+  test("swap keeps old-or-new data on disk at every step; crashes recover") {
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("graft-swap").toString
+    val dir = root + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def write(n: Int, path: String): Unit =
+      spark.range(n).toDF("v").write.mode("overwrite").parquet(path)
+    def readCount(): Long = spark.read.parquet(dir).count()
+
+    // (0) baseline: old table with 10 rows, committed staging with 20
+    write(10, dir)
+    val dst = new Path(dir)
+    val staging = Lake.stagingPath(dst)
+    val backup = Lake.backupPath(dst)
+
+    // step-through the swap, asserting a full copy survives each state.
+    // state A: before swap — old at dst, new at staging
+    write(20, staging.toString)
+    assert(readCount() == 10)
+    // state B: crash after rename dst→backup (dst gone, backup=old,
+    // staging=new+committed). Old data intact at backup, new at staging
+    assert(fs.rename(dst, backup))
+    assert(fs.exists(new Path(staging, "_SUCCESS")))
+    assert(spark.read.parquet(backup.toString).count() == 10)
+    // recovery promotes the committed staging — readers get NEW
+    assert(Lake.recoverSwap(spark, dir))
+    assert(readCount() == 20 && !fs.exists(staging) && !fs.exists(backup))
+
+    // state C: crash after moving dst aside with an UNCOMMITTED staging
+    // (mid-write crash): recovery must restore the OLD table
+    write(5, staging.toString)
+    fs.delete(new Path(staging, "_SUCCESS"), false)
+    assert(fs.rename(dst, backup))
+    assert(Lake.recoverSwap(spark, dir))
+    assert(readCount() == 20, "uncommitted staging must not be promoted")
+    assert(!fs.exists(staging) && !fs.exists(backup))
+
+    // state D: dst present + stale staging/backup → recovery is a no-op
+    // cleanup
+    write(7, staging.toString)
+    assert(Lake.recoverSwap(spark, dir))
+    assert(readCount() == 20 && !fs.exists(staging))
+
+    // end-to-end: the real upsert path lands new data and leaves no
+    // staging/backup residue
+    graft.sources.Sinks.upsertParquet(spark,
+      spark.range(30).toDF("v"), dir, Seq("v"))
+    assert(readCount() == 30)
+    assert(!fs.exists(staging) && !fs.exists(backup))
+  }
+
   test("custom functions are SQL-registered") {
     GraftSession.registerFunctions(spark)
     val row = spark.sql(

@@ -107,6 +107,94 @@ class ServiceSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("a sync body whose csvPath contains 'true' still runs sync") {
+    val spark = SparkSpec.spark
+    val api = new RestApi(Some(spark), 0).start()
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      // old substring detection ("async" absent but "true" present was
+      // enough with a "true"-valued field; worse, `"async":false` plus
+      // any "true" in the body flipped async) → must be a sync 500,
+      // never a 202
+      val (code, _) = http("POST", s"$base/etl/run",
+        Some("""{"csvPath":"/nope/true_data.csv","async":false}"""))
+      assert(code == 500, "sync run with 'true' in csvPath must stay sync")
+      // explicit async:true on a bad path → 202 then failed state
+      val (ac, _) = http("POST", s"$base/etl/run",
+        Some("""{"csvPath":"/nope/missing.csv","async":true}"""))
+      assert(ac == 202)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (http("GET", s"$base/etl/status")._2.contains("running")
+          && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(http("GET", s"$base/etl/status")._2.contains("failed"))
+    } finally api.stop()
+  }
+
+  test("/health answers while a sync /etl/run is executing") {
+    val spark = SparkSpec.spark
+    val api = new RestApi(Some(spark), 0).start()
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      @volatile var runDoneAt = 0L
+      val runner = new Thread(() => {
+        http("POST", s"$base/etl/run",
+          Some(s"""{"csvPath":"${graft.etl.ChargesEtl.findReferenceCsv()}"}"""))
+        runDoneAt = System.nanoTime()
+      })
+      runner.start()
+      Thread.sleep(100) // let the sync run occupy its pool thread
+      val (hc, _) = http("GET", s"$base/health")
+      val healthAt = System.nanoTime()
+      assert(hc == 200)
+      runner.join(60000)
+      assert(runDoneAt != 0L, "sync run never completed")
+      assert(healthAt < runDoneAt,
+        "/health was serialized behind the sync ETL run")
+    } finally api.stop()
+  }
+
+  test("async run results are visible to other threads; URL decoding works") {
+    val spark = SparkSpec.spark
+    val api = new RestApi(Some(spark), 0).start()
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      val (ac, ab) = http("POST", s"$base/etl/run",
+        Some(s"""{"csvPath":"${graft.etl.ChargesEtl.findReferenceCsv()}","async":true}"""))
+      assert(ac == 202, ab)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (http("GET", s"$base/etl/status")._2.contains("running")
+          && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(http("GET", s"$base/etl/status")._2.contains("\"state\":\"done\""))
+      // lastEtl was written on the job thread; this GET is served on an
+      // HTTP pool thread — @volatile is what makes the Some visible
+      val (qc, rows) = http("GET",
+        s"$base/query/daily_totals?from=2019-03-16&to=2019-03-16")
+      assert(qc == 200 && rows.contains("transaction_date"), rows)
+      // %2D is '-': an encoded date must decode before validation
+      val (ec, _) = http("GET",
+        s"$base/query/daily_totals?from=2019%2D03%2D16&to=2019%2D03%2D16")
+      assert(ec == 200)
+      // encoded dir path on the generic runner
+      val encDir = java.net.URLEncoder.encode(SparkSpec.sfDir, UTF_8)
+      val (gc, gb) = http("GET",
+        s"$base/query/run?name=q1_agg&dir=$encDir&limit=3")
+      assert(gc == 200 && gb.contains("sum_qty"), gb)
+    } finally api.stop()
+  }
+
+  test("/docs serves an OpenAPI document listing every route (R5)") {
+    val api = new RestApi(None, 0).start()
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      val (code, body) = http("GET", s"$base/docs")
+      assert(code == 200)
+      assert(body.contains("\"openapi\""))
+      Seq("/extract", "/missing", "/reset", "/health", "/etl/run",
+        "/etl/status", "/query/daily_totals", "/query/run", "/docs")
+        .foreach(route => assert(body.contains("\"" + route + "\""), route))
+    } finally api.stop()
+  }
+
   test("relational twin recovers the missing number via anti-join + Gauss") {
     val spark = SparkSpec.spark
     val m = First100Relational.missing(spark, Seq(42)).head().getLong(0)
