@@ -104,8 +104,10 @@ object Dedup {
 
   // --------------------------------------------------------------- q19
   /** SimHash near-dup fingerprints via the native [[SimHash64]]
-    * Catalyst expression (codegen'd). Not SQL-expressible → rows-only
-    * driver check + SimHashSpec planted-pair tests. */
+    * Catalyst expression (codegen'd). Oracle-checked: the FNV-1a/lane
+    * voting pipeline is reproduced in DuckDB SQL with HUGEINT
+    * mod-2^64 arithmetic (see `oracle`), plus DedupSpec planted-pair
+    * tests. */
   def q19Simhash(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
@@ -182,6 +184,39 @@ object Dedup {
         | md5(mh4 || '|' || mh5) AS band2,
         | md5(mh6 || '|' || mh7) AS band3
         |FROM mh ORDER BY doc_id""".stripMargin,
+    // FNV-1a 64 + lane voting, exactly SimHash64.eval: token bytes come
+    // from hex(encode(tok)) (true UTF-8 octets, not codepoints); the
+    // mod-2^64 multiply stays exact because h < 2^64 and the 41-bit FNV
+    // prime keep the product under HUGEINT's 2^127 ceiling. The final
+    // HUGEINT→BIGINT reinterpretation mirrors the JVM's signed 64-bit
+    // overflow.
+    "q19_simhash" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_transform(ws, tok ->
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(1, octet_length(encode(tok)) + 1),
+        |          i -> (16*(strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i-1, 1))-1)
+        |                 + strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i, 1))-1)::HUGEINT)),
+        |      (acc, b) -> (xor(acc::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+        |                   % 18446744073709551616::HUGEINT)) AS hs
+        |  FROM w),
+        |lanes AS (
+        |  SELECT doc_id, b.b AS b,
+        |    sum(CASE WHEN ((th.h::UBIGINT >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS lane
+        |  FROM h, unnest(h.hs) AS th(h), range(0, 64) AS b(b)
+        |  GROUP BY doc_id, b.b),
+        |sim AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN lane > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END) AS u
+        |  FROM lanes GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |       THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS simhash,
+        |  hex(CAST(u AS UBIGINT)) AS simhash_hex
+        |FROM sim ORDER BY doc_id""".stripMargin,
     "q20_ngram_jaccard" ->
       """WITH d AS (
         | SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS w

@@ -83,9 +83,10 @@ object Similarity {
     * (splitmix64-derived), computed by the native [[graft.functions
     * .LshBucket64]] kernel over the quantized vector — one long-loop
     * pass per row. Output is the per-doc bucket assignment + bucket
-    * occupancy — the blocking structure an ANN query probes. Not
-    * SQL-expressible (engine-specific hash) → rows-only check +
-    * planted-duplicate tests. */
+    * occupancy — the blocking structure an ANN query probes.
+    * Oracle-checked: the splitmix64 sign table and fixed-point dot are
+    * reproduced in DuckDB SQL (see `oracle`), plus planted-duplicate
+    * tests. */
   def q22LshBuckets(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps._
     val emb = Tables(spark, dir, "embeddings")
@@ -233,5 +234,45 @@ object Similarity {
         |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
         | FROM p)
         |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine FROM r
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // VectorOps.lshBucket re-expressed: the sign table is data-free
+    // (plane component (i,j) = parity bit of splitmix64(i*16+j)), so it
+    // is materialized once as a 64×16 CTE. splitmix64's two mod-2^64
+    // multiplies split the constant into 32-bit halves so every HUGEINT
+    // product stays under 2^96. qv is the same scale-6 fixed-point
+    // value VectorQuantize produces (DECIMAL(12,6) HALF_UP).
+    "q22_lsh_buckets" ->
+      """WITH ij AS (
+        |  SELECT i.i AS i, j.j AS j, (i.i*16 + j.j)::HUGEINT AS x
+        |  FROM range(0, 64) AS i(i), range(0, 16) AS j(j)),
+        |s0 AS (SELECT i, j,
+        |  (x + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM ij),
+        |s1 AS (SELECT i, j, xor(z::UBIGINT, z::UBIGINT >> 30)::HUGEINT AS a FROM s0),
+        |s2 AS (SELECT i, j,
+        |  (((a % 4294967296) * 3210233709) % 4294967296 * 4294967296 + a * 484763065)
+        |    % 18446744073709551616::HUGEINT AS z FROM s1),
+        |s3 AS (SELECT i, j, xor(z::UBIGINT, z::UBIGINT >> 27)::HUGEINT AS a FROM s2),
+        |s4 AS (SELECT i, j,
+        |  (((a % 4294967296) * 2496678331) % 4294967296 * 4294967296 + a * 321982955)
+        |    % 18446744073709551616::HUGEINT AS z FROM s3),
+        |sg AS (SELECT i, j,
+        |  CASE WHEN (xor(z::UBIGINT, z::UBIGINT >> 31) & 1) = 1 THEN 1::BIGINT ELSE -1::BIGINT END AS sgn
+        |  FROM s4),
+        |q AS (
+        |  SELECT vec_id, u.u.pos AS pos, u.u.qv AS qv
+        |  FROM (SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'pos': i - 1,
+        |          'qv': CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * 1000000 AS BIGINT)})) AS u
+        |  FROM embeddings) u),
+        |acc AS (
+        |  SELECT q.vec_id, sg.j, sum(sg.sgn * q.qv) AS acc
+        |  FROM q JOIN sg ON q.pos = sg.i GROUP BY q.vec_id, sg.j),
+        |bucket AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN acc > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM acc GROUP BY vec_id),
+        |occ AS (SELECT bucket AS b2, CAST(count(*) AS BIGINT) AS n_bucket_mates
+        |        FROM bucket GROUP BY bucket)
+        |SELECT vec_id, bucket, n_bucket_mates
+        |FROM bucket JOIN occ ON bucket = b2 ORDER BY vec_id""".stripMargin)
 }
