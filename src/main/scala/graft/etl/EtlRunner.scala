@@ -45,6 +45,15 @@ object EtlRunner {
     graft.sources.Lake.writeDatePartitioned(
       r.charges, "created_at", s"$outDir/charges")
 
+    // S7 catalog flow (reference sql/01_schema.sql + 02_view.sql):
+    // bootstrap IF-NOT-EXISTS tables, keyed first-wins load, catalog
+    // view — all idempotent, so re-running the ETL never fails
+    graft.sources.Ddl.bootstrap(spark, s"$outDir/catalog")
+    graft.sources.Ddl.loadIfAbsent(spark, r.companiesTable,
+      "companies", Seq("company_id"))
+    graft.sources.Ddl.loadIfAbsent(spark, r.charges, "charges", Seq("id"))
+    graft.sources.Ddl.createDailyTotalsView(spark)
+
     println(s"Total original: ${r.original.count()}")
     println(s"Total clean: ${r.clean.count()}")
     println(s"Total critical: ${r.critical.count()}")

@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Catalog DDL bootstrap (SURVEY S7) — the Spark-native equivalent of
+  * the reference's schema script (sql/01_schema.sql:5-19) and view
+  * definition (sql/02_view.sql:4-11).
+  *
+  * `CREATE TABLE IF NOT EXISTS … USING parquet` against the session
+  * catalog: re-runnable by construction, like the reference's
+  * `IF NOT EXISTS` MySQL DDL. MySQL's PRIMARY KEY / FOREIGN KEY /
+  * NOT NULL constraints don't exist in Spark's catalog — their
+  * semantics live in the load path instead (PK dedup in
+  * [[graft.etl.ChargesEtl]]'s companiesTable, keyed upserts in
+  * [[Sinks]], FK verification as the q30 anti-join check).
+  *
+  * The view is a CATALOG view over the catalog tables (unlike
+  * [[graft.etl.ChargesEtl.registerDailyTotalsView]]'s temp view over
+  * in-flight frames): it survives session restarts and is visible to
+  * any catalog-sharing client, matching the reference's persistent
+  * MySQL view.
+  */
+object Ddl {
+
+  /** Create the charges/companies tables if absent. Safe to call on
+    * every run — an existing table (and its data) is left untouched.
+    * Tables are external (`LOCATION $baseDir/<name>`): a FRESH catalog
+    * (new JVM, in-memory session catalog) re-adopts the data a
+    * previous run left at the same location, so re-running the ETL
+    * process end-to-end never fails on "location already exists" the
+    * way a managed-table bootstrap would. */
+  def bootstrap(spark: SparkSession, baseDir: String): Unit = {
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS companies (
+        |  company_id   STRING NOT NULL,
+        |  company_name STRING NOT NULL)
+        |USING parquet LOCATION '$baseDir/companies'""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS charges (
+        |  id         STRING NOT NULL,
+        |  company_id STRING NOT NULL,
+        |  amount     DECIMAL(16,2) NOT NULL,
+        |  status     STRING NOT NULL,
+        |  created_at TIMESTAMP NOT NULL,
+        |  updated_at TIMESTAMP)
+        |USING parquet LOCATION '$baseDir/charges'""".stripMargin)
+  }
+
+  /** The reference's daily_company_totals as a persistent catalog view
+    * (sql/02_view.sql:4-11). */
+  def createDailyTotalsView(spark: SparkSession): Unit =
+    spark.sql(
+      """CREATE OR REPLACE VIEW daily_company_totals_cat AS
+        |SELECT c.company_name,
+        |       CAST(ch.created_at AS DATE) AS transaction_date,
+        |       SUM(ch.amount) AS total_amount
+        |FROM charges ch JOIN companies c ON ch.company_id = c.company_id
+        |GROUP BY c.company_name, CAST(ch.created_at AS DATE)
+        |""".stripMargin)
+
+  /** Idempotent keyed load into a bootstrapped catalog table —
+    * `INSERT IGNORE`/upsert semantics relationally: existing keys are
+    * kept (first-wins, the MySQL PK behavior the reference relies on),
+    * new keys appended. Re-running the same batch is a no-op. */
+  def loadIfAbsent(spark: SparkSession, df: DataFrame, table: String,
+      keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val existing = spark.table(table)
+    df.dropDuplicates(keyCols)
+      .join(existing.select(keyCols.map(col): _*).dropDuplicates(),
+        keyCols, "left_anti")
+      .select(existing.columns.map(col).toIndexedSeq: _*)
+      .write.mode(SaveMode.Append).insertInto(table)
+  }
+}

@@ -61,27 +61,72 @@ object Sinks {
     Lake.promoteStaging(fs, staging, dst)
   }
 
+  /** Keyed-upsert SQL dialect: the statement text AND the order in
+    * which row columns bind to its `?` parameters (dialects repeat
+    * columns across clauses differently). */
+  sealed trait UpsertDialect extends Serializable {
+    def sql(table: String, cols: Seq[String], keyCols: Seq[String]): String
+    /** For each statement parameter position, the index into `cols`
+      * whose value binds there. */
+    def bindOrder(cols: Seq[String], keyCols: Seq[String]): Seq[Int]
+  }
+
+  /** `INSERT … ON DUPLICATE KEY UPDATE` — the reference's MySQL load
+    * (etl/03_transform_and_load.py:134-156). One `?` per column. */
+  case object MySqlUpsert extends UpsertDialect {
+    def sql(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
+      val placeholders = cols.map(_ => "?").mkString(", ")
+      val updates = cols.filterNot(keyCols.contains)
+        .map(c => s"$c = VALUES($c)").mkString(", ")
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES ($placeholders) " +
+        s"ON DUPLICATE KEY UPDATE $updates"
+    }
+    def bindOrder(cols: Seq[String], keyCols: Seq[String]): Seq[Int] =
+      cols.indices
+  }
+
+  /** ANSI `MERGE` against a one-row dummy source — the Derby/DB2 shape
+    * (Derby rejects `VALUES` as a MERGE source, so key/update/insert
+    * values each bind as parameters of their own clause). Exercised
+    * end-to-end against embedded Derby in SinksSpec. */
+  case object DerbyUpsert extends UpsertDialect {
+    def sql(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
+      val on = keyCols.map(k => s"$table.$k = ?").mkString(" AND ")
+      val setCols = cols.filterNot(keyCols.contains)
+      val matched =
+        if (setCols.isEmpty) "" // all-key table: nothing to update
+        else "WHEN MATCHED THEN UPDATE SET " +
+          setCols.map(c => s"$c = ?").mkString(", ") + " "
+      s"MERGE INTO $table USING SYSIBM.SYSDUMMY1 ON $on " + matched +
+        s"WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    }
+    def bindOrder(cols: Seq[String], keyCols: Seq[String]): Seq[Int] =
+      keyCols.map(cols.indexOf) ++
+        cols.indices.filterNot(i => keyCols.contains(cols(i))) ++
+        cols.indices
+  }
+
   /** SQL text of the MySQL-dialect upsert the JDBC sink executes —
     * split out so tests cover statement generation without a live DB. */
-  def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
-    val placeholders = cols.map(_ => "?").mkString(", ")
-    val updates = cols.filterNot(keyCols.contains)
-      .map(c => s"$c = VALUES($c)").mkString(", ")
-    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES ($placeholders) " +
-      s"ON DUPLICATE KEY UPDATE $updates"
-  }
+  def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String =
+    MySqlUpsert.sql(table, cols, keyCols)
 
   /** S4/S6 JDBC variant: batched upsert per partition, connection
     * options from config/env (never code). One connection + one
     * prepared statement per PARTITION (amortized), `addBatch` per row,
     * `executeBatch` per `batchSize` — the reference's `executemany`
-    * shape, distributed. Untestable without a live MySQL in this
-    * container; statement-gen and batching logic are unit-tested. */
+    * shape, distributed. The MySQL dialect is statement-gen tested (no
+    * live MySQL in this container); the Derby dialect runs end-to-end
+    * against an embedded in-memory database in SinksSpec, including an
+    * idempotent re-run. */
   def jdbcUpsert(df: DataFrame, url: String, table: String,
       keyCols: Seq[String], props: java.util.Properties,
-      batchSize: Int = 1000): Unit = {
+      batchSize: Int = 1000,
+      dialect: UpsertDialect = MySqlUpsert): Unit = {
     val cols = df.columns.toSeq
-    val sql = upsertSql(table, cols, keyCols)
+    val sql = dialect.sql(table, cols, keyCols)
+    val order = dialect.bindOrder(cols, keyCols)
     df.foreachPartition { (rows: Iterator[Row]) =>
       val conn: Connection = DriverManager.getConnection(url, props)
       conn.setAutoCommit(false) // per-partition txn (S5 caveat in scaladoc)
@@ -89,7 +134,9 @@ object Sinks {
         val st = conn.prepareStatement(sql)
         var n = 0
         rows.foreach { r =>
-          cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+          order.zipWithIndex.foreach { case (ci, pi) =>
+            st.setObject(pi + 1, r.get(ci))
+          }
           st.addBatch()
           n += 1
           if (n % batchSize == 0) st.executeBatch()

@@ -44,4 +44,61 @@ class SinksSpec extends SparkSpec {
       "INSERT INTO charges (id, company_id, amount) VALUES (?, ?, ?) " +
         "ON DUPLICATE KEY UPDATE company_id = VALUES(company_id), amount = VALUES(amount)")
   }
+
+  test("jdbcUpsert end-to-end against embedded Derby: insert, update, re-run") {
+    val url = "jdbc:derby:memory:graftsink;create=true"
+    val props = new java.util.Properties
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    conn.createStatement().execute(
+      "CREATE TABLE companies (company_id VARCHAR(40) PRIMARY KEY, " +
+        "company_name VARCHAR(130), total DOUBLE)")
+    conn.close()
+
+    def tableRows(): Map[String, (String, Double)] = {
+      val c = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val rs = c.createStatement()
+          .executeQuery("SELECT company_id, company_name, total FROM companies")
+        Iterator.continually(rs)
+          .takeWhile(_.next())
+          .map(r => r.getString(1) -> (r.getString(2), r.getDouble(3)))
+          .toMap
+      } finally c.close()
+    }
+
+    val batch1 = Seq(("c1", "Alpha", 10.0), ("c2", "Beta", 20.0),
+      ("c3", "Gamma", 30.0)).toDF("company_id", "company_name", "total")
+      .repartition(2) // multiple partitions ⇒ multiple connections
+    Sinks.jdbcUpsert(batch1, url, "companies", Seq("company_id"), props,
+      dialect = Sinks.DerbyUpsert)
+    assert(tableRows() == Map("c1" -> ("Alpha", 10.0),
+      "c2" -> ("Beta", 20.0), "c3" -> ("Gamma", 30.0)))
+
+    // update + insert in one batch (the reference's re-run shape)
+    val batch2 = Seq(("c2", "Beta2", 22.0), ("c4", "Delta", 40.0))
+      .toDF("company_id", "company_name", "total")
+    Sinks.jdbcUpsert(batch2, url, "companies", Seq("company_id"), props,
+      dialect = Sinks.DerbyUpsert)
+    assert(tableRows() == Map("c1" -> ("Alpha", 10.0),
+      "c2" -> ("Beta2", 22.0), "c3" -> ("Gamma", 30.0),
+      "c4" -> ("Delta", 40.0)))
+
+    // idempotent: replaying the same batch changes nothing
+    Sinks.jdbcUpsert(batch2, url, "companies", Seq("company_id"), props,
+      dialect = Sinks.DerbyUpsert)
+    assert(tableRows().size == 4)
+  }
+
+  test("Derby merge statement binds key, update, then insert params") {
+    val cols = Seq("id", "name", "amt")
+    assert(Sinks.DerbyUpsert.sql("t", cols, Seq("id")) ==
+      "MERGE INTO t USING SYSIBM.SYSDUMMY1 ON t.id = ? " +
+        "WHEN MATCHED THEN UPDATE SET name = ?, amt = ? " +
+        "WHEN NOT MATCHED THEN INSERT (id, name, amt) VALUES (?, ?, ?)")
+    assert(Sinks.DerbyUpsert.bindOrder(cols, Seq("id")) ==
+      Seq(0, 1, 2, 0, 1, 2))
+    // composite key
+    assert(Sinks.DerbyUpsert.bindOrder(Seq("a", "b", "c"), Seq("b", "a")) ==
+      Seq(1, 0, 2, 0, 1, 2))
+  }
 }
