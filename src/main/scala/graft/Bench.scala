@@ -32,10 +32,11 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    def once(sess: SparkSession,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      try { fn(sess, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch { case t: Throwable => Left(s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}") }
     }
     def median(xs: Seq[Double]): Double = {
@@ -44,19 +45,29 @@ object Bench {
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
 
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to iters).map(_ => once(fn))
-      val oks = runs.collect { case Right(s) => s }
-      val firstErr = runs.collectFirst { case Left(e) => e }
-      // ANY failed iteration surfaces in `errors` — a flaky query must
-      // not read as a clean timing. Full failure additionally voids the
-      // timing with -1.
-      firstErr.foreach(e =>
-        errors(name) =
-          (if (oks.isEmpty) "" else s"partial ${oks.length}/$iters ok: ") + e)
-      if (oks.isEmpty) name -> -1.0 else name -> median(oks)
+    /** One full suite pass with the shared integrity rules: ANY failed
+      * iteration surfaces in the returned errors map (a flaky query
+      * must not read as a clean timing); full failure additionally
+      * voids the timing with -1. Used by both the headline pass and
+      * the opt-in AQE pass — the AQE line used to discard all error
+      * detail, hiding exactly the adaptive-path failures it exists to
+      * surface. */
+    def runSuite(sess: SparkSession)
+        : (Seq[(String, Double)],
+           scala.collection.mutable.LinkedHashMap[String, String]) = {
+      val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val res = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val runs = (1 to iters).map(_ => once(sess, fn))
+        val oks = runs.collect { case Right(s) => s }
+        runs.collectFirst { case Left(e) => e }.foreach(e =>
+          errs(name) =
+            (if (oks.isEmpty) "" else s"partial ${oks.length}/$iters ok: ") + e)
+        if (oks.isEmpty) name -> -1.0 else name -> median(oks)
+      }
+      (res, errs)
     }
+
+    val (results, errors) = runSuite(spark)
 
     def esc(s: String): String =
       s.flatMap {
@@ -97,26 +108,23 @@ object Bench {
       aqe.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       aqe.conf.set("spark.sql.files.maxPartitionBytes",
         (128 * 1024 * 1024).toString)
-      val aqeResults = SparkEntry.queries.toSeq.sortBy(_._1).map {
-        case (name, fn) =>
-          val runs = (1 to iters).map { _ =>
-            val t0 = System.nanoTime()
-            try { fn(aqe, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-            catch { case t: Throwable => Left(t.toString.take(200)) }
-          }
-          val oks = runs.collect { case Right(s) => s }
-          if (oks.isEmpty) name -> -1.0 else name -> median(oks)
-      }
+      val (aqeResults, aqeErrors) = runSuite(aqe)
       val aqeQs = aqeResults.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+        .mkString("{", ",", "}")
+      val aqeErrJson = aqeErrors
+        .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
         .mkString("{", ",", "}")
       val aqeTotal = aqeResults.collect { case (_, v) if v >= 0 => v }.sum
       val aqeLine =
-        s"""{"metric":"total_aqe","value":$aqeTotal,"unit":"sec","queries":$aqeQs,"iters":$iters,"sf":"$sfDir"}"""
+        s"""{"metric":"total_aqe","value":$aqeTotal,"unit":"sec","queries":$aqeQs,"errors":$aqeErrJson,"iters":$iters,"sf":"$sfDir"}"""
       println(aqeLine)
       try Files.write(Paths.get(out + ".aqe"),
         (aqeLine + "\n").getBytes(StandardCharsets.UTF_8))
       catch { case t: Throwable =>
         System.err.println(s"BENCH WARN: aqe mirror write failed: $t") }
+      if (aqeErrors.nonEmpty)
+        System.err.println(
+          s"BENCH AQE FAILURES: ${aqeErrors.keys.mkString(", ")}")
     }
     spark.stop()
     // loud on stderr (but exit 0: the JSON already carries -1 + errors,

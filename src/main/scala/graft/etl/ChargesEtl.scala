@@ -55,6 +55,16 @@ object ChargesEtl {
       * this Result recomputes from the CSV afterwards; results stay
       * correct, just uncached). */
     def release(): Unit = { cached.unpersist(); () }
+
+    /** Release this Result UNLESS it shares its cache entry with
+      * `next`. Spark's CacheManager keys entries by canonicalized
+      * plan, so two runs over the SAME csv produce Results backed by
+      * ONE shared entry — unpersisting the replaced Result would
+      * evict the survivor's cache too (correct but uncached: every
+      * later view query recomputes from CSV). */
+    def releaseUnlessSharedWith(next: Result): Unit =
+      if (!cached.queryExecution.analyzed
+            .sameResult(next.cached.queryExecution.analyzed)) release()
   }
 
   /** CSV scan (reference :26-30). `_row_id` pins pandas' implicit row

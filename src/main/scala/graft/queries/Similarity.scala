@@ -237,14 +237,19 @@ object Similarity {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // VectorOps.lshBucket re-expressed: the sign table is data-free
     // (plane component (i,j) = parity bit of splitmix64(i*16+j)), so it
-    // is materialized once as a 64×16 CTE. splitmix64's two mod-2^64
+    // is materialized once as a dim×16 CTE — dim derived from the data
+    // (MAX(len(embedding))), so a wider embedding widens the sign table
+    // instead of silently dropping positions at the q⋈sg join.
+    // splitmix64's two mod-2^64
     // multiplies split the constant into 32-bit halves so every HUGEINT
     // product stays under 2^96. qv is the same scale-6 fixed-point
     // value VectorQuantize produces (DECIMAL(12,6) HALF_UP).
     "q22_lsh_buckets" ->
       """WITH ij AS (
         |  SELECT i.i AS i, j.j AS j, (i.i*16 + j.j)::HUGEINT AS x
-        |  FROM range(0, 64) AS i(i), range(0, 16) AS j(j)),
+        |  FROM (SELECT unnest(range((SELECT MAX(len(embedding))
+        |                             FROM embeddings))) AS i) AS i,
+        |       range(0, 16) AS j(j)),
         |s0 AS (SELECT i, j,
         |  (x + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM ij),
         |s1 AS (SELECT i, j, xor(z::UBIGINT, z::UBIGINT >> 30)::HUGEINT AS a FROM s0),

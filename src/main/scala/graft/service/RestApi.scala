@@ -23,10 +23,16 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
 
   // R4: singleton rebound on /reset, like the reference's `global state`
   private val state = new AtomicReference(new First100Set)
-  // @volatile: written by the async job thread, read by HTTP handler
-  // threads — without it there is no happens-before edge and a reader
-  // can see None forever after a completed async run
-  @volatile private var lastEtl: Option[graft.etl.ChargesEtl.Result] = None
+  // AtomicReference, not a @volatile var: the replace-and-release in
+  // run() must be a single getAndSet — with a plain read-then-write,
+  // two concurrent /etl/run threads can read the same previous Result,
+  // double-release it, and orphan the loser's cache for the JVM's
+  // lifetime (its partitions stay pinned in the block store).
+  private val lastEtl =
+    new AtomicReference[Option[graft.etl.ChargesEtl.Result]](None)
+  // Serializes the ETL body so interleaved runs can't misreport
+  // jobStatus (run A's "done" counts overwritten by run B's "running").
+  private val etlRunLock = new Object
 
   /** R7 job state: idle → running → done|failed, inspectable while the
     * Spark job executes on its own thread. */
@@ -118,14 +124,16 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
           case None => reply(ex, 422, """{"detail":"csvPath: field required"}""")
           case Some(p) =>
             val async = boolField(body, "async").getOrElse(false)
-            def run(): String =
+            def run(): String = etlRunLock.synchronized {
               try {
                 val r = graft.etl.ChargesEtl.run(s, p)
-                // keep exactly ONE run cached: release the replaced
-                // result or the block store grows on every /etl/run
-                val prev = lastEtl
-                lastEtl = Some(r)
-                prev.foreach(_.release())
+                // keep exactly ONE run cached: atomically swap in the
+                // new result and release exactly the one it replaced —
+                // unless the two share a cache entry (same csv ⇒ same
+                // canonicalized plan), where releasing the old would
+                // evict the new one's cache too
+                lastEtl.getAndSet(Some(r))
+                  .foreach(_.releaseUnlessSharedWith(r))
                 graft.etl.ChargesEtl.registerDailyTotalsView(s, r)
                 val summary =
                   s"""{"state":"done","original":${r.original.count()},"clean":${r.clean.count()},"critical":${r.critical.count()}}"""
@@ -137,6 +145,7 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
                   jobStatus.set(err)
                   err
               }
+            }
             if (async) {
               jobStatus.set("""{"state":"running"}""")
               new Thread(() => { run(); () }, "graft-etl-job").start()
@@ -154,7 +163,7 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
     reply(ex, 200, jobStatus.get))
 
   server.createContext("/query/daily_totals", (ex: HttpExchange) =>
-    (spark, lastEtl) match {
+    (spark, lastEtl.get()) match {
       case (Some(s), Some(_)) =>
         val params = queryParams(ex)
         val datePat = "\\d{4}-\\d{2}-\\d{2}".r

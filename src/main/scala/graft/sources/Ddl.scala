@@ -61,12 +61,30 @@ object Ddl {
   /** Idempotent keyed load into a bootstrapped catalog table —
     * `INSERT IGNORE`/upsert semantics relationally: existing keys are
     * kept (first-wins, the MySQL PK behavior the reference relies on),
-    * new keys appended. Re-running the same batch is a no-op. */
+    * new keys appended. Re-running the same batch is a no-op.
+    *
+    * In-batch duplicates: MySQL's "first-wins" is an arrival-order
+    * notion that a distributed frame does not have. Pass `orderCol`
+    * (e.g. an ingest-sequence column) to dedupe deterministically —
+    * lowest `orderCol` per key wins, exactly the reference's
+    * first-in-file-order semantics. Without it, `dropDuplicates`
+    * keeps an ARBITRARY row per key under parallel execution, so the
+    * caller must hand in a frame that is already key-unique (both
+    * current callers do: `companiesTable` and `charges` are
+    * PK-deduped by `_row_id` inside the ETL). */
   def loadIfAbsent(spark: SparkSession, df: DataFrame, table: String,
-      keyCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.col
+      keyCols: Seq[String], orderCol: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
     val existing = spark.table(table)
-    df.dropDuplicates(keyCols)
+    val deduped = orderCol match {
+      case Some(oc) =>
+        val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(oc))
+        df.withColumn("_lia_rn", row_number().over(w))
+          .filter(col("_lia_rn") === 1).drop("_lia_rn")
+      case None => df.dropDuplicates(keyCols)
+    }
+    deduped
       .join(existing.select(keyCols.map(col): _*).dropDuplicates(),
         keyCols, "left_anti")
       .select(existing.columns.map(col).toIndexedSeq: _*)

@@ -72,4 +72,25 @@ class DdlSpec extends SparkSpec {
     assert(out == Map("c1" -> "Alpha", "c2" -> "Beta"))
     cleanCatalog()
   }
+
+  test("loadIfAbsent with orderCol dedupes in-batch keys deterministically") {
+    import spark.implicits._
+    cleanCatalog()
+    val base = Files.createTempDirectory("graft-ddl3").toString
+    Ddl.bootstrap(spark, base)
+    // in-batch duplicate keys with an explicit ingest sequence: the
+    // lowest-sequence row must win (MySQL first-in-file-order), not an
+    // arbitrary partition's — repartition(8) scrambles physical order
+    val batch = Seq(
+      ("c9", "Third", 30L), ("c9", "First", 10L), ("c9", "Second", 20L),
+      ("c8", "Only", 5L))
+      .toDF("company_id", "company_name", "_seq")
+      .repartition(8)
+    Ddl.loadIfAbsent(spark, batch, "companies", Seq("company_id"),
+      orderCol = Some("_seq"))
+    val out = spark.table("companies").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("c9" -> "First", "c8" -> "Only"))
+    cleanCatalog()
+  }
 }

@@ -18,6 +18,42 @@ class EtlUnitSpec extends SparkSpec {
     ChargesEtl.maskReasons(ChargesEtl.transform(df))
   }
 
+  test("_row_id order equals file order across MANY input splits") {
+    // Guards the internal-behavior dependency documented at
+    // ChargesEtl.readRaw: monotonically_increasing_id sorts in file
+    // order because Spark packs one file's splits in offset order.
+    // Prior coverage only ever read single-split CSVs; here the file is
+    // forced through a lowered maxPartitionBytes so a packing change in
+    // a Spark upgrade (or a big real input) can't silently reorder the
+    // group-first fill.
+    val dir = java.nio.file.Files.createTempDirectory("graft-splits")
+    val csv = dir.resolve("wide.csv")
+    val n = 5000
+    val body = (0 until n).map { i =>
+      f"r$i%05d,name$i%05d,c$i%05d,1.00,paid,2019-01-01,2019-01-02"
+    }
+    java.nio.file.Files.write(csv,
+      ("id,name,company_id,amount,status,created_at,paid_at" +: body)
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val conf = spark.conf
+    val prevMax = conf.get("spark.sql.files.maxPartitionBytes")
+    val prevCost = conf.get("spark.sql.files.openCostInBytes")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "16384") // ~16 splits
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      val raw = ChargesEtl.readRaw(spark, csv.toString)
+      assert(raw.rdd.getNumPartitions > 4,
+        s"test must exercise a multi-split read, got ${raw.rdd.getNumPartitions}")
+      val ids = raw.orderBy("_row_id").select("id").collect().map(_.getString(0))
+      assert(ids.length == n)
+      assert(ids.sameElements((0 until n).map(i => f"r$i%05d")),
+        "_row_id sort order diverged from file order on a multi-split CSV")
+    } finally {
+      conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      conf.set("spark.sql.files.openCostInBytes", prevCost)
+    }
+  }
+
   test("C1 rounding vectors reproduce numpy's scaled half-even exactly") {
     // numpy rounds rint(x*100)/100 — on the SCALED binary value:
     // 2.675*100 == 267.5 exactly → half-even → 2.68 (np.round agrees;

@@ -182,6 +182,47 @@ class ServiceSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("concurrent /etl/run keeps exactly one result cached (no leak)") {
+    val spark = SparkSpec.spark
+    val api = new RestApi(Some(spark), 0).start()
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      val req = Some(s"""{"csvPath":"${graft.etl.ChargesEtl.findReferenceCsv()}"}""")
+      // baseline: one sync run → its one cached intermediate
+      assert(http("POST", s"$base/etl/run", req)._1 == 200)
+      val after1 = spark.sparkContext.getPersistentRDDs.size
+      // three racing sync runs: with a plain read-then-write swap two
+      // threads could read the same previous Result, double-release
+      // it, and orphan the loser's cache — getAndSet makes the final
+      // count identical to the single-run baseline
+      val threads = (1 to 3).map(_ => new Thread(() => {
+        http("POST", s"$base/etl/run", req); ()
+      }))
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      // same csv ⇒ same canonicalized plan ⇒ ONE shared cache entry:
+      // the swap must NOT release it (that would evict the survivor's
+      // cache — the pre-fix symptom here was size 0, not a leak)
+      assert(spark.sparkContext.getPersistentRDDs.size == after1,
+        "replaced ETL results corrupted the cache (leak or over-release)")
+      // serialized runs can't interleave status: final state is a
+      // coherent done-summary, not a torn mix of two runs
+      val status = http("GET", s"$base/etl/status")._2
+      assert(status.contains("\"state\":\"done\"") &&
+        status.contains("\"clean\":9986"), status)
+      // a DIFFERENT csv ⇒ distinct plan ⇒ the replaced run's entry
+      // must actually be released: still exactly one entry cached
+      val copy = java.nio.file.Files.createTempDirectory("graft-svc")
+        .resolve("copy.csv")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(
+        graft.etl.ChargesEtl.findReferenceCsv()), copy)
+      assert(http("POST", s"$base/etl/run",
+        Some(s"""{"csvPath":"$copy"}"""))._1 == 200)
+      assert(spark.sparkContext.getPersistentRDDs.size == after1,
+        "a replaced ETL result leaked its cached partitions")
+    } finally api.stop()
+  }
+
   test("/docs serves an OpenAPI document listing every route (R5)") {
     val api = new RestApi(None, 0).start()
     try {
