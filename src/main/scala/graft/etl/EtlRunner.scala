@@ -8,9 +8,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Usage: runMain graft.etl.EtlRunner <csvPath> <outDir>
   *
-  * Table loads land as parquet (overwrite) — the JDBC/upsert sink
-  * variants live in [[Sinks]]; at 100 TB the audit trail would also be
-  * parquet with CSV export only on demand (SURVEY S2).
+  * Table loads land as ONE atomically-published parquet version
+  * ([[graft.sources.Versioned]] — the S5 single-transaction semantics
+  * of the reference's two-table MySQL load); the JDBC/upsert sink
+  * variants live in [[graft.sources.Sinks]]; at 100 TB the audit trail
+  * would also be parquet with CSV export only on demand (SURVEY S2).
   */
 object EtlRunner {
   def main(args: Array[String]): Unit = {
@@ -26,6 +28,11 @@ object EtlRunner {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // startup recovery: heal any table a previous process left
+    // mid-swap before touching the lake (VERDICT r4: recoverSwap
+    // existed but nothing invoked it automatically)
+    graft.sources.Lake.recoverAll(spark, outDir)
+
     val r = ChargesEtl.run(spark, csvPath)
 
     def writeCsv(df: DataFrame, name: String): Unit =
@@ -38,12 +45,20 @@ object EtlRunner {
 
     writeCsv(r.clean, "df_clean")
     writeCsv(r.critical, "df_critical")
-    r.companiesTable.write.mode(SaveMode.Overwrite)
-      .parquet(s"$outDir/companies")
-    // charges land date-partitioned — the 100 TB layout (SURVEY §7.3
-    // step 8): view queries with date ranges prune directories
-    graft.sources.Lake.writeDatePartitioned(
-      r.charges, "created_at", s"$outDir/charges")
+    // Both tables publish as ONE atomic version (S5: the reference
+    // commits companies+charges in a single MySQL transaction — a
+    // reader must never see new companies next to old charges). The
+    // commit point is one marker-file create; a crash anywhere before
+    // it leaves the previous version fully readable, no recovery
+    // needed. Charges stay date-partitioned inside the version — the
+    // 100 TB layout (SURVEY §7.3 step 8): date-ranged view queries
+    // prune directories.
+    import org.apache.spark.sql.functions.{col, to_date}
+    graft.sources.Versioned.publish(spark, s"$outDir/tables", Seq(
+      graft.sources.Versioned.TableSpec("companies", r.companiesTable),
+      graft.sources.Versioned.TableSpec("charges",
+        r.charges.withColumn("part_date", to_date(col("created_at"))),
+        partitionBy = Seq("part_date"))))
 
     // S7 catalog flow (reference sql/01_schema.sql + 02_view.sql):
     // bootstrap IF-NOT-EXISTS tables, keyed first-wins load, catalog

@@ -80,6 +80,28 @@ object Lake {
     } else false
   }
 
+  /** Startup recovery sweep: heal every table under `baseDir` that a
+    * previous process left mid-swap. Remnant `.staging`/`.swapbackup`
+    * dirs name their table, so the sweep needs no table registry —
+    * wire this into any entry point that owns a lake directory
+    * ([[graft.etl.EtlRunner]] does) and a crash between the two swap
+    * renames no longer needs a manual [[recoverSwap]] call before the
+    * table is readable again. Returns the healed table paths. */
+  def recoverAll(spark: SparkSession, baseDir: String): Seq[String] = {
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .map(_.getPath.getName)
+      .collect {
+        case n if n.endsWith(".staging") => n.stripSuffix(".staging")
+        case n if n.endsWith(".swapbackup") => n.stripSuffix(".swapbackup")
+      }
+      .distinct
+      .map(n => new Path(base, n).toString)
+      .filter(p => recoverSwap(spark, p))
+  }
+
   /** Write `df` date-partitioned by `tsCol`'s date. zstd: the right
     * storage/scan-cpu tradeoff for cold analytical data at scale. */
   def writeDatePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
@@ -101,6 +123,7 @@ object Lake {
     * never see a half-compacted table. */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    recoverSwap(spark, path) // self-heal a crashed earlier swap first
     val df = spark.read.parquet(path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

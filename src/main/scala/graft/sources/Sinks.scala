@@ -31,6 +31,7 @@ object Sinks {
     * filter prunes via DPP when partitioned by key range). */
   def insertIfAbsent(spark: SparkSession, df: DataFrame, path: String,
       keyCols: Seq[String]): Unit = {
+    Lake.recoverSwap(spark, path) // self-heal a crashed earlier swap
     val exists = scala.util.Try(spark.read.parquet(path)).toOption
     val fresh = exists match {
       case Some(cur) => df.join(cur.select(keyCols.map(col): _*)
@@ -47,6 +48,10 @@ object Sinks {
     * as merge-to-staging + atomic swap (S5's all-or-nothing). */
   def upsertParquet(spark: SparkSession, df: DataFrame, path: String,
       keyCols: Seq[String]): Unit = {
+    // self-heal: a crash in a PREVIOUS upsert's swap may have left dst
+    // absent with a committed staging — recover before merging, or the
+    // merge silently treats the table as empty
+    Lake.recoverSwap(spark, path)
     val existing = scala.util.Try(spark.read.parquet(path)).toOption
     val merged = existing match {
       case Some(cur) =>

@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Multi-table atomic publish via a version-pointer layout (SURVEY S5).
+  *
+  * The reference wraps BOTH table loads in one MySQL transaction
+  * (etl/03_transform_and_load.py:120-172): a reader never sees new
+  * `companies` next to old `charges`. [[Lake.promoteStaging]] makes each
+  * single table's swap crash-safe, but two sequential swaps still
+  * expose a mixed state to a crash between them. This layout closes
+  * that gap without an ACID table format:
+  *
+  * {{{
+  * base/
+  *   _v/00000001 00000002 …   # empty marker files; commit points
+  *   v1/companies/ v1/charges/  # immutable per-version data dirs
+  *   v2/companies/ v2/charges/
+  * }}}
+  *
+  * The current version is the highest-numbered marker. A publish writes
+  * EVERY table under the next version dir, verifies each Spark
+  * `_SUCCESS`, then commits with one atomic `createNewFile` of the
+  * marker — the multi-table equivalent of the reference's COMMIT. A
+  * crash anywhere before the marker leaves readers on the old version
+  * with all its tables; a crash after it leaves them on the new one.
+  * No recovery routine is ever required on the read path — uncommitted
+  * version dirs are invisible and get cleaned by the next publish.
+  *
+  * Readers resolve the version once per query ([[read]]), so a single
+  * query is always served by one consistent version. GC keeps the
+  * current AND previous versions on disk, so a reader that resolved
+  * just before a publish still has its files for a full publish cycle.
+  *
+  * Single-writer by design (like the reference's one ETL process);
+  * a racing second publisher loses the atomic marker create and fails
+  * loudly instead of corrupting state.
+  */
+object Versioned {
+
+  /** One table in a publish: the frame plus its physical layout.
+    * `partitionBy` gives facts the date-partitioned layout
+    * ([[Lake.writeDatePartitioned]] semantics) inside the version. */
+  final case class TableSpec(name: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil)
+
+  private def markerDir(base: Path) = new Path(base, "_v")
+  private def versionDir(base: Path, v: Long) = new Path(base, s"v$v")
+  private def fmt(v: Long): String = f"$v%08d"
+
+  private def fs(spark: SparkSession, base: Path): FileSystem =
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest committed version, if any publish ever committed. */
+  def currentVersion(spark: SparkSession, base: String): Option[Long] = {
+    val b = new Path(base)
+    val f = fs(spark, b)
+    if (!f.exists(markerDir(b))) None
+    else f.listStatus(markerDir(b)).toSeq
+      .flatMap(s => s.getPath.getName.toLongOption)
+      .maxOption
+  }
+
+  /** Read `table` at the current version. One resolve per call: a plan
+    * built from this frame reads one consistent version throughout. */
+  def read(spark: SparkSession, base: String, table: String): DataFrame = {
+    val v = currentVersion(spark, base)
+      .getOrElse(sys.error(s"versioned lake $base has no committed version"))
+    spark.read.parquet(new Path(versionDir(new Path(base), v), table).toString)
+  }
+
+  /** Atomically publish all `tables` as one new version. Returns the
+    * committed version number. All-or-nothing: either the marker lands
+    * and every table is visible at the new version, or no reader ever
+    * sees any of this publish's data. */
+  def publish(spark: SparkSession, base: String,
+      tables: Seq[TableSpec]): Long = {
+    require(tables.nonEmpty, "publish needs at least one table")
+    val b = new Path(base)
+    val f = fs(spark, b)
+    val cur = currentVersion(spark, base).getOrElse(0L)
+    val next = cur + 1
+    val vdir = versionDir(b, next)
+    // leftover from a crashed earlier attempt at this same version —
+    // uncommitted (no marker), so deleting it is invisible to readers
+    f.delete(vdir, true)
+
+    tables.foreach { t =>
+      val dst = new Path(vdir, t.name).toString
+      if (t.partitionBy.isEmpty)
+        t.df.write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(dst)
+      else t.df // one writer set per partition dir (no small files)
+        .repartition(t.partitionBy.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+        .partitionBy(t.partitionBy: _*).parquet(dst)
+    }
+    tables.foreach { t =>
+      if (!f.exists(new Path(new Path(vdir, t.name), "_SUCCESS")))
+        sys.error(s"publish: ${t.name} has no _SUCCESS under $vdir — aborting uncommitted")
+    }
+
+    // COMMIT: one atomic create. If a concurrent publisher won the
+    // race, fail loudly — never fall through to a half-owned version.
+    f.mkdirs(markerDir(b))
+    val marker = new Path(markerDir(b), fmt(next))
+    if (!f.createNewFile(marker))
+      sys.error(s"publish: version $next already committed by another writer")
+
+    // GC everything older than the previous version (kept as the
+    // in-flight-reader grace copy). Marker first: once it's gone the
+    // version can no longer be resolved, so deleting its dir is safe.
+    if (f.exists(markerDir(b)))
+      f.listStatus(markerDir(b)).toSeq
+        .flatMap(s => s.getPath.getName.toLongOption)
+        .filter(_ < next - 1)
+        .foreach { v =>
+          f.delete(new Path(markerDir(b), fmt(v)), false)
+          f.delete(versionDir(b, v), true)
+        }
+    next
+  }
+}

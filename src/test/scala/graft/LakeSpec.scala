@@ -121,6 +121,34 @@ class LakeSpec extends SparkSpec {
     assert(!fs.exists(staging) && !fs.exists(backup))
   }
 
+  test("recoverAll heals every mid-swap table under a lake dir at startup") {
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("graft-recoverall").toString
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def write(n: Int, path: String): Unit =
+      spark.range(n).toDF("v").write.mode("overwrite").parquet(path)
+
+    // table A: crashed between the two swap renames (dst gone,
+    // committed staging) — recovery must promote the NEW data
+    write(11, s"$root/a.staging")
+    // table B: crashed after moving dst aside with an UNCOMMITTED
+    // staging — recovery must restore the OLD data
+    write(22, s"$root/b.swapbackup")
+    write(5, s"$root/b.staging")
+    fs.delete(new Path(s"$root/b.staging/_SUCCESS"), false)
+    // table C: healthy, must be untouched
+    write(33, s"$root/c")
+
+    val healed = Lake.recoverAll(spark, root).map(new Path(_).getName).sorted
+    assert(healed == Seq("a", "b"), s"healed=$healed")
+    assert(spark.read.parquet(s"$root/a").count() == 11)
+    assert(spark.read.parquet(s"$root/b").count() == 22)
+    assert(spark.read.parquet(s"$root/c").count() == 33)
+    assert(!fs.exists(new Path(s"$root/a.staging")))
+    assert(!fs.exists(new Path(s"$root/b.staging")))
+    assert(!fs.exists(new Path(s"$root/b.swapbackup")))
+  }
+
   test("custom functions are SQL-registered") {
     GraftSession.registerFunctions(spark)
     val row = spark.sql(

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import graft.sources.Versioned
+import graft.sources.Versioned.TableSpec
+
+/** S5 multi-table atomicity: the reference commits companies+charges in
+  * ONE MySQL transaction — this layout must give the same all-or-
+  * nothing visibility across a crash at ANY point of a publish. */
+class VersionedLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkBase() =
+    Files.createTempDirectory("graft-versioned").toString + "/lake"
+
+  private def companies(tag: String) =
+    Seq(("c1", s"Alpha-$tag"), ("c2", s"Beta-$tag"))
+      .toDF("company_id", "company_name")
+  private def charges(n: Int) =
+    spark.range(n).selectExpr("CAST(id AS STRING) AS id", "'c1' AS company_id")
+
+  test("publish is atomic across tables; uncommitted versions are invisible") {
+    val base = mkBase()
+    assert(Versioned.currentVersion(spark, base).isEmpty)
+    intercept[RuntimeException](Versioned.read(spark, base, "companies"))
+
+    val v1 = Versioned.publish(spark, base, Seq(
+      TableSpec("companies", companies("v1")),
+      TableSpec("charges", charges(10))))
+    assert(v1 == 1L)
+    assert(Versioned.read(spark, base, "charges").count() == 10)
+    assert(Versioned.read(spark, base, "companies")
+      .filter($"company_name".endsWith("-v1")).count() == 2)
+
+    // simulated crash mid-publish of v2: BOTH tables fully written
+    // under v2, _SUCCESS and all — but no marker (the crash happened
+    // before the commit point). Readers must stay on v1 for BOTH.
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    companies("v2crash").write.parquet(s"$base/v2/companies")
+    charges(99).write.parquet(s"$base/v2/charges")
+    assert(fs.exists(new Path(s"$base/v2/charges/_SUCCESS")))
+    assert(Versioned.currentVersion(spark, base).contains(1L))
+    assert(Versioned.read(spark, base, "charges").count() == 10,
+      "uncommitted charges must be invisible")
+    assert(Versioned.read(spark, base, "companies")
+      .filter($"company_name".endsWith("-v1")).count() == 2,
+      "uncommitted companies must be invisible")
+
+    // retried publish: cleans the crashed leftover, lands v2, and both
+    // tables flip TOGETHER — never new companies next to old charges
+    val v2 = Versioned.publish(spark, base, Seq(
+      TableSpec("companies", companies("v2")),
+      TableSpec("charges", charges(20))))
+    assert(v2 == 2L)
+    assert(Versioned.read(spark, base, "charges").count() == 20)
+    assert(Versioned.read(spark, base, "companies")
+      .filter($"company_name".endsWith("-v2")).count() == 2)
+  }
+
+  test("GC keeps current + previous versions; foreign commits are never overwritten") {
+    val base = mkBase()
+    (1 to 3).foreach(i => Versioned.publish(spark, base, Seq(
+      TableSpec("t", spark.range(i * 10).toDF("v")))))
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$base/v1")), "v1 must be GC'd")
+    assert(fs.exists(new Path(s"$base/v2")), "previous version is the reader grace copy")
+    assert(Versioned.read(spark, base, "t").count() == 30)
+
+    // another writer committed version 4 meanwhile: the next publish
+    // must move PAST it (monotonic, never co-owning or overwriting an
+    // existing commit — the atomic createNewFile is the guard) and the
+    // lake stays readable at the new current version
+    fs.createNewFile(new Path(s"$base/_v/00000004"))
+    val v = Versioned.publish(spark, base,
+      Seq(TableSpec("t", spark.range(7).toDF("v"))))
+    assert(v == 5L)
+    assert(Versioned.currentVersion(spark, base).contains(5L))
+    assert(Versioned.read(spark, base, "t").count() == 7)
+  }
+
+  test("date-partitioned table inside a version prunes directories") {
+    import org.apache.spark.sql.functions._
+    val base = mkBase()
+    val orders = Tables(spark, sfDir, "orders")
+      .withColumn("part_date", to_date(col("o_orderdate")))
+    Versioned.publish(spark, base,
+      Seq(TableSpec("orders", orders, partitionBy = Seq("part_date"))))
+    val pruned = Versioned.read(spark, base, "orders")
+      .filter(col("part_date") === "1995-03-15")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(pruned.count() > 0)
+  }
+}
