@@ -98,8 +98,11 @@ object Similarity {
   }
 
   // --------------------------------------------------------------- q23
-  /** IVF-style ANN: coarse quantizer = per-label mean centroids
-    * (deterministic; the unsupervised variant would train k-means),
+  /** IVF-style ANN: coarse quantizer = UNSUPERVISED spherical k-means
+    * ([[graft.operators.CoarseQuantizer]] — deterministic
+    * farthest-point init + fixed Lloyd iterations, trained on a
+    * bounded vec_id-ordered sample, the faiss practice; no labels
+    * consulted, so the pipeline works on a real unlabeled corpus),
     * vectors assigned to nearest centroid, queries probe the top-2
     * centroid cells and run exact cosine only inside them.
     * Rows-only check; recall vs q21 is asserted in SimilaritySpec. */
@@ -117,14 +120,21 @@ object Similarity {
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("q6", vector_quantize(col("embedding")))
       .withColumn("nrm", normQ(dot_long(col("q6"), col("q6"))))
-    // centroids: elementwise mean per label via posexplode + re-assembly
-    val centroids = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg(col("x")).as("m"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label").as("c_label"),
-        expr("transform(pm, p -> CAST(p.m AS FLOAT))").as("centroid"))
+    // centroids: k-means on a BOUNDED deterministic sample (lowest
+    // vec_ids — TakeOrdered, no full sort). The collect is capped at
+    // maxSample × dim doubles regardless of corpus size; the full
+    // corpus only ever sees the broadcast assignment join below.
+    val maxSample = 4096
+    val sampled = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(maxSample)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val k = 10
+    val cents = graft.operators.CoarseQuantizer.train(sampled, k, iters = 10)
+    import spark.implicits._
+    val centroids = cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat)) }
+      .toDF("c_label", "centroid")
       .withColumn("c6", vector_quantize(col("centroid")))
       .withColumn("cnrm", normQ(dot_long(col("c6"), col("c6"))))
       .select("c_label", "c6", "cnrm")
