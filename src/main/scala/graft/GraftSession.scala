@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{DotLong, SimHash64, VectorQuantize}
+import graft.functions.{DotLong, MinHashMd5, SimHash64, VectorQuantize}
 
 /** Session wiring for the engine.
   *
@@ -37,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[DotLong].getName, "dot_long"),
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           DotLong(children.head, children(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_md5"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[MinHashMd5].getName, "minhash_md5"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          MinHashMd5(children.head, GraftSession.intLiteral(children(1)))))
   }
 }
 
@@ -51,7 +57,17 @@ object GraftSession {
       exprs => VectorQuantize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("dot_long",
       exprs => DotLong(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_md5",
+      exprs => MinHashMd5(exprs.head, intLiteral(exprs(1))), "scala_udf")
   }
+
+  /** `minhash_md5`'s seed count must be a literal int at plan time. */
+  private[graft] def intLiteral(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => sys.error(s"minhash_md5 numHashes must be an int literal, got $other")
+    }
 
   /** Tuned builder for local or cluster use. */
   def builder(cores: Int = Runtime.getRuntime.availableProcessors())

@@ -27,44 +27,48 @@ object Dedup {
   val NumHashes = 8
   val BandSize = 2 // 4 bands of 2 minhashes
 
-  /** Word 3-gram shingles as an array column (0-based Spark `[]`).
-    * Guarded for <3-token documents: `sequence(0, size-3)` counts DOWN
-    * when size-3 < 0 (step inferred −1), and the resulting negative
-    * array index is a hard `INVALID_ARRAY_INDEX` under Spark 4's
-    * default ANSI mode — a real corpus WILL contain 1–2-token docs, so
-    * short docs get an empty shingle set (⇒ null minhashes/bands,
-    * which LSH then never buckets). */
+  /** Word 3-gram shingles over a PRE-SPLIT token array column `_ws`
+    * (0-based Spark `[]`). Two load-bearing details:
+    *  - `_ws` must be its own column, never `split(text, …)` inlined
+    *    into the lambda: an expression inside `transform` re-evaluates
+    *    PER ELEMENT, so the inlined form regex-split the whole text 3×
+    *    per shingle — O(tokens²) work per document (the dominant cost
+    *    of the old signature pipeline, ~17 s alone at sf0.1);
+    *  - guarded for <3-token documents: `sequence(0, size-3)` counts
+    *    DOWN when size-3 < 0 (step inferred −1), and the resulting
+    *    negative array index is a hard `INVALID_ARRAY_INDEX` under
+    *    Spark 4's default ANSI mode — a real corpus WILL contain
+    *    1–2-token docs, so short docs get an empty shingle set
+    *    (⇒ null minhashes/bands, which LSH then never buckets). */
   private val shinglesExpr =
-    """CASE WHEN size(split(text, '\\s+')) >= 3 THEN
-      |  transform(sequence(0, size(split(text, '\\s+')) - 3),
-      |    i -> concat_ws(' ', split(text, '\\s+')[i],
-      |                        split(text, '\\s+')[i+1],
-      |                        split(text, '\\s+')[i+2]))
+    """CASE WHEN size(_ws) >= 3 THEN
+      |  transform(sequence(0, size(_ws) - 3),
+      |    i -> concat_ws(' ', _ws[i], _ws[i+1], _ws[i+2]))
       |ELSE array() END""".stripMargin
-
-  private def minhash(seed: Int): String =
-    s"array_min(transform(sh, x -> md5(concat('$seed#', x))))"
 
   /** The signature pipeline over any `(doc_id, text)` frame — split out
     * of [[q18MinhashLsh]] so the short-document guard is testable on
-    * crafted inputs. Band keys use null-propagating `concat` (NOT
+    * crafted inputs. All minhashes come from ONE fused pass
+    * ([[graft.functions.MinHashMd5]] — value-identical to the
+    * `array_min(transform(sh, x -> md5('i#' || x)))` family the DuckDB
+    * oracle reproduces, but ~10× cheaper: the composed HOF form is
+    * CodegenFallback and re-walked the shingles once per seed per
+    * reference). Band keys use null-propagating `concat` (NOT
     * `concat_ws`) so a short doc's null minhashes yield null bands —
     * exactly what `mh0 || '|' || mh1` does in the DuckDB oracle. */
   def minhashSignatures(docsDf: DataFrame): DataFrame = {
-    val withSh = docsDf.withColumn("sh", expr(shinglesExpr))
-    val withMh = (0 until NumHashes).foldLeft(withSh) { (df, i) =>
-      df.withColumn(s"mh$i", expr(minhash(i)))
-    }
-    val withBands = (0 until NumHashes / BandSize).foldLeft(withMh) { (df, b) =>
-      val parts = (0 until BandSize).map(j => col(s"mh${b * BandSize + j}"))
+    import graft.functions.MinHashMd5.minhash_md5
+    val withMh = docsDf
+      .withColumn("_ws", split(col("text"), "\\s+"))
+      .withColumn("_mh", minhash_md5(expr(shinglesExpr), NumHashes))
+    val mhCols = (0 until NumHashes).map(i => col("_mh")(i).as(s"mh$i"))
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      val parts = (0 until BandSize).map(j => col("_mh")(b * BandSize + j))
       val joined = parts.tail.foldLeft(parts.head)((acc, c) =>
         concat(acc, lit("|"), c))
-      df.withColumn(s"band$b", md5(joined))
+      md5(joined).as(s"band$b")
     }
-    withBands
-      .select((col("doc_id") +:
-        (0 until NumHashes).map(i => col(s"mh$i")) ++:
-        (0 until NumHashes / BandSize).map(b => col(s"band$b"))): _*)
+    withMh.select(col("doc_id") +: (mhCols ++ bandCols): _*)
   }
 
   // --------------------------------------------------------------- q18
@@ -77,10 +81,21 @@ object Dedup {
 
   /** LSH candidate pairs: docs sharing any band bucket, verified with
     * estimated Jaccard (fraction of equal minhashes). The production
-    * dedup entry point; exercised with planted near-dups in tests. */
+    * dedup entry point; exercised with planted near-dups in tests.
+    *
+    * The signature table is materialized (localCheckpoint) before the
+    * self-join, and this is load-bearing: minhash/band expressions are
+    * higher-order-function trees (`transform` lambdas), which Spark
+    * evaluates interpreted and EXCLUDES from codegen subexpression
+    * elimination — left lazy, the 4-branch band union referenced the
+    * full shingle→md5 pipeline 8× across the self-join, and the
+    * join's derived `isnotnull(bucket)` pushdown re-evaluated it once
+    * more per row (measured: 51 s for a 5k-doc corpus; materialized:
+    * under 2 s). At 100 TB the signature table is the thing you'd
+    * persist/write anyway — it's N rows × 12 small columns. */
   def minhashCandidatePairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
-    val sig = q18MinhashLsh(spark, dir)
+    val sig = q18MinhashLsh(spark, dir).localCheckpoint()
     val bands = (0 until NumHashes / BandSize).map(b =>
       sig.select(col("doc_id"), col(s"band$b").as("bucket")))
       .reduce(_ unionByName _)
@@ -159,13 +174,93 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------------------- q41
+  /** Duplicate CLUSTERS: transitive closure over the MinHash candidate
+    * pairs via [[graft.operators.ConnectedComponents]] — A≈B and B≈C
+    * put {A,B,C} in one cluster even when A,C never share a bucket.
+    * `cluster_id` = min doc_id in the cluster; singletons map to
+    * themselves, so the output is always one row per document
+    * (deterministic and oracle-checkable even on a dup-free corpus —
+    * planted transitive chains are exercised in DedupSpec). */
+  def q41DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashCandidatePairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val verts = docs(spark, dir).select(col("doc_id").as("id"))
+    graft.operators.ConnectedComponents.run(spark, verts, pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q42
+  /** The corpus after near-dup removal: one representative per cluster
+    * (the lowest doc_id — deterministic; a quality-ranked variant
+    * would order by [[TextOps]] quality score instead). Emits
+    * `md5(text)` rather than the text itself so the result stays
+    * narrow at any scale. */
+  def q42DedupCorpus(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .join(q41DupClusters(spark, dir)
+        .filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+        "doc_id")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_minhash_lsh"   -> (q18MinhashLsh _),
     "q19_simhash"       -> (q19Simhash _),
-    "q20_ngram_jaccard" -> (q20NgramJaccard _))
+    "q20_ngram_jaccard" -> (q20NgramJaccard _),
+    "q41_dup_clusters"  -> (q41DupClusters _),
+    "q42_dedup_corpus"  -> (q42DedupCorpus _))
 
   private val mhSelect = (0 until NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> md5('$i#' || x))) AS mh$i").mkString(",\n |  ")
+
+  /** Shared CTE chain for the cluster oracles: the full q18 signature
+    * pipeline → band-bucket candidate pairs → estimated-Jaccard verify
+    * (exactly [[minhashCandidatePairs]]) → undirected edges → recursive
+    * reachability (`reach(a,b)` = b reachable from a; UNION dedups, so
+    * the recursion terminates). min(b) per a IS the component. */
+  private val clusterCtes: String = {
+    val est = (0 until NumHashes)
+      .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""w AS (
+      | SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+      |sh AS (
+      | SELECT doc_id, list_transform(range(1, len(ws) - 1),
+      |   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM w),
+      |mh AS (
+      | SELECT doc_id,
+      |  $mhSelect
+      | FROM sh),
+      |sig AS (
+      | SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+      |  md5(mh0 || '|' || mh1) AS band0, md5(mh2 || '|' || mh3) AS band1,
+      |  md5(mh4 || '|' || mh5) AS band2, md5(mh6 || '|' || mh7) AS band3
+      | FROM mh),
+      |bands AS (
+      | SELECT doc_id, band0 AS bucket FROM sig UNION ALL
+      | SELECT doc_id, band1 FROM sig UNION ALL
+      | SELECT doc_id, band2 FROM sig UNION ALL
+      | SELECT doc_id, band3 FROM sig),
+      |cand AS (
+      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM bands a JOIN bands b
+      |   ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |pairs AS (
+      | SELECT doc_a, doc_b FROM cand
+      |  JOIN sig sa ON sa.doc_id = cand.doc_a
+      |  JOIN sig sb ON sb.doc_id = cand.doc_b
+      | WHERE ($est) / 8.0 >= 0.5),
+      |edges AS (
+      | SELECT doc_a AS s, doc_b AS d FROM pairs
+      | UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      | SELECT doc_id, doc_id FROM documents
+      | UNION
+      | SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b)"""
+      .stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q18_minhash_lsh" ->
@@ -227,5 +322,15 @@ object Dedup {
         | CAST(len(list_filter(a.w, x -> list_contains(b.w, x))) AS DOUBLE)
         |  / CAST(len(a.w) + len(b.w) - len(list_filter(a.w, x -> list_contains(b.w, x))) AS DOUBLE) AS jaccard
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "q41_dup_clusters" ->
+      s"""WITH RECURSIVE $clusterCtes
+        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q42_dedup_corpus" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |clus AS (SELECT a, min(b) AS m FROM reach GROUP BY a)
+        |SELECT d.doc_id, md5(d.text) AS text_md5
+        |FROM documents d JOIN clus ON clus.a = d.doc_id
+        |WHERE clus.a = clus.m ORDER BY d.doc_id""".stripMargin)
 }

@@ -98,4 +98,37 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.q18MinhashLsh(spark, sfDir).collect()
     assert(a.sameElements(b))
   }
+
+  test("connected components: chains collapse transitively, singletons stay") {
+    import graft.operators.ConnectedComponents
+    val verts = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L)).toDF("id")
+    // a diameter-3 chain — label 1 must propagate THROUGH 2 and 3 to 4,
+    // which takes multiple rounds, so early convergence is also tested
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (11L, 10L))
+      .toDF("src", "dst")
+    val comp = ConnectedComponents.run(spark, verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("q41/q42: planted dups collapse to clusters; one representative kept") {
+    val clusters = Dedup.q41DupClusters(spark, plantedDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {0,100,101,102} and {1,200} are the planted components
+    assert(Seq(0L, 100L, 101L, 102L).forall(clusters(_) == 0L),
+      s"near-dup family of 0 split: $clusters")
+    assert(clusters(1L) == 1L && clusters(200L) == 1L)
+    // every other doc is its own singleton cluster
+    val others = clusters.keySet -- Set(0L, 100L, 101L, 102L, 1L, 200L)
+    assert(others.forall(id => clusters(id) == id))
+    assert(clusters.size == 44) // one row per document, always
+
+    val reps = Dedup.q42DedupCorpus(spark, plantedDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(reps.size == 40, s"44 docs - 4 removed dups, got ${reps.size}")
+    assert(reps.contains(0L) && reps.contains(1L))
+    assert(!reps.exists(Set(100L, 101L, 102L, 200L)),
+      "a non-representative duplicate survived")
+  }
 }
