@@ -20,7 +20,14 @@ object TextOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
+  /** One regex split, materialized as a column before use: every
+    * reference to an INLINE `split(text)` re-runs the regex per row
+    * per reference (q14 referenced it 8×) — same pitfall, milder
+    * degree, as the per-element re-split fixed in [[Dedup]]. */
   private val wordsCol = split(col("text"), "\\s+")
+  private def withWords(df: DataFrame): DataFrame =
+    df.withColumn("_ws", wordsCol)
+  private val words = col("_ws")
 
   /** Stopword list shared with the oracle SQL. */
   private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
@@ -42,14 +49,13 @@ object TextOps {
     * rational score — the filter predicate a training-data pipeline
     * would push down to the scan. */
   def q14QualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val words = wordsCol
     val nTokens = size(words)
     val nStop = size(filter(words, w => w.isin(stopEn: _*)))
     val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
     val stopRatio = nStop.cast("double") / nTokens.cast("double")
     val avgTokLen = nAlpha.cast("double") / nTokens.cast("double")
     val score = (lit(1.0) - stopRatio) * (least(nTokens, lit(100)).cast("double") / lit(100.0))
-    docs(spark, dir).select(
+    withWords(docs(spark, dir)).select(
       col("doc_id"),
       nTokens.as("n_tokens"),
       nStop.as("n_stopwords"),
@@ -72,8 +78,7 @@ object TextOps {
       "fr" -> Seq("le", "la", "et", "les", "des", "un"),
       "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
       "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3"))
-    val words = wordsCol
-    val scored = docs(spark, dir).select(
+    val scored = withWords(docs(spark, dir)).select(
       (col("doc_id") +: col("lang") +:
         lists.map { case (l, ws) =>
           size(filter(words, w => w.isin(ws: _*))).as(s"score_$l")
@@ -132,7 +137,6 @@ object TextOps {
     * job, oracle-checked end-to-end. */
   def q33PrepPipeline(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val words = wordsCol
     val nTokens = size(words)
     val nStop = size(filter(words, w => w.isin(stopEn: _*)))
     val quality = (lit(1.0) - nStop.cast("double") / nTokens.cast("double")) *
@@ -141,13 +145,13 @@ object TextOps {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .join(d, "doc_id")
-    survivors
+    withWords(survivors)
       .withColumn("quality", quality)
       .filter(col("quality") >= 0.5 && length(col("text")) >= 100)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(wordsCol).cast("long")).as("total_tokens"),
+        sum(size(words).cast("long")).as("total_tokens"),
         sum(length(col("text")).cast("long")).as("total_chars"))
       .orderBy(col("source"))
   }
