@@ -37,6 +37,63 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("upsertBucketed: upsert semantics + only touched buckets rewritten") {
+    val dir = Files.createTempDirectory("graft-sink").toString + "/t"
+    val init = (0L until 200L).map(k => (k, s"v$k")).toDF("k", "v")
+    Sinks.upsertBucketed(spark, init, dir, Seq("k"), nBuckets = 16)
+    assert(Sinks.readBucketed(spark, dir).count() == 200)
+
+    // snapshot every bucket dir's file listing before the small batch
+    def listing(): Map[String, Set[(String, Long)]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("_kb=")).map { d =>
+        d.getName -> d.listFiles().map(f => f.getName -> f.lastModified()).toSet
+      }.toMap
+    }
+    val before = listing()
+    assert(before.size == 16, s"expected 16 bucket dirs, got ${before.size}")
+
+    // one-key batch: exactly ONE bucket may change
+    Sinks.upsertBucketed(spark, Seq((7L, "UPDATED")).toDF("k", "v"),
+      dir, Seq("k"), nBuckets = 16)
+    val after = listing()
+    val changed = before.keySet.filter(b => before(b) != after(b))
+    assert(changed.size == 1, s"one-key upsert must touch one bucket: $changed")
+    val out = Sinks.readBucketed(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 200 && out(7L) == "UPDATED" && out(6L) == "v6")
+
+    // idempotent re-run; new keys append into their buckets
+    Sinks.upsertBucketed(spark, Seq((7L, "UPDATED"), (1000L, "new"))
+      .toDF("k", "v"), dir, Seq("k"), nBuckets = 16)
+    val out2 = Sinks.readBucketed(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2.size == 201 && out2(7L) == "UPDATED" && out2(1000L) == "new")
+  }
+
+  test("upsertBucketed heals a bucket left mid-swap by a crashed run") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-sink").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Sinks.upsertBucketed(spark,
+      (0L until 50L).map(k => (k, s"v$k")).toDF("k", "v"),
+      dir, Seq("k"), nBuckets = 4)
+    // simulate a crash between the two swap renames of bucket 2: dst
+    // moved aside into a committed staging's promotion
+    val bucket = new Path(s"$dir/_kb=2")
+    val staging = graft.sources.Lake.stagingPath(bucket)
+    assert(fs.rename(bucket, staging))
+    assert(fs.exists(new Path(staging, "_SUCCESS")) ||
+      { fs.create(new Path(staging, "_SUCCESS")).close(); true })
+    // next upsert heals on entry, then applies its batch
+    Sinks.upsertBucketed(spark, Seq((0L, "X")).toDF("k", "v"),
+      dir, Seq("k"), nBuckets = 4)
+    val out = Sinks.readBucketed(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 50 && out(0L) == "X" && out(49L) == "v49",
+      "crashed bucket's rows must survive the heal")
+  }
+
   test("jdbc upsert statement matches the reference's MySQL shape") {
     val sql = Sinks.upsertSql("charges",
       Seq("id", "company_id", "amount"), Seq("id"))
