@@ -90,25 +90,53 @@ object Sinks {
   def upsertBucketed(spark: SparkSession, df: DataFrame, path: String,
       keyCols: Seq[String], nBuckets: Int = 64): Unit = {
     require(nBuckets > 0)
+    val bucketOf = pmod(hash(keyCols.map(col): _*), lit(nBuckets))
+    scopedUpsert(spark, df.withColumn("_kb", bucketOf), path, keyCols, "_kb")
+  }
+
+  /** S4 at scale, natural-partition flavor: upsert into a table laid
+    * out by a REAL partition column (the charges table's `part_date`
+    * — the reference's daily-batch load shape). A daily batch merges
+    * and swaps only the `part_date=…` directories it carries rows
+    * for; the rest of the table is never read or written.
+    *
+    * Precondition (same as any partition-scoped merge, e.g. Hive
+    * dynamic-partition overwrite): a key's partition value is
+    * immutable — a charge's `created_at` date never changes. A key
+    * that DID move partitions would leave its old row in the old
+    * partition. Partition values must be non-null. */
+  def upsertPartitioned(spark: SparkSession, df: DataFrame, path: String,
+      keyCols: Seq[String], partCol: String): Unit =
+    scopedUpsert(spark, df, path, keyCols, partCol)
+
+  /** Shared core: merge + swap only the `partCol=value` directories
+    * present in `incoming`. One pruned merge job, then a cheap
+    * metadata phase giving each touched partition the standard
+    * rename-aside swap. Crash between swaps = partially-applied batch
+    * (disjoint key sets per partition), completed by an idempotent
+    * re-run; entry-time recovery heals any partition left mid-swap. */
+  private def scopedUpsert(spark: SparkSession, incoming: DataFrame,
+      path: String, keyCols: Seq[String], partCol: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // heal bucket dirs a crashed earlier upsert left mid-swap
-    Lake.recoverAll(spark, path)
+    Lake.recoverAll(spark, path) // heal partitions a crash left mid-swap
 
-    val bucketOf = pmod(hash(keyCols.map(col): _*), lit(nBuckets))
-    val incoming = df.withColumn("_kb", bucketOf)
-    // the touched-bucket list is ≤ nBuckets entries — a bounded collect
-    val touched = incoming.select("_kb").distinct()
-      .collect().map(_.getInt(0)).sorted
+    // touched-partition list: bounded by the batch's distinct partition
+    // values (buckets: ≤ nBuckets; dates: the batch's few days)
+    val touched = incoming
+      .select(col(partCol).cast("string").as("p")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(!touched.contains(null) && touched.forall(_ != null),
+      s"$partCol must be non-null for partition-scoped upsert")
     if (touched.isEmpty) return
 
     // ONE merge job over only the touched partitions (partition
-    // pruning on _kb keeps untouched buckets entirely unread)
+    // pruning keeps untouched directories entirely unread)
     val hasTable = fs.exists(root) &&
-      fs.listStatus(root).exists(_.getPath.getName.startsWith("_kb="))
+      fs.listStatus(root).exists(_.getPath.getName.startsWith(s"$partCol="))
     val merged = if (hasTable) {
       val cur = spark.read.parquet(path)
-        .filter(col("_kb").isin(touched.map(Integer.valueOf): _*))
+        .filter(col(partCol).cast("string").isin(touched.toIndexedSeq: _*))
       cur.join(incoming.select(keyCols.map(col): _*).dropDuplicates(),
           keyCols, "left_anti")
         .unionByName(incoming.select(cur.columns.map(col).toIndexedSeq: _*))
@@ -116,24 +144,23 @@ object Sinks {
     val stagingRoot = new org.apache.hadoop.fs.Path(root, ".upsert-staging")
     fs.delete(stagingRoot, true) // stale leftover from a crashed write
     merged
-      .repartition(col("_kb")) // one writer set per bucket dir
-      .write.mode(SaveMode.Overwrite).partitionBy("_kb")
+      .repartition(col(partCol)) // one writer set per partition dir
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
       .parquet(stagingRoot.toString)
 
-    // cheap metadata phase: each touched bucket gets the standard
-    // rename-aside swap (committed staging marked with _SUCCESS so
-    // recoverSwap can promote it after a crash)
-    touched.foreach { b =>
-      val bucketDir = new org.apache.hadoop.fs.Path(root, s"_kb=$b")
-      val staged = new org.apache.hadoop.fs.Path(stagingRoot, s"_kb=$b")
+    // cheap metadata phase: committed staging marked with _SUCCESS so
+    // recoverSwap can promote it after a crash
+    touched.foreach { p =>
+      val partDir = new org.apache.hadoop.fs.Path(root, s"$partCol=$p")
+      val staged = new org.apache.hadoop.fs.Path(stagingRoot, s"$partCol=$p")
       if (fs.exists(staged)) {
-        val bucketStaging = Lake.stagingPath(bucketDir)
-        fs.delete(bucketStaging, true)
-        if (!fs.rename(staged, bucketStaging))
-          sys.error(s"upsertBucketed: could not stage $staged")
-        fs.create(new org.apache.hadoop.fs.Path(bucketStaging, "_SUCCESS"))
+        val partStaging = Lake.stagingPath(partDir)
+        fs.delete(partStaging, true)
+        if (!fs.rename(staged, partStaging))
+          sys.error(s"scopedUpsert: could not stage $staged")
+        fs.create(new org.apache.hadoop.fs.Path(partStaging, "_SUCCESS"))
           .close()
-        Lake.promoteStaging(fs, bucketStaging, bucketDir)
+        Lake.promoteStaging(fs, partStaging, partDir)
       }
     }
     fs.delete(stagingRoot, true)

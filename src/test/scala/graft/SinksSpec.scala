@@ -71,6 +71,38 @@ class SinksSpec extends SparkSpec {
     assert(out2.size == 201 && out2(7L) == "UPDATED" && out2(1000L) == "new")
   }
 
+  test("upsertPartitioned: a daily batch touches only its part_date dirs") {
+    val dir = Files.createTempDirectory("graft-sink").toString + "/charges"
+    def charges(rows: Seq[(String, String, Double)]) =
+      rows.toDF("id", "company_id", "amount")
+        .withColumn("part_date",
+          to_date(concat(lit("2019-01-0"), substring(col("id"), 1, 1))))
+    // days 1..5, two charges each
+    val init = (1 to 5).flatMap(d =>
+      Seq((s"$d-a", "c1", d * 1.0), (s"$d-b", "c2", d * 2.0)))
+    Sinks.upsertPartitioned(spark, charges(init), dir, Seq("id"), "part_date")
+    def listing(): Map[String, Set[(String, Long)]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("part_date=")).map { d =>
+        d.getName -> d.listFiles().map(f => f.getName -> f.lastModified()).toSet
+      }.toMap
+    }
+    val before = listing()
+    assert(before.size == 5)
+    // a day-3 correction batch: update one charge, add one
+    Sinks.upsertPartitioned(spark,
+      charges(Seq(("3-a", "c1", 99.0), ("3-c", "c9", 7.0))),
+      dir, Seq("id"), "part_date")
+    val after = listing()
+    val changed = before.keySet.filter(b => before(b) != after(b))
+    assert(changed == Set("part_date=2019-01-03"),
+      s"day-3 batch must rewrite only day 3: $changed")
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 11)
+    assert(out.filter(col("id") === "3-a").head().getDouble(2) == 99.0)
+    assert(out.filter(col("id") === "1-a").head().getDouble(2) == 1.0)
+  }
+
   test("upsertBucketed heals a bucket left mid-swap by a crashed run") {
     import org.apache.hadoop.fs.Path
     val dir = Files.createTempDirectory("graft-sink").toString + "/t"
