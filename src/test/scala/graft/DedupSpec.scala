@@ -112,6 +112,35 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connected components match a union-find oracle on random graphs") {
+    import graft.operators.ConnectedComponents
+    // seeded generator: deterministic across runs
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val n = 20 + rnd.nextInt(30)
+      val ids = (0 until n).map(_ => rnd.nextInt(1000).toLong).distinct
+      val edges = (0 until n).map { _ =>
+        (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size)))
+      }
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = ids.map(i => i -> find(i)).toMap
+      val got = ConnectedComponents.run(spark,
+          ids.toDF("id"), edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial (n=${ids.size}) diverged from union-find")
+    }
+  }
+
   test("q41/q42: planted dups collapse to clusters; one representative kept") {
     val clusters = Dedup.q41DupClusters(spark, plantedDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -103,6 +103,28 @@ class SinksSpec extends SparkSpec {
     assert(out.filter(col("id") === "1-a").head().getDouble(2) == 1.0)
   }
 
+  test("the scoped-upsert merge read prunes untouched partitions (scan proof)") {
+    val dir = Files.createTempDirectory("graft-sink").toString + "/t"
+    val init = (1 to 5).flatMap(d => Seq((s"$d-a", d), (s"$d-b", d)))
+      .toDF("id", "day")
+    Sinks.upsertPartitioned(spark, init, dir, Seq("id"), "day")
+    // exactly the read shape scopedUpsert builds for its merge job
+    val pruned = spark.read.parquet(dir)
+      .filter(col("day").cast("string").isin("3"))
+    pruned.collect()
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a parquet scan")
+    val numFiles = scans.head.metrics("numFiles").value
+    val allFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("day="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(numFiles < allFiles,
+      s"cast-isin filter must prune partition dirs: read $numFiles of $allFiles")
+    assert(pruned.count() == 2)
+  }
+
   test("upsertBucketed heals a bucket left mid-swap by a crashed run") {
     import org.apache.hadoop.fs.Path
     val dir = Files.createTempDirectory("graft-sink").toString + "/t"
