@@ -156,7 +156,41 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // --------------------------------------------------------------- q43
+  /** Repetition metrics — the Gopher-style quality filters (Rae et al.
+    * 2021, "Scaling Language Models", table A2): fraction of duplicate
+    * tokens and duplicate word-bigrams per document. High repetition
+    * flags boilerplate/spam for corpus filtering. Array-native: one
+    * split, one bigram transform, sizes only — no explode, no shuffle
+    * until the final sort. The <2-token guard mirrors the shingler's
+    * ANSI trap ([[graft.queries.Dedup]]): `sequence(0, size-2)` counts
+    * DOWN for 1-token docs and the negative index throws. */
+  def q43Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = expr(
+      """CASE WHEN size(_ws) >= 2 THEN
+        |  transform(sequence(0, size(_ws) - 2),
+        |    i -> concat_ws(' ', _ws[i], _ws[i+1]))
+        |ELSE array() END""".stripMargin)
+    val nTok = size(words)
+    val nDistTok = size(array_distinct(words))
+    val nBg = size(col("_bg"))
+    val nDistBg = size(array_distinct(col("_bg")))
+    withWords(docs(spark, dir)).withColumn("_bg", bigrams)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        nDistTok.as("n_distinct_tokens"),
+        when(nTok > 0, (nTok - nDistTok).cast("double") / nTok.cast("double"))
+          .as("dup_token_ratio"),
+        nBg.as("n_bigrams"),
+        nDistBg.as("n_distinct_bigrams"),
+        when(nBg > 0, (nBg - nDistBg).cast("double") / nBg.cast("double"))
+          .as("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_repetition"    -> (q43Repetition _),
     "q33_prep_pipeline" -> (q33PrepPipeline _),
     "q13_token_count"   -> (q13TokenCount _),
     "q14_quality_score" -> (q14QualityScore _),
@@ -165,6 +199,30 @@ object TextOps {
     "q17_exact_dedup"   -> (q17ExactDedup _))
 
   val oracle: Map[String, String] = Map(
+    // DuckDB's range(1, n) is end-exclusive and lists are 1-based, so
+    // i -> ws[i]||' '||ws[i+1] over range(1, len) yields exactly the
+    // len-1 bigrams of Spark's sequence(0, size-2) over 0-based [].
+    "q43_repetition" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |b AS (
+        | SELECT doc_id, ws,
+        |  CASE WHEN len(ws) >= 2 THEN
+        |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |  ELSE [] END AS bg
+        | FROM w)
+        |SELECT doc_id,
+        | CAST(len(ws) AS INT) AS n_tokens,
+        | CAST(len(list_distinct(ws)) AS INT) AS n_distinct_tokens,
+        | CASE WHEN len(ws) > 0 THEN
+        |   CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) END
+        |  AS dup_token_ratio,
+        | CAST(len(bg) AS INT) AS n_bigrams,
+        | CAST(len(list_distinct(bg)) AS INT) AS n_distinct_bigrams,
+        | CASE WHEN len(bg) > 0 THEN
+        |   CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) END
+        |  AS dup_bigram_ratio
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q33_prep_pipeline" ->
       """WITH survivors AS (
         | SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -41,4 +41,25 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.q13TokenCount(spark, shortDir).count() == 4)
     assert(TextOps.q14QualityScore(spark, shortDir).count() == 4)
   }
+
+  test("q43 repetition: known ratios; 1-token docs survive the bigram guard") {
+    val rows = TextOps.q43Repetition(spark, shortDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 4) // incl. the 1-token doc (ANSI negative-seq trap)
+    rows.values.foreach { r =>
+      val nBg = r.getInt(r.fieldIndex("n_bigrams"))
+      if (nBg == 0) assert(r.isNullAt(r.fieldIndex("dup_bigram_ratio")))
+    }
+    // crafted: "a a a b" → 4 tokens 2 distinct → dup_token_ratio 0.5;
+    // bigrams [a a, a a, a b] → 3, 2 distinct → 1/3
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q43").toString
+    Seq((1L, "a a a b")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TextOps.q43Repetition(spark, dir).head()
+    assert(r.getInt(1) == 4 && r.getInt(2) == 2)
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getInt(4) == 3 && r.getInt(5) == 2)
+    assert(math.abs(r.getDouble(6) - 1.0 / 3.0) < 1e-15)
+  }
 }
