@@ -6,32 +6,32 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * §3.1): extract → transform → audit CSVs → table load, with the
   * run-count report the reference prints (reference :97-99,:159-160).
   *
-  * Usage: runMain graft.etl.EtlRunner <csvPath> <outDir>
+  * Usage: runMain graft.etl.EtlRunner <csvPath> <outDir> [--incremental]
   *
-  * Table loads land as ONE atomically-published parquet version
-  * ([[graft.sources.Versioned]] — the S5 single-transaction semantics
-  * of the reference's two-table MySQL load); the JDBC/upsert sink
-  * variants live in [[graft.sources.Sinks]]; at 100 TB the audit trail
-  * would also be parquet with CSV export only on demand (SURVEY S2).
+  * Two load modes:
+  *  - default: both tables publish as ONE atomic version
+  *    ([[graft.sources.Versioned]] — the S5 single-transaction
+  *    semantics of the reference's two-table MySQL load);
+  *  - `--incremental`: the reference's actual statement semantics
+  *    (`INSERT IGNORE` companies, `ON DUPLICATE KEY UPDATE` charges)
+  *    at scale — companies via [[graft.sources.Sinks.insertIfAbsent]],
+  *    charges via [[graft.sources.Sinks.upsertPartitioned]] so a daily
+  *    batch rewrites only its `part_date` directories, not the table.
+  *
+  * At 100 TB the audit trail would also be parquet with CSV export
+  * only on demand (SURVEY S2).
   */
 object EtlRunner {
-  def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: EtlRunner <csvPath> <outDir>")
-    val Array(csvPath, outDir) = args
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .appName("graft-etl")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
+  /** The full run, parameterized for tests (main owns the session). */
+  def run(spark: SparkSession, csvPath: String, outDir: String,
+      incremental: Boolean = false): ChargesEtl.Result = {
+    import org.apache.spark.sql.functions.{col, to_date}
     // startup recovery: heal any table a previous process left
     // mid-swap before touching the lake (VERDICT r4: recoverSwap
     // existed but nothing invoked it automatically)
     graft.sources.Lake.recoverAll(spark, outDir)
+    graft.sources.Lake.recoverAll(spark, s"$outDir/inc")
 
     val r = ChargesEtl.run(spark, csvPath)
 
@@ -45,20 +45,29 @@ object EtlRunner {
 
     writeCsv(r.clean, "df_clean")
     writeCsv(r.critical, "df_critical")
-    // Both tables publish as ONE atomic version (S5: the reference
-    // commits companies+charges in a single MySQL transaction — a
-    // reader must never see new companies next to old charges). The
-    // commit point is one marker-file create; a crash anywhere before
-    // it leaves the previous version fully readable, no recovery
-    // needed. Charges stay date-partitioned inside the version — the
-    // 100 TB layout (SURVEY §7.3 step 8): date-ranged view queries
-    // prune directories.
-    import org.apache.spark.sql.functions.{col, to_date}
-    graft.sources.Versioned.publish(spark, s"$outDir/tables", Seq(
-      graft.sources.Versioned.TableSpec("companies", r.companiesTable),
-      graft.sources.Versioned.TableSpec("charges",
-        r.charges.withColumn("part_date", to_date(col("created_at"))),
-        partitionBy = Seq("part_date"))))
+
+    val chargesPartitioned =
+      r.charges.withColumn("part_date", to_date(col("created_at")))
+    if (incremental) {
+      // reference statement semantics, partition-scoped: a batch's
+      // I/O ∝ the part_date dirs it touches
+      graft.sources.Sinks.insertIfAbsent(spark, r.companiesTable,
+        s"$outDir/inc/companies", Seq("company_id"))
+      graft.sources.Sinks.upsertPartitioned(spark, chargesPartitioned,
+        s"$outDir/inc/charges", Seq("id"), "part_date")
+    } else {
+      // Both tables publish as ONE atomic version (S5: the reference
+      // commits companies+charges in a single MySQL transaction — a
+      // reader must never see new companies next to old charges). The
+      // commit point is one marker-file create; a crash anywhere
+      // before it leaves the previous version fully readable. Charges
+      // stay date-partitioned inside the version — the 100 TB layout
+      // (SURVEY §7.3 step 8): date-ranged view queries prune dirs.
+      graft.sources.Versioned.publish(spark, s"$outDir/tables", Seq(
+        graft.sources.Versioned.TableSpec("companies", r.companiesTable),
+        graft.sources.Versioned.TableSpec("charges", chargesPartitioned,
+          partitionBy = Seq("part_date"))))
+    }
 
     // S7 catalog flow (reference sql/01_schema.sql + 02_view.sql):
     // bootstrap IF-NOT-EXISTS tables, keyed first-wins load, catalog
@@ -68,7 +77,26 @@ object EtlRunner {
       "companies", Seq("company_id"))
     graft.sources.Ddl.loadIfAbsent(spark, r.charges, "charges", Seq("id"))
     graft.sources.Ddl.createDailyTotalsView(spark)
+    r
+  }
 
+  def main(args: Array[String]): Unit = {
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    require(positional.length == 2,
+      "usage: EtlRunner <csvPath> <outDir> [--incremental]")
+    val incremental = flags.contains("--incremental")
+    val Array(csvPath, outDir) = positional
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val r = run(spark, csvPath, outDir, incremental)
     println(s"Total original: ${r.original.count()}")
     println(s"Total clean: ${r.clean.count()}")
     println(s"Total critical: ${r.critical.count()}")

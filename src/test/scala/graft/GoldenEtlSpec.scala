@@ -115,4 +115,26 @@ class GoldenEtlSpec extends SparkSpec {
       s"readRaw must stay declarative (no RDD round-trip):\n$plan")
     assert(plan.contains("monotonically_increasing_id"), plan)
   }
+
+  test("EtlRunner incremental mode: reference statement semantics, idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("graft-etlrun").toString
+    val csv = ChargesEtl.findReferenceCsv(refDir)
+    Seq("charges", "companies").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")) // fresh catalog for this run
+    val r1 = graft.etl.EtlRunner.run(spark, csv, out, incremental = true)
+    try {
+      val charges = spark.read.parquet(s"$out/inc/charges")
+      val companies = spark.read.parquet(s"$out/inc/companies")
+      assert(charges.count() == 9986 && companies.count() == 3)
+      // part_date layout: date dirs exist, I/O of a re-run is scoped
+      assert(new java.io.File(s"$out/inc/charges").listFiles()
+        .count(_.getName.startsWith("part_date=")) > 100)
+    } finally r1.release()
+    // re-run (the reference's upsert replay): same counts, no dups
+    val r2 = graft.etl.EtlRunner.run(spark, csv, out, incremental = true)
+    try {
+      assert(spark.read.parquet(s"$out/inc/charges").count() == 9986)
+      assert(spark.read.parquet(s"$out/inc/companies").count() == 3)
+    } finally r2.release()
+  }
 }
