@@ -197,17 +197,21 @@ object ChargesEtl {
   /** The reference's daily_company_totals view (sql/02_view.sql:4-11):
     * SUM(amount) per company_name × DATE(created_at). Registered as a
     * temp view so spark.sql queries get Catalyst's view inlining +
-    * predicate pushdown (SURVEY §3.3). */
+    * predicate pushdown (SURVEY §3.3).
+    *
+    * Built from the Result's frames directly — registering helper temp
+    * views named `charges`/`companies` (the old shape) SHADOWED the
+    * catalog tables of the same names for every later `spark.table`
+    * call in the session (temp views take resolution precedence, and
+    * `DROP TABLE` drops the temp view first), silently corrupting the
+    * S7 catalog flow run in the same session. */
   def registerDailyTotalsView(spark: SparkSession, r: Result): Unit = {
-    r.charges.createOrReplaceTempView("charges")
-    r.companiesTable.createOrReplaceTempView("companies")
-    spark.sql(
-      """CREATE OR REPLACE TEMPORARY VIEW daily_company_totals AS
-        |SELECT c.company_name,
-        |       CAST(ch.created_at AS DATE) AS transaction_date,
-        |       SUM(ch.amount) AS total_amount
-        |FROM charges ch JOIN companies c ON ch.company_id = c.company_id
-        |GROUP BY c.company_name, CAST(ch.created_at AS DATE)
-        |""".stripMargin)
+    import org.apache.spark.sql.functions.{sum => sqlSum}
+    r.charges.as("ch")
+      .join(r.companiesTable.as("c"), "company_id")
+      .groupBy(col("c.company_name"),
+        col("ch.created_at").cast(DateType).as("transaction_date"))
+      .agg(sqlSum(col("ch.amount")).as("total_amount"))
+      .createOrReplaceTempView("daily_company_totals")
   }
 }

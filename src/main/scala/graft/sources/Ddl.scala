@@ -30,6 +30,10 @@ object Ddl {
     * process end-to-end never fails on "location already exists" the
     * way a managed-table bootstrap would. */
   def bootstrap(spark: SparkSession, baseDir: String): Unit = {
+    // the catalog flow owns these names: a session temp view named
+    // `charges`/`companies` would SHADOW the catalog tables for every
+    // later `spark.table` resolution and silently corrupt the load
+    Seq("companies", "charges").foreach(spark.catalog.dropTempView)
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS companies (
         |  company_id   STRING NOT NULL,

@@ -11,8 +11,13 @@ import graft.sources.Ddl
 class DdlSpec extends SparkSpec {
 
   private def cleanCatalog(): Unit =
-    Seq("charges", "companies").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq("charges", "companies").foreach { t =>
+      // temp views shadow catalog tables AND take DROP TABLE
+      // precedence — clear them first or the drop below is a no-op
+      // on the actual table
+      spark.catalog.dropTempView(t)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
 
   test("bootstrap + load + view is idempotent and survives a fresh catalog") {
     cleanCatalog()
