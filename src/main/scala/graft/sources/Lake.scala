@@ -120,18 +120,46 @@ object Lake {
     * 128 MB scan target. Streaming appends and partitioned writes both
     * accrete small files; compaction restores scan efficiency (fewer
     * tasks, fuller columnar pages). Staging + atomic rename so readers
-    * never see a half-compacted table. */
+    * never see a half-compacted table.
+    *
+    * Hive-partitioned layouts (`col=value/` dirs — the date-
+    * partitioned facts and the scoped-upsert tables, whose touched
+    * buckets accrete files per batch) are DETECTED and preserved: the
+    * rewrite re-partitions by the same columns, one writer set per
+    * partition dir. Without this the compacted table silently lost
+    * its directory pruning (the partition column survived as data,
+    * the layout didn't). */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     recoverSwap(spark, path) // self-heal a crashed earlier swap first
-    val df = spark.read.parquet(path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
-    val nFiles = math.max(1, (bytes / targetFileBytes).toInt)
     val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // walk one directory chain collecting `col=` partition names
+    @annotation.tailrec
+    def partCols(p: org.apache.hadoop.fs.Path,
+        acc: List[String]): List[String] = {
+      val sub = fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath).find(_.getName.contains("="))
+      sub match {
+        case Some(d) => partCols(d, acc :+ d.getName.split("=")(0))
+        case None => acc
+      }
+    }
+    val parts = partCols(dst, Nil)
+    val df = spark.read.parquet(path)
     val staging = stagingPath(dst)
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite)
+    val writer =
+      if (parts.nonEmpty)
+        // one writer set per partition dir; file count within a dir
+        // collapses to the task's output (the small-files fix)
+        df.repartition(parts.map(col): _*)
+          .write.partitionBy(parts: _*)
+      else {
+        val bytes = fs.getContentSummary(dst).getLength
+        val nFiles = math.max(1, (bytes / targetFileBytes).toInt)
+        df.repartition(nFiles).write
+      }
+    writer.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(staging.toString)
     promoteStaging(fs, staging, dst)
   }

@@ -121,6 +121,33 @@ class LakeSpec extends SparkSpec {
     assert(!fs.exists(staging) && !fs.exists(backup))
   }
 
+  test("compacting a partitioned table preserves its layout and pruning") {
+    val dir = Files.createTempDirectory("graft-compact2").toString + "/t"
+    val orders = Tables(spark, sfDir, "orders")
+      .withColumn("part_date", to_date(col("o_orderdate")))
+    // fragment: several files per partition dir
+    orders.repartition(6).write.partitionBy("part_date").parquet(dir)
+    def dirs() = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part_date=")).map(_.getName).toSet
+    val before = dirs()
+    assert(before.nonEmpty)
+    val filesBefore = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part_date="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    Lake.compact(spark, dir)
+    assert(dirs() == before, "partition dirs must survive compaction")
+    val filesAfter = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part_date="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(filesAfter < filesBefore,
+      s"compaction must reduce files: $filesBefore -> $filesAfter")
+    val back = Lake.readPartitioned(spark, dir)
+    assert(back.count() == orders.count())
+    val plan = back.filter(col("part_date") === "1995-03-15")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "pruning must survive compaction")
+  }
+
   test("recoverAll heals every mid-swap table under a lake dir at startup") {
     import org.apache.hadoop.fs.Path
     val root = Files.createTempDirectory("graft-recoverall").toString
