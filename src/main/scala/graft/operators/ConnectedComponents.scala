@@ -73,6 +73,13 @@ object ConnectedComponents {
       prevSum = s
       it += 1
     }
+    if (!converged)
+      // labels are still a valid PARTIAL merge (each label is some
+      // member of the component) — but components may be split. Loud,
+      // because a silent partial answer looks identical to a full one.
+      System.err.println(
+        s"WARN ConnectedComponents: not converged after $maxIters rounds " +
+          "— raise maxIters (components may still be split)")
     labels
   }
 }

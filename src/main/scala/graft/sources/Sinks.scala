@@ -90,6 +90,28 @@ object Sinks {
   def upsertBucketed(spark: SparkSession, df: DataFrame, path: String,
       keyCols: Seq[String], nBuckets: Int = 64): Unit = {
     require(nBuckets > 0)
+    // the bucket count is part of the table's layout: a batch hashed
+    // with a DIFFERENT count lands keys in new buckets while their old
+    // rows sit in the old ones — silent duplicate keys. Pin it in a
+    // marker at creation and refuse mismatched writes.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, "_graft_buckets")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val stored = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      finally in.close()
+      require(stored == nBuckets,
+        s"upsertBucketed: table $path was created with $stored buckets, " +
+          s"got $nBuckets — rewrite the table to re-bucket")
+    } else {
+      fs.mkdirs(root)
+      val out = fs.create(marker)
+      try out.write(nBuckets.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     val bucketOf = pmod(hash(keyCols.map(col): _*), lit(nBuckets))
     scopedUpsert(spark, df.withColumn("_kb", bucketOf), path, keyCols, "_kb")
   }

@@ -103,6 +103,20 @@ class SinksSpec extends SparkSpec {
     assert(out.filter(col("id") === "1-a").head().getDouble(2) == 1.0)
   }
 
+  test("upsertBucketed refuses a mismatched bucket count (layout pin)") {
+    val dir = Files.createTempDirectory("graft-sink").toString + "/t"
+    Sinks.upsertBucketed(spark, Seq((1L, "a")).toDF("k", "v"),
+      dir, Seq("k"), nBuckets = 8)
+    val e = intercept[IllegalArgumentException](
+      Sinks.upsertBucketed(spark, Seq((2L, "b")).toDF("k", "v"),
+        dir, Seq("k"), nBuckets = 16))
+    assert(e.getMessage.contains("8 buckets"))
+    // same count keeps working
+    Sinks.upsertBucketed(spark, Seq((2L, "b")).toDF("k", "v"),
+      dir, Seq("k"), nBuckets = 8)
+    assert(Sinks.readBucketed(spark, dir).count() == 2)
+  }
+
   test("the scoped-upsert merge read prunes untouched partitions (scan proof)") {
     val dir = Files.createTempDirectory("graft-sink").toString + "/t"
     val init = (1 to 5).flatMap(d => Seq((s"$d-a", d), (s"$d-b", d)))
