@@ -38,9 +38,11 @@ object ConnectedComponents {
   /** @param vertices one column `id` (long)
     * @param edges    columns `src`, `dst` (long) — undirected, either
     *                 orientation accepted, self/dup edges tolerated
+    * @param smallEdgeThreshold edge-count cutoff for the driver-side
+    *                 union-find fast path (see below)
     * @return `(id, component)`, component = min id in the component */
   def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 30, smallEdgeThreshold: Long = 1L << 20): DataFrame = {
     // eager localCheckpoint: materialize once AND cut the (possibly
     // expensive) edge-producing pipeline out of every round's plan
     val e = edges.select(col("src"), col("dst"))
@@ -48,6 +50,43 @@ object ConnectedComponents {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+
+    // Adaptive fast path: component structure lives ENTIRELY in the
+    // edges — vertices touching no edge are singletons. When the edge
+    // set is small (dedup graphs usually are, even over huge corpora:
+    // most documents aren't near-dups), collect ONLY the edges
+    // (bounded by the threshold, ~16 B/edge), union-find on the
+    // driver, and broadcast the touched-vertex mapping back over the
+    // still-distributed vertex table. Same result contract as the
+    // propagation loop (component = min id); the loop remains the
+    // at-scale path for genuinely large edge sets.
+    val nEdges = e.count()
+    if (nEdges <= smallEdgeThreshold) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = parent.getOrElse(x, x)
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        // path compression
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      e.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          parent(math.max(ra, rb)) = math.min(ra, rb)
+          parent.getOrElseUpdate(math.min(ra, rb), math.min(ra, rb))
+        }
+      }
+      val touched = parent.keys.toSeq.map(k => (k, find(k)))
+      import spark.implicits._
+      val mapping = touched.toDF("id", "component")
+      return vertices.select(col("id"))
+        .join(broadcast(mapping), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("component"))
+    }
 
     var labels = vertices.select(col("id"), col("id").as("component"))
       .localCheckpoint()

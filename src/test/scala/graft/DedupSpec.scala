@@ -106,10 +106,16 @@ class DedupSpec extends SparkSpec {
     // which takes multiple rounds, so early convergence is also tested
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (11L, 10L))
       .toDF("src", "dst")
-    val comp = ConnectedComponents.run(spark, verts, edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // threshold 0 forces the distributed propagation loop, so the
+    // multi-round diameter-3 behavior stays covered alongside the
+    // driver union-find fast path
+    Seq(1L << 20, 0L).foreach { threshold =>
+      val comp = ConnectedComponents
+        .run(spark, verts, edges, smallEdgeThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L), s"threshold=$threshold")
+    }
   }
 
   test("connected components match a union-find oracle on random graphs") {
@@ -134,10 +140,17 @@ class DedupSpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val want = ids.map(i => i -> find(i)).toMap
-      val got = ConnectedComponents.run(spark,
-          ids.toDF("id"), edges.toDF("src", "dst"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == want, s"trial $trial (n=${ids.size}) diverged from union-find")
+      // both execution paths must agree with the oracle: the driver
+      // union-find fast path (default threshold) AND the distributed
+      // propagation loop (threshold 0 forces it)
+      Seq(1L << 20, 0L).foreach { threshold =>
+        val got = ConnectedComponents.run(spark,
+            ids.toDF("id"), edges.toDF("src", "dst"),
+            smallEdgeThreshold = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want,
+          s"trial $trial (n=${ids.size}, threshold=$threshold) diverged")
+      }
     }
   }
 
