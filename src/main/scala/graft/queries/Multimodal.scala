@@ -109,9 +109,88 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** STUB resize kernel: block-average the payload bytes onto a fixed
+    * `cells`-wide grid — the 1-D stand-in for image downsampling.
+    * Integer mean per cell (floor), deterministic, SQL-expressible. */
+  def resizeCells(payload: Array[Byte], cells: Int): Array[Long] = {
+    val n = payload.length
+    val out = new Array[Long](cells)
+    var i = 0
+    while (i < cells) {
+      val start = (i.toLong * n / cells).toInt
+      val end = ((i + 1).toLong * n / cells).toInt
+      var s = 0L
+      var j = start
+      while (j < end) { s += payload(j) & 0xff; j += 1 }
+      out(i) = if (end > start) s / (end - start) else 0L
+      i += 1
+    }
+    out
+  }
+
+  /** STUB frame sampler: treat the payload as fixed-size frames and
+    * keep every `stride`-th frame's byte sum, up to `maxFrames` — the
+    * video keyframe-sampling shape (decode only what you keep). */
+  def sampleFrames(payload: Array[Byte], frameBytes: Int, stride: Int,
+      maxFrames: Int): Array[Long] = {
+    val n = payload.length
+    val out = Seq.newBuilder[Long]
+    var k = 0
+    var kept = 0
+    while (k.toLong * frameBytes < n && kept < maxFrames) {
+      val start = k * frameBytes
+      val end = math.min(start + frameBytes, n)
+      var s = 0L
+      var j = start
+      while (j < end) { s += payload(j) & 0xff; j += 1 }
+      out += s
+      kept += 1
+      k += stride
+    }
+    out.result().toArray
+  }
+
+  // --------------------------------------------------------------- q44
+  /** "Resize" over binary payloads: fixed 16-cell block-average grid
+    * per document, partition-wise like q25. */
+  def q44MultimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPayload(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => // decoder init amortized per partition
+        it.map { case (id, bytes) =>
+          (id, bytes.length, resizeCells(bytes, 16).mkString(","))
+        }
+      }
+      .toDF("doc_id", "n_bytes", "cells")
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- q45
+  /** Frame sampling over binary payloads: 32-byte frames, every 4th
+    * frame kept, at most 8 — per-doc sampled-frame byte sums. */
+  def q45FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPayload(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val frames = sampleFrames(bytes, 32, 4, 8)
+          (id, (bytes.length + 31) / 32, frames.length,
+            frames.mkString(","))
+        }
+      }
+      .toDF("doc_id", "n_frames_total", "n_frames_kept", "frame_sums")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_multimodal_meta"     -> (q24MultimodalMeta _),
-    "q25_multimodal_features" -> (q25MultimodalFeatures _))
+    "q25_multimodal_features" -> (q25MultimodalFeatures _),
+    "q44_multimodal_resize"   -> (q44MultimodalResize _),
+    "q45_frame_sample"        -> (q45FrameSample _))
 
   val oracle: Map[String, String] = Map(
     "q24_multimodal_meta" ->
@@ -139,5 +218,47 @@ object Multimodal {
         |SELECT doc_id, width, height, n_bytes,
         | array_to_string(lanes, ',') AS lane_sums,
         | CAST(total AS DOUBLE) / 255.0 AS feat_sum
-        |FROM l ORDER BY doc_id""".stripMargin)
+        |FROM l ORDER BY doc_id""".stripMargin,
+    // resizeCells: cell i covers bytes [i*n//16, (i+1)*n//16), value =
+    // floor-mean. ASCII corpus ⇒ codepoints are the bytes (as q25).
+    "q44_multimodal_resize" ->
+      """WITH b AS (
+        | SELECT doc_id, length(text) AS n,
+        |  list_transform(range(1, length(text) + 1),
+        |                 i -> ascii(substr(text, i, 1))) AS bytes
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n,
+        |  list_transform(range(0, 16), k ->
+        |   CASE WHEN ((k+1)*n)//16 > (k*n)//16 THEN
+        |     list_sum(list_transform(
+        |       range(CAST((k*n)//16 AS INT) + 1, CAST(((k+1)*n)//16 AS INT) + 1),
+        |       i -> bytes[i])) // (((k+1)*n)//16 - (k*n)//16)
+        |   ELSE 0 END) AS cells
+        | FROM b)
+        |SELECT doc_id, CAST(n AS INT) AS n_bytes,
+        | array_to_string(cells, ',') AS cells
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // sampleFrames(32, stride 4, max 8): frame k∈{0,4,8,…} while
+    // k*32 < n and kept < 8; sum of bytes [k*32, min(k*32+32, n)).
+    "q45_frame_sample" ->
+      """WITH b AS (
+        | SELECT doc_id, length(text) AS n,
+        |  list_transform(range(1, length(text) + 1),
+        |                 i -> ascii(substr(text, i, 1))) AS bytes
+        | FROM documents),
+        |f AS (
+        | SELECT doc_id, n,
+        |  list_transform(
+        |    list_filter(range(0, 8), j -> j*4*32 < n),
+        |    j -> list_sum(list_transform(
+        |      range(CAST(j*4*32 AS INT) + 1,
+        |            CAST(least(j*4*32 + 32, n) AS INT) + 1),
+        |      i -> bytes[i]))) AS frames
+        | FROM b)
+        |SELECT doc_id,
+        | CAST((n + 31) // 32 AS INT) AS n_frames_total,
+        | CAST(len(frames) AS INT) AS n_frames_kept,
+        | array_to_string(frames, ',') AS frame_sums
+        |FROM f ORDER BY doc_id""".stripMargin)
 }

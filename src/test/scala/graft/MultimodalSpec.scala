@@ -45,4 +45,28 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Double]("feat_sum") == total.toDouble / 255.0)
     }
   }
+
+  test("resize kernel: block means on hand-checked vectors; tiny inputs") {
+    // 32 bytes of value 10 then 32 of value 20, 16 cells of 4 bytes:
+    // first 8 cells avg 10, last 8 avg 20
+    val payload = (Array.fill(32)(10) ++ Array.fill(32)(20)).map(_.toByte)
+    val cells = Multimodal.resizeCells(payload, 16)
+    assert(cells.take(8).forall(_ == 10L) && cells.drop(8).forall(_ == 20L))
+    // fewer bytes than cells: empty cells are 0, no crash
+    val tiny = Multimodal.resizeCells("ab".getBytes("UTF-8"), 16)
+    assert(tiny.length == 16 && tiny.count(_ > 0) == 2)
+    assert(Multimodal.resizeCells(Array.emptyByteArray, 16).forall(_ == 0L))
+  }
+
+  test("frame sampler: stride and cap behave like keyframe selection") {
+    // 300 bytes of value 1 → frames of 32: sums 32 except last (300-288=12)
+    val payload = Array.fill(300)(1.toByte)
+    val frames = Multimodal.sampleFrames(payload, 32, 4, 8)
+    // sampled frame starts: 0, 128, 256 (k=0,4,8; k=12 → 384 ≥ 300)
+    assert(frames.toSeq == Seq(32L, 32L, 32L))
+    // cap: huge payload keeps at most 8 frames
+    val big = Array.fill(32 * 4 * 20)(1.toByte)
+    assert(Multimodal.sampleFrames(big, 32, 4, 8).length == 8)
+    assert(Multimodal.sampleFrames(Array.emptyByteArray, 32, 4, 8).isEmpty)
+  }
 }
