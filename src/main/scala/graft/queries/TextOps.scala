@@ -189,7 +189,68 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------------------- q46
+  /** PII scrubbing: count and mask email/phone shapes — the redaction
+    * pass a training corpus runs before anything else ships. Patterns
+    * are deliberately restricted to the regex subset Java and RE2
+    * evaluate identically (`\b`, `\d`, classes — no lookaround), so
+    * the DuckDB oracle runs the same patterns verbatim. */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val phonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  def q46PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val nEmails = regexp_count(col("text"), lit(emailPattern))
+    val nPhones = regexp_count(col("text"), lit(phonePattern))
+    docs(spark, dir).select(
+      col("doc_id"),
+      nEmails.as("n_emails"),
+      nPhones.as("n_phones"),
+      ((nEmails + nPhones) > 0).cast("int").as("has_pii"),
+      md5(regexp_replace(
+        regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>").cast("binary")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- q47
+  /** Cross-document boilerplate removal (the CCNet/RefinedWeb shape):
+    * a line appearing in ≥ `minDf` DISTINCT documents is boilerplate
+    * (headers, footers, cookie banners) and is dropped from every
+    * document; surviving lines reassemble in original order. Two
+    * shuffles by construction — the line-frequency aggregate and the
+    * per-doc regroup — both on narrow rows; the line-frequency side
+    * is a candidate for a broadcast when the boilerplate set is small
+    * (here the frequent-line table stays a join because its size is
+    * corpus-dependent). */
+  def q47BoilerplateStrip(spark: SparkSession, dir: String,
+      minDf: Int = 10): DataFrame = {
+    val d = docs(spark, dir)
+    val lines = d.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val freq = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val keptAgg = lines.join(freq, "line")
+      .filter(col("df") < minDf)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines_kept"),
+        md5(concat_ws("\n",
+          expr("transform(array_sort(collect_list(struct(pos, line))), s -> s.line)"))
+          .cast("binary")).as("cleaned_md5"))
+    d.select(col("doc_id"), size(split(col("text"), "\n")).as("n_lines"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_lines"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        // md5 of the empty string: every line was boilerplate
+        coalesce(col("cleaned_md5"),
+          lit("d41d8cd98f00b204e9800998ecf8427e")).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_pii_scrub"     -> (q46PiiScrub _),
+    "q47_boilerplate"   -> ((s: SparkSession, d: String) => q47BoilerplateStrip(s, d)),
     "q43_repetition"    -> (q43Repetition _),
     "q33_prep_pipeline" -> (q33PrepPipeline _),
     "q13_token_count"   -> (q13TokenCount _),
@@ -199,6 +260,37 @@ object TextOps {
     "q17_exact_dedup"   -> (q17ExactDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q46_pii_scrub" ->
+      s"""SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '$emailPattern')) AS INT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '$phonePattern')) AS INT) AS n_phones,
+        | CASE WHEN len(regexp_extract_all(text, '$emailPattern'))
+        |        + len(regexp_extract_all(text, '$phonePattern')) > 0
+        |      THEN 1 ELSE 0 END AS has_pii,
+        | md5(regexp_replace(regexp_replace(text, '$emailPattern', '<EMAIL>', 'g'),
+        |                    '$phonePattern', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // posexplode ↔ the q22-style unnest-of-struct-list (scalar range
+    // takes column args; the TABLE range() can't)
+    "q47_boilerplate" ->
+      """WITH p AS (
+        | SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents),
+        |l AS (
+        | SELECT doc_id, u.pos AS pos, u.line AS line
+        | FROM (SELECT doc_id, unnest(list_transform(range(1, len(parts) + 1),
+        |        i -> {'pos': i, 'line': parts[i]})) AS u FROM p)),
+        |f AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+        |k AS (SELECT l.doc_id, l.pos, l.line
+        |      FROM l JOIN f USING (line) WHERE f.df < 10),
+        |agg AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+        |  md5(string_agg(line, chr(10) ORDER BY pos)) AS cleaned_md5
+        | FROM k GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(len(p.parts) AS INT) AS n_lines,
+        | coalesce(agg.n_lines_kept, 0) AS n_lines_kept,
+        | coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
     // DuckDB's range(1, n) is end-exclusive and lists are 1-based, so
     // i -> ws[i]||' '||ws[i+1] over range(1, len) yields exactly the
     // len-1 bigrams of Spark's sequence(0, size-2) over 0-based [].

@@ -62,4 +62,47 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getInt(4) == 3 && r.getInt(5) == 2)
     assert(math.abs(r.getDouble(6) - 1.0 / 3.0) < 1e-15)
   }
+
+  test("q46 detects and masks planted emails/phones; clean docs untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    Seq(
+      (1L, "reach me at bob@example.com or 555-123-4567 thanks"),
+      (2L, "two mails a@b.io c@d.org no phone"),
+      (3L, "nothing sensitive here at all"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q46PiiScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(1) == 1 && rows(1L).getInt(2) == 1
+      && rows(1L).getInt(3) == 1)
+    assert(rows(2L).getInt(1) == 2 && rows(2L).getInt(2) == 0)
+    assert(rows(3L).getInt(3) == 0)
+    // clean doc's scrubbed hash is the original text's hash
+    val cleanMd5 = spark.sql(
+      "SELECT md5(CAST('nothing sensitive here at all' AS BINARY))").head().getString(0)
+    assert(rows(3L).getString(4) == cleanMd5)
+    assert(rows(1L).getString(4) != cleanMd5)
+  }
+
+  test("q47 strips lines shared by >= minDf docs, keeps order, handles all-boilerplate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bp").toString
+    val header = "SUBSCRIBE TO OUR NEWSLETTER"
+    val docsDf =
+      (1L to 12L).map(i => (i, s"$header\nunique body $i\nmore text $i")) :+
+        (100L, header) // only boilerplate
+    docsDf.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q47BoilerplateStrip(spark, dir, minDf = 10).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 13)
+    // header (df=13) stripped everywhere; per-doc unique lines kept in order
+    val r1 = rows(1L)
+    assert(r1.getInt(1) == 3 && r1.getLong(2) == 2L)
+    val expect = spark.sql(
+      "SELECT md5(CAST('unique body 1\nmore text 1' AS BINARY))").head().getString(0)
+    assert(r1.getString(3) == expect, "kept lines must reassemble in order")
+    // all-boilerplate doc: zero lines kept, md5 of empty string
+    assert(rows(100L).getLong(2) == 0L)
+    assert(rows(100L).getString(3) == "d41d8cd98f00b204e9800998ecf8427e")
+  }
 }
