@@ -248,7 +248,29 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------------------- q48
+  /** Corpus vocabulary: top-K tokens by total occurrence — the
+    * wordcount that seeds tokenizer training. Shape at scale: explode
+    * → hash agg (map-side partial combine does the heavy lifting; the
+    * shuffle carries one row per distinct token per partition) →
+    * TakeOrdered top-K (no global sort). The rank window runs AFTER
+    * the K-row cut, so its single-partition sort is bounded at K. Ties
+    * break by token for a total order (cross-engine determinism). */
+  def q48Vocab(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = withWords(docs(spark, dir))
+      .select(explode(words).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topK)
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .select(col("rank"), col("token"), col("n"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_vocab"         -> ((s: SparkSession, d: String) => q48Vocab(s, d)),
     "q46_pii_scrub"     -> (q46PiiScrub _),
     "q47_boilerplate"   -> ((s: SparkSession, d: String) => q47BoilerplateStrip(s, d)),
     "q43_repetition"    -> (q43Repetition _),
@@ -260,6 +282,15 @@ object TextOps {
     "q17_exact_dedup"   -> (q17ExactDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q48_vocab" ->
+      """WITH t AS (
+        | SELECT unnest(string_split_regex(text, '\s+')) AS token
+        | FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+        |      FROM t GROUP BY token)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank,
+        |       token, n
+        |FROM c ORDER BY n DESC, token LIMIT 100""".stripMargin,
     "q46_pii_scrub" ->
       s"""SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '$emailPattern')) AS INT) AS n_emails,
