@@ -224,27 +224,26 @@ object TextOps {
     * corpus-dependent). */
   def q47BoilerplateStrip(spark: SparkSession, dir: String,
       minDf: Int = 10): DataFrame = {
-    val d = docs(spark, dir)
-    val lines = d.select(col("doc_id"),
+    val lines = docs(spark, dir).select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
     val freq = lines.groupBy("line")
       .agg(countDistinct(col("doc_id")).as("df"))
-    val keptAgg = lines.join(freq, "line")
-      .filter(col("df") < minDf)
+    // every line keeps flowing (inner join tags each with its df), so
+    // ONE per-doc aggregate yields totals, kept counts, and the
+    // order-preserving reassembly — no separate totals scan, no left
+    // join. An all-boilerplate doc still has a group: kept = 0 and
+    // concat_ws over the empty kept-list hashes the empty string.
+    lines.join(freq, "line")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_lines_kept"),
+        count(lit(1)).cast("int").as("n_lines"),
+        count(when(col("df") < minDf, 1)).as("n_lines_kept"),
         md5(concat_ws("\n",
-          expr("transform(array_sort(collect_list(struct(pos, line))), s -> s.line)"))
+          expr(s"""transform(array_sort(collect_list(
+                  |  CASE WHEN df < $minDf THEN struct(pos, line) END)),
+                  |  s -> s.line)""".stripMargin))
           .cast("binary")).as("cleaned_md5"))
-    d.select(col("doc_id"), size(split(col("text"), "\n")).as("n_lines"))
-      .join(keptAgg, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"), col("n_lines"),
-        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
-        // md5 of the empty string: every line was boilerplate
-        coalesce(col("cleaned_md5"),
-          lit("d41d8cd98f00b204e9800998ecf8427e")).as("cleaned_md5"))
+      .select("doc_id", "n_lines", "n_lines_kept", "cleaned_md5")
       .orderBy(col("doc_id"))
   }
 
