@@ -52,4 +52,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query vectors should broadcast:\n$plan")
   }
+
+  test("q46: scan reads only the columns the scrub needs") {
+    val plan = planOf(graft.queries.TextOps.q46PiiScrub(spark, sfDir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"),
+      readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scrub scan reads unneeded columns: $readSchema")
+  }
+
+  test("q48: vocabulary top-K is TakeOrdered with partial aggregation") {
+    val df = graft.queries.TextOps.q48Vocab(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must not globally sort the vocabulary:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"token counting must combine map-side:\n$plan")
+  }
 }
