@@ -48,4 +48,29 @@ object StatefulOps {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateUser)
   }
+
+  /** [[monitor]] with bounded state: users idle past `ttlMs` of
+    * processing time have their state dropped — the knob that keeps
+    * state O(active users) instead of O(all users ever seen) on an
+    * unbounded stream. Same per-event semantics while a user is live. */
+  /** The TTL-wrapped update, split out so TestGroupState can drive
+    * both branches deterministically (a live streaming-query test of
+    * processing-time timeouts needs a wall clock). */
+  def expiringUpdate(ttlMs: Long)(id: Long, evs: Iterator[UserEvent],
+      state: GroupState[UserState]): Iterator[UserSnapshot] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val out = updateUser(id, evs, state)
+      state.setTimeoutDuration(ttlMs)
+      out
+    }
+
+  def expiringMonitor(spark: SparkSession, events: Dataset[UserEvent],
+      ttlMs: Long = 3600L * 1000): Dataset[UserSnapshot] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+        expiringUpdate(ttlMs) _)
+  }
 }

@@ -20,10 +20,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * downstream if exact-once pairs matter (the batch twin's `distinct`).
   *
   * Scale: state is O(corpus × NumBands) signatures, sharded by bucket
-  * key across executors. Production would bound it with a
-  * ProcessingTime timeout per bucket (stale buckets expire) exactly as
-  * [[StatefulOps.expiringMonitor]] does; unbounded here because the
-  * spec's MemoryStream has no clock. Replayed doc_ids are idempotent
+  * key across executors. [[expiringCandidatePairs]] bounds it with a
+  * ProcessingTime timeout per bucket (stale buckets drop their
+  * signatures — dedup against the recent window, the batch pipeline
+  * owns full history). Replayed doc_ids are idempotent
   * (already-seen ids neither emit nor duplicate state) — safe under
   * at-least-once delivery.
   */
@@ -78,4 +78,38 @@ object StreamingDedup {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         updateBucket(threshold))
   }
+
+  /** [[candidatePairs]] with bounded state: a bucket untouched for
+    * `ttlMs` of processing time drops its signatures — the production
+    * posture for an endless ingest stream (dedup only against the
+    * recent window; a full-history dedup is the batch pipeline's job).
+    * Semantics inside the window are identical. */
+  def expiringCandidatePairs(spark: SparkSession, docs: DataFrame,
+      threshold: Double = 0.5,
+      ttlMs: Long = 24L * 3600 * 1000): Dataset[DupCandidate] = {
+    import spark.implicits._
+    val sig = graft.queries.Dedup.minhashSignatures(docs)
+    val perBucket = (0 until NumBands).map(b =>
+        sig.select(col("doc_id"), col(s"band$b").as("bucket"),
+          array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("mhs")))
+      .reduce(_ unionByName _)
+      .filter(col("bucket").isNotNull)
+      .as[DocSig]
+    perBucket.groupByKey(_.bucket)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+        expiringBucketUpdate(threshold, ttlMs) _)
+  }
+
+  /** TTL-wrapped bucket update, named so TestGroupState drives both
+    * branches (see [[StatefulOps.expiringUpdate]]). */
+  def expiringBucketUpdate(threshold: Double, ttlMs: Long)(bucket: String,
+      ds: Iterator[DocSig], state: GroupState[BucketState])
+      : Iterator[DupCandidate] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val out = updateBucket(threshold)(bucket, ds, state)
+      state.setTimeoutDuration(ttlMs)
+      out
+    }
 }

@@ -31,6 +31,33 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("expiring update: live users accumulate + set a TTL; timeouts drop state") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // live path: same semantics as updateUser, plus a timeout armed
+    val live = TestGroupState.create[StatefulOps.UserState](
+      optionalState = org.apache.spark.api.java.Optional.empty(), timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+    val out = StatefulOps.expiringUpdate(3600L * 1000)(1L,
+      Iterator(StatefulOps.UserEvent(1, 0L), StatefulOps.UserEvent(1, 5L)), live)
+    assert(out.toSeq.exists(_.count == 2))
+    assert(live.exists && live.get.count == 2)
+    // TTL armed relative to the batch clock: 1000 + ttl
+    assert(live.getTimeoutTimestampMs.get() == 1000L + 3600L * 1000)
+    // timed-out path: state dropped, nothing emitted
+    val dead = TestGroupState.create[StatefulOps.UserState](
+      optionalState = org.apache.spark.api.java.Optional.of(
+        StatefulOps.UserState(9, 9, 0, 0)),
+      timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = true)
+    val none = StatefulOps.expiringUpdate(3600L * 1000)(1L, Iterator.empty, dead)
+    assert(none.isEmpty && dead.isRemoved,
+      "timed-out user must drop state and emit nothing")
+  }
+
   test("state accumulates across micro-batches; burst detection fires") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

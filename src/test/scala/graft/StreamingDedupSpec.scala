@@ -65,6 +65,36 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("expiring bucket update: live buckets pair + arm TTL; timeouts drop state") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.StreamingDedup.{BucketState, DocEntry, DocSig}
+    val mhsA = (0 until 8).map(i => s"h$i")
+    val mhsB = mhsA.updated(0, "different") // 7/8 equal → est 0.875
+    // live path: a prior doc in state pairs with the arriving one
+    val live = TestGroupState.create[BucketState](
+      optionalState = org.apache.spark.api.java.Optional.of(
+        BucketState(List(DocEntry(1L, mhsA)))),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    val out = StreamingDedup.expiringBucketUpdate(0.5, 1000L)("b",
+      Iterator(DocSig(2L, "b", mhsB)), live).toSeq
+    assert(out.map(c => (c.doc_a, c.doc_b)) == Seq((1L, 2L)))
+    assert(out.head.est_jaccard == 0.875)
+    assert(live.exists && live.get.docs.size == 2)
+    // timed-out path: signatures dropped, nothing emitted
+    val dead = TestGroupState.create[BucketState](
+      optionalState = org.apache.spark.api.java.Optional.of(
+        BucketState(List(DocEntry(1L, mhsA)))),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(), hasTimedOut = true)
+    val none = StreamingDedup.expiringBucketUpdate(0.5, 1000L)("b",
+      Iterator.empty, dead)
+    assert(none.isEmpty && dead.isRemoved,
+      "expired bucket must drop its signatures")
+  }
+
   test("replayed doc_ids are idempotent (at-least-once safety)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
