@@ -53,6 +53,35 @@ object Analytics {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  // --------------------------------------------------------------- q49
+  /** GROUPING SETS — the general form [[q35Rollup]]'s hierarchy can't
+    * express: region×status, region, status, and grand total in ONE
+    * pass (one Expand + one aggregate; four separate GROUP BYs would
+    * scan and shuffle four times). `grouping_id` disambiguates a
+    * subtotal row from a genuinely-null key (both engines use the
+    * leftmost-column-is-MSB bit encoding). */
+  def q49GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    val region = Tables(spark, dir, "region")
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("o_orderstatus")), Seq(col("r_name")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("r_name"), col("o_orderstatus"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        sum(col("o_totalprice").cast(DecimalType(28, 2))).cast(DoubleType)
+          .as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("gid"), col("r_name").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
+
   // --------------------------------------------------------------- q36
   /** Pivot: per-user event-type counts as columns (fixed type list so
     * the schema is static — dynamic pivot would need a pre-pass). */
@@ -81,6 +110,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_range_join" -> (q34RangeJoin _),
     "q35_rollup"     -> (q35Rollup _),
+    "q49_grouping_sets" -> (q49GroupingSets _),
     "q36_pivot"      -> (q36Pivot _),
     "q37_sketches"   -> (q37Sketches _))
 
@@ -106,6 +136,19 @@ object Analytics {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q49_grouping_sets" ->
+      """SELECT r_name, o_orderstatus,
+        | CAST(GROUPING(r_name, o_orderstatus) AS INT) AS gid,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, o_orderstatus), (r_name),
+        |                        (o_orderstatus), ())
+        |ORDER BY gid, r_name ASC NULLS FIRST,
+        |         o_orderstatus ASC NULLS FIRST""".stripMargin,
     "q36_pivot" ->
       """SELECT user_id,
         | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
