@@ -164,6 +164,55 @@ object Lake {
     promoteStaging(fs, staging, dst)
   }
 
+  /** Bit-spread a 16-bit value so its bits occupy even positions —
+    * the standard Morton-code expansion (public: Morton 1966; the
+    * technique behind Delta/Iceberg OPTIMIZE ZORDER), done entirely
+    * with builtin codegen'd integer ops. */
+  private def spreadBits16(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val x0 = c.bitwiseAND(lit(0xffff))
+    val x1 = (x0.bitwiseOR(shiftleft(x0, 8))).bitwiseAND(lit(0x00ff00ff))
+    val x2 = (x1.bitwiseOR(shiftleft(x1, 4))).bitwiseAND(lit(0x0f0f0f0f))
+    val x3 = (x2.bitwiseOR(shiftleft(x2, 2))).bitwiseAND(lit(0x33333333))
+    (x3.bitwiseOR(shiftleft(x3, 1))).bitwiseAND(lit(0x55555555))
+  }
+
+  /** Z-order clustered write: rows are laid out along a Morton curve
+    * over TWO numeric columns, so every output file covers a tight
+    * rectangle in (a, b) space and parquet min/max stats prune row
+    * groups for predicates on EITHER column — the multi-dimension
+    * answer where `partitionBy`/sorting helps only one dimension.
+    *
+    * Columns are linearly quantized to 16 bits against their min/max
+    * (one tiny stats job — the same pass a layout optimizer runs);
+    * nulls sort first via a sentinel bucket. Equi-depth quantization
+    * (rank-based) would resist skew better; linear keeps the write
+    * single-pass and is right for roughly-uniform keys. */
+  def writeZOrdered(spark: SparkSession, df: DataFrame, path: String,
+      colA: String, colB: String, nFiles: Int = 32): Unit = {
+    val s = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    def quant(c: String, lo: Double, hi: Double) = {
+      val span = if (hi > lo) hi - lo else 1.0
+      val q = ((col(c).cast("double") - lit(lo)) * lit(65535.0) / lit(span))
+        .cast("int")
+      when(col(c).isNull, lit(0))
+        .otherwise(least(greatest(q, lit(0)), lit(65535)))
+    }
+    val z = shiftleft(spreadBits16(quant(colA, s.getDouble(0), s.getDouble(1)))
+        .cast("long"), 1)
+      .bitwiseOR(spreadBits16(quant(colB, s.getDouble(2), s.getDouble(3)))
+        .cast("long"))
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z")) // file ≈ one curve segment
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(path)
+  }
+
   /** Bucketed catalog table for shuffle-free equi-joins on `keyCol`:
     * two tables bucketed the same way join with zero exchange. */
   def writeBucketed(df: DataFrame, keyCol: String, buckets: Int,

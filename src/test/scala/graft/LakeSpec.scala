@@ -176,6 +176,42 @@ class LakeSpec extends SparkSpec {
     assert(!fs.exists(new Path(s"$root/b.swapbackup")))
   }
 
+  test("z-order layout prunes row groups on BOTH clustered columns") {
+    import org.apache.spark.sql.DataFrame
+    val root = Files.createTempDirectory("graft-zorder").toString
+    val events = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("value"), col("event_type"))
+    // force one row group per smallish file so min/max stats are the
+    // pruning unit at test scale
+    val zdir = s"$root/z"
+    val flat = s"$root/flat"
+    Lake.writeZOrdered(spark, events, zdir, "user_id", "value", nFiles = 32)
+    events.repartition(32).write.parquet(flat) // same file count, no order
+
+    // rows surviving parquet row-group pruning = the scan's output metric
+    def scanRows(df: DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.get
+    }
+    val total = events.count()
+    val uid = events.select(min(col("user_id"))).head().getLong(0)
+    val zA = scanRows(spark.read.parquet(zdir).filter(col("user_id") === uid))
+    val fA = scanRows(spark.read.parquet(flat).filter(col("user_id") === uid))
+    assert(zA < total / 2,
+      s"z-order should let min/max skip most row groups: read $zA of $total")
+    assert(zA <= fA, s"z-order ($zA rows) must not read more than flat ($fA)")
+    // the SECOND dimension also prunes — the property a plain sort on
+    // user_id cannot give
+    val zB = scanRows(spark.read.parquet(zdir).filter(col("value") < 1.0))
+    assert(zB < total,
+      s"value predicate should skip at least some row groups: $zB of $total")
+    // layout change must not change data
+    assert(spark.read.parquet(zdir).count() == total)
+  }
+
   test("custom functions are SQL-registered") {
     GraftSession.registerFunctions(spark)
     val row = spark.sql(
