@@ -107,7 +107,43 @@ object Analytics {
           .as("approx_median_price"))
       .orderBy(col("l_returnflag"))
 
+  // --------------------------------------------------------------- q50
+  /** Second-moment statistics (stddev, correlation) with cross-engine
+    * bit-exactness: built-in `corr`/`stddev` aggregate DOUBLES in
+    * combine order (non-deterministic last ulp across partitionings),
+    * so the moments are accumulated as exact DECIMAL sums — order-
+    * independent — and the statistics derive from them in one fixed
+    * IEEE expression both engines evaluate identically. The same
+    * one-pass sufficient-statistics shape a 100 TB profiler uses
+    * (never two passes for mean-then-variance). */
+  def q50Stats(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val q = col("l_quantity").cast(DecimalType(12, 2))
+    val p = col("l_extendedprice").cast(DecimalType(18, 2))
+    val agg = l.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).as("sq"), sum(p).as("sp"),
+        sum(q * q).as("sqq"), sum(p * p).as("spp"),
+        sum(q * p).as("sqp"))
+    val nD = col("n").cast(DoubleType)
+    def d(c: String) = col(c).cast(DoubleType)
+    agg.select(
+      col("l_returnflag"),
+      col("n"),
+      (d("sq") / nD).as("avg_qty"),
+      sqrt((nD * d("sqq") - d("sq") * d("sq")) / (nD * (nD - lit(1.0))))
+        .as("stddev_qty"),
+      sqrt((nD * d("spp") - d("sp") * d("sp")) / (nD * (nD - lit(1.0))))
+        .as("stddev_price"),
+      ((nD * d("sqp") - d("sq") * d("sp")) /
+        (sqrt(nD * d("sqq") - d("sq") * d("sq")) *
+         sqrt(nD * d("spp") - d("sp") * d("sp")))).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_stats"      -> (q50Stats _),
     "q34_range_join" -> (q34RangeJoin _),
     "q35_rollup"     -> (q35Rollup _),
     "q49_grouping_sets" -> (q49GroupingSets _),
@@ -136,6 +172,30 @@ object Analytics {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    // identical decimal-sum accumulation + identical final IEEE tree;
+    // DuckDB decimal sums widen differently in TYPE but not in VALUE,
+    // and both sides convert to double before any inexact arithmetic
+    "q50_stats" ->
+      """WITH m AS (
+        | SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+        |  SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sqq,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+        |  SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        | CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS avg_qty,
+        | sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
+        | sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_price,
+        | (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+        |  AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q49_grouping_sets" ->
       """SELECT r_name, o_orderstatus,
         | CAST(GROUPING(r_name, o_orderstatus) AS INT) AS gid,
