@@ -171,7 +171,11 @@ class SinksSpec extends SparkSpec {
   }
 
   test("jdbcUpsert end-to-end against embedded Derby: insert, update, re-run") {
-    val url = "jdbc:derby:memory:graftsink;create=true"
+    // unique per instantiation: a leftover `memory:` db from any
+    // earlier run of this suite in the same JVM would make CREATE
+    // TABLE fail spuriously
+    val url =
+      s"jdbc:derby:memory:graftsink${System.nanoTime()};create=true"
     val props = new java.util.Properties
     val conn = java.sql.DriverManager.getConnection(url, props)
     conn.createStatement().execute(
