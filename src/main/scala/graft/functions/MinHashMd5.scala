@@ -47,11 +47,11 @@ case class MinHashMd5(child: Expression, numHashes: Int)
     }
 
   override def nullSafeEval(input: Any): Any =
-    MinHashMd5.eval(input.asInstanceOf[ArrayData], numHashes)
+    MinHashMd5.minima(input.asInstanceOf[ArrayData], numHashes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.MinHashMd5.eval(($c), $numHashes)")
+      s"graft.functions.MinHashMd5.minima(($c), $numHashes)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashMd5 =
     copy(child = newChild)
@@ -102,8 +102,11 @@ object MinHashMd5 {
     new String(out)
   }
 
-  /** Static entry shared by interpreted eval and generated code. */
-  def eval(arr: ArrayData, k: Int): ArrayData = {
+  /** Static entry shared by interpreted eval and generated code.
+    * NOT named `eval` — see [[SimHash64.hash64]]: a companion method
+    * clashing with the class's `eval(InternalRow)` gets no static
+    * forwarder and breaks codegen compilation (interpreted fallback). */
+  def minima(arr: ArrayData, k: Int): ArrayData = {
     val minima = new Array[Array[Byte]](k)
     val digest = digests.get()
     val n = arr.numElements()

@@ -35,12 +35,12 @@ case class SimHash64(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    SimHash64.eval(arr)
+    SimHash64.hash64(arr)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SimHash64.eval(($c))")
+      s"graft.functions.SimHash64.hash64(($c))")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -61,8 +61,14 @@ object SimHash64 {
     h
   }
 
-  /** Static entry shared by interpreted eval and generated code. */
-  def eval(arr: ArrayData): Long = {
+  /** Static entry shared by interpreted eval and generated code.
+    * NOT named `eval`: the case class (via UnaryExpression) already
+    * has an `eval(InternalRow)`, and a companion method whose name
+    * clashes with a class method gets NO static forwarder — the
+    * generated Java then resolved `SimHash64.eval(arr)` to the
+    * instance method, failed to compile, and every stage with this
+    * expression silently fell back to interpreted execution. */
+  def hash64(arr: ArrayData): Long = {
     val lanes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0

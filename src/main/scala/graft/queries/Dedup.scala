@@ -279,7 +279,7 @@ object Dedup {
         | md5(mh4 || '|' || mh5) AS band2,
         | md5(mh6 || '|' || mh7) AS band3
         |FROM mh ORDER BY doc_id""".stripMargin,
-    // FNV-1a 64 + lane voting, exactly SimHash64.eval: token bytes come
+    // FNV-1a 64 + lane voting, exactly SimHash64.hash64: token bytes come
     // from hex(encode(tok)) (true UTF-8 octets, not codepoints); the
     // mod-2^64 multiply stays exact because h < 2^64 and the 41-bit FNV
     // prime keep the product under HUGEINT's 2^127 ceiling. The final
