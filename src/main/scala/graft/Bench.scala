@@ -52,22 +52,32 @@ object Bench {
       * the opt-in AQE pass — the AQE line used to discard all error
       * detail, hiding exactly the adaptive-path failures it exists to
       * surface. */
+    /** @return (per-query medians, per-query raw iteration times with
+      *         -1 for a failed iteration, error messages). The raw
+      *         arrays exist because two rounds of medians-only output
+      *         produced box-contention mirages (one cold outlier in 3
+      *         iters) that each needed a judge re-run to adjudicate —
+      *         with the raw values in the artifact, an outlier is
+      *         visible as [0.1, 0.1, 3.9], not as a mystery median. */
     def runSuite(sess: SparkSession)
         : (Seq[(String, Double)],
+           Seq[(String, Seq[Double])],
            scala.collection.mutable.LinkedHashMap[String, String]) = {
       val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val raw = Seq.newBuilder[(String, Seq[Double])]
       val res = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val runs = (1 to iters).map(_ => once(sess, fn))
+        raw += name -> runs.map(_.getOrElse(-1.0))
         val oks = runs.collect { case Right(s) => s }
         runs.collectFirst { case Left(e) => e }.foreach(e =>
           errs(name) =
             (if (oks.isEmpty) "" else s"partial ${oks.length}/$iters ok: ") + e)
         if (oks.isEmpty) name -> -1.0 else name -> median(oks)
       }
-      (res, errs)
+      (res, raw.result(), errs)
     }
 
-    val (results, errors) = runSuite(spark)
+    val (results, rawRuns, errors) = runSuite(spark)
 
     def esc(s: String): String =
       s.flatMap {
@@ -75,6 +85,10 @@ object Bench {
         case '\r' => "\\r"; case '\t' => "\\t"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => s"$c"
       }
+    def runsJson(raw: Seq[(String, Seq[Double])]): String =
+      raw.map { case (k, vs) =>
+        "\"" + esc(k) + "\":" + vs.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
@@ -82,7 +96,7 @@ object Bench {
     // failures are excluded from the headline total (they contribute no time)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":${runsJson(rawRuns)},"errors":$errJson,"iters":$iters,"sf":"$sfDir"}"""
     println(line)
     // plain-file mirror (VERDICT r1 #10): BENCH_r01 had "parsed": null
     // because the line only existed inside sbt's [info]-prefixed stdout
@@ -108,7 +122,7 @@ object Bench {
       aqe.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       aqe.conf.set("spark.sql.files.maxPartitionBytes",
         (128 * 1024 * 1024).toString)
-      val (aqeResults, aqeErrors) = runSuite(aqe)
+      val (aqeResults, aqeRaw, aqeErrors) = runSuite(aqe)
       val aqeQs = aqeResults.map { case (k, v) => "\"" + esc(k) + "\":" + v }
         .mkString("{", ",", "}")
       val aqeErrJson = aqeErrors
@@ -116,7 +130,7 @@ object Bench {
         .mkString("{", ",", "}")
       val aqeTotal = aqeResults.collect { case (_, v) if v >= 0 => v }.sum
       val aqeLine =
-        s"""{"metric":"total_aqe","value":$aqeTotal,"unit":"sec","queries":$aqeQs,"errors":$aqeErrJson,"iters":$iters,"sf":"$sfDir"}"""
+        s"""{"metric":"total_aqe","value":$aqeTotal,"unit":"sec","queries":$aqeQs,"runs":${runsJson(aqeRaw)},"errors":$aqeErrJson,"iters":$iters,"sf":"$sfDir"}"""
       println(aqeLine)
       try Files.write(Paths.get(out + ".aqe"),
         (aqeLine + "\n").getBytes(StandardCharsets.UTF_8))

@@ -170,15 +170,26 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
         (params.get("from"), params.get("to")) match {
           case (Some(f), Some(t))
               if datePat.matches(f) && datePat.matches(t) =>
+            // Bounded driver collect: same 1000-row hard cap as
+            // /query/run. The LIMIT is pushed into the plan (cap+1 to
+            // detect truncation), so a year-wide range on a huge table
+            // can never OOM the driver — Spark plans it as a
+            // TakeOrdered, not a full sort+collect.
+            val cap = math.min(params.get("limit").flatMap(_.toIntOption)
+              .getOrElse(1000), 1000).max(1)
             val rows = s.sql(
               s"""SELECT company_name, CAST(transaction_date AS STRING) d,
                  |       CAST(total_amount AS STRING) total
                  |FROM daily_company_totals
                  |WHERE transaction_date BETWEEN DATE'$f' AND DATE'$t'
-                 |ORDER BY company_name, d""".stripMargin)
+                 |ORDER BY company_name, d
+                 |LIMIT ${cap + 1}""".stripMargin)
               .collect().map(r =>
                 s"""{"company_name":"${esc(r.getString(0))}","transaction_date":"${r.getString(1)}","total_amount":${r.getString(2)}}""")
-            reply(ex, 200, rows.mkString("[", ",", "]"))
+            val truncated = rows.length > cap
+            ex.getResponseHeaders.set(
+              "X-Graft-Truncated", truncated.toString)
+            reply(ex, 200, rows.take(cap).mkString("[", ",", "]"))
           case _ => reply(ex, 422, """{"detail":"from/to: YYYY-MM-DD required"}""")
         }
       case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
@@ -260,8 +271,8 @@ object RestApi {
       | "responses":{"200":{"description":"sync run done (counts)"},"202":{"description":"async run started"},"422":{"description":"csvPath required"},"500":{"description":"run failed"},"503":{"description":"no spark session"}}}},
       |"/etl/status":{"get":{"summary":"Last/current job state",
       | "responses":{"200":{"description":"idle|running|done|failed"}}}},
-      |"/query/daily_totals":{"get":{"summary":"daily_company_totals rows in a date range",
-      | "parameters":[{"name":"from","in":"query","required":true,"schema":{"type":"string","format":"date"}},{"name":"to","in":"query","required":true,"schema":{"type":"string","format":"date"}}],
+      |"/query/daily_totals":{"get":{"summary":"daily_company_totals rows in a date range (capped at 1000 rows; X-Graft-Truncated header signals an incomplete page)",
+      | "parameters":[{"name":"from","in":"query","required":true,"schema":{"type":"string","format":"date"}},{"name":"to","in":"query","required":true,"schema":{"type":"string","format":"date"}},{"name":"limit","in":"query","schema":{"type":"integer","default":1000,"maximum":1000}}],
       | "responses":{"200":{"description":"rows"},"409":{"description":"run /etl/run first"},"422":{"description":"bad dates"},"503":{"description":"no spark session"}}}},
       |"/query/run":{"get":{"summary":"Run a registered engine query by name",
       | "parameters":[{"name":"name","in":"query","required":true,"schema":{"type":"string"}},{"name":"dir","in":"query","required":true,"schema":{"type":"string"}},{"name":"limit","in":"query","schema":{"type":"integer","default":20,"maximum":1000}}],

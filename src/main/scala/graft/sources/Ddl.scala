@@ -78,7 +78,26 @@ object Ddl {
     * PK-deduped by `_row_id` inside the ETL). */
   def loadIfAbsent(spark: SparkSession, df: DataFrame, table: String,
       keyCols: Seq[String], orderCol: Option[String] = None): Unit = {
-    import org.apache.spark.sql.functions.{col, row_number}
+    absentRows(spark, df, table, keyCols, orderCol)
+      .write.mode(SaveMode.Append).insertInto(table)
+  }
+
+  /** The rows of `df` whose keys are not yet in `table`, ready to
+    * append.
+    *
+    * Scale shape: the existing-keys side is PRUNED to the incoming
+    * batch's key range (min/max of the leading key, one bounded 1-row
+    * aggregate) before the anti-join. An incremental batch touches a
+    * narrow slice of a huge table — without the range filter every
+    * load anti-joins a full scan of all accumulated history; with it,
+    * parquet min/max stats skip every row group outside the batch's
+    * range. Same touched-scope discipline as [[Sinks]]' scoped upsert.
+    * Correctness is unaffected: an existing key outside the batch's
+    * leading-key range can't equal any batch key. */
+  private[sources] def absentRows(spark: SparkSession, df: DataFrame,
+      table: String, keyCols: Seq[String],
+      orderCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, max, min, row_number}
     import org.apache.spark.sql.expressions.Window
     val existing = spark.table(table)
     val deduped = orderCol match {
@@ -88,10 +107,19 @@ object Ddl {
           .filter(col("_lia_rn") === 1).drop("_lia_rn")
       case None => df.dropDuplicates(keyCols)
     }
+    // bounds come from the raw batch (same key set as deduped — which
+    // duplicate survives can't change min/max), so the window/dedup
+    // isn't computed twice
+    val k1 = keyCols.head
+    val bounds = df.agg(min(col(k1)).as("lo"), max(col(k1)).as("hi"))
+      .head()
+    val existingKeys =
+      if (bounds.isNullAt(0)) existing.filter(lit(false)) // empty batch
+      else existing.filter(
+        col(k1) >= lit(bounds.get(0)) && col(k1) <= lit(bounds.get(1)))
     deduped
-      .join(existing.select(keyCols.map(col): _*).dropDuplicates(),
+      .join(existingKeys.select(keyCols.map(col): _*).dropDuplicates(),
         keyCols, "left_anti")
       .select(existing.columns.map(col).toIndexedSeq: _*)
-      .write.mode(SaveMode.Append).insertInto(table)
   }
 }

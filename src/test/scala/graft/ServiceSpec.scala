@@ -48,6 +48,18 @@ class ServiceSpec extends AnyFunSuite {
     (code, text)
   }
 
+  /** Like http(), but also returns a named response header. */
+  private def httpHeader(method: String, url: String, header: String)
+      : (Int, String, Option[String]) = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = new String(stream.readAllBytes(), UTF_8)
+    (code, text, Option(conn.getHeaderField(header)))
+  }
+
   test("REST routes mirror the reference API contract") {
     val api = new RestApi(None, 0).start()
     try {
@@ -97,6 +109,25 @@ class ServiceSpec extends AnyFunSuite {
       // malformed dates rejected (no SQL injection surface)
       assert(http("GET",
         s"$base/query/daily_totals?from=x&to=y")._1 == 422)
+      // bounded driver collect: a wide range is capped, the cap is
+      // pushed down as a LIMIT (never a full-result collect), and the
+      // truncation is flagged — the driver can't be OOM'd by one curl
+      val (tc, tb, tflag) = httpHeader("GET",
+        s"$base/query/daily_totals?from=1990-01-01&to=2030-12-31&limit=5",
+        "X-Graft-Truncated")
+      assert(tc == 200 && tflag.contains("true"), s"$tc $tflag")
+      assert("\"company_name\"".r.findAllIn(tb).size == 5, tb.take(200))
+      // limit values above the hard cap clamp to 1000, not beyond
+      val (wc, wb, _) = httpHeader("GET",
+        s"$base/query/daily_totals?from=1990-01-01&to=2030-12-31&limit=999999",
+        "X-Graft-Truncated")
+      assert(wc == 200 &&
+        "\"company_name\"".r.findAllIn(wb).size <= 1000)
+      // a narrow range below the cap is complete and says so
+      val (nc, _, nflag) = httpHeader("GET",
+        s"$base/query/daily_totals?from=2019-03-16&to=2019-03-16",
+        "X-Graft-Truncated")
+      assert(nc == 200 && nflag.contains("false"))
       // generic query runner: registered name works, junk 404s
       val (gc, gb) = http("GET",
         s"$base/query/run?name=q1_agg&dir=${SparkSpec.sfDir}&limit=3")
