@@ -205,12 +205,37 @@ object Dedup {
       .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
       .orderBy("doc_id")
 
+  // --------------------------------------------------------------- q52
+  /** Quality-ranked dedup representative (the policy q42's scaladoc
+    * names): per duplicate cluster keep the member with the HIGHEST
+    * q14 quality score, tie-break lowest doc_id — a training pipeline
+    * keeps the best-written copy, not the first-seen one. One join +
+    * argmax-struct (map-side partial agg); no window sort over the
+    * corpus, no text dragged through the shuffle. */
+  def q52DedupRanked(spark: SparkSession, dir: String): DataFrame = {
+    val quality = graft.queries.TextOps
+      .withQuality(docs(spark, dir))
+      .select(col("doc_id"), col("quality_score"))
+    q41DupClusters(spark, dir).join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("quality_score"), (-col("doc_id")).as("neg_id")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"),
+        (-col("best.neg_id")).as("rep_doc_id"),
+        col("best.quality_score").as("quality_score"),
+        col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_minhash_lsh"   -> (q18MinhashLsh _),
     "q19_simhash"       -> (q19Simhash _),
     "q20_ngram_jaccard" -> (q20NgramJaccard _),
     "q41_dup_clusters"  -> (q41DupClusters _),
-    "q42_dedup_corpus"  -> (q42DedupCorpus _))
+    "q42_dedup_corpus"  -> (q42DedupCorpus _),
+    "q52_dedup_ranked"  -> (q52DedupRanked _))
 
   private val mhSelect = (0 until NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> md5('$i#' || x))) AS mh$i").mkString(",\n |  ")
@@ -332,5 +357,27 @@ object Dedup {
         |clus AS (SELECT a, min(b) AS m FROM reach GROUP BY a)
         |SELECT d.doc_id, md5(d.text) AS text_md5
         |FROM documents d JOIN clus ON clus.a = d.doc_id
-        |WHERE clus.a = clus.m ORDER BY d.doc_id""".stripMargin)
+        |WHERE clus.a = clus.m ORDER BY d.doc_id""".stripMargin,
+    // q14's quality score inlined (same stopword list, same rational
+    // arithmetic); argmax per cluster via row_number(score DESC, id).
+    "q52_dedup_ranked" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |clus AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+        |qs AS (
+        | SELECT doc_id,
+        |  (1.0 - CAST(len(list_filter(t.w, x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+        |         / CAST(len(t.w) AS DOUBLE))
+        |    * (CAST(least(len(t.w), 100) AS DOUBLE) / 100.0) AS quality_score
+        | FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+        |       FROM documents) t),
+        |r AS (
+        | SELECT clus.cluster_id, qs.doc_id, qs.quality_score,
+        |  ROW_NUMBER() OVER (PARTITION BY clus.cluster_id
+        |    ORDER BY qs.quality_score DESC, qs.doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY clus.cluster_id) AS n_members
+        | FROM clus JOIN qs ON qs.doc_id = clus.doc_id)
+        |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+        | CAST(doc_id AS BIGINT) AS rep_doc_id, quality_score,
+        | CAST(n_members AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
 }

@@ -182,6 +182,40 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --------------------------------------------------------------- q51
+  /** The IVF ASSIGNMENT stage isolated for cross-engine verification
+    * (VERDICT r5 #6): q23's end-to-end ANN stays rows-only because the
+    * trained centroids aren't SQL-expressible, but the assignment
+    * kernel — argmax fixed-point cosine over a centroid table — is.
+    * Here the centroid table is deterministic IN SQL (the k lowest
+    * vec_id vectors), so DuckDB can rebuild it and hash-check every
+    * cell assignment. Same kernel, same quantization, same argmax
+    * tie-break as q23's trained path.
+    *
+    * Scale shape is q23's: centroids broadcast, corpus streams once,
+    * argmax via max(struct) (map-side partial agg, no window sort). */
+  def q51IvfAssign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps._
+    val k = 10
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("q6", vector_quantize(col("embedding")))
+      .withColumn("nrm", normQ(dot_long(col("q6"), col("q6"))))
+    val cB = broadcast(emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_label"), col("q6").as("c6"),
+        col("nrm").as("cnrm")))
+    emb.select(col("vec_id"), col("q6"), col("nrm")).crossJoin(cB)
+      .select(col("vec_id"),
+        struct(
+          cosineQ(dot_long(col("q6"), col("c6")), col("nrm"), col("cnrm"))
+            .as("sim"),
+          col("c_label")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), col("best.c_label").as("cell"),
+        round(col("best.sim"), 9).as("cosine"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucket blocking (cost
     * Σ bucket², never N²), exact fixed-point cosine inside buckets,
     * thresholded. The production dedup entry point for embedding
@@ -222,7 +256,8 @@ object Similarity {
     "q21_knn_brute"    -> (q21KnnBrute _),
     "q22_lsh_buckets"  -> (q22LshBuckets _),
     "q23_ivf_ann"      -> (q23IvfAnn _),
-    "q38_embed_neardup" -> (q38EmbedNearDup _))
+    "q38_embed_neardup" -> (q38EmbedNearDup _),
+    "q51_ivf_assign"   -> (q51IvfAssign _))
 
   val oracle: Map[String, String] = Map(
     "q21_knn_brute" ->
@@ -289,5 +324,28 @@ object Similarity {
         |occ AS (SELECT bucket AS b2, CAST(count(*) AS BIGINT) AS n_bucket_mates
         |        FROM bucket GROUP BY bucket)
         |SELECT vec_id, bucket, n_bucket_mates
-        |FROM bucket JOIN occ ON bucket = b2 ORDER BY vec_id""".stripMargin)
+        |FROM bucket JOIN occ ON bucket = b2 ORDER BY vec_id""".stripMargin,
+    // q21's exact-decimal dot/norm reused; the centroid table is the
+    // k lowest vec_ids, rebuilt in SQL. Argmax tie-break (cosine DESC,
+    // then HIGHEST label) mirrors Spark's max(struct(sim, c_label)).
+    "q51_ivf_assign" ->
+      """WITH n AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(CAST(list_sum(list_transform(range(1, len(embedding)+1),
+        |    i -> CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)) AS nrm
+        | FROM embeddings),
+        |p AS (
+        | SELECT v.vec_id, c.vec_id AS c_label,
+        |  CAST(list_sum(list_transform(range(1, len(v.embedding)+1),
+        |    i -> CAST(CAST(v.embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)
+        |   / (v.nrm * c.nrm) AS cosine
+        | FROM n v JOIN n c ON c.vec_id < 10),
+        |r AS (
+        | SELECT vec_id, c_label, cosine,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY cosine DESC, c_label DESC) AS rn
+        | FROM p)
+        |SELECT vec_id, CAST(c_label AS BIGINT) AS cell,
+        | round(cosine, 9) AS cosine
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
 }

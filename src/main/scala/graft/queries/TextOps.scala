@@ -48,21 +48,31 @@ object TextOps {
   /** Quality scoring: length/stopword/alpha ratios combined into a
     * rational score — the filter predicate a training-data pipeline
     * would push down to the scan. */
-  def q14QualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def q14QualityScore(spark: SparkSession, dir: String): DataFrame =
+    withQuality(docs(spark, dir)).select(
+      col("doc_id"), col("n_tokens"), col("n_stopwords"),
+      col("stopword_ratio"), col("avg_token_len"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Add the q14 quality columns to ANY frame with a `text` column —
+    * one definition shared by the batch query and the streaming ingest
+    * filter ([[graft.streaming.StreamingQuality]]), the same
+    * batch≡stream guarantee StreamingEtl makes for the ETL transform.
+    * Stateless per-row arithmetic: safe in append-mode streams. */
+  def withQuality(df: DataFrame): DataFrame = {
     val nTokens = size(words)
     val nStop = size(filter(words, w => w.isin(stopEn: _*)))
     val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
     val stopRatio = nStop.cast("double") / nTokens.cast("double")
     val avgTokLen = nAlpha.cast("double") / nTokens.cast("double")
-    val score = (lit(1.0) - stopRatio) * (least(nTokens, lit(100)).cast("double") / lit(100.0))
-    withWords(docs(spark, dir)).select(
-      col("doc_id"),
-      nTokens.as("n_tokens"),
-      nStop.as("n_stopwords"),
-      stopRatio.as("stopword_ratio"),
-      avgTokLen.as("avg_token_len"),
-      score.as("quality_score"))
-      .orderBy(col("doc_id"))
+    val score = (lit(1.0) - stopRatio) *
+      (least(nTokens, lit(100)).cast("double") / lit(100.0))
+    withWords(df)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("n_stopwords", nStop)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("avg_token_len", avgTokLen)
+      .withColumn("quality_score", score)
   }
 
   // --------------------------------------------------------------- q15

@@ -185,9 +185,10 @@ object Lake {
     *
     * Columns are linearly quantized to 16 bits against their min/max
     * (one tiny stats job — the same pass a layout optimizer runs);
-    * nulls sort first via a sentinel bucket. Equi-depth quantization
-    * (rank-based) would resist skew better; linear keeps the write
-    * single-pass and is right for roughly-uniform keys. */
+    * nulls sort first via a sentinel bucket. Right for roughly-uniform
+    * keys; for skewed keys use [[writeZOrderedEquiDepth]] — linear
+    * quantization maps a heavy-tailed column almost entirely into a
+    * handful of cells and the curve stops separating rows. */
   def writeZOrdered(spark: SparkSession, df: DataFrame, path: String,
       colA: String, colB: String, nFiles: Int = 32): Unit = {
     val s = df.agg(
@@ -200,10 +201,53 @@ object Lake {
       when(col(c).isNull, lit(0))
         .otherwise(least(greatest(q, lit(0)), lit(65535)))
     }
-    val z = shiftleft(spreadBits16(quant(colA, s.getDouble(0), s.getDouble(1)))
-        .cast("long"), 1)
-      .bitwiseOR(spreadBits16(quant(colB, s.getDouble(2), s.getDouble(3)))
-        .cast("long"))
+    zWrite(df, quant(colA, s.getDouble(0), s.getDouble(1)),
+      quant(colB, s.getDouble(2), s.getDouble(3)), path, nFiles)
+  }
+
+  /** Z-order clustered write with EQUI-DEPTH (rank-based) quantization:
+    * cell boundaries are the columns' approximate quantiles, so every
+    * cell holds ~the same number of ROWS regardless of the value
+    * distribution. On a skewed column (zipfian ids, heavy-tailed
+    * amounts) linear min/max quantization collapses — one outlier
+    * stretches the range so the bulk of the data lands in a few cells
+    * and file-level min/max stats stop pruning. Quantile cells keep
+    * the curve informative: this is the skew-resistant variant the
+    * layout optimizers of Delta/Iceberg implement via sampling.
+    *
+    * One `approx_percentile` stats pass (bounded: 2·(cells−1) split
+    * points on the driver), then the same single-shuffle clustered
+    * write as [[writeZOrdered]]. `bits` per dimension defaults to 8
+    * (256 cells) — far finer than any realistic file count, and the
+    * per-row cell lookup is an O(cells) codegen'd array aggregate. */
+  def writeZOrderedEquiDepth(spark: SparkSession, df: DataFrame,
+      path: String, colA: String, colB: String, nFiles: Int = 32,
+      bits: Int = 8): Unit = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16]: $bits")
+    val cells = 1 << bits
+    val fracs = lit((1 until cells).map(_.toDouble / cells).toArray)
+    val s = df.agg(
+      percentile_approx(col(colA).cast("double"), fracs, lit(10000)),
+      percentile_approx(col(colB).cast("double"), fracs, lit(10000))).head()
+    def quant(c: String, splits: Seq[Double]) = {
+      // cell id = number of split points ≤ value (monotone rank);
+      // literal array + aggregate stays inside whole-stage codegen
+      val q = aggregate(
+        lit(splits.toArray), lit(0),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+      when(col(c).isNull, lit(0)).otherwise(q)
+    }
+    zWrite(df, quant(colA, s.getSeq[Double](0)),
+      quant(colB, s.getSeq[Double](1)), path, nFiles)
+  }
+
+  /** Shared tail of the z-ordered writers: interleave the two
+    * quantized cell ids into a Morton code, range-partition + sort on
+    * it (one shuffle), write. */
+  private def zWrite(df: DataFrame, qa: org.apache.spark.sql.Column,
+      qb: org.apache.spark.sql.Column, path: String, nFiles: Int): Unit = {
+    val z = shiftleft(spreadBits16(qa).cast("long"), 1)
+      .bitwiseOR(spreadBits16(qb).cast("long"))
     df.withColumn("_z", z)
       .repartitionByRange(nFiles, col("_z")) // file ≈ one curve segment
       .sortWithinPartitions("_z")

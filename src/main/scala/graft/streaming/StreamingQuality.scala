@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.queries.TextOps
+
+/** Streaming quality gate for document ingest: q14's quality score
+  * applied as a stateless per-row filter while documents arrive, so
+  * junk never reaches the corpus store — the shape a training-data
+  * pipeline wants (filter at ingest, not in a later full-corpus pass).
+  *
+  * Same seam as [[StreamingEtl]]: the scoring transform is the batch
+  * query's own ([[TextOps.withQuality]] — one definition, both
+  * execution modes), and `foreachBatch` forks the stream into
+  * accepted/rejected sinks (a plain streaming sink can't fork).
+  * Rejected rows are KEPT, not dropped — quality audits need the
+  * reject set (which filter fired, at what score), mirroring the batch
+  * ETL's clean/critical quarantine split.
+  *
+  * Stateless means: no watermark, no state store, unbounded input at
+  * constant memory — each micro-batch is scored and routed
+  * independently, and the checkpoint gives exactly-once file
+  * processing across restarts.
+  */
+object StreamingQuality {
+
+  /** Start the quality-gated ingest over a directory of parquet
+    * document files. Rows with `quality_score >= minScore` land in
+    * `outDir/accepted`, the rest (including null scores — a null text
+    * is junk by definition) in `outDir/rejected`. */
+  def start(spark: SparkSession, inDir: String, outDir: String,
+      schema: StructType, minScore: Double = 0.25): StreamingQuery = {
+    val raw = spark.readStream.schema(schema).parquet(inDir)
+    val scored = TextOps.withQuality(raw)
+    val accepted = col("quality_score") >= minScore
+
+    scored.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.drop("_ws").persist()
+        b.filter(accepted)
+          .write.mode(SaveMode.Append).parquet(s"$outDir/accepted")
+        b.filter(!accepted || col("quality_score").isNull)
+          .write.mode(SaveMode.Append).parquet(s"$outDir/rejected")
+        b.unpersist()
+        ()
+      }
+      .start()
+  }
+}

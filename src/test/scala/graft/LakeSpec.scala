@@ -212,6 +212,47 @@ class LakeSpec extends SparkSpec {
     assert(spark.read.parquet(zdir).count() == total)
   }
 
+  test("equi-depth z-order still prunes where linear quantization collapses") {
+    import org.apache.spark.sql.DataFrame
+    val root = Files.createTempDirectory("graft-zorder-ed").toString
+    // heavy-tailed column: the bulk lives in [0, 1000) but a handful
+    // of 1e12 outliers stretch the min/max range a billion-fold, so
+    // LINEAR quantization maps every bulk row to cell 0 — the curve
+    // then orders rows by b alone and every file spans the whole bulk
+    // a-range (no pruning on a). Equi-depth cells follow the
+    // QUANTILES, which the outliers barely move.
+    val n = 100000L
+    val skewed = spark.range(n).select(
+      when(col("id") % 10000 === 0, lit(1.0e12))
+        .otherwise((col("id") % 1000).cast("double")).as("a"),
+      ((col("id") * 7919) % 10000).cast("double").as("b"))
+    val linDir = s"$root/lin"
+    val edDir = s"$root/ed"
+    Lake.writeZOrdered(spark, skewed, linDir, "a", "b", nFiles = 32)
+    Lake.writeZOrderedEquiDepth(spark, skewed, edDir, "a", "b", nFiles = 32)
+
+    def scanRows(df: DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.get
+    }
+    val pred = (d: DataFrame) => d.filter(col("a") >= 100 && col("a") < 110)
+    val linRows = scanRows(pred(spark.read.parquet(linDir)))
+    val edRows = scanRows(pred(spark.read.parquet(edDir)))
+    // linear: every file's a-min/max covers the bulk → reads ~all rows
+    assert(linRows > (n * 9) / 10,
+      s"expected linear quantization to fail to prune on skew: $linRows of $n")
+    // equi-depth: the 1% slice hits a few quantile cells → most files skip
+    assert(edRows <= n / 2 && edRows < linRows,
+      s"equi-depth should prune where linear can't: $edRows vs $linRows of $n")
+    // layout change must not change data
+    assert(spark.read.parquet(edDir).count() == n)
+    assert(spark.read.parquet(edDir).agg(sum(col("a"))).head().getDouble(0)
+      == skewed.agg(sum(col("a"))).head().getDouble(0))
+  }
+
   test("custom functions are SQL-registered") {
     GraftSession.registerFunctions(spark)
     val row = spark.sql(

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.queries.TextOps
+import graft.streaming.StreamingQuality
+
+/** Streaming quality gate ≡ batch q14 filter, on real documents plus
+  * planted junk: the accepted set must be exactly what the batch
+  * filter accepts, and the planted low-quality doc must land in the
+  * reject sink (kept for audit, not dropped). */
+class StreamingQualitySpec extends SparkSpec {
+
+  test("streamed quality filter accepts exactly the batch filter's rows") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-squal-in").toString + "/docs"
+    val out = Files.createTempDirectory("graft-squal-out").toString
+    val minScore = 0.25
+
+    // corpus slice + planted extremes: an all-stopword doc scores 0
+    // (stopword_ratio 1), a long content-word doc scores high
+    val real = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .limit(100)
+    val planted = Seq(
+      (900001L, "en", Seq.fill(50)("the a and of").mkString(" ")),
+      (900002L, "en", Seq.fill(60)("substantial informative content words")
+        .mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val docs = real.unionByName(planted)
+    docs.write.parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    val q = StreamingQuality.start(spark, in, out, schema, minScore)
+    try q.awaitTermination(120000) finally q.stop()
+
+    val accepted = spark.read.parquet(s"$out/accepted")
+    val rejected = spark.read.parquet(s"$out/rejected")
+
+    // stream ≡ batch: same transform, same predicate, same rows
+    val batchAccepted = TextOps.withQuality(docs)
+      .filter(col("quality_score") >= minScore)
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted.select("doc_id").as[Long].collect().toSet
+      == batchAccepted)
+    // nothing lost: every input row is in exactly one sink
+    assert(accepted.count() + rejected.count() == docs.count())
+
+    // planted extremes routed as designed
+    val rejIds = rejected.select("doc_id").as[Long].collect().toSet
+    assert(rejIds.contains(900001L), "all-stopword doc must be rejected")
+    assert(accepted.filter(col("doc_id") === 900002L).count() == 1L)
+    // the reject sink keeps the score evidence for audit
+    assert(rejected.filter(col("doc_id") === 900001L)
+      .head().getAs[Double]("quality_score") == 0.0)
+  }
+}
