@@ -1,5 +1,8 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
 /** Deterministic spherical k-means — the unsupervised coarse quantizer
   * for IVF ANN (reference capability: approximate neighbor search over
   * an embedding column; VERDICT r4 flagged the per-label stand-in).
@@ -97,5 +100,154 @@ object CoarseQuantizer {
       it += 1
     }
     cents
+  }
+
+  // ------------------------------------------------------------ k-means||
+
+  /** splitmix64 (Steele/Lea/Flood 2014, public domain) — the
+    * deterministic stand-in for the selection RNG: every point's
+    * per-round coin is a pure function of (vec_id, round). */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform in [0,1) from (id, round) — 53 mantissa bits. */
+  private def unif(id: Long, round: Int): Double =
+    (splitmix64(id * 1000003L + round) >>> 11) * (1.0 / (1L << 53))
+
+  private def maxCos(cents: Array[Array[Double]],
+      unitV: Array[Double]): Double = {
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val s = dot(cents(c), unitV); if (s > best) best = s; c += 1
+    }
+    best
+  }
+
+  /** Weighted local Lloyd over a candidate set — the reduce step of
+    * k-means||. Same farthest-point init and empty-cell rule as
+    * [[train]]; sums accumulate `w · v` with long weights. */
+  private def refineWeighted(cand: Array[Array[Double]],
+      weights: Array[Long], k: Int, iters: Int): Array[Array[Double]] = {
+    val unit = cand.map(normalize)
+    val dim = unit(0).length
+    val seedIdx = scala.collection.mutable.ArrayBuffer(0)
+    while (seedIdx.size < math.min(k, unit.length)) {
+      var bestI = -1
+      var bestScore = Double.MaxValue
+      var i = 0
+      while (i < unit.length) {
+        if (!seedIdx.contains(i)) {
+          var maxSim = Double.NegativeInfinity
+          seedIdx.foreach { s =>
+            val d = dot(unit(s), unit(i)); if (d > maxSim) maxSim = d
+          }
+          if (maxSim < bestScore) { bestScore = maxSim; bestI = i }
+        }
+        i += 1
+      }
+      seedIdx += bestI
+    }
+    var cents = seedIdx.map(unit(_).clone()).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      var i = 0
+      while (i < unit.length) {
+        val c = assign(cents, unit(i))
+        val w = weights(i)
+        val s = sums(c)
+        var j = 0
+        while (j < dim) { s(j) += w * unit(i)(j); j += 1 }
+        counts(c) += w
+        i += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0L) cents(c) else normalize(sums(c))
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
+  /** Distributed, deterministic k-means|| (Bahmani et al., VLDB 2012)
+    * — the scale path when even the training SAMPLE outgrows the
+    * driver: the full corpus participates in seeding, and only the
+    * oversampled candidate set (≈ rounds × oversample vectors, a few
+    * hundred) plus one weight per candidate ever reaches the driver.
+    *
+    * Determinism, the property [[train]] promises, is preserved under
+    * ANY partitioning:
+    *  - selection coins are `splitmix64(vec_id, round)` — a pure
+    *    function of the data, not an RNG stream;
+    *  - the total cost φ is summed in exact BigDecimal (associative +
+    *    commutative, unlike IEEE double addition), so the per-round
+    *    selection threshold is bit-identical regardless of partition
+    *    combine order;
+    *  - candidate weights are exact long counts; the final weighted
+    *    refine runs sequentially on the driver.
+    *
+    * Each round is two distributed passes (cost-sum, then filter) over
+    * vectors broadcast-compared against ≤ a few hundred candidates —
+    * no shuffle anywhere; the expected per-round selection is
+    * `oversample` points (the k-means|| guarantee).
+    *
+    * @param vecs frame with an id column (long-castable) and a vector
+    *             column (array of float/double)
+    * @return k unit centroids, ready for the q23 broadcast assignment */
+  def trainParallel(spark: SparkSession, vecs: DataFrame, idCol: String,
+      vecCol: String, k: Int, rounds: Int = 5, oversample: Int = -1,
+      iters: Int = 10): Array[Array[Double]] = {
+    require(k >= 1 && rounds >= 1 && iters >= 0)
+    val ell = if (oversample > 0) oversample else 2 * k
+    import spark.implicits._
+    val pts = vecs
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, normalize(v.toArray)) }
+      .persist()
+    try {
+      val first = pts.orderBy(col("_1")).head()
+      val cands = scala.collection.mutable.ArrayBuffer(first._2)
+      var r = 1
+      while (r <= rounds) {
+        val bc = spark.sparkContext.broadcast(cands.toArray)
+        val costs = pts.map { case (id, v) =>
+          (id, v, math.max(0.0, 1.0 - maxCos(bc.value, v)))
+        }.persist()
+        // exact order-independent total cost
+        val phi = costs.rdd
+          .map { case (_, _, d) => new java.math.BigDecimal(d) }
+          .fold(java.math.BigDecimal.ZERO)(_.add(_))
+          .doubleValue()
+        if (phi > 0.0) {
+          val round = r
+          val picked = costs
+            .filter { t: (Long, Array[Double], Double) =>
+              unif(t._1, round) < ell * t._3 / phi }
+            .collect()
+            .sortBy(_._1) // stable candidate order under any layout
+          cands ++= picked.map(_._2)
+        }
+        costs.unpersist()
+        bc.destroy()
+        r += 1
+      }
+      // weight = points owned by each candidate (exact long counts)
+      val candArr = cands.toArray
+      val bcC = spark.sparkContext.broadcast(candArr)
+      val counts = pts.rdd
+        .map { case (_, v) => (assign(bcC.value, v), 1L) }
+        .reduceByKey(_ + _).collectAsMap()
+      bcC.destroy()
+      val weights = candArr.indices
+        .map(i => counts.getOrElse(i, 0L).max(1L)).toArray
+      refineWeighted(candArr, weights, k, iters)
+    } finally { pts.unpersist(); () }
   }
 }

@@ -40,7 +40,7 @@ object Dedup {
     *    Spark 4's default ANSI mode — a real corpus WILL contain
     *    1–2-token docs, so short docs get an empty shingle set
     *    (⇒ null minhashes/bands, which LSH then never buckets). */
-  private val shinglesExpr =
+  private[queries] val shinglesExpr =
     """CASE WHEN size(_ws) >= 3 THEN
       |  transform(sequence(0, size(_ws) - 3),
       |    i -> concat_ws(' ', _ws[i], _ws[i+1], _ws[i+2]))

@@ -278,7 +278,75 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  // --------------------------------------------------------------- q53
+  /** Eval-set decontamination: flag corpus documents sharing any word
+    * 3-gram with a benchmark ("eval") set — the overlap-removal step a
+    * training pipeline runs so benchmark data never leaks into the
+    * training corpus (the n-gram-overlap practice published with
+    * GPT-3/Gopher/Llama). Here the eval set is the deterministic
+    * `doc_id % 50 == 0` slice standing in for an external benchmark
+    * table; [[decontaminate]] takes any (corpus, evalSet) pair.
+    *
+    * Scale shape: benchmark n-grams are tiny next to the corpus →
+    * distinct once and BROADCAST; corpus n-grams stream through the
+    * broadcast hash join (no corpus-side shuffle for the probe), and
+    * the per-doc hit count is a partial-agg groupBy on doc_id. The
+    * quadratic-looking "every corpus gram × every eval gram" never
+    * materializes — it's a hash probe. */
+  def q53Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    decontaminate(d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0))
+  }
+
+  /** Corpus rows flagged with their distinct-3-gram overlap against
+    * `evalSet`. Both frames need (doc_id, text). */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("_ws", wordsCol)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(Dedup.shinglesExpr))).as("g"))
+    val evalGrams = grams(evalSet).select("g").distinct()
+    val hits = grams(corpus)
+      .join(broadcast(evalGrams), "g")
+      // per-doc grams are already distinct (array_distinct above), so
+      // a plain count IS the distinct overlap size — no countDistinct
+      // shuffle needed
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_ngrams"))
+    corpus.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("n_shared_ngrams"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q54
+  /** Deterministic weighted sampling — the domain/language mixing
+    * primitive: each doc gets a uniform key in [0,1) from md5 of its
+    * id (reproducible across engines, runs, and cluster layouts — no
+    * RNG state, no partition dependence) and survives iff
+    * key < rate(lang). Downsampling the dominant language while
+    * keeping the tail is exactly how corpus mixtures are rebalanced.
+    * The key is the first 8 md5 hex digits over 2^32 — exact in IEEE
+    * double (integer / power of two), so the filter is bit-identical
+    * in DuckDB. */
+  def q54SampleMix(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0))
+      .as("sample_key")
+    val rate = when(col("lang") === "en", 0.25)
+      .when(col("lang") === "es", 0.5)
+      .otherwise(1.0)
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), u, rate.as("rate"))
+      .filter(col("sample_key") < col("rate"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_decontaminate" -> (q53Decontaminate _),
+    "q54_sample_mix"    -> (q54SampleMix _),
     "q48_vocab"         -> ((s: SparkSession, d: String) => q48Vocab(s, d)),
     "q46_pii_scrub"     -> (q46PiiScrub _),
     "q47_boilerplate"   -> ((s: SparkSession, d: String) => q47BoilerplateStrip(s, d)),
@@ -291,6 +359,43 @@ object TextOps {
     "q17_exact_dedup"   -> (q17ExactDedup _))
 
   val oracle: Map[String, String] = Map(
+    // q53: same guarded 3-gram construction as the q18 oracle; the
+    // eval set is the doc_id % 50 = 0 slice; per-doc gram lists are
+    // list_distinct so count(*) is the distinct overlap.
+    "q53_decontaminate" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |g AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3 THEN
+        |   list_transform(range(1, len(ws) - 1),
+        |     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |  ELSE [] END) AS gs FROM w),
+        |ev AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 50 = 0),
+        |cg AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 50 <> 0),
+        |h AS (SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n
+        |      FROM cg JOIN ev ON cg.g = ev.g GROUP BY cg.doc_id)
+        |SELECT d.doc_id, COALESCE(h.n, 0) AS n_shared_ngrams,
+        | COALESCE(h.n, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN h ON h.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // q54: the md5-hex → uint32 → [0,1) key rebuilt digit-by-digit
+    // (strpos over the lowercase hex alphabet, shift multipliers) —
+    // exact integers, so the double division and the < compare are
+    // bit-identical to Spark's conv(substring(md5(...)))
+    "q54_sample_mix" ->
+      """WITH u AS (
+        | SELECT doc_id, lang,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |         * (1::BIGINT << (4 * (8 - i))))) AS DOUBLE)
+        |    / 4294967296.0 AS sample_key,
+        |  CAST(CASE WHEN lang = 'en' THEN 0.25 WHEN lang = 'es' THEN 0.5
+        |       ELSE 1.0 END AS DOUBLE) AS rate
+        | FROM documents)
+        |SELECT doc_id, lang, sample_key, rate FROM u
+        |WHERE sample_key < rate ORDER BY doc_id""".stripMargin,
     "q48_vocab" ->
       """WITH t AS (
         | SELECT unnest(string_split_regex(text, '\s+')) AS token

@@ -105,4 +105,46 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(100L).getLong(2) == 0L)
     assert(rows(100L).getString(3) == "d41d8cd98f00b204e9800998ecf8427e")
   }
+
+  test("q53 flags planted eval-set leaks and only those") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (1000L, "what is the capital city of france exactly"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim leak: shares many 3-grams with the eval doc
+      (1L, "quiz answer: what is the capital city of france exactly paris"),
+      // partial leak: two shared 3-grams ("the capital city",
+      // "capital city of")
+      (2L, "the capital city of spain is madrid"),
+      // clean: overlapping words but no shared 3-gram
+      (3L, "france has a capital and a city"),
+      // short doc (< 3 tokens): no grams, never contaminated
+      (4L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = TextOps.decontaminate(corpus, evalSet).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L)._2 && out(1L)._1 >= 5,
+      s"verbatim leak must be heavily flagged: ${out(1L)}")
+    assert(out(2L) == (2L, true), s"two shared 3-grams: ${out(2L)}")
+    assert(out(3L) == (0L, false), "word overlap without 3-gram overlap is clean")
+    assert(out(4L) == (0L, false), "short docs have no grams")
+  }
+
+  test("q54 sampling is deterministic, rate-respecting, and language-weighted") {
+    val a = TextOps.q54SampleMix(spark, SparkSpec.sfDir).collect()
+    val b = TextOps.q54SampleMix(spark, SparkSpec.sfDir).collect()
+    assert(a.sameElements(b), "identical inputs must sample identically")
+    // every surviving key is under its rate by construction
+    assert(a.forall(r => r.getDouble(2) < r.getDouble(3)))
+    // the dominant language is actually downsampled: survivor fraction
+    // for en must be well under the keep-everything languages'
+    val total = Tables(spark, SparkSpec.sfDir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length }
+    val enFrac = kept.getOrElse("en", 0).toDouble / total("en")
+    assert(enFrac > 0.1 && enFrac < 0.4,
+      s"en keep-fraction should track its 0.25 rate: $enFrac")
+  }
 }
