@@ -212,7 +212,10 @@ object CoarseQuantizer {
       .map { case (id, v) => (id, normalize(v.toArray)) }
       .persist()
     try {
-      val first = pts.orderBy(col("_1")).head()
+      val first = pts.orderBy(col("_1")).limit(1).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          "trainParallel: input has no vectors (empty frame, or every " +
+            s"row null in '$idCol'/'$vecCol')"))
       val cands = scala.collection.mutable.ArrayBuffer(first._2)
       var r = 1
       while (r <= rounds) {
@@ -238,7 +241,11 @@ object CoarseQuantizer {
         bc.destroy()
         r += 1
       }
-      // weight = points owned by each candidate (exact long counts)
+      // weight = points owned by each candidate (exact long counts).
+      // A candidate owning ZERO points keeps weight 0, per k-means||:
+      // flooring at 1 would give redundant candidates phantom mass and
+      // bias the refine toward them. refineWeighted tolerates all-zero
+      // cells via the empty-cell rule (keep previous centroid).
       val candArr = cands.toArray
       val bcC = spark.sparkContext.broadcast(candArr)
       val counts = pts.rdd
@@ -246,7 +253,7 @@ object CoarseQuantizer {
         .reduceByKey(_ + _).collectAsMap()
       bcC.destroy()
       val weights = candArr.indices
-        .map(i => counts.getOrElse(i, 0L).max(1L)).toArray
+        .map(i => counts.getOrElse(i, 0L)).toArray
       refineWeighted(candArr, weights, k, iters)
     } finally { pts.unpersist(); () }
   }

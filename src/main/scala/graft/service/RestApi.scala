@@ -175,8 +175,11 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
             // detect truncation), so a year-wide range on a huge table
             // can never OOM the driver — Spark plans it as a
             // TakeOrdered, not a full sort+collect.
-            val cap = math.min(params.get("limit").flatMap(_.toIntOption)
-              .getOrElse(1000), 1000).max(1)
+            RestApi.parseLimit(params.get("limit"), default = 1000) match {
+              case None =>
+                reply(ex, 422,
+                  """{"detail":"limit: positive integer required"}""")
+              case Some(cap) =>
             val rows = s.sql(
               s"""SELECT company_name, CAST(transaction_date AS STRING) d,
                  |       CAST(total_amount AS STRING) total
@@ -190,6 +193,7 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
             ex.getResponseHeaders.set(
               "X-Graft-Truncated", truncated.toString)
             reply(ex, 200, rows.take(cap).mkString("[", ",", "]"))
+            }
           case _ => reply(ex, 422, """{"detail":"from/to: YYYY-MM-DD required"}""")
         }
       case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
@@ -205,8 +209,10 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
       case None => reply(ex, 503, """{"detail":"no spark session"}""")
       case Some(s) =>
         val params = queryParams(ex)
-        val limit = math.min(params.get("limit").flatMap(_.toIntOption)
-          .getOrElse(20), 1000)
+        RestApi.parseLimit(params.get("limit"), default = 20) match {
+          case None =>
+            reply(ex, 422, """{"detail":"limit: positive integer required"}""")
+          case Some(limit) =>
         (params.get("name"), params.get("dir")) match {
           case (Some(n), Some(dir)) if graft.SparkEntry.queries.contains(n) =>
             try {
@@ -220,6 +226,7 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
           case (Some(n), _) =>
             reply(ex, 404, s"""{"detail":"unknown query ${esc(n)}"}""")
           case _ => reply(ex, 422, """{"detail":"name and dir required"}""")
+        }
         }
     })
 
@@ -248,6 +255,17 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
   * number, exit 1 on error — mirroring `python -m api.main`. Without
   * args it serves HTTP on --port (default 8000). */
 object RestApi {
+
+  /** Validate an optional `limit` query param: absent → `default`,
+    * a positive integer → min(value, 1000), anything else (non-numeric,
+    * zero, negative) → None, which handlers turn into a 422 — the same
+    * explicit-rejection style as the date validation, instead of a
+    * silent clamp/fallback. */
+  private[service] def parseLimit(raw: Option[String],
+      default: Int): Option[Int] = raw match {
+    case None => Some(default)
+    case Some(v) => v.toIntOption.filter(_ >= 1).map(math.min(_, 1000))
+  }
 
   /** OpenAPI 3 document for every served route (R5). The reference
     * gets this generated by FastAPI (readme.md:176-179); here it is

@@ -229,16 +229,24 @@ object Lake {
     val s = df.agg(
       percentile_approx(col(colA).cast("double"), fracs, lit(10000)),
       percentile_approx(col(colB).cast("double"), fracs, lit(10000))).head()
-    def quant(c: String, splits: Seq[Double]) = {
-      // cell id = number of split points ≤ value (monotone rank);
-      // literal array + aggregate stays inside whole-stage codegen
-      val q = aggregate(
-        lit(splits.toArray), lit(0),
-        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
-      when(col(c).isNull, lit(0)).otherwise(q)
-    }
-    zWrite(df, quant(colA, s.getSeq[Double](0)),
-      quant(colB, s.getSeq[Double](1)), path, nFiles)
+    // An all-null column (or an empty frame) makes percentile_approx
+    // return null: no quantiles exist, so that dimension degenerates
+    // to a single cell (all rows → cell 0) — same null-sentinel
+    // posture as the linear variant, instead of an opaque NPE.
+    def splitsAt(i: Int): Seq[Double] =
+      if (s.isNullAt(i)) Seq.empty else s.getSeq[Double](i)
+    def quant(c: String, splits: Seq[Double]) =
+      if (splits.isEmpty) lit(0)
+      else {
+        // cell id = number of split points ≤ value (monotone rank);
+        // literal array + aggregate stays inside whole-stage codegen
+        val q = aggregate(
+          lit(splits.toArray), lit(0),
+          (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+        when(col(c).isNull, lit(0)).otherwise(q)
+      }
+    zWrite(df, quant(colA, splitsAt(0)), quant(colB, splitsAt(1)),
+      path, nFiles)
   }
 
   /** Shared tail of the z-ordered writers: interleave the two

@@ -21,10 +21,41 @@ import graft.queries.TextOps
   *
   * Stateless means: no watermark, no state store, unbounded input at
   * constant memory — each micro-batch is scored and routed
-  * independently, and the checkpoint gives exactly-once file
-  * processing across restarts.
+  * independently. `foreachBatch` alone is only at-least-once (a crash
+  * after a write but before the checkpoint commit replays the batch),
+  * so each batch is written with Overwrite into its own
+  * `batch=<batchId>` directory: the replay of a batchId — whose
+  * content is deterministic, reconstructed from the checkpointed file
+  * offsets — overwrites the earlier attempt instead of appending a
+  * duplicate. Idempotent writes + deterministic replay = exactly-once
+  * RESULTS in the sinks, which is the strongest guarantee foreachBatch
+  * can offer.
   */
 object StreamingQuality {
+
+  /** Route one scored micro-batch into the accepted/rejected sinks,
+    * idempotently on `batchId` (see class doc). Package-visible seam
+    * so the spec can prove redelivery of a batchId does not duplicate
+    * rows. */
+  private[streaming] def writeBatch(batch: DataFrame, batchId: Long,
+      outDir: String, minScore: Double): Unit = {
+    val accepted = col("quality_score") >= minScore
+    val b = batch.drop("_ws").persist()
+    b.filter(accepted)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/accepted/batch=$batchId")
+    b.filter(!accepted || col("quality_score").isNull)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/rejected/batch=$batchId")
+    b.unpersist()
+    ()
+  }
+
+  /** Read an accepted/rejected sink back as one frame, hiding the
+    * per-batch idempotency directories (partition discovery surfaces
+    * them as a `batch` column; drop it — it's plumbing, not data). */
+  def readSink(spark: SparkSession, sinkDir: String): DataFrame =
+    spark.read.parquet(sinkDir).drop("batch")
 
   /** Start the quality-gated ingest over a directory of parquet
     * document files. Rows with `quality_score >= minScore` land in
@@ -34,20 +65,13 @@ object StreamingQuality {
       schema: StructType, minScore: Double = 0.25): StreamingQuery = {
     val raw = spark.readStream.schema(schema).parquet(inDir)
     val scored = TextOps.withQuality(raw)
-    val accepted = col("quality_score") >= minScore
 
     scored.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.drop("_ws").persist()
-        b.filter(accepted)
-          .write.mode(SaveMode.Append).parquet(s"$outDir/accepted")
-        b.filter(!accepted || col("quality_score").isNull)
-          .write.mode(SaveMode.Append).parquet(s"$outDir/rejected")
-        b.unpersist()
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, batchId, outDir, minScore)
       }
       .start()
   }

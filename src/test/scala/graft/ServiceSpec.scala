@@ -123,6 +123,15 @@ class ServiceSpec extends AnyFunSuite {
         "X-Graft-Truncated")
       assert(wc == 200 &&
         "\"company_name\"".r.findAllIn(wb).size <= 1000)
+      // non-numeric / zero / negative limits are rejected explicitly,
+      // same 422 style as the date validation — never silently clamped
+      for (bad <- Seq("abc", "0", "-5"))
+        assert(http("GET",
+          s"$base/query/daily_totals?from=2019-03-16&to=2019-03-16&limit=$bad")
+          ._1 == 422, s"limit=$bad must 422")
+      assert(http("GET",
+        s"$base/query/run?name=q1_agg&dir=${SparkSpec.sfDir}&limit=0")
+        ._1 == 422)
       // a narrow range below the cap is complete and says so
       val (nc, _, nflag) = httpHeader("GET",
         s"$base/query/daily_totals?from=2019-03-16&to=2019-03-16",

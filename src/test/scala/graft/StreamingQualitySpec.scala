@@ -18,10 +18,13 @@ class StreamingQualitySpec extends SparkSpec {
     val minScore = 0.25
 
     // corpus slice + planted extremes: an all-stopword doc scores 0
-    // (stopword_ratio 1), a long content-word doc scores high
+    // (stopword_ratio 1), a long content-word doc scores high.
+    // Deterministic predicate, not LIMIT — the frame is re-evaluated
+    // for the batch-equality assertion below and LIMIT without ORDER
+    // BY may pick a different subset per execution.
     val real = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
-      .limit(100)
+      .filter(col("doc_id") < 100)
     val planted = Seq(
       (900001L, "en", Seq.fill(50)("the a and of").mkString(" ")),
       (900002L, "en", Seq.fill(60)("substantial informative content words")
@@ -34,8 +37,8 @@ class StreamingQualitySpec extends SparkSpec {
     val q = StreamingQuality.start(spark, in, out, schema, minScore)
     try q.awaitTermination(120000) finally q.stop()
 
-    val accepted = spark.read.parquet(s"$out/accepted")
-    val rejected = spark.read.parquet(s"$out/rejected")
+    val accepted = StreamingQuality.readSink(spark, s"$out/accepted")
+    val rejected = StreamingQuality.readSink(spark, s"$out/rejected")
 
     // stream ≡ batch: same transform, same predicate, same rows
     val batchAccepted = TextOps.withQuality(docs)
@@ -53,5 +56,30 @@ class StreamingQualitySpec extends SparkSpec {
     // the reject sink keeps the score evidence for audit
     assert(rejected.filter(col("doc_id") === 900001L)
       .head().getAs[Double]("quality_score") == 0.0)
+  }
+
+  test("redelivering a batchId does not duplicate sink rows") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-squal-replay").toString
+    val scored = TextOps.withQuality(Seq(
+      (1L, "en", Seq.fill(60)("substantial informative content words")
+        .mkString(" ")),
+      (2L, "en", Seq.fill(50)("the a and of").mkString(" ")))
+      .toDF("doc_id", "lang", "text"))
+
+    // crash-replay shape: foreachBatch re-invoked with the SAME
+    // batchId and (deterministically reconstructed) same rows —
+    // the overwrite-by-batchId write must absorb it, not append
+    StreamingQuality.writeBatch(scored, 7L, out, 0.25)
+    StreamingQuality.writeBatch(scored, 7L, out, 0.25)
+
+    assert(StreamingQuality.readSink(spark, s"$out/accepted")
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(StreamingQuality.readSink(spark, s"$out/rejected")
+      .select("doc_id").as[Long].collect().toSeq == Seq(2L))
+
+    // a DIFFERENT batchId is new data and must land alongside
+    StreamingQuality.writeBatch(scored, 8L, out, 0.25)
+    assert(StreamingQuality.readSink(spark, s"$out/accepted").count() == 2L)
   }
 }
