@@ -79,6 +79,32 @@ object Bench {
 
     val (results, rawRuns, errors) = runSuite(spark)
 
+    /** Median ratio current/previous over queries present in both runs
+      * (VERDICT r8 #4): the previous round's per-query medians are read
+      * from the mirror file this run is about to overwrite. A uniform
+      * ratio across all common queries (e.g. 2.9 everywhere) is the
+      * self-documenting signature of box contention; a single-query
+      * spike is a plan regression. Both formerly needed a judge re-run
+      * to tell apart. Only the flat `"queries"` object is parsed — this
+      * file is self-produced, so a regex is enough and keeps the
+      * dependency surface at zero. */
+    def vsPrev(prevPath: String, cur: Seq[(String, Double)]): Option[Double] = {
+      try {
+        val p = Paths.get(prevPath)
+        if (!Files.exists(p)) return None
+        val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        val qObj = """"queries":\{([^}]*)\}""".r
+          .findFirstMatchIn(text).map(_.group(1)).getOrElse(return None)
+        val prev = """"([^"]+)":(-?[0-9.eE+]+)""".r.findAllMatchIn(qObj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val ratios = cur.collect {
+          case (name, v) if v > 0 && prev.getOrElse(name, -1.0) > 0 =>
+            v / prev(name)
+        }
+        if (ratios.isEmpty) None else Some(median(ratios))
+      } catch { case _: Throwable => None }
+    }
+
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -95,12 +121,15 @@ object Bench {
       .mkString("{", ",", "}")
     // failures are excluded from the headline total (they contribute no time)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val vsPrevJson = vsPrev(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", out), results)
+      .map(r => f"$r%.4f").getOrElse("null")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":${runsJson(rawRuns)},"errors":$errJson,"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":${runsJson(rawRuns)},"errors":$errJson,"vs_prev":$vsPrevJson,"iters":$iters,"sf":"$sfDir"}"""
     println(line)
     // plain-file mirror (VERDICT r1 #10): BENCH_r01 had "parsed": null
     // because the line only existed inside sbt's [info]-prefixed stdout
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.write(Paths.get(out), (line + "\n").getBytes(StandardCharsets.UTF_8))
     catch {
       // loud, not swallowed: a stale mirror file silently standing in
@@ -109,13 +138,17 @@ object Bench {
         System.err.println(s"BENCH WARN: mirror write to $out failed: $t")
     }
 
-    // Opt-in second pass under the real scale posture (AQE + skew-join
+    // Second pass under the real scale posture (AQE + skew-join
     // + 128 MB scan partitions — GraftSession's cluster config). The
     // plain pass above stays the comparable headline; this exercises
     // the adaptive paths the 100 TB story leans on. Emitted as a
-    // SECOND JSON line + its own mirror file, only when the env flag
-    // is set, so the driver contract (one line) is untouched.
-    if (sys.env.contains("SPARK_GRAFT_BENCH_AQE")) {
+    // SECOND JSON line + its own mirror file; the driver reads the
+    // mirror files, so the extra stdout line is inert. ON by default —
+    // an opt-in flag left the `.aqe` artifact stale for two rounds
+    // (VERDICT r8 #3: the heaviest queries had never been measured
+    // under the adaptive posture). Opt out with SPARK_GRAFT_BENCH_AQE=0
+    // when iterating locally and only the headline matters.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "1") != "0") {
       val aqe = spark.newSession()
       aqe.conf.set("spark.sql.adaptive.enabled", "true")
       aqe.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -261,7 +261,7 @@ object RestApi {
     * zero, negative) → None, which handlers turn into a 422 — the same
     * explicit-rejection style as the date validation, instead of a
     * silent clamp/fallback. */
-  private[service] def parseLimit(raw: Option[String],
+  private[graft] def parseLimit(raw: Option[String],
       default: Int): Option[Int] = raw match {
     case None => Some(default)
     case Some(v) => v.toIntOption.filter(_ >= 1).map(math.min(_, 1000))

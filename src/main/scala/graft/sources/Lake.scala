@@ -194,15 +194,21 @@ object Lake {
     val s = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-    def quant(c: String, lo: Double, hi: Double) = {
-      val span = if (hi > lo) hi - lo else 1.0
-      val q = ((col(c).cast("double") - lit(lo)) * lit(65535.0) / lit(span))
-        .cast("int")
-      when(col(c).isNull, lit(0))
-        .otherwise(least(greatest(q, lit(0)), lit(65535)))
-    }
-    zWrite(df, quant(colA, s.getDouble(0), s.getDouble(1)),
-      quant(colB, s.getDouble(2), s.getDouble(3)), path, nFiles)
+    // An all-null column (or an empty frame) makes min/max return null:
+    // no range exists, so that dimension degenerates to a single cell
+    // (all rows → cell 0) — same posture as the equi-depth variant,
+    // instead of an opaque NPE on Row.getDouble.
+    def quant(c: String, loIdx: Int, hiIdx: Int) =
+      if (s.isNullAt(loIdx) || s.isNullAt(hiIdx)) lit(0)
+      else {
+        val (lo, hi) = (s.getDouble(loIdx), s.getDouble(hiIdx))
+        val span = if (hi > lo) hi - lo else 1.0
+        val q = ((col(c).cast("double") - lit(lo)) * lit(65535.0) / lit(span))
+          .cast("int")
+        when(col(c).isNull, lit(0))
+          .otherwise(least(greatest(q, lit(0)), lit(65535)))
+      }
+    zWrite(df, quant(colA, 0, 1), quant(colB, 2, 3), path, nFiles)
   }
 
   /** Z-order clustered write with EQUI-DEPTH (rank-based) quantization:

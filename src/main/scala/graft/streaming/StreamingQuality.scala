@@ -24,7 +24,7 @@ import graft.queries.TextOps
   * independently. `foreachBatch` alone is only at-least-once (a crash
   * after a write but before the checkpoint commit replays the batch),
   * so each batch is written with Overwrite into its own
-  * `batch=<batchId>` directory: the replay of a batchId — whose
+  * `graft_batch_id=<batchId>` directory: the replay of a batchId — whose
   * content is deterministic, reconstructed from the checkpointed file
   * offsets — overwrites the earlier attempt instead of appending a
   * duplicate. Idempotent writes + deterministic replay = exactly-once
@@ -37,25 +37,27 @@ object StreamingQuality {
     * idempotently on `batchId` (see class doc). Package-visible seam
     * so the spec can prove redelivery of a batchId does not duplicate
     * rows. */
-  private[streaming] def writeBatch(batch: DataFrame, batchId: Long,
+  private[graft] def writeBatch(batch: DataFrame, batchId: Long,
       outDir: String, minScore: Double): Unit = {
     val accepted = col("quality_score") >= minScore
     val b = batch.drop("_ws").persist()
     b.filter(accepted)
       .write.mode(SaveMode.Overwrite)
-      .parquet(s"$outDir/accepted/batch=$batchId")
+      .parquet(s"$outDir/accepted/graft_batch_id=$batchId")
     b.filter(!accepted || col("quality_score").isNull)
       .write.mode(SaveMode.Overwrite)
-      .parquet(s"$outDir/rejected/batch=$batchId")
+      .parquet(s"$outDir/rejected/graft_batch_id=$batchId")
     b.unpersist()
     ()
   }
 
   /** Read an accepted/rejected sink back as one frame, hiding the
     * per-batch idempotency directories (partition discovery surfaces
-    * them as a `batch` column; drop it — it's plumbing, not data). */
+    * them as a `graft_batch_id` column; drop it — it's plumbing, not
+    * data, and the prefixed name can't collide with a document
+    * column). */
   def readSink(spark: SparkSession, sinkDir: String): DataFrame =
-    spark.read.parquet(sinkDir).drop("batch")
+    spark.read.parquet(sinkDir).drop("graft_batch_id")
 
   /** Start the quality-gated ingest over a directory of parquet
     * document files. Rows with `quality_score >= minScore` land in

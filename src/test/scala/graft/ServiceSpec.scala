@@ -129,6 +129,11 @@ class ServiceSpec extends AnyFunSuite {
         assert(http("GET",
           s"$base/query/daily_totals?from=2019-03-16&to=2019-03-16&limit=$bad")
           ._1 == 422, s"limit=$bad must 422")
+      // pin the clamp boundary: 1000 is the last value that passes
+      // through unchanged, 1001 is the first that clamps — a refactor
+      // must not flip the cap into a rejection (or vice versa)
+      assert(graft.service.RestApi.parseLimit(Some("1000"), 50) == Some(1000))
+      assert(graft.service.RestApi.parseLimit(Some("1001"), 50) == Some(1000))
       assert(http("GET",
         s"$base/query/run?name=q1_agg&dir=${SparkSpec.sfDir}&limit=0")
         ._1 == 422)
