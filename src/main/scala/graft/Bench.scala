@@ -91,19 +91,30 @@ object Bench {
     def vsPrev(prevPath: String, cur: Seq[(String, Double)]): Option[Double] = {
       try {
         val p = Paths.get(prevPath)
-        if (!Files.exists(p)) return None
-        val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        val qObj = """"queries":\{([^}]*)\}""".r
-          .findFirstMatchIn(text).map(_.group(1)).getOrElse(return None)
-        val prev = """"([^"]+)":(-?[0-9.eE+]+)""".r.findAllMatchIn(qObj)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val ratios = cur.collect {
-          case (name, v) if v > 0 && prev.getOrElse(name, -1.0) > 0 =>
-            v / prev(name)
+        if (!Files.exists(p)) None
+        else {
+          val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          """"queries":\{([^}]*)\}""".r.findFirstMatchIn(text).map(_.group(1)) match {
+            case None => None
+            case Some(qObj) =>
+              // signed exponent: a prev value like 1.0E-5 must parse, not
+              // match as "1.0E" and throw (silently nulling the whole ratio)
+              val prev = """"([^"]+)":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)""".r
+                .findAllMatchIn(qObj)
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
+              val ratios = cur.collect {
+                case (name, v) if v > 0 && prev.getOrElse(name, -1.0) > 0 =>
+                  v / prev(name)
+              }
+              if (ratios.isEmpty) None else Some(median(ratios))
+          }
         }
-        if (ratios.isEmpty) None else Some(median(ratios))
-      } catch { case _: Throwable => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
+    // pinned locale: under a comma-decimal default locale f"%.4f" renders
+    // "2,9000", corrupting the JSON metric line
+    def fmtRatio(r: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(r))
 
     def esc(s: String): String =
       s.flatMap {
@@ -124,7 +135,7 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val vsPrevJson = vsPrev(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", out), results)
-      .map(r => f"$r%.4f").getOrElse("null")
+      .map(fmtRatio).getOrElse("null")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":${runsJson(rawRuns)},"errors":$errJson,"vs_prev":$vsPrevJson,"iters":$iters,"sf":"$sfDir"}"""
     println(line)
@@ -162,8 +173,16 @@ object Bench {
         .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
         .mkString("{", ",", "}")
       val aqeTotal = aqeResults.collect { case (_, v) if v >= 0 => v }.sum
+      // vs_prev against the previous `.aqe` mirror (read before this run
+      // overwrites it) so the adaptive posture — the configuration the
+      // 100 TB story leans on — is regression-tracked too. Matters doubly
+      // because the driver's BENCH_rNN.json keeps the stdout *tail*: this
+      // last-printed line is the one that survives in the round artifact.
+      val aqeVsPrev = vsPrev(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV_AQE", out + ".aqe"),
+        aqeResults).map(fmtRatio).getOrElse("null")
       val aqeLine =
-        s"""{"metric":"total_aqe","value":$aqeTotal,"unit":"sec","queries":$aqeQs,"runs":${runsJson(aqeRaw)},"errors":$aqeErrJson,"iters":$iters,"sf":"$sfDir"}"""
+        s"""{"metric":"total_aqe","value":$aqeTotal,"unit":"sec","queries":$aqeQs,"runs":${runsJson(aqeRaw)},"errors":$aqeErrJson,"vs_prev":$aqeVsPrev,"iters":$iters,"sf":"$sfDir"}"""
       println(aqeLine)
       try Files.write(Paths.get(out + ".aqe"),
         (aqeLine + "\n").getBytes(StandardCharsets.UTF_8))

@@ -65,7 +65,9 @@ object SparkEntry {
     *    correctness statement is recall-vs-exact-q21, asserted in
     *    SimilaritySpec — an exact SQL mirror would defeat the point.
     *  - q37_sketches: HLL/approx-percentile sketch internals are
-    *    engine-specific; error bounds are asserted in AnalyticsSpec.
+    *    engine-specific; error bounds are asserted in AnalyticsSpec,
+    *    and the deterministic subset (exact counts + discrete
+    *    quantiles) is oracle-hash-checked as q37a_sketch_exact.
     *  - q38_embed_neardup: summary over [[graft.queries.Similarity
     *    .embeddingNearDupPairs]], whose bucket blocking is
     *    oracle-covered via q22; planted-pair tests in SimilaritySpec.

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -96,7 +97,9 @@ object Analytics {
   // --------------------------------------------------------------- q37
   /** Sketches: HyperLogLog distinct + approximate quantiles. Engine-
     * specific estimators → rows-only check; AnalyticsSpec bounds the
-    * error against exact answers (<5% rel. for HLL at default rsd). */
+    * error against exact answers (<5% rel. for HLL at default rsd).
+    * The deterministic subset (exact counts, exact discrete quantiles)
+    * is oracle-hash-checked separately as [[q37aSketchExact]]. */
   def q37Sketches(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -106,6 +109,44 @@ object Analytics {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("approx_median_price"))
       .orderBy(col("l_returnflag"))
+
+  // --------------------------------------------------------------- q37a
+  /** The deterministic companion to [[q37Sketches]]: everything in the
+    * sketch query that HAS an exact answer — row counts, exact distinct
+    * counts, and discrete (type-1) quantiles defined explicitly as the
+    * value at 1-based sorted position `ceil(p*n)` — expressed with the
+    * SAME window+conditional-aggregate shape in both engines, so the
+    * oracle hash-checks it. Only the HLL/approx-percentile sketch
+    * INTERNALS stay rows-only in q37 (engine-specific estimators);
+    * AnalyticsSpec bounds their error against these exact answers.
+    *
+    * Tie-safety: `row_number` among equal prices is nondeterministic,
+    * but the VALUE at sorted position k is the k-th order statistic —
+    * deterministic regardless of which tied row receives rank k.
+    *
+    * Scale note: an exact quantile fundamentally needs a per-group sort
+    * (the window). At 100 TB you run q37's one-pass mergeable sketches;
+    * this query is the exactness gate, not the production path — and
+    * its window sorts WITHIN the l_returnflag hash partitions (spilling
+    * sort, no global shuffle beyond the partitionBy). */
+  def q37aSketchExact(spark: SparkSession, dir: String): DataFrame = {
+    val grp = Window.partitionBy(col("l_returnflag"))
+    val ranked = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
+      .withColumn("rn",
+        row_number().over(grp.orderBy(col("l_extendedprice"))))
+      .withColumn("n", count(lit(1)).over(grp))
+    def atQ(p: Double) =
+      max(when(col("rn") === ceil(col("n") * lit(p)), col("l_extendedprice")))
+    ranked.groupBy(col("l_returnflag"))
+      .agg(
+        max(col("n")).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        atQ(0.25).as("p25_price"),
+        atQ(0.50).as("median_price"),
+        atQ(0.75).as("p75_price"))
+      .orderBy(col("l_returnflag"))
+  }
 
   // --------------------------------------------------------------- q50
   /** Second-moment statistics (stddev, correlation) with cross-engine
@@ -148,9 +189,31 @@ object Analytics {
     "q35_rollup"     -> (q35Rollup _),
     "q49_grouping_sets" -> (q49GroupingSets _),
     "q36_pivot"      -> (q36Pivot _),
-    "q37_sketches"   -> (q37Sketches _))
+    "q37_sketches"   -> (q37Sketches _),
+    "q37a_sketch_exact" -> (q37aSketchExact _))
 
   val oracle: Map[String, String] = Map(
+    // same explicit definition both sides: discrete quantile = value at
+    // 1-based sorted position ceil(p*n); BIGINT*0.25 promotes to DOUBLE
+    // identically in both engines, prices are raw parquet doubles
+    "q37a_sketch_exact" ->
+      """WITH ranked AS (
+        | SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                     ORDER BY l_extendedprice) AS rn,
+        |  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        | FROM lineitem)
+        |SELECT l_returnflag,
+        | CAST(MAX(n) AS BIGINT) AS n_rows,
+        | CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        | MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+        |          THEN l_extendedprice END) AS p25_price,
+        | MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT)
+        |          THEN l_extendedprice END) AS median_price,
+        | MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+        |          THEN l_extendedprice END) AS p75_price
+        |FROM ranked GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q34_range_join" ->
       """WITH buckets AS (
         | SELECT CAST(range AS BIGINT) AS bucket_id,

@@ -55,9 +55,12 @@ object StreamingQuality {
     * per-batch idempotency directories (partition discovery surfaces
     * them as a `graft_batch_id` column; drop it — it's plumbing, not
     * data, and the prefixed name can't collide with a document
-    * column). */
+    * column). Also drops the legacy `batch` partition column so sinks
+    * written before the rename still read — note a SINGLE sink dir
+    * mixing both layouts fails Spark's partition discovery (conflicting
+    * partition column names); rewrite such a sink under one layout. */
   def readSink(spark: SparkSession, sinkDir: String): DataFrame =
-    spark.read.parquet(sinkDir).drop("graft_batch_id")
+    spark.read.parquet(sinkDir).drop("graft_batch_id", "batch")
 
   /** Start the quality-gated ingest over a directory of parquet
     * document files. Rows with `quality_score >= minScore` land in

@@ -253,6 +253,34 @@ class LakeSpec extends SparkSpec {
       == skewed.agg(sum(col("a"))).head().getDouble(0))
   }
 
+  test("z-order degenerate inputs (all-null column, empty frame) stay readable") {
+    val root = Files.createTempDirectory("graft-zorder-null").toString
+    // all-null clustering column: the stats pass returns null min/max —
+    // that dimension must collapse to a single cell, not NPE on
+    // Row.getDouble; the other dimension still orders the curve
+    val withNulls = spark.range(1000).select(
+      lit(null).cast("double").as("a"),
+      (col("id") % 100).cast("double").as("b"))
+    val nullDir = s"$root/nulls"
+    Lake.writeZOrdered(spark, withNulls, nullDir, "a", "b", nFiles = 4)
+    assert(spark.read.parquet(nullDir).count() == 1000)
+    assert(spark.read.parquet(nullDir).filter(col("a").isNull).count() == 1000)
+    // empty frame: null stats row AND zero rows through the range
+    // partitioner — output must still be a readable parquet table
+    val emptyDir = s"$root/empty"
+    Lake.writeZOrdered(spark, withNulls.limit(0), emptyDir, "a", "b", nFiles = 4)
+    assert(spark.read.parquet(emptyDir).count() == 0)
+    // the equi-depth variant has the same degenerate surface
+    // (percentile_approx → null) — prove both paths
+    val edNullDir = s"$root/ed-nulls"
+    Lake.writeZOrderedEquiDepth(spark, withNulls, edNullDir, "a", "b", nFiles = 4)
+    assert(spark.read.parquet(edNullDir).count() == 1000)
+    val edEmptyDir = s"$root/ed-empty"
+    Lake.writeZOrderedEquiDepth(
+      spark, withNulls.limit(0), edEmptyDir, "a", "b", nFiles = 4)
+    assert(spark.read.parquet(edEmptyDir).count() == 0)
+  }
+
   test("custom functions are SQL-registered") {
     GraftSession.registerFunctions(spark)
     val row = spark.sql(
