@@ -301,13 +301,27 @@ object TextOps {
 
   /** Corpus rows flagged with their distinct-3-gram overlap against
     * `evalSet`. Both frames need (doc_id, text). */
-  def decontaminate(corpus: DataFrame, evalSet: DataFrame): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .withColumn("_ws", wordsCol)
-      .select(col("doc_id"),
-        explode(array_distinct(expr(Dedup.shinglesExpr))).as("g"))
-    val evalGrams = grams(evalSet).select("g").distinct()
-    val hits = grams(corpus)
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame): DataFrame =
+    decontaminateAgainstGrams(corpus, evalGrams(evalSet)).orderBy("doc_id")
+
+  private def gramsOf(df: DataFrame): DataFrame = df
+    .withColumn("_ws", wordsCol)
+    .select(col("doc_id"),
+      explode(array_distinct(expr(Dedup.shinglesExpr))).as("g"))
+
+  /** The eval set's distinct word-3-grams — the probe table. Split out
+    * so a repeated caller ([[graft.streaming.StreamingDecontam]], one
+    * probe per micro-batch) can compute it ONCE and cache it instead
+    * of re-deriving it per probe. */
+  def evalGrams(evalSet: DataFrame): DataFrame =
+    gramsOf(evalSet).select("g").distinct()
+
+  /** Flag `corpus` rows against an already-derived eval-gram table
+    * (see [[evalGrams]]). Unordered — [[decontaminate]] adds the
+    * presentation sort; per-micro-batch callers skip it. */
+  def decontaminateAgainstGrams(corpus: DataFrame,
+      evalGrams: DataFrame): DataFrame = {
+    val hits = gramsOf(corpus)
       .join(broadcast(evalGrams), "g")
       // per-doc grams are already distinct (array_distinct above), so
       // a plain count IS the distinct overlap size — no countDistinct
@@ -318,7 +332,6 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
         (coalesce(col("n_shared_ngrams"), lit(0L)) > 0).as("contaminated"))
-      .orderBy("doc_id")
   }
 
   // --------------------------------------------------------------- q54
