@@ -120,31 +120,41 @@ object Analytics {
     * INTERNALS stay rows-only in q37 (engine-specific estimators);
     * AnalyticsSpec bounds their error against these exact answers.
     *
-    * Tie-safety: `row_number` among equal prices is nondeterministic,
-    * but the VALUE at sorted position k is the k-th order statistic —
-    * deterministic regardless of which tied row receives rank k.
-    *
-    * Scale note: an exact quantile fundamentally needs a per-group sort
-    * (the window). At 100 TB you run q37's one-pass mergeable sketches;
-    * this query is the exactness gate, not the production path — and
-    * its window sorts WITHIN the l_returnflag hash partitions (spilling
-    * sort, no global shuffle beyond the partitionBy). */
+    * Scale shape — the histogram form, NOT a per-row rank window: a
+    * window partitioned by l_returnflag (3 distinct values) would sort
+    * a third of the table on ONE task at 100 TB. Instead rows collapse
+    * to distinct (flag, price) COUNTS first (partial-agg shuffle, the
+    * same cost as any groupBy), and the cumulative-count window runs
+    * over that compressed value table (|distinct prices| rows, orders
+    * of magnitude smaller than the fact table). The quantile is then
+    * the MIN value whose cumulative count reaches position ceil(p*n) —
+    * exactly the value at that position in the sorted multiset, with
+    * ties collapsing naturally (equal values share one histogram row).
+    * At 100 TB you still usually run q37's one-pass mergeable sketches;
+    * this is the exactness gate, and it scales too. */
   def q37aSketchExact(spark: SparkSession, dir: String): DataFrame = {
-    val grp = Window.partitionBy(col("l_returnflag"))
-    val ranked = Tables(spark, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
-      .withColumn("rn",
-        row_number().over(grp.orderBy(col("l_extendedprice"))))
-      .withColumn("n", count(lit(1)).over(grp))
+    val l = Tables(spark, dir, "lineitem")
+    val hist = l.groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"))))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("l_returnflag"))))
     def atQ(p: Double) =
-      max(when(col("rn") === ceil(col("n") * lit(p)), col("l_extendedprice")))
-    ranked.groupBy(col("l_returnflag"))
+      min(when(col("cum") >= ceil(col("n") * lit(p)), col("l_extendedprice")))
+    val quantiles = hist.groupBy(col("l_returnflag"))
       .agg(
-        max(col("n")).as("n_rows"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         atQ(0.25).as("p25_price"),
         atQ(0.50).as("median_price"),
         atQ(0.75).as("p75_price"))
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .join(quantiles, "l_returnflag")
+      .select(col("l_returnflag"), col("n_rows"), col("exact_orders"),
+        col("p25_price"), col("median_price"), col("p75_price"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -193,27 +203,38 @@ object Analytics {
     "q37a_sketch_exact" -> (q37aSketchExact _))
 
   val oracle: Map[String, String] = Map(
-    // same explicit definition both sides: discrete quantile = value at
-    // 1-based sorted position ceil(p*n); BIGINT*0.25 promotes to DOUBLE
-    // identically in both engines, prices are raw parquet doubles
+    // same explicit histogram definition both sides: discrete quantile
+    // = MIN value whose cumulative count reaches 1-based sorted
+    // position ceil(p*n); BIGINT*0.25 promotes to DOUBLE identically
+    // in both engines, prices are raw parquet doubles
     "q37a_sketch_exact" ->
-      """WITH ranked AS (
-        | SELECT l_returnflag, l_orderkey, l_extendedprice,
-        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
-        |                     ORDER BY l_extendedprice) AS rn,
-        |  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-        | FROM lineitem)
-        |SELECT l_returnflag,
-        | CAST(MAX(n) AS BIGINT) AS n_rows,
+      """WITH hist AS (
+        | SELECT l_returnflag, l_extendedprice, COUNT(*) AS c
+        | FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+        |cum AS (
+        | SELECT l_returnflag, l_extendedprice,
+        |  SUM(c) OVER (PARTITION BY l_returnflag
+        |               ORDER BY l_extendedprice) AS cum,
+        |  SUM(c) OVER (PARTITION BY l_returnflag) AS n
+        | FROM hist),
+        |q AS (
+        | SELECT l_returnflag,
+        |  MIN(CASE WHEN cum >= ceil(n * 0.25)
+        |           THEN l_extendedprice END) AS p25_price,
+        |  MIN(CASE WHEN cum >= ceil(n * 0.50)
+        |           THEN l_extendedprice END) AS median_price,
+        |  MIN(CASE WHEN cum >= ceil(n * 0.75)
+        |           THEN l_extendedprice END) AS p75_price
+        | FROM cum GROUP BY l_returnflag)
+        |SELECT b.l_returnflag,
+        | CAST(COUNT(*) AS BIGINT) AS n_rows,
         | CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
-        | MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
-        |          THEN l_extendedprice END) AS p25_price,
-        | MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT)
-        |          THEN l_extendedprice END) AS median_price,
-        | MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
-        |          THEN l_extendedprice END) AS p75_price
-        |FROM ranked GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
+        | MIN(p25_price) AS p25_price,
+        | MIN(median_price) AS median_price,
+        | MIN(p75_price) AS p75_price
+        |FROM lineitem b JOIN q ON b.l_returnflag = q.l_returnflag
+        |GROUP BY b.l_returnflag
+        |ORDER BY b.l_returnflag""".stripMargin,
     "q34_range_join" ->
       """WITH buckets AS (
         | SELECT CAST(range AS BIGINT) AS bucket_id,
