@@ -37,6 +37,20 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("sketch median tracks the exact discrete median per group") {
+    // q37a is the oracle-checked exact companion — the approx sketch
+    // must land within 5% of the true order statistic, not just "be
+    // positive" (rank error at accuracy=1000 is ≤ n/1000 rows)
+    val exact = Analytics.q37aSketchExact(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("median_price")).toMap
+    Analytics.q37Sketches(spark, sfDir).collect().foreach { r =>
+      val m = exact(r.getString(0))
+      val a = r.getAs[Double]("approx_median_price")
+      assert(math.abs(a - m) / m < 0.05,
+        s"approx median $a too far from exact $m for ${r.getString(0)}")
+    }
+  }
+
   test("range join assigns every January event to exactly one bucket") {
     val total = Analytics.q34RangeJoin(spark, sfDir)
       .agg(sum($"n_events")).head.getLong(0)
