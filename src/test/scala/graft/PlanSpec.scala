@@ -71,4 +71,19 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"token counting must combine map-side:\n$plan")
   }
+
+  test("q37a: quantile window runs over the histogram, not the fact rows") {
+    val df = graft.queries.Analytics.q37aSketchExact(spark, sfDir)
+    df.collect()
+    // string-match (node collect() doesn't descend AQE query stages):
+    // the plan must carry a Window AND the (flag, price) histogram
+    // aggregate that compresses fact rows before it — the per-row rank
+    // form has a Window but no 2-key aggregate grouping on the price
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a window operator:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate(keys=[l_returnflag") &&
+        l.contains("l_extendedprice")),
+      s"window must consume the (flag, price) histogram aggregate:\n$plan")
+  }
 }
