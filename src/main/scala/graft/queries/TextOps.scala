@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -345,21 +346,60 @@ object TextOps {
     * double (integer / power of two), so the filter is bit-identical
     * in DuckDB. */
   def q54SampleMix(spark: SparkSession, dir: String): DataFrame = {
-    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-      16, 10).cast("long").cast("double") / lit(4294967296.0))
-      .as("sample_key")
     val rate = when(col("lang") === "en", 0.25)
       .when(col("lang") === "es", 0.5)
       .otherwise(1.0)
     docs(spark, dir)
-      .select(col("doc_id"), col("lang"), u, rate.as("rate"))
+      .select(col("doc_id"), col("lang"), uniformKey, rate.as("rate"))
       .filter(col("sample_key") < col("rate"))
+      .orderBy("doc_id")
+  }
+
+  /** q54's reproducible uniform key in [0,1): first 8 md5 hex digits
+    * of the doc id over 2^32 — exact in IEEE double (integer / power
+    * of two), bit-identical in DuckDB, no RNG state, no partition
+    * dependence. */
+  private def uniformKey =
+    (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0))
+      .as("sample_key")
+
+  // --------------------------------------------------------------- q55
+  /** Deterministic per-source cap — the domain-balancing primitive
+    * complementing [[q54SampleMix]]'s rate-based mixing: keep at most
+    * K documents per source, chosen by the md5-derived uniform key —
+    * a reproducible uniform subsample per source, NOT "first K in
+    * ingest order" (which would bias the kept set toward whatever the
+    * crawler saw first). Per-domain caps are how a web corpus stops
+    * a handful of giant domains from dominating the mixture.
+    *
+    * Scale shape: ranking is only paid where it trims. A tiny
+    * per-source count (broadcast) splits sources into ≤K — passed
+    * through with NO sort or shuffle; at web scale the long tail of
+    * domains, i.e. most rows — and >K, which alone flow through the
+    * per-source rank window. The sorted fraction is the oversized
+    * domains' rows, not the corpus. */
+  def q55SourceCap(spark: SparkSession, dir: String, k: Int = 10)
+      : DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"), uniformKey)
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("_n"))
+    val small = d.join(
+      broadcast(counts.filter(col("_n") <= k)).select("source"), "source")
+    val capped = d.join(
+      broadcast(counts.filter(col("_n") > k)).select("source"), "source")
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("sample_key"), col("doc_id"))))
+      .filter(col("_r") <= k).drop("_r")
+    small.unionByName(capped)
+      .select(col("doc_id"), col("source"), col("sample_key"))
       .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_decontaminate" -> (q53Decontaminate _),
     "q54_sample_mix"    -> (q54SampleMix _),
+    "q55_source_cap"    -> ((s: SparkSession, d: String) => q55SourceCap(s, d)),
     "q48_vocab"         -> ((s: SparkSession, d: String) => q48Vocab(s, d)),
     "q46_pii_scrub"     -> (q46PiiScrub _),
     "q47_boilerplate"   -> ((s: SparkSession, d: String) => q47BoilerplateStrip(s, d)),
@@ -409,6 +449,26 @@ object TextOps {
         | FROM documents)
         |SELECT doc_id, lang, sample_key, rate FROM u
         |WHERE sample_key < rate ORDER BY doc_id""".stripMargin,
+    // q55: q54's digit-by-digit md5 key; pass-through-or-rank is
+    // expressed as one predicate (n <= K keeps all, else rn <= K)
+    "q55_source_cap" ->
+      """WITH u AS (
+        | SELECT doc_id, source,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |         * (1::BIGINT << (4 * (8 - i))))) AS DOUBLE)
+        |    / 4294967296.0 AS sample_key
+        | FROM documents),
+        |c AS (SELECT source, count(*) AS n FROM u GROUP BY source),
+        |r AS (
+        | SELECT u.doc_id, u.source, u.sample_key, c.n,
+        |  row_number() OVER (PARTITION BY u.source
+        |                     ORDER BY u.sample_key, u.doc_id) AS rn
+        | FROM u JOIN c USING (source))
+        |SELECT doc_id, source, sample_key FROM r
+        |WHERE n <= 10 OR rn <= 10
+        |ORDER BY doc_id""".stripMargin,
     "q48_vocab" ->
       """WITH t AS (
         | SELECT unnest(string_split_regex(text, '\s+')) AS token

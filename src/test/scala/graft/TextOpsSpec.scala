@@ -147,4 +147,21 @@ class TextOpsSpec extends SparkSpec {
     assert(enFrac > 0.1 && enFrac < 0.4,
       s"en keep-fraction should track its 0.25 rate: $enFrac")
   }
+
+  test("q55 source cap trims every source to K, deterministically") {
+    val out = TextOps.q55SourceCap(spark, SparkSpec.sfDir).collect()
+    val perSource = out.groupBy(_.getString(1)).map { case (s, rs) => s -> rs.length }
+    assert(perSource.values.forall(_ <= 10), s"cap violated: $perSource")
+    // every source present in the corpus survives (the cap trims, it
+    // never eliminates a domain)
+    val nSources = Tables(spark, SparkSpec.sfDir, "documents")
+      .select("source").distinct().count()
+    assert(perSource.size.toLong == nSources)
+    // reproducible subsample: the kept set is a function of the data
+    assert(out.sameElements(TextOps.q55SourceCap(spark, SparkSpec.sfDir).collect()))
+    // K above every source's count → the pass-through path keeps ALL
+    // rows (no source is ranked at all)
+    val total = Tables(spark, SparkSpec.sfDir, "documents").count()
+    assert(TextOps.q55SourceCap(spark, SparkSpec.sfDir, k = 1000).count() == total)
+  }
 }
