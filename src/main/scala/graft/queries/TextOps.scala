@@ -396,10 +396,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q56
+  /** Cross-corpus span-level dedup — the C4-style "remove duplicated
+    * lines across the whole corpus" cleanup (Raffel et al. 2020 §2.2),
+    * at a finer grain than whole-document dedup (q17): documents are
+    * cut into fixed 10-word chunks (this corpus has no sentence
+    * boundaries; with them, the chunker would be the sentence split),
+    * every repeated chunk keeps only its FIRST occurrence — minimum
+    * (doc_id, position) — corpus-wide, and each document is
+    * reassembled from its surviving chunks in original order.
+    *
+    * Scale shape: two hash shuffles and nothing else. The first-
+    * occurrence choice is `min(struct(doc_id, idx))` per chunk — a
+    * partial-aggregating groupBy, NOT a per-chunk rank window (no
+    * per-group sort, map-side combine collapses popular chunks
+    * early). Reassembly regroups by doc_id; `collect_list` there is
+    * bounded by single-document size, and `array_sort` restores
+    * chunk order deterministically (collect_list order is not
+    * guaranteed across shuffles). */
+  def q56ChunkDedup(spark: SparkSession, dir: String, chunkWords: Int = 10)
+      : DataFrame = {
+    val cw = chunkWords
+    val d = withWords(docs(spark, dir))
+    val nChunks =
+      ceil(size(words).cast("double") / lit(cw.toDouble)).cast("int")
+    val chunked = d.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nChunks - lit(1)),
+        i => array_join(slice(words, i * cw + lit(1), lit(cw)), " ")))
+        .as(Seq("idx", "chunk")))
+    // first occurrence per chunk value, corpus-wide
+    val kept = chunked.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.idx").as("idx"),
+        col("chunk"))
+    val perDoc = kept.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            s => s.getField("chunk")), " ").as("clean_text"))
+    d.select(col("doc_id"), nChunks.as("n_chunks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_decontaminate" -> (q53Decontaminate _),
     "q54_sample_mix"    -> (q54SampleMix _),
     "q55_source_cap"    -> ((s: SparkSession, d: String) => q55SourceCap(s, d)),
+    "q56_chunk_dedup"   -> ((s: SparkSession, d: String) => q56ChunkDedup(s, d)),
     "q48_vocab"         -> ((s: SparkSession, d: String) => q48Vocab(s, d)),
     "q46_pii_scrub"     -> (q46PiiScrub _),
     "q47_boilerplate"   -> ((s: SparkSession, d: String) => q47BoilerplateStrip(s, d)),
@@ -449,6 +497,38 @@ object TextOps {
         | FROM documents)
         |SELECT doc_id, lang, sample_key, rate FROM u
         |WHERE sample_key < rate ORDER BY doc_id""".stripMargin,
+    // q56: same fixed-10-word chunking both sides (list slices clamp
+    // identically); the oracle picks first occurrences with a rank
+    // window — same RESULT as Spark's min(struct) aggregate — and
+    // reassembles with ORDER BY inside string_agg
+    "q56_chunk_dedup" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |ch0 AS (
+        | SELECT doc_id, list_transform(
+        |   range(0, CAST(ceil(len(ws)/10.0) AS BIGINT)),
+        |   i -> array_to_string(ws[(10*i+1):(10*i+10)], ' ')) AS chunks
+        | FROM w),
+        |ch AS (
+        | SELECT doc_id,
+        |  CAST(unnest(range(0, len(chunks))) AS INT) AS idx,
+        |  unnest(chunks) AS chunk
+        | FROM ch0),
+        |r AS (
+        | SELECT doc_id, idx, chunk,
+        |  row_number() OVER (PARTITION BY chunk
+        |                     ORDER BY doc_id, idx) AS rn
+        | FROM ch),
+        |p AS (
+        | SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |  string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+        | FROM r WHERE rn = 1 GROUP BY doc_id)
+        |SELECT w.doc_id,
+        | CAST(ceil(len(ws)/10.0) AS INT) AS n_chunks,
+        | COALESCE(p.n_kept, 0) AS n_kept,
+        | COALESCE(p.clean_text, '') AS clean_text
+        |FROM w LEFT JOIN p ON w.doc_id = p.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
     // q55: q54's digit-by-digit md5 key; pass-through-or-rank is
     // expressed as one predicate (n <= K keeps all, else rn <= K)
     "q55_source_cap" ->

@@ -164,4 +164,29 @@ class TextOpsSpec extends SparkSpec {
     val total = Tables(spark, SparkSpec.sfDir, "documents").count()
     assert(TextOps.q55SourceCap(spark, SparkSpec.sfDir, k = 1000).count() == total)
   }
+
+  test("q56 chunk dedup keeps first occurrences and reassembles in order") {
+    import spark.implicits._
+    // planted corpus: doc 1 and doc 2 share an exact 10-word chunk
+    // (doc 2's SECOND chunk), doc 3 repeats doc 1's chunk twice more
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val u = (p: String) => (1 to 10).map(i => s"$p$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkdd").toString
+    Seq(
+      (1L, "en", "srcA", s"$shared ${u("a")}"),
+      (2L, "en", "srcA", s"${u("b")} $shared"),
+      (3L, "en", "srcB", s"$shared $shared"))
+      .toDF("doc_id", "lang", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val out = TextOps.q56ChunkDedup(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    // doc 1 owns the first occurrence → survives intact
+    assert(out(1L) == (2, 2, s"$shared ${u("a")}"))
+    // doc 2 loses only the shared chunk, keeps its own, order intact
+    assert(out(2L) == (2, 1, u("b")))
+    // doc 3 was nothing but repeats → fully deduplicated away
+    assert(out(3L) == (2, 0, ""))
+  }
 }
