@@ -443,11 +443,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q57
+  /** Sequence packing — the training-shard assembly step: documents
+    * are packed greedily, in deterministic doc_id order WITHIN each
+    * source, into bins of `budget` tokens (bin id = exclusive running
+    * token count ÷ budget — contiguous fill, reproducible across
+    * runs and cluster layouts). Packing is inherently order-dependent,
+    * so the running sum is scoped per source: the shuffle keys on
+    * source and each group's ordered cumsum runs independently —
+    * parallelism is the number of sources (at web scale, plenty),
+    * never a single global sort. Training pipelines pack per shard
+    * anyway; a global packing order across 100 TB would serialize on
+    * one task for no modeling benefit. */
+  def q57PackBins(spark: SparkSession, dir: String, budget: Int = 512)
+      : DataFrame = {
+    val d = withWords(docs(spark, dir))
+      .select(col("doc_id"), col("source"),
+        size(words).cast("long").as("n_tokens"))
+    val excl = coalesce(
+      sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    d.withColumn("bin", floor(excl / lit(budget.toLong)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_decontaminate" -> (q53Decontaminate _),
     "q54_sample_mix"    -> (q54SampleMix _),
     "q55_source_cap"    -> ((s: SparkSession, d: String) => q55SourceCap(s, d)),
     "q56_chunk_dedup"   -> ((s: SparkSession, d: String) => q56ChunkDedup(s, d)),
+    "q57_pack_bins"     -> ((s: SparkSession, d: String) => q57PackBins(s, d)),
     "q48_vocab"         -> ((s: SparkSession, d: String) => q48Vocab(s, d)),
     "q46_pii_scrub"     -> (q46PiiScrub _),
     "q47_boilerplate"   -> ((s: SparkSession, d: String) => q47BoilerplateStrip(s, d)),
@@ -497,6 +525,21 @@ object TextOps {
         | FROM documents)
         |SELECT doc_id, lang, sample_key, rate FROM u
         |WHERE sample_key < rate ORDER BY doc_id""".stripMargin,
+    // q57: integer arithmetic end-to-end — DuckDB `//` (integer
+    // division; a plain `/` + CAST would ROUND, not floor) mirrors
+    // Spark's floor(long/long); exclusive frame + COALESCE for the
+    // first row of each source
+    "q57_pack_bins" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        | CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |        ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 512 AS BIGINT) AS bin
+        |FROM t ORDER BY doc_id""".stripMargin,
     // q56: same fixed-10-word chunking both sides (list slices clamp
     // identically); the oracle picks first occurrences with a rank
     // window — same RESULT as Spark's min(struct) aggregate — and

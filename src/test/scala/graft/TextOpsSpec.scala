@@ -189,4 +189,21 @@ class TextOpsSpec extends SparkSpec {
     // doc 3 was nothing but repeats → fully deduplicated away
     assert(out(3L) == (2, 0, ""))
   }
+
+  test("q57 pack bins = exclusive per-source token cumsum over budget") {
+    val rows = TextOps.q57PackBins(spark, SparkSpec.sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1).foreach { case (id, _, n, bin) =>
+        assert(bin == cum / 512,
+          s"doc $id of $src: bin $bin != ${cum / 512} (cum $cum)")
+        cum += n
+      }
+    }
+    // every source starts its own bin sequence at 0
+    assert(rows.groupBy(_._2).values
+      .forall(rs => rs.minBy(_._1)._4 == 0L))
+  }
 }
