@@ -407,13 +407,18 @@ object TextOps {
     * reassembled from its surviving chunks in original order.
     *
     * Scale shape: two hash shuffles and nothing else. The first-
-    * occurrence choice is `min(struct(doc_id, idx))` per chunk — a
-    * partial-aggregating groupBy, NOT a per-chunk rank window (no
-    * per-group sort, map-side combine collapses popular chunks
-    * early). Reassembly regroups by doc_id; `collect_list` there is
-    * bounded by single-document size, and `array_sort` restores
-    * chunk order deterministically (collect_list order is not
-    * guaranteed across shuffles). */
+    * occurrence choice is a `min` over the pair (doc_id, idx) ENCODED
+    * as one long (`doc_id << 20 | idx`) — `min(struct(...))` would
+    * plan as SortAggregate (structs aren't hash-aggregable) and sort
+    * every partition by chunk; the long min stays a HashAggregate
+    * with map-side combine, so popular chunks collapse early and
+    * nothing sorts. The encoding is order-preserving while documents
+    * stay under 2^20 chunks (10M words at the default width) and ids
+    * under 2^43 — both far past any real corpus row. Reassembly
+    * regroups by doc_id; `collect_list` there is bounded by
+    * single-document size, and `array_sort` restores chunk order
+    * deterministically (collect_list order is not guaranteed across
+    * shuffles). */
   def q56ChunkDedup(spark: SparkSession, dir: String, chunkWords: Int = 10)
       : DataFrame = {
     val cw = chunkWords
@@ -424,10 +429,13 @@ object TextOps {
       posexplode(transform(sequence(lit(0), nChunks - lit(1)),
         i => array_join(slice(words, i * cw + lit(1), lit(cw)), " ")))
         .as(Seq("idx", "chunk")))
-    // first occurrence per chunk value, corpus-wide
+    // first occurrence per chunk value, corpus-wide (see scaladoc for
+    // why the pair is packed into one long)
     val kept = chunked.groupBy(col("chunk"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("keep"))
-      .select(col("keep.doc_id").as("doc_id"), col("keep.idx").as("idx"),
+      .agg(min(shiftleft(col("doc_id"), 20)
+        .bitwiseOR(col("idx").cast("long"))).as("keep"))
+      .select(shiftright(col("keep"), 20).as("doc_id"),
+        col("keep").bitwiseAND(lit((1L << 20) - 1)).cast("int").as("idx"),
         col("chunk"))
     val perDoc = kept.groupBy(col("doc_id"))
       .agg(
