@@ -78,6 +78,59 @@ case class DotLong(left: Expression, right: Expression) extends BinaryExpression
   override def prettyName: String = "dot_long"
 }
 
+/** The centroid codebook an [[ArgmaxCosine]] probes: parallel arrays
+  * of labels, quantized vectors, and precomputed norms. Bounded (k
+  * centroids) and embedded in the plan as a reference object — the
+  * IVF coarse-assignment equivalent of a broadcast, without the join.
+  */
+case class CentroidCodebook(labels: Array[Long],
+    vecs: Array[Array[Long]], norms: Array[Double]) {
+  require(labels.length == vecs.length && vecs.length == norms.length,
+    "codebook arrays must be parallel")
+  require(labels.nonEmpty, "empty codebook")
+}
+
+/** Nearest-centroid assignment as ONE map-side expression: argmax of
+  * fixed-point cosine over the codebook, returning
+  * struct<sim:double, c_label:bigint> (ties → highest label, matching
+  * the max(struct) convention elsewhere).
+  *
+  * Why an expression and not `crossJoin(centroids) + max(struct)`:
+  * the join form explodes every corpus row ×k, SHUFFLES the pairs,
+  * and — because structs aren't hash-aggregable — aggregates them
+  * with a SortAggregate. This form touches each row once, in place:
+  * no explode, no exchange, no sort, and it stays inside whole-stage
+  * codegen via the same static-helper pattern as [[DotLong]]. */
+case class ArgmaxCosine(left: Expression, right: Expression,
+    cents: CentroidCodebook) extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sim", DoubleType, nullable = false),
+    StructField("c_label", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"argmax_cosine needs (array<long>, double), got $other")
+    }
+
+  override def nullSafeEval(v: Any, n: Any): Any =
+    VectorOps.argmaxCosine(v.asInstanceOf[ArrayData],
+      n.asInstanceOf[Double], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebook", cents,
+      "graft.functions.CentroidCodebook")
+    defineCodeGen(ctx, ev, (v, n) =>
+      s"graft.functions.VectorOps.argmaxCosine($v, $n, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : ArgmaxCosine = copy(left = l, right = r)
+  override def prettyName: String = "argmax_cosine"
+}
+
 /** Random-hyperplane LSH bucket (Charikar) over a QUANTIZED vector:
   * `planes` sign bits, plane i,j components ±1 derived from a
   * splitmix64 hash — one native pass, long arithmetic only. */
@@ -173,11 +226,38 @@ object VectorOps {
   /** Column API. */
   def vector_quantize(v: Column): Column =
     GraftSqlBridge.column(VectorQuantize(GraftSqlBridge.expression(v)))
+  /** See [[ArgmaxCosine]]. Identical arithmetic to the crossJoin form:
+    * cosine = (dot/10^12) / (norm·cnorm), best by (sim, label). */
+  def argmaxCosine(v: ArrayData, norm: Double,
+      cents: CentroidCodebook): org.apache.spark.sql.catalyst.InternalRow = {
+    var bestSim = Double.NegativeInfinity
+    var bestLabel = Long.MinValue
+    var c = 0
+    while (c < cents.labels.length) {
+      val cv = cents.vecs(c)
+      val n = math.min(v.numElements(), cv.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += v.getLong(i) * cv(i); i += 1 }
+      val sim = (acc.toDouble / DotDivisor) / (norm * cents.norms(c))
+      if (sim > bestSim || (sim == bestSim && cents.labels(c) > bestLabel)) {
+        bestSim = sim
+        bestLabel = cents.labels(c)
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestSim, bestLabel))
+  }
+
   def dot_long(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotLong(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
   def lsh_bucket(v: Column, planes: Int = 16): Column =
     GraftSqlBridge.column(LshBucket64(GraftSqlBridge.expression(v), planes))
+  def argmax_cosine(v: Column, norm: Column, cents: CentroidCodebook): Column =
+    GraftSqlBridge.column(ArgmaxCosine(
+      GraftSqlBridge.expression(v), GraftSqlBridge.expression(norm), cents))
 
   /** Exact cosine between two quantized vectors given precomputed
     * norms (computed from the same fixed-point dots). */

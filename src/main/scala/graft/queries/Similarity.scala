@@ -143,22 +143,20 @@ object Similarity {
     def cosPair(v6: Column, vn: Column, c6: Column, cn: Column): Column =
       cosineQ(dot_long(v6, c6), vn, cn)
 
-    // assignment: argmax cosine over centroids. Computed NARROW —
-    // (vec_id, sim, label) only — then aggregated with a max(struct)
-    // (map-side partial, no window sort) and joined back for the
-    // vectors; dragging the 64-long arrays through a window sort is
-    // what made the first version 2× slower. Tie-break: highest label
-    // (ties are measure-zero for real vectors; determinism is what
-    // matters).
-    val cells = emb.select(col("vec_id"), col("q6"), col("nrm")).crossJoin(cB)
-      .select(col("vec_id"),
-        struct(cosPair(col("q6"), col("nrm"), col("c6"), col("cnrm"))
-          .as("sim"), col("c_label")).as("sc"))
-      .groupBy(col("vec_id"))
-      .agg(max(col("sc")).as("best"))
-      .select(col("vec_id"), col("best.c_label").as("cell"))
+    // assignment: argmax cosine over centroids as ONE map-side
+    // expression over the k-row codebook — no explode, no shuffle,
+    // no aggregate (the earlier crossJoin + max(struct) form shuffled
+    // every (vector, centroid) pair and SortAggregate'd the struct
+    // max). Tie-break: highest label (ties are measure-zero for real
+    // vectors; determinism is what matters).
+    val cRows = centroids.collect() // k rows by construction
+    val cb = graft.functions.CentroidCodebook(
+      cRows.map(_.getLong(0)),
+      cRows.map(_.getSeq[Long](1).toArray),
+      cRows.map(_.getDouble(2)))
     val assigned = emb.select(col("vec_id"), col("q6"), col("nrm"))
-      .join(cells, "vec_id")
+      .withColumn("cell",
+        argmax_cosine(col("q6"), col("nrm"), cb).getField("c_label"))
 
     // queries probe top-2 cells
     val probes = emb.filter(col("vec_id") < 10).crossJoin(cB)
@@ -192,25 +190,28 @@ object Similarity {
     * cell assignment. Same kernel, same quantization, same argmax
     * tie-break as q23's trained path.
     *
-    * Scale shape is q23's: centroids broadcast, corpus streams once,
-    * argmax via max(struct) (map-side partial agg, no window sort). */
+    * Scale shape is q23's: the k-row codebook rides inside a single
+    * map-side [[graft.functions.ArgmaxCosine]] expression — the corpus
+    * streams once with NO explode, NO shuffle, and NO aggregate for
+    * the assignment (the earlier crossJoin + max(struct) form
+    * shuffled every (vector, centroid) pair and planned the struct
+    * max as a SortAggregate). The codebook collect is k rows by
+    * construction. */
   def q51IvfAssign(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps._
     val k = 10
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("q6", vector_quantize(col("embedding")))
       .withColumn("nrm", normQ(dot_long(col("q6"), col("q6"))))
-    val cB = broadcast(emb.filter(col("vec_id") < k)
-      .select(col("vec_id").as("c_label"), col("q6").as("c6"),
-        col("nrm").as("cnrm")))
-    emb.select(col("vec_id"), col("q6"), col("nrm")).crossJoin(cB)
-      .select(col("vec_id"),
-        struct(
-          cosineQ(dot_long(col("q6"), col("c6")), col("nrm"), col("cnrm"))
-            .as("sim"),
-          col("c_label")).as("sc"))
-      .groupBy(col("vec_id"))
-      .agg(max(col("sc")).as("best"))
+    val centRows = emb.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("q6"), col("nrm"))
+      .orderBy("vec_id").collect()
+    val cb = graft.functions.CentroidCodebook(
+      centRows.map(_.getLong(0)),
+      centRows.map(_.getSeq[Long](1).toArray),
+      centRows.map(_.getDouble(2)))
+    emb.select(col("vec_id"),
+        argmax_cosine(col("q6"), col("nrm"), cb).as("best"))
       .select(col("vec_id"), col("best.c_label").as("cell"),
         round(col("best.sim"), 9).as("cosine"))
       .orderBy("vec_id")
