@@ -94,4 +94,30 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.size == brute.size)
     assert(recall > 0.05, s"recall $recall suspiciously low")
   }
+
+  test("argmax_cosine: picks nearest, breaks ties on highest label, null-propagates") {
+    import spark.implicits._
+    import graft.functions.VectorOps._
+    import graft.functions.CentroidCodebook
+    // unit codebook: c0 = e_x, c2 = c1 = e_y (identical → tie on e_y)
+    val ex = Array(1000000L, 0L)
+    val ey = Array(0L, 1000000L)
+    val cb = CentroidCodebook(
+      Array(0L, 1L, 2L), Array(ex, ey, ey), Array(1.0, 1.0, 1.0))
+    val out = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // → c0 exactly
+      (2L, Seq(0.0f, 1.0f)),   // → tie between c1/c2 → label 2
+      (3L, Seq(Float.NaN, 0f)) // quantize → null → best null
+      ).toDF("vec_id", "embedding")
+      .withColumn("q6", vector_quantize(col("embedding")))
+      .withColumn("nrm", normQ(dot_long(col("q6"), col("q6"))))
+      .withColumn("best", argmax_cosine(col("q6"), col("nrm"), cb))
+      .select(col("vec_id"), col("best"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    assert(out(1L).get.getLong(1) == 0L)
+    assert(out(1L).get.getDouble(0) == 1.0)
+    assert(out(2L).get.getLong(1) == 2L, "equal cosines must keep highest label")
+    assert(out(3L).isEmpty, "null vector must null-propagate, not throw")
+  }
 }
