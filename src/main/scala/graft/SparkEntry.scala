@@ -68,9 +68,8 @@ object SparkEntry {
     *    engine-specific; error bounds are asserted in AnalyticsSpec,
     *    and the deterministic subset (exact counts + discrete
     *    quantiles) is oracle-hash-checked as q37a_sketch_exact.
-    *  - q38_embed_neardup: summary over [[graft.queries.Similarity
-    *    .embeddingNearDupPairs]], whose bucket blocking is
-    *    oracle-covered via q22; planted-pair tests in SimilaritySpec.
+    *  (q38_embed_neardup graduated to a full oracle in round 10 —
+    *  q22's bucket replay composed with q21's decimal cosine.)
     *  - q39_etl_parity: input is the reference's CSV, not the sf
     *    tables the oracle harness mounts; the same pipeline is
     *    golden-tested against the reference's committed outputs in

@@ -261,6 +261,61 @@ object Similarity {
     "q51_ivf_assign"   -> (q51IvfAssign _))
 
   val oracle: Map[String, String] = Map(
+    // q38: assembled from the two proven pieces — q22's splitmix64
+    // bucket replay (blocking) and q21's exact-decimal cosine (the
+    // pair kernel) — so the near-dup SUMMARY is hash-checked end to
+    // end, not just its components. Candidate counts depend only on
+    // exact integer bucket equality; the threshold counts compare the
+    // identical IEEE expression both engines build.
+    "q38_embed_neardup" ->
+      """WITH ij AS (
+        |  SELECT i.i AS i, j.j AS j, (i.i*16 + j.j)::HUGEINT AS x
+        |  FROM (SELECT unnest(range((SELECT MAX(len(embedding))
+        |                             FROM embeddings))) AS i) AS i,
+        |       range(0, 16) AS j(j)),
+        |s0 AS (SELECT i, j,
+        |  (x + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM ij),
+        |s1 AS (SELECT i, j, xor(z::UBIGINT, z::UBIGINT >> 30)::HUGEINT AS a FROM s0),
+        |s2 AS (SELECT i, j,
+        |  (((a % 4294967296) * 3210233709) % 4294967296 * 4294967296 + a * 484763065)
+        |    % 18446744073709551616::HUGEINT AS z FROM s1),
+        |s3 AS (SELECT i, j, xor(z::UBIGINT, z::UBIGINT >> 27)::HUGEINT AS a FROM s2),
+        |s4 AS (SELECT i, j,
+        |  (((a % 4294967296) * 2496678331) % 4294967296 * 4294967296 + a * 321982955)
+        |    % 18446744073709551616::HUGEINT AS z FROM s3),
+        |sg AS (SELECT i, j,
+        |  CASE WHEN (xor(z::UBIGINT, z::UBIGINT >> 31) % 2) = 1
+        |       THEN 1 ELSE -1 END AS sgn FROM s4),
+        |q AS (
+        |  SELECT vec_id, u.pos AS pos, u.qv AS qv
+        |  FROM (SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'pos': i - 1,
+        |          'qv': CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * 1000000 AS BIGINT)})) AS u
+        |  FROM embeddings) u),
+        |acc AS (
+        |  SELECT q.vec_id, sg.j, sum(sg.sgn * q.qv) AS acc
+        |  FROM q JOIN sg ON q.pos = sg.i GROUP BY q.vec_id, sg.j),
+        |bucket AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN acc > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM acc GROUP BY vec_id),
+        |n AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(CAST(list_sum(list_transform(range(1, len(embedding)+1),
+        |    i -> CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)) AS nrm
+        | FROM embeddings),
+        |pc AS (
+        | SELECT CAST(list_sum(list_transform(range(1, len(qa.embedding)+1),
+        |    i -> CAST(CAST(qa.embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(qb.embedding[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)
+        |   / (qa.nrm * qb.nrm) AS cosine
+        | FROM bucket a
+        | JOIN bucket b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        | JOIN n qa ON qa.vec_id = a.vec_id
+        | JOIN n qb ON qb.vec_id = b.vec_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+        | CAST(COUNT(CASE WHEN cosine >= 0.9 THEN 1 END) AS BIGINT) AS n_neardup_090,
+        | CAST(COUNT(CASE WHEN cosine >= 0.5 THEN 1 END) AS BIGINT) AS n_neardup_050
+        |FROM pc""".stripMargin,
     "q21_knn_brute" ->
       """WITH n AS (
         | SELECT vec_id, embedding,
