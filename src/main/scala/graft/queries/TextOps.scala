@@ -421,35 +421,51 @@ object TextOps {
     * shuffles). */
   def q56ChunkDedup(spark: SparkSession, dir: String, chunkWords: Int = 10)
       : DataFrame = {
-    val cw = chunkWords
-    val d = withWords(docs(spark, dir))
-    val nChunks =
-      ceil(size(words).cast("double") / lit(cw.toDouble)).cast("int")
-    val chunked = d.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), nChunks - lit(1)),
-        i => array_join(slice(words, i * cw + lit(1), lit(cw)), " ")))
-        .as(Seq("idx", "chunk")))
-    // first occurrence per chunk value, corpus-wide (see scaladoc for
-    // why the pair is packed into one long)
-    val kept = chunked.groupBy(col("chunk"))
-      .agg(min(shiftleft(col("doc_id"), 20)
-        .bitwiseOR(col("idx").cast("long"))).as("keep"))
-      .select(shiftright(col("keep"), 20).as("doc_id"),
-        col("keep").bitwiseAND(lit((1L << 20) - 1)).cast("int").as("idx"),
-        col("chunk"))
-    val perDoc = kept.groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).cast("int").as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
-            s => s.getField("chunk")), " ").as("clean_text"))
-    d.select(col("doc_id"), nChunks.as("n_chunks"))
-      .join(perDoc, Seq("doc_id"), "left")
+    val d = docs(spark, dir)
+    val kept = firstOccurrence(chunkify(d, chunkWords))
+    withWords(d)
+      .select(col("doc_id"), chunkCount(chunkWords).as("n_chunks"))
+      .join(reassemble(kept), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy("doc_id")
   }
+
+  private def chunkCount(cw: Int) =
+    ceil(size(words).cast("double") / lit(cw.toDouble)).cast("int")
+
+  /** (doc_id, idx, chunk) rows of fixed `cw`-word chunks over a
+    * (doc_id, text) frame — shared by [[q56ChunkDedup]] and the
+    * streaming ledger dedup
+    * ([[graft.streaming.StreamingChunkDedup]]). */
+  def chunkify(d: DataFrame, cw: Int): DataFrame =
+    withWords(d).select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), chunkCount(cw) - lit(1)),
+        i => array_join(slice(words, i * cw + lit(1), lit(cw)), " ")))
+        .as(Seq("idx", "chunk")))
+
+  /** First occurrence per chunk value — minimum (doc_id, idx), the
+    * pair packed into one long so the min stays a HashAggregate (see
+    * [[q56ChunkDedup]] scaladoc). */
+  def firstOccurrence(chunked: DataFrame): DataFrame =
+    chunked.groupBy(col("chunk"))
+      .agg(min(shiftleft(col("doc_id"), 20)
+        .bitwiseOR(col("idx").cast("long"))).as("keep"))
+      .select(shiftright(col("keep"), 20).as("doc_id"),
+        col("keep").bitwiseAND(lit((1L << 20) - 1)).cast("int").as("idx"),
+        col("chunk"))
+
+  /** Per-doc survivors regrouped and re-joined in original chunk
+    * order (collect_list has no cross-shuffle order guarantee —
+    * array_sort on (idx, chunk) restores it deterministically). */
+  def reassemble(kept: DataFrame): DataFrame =
+    kept.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            s => s.getField("chunk")), " ").as("clean_text"))
 
   // --------------------------------------------------------------- q57
   /** Sequence packing — the training-shard assembly step: documents
