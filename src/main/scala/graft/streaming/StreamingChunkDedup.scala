@@ -86,6 +86,59 @@ object StreamingChunkDedup {
   def readSink(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/clean").drop("graft_batch_id")
 
+  /** Reserved ledger partition holding compacted history. Negative on
+    * purpose: no real batchId collides with it, and `readLedger`'s
+    * exclusion (`=!= batchId`) always keeps it visible. */
+  private val CompactedBatch = -1L
+
+  /** Merge old per-batch ledger partitions into the reserved
+    * compacted partition. One dir per micro-batch is correct but
+    * accumulates forever — partition discovery over tens of
+    * thousands of dirs is its own scale problem. Compaction folds
+    * everything EXCEPT the newest `keepLast` batch partitions (and
+    * dedups hashes while at it).
+    *
+    * Safety: replay only ever redelivers batches at the stream's
+    * checkpoint frontier, so partitions older than `keepLast` batches
+    * can never be replayed — folding them into the compacted
+    * partition (which every batch's anti-join sees) preserves
+    * exactly-once. Folding a batch still inside the replay horizon
+    * WOULD break it (its chunks would become visible to its own
+    * replay); `keepLast` must cover the frontier, and the default of
+    * 2 does for AvailableNow/once-per-trigger streams. The fold
+    * itself is crash-safe: the staging-promote of the compacted
+    * partition happens BEFORE the old dirs are deleted, so a crash
+    * between the two leaves duplicate hashes (harmless for an
+    * anti-join probe), never missing ones. */
+  def compactLedger(spark: SparkSession, outDir: String,
+      keepLast: Int = 2): Unit = {
+    val ledgerDir = s"$outDir/ledger"
+    val root = new Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("graft_batch_id="))
+      .map(st => st.getPath.getName.stripPrefix("graft_batch_id=").toLong)
+    val foldable = parts.filter(_ != CompactedBatch)
+      .sorted.dropRight(keepLast)
+    if (foldable.isEmpty) return
+    val srcDirs = (CompactedBatch +: foldable)
+      .map(b => new Path(root, s"graft_batch_id=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    val merged = spark.read.parquet(srcDirs: _*).select(col("h")).distinct()
+    // write-then-swap: stage beside the live partition, promote, then
+    // drop the folded sources — never a window with hashes missing
+    val staging = new Path(root, s"_staging_compact")
+    fs.delete(staging, true)
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val target = new Path(root, s"graft_batch_id=$CompactedBatch")
+    fs.delete(target, true)
+    fs.rename(staging, target)
+    foldable.foreach(b =>
+      fs.delete(new Path(root, s"graft_batch_id=$b"), true))
+  }
+
   /** Start the deduplicating ingest over a directory of parquet
     * document files. */
   def start(spark: SparkSession, inDir: String, outDir: String,

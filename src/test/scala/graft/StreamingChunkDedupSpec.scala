@@ -65,6 +65,34 @@ class StreamingChunkDedupSpec extends SparkSpec {
       s"stream must equal batch q56:\n$streamed\nvs\n$batch")
   }
 
+  test("ledger compaction folds old partitions and preserves suppression") {
+    val out = Files.createTempDirectory("graft-sdedup-compact").toString
+    StreamingChunkDedup.writeBatch(spark, mk(Seq((1L, uniq("a")))), 0L, out)
+    StreamingChunkDedup.writeBatch(spark, mk(Seq((2L, uniq("b")))), 1L, out)
+    StreamingChunkDedup.writeBatch(spark, mk(Seq((3L, uniq("c")))), 2L, out)
+    StreamingChunkDedup.writeBatch(spark, mk(Seq((4L, uniq("d")))), 3L, out)
+    StreamingChunkDedup.compactLedger(spark, out, keepLast = 2)
+    val dirs = new java.io.File(s"$out/ledger").listFiles()
+      .filter(_.getName.startsWith("graft_batch_id=")).map(_.getName).sorted
+    assert(dirs.toSeq ==
+      Seq("graft_batch_id=-1", "graft_batch_id=2", "graft_batch_id=3"),
+      s"expected batches 0,1 folded: ${dirs.toSeq}")
+    // chunks from a FOLDED batch are still suppressed for new arrivals
+    StreamingChunkDedup.writeBatch(spark, mk(Seq((5L, uniq("a")))), 4L, out)
+    val got = StreamingChunkDedup.readSink(spark, out).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(5L) == 0, "folded-batch chunk must still suppress repeats")
+    // replay of a batch INSIDE the keepLast horizon is still exact
+    StreamingChunkDedup.writeBatch(spark, mk(Seq((4L, uniq("d")))), 3L, out)
+    assert(StreamingChunkDedup.readSink(spark, out).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap.apply(4L) == 1)
+    // a second compaction folds into the existing compacted partition
+    StreamingChunkDedup.compactLedger(spark, out, keepLast = 2)
+    StreamingChunkDedup.writeBatch(spark, mk(Seq((6L, uniq("b")))), 5L, out)
+    assert(StreamingChunkDedup.readSink(spark, out).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap.apply(6L) == 0)
+  }
+
   test("end-to-end stream run dedups a directory of document files") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-sdedup-in").toString + "/docs"
