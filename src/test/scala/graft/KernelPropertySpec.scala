@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.queries.TextOps
+import graft.functions.VectorOps._
+import graft.functions.CentroidCodebook
+
+/** Generator-driven invariants for the hot kernels — boundary shapes
+  * (doc length ≡ 0/1 mod chunk size, sign mixes, near-parallel
+  * vectors) that planted examples under-sample. Deterministic seeds:
+  * a property failure must reproduce. */
+class KernelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("chunk dedup roundtrips duplicate-free docs of every length shape") {
+    // globally unique words ⇒ no chunk repeats ⇒ dedup must be identity
+    val lens = samples(Gen.choose(1, 35), 80)
+    val docs = lens.zipWithIndex.map { case (len, i) =>
+      (i.toLong, (0 until len).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val d = docs.toDF("doc_id", "text")
+    val out = TextOps.reassemble(
+        TextOps.firstOccurrence(TextOps.chunkify(d, 3)))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    docs.foreach { case (id, text) =>
+      assert(out(id) == text,
+        s"doc $id (len ${text.split(" ").length}) did not roundtrip")
+    }
+  }
+
+  test("fixed-point cosine stays within quantization error of double cosine") {
+    val dim = 8
+    val vecGen = Gen.listOfN(dim, Gen.choose(-10.0, 10.0))
+      .suchThat(v => math.sqrt(v.map(x => x * x).sum) > 0.5)
+    val pairs = samples(Gen.zip(vecGen, vecGen), 60)
+    val df = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a.map(_.toFloat), b.map(_.toFloat)) }
+      .toDF("id", "a", "b")
+      .withColumn("qa", vector_quantize(col("a")))
+      .withColumn("qb", vector_quantize(col("b")))
+      .withColumn("cos", cosineQ(dot_long(col("qa"), col("qb")),
+        normQ(dot_long(col("qa"), col("qa"))),
+        normQ(dot_long(col("qb"), col("qb")))))
+    val got = df.select("id", "cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      // reference cosine over the FLOAT-rounded inputs (what Spark saw)
+      val af = a.map(_.toFloat.toDouble)
+      val bf = b.map(_.toFloat.toDouble)
+      val exact = af.zip(bf).map { case (x, y) => x * y }.sum /
+        (math.sqrt(af.map(x => x * x).sum) * math.sqrt(bf.map(x => x * x).sum))
+      assert(math.abs(got(i.toLong) - exact) < 1e-4,
+        s"pair $i: fixed-point ${got(i.toLong)} vs double $exact")
+    }
+  }
+
+  test("argmax expression agrees with the crossJoin+max(struct) formulation") {
+    val dim = 8
+    val vecGen = Gen.listOfN(dim, Gen.choose(-5.0, 5.0))
+      .suchThat(v => math.sqrt(v.map(x => x * x).sum) > 0.5)
+    val corpus = samples(vecGen, 50).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+    val cents = samples(vecGen, 6).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+
+    val emb = corpus.toDF("vec_id", "embedding")
+      .withColumn("q6", vector_quantize(col("embedding")))
+      .withColumn("nrm", normQ(dot_long(col("q6"), col("q6"))))
+    val centDf = cents.toDF("c_label", "centroid")
+      .withColumn("c6", vector_quantize(col("centroid")))
+      .withColumn("cnrm", normQ(dot_long(col("c6"), col("c6"))))
+      .select("c_label", "c6", "cnrm")
+
+    val cRows = centDf.orderBy("c_label").collect()
+    val cb = CentroidCodebook(
+      cRows.map(_.getLong(0)),
+      cRows.map(_.getSeq[Long](1).toArray),
+      cRows.map(_.getDouble(2)))
+    val viaExpr = emb.select(col("vec_id"),
+        argmax_cosine(col("q6"), col("nrm"), cb).as("best"))
+      .select(col("vec_id"), col("best.sim"), col("best.c_label"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+
+    val viaJoin = emb.crossJoin(broadcast(centDf))
+      .select(col("vec_id"),
+        struct(cosineQ(dot_long(col("q6"), col("c6")), col("nrm"), col("cnrm"))
+          .as("sim"), col("c_label")).as("sc"))
+      .groupBy("vec_id").agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), col("best.sim"), col("best.c_label"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+
+    assert(viaExpr == viaJoin,
+      "the map-side expression and the join formulation must agree exactly")
+  }
+}
