@@ -114,14 +114,70 @@ object EventsOps {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  // --------------------------------------------------------------- q58
+  /** Funnel analysis — ordered-step matching per user: how many users
+    * performed view → click → purchase IN THAT ORDER (greedy
+    * earliest-match: t1 = first view, t2 = first click after t1,
+    * t3 = first purchase after t2). The product-analytics staple the
+    * plain groupBy family can't express — each step's predicate
+    * depends on the previous step's match time.
+    *
+    * Scale shape: three chained UNORDERED conditional-min windows
+    * over the same user partition — ONE shuffle on user_id, zero
+    * sorts (no orderBy in any frame, so no per-partition sort pass),
+    * then a 1-row global conditional count-distinct. A self-join
+    * formulation (events×events×events) would be cubic in per-user
+    * event count; this is linear. */
+  def q58Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts_us") > col("t1"),
+          col("ts_us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("t2"),
+          col("ts_us"))).over(w))
+      .agg(
+        countDistinct(when(col("t1").isNotNull, col("user_id")))
+          .as("n_view"),
+        countDistinct(when(col("t2").isNotNull, col("user_id")))
+          .as("n_view_click"),
+        countDistinct(when(col("t3").isNotNull, col("user_id")))
+          .as("n_full_funnel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_json_extract"     -> (q26JsonExtract _),
     "q27_asof_join"        -> (q27AsofJoin _),
     "q28_coerce_clean"     -> (q28CoerceClean _),
     "q29_group_first_fill" -> (q29GroupFirstFill _),
-    "q32_sessionize"       -> (q32Sessionize _))
+    "q32_sessionize"       -> (q32Sessionize _),
+    "q58_funnel"           -> (q58Funnel _))
 
   val oracle: Map[String, String] = Map(
+    // q58: identical chained-window shape (DuckDB needs the CTE chain
+    // because a window can't reference a sibling window's output);
+    // epoch_us truncation matches the Spark side's µs timestamps
+    "q58_funnel" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |a AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+        |        OVER (PARTITION BY user_id) AS t1 FROM e),
+        |b AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us > t1
+        |                         THEN ts_us END)
+        |        OVER (PARTITION BY user_id) AS t2 FROM a),
+        |c AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > t2
+        |                         THEN ts_us END)
+        |        OVER (PARTITION BY user_id) AS t3 FROM b)
+        |SELECT
+        | CAST(COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS BIGINT) AS n_view,
+        | CAST(COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS BIGINT) AS n_view_click,
+        | CAST(COUNT(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS BIGINT) AS n_full_funnel
+        |FROM c""".stripMargin,
     "q26_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(CAST(json_extract_string(props,'$.k') AS INTEGER) AS BIGINT)) AS BIGINT) AS sum_k,
