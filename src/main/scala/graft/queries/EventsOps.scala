@@ -150,15 +150,60 @@ object EventsOps {
           .as("n_full_funnel"))
   }
 
+  // --------------------------------------------------------------- q59
+  /** Cohort retention — the other product-analytics staple beside
+    * [[q58Funnel]]: users grouped by their FIRST-activity week
+    * (cohort), counted again in every later week they return —
+    * the (cohort_week, week_offset) retention triangle.
+    *
+    * Scale shape: activity collapses to distinct (user, week) FIRST
+    * (the big shuffle, partial-agg combined), cohort assignment is a
+    * groupBy over that already-small frame, and the final count joins
+    * the two small frames. All integer µs arithmetic (`div` — both
+    * engines truncate identically for the non-negative offsets this
+    * data guarantees); no timestamps or doubles cross the oracle. */
+  def q59Cohort(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val originUs = 1704067200000000L // 2024-01-01, q34's anchor
+    val act = events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .selectExpr("user_id",
+        s"(ts_us - ${originUs}L) div ${weekUs}L AS week")
+      .distinct()
+    val cohort = act.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    act.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_json_extract"     -> (q26JsonExtract _),
     "q27_asof_join"        -> (q27AsofJoin _),
     "q28_coerce_clean"     -> (q28CoerceClean _),
     "q29_group_first_fill" -> (q29GroupFirstFill _),
     "q32_sessionize"       -> (q32Sessionize _),
-    "q58_funnel"           -> (q58Funnel _))
+    "q58_funnel"           -> (q58Funnel _),
+    "q59_cohort"           -> (q59Cohort _))
 
   val oracle: Map[String, String] = Map(
+    // q59: integer µs arithmetic only; `//` floors = Spark `div`
+    // truncation because offsets are guaranteed non-negative here
+    "q59_cohort" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |act AS (
+        | SELECT DISTINCT user_id,
+        |  CAST((ts_us - 1704067200000000) // 604800000000 AS BIGINT) AS week
+        | FROM e),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week
+        |      FROM act GROUP BY user_id)
+        |SELECT c.cohort_week, act.week - c.cohort_week AS week_offset,
+        | CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+        |FROM act JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q58: identical chained-window shape (DuckDB needs the CTE chain
     // because a window can't reference a sibling window's output);
     // epoch_us truncation matches the Spark side's µs timestamps

@@ -29,4 +29,31 @@ class EventsOpsSpec extends SparkSpec {
     assert(row.getLong(1) == 2, s"view→click (users 1,3): $row")
     assert(row.getLong(2) == 1, s"full funnel (user 1 only): $row")
   }
+
+  test("q59 cohort triangle assigns users to first-activity week") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cohort").toString
+    val origin = 1704067200000000L // 2024-01-01 in µs
+    val week = 7L * 24 * 3600 * 1000000L
+    def ts(w: Long, offsetS: Long) = (origin + w * week + offsetS * 1000000L) * 1000L
+    Seq(
+      // user 1: cohort week 0, returns weeks 1 and 2 (twice — distinct!)
+      (1L, "view", ts(0, 10)), (1L, "view", ts(1, 10)),
+      (1L, "view", ts(2, 10)), (1L, "click", ts(2, 20)),
+      // user 2: cohort week 0, never returns
+      (2L, "view", ts(0, 30)),
+      // user 3: cohort week 1 only
+      (3L, "view", ts(1, 40)))
+      .toDF("user_id", "event_type", "ts")
+      .write.parquet(s"$dir/events.parquet")
+
+    val got = EventsOps.q59Cohort(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, // users 1,2 in cohort 0
+      (0L, 1L) -> 1L, // user 1 back in week 1
+      (0L, 2L) -> 1L, // user 1 back in week 2 (two events, one user)
+      (1L, 0L) -> 1L  // user 3's own cohort
+    ), s"unexpected triangle: $got")
+  }
 }
