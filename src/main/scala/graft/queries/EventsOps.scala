@@ -123,11 +123,14 @@ object EventsOps {
     * depends on the previous step's match time.
     *
     * Scale shape: three chained UNORDERED conditional-min windows
-    * over the same user partition — ONE shuffle on user_id, zero
-    * sorts (no orderBy in any frame, so no per-partition sort pass),
-    * then a 1-row global conditional count-distinct. A self-join
-    * formulation (events×events×events) would be cubic in per-user
-    * event count; this is linear. */
+    * over the same user partition. All three share ONE shuffle on
+    * user_id and ONE partition-grouping sort (WindowExec groups rows
+    * by sorting on the partition key; with no frame orderBy there is
+    * no further ordering work) — the plan stacks Window/Window/Window
+    * directly on a single Sort+Exchange, pinned in PlanSpec. Then a
+    * 1-row global conditional count-distinct. A self-join formulation
+    * (events×events×events) would be cubic in per-user event count;
+    * this is linear. */
   def q58Funnel(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     events(spark, dir)

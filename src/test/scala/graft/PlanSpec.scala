@@ -72,6 +72,29 @@ class PlanSpec extends SparkSpec {
       s"token counting must combine map-side:\n$plan")
   }
 
+  test("q58: all three funnel windows share one shuffle and one sort") {
+    val df = graft.queries.EventsOps.q58Funnel(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // chained windows must NOT re-shuffle or re-sort between steps:
+    // in the plan TREE, the slice from the topmost Window down to its
+    // feeding hash exchange holds exactly one Sort and one Exchange
+    // (the final multi-column count-distinct above the windows owns
+    // its own exchanges — out of scope here)
+    val tree = plan.linesIterator
+      .takeWhile(l => !l.matches("""^\(\d+\).*""")).toSeq
+    val winIdx = tree.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, s"expected a window:\n$plan")
+    val slice = tree.drop(winIdx)
+      .takeWhile(!_.contains("Exchange hashpartitioning")) :+ "Exchange"
+    assert(slice.count(_.contains("Window")) == 3,
+      s"expected the 3 windows stacked:\n${slice.mkString("\n")}")
+    assert(slice.count(_.contains("Sort")) == 1,
+      s"three chained windows must share one sort:\n${slice.mkString("\n")}")
+    assert(slice.count(_.contains("Exchange")) == 1,
+      s"three chained windows must share one shuffle:\n${slice.mkString("\n")}")
+  }
+
   test("q37a: quantile window runs over the histogram, not the fact rows") {
     val df = graft.queries.Analytics.q37aSketchExact(spark, sfDir)
     df.collect()
