@@ -271,6 +271,39 @@ object Lake {
       .parquet(path)
   }
 
+  /** Read a parquet table whose files span SCHEMA VERSIONS (columns
+    * added over time): `mergeSchema` unions the per-file schemas and
+    * old files surface the new columns as null; `defaults` then fills
+    * chosen columns (`coalesce`) so downstream code sees one stable
+    * schema. Scale caveat — mergeSchema reads EVERY file footer (a
+    * distributed job, but still a full file-listing sweep per query):
+    * fine for occasional reads; for a hot 100 TB path use
+    * [[readEvolvedAs]] with the current schema instead. */
+  def readEvolved(spark: SparkSession, path: String,
+      defaults: Map[String, Any] = Map.empty): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    defaults.foldLeft(df) { case (d, (c, v)) =>
+      if (d.columns.contains(c)) d.withColumn(c, coalesce(col(c), lit(v)))
+      else d
+    }
+  }
+
+  /** The no-footer-sweep evolution read: project every file onto an
+    * EXPLICIT target schema (parquet fills columns a file lacks with
+    * null — per-file schema reconciliation is by name). This is the
+    * production path: the catalog owns the current schema, readers
+    * never pay a footer sweep, and a file from ANY older version
+    * remains readable. */
+  def readEvolvedAs(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      defaults: Map[String, Any] = Map.empty): DataFrame = {
+    val df = spark.read.schema(schema).parquet(path)
+    defaults.foldLeft(df) { case (d, (c, v)) =>
+      if (d.columns.contains(c)) d.withColumn(c, coalesce(col(c), lit(v)))
+      else d
+    }
+  }
+
   /** Bucketed catalog table for shuffle-free equi-joins on `keyCol`:
     * two tables bucketed the same way join with zero exchange. */
   def writeBucketed(df: DataFrame, keyCol: String, buckets: Int,

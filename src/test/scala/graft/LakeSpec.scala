@@ -281,6 +281,34 @@ class LakeSpec extends SparkSpec {
     assert(spark.read.parquet(edEmptyDir).count() == 0)
   }
 
+  test("schema-evolved tables read as one frame, old files null-filled") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    // v1 writer: (id, amount); later v2 writer adds a `source` column
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount")
+      .write.mode("append").parquet(dir)
+    Seq((3L, 30.0, "api")).toDF("id", "amount", "source")
+      .write.mode("append").parquet(dir)
+
+    val merged = Lake.readEvolved(spark, dir,
+      defaults = Map("source" -> "legacy"))
+    val got = merged.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(got == Map(1L -> ((10.0, "legacy")), 2L -> ((20.0, "legacy")),
+      3L -> ((30.0, "api"))))
+
+    // the explicit-schema path (no footer sweep) gives the same view
+    val explicit = Lake.readEvolvedAs(spark, dir,
+      merged.schema, defaults = Map("source" -> "legacy"))
+    assert(explicit.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap == got)
+    // and reading with the CURRENT schema keeps v1 files readable even
+    // if only v2's schema is known to the catalog
+    val v2Only = Lake.readEvolvedAs(spark, dir,
+      Seq((0L, 0.0, "")).toDF("id", "amount", "source").schema)
+    assert(v2Only.filter(col("source").isNull).count() == 2)
+  }
+
   test("custom functions are SQL-registered") {
     GraftSession.registerFunctions(spark)
     val row = spark.sql(
