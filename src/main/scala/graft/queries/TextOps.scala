@@ -76,6 +76,47 @@ object TextOps {
       .withColumn("quality_score", score)
   }
 
+  // --------------------------------------------------------------- q61
+  /** Adaptive per-language quality gate: keep documents at or above
+    * their language's own discrete median quality score — the
+    * per-language-threshold practice from published web-corpus
+    * pipelines (CCNet's per-language perplexity buckets, RefinedWeb's
+    * per-language filters): one global cutoff over-filters whichever
+    * languages score systematically lower, so each language is gated
+    * against its own distribution.
+    *
+    * Scale shape mirrors [[graft.queries.Analytics.q37aSketchExact]]:
+    * the threshold is computed on the (lang, score) HISTOGRAM — a
+    * partial-agg groupBy, then the cumulative window over the
+    * compressed value table — never a per-row rank window partitioned
+    * by lang (which would sort an entire language's rows on one task
+    * at 100 TB). The per-language thresholds frame (|langs| rows) then
+    * broadcasts back onto the scored corpus. Discrete (type-1) median:
+    * the value at 1-based sorted position `ceil(0.5*n)`, identical in
+    * both engines, no interpolation on doubles. */
+  def q61QualityGate(spark: SparkSession, dir: String): DataFrame =
+    qualityGate(docs(spark, dir))
+
+  /** The gate over any frame with (doc_id, lang, text) — split out so
+    * callers can gate arbitrary corpora, not just the sf table. */
+  def qualityGate(documents: DataFrame, p: Double = 0.5): DataFrame = {
+    val scored = withQuality(documents)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+    val hist = scored.groupBy(col("lang"), col("quality_score"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("lang")).orderBy(col("quality_score"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    val thresholds = hist.groupBy(col("lang"))
+      .agg(min(when(col("cum") >= ceil(col("n") * lit(p)),
+        col("quality_score"))).as("lang_median"))
+    scored.join(broadcast(thresholds), "lang")
+      .filter(col("quality_score") >= col("lang_median"))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("lang_median"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- q15
   /** Language-ID: stopword-hit heuristic across five wordlists, argmax
     * with a fixed tie order. (On this synthetic corpus most docs score
@@ -328,11 +369,55 @@ object TextOps {
       // a plain count IS the distinct overlap size — no countDistinct
       // shuffle needed
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_ngrams"))
+    flagOverlap(corpus, hits)
+  }
+
+  /** Shared tail of the decontamination variants: left-join the
+    * per-doc hit counts back onto the corpus ids and derive the flag. */
+  private def flagOverlap(corpus: DataFrame, hits: DataFrame): DataFrame =
     corpus.select("doc_id")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
         (coalesce(col("n_shared_ngrams"), lit(0L)) > 0).as("contaminated"))
+
+  // --------------------------------------------------------------- q60
+  /** [[q53Decontaminate]]'s exact flag set reproduced through the Bloom
+    * prefilter path — same semantics (and the same oracle SQL), a scale
+    * shape that survives the regime where q53's breaks. q53 broadcasts
+    * the eval grams as a full string hash table: at benchmark-suite
+    * scale (~10⁸ distinct grams) that table is GBs — past any broadcast
+    * budget. Here the corpus grams are first probed map-side, inside
+    * whole-stage codegen, against a broadcast [[BloomFilter]] (~120 MB
+    * at 10⁸ entries / 1% fpp); only the survivors — true hits plus
+    * ~fpp false positives — reach the exact verify join, which at that
+    * scale can drop the broadcast hint and shuffle-join the (now tiny)
+    * candidate set instead. Blooms have no false negatives, so the
+    * composition is bit-identical to q53. */
+  def q60BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    decontaminateBloom(d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0)).orderBy("doc_id")
+  }
+
+  /** Exact decontamination via Bloom prefilter + verify join (see
+    * [[q60BloomDecontam]] for the scale rationale). The eval side is
+    * tiny by definition (a benchmark suite vs a training corpus), so
+    * its three passes — count, filter build, verify join — cost less
+    * than the corpus-side probe volume they shrink. */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val grams = evalGrams(evalSet)
+    val n = math.max(grams.count(), 1L)
+    // df.stat.bloomFilter inserts UTF-8 bytes for string columns —
+    // BloomMightContain probes the same representation
+    val bc = spark.sparkContext.broadcast(grams.stat.bloomFilter("g", n, fpp))
+    val hits = gramsOf(corpus)
+      .filter(graft.functions.BloomProbe.mightContain(col("g"), bc))
+      .join(broadcast(grams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_ngrams"))
+    flagOverlap(corpus, hits)
   }
 
   // --------------------------------------------------------------- q54
@@ -496,6 +581,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_decontaminate" -> (q53Decontaminate _),
+    "q60_bloom_decontam" -> (q60BloomDecontam _),
     "q54_sample_mix"    -> (q54SampleMix _),
     "q55_source_cap"    -> ((s: SparkSession, d: String) => q55SourceCap(s, d)),
     "q56_chunk_dedup"   -> ((s: SparkSession, d: String) => q56ChunkDedup(s, d)),
@@ -507,16 +593,18 @@ object TextOps {
     "q33_prep_pipeline" -> (q33PrepPipeline _),
     "q13_token_count"   -> (q13TokenCount _),
     "q14_quality_score" -> (q14QualityScore _),
+    "q61_quality_gate"  -> (q61QualityGate _),
     "q15_lang_id"       -> (q15LangId _),
     "q16_fingerprint"   -> (q16Fingerprint _),
     "q17_exact_dedup"   -> (q17ExactDedup _))
 
-  val oracle: Map[String, String] = Map(
-    // q53: same guarded 3-gram construction as the q18 oracle; the
-    // eval set is the doc_id % 50 = 0 slice; per-doc gram lists are
-    // list_distinct so count(*) is the distinct overlap.
-    "q53_decontaminate" ->
-      """WITH w AS (
+  // q53: same guarded 3-gram construction as the q18 oracle; the
+  // eval set is the doc_id % 50 = 0 slice; per-doc gram lists are
+  // list_distinct so count(*) is the distinct overlap. Shared with
+  // q60, whose Bloom-prefiltered plan must produce the identical
+  // flag set (no false negatives + exact verify join).
+  private val decontamOracleSql =
+    """WITH w AS (
         | SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
         |g AS (
         | SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3 THEN
@@ -531,7 +619,11 @@ object TextOps {
         | COALESCE(h.n, 0) > 0 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
         |LEFT JOIN h ON h.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q53_decontaminate" -> decontamOracleSql,
+    "q60_bloom_decontam" -> decontamOracleSql,
     // q54: the md5-hex → uint32 → [0,1) key rebuilt digit-by-digit
     // (strpos over the lowercase hex alphabet, shift multipliers) —
     // exact integers, so the double division and the < compare are
@@ -715,6 +807,34 @@ object TextOps {
         | (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / CAST(len(w) AS DOUBLE))
         |   * (CAST(least(len(w), 100) AS DOUBLE) / 100.0) AS quality_score
         |FROM t ORDER BY doc_id""".stripMargin,
+    // q61: q14's exact score construction, then the q37a histogram
+    // shape — discrete median = MIN score whose cumulative count
+    // reaches 1-based position ceil(0.5*n), per language
+    "q61_quality_gate" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, string_split_regex(text, '\s+') AS w
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, lang,
+        |  (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / CAST(len(w) AS DOUBLE))
+        |    * (CAST(least(len(w), 100) AS DOUBLE) / 100.0) AS quality_score
+        | FROM t),
+        |hist AS (
+        | SELECT lang, quality_score, COUNT(*) AS c
+        | FROM s GROUP BY lang, quality_score),
+        |cum AS (
+        | SELECT lang, quality_score,
+        |  SUM(c) OVER (PARTITION BY lang ORDER BY quality_score) AS cum,
+        |  SUM(c) OVER (PARTITION BY lang) AS n
+        | FROM hist),
+        |th AS (
+        | SELECT lang, MIN(CASE WHEN cum >= ceil(n * 0.5)
+        |                       THEN quality_score END) AS lang_median
+        | FROM cum GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.quality_score, th.lang_median
+        |FROM s JOIN th ON s.lang = th.lang
+        |WHERE s.quality_score >= th.lang_median
+        |ORDER BY s.doc_id""".stripMargin,
     "q15_lang_id" ->
       """WITH t AS (
         | SELECT doc_id, lang, string_split_regex(text, '\s+') AS w FROM documents),

@@ -95,6 +95,22 @@ class PlanSpec extends SparkSpec {
       s"three chained windows must share one shuffle:\n${slice.mkString("\n")}")
   }
 
+  test("q60: bloom probe filters map-side, below the verify join") {
+    val df = graft.queries.TextOps.q60BloomDecontam(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toSeq
+    val probeIdx = lines.indexWhere(_.contains("bloom_might_contain"))
+    val joinIdx = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(probeIdx >= 0, s"expected the bloom probe in the plan:\n$plan")
+    assert(joinIdx >= 0, s"expected the verify broadcast join:\n$plan")
+    // children print below their parent: the probe filter must be a
+    // descendant of the verify join (prefilter BEFORE the join), not
+    // applied to its output
+    assert(probeIdx > joinIdx,
+      s"bloom probe must run below the verify join:\n$plan")
+  }
+
   test("q37a: quantile window runs over the histogram, not the fact rows") {
     val df = graft.queries.Analytics.q37aSketchExact(spark, sfDir)
     df.collect()

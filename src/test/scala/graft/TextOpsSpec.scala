@@ -131,6 +131,79 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4L) == (0L, false), "short docs have no grams")
   }
 
+  test("q60 bloom-prefiltered decontamination is bit-identical to q53") {
+    // the core claim: no false negatives in the prefilter + exact
+    // verify join ⇒ the composition equals the plain broadcast probe,
+    // row for row, over the full sf corpus
+    val exact = TextOps.q53Decontaminate(spark, SparkSpec.sfDir).collect()
+    val bloom = TextOps.q60BloomDecontam(spark, SparkSpec.sfDir).collect()
+    assert(exact.length == bloom.length)
+    assert(exact.sameElements(bloom), "bloom path diverged from exact path")
+  }
+
+  test("bloom probe: hits, null passthrough, aggressive fpp stays exact") {
+    import spark.implicits._
+    val evalSet = Seq((1000L, "what is the capital city of france exactly"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "quiz answer: what is the capital city of france exactly paris"),
+      (2L, "the capital city of spain is madrid"),
+      (3L, "france has a capital and a city"),
+      (4L, "tiny doc"))
+      .toDF("doc_id", "text")
+    // fpp 0.5 floods the prefilter with false positives — the verify
+    // join must eliminate every one (flags identical to the q53 test)
+    val out = TextOps.decontaminateBloom(corpus, evalSet, fpp = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L)._2 && out(1L)._1 >= 5)
+    assert(out(2L) == (2L, true))
+    assert(out(3L) == (0L, false))
+    assert(out(4L) == (0L, false))
+    // expression-level: null probes stay null (UnaryExpression default),
+    // and members are always might-contained (no false negatives)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(10, 0.01)
+    bf.putBinary("alpha beta gamma".getBytes("UTF-8"))
+    val bc = spark.sparkContext.broadcast(bf)
+    val probed = Seq(Some("alpha beta gamma"), None).toDF("g")
+      .select(graft.functions.BloomProbe.mightContain($"g", bc).as("hit"))
+      .collect()
+    assert(probed(0).getBoolean(0), "inserted member must probe true")
+    assert(probed(1).isNullAt(0), "null input must yield null, not false")
+  }
+
+  test("q61 keeps exactly the docs at/above their language's discrete median") {
+    // independent driver-side oracle over the 500-row sf corpus: sort
+    // each language's scores, take the value at 1-based position
+    // ceil(0.5*n), keep docs with score >= it
+    val scored = TextOps.q14QualityScore(spark, SparkSpec.sfDir)
+      .select("doc_id", "quality_score")
+      .join(Tables(spark, SparkSpec.sfDir, "documents")
+        .select("doc_id", "lang"), "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val medians = scored.groupBy(_._3).map { case (lang, rs) =>
+      val s = rs.map(_._2).sorted
+      lang -> s(math.ceil(0.5 * s.length).toInt - 1)
+    }
+    val expected = scored.collect {
+      case (id, sc, lang) if sc >= medians(lang) => id
+    }.toSet
+    val out = TextOps.q61QualityGate(spark, SparkSpec.sfDir).collect()
+    assert(out.map(_.getLong(0)).toSet == expected)
+    // reported threshold matches per row, and the gate held
+    out.foreach { r =>
+      assert(r.getDouble(3) == medians(r.getString(1)))
+      assert(r.getDouble(2) >= r.getDouble(3))
+    }
+    // sanity: a median gate keeps at least half of every language
+    val keptByLang = out.groupBy(_.getString(1)).view.mapValues(_.length)
+    scored.groupBy(_._3).foreach { case (lang, rs) =>
+      assert(keptByLang.getOrElse(lang, 0) * 2 >= rs.length,
+        s"$lang lost more than half its docs to its own median")
+    }
+  }
+
   test("q54 sampling is deterministic, rate-respecting, and language-weighted") {
     val a = TextOps.q54SampleMix(spark, SparkSpec.sfDir).collect()
     val b = TextOps.q54SampleMix(spark, SparkSpec.sfDir).collect()
