@@ -102,19 +102,29 @@ object TextOps {
   def qualityGate(documents: DataFrame, p: Double = 0.5): DataFrame = {
     val scored = withQuality(documents)
       .select(col("doc_id"), col("lang"), col("quality_score"))
+    scored.join(broadcast(qualityThresholds(documents, p)), "lang")
+      .filter(col("quality_score") >= col("lang_median"))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("lang_median"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q61's per-language threshold frame (lang, lang_median) on its own
+    * — the "train" half of the gate, reusable by the streaming ingest
+    * filter ([[graft.streaming.StreamingQuality.startAdaptive]]):
+    * thresholds are learned batch-side over a reference corpus, then
+    * applied stream-side per arriving row. */
+  def qualityThresholds(documents: DataFrame, p: Double = 0.5): DataFrame = {
+    val scored = withQuality(documents)
+      .select(col("lang"), col("quality_score"))
     val hist = scored.groupBy(col("lang"), col("quality_score"))
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(
         Window.partitionBy(col("lang")).orderBy(col("quality_score"))))
       .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
-    val thresholds = hist.groupBy(col("lang"))
+    hist.groupBy(col("lang"))
       .agg(min(when(col("cum") >= ceil(col("n") * lit(p)),
         col("quality_score"))).as("lang_median"))
-    scored.join(broadcast(thresholds), "lang")
-      .filter(col("quality_score") >= col("lang_median"))
-      .select(col("doc_id"), col("lang"), col("quality_score"),
-        col("lang_median"))
-      .orderBy(col("doc_id"))
   }
 
   // --------------------------------------------------------------- q15

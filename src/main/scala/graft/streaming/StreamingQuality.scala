@@ -36,15 +36,15 @@ object StreamingQuality {
   /** Route one scored micro-batch into the accepted/rejected sinks,
     * idempotently on `batchId` (see class doc). Package-visible seam
     * so the spec can prove redelivery of a batchId does not duplicate
-    * rows. */
+    * rows. `accepted` is the gate predicate; null evaluations (e.g. a
+    * null text's null score) route to rejected. */
   private[graft] def writeBatch(batch: DataFrame, batchId: Long,
-      outDir: String, minScore: Double): Unit = {
-    val accepted = col("quality_score") >= minScore
+      outDir: String, accepted: org.apache.spark.sql.Column): Unit = {
     val b = batch.drop("_ws").persist()
     b.filter(accepted)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/accepted/graft_batch_id=$batchId")
-    b.filter(!accepted || col("quality_score").isNull)
+    b.filter(!accepted || accepted.isNull)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/rejected/graft_batch_id=$batchId")
     b.unpersist()
@@ -67,7 +67,34 @@ object StreamingQuality {
     * `outDir/accepted`, the rest (including null scores — a null text
     * is junk by definition) in `outDir/rejected`. */
   def start(spark: SparkSession, inDir: String, outDir: String,
-      schema: StructType, minScore: Double = 0.25): StreamingQuery = {
+      schema: StructType, minScore: Double = 0.25): StreamingQuery =
+    startWith(spark, inDir, outDir, schema,
+      col("quality_score") >= minScore)
+
+  /** The adaptive variant: per-LANGUAGE thresholds learned batch-side
+    * (q61's train half, [[TextOps.qualityThresholds]]) applied at
+    * ingest — one global cutoff over-rejects whichever languages score
+    * systematically lower, exactly as in the batch gate. `thresholds`
+    * is a driver-side map (|languages| entries — bounded by the
+    * language inventory, not the corpus) embedded as a literal map
+    * column; languages absent from it fall back to `fallback`.
+    * Stream-side stays stateless: the thresholds are constants for the
+    * life of the query, so exactly-once replay determinism is
+    * unchanged (retrain ⇒ restart with a new map, never mutate one
+    * in-flight). */
+  def startAdaptive(spark: SparkSession, inDir: String, outDir: String,
+      schema: StructType, thresholds: Map[String, Double],
+      fallback: Double = 0.25): StreamingQuery = {
+    val thMap = map(thresholds.toSeq.flatMap {
+      case (l, t) => Seq(lit(l), lit(t)) }: _*)
+    startWith(spark, inDir, outDir, schema,
+      col("quality_score") >=
+        coalesce(element_at(thMap, col("lang")), lit(fallback)))
+  }
+
+  private def startWith(spark: SparkSession, inDir: String, outDir: String,
+      schema: StructType, accepted: org.apache.spark.sql.Column)
+      : StreamingQuery = {
     val raw = spark.readStream.schema(schema).parquet(inDir)
     val scored = TextOps.withQuality(raw)
 
@@ -76,7 +103,7 @@ object StreamingQuality {
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatch(batch, batchId, outDir, minScore)
+        writeBatch(batch, batchId, outDir, accepted)
       }
       .start()
   }

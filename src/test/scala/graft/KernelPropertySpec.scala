@@ -33,6 +33,31 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("bloom probe never false-negatives any inserted string") {
+    // the invariant q60's exactness rests on: every inserted member
+    // probes true through the codegen expression path, for arbitrary
+    // (incl. unicode and empty-ish) strings and tiny saturated filters
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(40)),
+      Gen.listOfN(5, Gen.oneOf("é", "漢", " ", "a", "\t")).map(_.mkString),
+      Gen.choose(0, 1000000).map(n => s"gram $n of corpus"))
+    val sets = samples(Gen.nonEmptyListOf(strGen).map(_.distinct), 30)
+    sets.zipWithIndex.foreach { case (members, i) =>
+      // deliberately undersized capacity: saturation raises fpp but
+      // must never produce a false negative
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(
+        math.max(members.length / 2, 1).toLong, 0.03)
+      members.foreach(m => bf.putBinary(m.getBytes("UTF-8")))
+      val bc = spark.sparkContext.broadcast(bf)
+      val missed = members.toDF("g")
+        .select(col("g"),
+          graft.functions.BloomProbe.mightContain(col("g"), bc).as("hit"))
+        .filter(!col("hit")).collect()
+      assert(missed.isEmpty,
+        s"set $i: false negatives ${missed.map(_.getString(0)).toSeq}")
+    }
+  }
+
   test("fixed-point cosine stays within quantization error of double cosine") {
     val dim = 8
     val vecGen = Gen.listOfN(dim, Gen.choose(-10.0, 10.0))

@@ -58,6 +58,40 @@ class StreamingQualitySpec extends SparkSpec {
       .head().getAs[Double]("quality_score") == 0.0)
   }
 
+  test("adaptive ingest gate ≡ batch q61 on per-language thresholds") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-squal-ad-in").toString + "/docs"
+    val out = Files.createTempDirectory("graft-squal-ad-out").toString
+
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .filter(col("doc_id") < 200)
+    docs.write.parquet(in)
+
+    // train half: q61's thresholds learned batch-side over the same
+    // corpus, collected to the driver-side map (|langs| rows, bounded)
+    val thresholds = TextOps.qualityThresholds(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(thresholds.size >= 2, "corpus slice should span languages")
+
+    val schema = spark.read.parquet(in).schema
+    val q = StreamingQuality.startAdaptive(
+      spark, in, out, schema, thresholds)
+    try q.awaitTermination(120000) finally q.stop()
+
+    // serve half ≡ the batch gate's kept set, doc for doc
+    val streamed = StreamingQuality.readSink(spark, s"$out/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = TextOps.qualityGate(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch,
+      s"adaptive stream diverged from batch gate: ${streamed.diff(batch)} / ${batch.diff(streamed)}")
+    // a language missing from the map falls back, not crashes
+    assert(StreamingQuality.readSink(spark, s"$out/accepted").count() +
+      StreamingQuality.readSink(spark, s"$out/rejected").count()
+      == docs.count())
+  }
+
   test("redelivering a batchId does not duplicate sink rows") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-squal-replay").toString
@@ -70,8 +104,10 @@ class StreamingQualitySpec extends SparkSpec {
     // crash-replay shape: foreachBatch re-invoked with the SAME
     // batchId and (deterministically reconstructed) same rows —
     // the overwrite-by-batchId write must absorb it, not append
-    StreamingQuality.writeBatch(scored, 7L, out, 0.25)
-    StreamingQuality.writeBatch(scored, 7L, out, 0.25)
+    StreamingQuality.writeBatch(scored, 7L, out,
+      col("quality_score") >= 0.25)
+    StreamingQuality.writeBatch(scored, 7L, out,
+      col("quality_score") >= 0.25)
 
     assert(StreamingQuality.readSink(spark, s"$out/accepted")
       .select("doc_id").as[Long].collect().toSeq == Seq(1L))
@@ -79,7 +115,8 @@ class StreamingQualitySpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq == Seq(2L))
 
     // a DIFFERENT batchId is new data and must land alongside
-    StreamingQuality.writeBatch(scored, 8L, out, 0.25)
+    StreamingQuality.writeBatch(scored, 8L, out,
+      col("quality_score") >= 0.25)
     assert(StreamingQuality.readSink(spark, s"$out/accepted").count() == 2L)
   }
 }
