@@ -182,7 +182,48 @@ object EventsOps {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  // --------------------------------------------------------------- q62
+  /** Per-type z-score outlier detection — the monitoring/data-quality
+    * operator over an event stream's value distribution: an event is
+    * an outlier when its value sits more than `k` sample standard
+    * deviations from its event type's mean.
+    *
+    * Cross-engine exactness reuses q50's recipe: the per-type moments
+    * accumulate as exact DECIMAL sums (order-independent under any
+    * partitioning — built-in `stddev` aggregates doubles in combine
+    * order and drifts in the last ulp), then mean/stddev/zscore derive
+    * in one fixed IEEE expression both engines evaluate identically.
+    *
+    * Scale shape: one partial+final aggregate pass over the events for
+    * the moments (|event types| rows out), broadcast back onto the
+    * stream — the event table itself never shuffles to be scored; the
+    * only full-width movement is the presentation sort. */
+  def q62Outliers(spark: SparkSession, dir: String, k: Double = 2.0)
+      : DataFrame = {
+    val v = col("value").cast(DecimalType(12, 2))
+    val m = events(spark, dir).groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(v).as("sv"),
+      sum(v * v).as("svv"))
+    val nD = col("n").cast(DoubleType)
+    def d(c: String) = col(c).cast(DoubleType)
+    val stats = m.select(
+      col("event_type"),
+      (d("sv") / nD).as("mean_value"),
+      sqrt((nD * d("svv") - d("sv") * d("sv")) / (nD * (nD - lit(1.0))))
+        .as("stddev_value"))
+    events(spark, dir).join(broadcast(stats), "event_type")
+      .filter(abs(col("value") - col("mean_value")) >
+        lit(k) * col("stddev_value"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("mean_value"), col("stddev_value"),
+        ((col("value") - col("mean_value")) / col("stddev_value"))
+          .as("zscore"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_outliers"         -> ((s: SparkSession, d: String) => q62Outliers(s, d)),
     "q26_json_extract"     -> (q26JsonExtract _),
     "q27_asof_join"        -> (q27AsofJoin _),
     "q28_coerce_clean"     -> (q28CoerceClean _),
@@ -192,6 +233,27 @@ object EventsOps {
     "q59_cohort"           -> (q59Cohort _))
 
   val oracle: Map[String, String] = Map(
+    // q62: q50's exactness recipe — decimal moment sums, then one
+    // fixed IEEE expression for mean/stddev/zscore in both engines
+    "q62_outliers" ->
+      """WITH m AS (
+        | SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(12,2))) AS sv,
+        |  SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS svv
+        | FROM events GROUP BY event_type),
+        |s AS (
+        | SELECT event_type,
+        |  CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+        |  sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+        |        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |    AS stddev_value
+        | FROM m)
+        |SELECT event_id, e.event_type, value, mean_value, stddev_value,
+        | (value - mean_value) / stddev_value AS zscore
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE abs(value - mean_value) > 2.0 * stddev_value
+        |ORDER BY event_id""".stripMargin,
     // q59: integer µs arithmetic only; `//` floors = Spark `div`
     // truncation because offsets are guaranteed non-negative here
     "q59_cohort" ->

@@ -30,6 +30,30 @@ class EventsOpsSpec extends SparkSpec {
     assert(row.getLong(2) == 1, s"full funnel (user 1 only): $row")
   }
 
+  test("q62 flags the planted extreme value and only it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-outlier").toString
+    val rows = (1L to 20L).map(i => (i, "click", 10.0)) :+ (99L, "click", 100.0)
+    // ts present because the Tables loader normalizes it (epoch-ns long)
+    rows.map { case (id, t, v) => (id, t, v, id * 1000000000L) }
+      .toDF("event_id", "event_type", "value", "ts")
+      .write.parquet(s"$dir/events.parquet")
+
+    val out = EventsOps.q62Outliers(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(99L),
+      s"only the planted extreme should flag: ${out.toSeq}")
+    val r = out.head
+    assert(r.getDouble(5) > 2.0, s"zscore must exceed the gate: $r")
+    // driver-side replay of the exact moment arithmetic
+    val vs = rows.map(_._3)
+    val n = vs.length.toDouble
+    val mean = vs.sum / n
+    val sd = math.sqrt((n * vs.map(v => v * v).sum - vs.sum * vs.sum)
+      / (n * (n - 1.0)))
+    assert(math.abs(r.getDouble(3) - mean) < 1e-12)
+    assert(math.abs(r.getDouble(4) - sd) < 1e-12)
+  }
+
   test("q59 cohort triangle assigns users to first-activity week") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cohort").toString
