@@ -575,9 +575,16 @@ object TextOps {
     * anyway; a global packing order across 100 TB would serialize on
     * one task for no modeling benefit. */
   def q57PackBins(spark: SparkSession, dir: String, budget: Int = 512)
-      : DataFrame = {
-    val d = withWords(docs(spark, dir))
-      .select(col("doc_id"), col("source"),
+      : DataFrame =
+    binAssign(docs(spark, dir), budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))
+      .orderBy("doc_id")
+
+  /** q57's bin assignment with the text kept alongside — shared by the
+    * bin listing (q57) and the sequence materialization (q63). */
+  private def binAssign(documents: DataFrame, budget: Int): DataFrame = {
+    val d = withWords(documents)
+      .select(col("doc_id"), col("source"), col("text"),
         size(words).cast("long").as("n_tokens"))
     val excl = coalesce(
       sum(col("n_tokens")).over(
@@ -585,9 +592,36 @@ object TextOps {
           .rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))
     d.withColumn("bin", floor(excl / lit(budget.toLong)))
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))
-      .orderBy("doc_id")
   }
+
+  // --------------------------------------------------------------- q63
+  /** Sequence materialization — the step after [[q57PackBins]]'s bin
+    * assignment: each (source, bin) becomes ONE packed training
+    * sequence, its documents joined in doc_id order with an `<eos>`
+    * separator (the concatenate-and-delimit shape LLM pretraining
+    * shards use). Determinism: `collect_list` carries no order
+    * guarantee across shuffles, so the list is collected as (doc_id,
+    * text) structs and `array_sort`ed before joining — doc_id is
+    * unique, so the sort is total and the output reproducible on any
+    * partitioning (the DuckDB mirror is `string_agg(... ORDER BY)`).
+    *
+    * Scale shape: one shuffle keyed (source, bin); each group's
+    * payload is bounded by the token budget (plus the one overflowing
+    * document), so per-group state is O(budget), never O(source) —
+    * the aggregate cannot skew however large a source is. */
+  def q63PackConcat(spark: SparkSession, dir: String, budget: Int = 512)
+      : DataFrame =
+    binAssign(docs(spark, dir), budget)
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")),
+          " <eos> ").as("packed_text"))
+      .orderBy(col("source"), col("bin"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_decontaminate" -> (q53Decontaminate _),
@@ -596,6 +630,7 @@ object TextOps {
     "q55_source_cap"    -> ((s: SparkSession, d: String) => q55SourceCap(s, d)),
     "q56_chunk_dedup"   -> ((s: SparkSession, d: String) => q56ChunkDedup(s, d)),
     "q57_pack_bins"     -> ((s: SparkSession, d: String) => q57PackBins(s, d)),
+    "q63_pack_concat"   -> ((s: SparkSession, d: String) => q63PackConcat(s, d)),
     "q48_vocab"         -> ((s: SparkSession, d: String) => q48Vocab(s, d)),
     "q46_pii_scrub"     -> (q46PiiScrub _),
     "q47_boilerplate"   -> ((s: SparkSession, d: String) => q47BoilerplateStrip(s, d)),
@@ -666,6 +701,27 @@ object TextOps {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      // 512 AS BIGINT) AS bin
         |FROM t ORDER BY doc_id""".stripMargin,
+    // q63: q57's bin assignment, then ordered string_agg — DuckDB's
+    // ORDER BY inside the aggregate mirrors Spark's array_sort over
+    // (doc_id, text) structs (doc_id unique ⇒ total order both sides)
+    "q63_pack_concat" ->
+      """WITH t AS (
+        | SELECT doc_id, source, text,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, source, text, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |         ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |       // 512 AS BIGINT) AS bin
+        | FROM t)
+        |SELECT source, bin,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        | string_agg(text, ' <eos> ' ORDER BY doc_id) AS packed_text
+        |FROM b GROUP BY source, bin
+        |ORDER BY source, bin""".stripMargin,
     // q56: same fixed-10-word chunking both sides (list slices clamp
     // identically); the oracle picks first occurrences with a rank
     // window — same RESULT as Spark's min(struct) aggregate — and

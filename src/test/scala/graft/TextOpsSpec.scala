@@ -204,6 +204,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q63 packs bins into ordered <eos>-joined sequences") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q63").toString
+    Seq(
+      (1L, "A", "a b c"), (2L, "A", "d e f"), (3L, "A", "g h i"),
+      (4L, "B", "x y"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .write.parquet(s"$dir/documents.parquet")
+    // budget 6: source A exclusive cumsums 0,3,6 → bins 0,0,1
+    val out = TextOps.q63PackConcat(spark, dir, budget = 6).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(("A", 0L)) == (2L, 6L, "a b c <eos> d e f"),
+      s"bin A/0 mispacked: ${out(("A", 0L))}")
+    assert(out(("A", 1L)) == (1L, 3L, "g h i"))
+    assert(out(("B", 0L)) == (1L, 2L, "x y"))
+    assert(out.size == 3)
+  }
+
   test("q54 sampling is deterministic, rate-respecting, and language-weighted") {
     val a = TextOps.q54SampleMix(spark, SparkSpec.sfDir).collect()
     val b = TextOps.q54SampleMix(spark, SparkSpec.sfDir).collect()
