@@ -171,11 +171,16 @@ class SinksSpec extends SparkSpec {
   }
 
   test("jdbcUpsert end-to-end against embedded Derby: insert, update, re-run") {
-    // unique per instantiation: a leftover `memory:` db from any
-    // earlier run of this suite in the same JVM would make CREATE
-    // TABLE fail spuriously
-    val url =
-      s"jdbc:derby:memory:graftsink${System.nanoTime()};create=true"
+    // file-backed, unique temp dir — NOT `memory:`: an in-memory db
+    // once silently lost one partition's committed transaction under
+    // full-suite parallel load (no SQLException anywhere in the run's
+    // log, unreproducible in isolation). A disk db makes commits
+    // durable, and if the executor threads ever boot a second Derby
+    // engine instance, the `db.lck` double-boot guard fails LOUDLY
+    // instead of letting two memory namespaces diverge silently.
+    val url = "jdbc:derby:" +
+      java.nio.file.Files.createTempDirectory("graft-derby").toString +
+      "/sinkdb;create=true"
     val props = new java.util.Properties
     val conn = java.sql.DriverManager.getConnection(url, props)
     conn.createStatement().execute(
