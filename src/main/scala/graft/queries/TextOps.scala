@@ -227,12 +227,16 @@ object TextOps {
     * until the final sort. The <2-token guard mirrors the shingler's
     * ANSI trap ([[graft.queries.Dedup]]): `sequence(0, size-2)` counts
     * DOWN for 1-token docs and the negative index throws. */
+  /** Word-bigram array over `_ws`, <2-token-guarded (shared by q43's
+    * metrics and q65's gate). */
+  private def bigramsExpr = expr(
+    """CASE WHEN size(_ws) >= 2 THEN
+      |  transform(sequence(0, size(_ws) - 2),
+      |    i -> concat_ws(' ', _ws[i], _ws[i+1]))
+      |ELSE array() END""".stripMargin)
+
   def q43Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = expr(
-      """CASE WHEN size(_ws) >= 2 THEN
-        |  transform(sequence(0, size(_ws) - 2),
-        |    i -> concat_ws(' ', _ws[i], _ws[i+1]))
-        |ELSE array() END""".stripMargin)
+    val bigrams = bigramsExpr
     val nTok = size(words)
     val nDistTok = size(array_distinct(words))
     val nBg = size(col("_bg"))
@@ -248,6 +252,50 @@ object TextOps {
         nDistBg.as("n_distinct_bigrams"),
         when(nBg > 0, (nBg - nDistBg).cast("double") / nBg.cast("double"))
           .as("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- q65
+  /** Gopher-style document gate (Rae et al. 2021 §A1.1 published the
+    * rule FAMILY; thresholds here are this engine's): a document
+    * passes when its token count is in [50, 100000], its mean word
+    * length is in [3, 10], ≥80% of its tokens contain an alphabetic
+    * character, and its duplicate-bigram fraction is ≤ 0.2. Reported
+    * as metrics + verdict for every document (the audit view a corpus
+    * pipeline wants), not pre-filtered — composing with q61's adaptive
+    * gate or a plain `.filter(col("pass"))` downstream.
+    *
+    * All metrics are integer ratios evaluated in one fixed IEEE
+    * expression both engines share; rules are null-safe (an empty doc
+    * fails closed rather than passing as null). Array-native per-row
+    * arithmetic — one split, no explode, no shuffle before the
+    * presentation sort. */
+  def q65GopherGate(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(words)
+    val sumLen = aggregate(transform(words, w => length(w)),
+      lit(0), (a, x) => a + x)
+    val nAlphaTok = size(filter(words, w => w.rlike("[a-zA-Z]")))
+    val nBg = size(col("_bg"))
+    val nDistBg = size(array_distinct(col("_bg")))
+    val meanWordLen =
+      when(nTok > 0, sumLen.cast("double") / nTok.cast("double"))
+    val alphaFrac =
+      when(nTok > 0, nAlphaTok.cast("double") / nTok.cast("double"))
+    val dupBigram =
+      when(nBg > 0, (nBg - nDistBg).cast("double") / nBg.cast("double"))
+    val pass =
+      coalesce(nTok.between(50, 100000), lit(false)) &&
+      coalesce(meanWordLen.between(3.0, 10.0), lit(false)) &&
+      coalesce(alphaFrac >= 0.8, lit(false)) &&
+      coalesce(dupBigram <= 0.2, lit(false))
+    withWords(docs(spark, dir)).withColumn("_bg", bigramsExpr)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        meanWordLen.as("mean_word_len"),
+        alphaFrac.as("alpha_frac"),
+        dupBigram.as("dup_bigram_ratio"),
+        pass.as("pass"))
       .orderBy(col("doc_id"))
   }
 
@@ -428,6 +476,50 @@ object TextOps {
       .join(broadcast(grams), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_ngrams"))
     flagOverlap(corpus, hits)
+  }
+
+  // --------------------------------------------------------------- q64
+  /** Contamination ATTRIBUTION — the investigation step after q53's
+    * flagging: for every contaminated corpus document, WHICH eval
+    * document leaked into it (the eval doc sharing the most distinct
+    * 3-grams; ties break to the lowest eval id). A decontamination
+    * run that deletes training docs wants this evidence trail — both
+    * to audit the filter and to find eval items that over-trigger.
+    *
+    * Scale shape: per-(corpus, eval) overlap counts come off the same
+    * broadcast gram probe as q53 (one corpus-side shuffle, on the
+    * (doc_id, eval_id) pair); the argmax is TWO hash aggregates and a
+    * self-join all keyed on doc_id — the exchange is reused across
+    * them, and there is no rank window (a window partitioned by
+    * doc_id would sort; `max_by` has an unspecified tie-break; a
+    * max(struct) plans as SortAggregate — structs aren't
+    * hash-aggregable). */
+  def q64ContamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    contamAttribution(d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0))
+  }
+
+  /** Attribution over any (corpus, evalSet) pair — both need
+    * (doc_id, text); see [[q64ContamAttribution]]. */
+  def contamAttribution(corpus: DataFrame, evalSet: DataFrame): DataFrame = {
+    val evGrams = gramsOf(evalSet)
+      .select(col("doc_id").as("eval_id"), col("g")).distinct()
+    val hits = gramsOf(corpus)
+      .join(broadcast(evGrams), "g")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n"))
+    // renamed join key: best derives from hits, and a self-join on the
+    // shared lineage trips Spark's ambiguity detection
+    val best = hits.groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_shared"))
+      .withColumnRenamed("doc_id", "_best_doc")
+    hits.join(best,
+        col("doc_id") === col("_best_doc") && col("n") === col("n_shared"))
+      .groupBy(col("doc_id"), col("n_shared"))
+      .agg(min(col("eval_id")).as("top_eval_id"))
+      .select(col("doc_id"), col("top_eval_id"), col("n_shared"))
+      .orderBy("doc_id")
   }
 
   // --------------------------------------------------------------- q54
@@ -626,6 +718,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_decontaminate" -> (q53Decontaminate _),
     "q60_bloom_decontam" -> (q60BloomDecontam _),
+    "q64_contam_attr"   -> (q64ContamAttribution _),
     "q54_sample_mix"    -> (q54SampleMix _),
     "q55_source_cap"    -> ((s: SparkSession, d: String) => q55SourceCap(s, d)),
     "q56_chunk_dedup"   -> ((s: SparkSession, d: String) => q56ChunkDedup(s, d)),
@@ -635,6 +728,7 @@ object TextOps {
     "q46_pii_scrub"     -> (q46PiiScrub _),
     "q47_boilerplate"   -> ((s: SparkSession, d: String) => q47BoilerplateStrip(s, d)),
     "q43_repetition"    -> (q43Repetition _),
+    "q65_gopher_gate"   -> (q65GopherGate _),
     "q33_prep_pipeline" -> (q33PrepPipeline _),
     "q13_token_count"   -> (q13TokenCount _),
     "q14_quality_score" -> (q14QualityScore _),
@@ -669,6 +763,29 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "q53_decontaminate" -> decontamOracleSql,
     "q60_bloom_decontam" -> decontamOracleSql,
+    // q64: same gram construction; the argmax is rebuilt as
+    // max-then-min-tie-break — identical RESULT to the Spark
+    // double-aggregate shape (q56 precedent: oracle may use a
+    // different formulation of the same deterministic pick)
+    "q64_contam_attr" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |g AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3 THEN
+        |   list_transform(range(1, len(ws) - 1),
+        |     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |  ELSE [] END) AS gs FROM w),
+        |ev AS (SELECT DISTINCT doc_id AS eval_id, unnest(gs) AS g
+        |       FROM g WHERE doc_id % 50 = 0),
+        |cg AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 50 <> 0),
+        |hits AS (
+        | SELECT cg.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS n
+        | FROM cg JOIN ev ON cg.g = ev.g GROUP BY cg.doc_id, ev.eval_id),
+        |m AS (SELECT doc_id, MAX(n) AS n_shared FROM hits GROUP BY doc_id)
+        |SELECT h.doc_id, MIN(h.eval_id) AS top_eval_id, m.n_shared
+        |FROM hits h JOIN m ON h.doc_id = m.doc_id AND h.n = m.n_shared
+        |GROUP BY h.doc_id, m.n_shared
+        |ORDER BY h.doc_id""".stripMargin,
     // q54: the md5-hex → uint32 → [0,1) key rebuilt digit-by-digit
     // (strpos over the lowercase hex alphabet, shift multipliers) —
     // exact integers, so the double division and the < compare are
@@ -838,6 +955,37 @@ object TextOps {
         |   CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) END
         |  AS dup_bigram_ratio
         |FROM b ORDER BY doc_id""".stripMargin,
+    // q65: q43's bigram construction + integer-ratio metrics; rules
+    // are COALESCE(..., false) so empty docs fail closed identically
+    "q65_gopher_gate" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |m AS (
+        | SELECT doc_id,
+        |  CAST(len(ws) AS INT) AS n_tokens,
+        |  CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS sum_len,
+        |  len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+        |  CASE WHEN len(ws) >= 2 THEN
+        |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |  ELSE [] END AS bg
+        | FROM w),
+        |r AS (
+        | SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    CAST(sum_len AS DOUBLE) / n_tokens END AS mean_word_len,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    CAST(n_alpha AS DOUBLE) / n_tokens END AS alpha_frac,
+        |  CASE WHEN len(bg) > 0 THEN
+        |    CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) END
+        |   AS dup_bigram_ratio
+        | FROM m)
+        |SELECT doc_id, n_tokens, mean_word_len, alpha_frac,
+        | dup_bigram_ratio,
+        | (COALESCE(n_tokens BETWEEN 50 AND 100000, false)
+        |  AND COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, false)
+        |  AND COALESCE(alpha_frac >= 0.8, false)
+        |  AND COALESCE(dup_bigram_ratio <= 0.2, false)) AS pass
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q33_prep_pipeline" ->
       """WITH survivors AS (
         | SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

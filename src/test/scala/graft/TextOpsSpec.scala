@@ -131,6 +131,31 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4L) == (0L, false), "short docs have no grams")
   }
 
+  test("q64 attributes each leak to its strongest eval doc; ties take lowest id") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (1000L, "what is the capital city of france exactly"),
+      (1050L, "the capital city of spain is lovely"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares 6 grams with 1000, only 2 with 1050 → attributed to 1000
+      (1L, "quiz answer: what is the capital city of france exactly paris"),
+      // shares 4 grams with 1050 ("the capital city", "capital city of",
+      // "city of spain", "of spain is"), 2 with 1000 → attributed to 1050
+      (2L, "the capital city of spain is madrid"),
+      // exactly ONE shared gram with EACH eval doc → tie → lowest id
+      (3L, "zz qq the capital city yy ww"),
+      // clean → absent from the attribution output entirely
+      (4L, "france spain capitals compared"))
+      .toDF("doc_id", "text")
+    val out = TextOps.contamAttribution(corpus, evalSet).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == 1000L && out(1L)._2 >= 6, s"doc 1: ${out.get(1L)}")
+    assert(out(2L) == (1050L, 4L), s"doc 2: ${out.get(2L)}")
+    assert(out(3L) == (1000L, 1L), s"tie must break to lowest id: ${out.get(3L)}")
+    assert(!out.contains(4L), "clean docs must not be attributed")
+  }
+
   test("q60 bloom-prefiltered decontamination is bit-identical to q53") {
     // the core claim: no false negatives in the prefilter + exact
     // verify join ⇒ the composition equals the plain broadcast probe,
@@ -222,6 +247,28 @@ class TextOpsSpec extends SparkSpec {
     assert(out(("A", 1L)) == (1L, 3L, "g h i"))
     assert(out(("B", 0L)) == (1L, 2L, "x y"))
     assert(out.size == 3)
+  }
+
+  test("q65 gate: each rule fails exactly its planted violator") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q65").toString
+    Seq(
+      // passes every rule: 60 distinct medium words
+      (1L, (1 to 60).map(i => s"word$i").mkString(" ")),
+      // fails ONLY length: 3 tokens
+      (2L, "good words here"),
+      // fails ONLY alpha: 60 distinct numeric tokens (mean len in range)
+      (3L, (100 to 159).map(_.toString).mkString(" ")),
+      // fails ONLY dup-bigram: two tokens alternating 30 times
+      (4L, Seq.fill(30)("alpha beta").mkString(" ")),
+      // fails ONLY word length: 60 distinct very long words
+      (5L, (1 to 60).map(i => s"extraordinarilylongword$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextOps.q65GopherGate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false))
   }
 
   test("q54 sampling is deterministic, rate-respecting, and language-weighted") {
