@@ -246,6 +246,21 @@ object VectorOps {
       }
       c += 1
     }
+    // degenerate input (zero-norm vector ⇒ every sim is NaN): neither
+    // branch above ever fires. Fall back to the HIGHEST label — the
+    // same direction as the tie-break — with sim NaN, instead of
+    // leaking the (-Infinity, Long.MinValue) loop sentinel as a
+    // phantom cell. Unreachable for real corpora (zero embeddings
+    // carry no signal and should be filtered upstream), but the
+    // kernel must stay deterministic on any input.
+    if (bestLabel == Long.MinValue && cents.labels.nonEmpty) {
+      var c2 = 0
+      while (c2 < cents.labels.length) {
+        if (cents.labels(c2) > bestLabel) bestLabel = cents.labels(c2)
+        c2 += 1
+      }
+      bestSim = Double.NaN
+    }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bestSim, bestLabel))
   }

@@ -634,10 +634,14 @@ object TextOps {
 
   /** First occurrence per chunk value — minimum (doc_id, idx), the
     * pair packed into one long so the min stays a HashAggregate (see
-    * [[q56ChunkDedup]] scaladoc). */
+    * [[q56ChunkDedup]] scaladoc). The explicit long cast matters:
+    * streaming callers supply their own schema, and an IntegerType
+    * doc_id would otherwise shift in 32-bit arithmetic — wrapping
+    * negative from doc_id 2048 up and silently corrupting the
+    * winners. */
   def firstOccurrence(chunked: DataFrame): DataFrame =
     chunked.groupBy(col("chunk"))
-      .agg(min(shiftleft(col("doc_id"), 20)
+      .agg(min(shiftleft(col("doc_id").cast("long"), 20)
         .bitwiseOR(col("idx").cast("long"))).as("keep"))
       .select(shiftright(col("keep"), 20).as("doc_id"),
         col("keep").bitwiseAND(lit((1L << 20) - 1)).cast("int").as("idx"),

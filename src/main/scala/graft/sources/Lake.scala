@@ -280,13 +280,19 @@ object Lake {
     * fine for occasional reads; for a hot 100 TB path use
     * [[readEvolvedAs]] with the current schema instead. */
   def readEvolved(spark: SparkSession, path: String,
-      defaults: Map[String, Any] = Map.empty): DataFrame = {
-    val df = spark.read.option("mergeSchema", "true").parquet(path)
+      defaults: Map[String, Any] = Map.empty): DataFrame =
+    applyDefaults(
+      spark.read.option("mergeSchema", "true").parquet(path), defaults)
+
+  /** Null-fill chosen columns with their evolution defaults — the
+    * shared tail of both evolution reads (one definition so the
+    * contains-guard and lit coercion can't drift apart). */
+  private def applyDefaults(df: DataFrame,
+      defaults: Map[String, Any]): DataFrame =
     defaults.foldLeft(df) { case (d, (c, v)) =>
       if (d.columns.contains(c)) d.withColumn(c, coalesce(col(c), lit(v)))
       else d
     }
-  }
 
   /** The no-footer-sweep evolution read: project every file onto an
     * EXPLICIT target schema (parquet fills columns a file lacks with
@@ -296,13 +302,8 @@ object Lake {
     * remains readable. */
   def readEvolvedAs(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType,
-      defaults: Map[String, Any] = Map.empty): DataFrame = {
-    val df = spark.read.schema(schema).parquet(path)
-    defaults.foldLeft(df) { case (d, (c, v)) =>
-      if (d.columns.contains(c)) d.withColumn(c, coalesce(col(c), lit(v)))
-      else d
-    }
-  }
+      defaults: Map[String, Any] = Map.empty): DataFrame =
+    applyDefaults(spark.read.schema(schema).parquet(path), defaults)
 
   /** Bucketed catalog table for shuffle-free equi-joins on `keyCol`:
     * two tables bucketed the same way join with zero exchange. */

@@ -106,16 +106,34 @@ object StreamingChunkDedup {
     * WOULD break it (its chunks would become visible to its own
     * replay); `keepLast` must cover the frontier, and the default of
     * 2 does for AvailableNow/once-per-trigger streams. The fold
-    * itself is crash-safe: the staging-promote of the compacted
-    * partition happens BEFORE the old dirs are deleted, so a crash
-    * between the two leaves duplicate hashes (harmless for an
-    * anti-join probe), never missing ones. */
+    * itself is crash-safe: the source dirs stay on disk until the new
+    * compacted partition is live (a checked backup-swap, not
+    * delete-then-rename), so a crash at any step leaves every hash
+    * recoverable — the entry recovery below finishes an interrupted
+    * swap, and at worst duplicate hashes remain (harmless for an
+    * anti-join probe), never missing ones. Run between triggers, not
+    * concurrently with a batch write — mid-swap the compacted
+    * partition is briefly absent from discovery. */
   def compactLedger(spark: SparkSession, outDir: String,
       keepLast: Int = 2): Unit = {
     val ledgerDir = s"$outDir/ledger"
     val root = new Path(ledgerDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
+    val target = new Path(root, s"graft_batch_id=$CompactedBatch")
+    // underscore names: partition discovery ignores them, where a
+    // `graft_batch_id=-1.swapbackup` dir (Lake's naming) would poison
+    // the ledger's partition-column inference
+    val staging = new Path(root, "_compact_staging")
+    val backup = new Path(root, "_compact_backup")
+    // recovery from a prior crash between the two swap renames: the
+    // backup IS the compacted partition (and the foldable sources it
+    // merged are still on disk — they are only deleted after promote)
+    if (!fs.exists(target) && fs.exists(backup) &&
+        !fs.rename(backup, target))
+      sys.error(s"compact: could not restore $backup to $target")
+    fs.delete(backup, true)  // stale from a completed prior swap
+    fs.delete(staging, true) // stale from a crashed prior write
     val parts = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("graft_batch_id="))
@@ -127,14 +145,18 @@ object StreamingChunkDedup {
       .map(b => new Path(root, s"graft_batch_id=$b"))
       .filter(fs.exists(_)).map(_.toString)
     val merged = spark.read.parquet(srcDirs: _*).select(col("h")).distinct()
-    // write-then-swap: stage beside the live partition, promote, then
-    // drop the folded sources — never a window with hashes missing
-    val staging = new Path(root, s"_staging_compact")
-    fs.delete(staging, true)
     merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val target = new Path(root, s"graft_batch_id=$CompactedBatch")
-    fs.delete(target, true)
-    fs.rename(staging, target)
+    // checked backup-swap (Lake.promoteStaging's discipline): staging
+    // holds old-compacted ∪ foldable, so whichever rename a crash
+    // interrupts, every hash still exists in target, backup+sources,
+    // or staging+sources — and recovery above restores discovery
+    if (fs.exists(target) && !fs.rename(target, backup))
+      sys.error(s"compact: could not move $target aside to $backup")
+    if (!fs.rename(staging, target)) {
+      if (fs.exists(backup)) fs.rename(backup, target)
+      sys.error(s"compact: could not promote $staging to $target")
+    }
+    fs.delete(backup, true)
     foldable.foreach(b =>
       fs.delete(new Path(root, s"graft_batch_id=$b"), true))
   }

@@ -64,7 +64,7 @@ object StreamingDecontam {
     val evalGrams = TextOps.evalGrams(evalSet).persist()
     evalGrams.count()
 
-    spark.readStream.schema(schema).parquet(inDir)
+    val query = spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$outDir/_checkpoint")
@@ -73,5 +73,22 @@ object StreamingDecontam {
         writeBatch(batch, batchId, evalGrams, outDir)
       }
       .start()
+    // release the probe cache when THIS query ends (stop or natural
+    // AvailableNow termination) — successive retrain/restart runs in
+    // one session would otherwise each leak a cached gram table into
+    // executor storage until the session dies
+    val qid = query.id
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == qid) {
+            evalGrams.unpersist()
+            spark.streams.removeListener(this)
+          }
+      })
+    query
   }
 }

@@ -55,12 +55,12 @@ object StreamingQuality {
     * per-batch idempotency directories (partition discovery surfaces
     * them as a `graft_batch_id` column; drop it — it's plumbing, not
     * data, and the prefixed name can't collide with a document
-    * column). Also drops the legacy `batch` partition column so sinks
-    * written before the rename still read — note a SINGLE sink dir
-    * mixing both layouts fails Spark's partition discovery (conflicting
-    * partition column names); rewrite such a sink under one layout. */
+    * column). Deliberately does NOT also drop the pre-rename `batch`
+    * partition name: no sink with that layout exists (the rename
+    * landed pre-release), and a blanket drop would silently delete a
+    * genuine document column that happens to be called `batch`. */
   def readSink(spark: SparkSession, sinkDir: String): DataFrame =
-    spark.read.parquet(sinkDir).drop("graft_batch_id", "batch")
+    spark.read.parquet(sinkDir).drop("graft_batch_id")
 
   /** Start the quality-gated ingest over a directory of parquet
     * document files. Rows with `quality_score >= minScore` land in

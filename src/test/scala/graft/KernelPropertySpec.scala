@@ -84,6 +84,28 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("argmax on a zero-norm vector yields highest label + NaN, not sentinels") {
+    import spark.implicits._
+    // a legal all-zero embedding makes every cosine NaN (0/0): the
+    // kernel must fall back to the highest label (the tie-break
+    // direction) instead of leaking its (-Inf, Long.MinValue) loop
+    // sentinel as a phantom cell
+    val cb = CentroidCodebook(
+      Array(0L, 7L, 3L),
+      Array(Array(1000000L, 0L), Array(0L, 1000000L),
+        Array(700000L, 700000L)),
+      Array(1.0, 1.0, 0.99))
+    val out = Seq((1L, Seq(0f, 0f)), (2L, Seq(1f, 0f))).toDF("id", "v")
+      .withColumn("q6", vector_quantize(col("v")))
+      .withColumn("nrm", normQ(dot_long(col("q6"), col("q6"))))
+      .select(col("id"), argmax_cosine(col("q6"), col("nrm"), cb).as("best"))
+      .select(col("id"), col("best.c_label"), col("best.sim")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 7L, s"zero vector must take the highest label: $out")
+    assert(out(1L)._2.isNaN, "zero vector's sim must be NaN, not -Infinity")
+    assert(out(2L)._1 == 0L, "a normal vector still picks its true argmax")
+  }
+
   test("argmax expression agrees with the crossJoin+max(struct) formulation") {
     val dim = 8
     val vecGen = Gen.listOfN(dim, Gen.choose(-5.0, 5.0))

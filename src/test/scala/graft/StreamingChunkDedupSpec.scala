@@ -93,6 +93,44 @@ class StreamingChunkDedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap.apply(6L) == 0)
   }
 
+  test("compaction recovers a crash between the two swap renames") {
+    val out = Files.createTempDirectory("graft-sdedup-crash").toString
+    StreamingChunkDedup.writeBatch(spark, mk(Seq((1L, uniq("a")))), 0L, out)
+    StreamingChunkDedup.writeBatch(spark, mk(Seq((2L, uniq("b")))), 1L, out)
+    StreamingChunkDedup.writeBatch(spark, mk(Seq((3L, uniq("c")))), 2L, out)
+    StreamingChunkDedup.writeBatch(spark, mk(Seq((4L, uniq("d")))), 3L, out)
+    StreamingChunkDedup.compactLedger(spark, out, keepLast = 2)
+    // simulate the worst crash window of the NEXT compaction: the
+    // compacted partition was moved aside to the backup but the new
+    // staging never promoted — the ledger root has NO compacted dir
+    val ledger = new java.io.File(s"$out/ledger")
+    assert(new java.io.File(ledger, "graft_batch_id=-1")
+      .renameTo(new java.io.File(ledger, "_compact_backup")))
+    // recovery on the next compaction restores it before folding
+    StreamingChunkDedup.compactLedger(spark, out, keepLast = 2)
+    assert(new java.io.File(ledger, "graft_batch_id=-1").isDirectory)
+    assert(!new java.io.File(ledger, "_compact_backup").exists)
+    // the folded batch-0 chunk (only copy lived in the compacted
+    // partition) must still suppress new arrivals — nothing was lost
+    StreamingChunkDedup.writeBatch(spark, mk(Seq((9L, uniq("a")))), 4L, out)
+    assert(StreamingChunkDedup.readSink(spark, out).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap.apply(9L) == 0,
+      "hashes must survive a mid-swap crash")
+  }
+
+  test("firstOccurrence packs integer doc_ids beyond 2048 without overflow") {
+    import spark.implicits._
+    // IntegerType doc_id (a user-supplied streaming schema shape):
+    // 5000 << 20 wraps negative in 32-bit arithmetic — the kernel must
+    // widen before shifting
+    val chunked = Seq((5000, 0, "aa bb"), (6000, 0, "aa bb"))
+      .toDF("doc_id", "idx", "chunk")
+    val kept = graft.queries.TextOps.firstOccurrence(chunked).collect()
+    assert(kept.length == 1)
+    assert(kept.head.getLong(0) == 5000L,
+      s"int doc_id must widen before the shift: ${kept.toSeq}")
+  }
+
   test("end-to-end stream run dedups a directory of document files") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-sdedup-in").toString + "/docs"
