@@ -488,12 +488,16 @@ object TextOps {
     *
     * Scale shape: per-(corpus, eval) overlap counts come off the same
     * broadcast gram probe as q53 (one corpus-side shuffle, on the
-    * (doc_id, eval_id) pair); the argmax is TWO hash aggregates and a
-    * self-join all keyed on doc_id — the exchange is reused across
-    * them, and there is no rank window (a window partitioned by
-    * doc_id would sort; `max_by` has an unspecified tie-break; a
-    * max(struct) plans as SortAggregate — structs aren't
-    * hash-aggregable). */
+    * (doc_id, eval_id) pair); the argmax is a rank window partitioned
+    * by doc_id — a HIGH-cardinality key, so groups are tiny (≤ |eval
+    * docs| rows) and the sort is per-group noise, unlike the
+    * low-cardinality windows this repo rewrites into histogram form.
+    * The window is chosen over the alternatives deliberately: a
+    * max-then-tie-break self-join RECOMPUTES the whole probe subtree
+    * on both join sides (4 exchanges + SortMergeJoin — measured in
+    * the plan); `max_by` has an unspecified tie-break; `max(struct)`
+    * plans as SortAggregate; and the (n, eval_id) pair can't pack
+    * into one long because eval ids are unbounded. */
   def q64ContamAttribution(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     contamAttribution(d.filter(col("doc_id") % 50 =!= 0),
@@ -509,16 +513,13 @@ object TextOps {
       .join(broadcast(evGrams), "g")
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("n"))
-    // renamed join key: best derives from hits, and a self-join on the
-    // shared lineage trips Spark's ambiguity detection
-    val best = hits.groupBy(col("doc_id"))
-      .agg(max(col("n")).as("n_shared"))
-      .withColumnRenamed("doc_id", "_best_doc")
-    hits.join(best,
-        col("doc_id") === col("_best_doc") && col("n") === col("n_shared"))
-      .groupBy(col("doc_id"), col("n_shared"))
-      .agg(min(col("eval_id")).as("top_eval_id"))
-      .select(col("doc_id"), col("top_eval_id"), col("n_shared"))
+    hits
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("n").desc, col("eval_id").asc)))
+      .filter(col("_r") === 1)
+      .select(col("doc_id"), col("eval_id").as("top_eval_id"),
+        col("n").as("n_shared"))
       .orderBy("doc_id")
   }
 
