@@ -299,6 +299,46 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------------------- q66
+  /** Corpus composition report — the mixture-accounting view behind
+    * every sampling decision ([[q54SampleMix]]'s rates come from
+    * exactly this table): documents and exact token counts per
+    * (source, lang) cell, with each cell's token share of the whole
+    * corpus. One partial-agg pass for the cells; the global total is
+    * a 1-row aggregate of the CELL table (|sources|×|langs| rows, not
+    * the corpus) broadcast back as a scalar. Integer token counts;
+    * the share is one fixed double division both engines evaluate
+    * identically. */
+  def q66Composition(spark: SparkSession, dir: String): DataFrame = {
+    val cells = withWords(docs(spark, dir))
+      .select(col("source"), col("lang"),
+        size(words).cast("long").as("_n_tok"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n_tok")).as("n_tokens"))
+    val total = cells.agg(sum(col("n_tokens")).as("_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("_total").cast("double"))
+          .as("token_share"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  // --------------------------------------------------------------- q67
+  /** Token frequency spectrum — frequency-of-frequencies (how many
+    * distinct tokens occur exactly n times), the corpus statistic
+    * behind Zipf/Heaps sanity checks, vocabulary-size projections,
+    * and Good-Turing smoothing mass. Two hash aggregates: token
+    * counts (the q48 vocabulary shuffle), then counts-of-counts over
+    * the DISTINCT-TOKEN table — orders of magnitude smaller than the
+    * token stream, and the second shuffle carries only (freq, count)
+    * pairs. */
+  def q67FreqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    withWords(docs(spark, dir))
+      .select(explode(words).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).as("n_tokens"))
+      .orderBy(col("freq"))
+
   // --------------------------------------------------------------- q46
   /** PII scrubbing: count and mask email/phone shapes — the redaction
     * pass a training corpus runs before anything else ships. Patterns
@@ -734,6 +774,8 @@ object TextOps {
     "q47_boilerplate"   -> ((s: SparkSession, d: String) => q47BoilerplateStrip(s, d)),
     "q43_repetition"    -> (q43Repetition _),
     "q65_gopher_gate"   -> (q65GopherGate _),
+    "q66_composition"   -> (q66Composition _),
+    "q67_freq_spectrum" -> (q67FreqSpectrum _),
     "q33_prep_pipeline" -> (q33PrepPipeline _),
     "q13_token_count"   -> (q13TokenCount _),
     "q14_quality_score" -> (q14QualityScore _),
@@ -741,6 +783,20 @@ object TextOps {
     "q15_lang_id"       -> (q15LangId _),
     "q16_fingerprint"   -> (q16Fingerprint _),
     "q17_exact_dedup"   -> (q17ExactDedup _))
+
+  private val compositionOracleSql =
+    """WITH t AS (
+      | SELECT source, lang,
+      |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+      | FROM documents),
+      |c AS (
+      | SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      | FROM t GROUP BY source, lang)
+      |SELECT source, lang, n_docs, n_tokens,
+      | CAST(n_tokens AS DOUBLE)
+      |  / CAST((SELECT SUM(n_tokens) FROM c) AS DOUBLE) AS token_share
+      |FROM c ORDER BY source, lang""".stripMargin
 
   // q53: same guarded 3-gram construction as the q18 oracle; the
   // eval set is the doc_id % 50 = 0 slice; per-doc gram lists are
@@ -768,6 +824,15 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "q53_decontaminate" -> decontamOracleSql,
     "q60_bloom_decontam" -> decontamOracleSql,
+    "q66_composition" -> compositionOracleSql,
+    "q67_freq_spectrum" ->
+      """WITH t AS (
+        | SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        | FROM documents),
+        |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        |      FROM t GROUP BY tok)
+        |SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |FROM f GROUP BY freq ORDER BY freq""".stripMargin,
     // q64: same gram construction; the argmax is rebuilt as
     // max-then-min-tie-break — identical RESULT to the Spark
     // double-aggregate shape (q56 precedent: oracle may use a

@@ -271,6 +271,29 @@ class TextOpsSpec extends SparkSpec {
       4L -> false, 5L -> false))
   }
 
+  test("q66/q67: composition cells and frequency spectrum on a known corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q66").toString
+    Seq(
+      (1L, "A", "en", "a b c"),
+      (2L, "A", "es", "d e"),
+      (3L, "B", "en", "a a"))
+      .toDF("doc_id", "source", "lang", "text")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val comp = TextOps.q66Composition(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(comp(("A", "en")) == (1L, 3L, 3.0 / 7.0))
+    assert(comp(("A", "es")) == (1L, 2L, 2.0 / 7.0))
+    assert(comp(("B", "en")) == (1L, 2L, 2.0 / 7.0))
+
+    val spec = TextOps.q67FreqSpectrum(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a:3, b/c/d/e:1 → four singletons, one 3-frequency token
+    assert(spec == Map(1L -> 4L, 3L -> 1L))
+  }
+
   test("q54 sampling is deterministic, rate-respecting, and language-weighted") {
     val a = TextOps.q54SampleMix(spark, SparkSpec.sfDir).collect()
     val b = TextOps.q54SampleMix(spark, SparkSpec.sfDir).collect()
