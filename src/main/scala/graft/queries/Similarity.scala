@@ -217,6 +217,41 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // --------------------------------------------------------------- q68
+  /** IVF cell purity — the unsupervised-clustering quality report over
+    * [[q51IvfAssign]]'s cells: per cell, how many vectors landed there
+    * and what fraction share the cell's majority `label`. The eval a
+    * pipeline runs after (re)training a coarse quantizer: purity
+    * collapsing toward 1/|labels| means the cells carry no structure
+    * and ANN probe counts need raising.
+    *
+    * Scale shape: the per-(cell, label) counts are one hash-agg pass
+    * over the assignment; every aggregate after that (totals,
+    * majority) runs on the COUNTS table — ≤ k×|labels| rows, the
+    * q37a compressed-table discipline — so the rank window sorts a
+    * few hundred rows, never vectors. */
+  def q68CellPurity(spark: SparkSession, dir: String): DataFrame = {
+    val counts = q51IvfAssign(spark, dir).select(col("vec_id"), col("cell"))
+      .join(Tables(spark, dir, "embeddings").select(col("vec_id"), col("label")),
+        "vec_id")
+      .groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("cell"))
+      .agg(sum(col("n")).as("n_vectors"))
+    val majority = counts.withColumn("_r", row_number().over(
+        Window.partitionBy(col("cell"))
+          .orderBy(col("n").desc, col("label").asc)))
+      .filter(col("_r") === 1)
+      .select(col("cell"), col("label").as("majority_label"),
+        col("n").as("n_majority"))
+    totals.join(majority, "cell")
+      .select(col("cell"), col("n_vectors"), col("majority_label"),
+        col("n_majority"),
+        (col("n_majority").cast("double") / col("n_vectors").cast("double"))
+          .as("purity"))
+      .orderBy(col("cell"))
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucket blocking (cost
     * Σ bucket², never N²), exact fixed-point cosine inside buckets,
     * thresholded. The production dedup entry point for embedding
@@ -258,7 +293,30 @@ object Similarity {
     "q22_lsh_buckets"  -> (q22LshBuckets _),
     "q23_ivf_ann"      -> (q23IvfAnn _),
     "q38_embed_neardup" -> (q38EmbedNearDup _),
-    "q51_ivf_assign"   -> (q51IvfAssign _))
+    "q51_ivf_assign"   -> (q51IvfAssign _),
+    "q68_cell_purity"  -> (q68CellPurity _))
+
+  /** q51's deterministic assignment (k lowest-vec_id centroids, exact
+    * decimal dots, argmax with highest-label tie-break) as a reusable
+    * oracle CTE — shared verbatim by the q51 and q68 oracles so the
+    * assignment semantics can't drift between them. */
+  private val ivfAssignCte =
+    """WITH n AS (
+      | SELECT vec_id, embedding,
+      |  sqrt(CAST(list_sum(list_transform(range(1, len(embedding)+1),
+      |    i -> CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)) AS nrm
+      | FROM embeddings),
+      |p AS (
+      | SELECT v.vec_id, c.vec_id AS c_label,
+      |  CAST(list_sum(list_transform(range(1, len(v.embedding)+1),
+      |    i -> CAST(CAST(v.embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)
+      |   / (v.nrm * c.nrm) AS cosine
+      | FROM n v JOIN n c ON c.vec_id < 10),
+      |r AS (
+      | SELECT vec_id, c_label, cosine,
+      |  ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cosine DESC, c_label DESC) AS rn
+      | FROM p)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // q38: assembled from the two proven pieces — q22's splitmix64
@@ -384,24 +442,29 @@ object Similarity {
     // q21's exact-decimal dot/norm reused; the centroid table is the
     // k lowest vec_ids, rebuilt in SQL. Argmax tie-break (cosine DESC,
     // then HIGHEST label) mirrors Spark's max(struct(sim, c_label)).
-    "q51_ivf_assign" ->
-      """WITH n AS (
-        | SELECT vec_id, embedding,
-        |  sqrt(CAST(list_sum(list_transform(range(1, len(embedding)+1),
-        |    i -> CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)) AS nrm
-        | FROM embeddings),
-        |p AS (
-        | SELECT v.vec_id, c.vec_id AS c_label,
-        |  CAST(list_sum(list_transform(range(1, len(v.embedding)+1),
-        |    i -> CAST(CAST(v.embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)
-        |   / (v.nrm * c.nrm) AS cosine
-        | FROM n v JOIN n c ON c.vec_id < 10),
-        |r AS (
-        | SELECT vec_id, c_label, cosine,
-        |  ROW_NUMBER() OVER (PARTITION BY vec_id
-        |    ORDER BY cosine DESC, c_label DESC) AS rn
-        | FROM p)
-        |SELECT vec_id, CAST(c_label AS BIGINT) AS cell,
+    "q51_ivf_assign" -> (ivfAssignCte + "\n" +
+      """SELECT vec_id, CAST(c_label AS BIGINT) AS cell,
         | round(cosine, 9) AS cosine
-        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    // q68: the shared assignment CTE joined to each vector's label;
+    // totals and majority both derive from the (cell, label) COUNTS
+    // table, mirroring the Spark plan
+    "q68_cell_purity" -> (ivfAssignCte + ",\n" +
+      """a AS (SELECT vec_id, CAST(c_label AS BIGINT) AS cell
+        |      FROM r WHERE rn = 1),
+        |l AS (SELECT a.cell, e.label
+        |      FROM a JOIN embeddings e ON a.vec_id = e.vec_id),
+        |c AS (SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM l GROUP BY cell, label),
+        |t AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vectors
+        |      FROM c GROUP BY cell),
+        |m AS (SELECT cell, label AS majority_label, n AS n_majority,
+        |      ROW_NUMBER() OVER (PARTITION BY cell
+        |        ORDER BY n DESC, label ASC) AS rn2
+        |      FROM c)
+        |SELECT t.cell, t.n_vectors, m.majority_label, m.n_majority,
+        | CAST(m.n_majority AS DOUBLE) / CAST(t.n_vectors AS DOUBLE)
+        |   AS purity
+        |FROM t JOIN m ON t.cell = m.cell AND m.rn2 = 1
+        |ORDER BY t.cell""".stripMargin))
 }

@@ -95,6 +95,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.05, s"recall $recall suspiciously low")
   }
 
+  test("q68 purity equals a driver-side recomputation from the assignment") {
+    val assign = Similarity.q51IvfAssign(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byCell = assign.toSeq.groupBy(_._2)
+    val expected = byCell.map { case (cell, vs) =>
+      val labelCounts = vs.map(v => labels(v._1))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      // majority with lowest-label tie-break, matching the query
+      val (mLabel, mN) = labelCounts.toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      cell -> (vs.size.toLong, mLabel, mN.toLong,
+        mN.toDouble / vs.size.toDouble)
+    }
+    val got = Similarity.q68CellPurity(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == expected, s"purity mismatch:\n$got\nvs\n$expected")
+    assert(got.values.map(_._1).sum == labels.size,
+      "every vector must land in exactly one cell")
+  }
+
   test("argmax_cosine: picks nearest, breaks ties on highest label, null-propagates") {
     import spark.implicits._
     import graft.functions.VectorOps._
