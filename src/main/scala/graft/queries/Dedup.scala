@@ -229,13 +229,44 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  // --------------------------------------------------------------- q69
+  /** Leakage-safe train/val/test split: the split key is hashed from
+    * the duplicate CLUSTER id (q41's transitive closure), not the
+    * document id — so near-duplicates land in the same split BY
+    * CONSTRUCTION, and the held-out sets can never contain near-copies
+    * of training documents (the contamination mode that silently
+    * inflates eval numbers; Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", measure exactly this
+    * train/test leak). 90/5/5 via the same md5-uniform key as
+    * [[TextOps.q54SampleMix]]: first 8 md5 hex digits over 2^32 —
+    * exact in IEEE double, reproducible across engines, runs, and
+    * cluster layouts.
+    *
+    * Scale shape: q41's clustering plus one narrow per-row projection
+    * — no additional shuffle, no window; the split of a trillion-doc
+    * corpus costs one md5 per row on top of the dedup pass the
+    * pipeline already runs. */
+  def q69ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val key = (conv(substring(md5(col("cluster_id").cast("string")), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0))
+      .as("split_key")
+    q41DupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), key)
+      .withColumn("split",
+        when(col("split_key") < 0.90, "train")
+          .when(col("split_key") < 0.95, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_minhash_lsh"   -> (q18MinhashLsh _),
     "q19_simhash"       -> (q19Simhash _),
     "q20_ngram_jaccard" -> (q20NgramJaccard _),
     "q41_dup_clusters"  -> (q41DupClusters _),
     "q42_dedup_corpus"  -> (q42DedupCorpus _),
-    "q52_dedup_ranked"  -> (q52DedupRanked _))
+    "q52_dedup_ranked"  -> (q52DedupRanked _),
+    "q69_cluster_split" -> (q69ClusterSplit _))
 
   private val mhSelect = (0 until NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> md5('$i#' || x))) AS mh$i").mkString(",\n |  ")
@@ -379,5 +410,24 @@ object Dedup {
         |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
         | CAST(doc_id AS BIGINT) AS rep_doc_id, quality_score,
         | CAST(n_members AS BIGINT) AS n_members
-        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
+        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    // q54's md5-uniform key idiom, seeded from the CLUSTER id: the
+    // nibble-weighted sum reproduces Spark's conv(substr(md5,1,8),16,10)
+    // exactly, and /2^32 is exact in IEEE double.
+    "q69_cluster_split" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |clus AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+        |         FROM reach GROUP BY a),
+        |k AS (
+        | SELECT doc_id, cluster_id,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5(CAST(cluster_id AS VARCHAR)), i, 1)) - 1)
+        |         * (1::BIGINT << (4 * (8 - i))))) AS DOUBLE)
+        |    / 4294967296.0 AS split_key
+        | FROM clus)
+        |SELECT doc_id, cluster_id, split_key,
+        | CASE WHEN split_key < 0.90 THEN 'train'
+        |      WHEN split_key < 0.95 THEN 'val' ELSE 'test' END AS split
+        |FROM k ORDER BY doc_id""".stripMargin)
 }

@@ -173,4 +173,26 @@ class DedupSpec extends SparkSpec {
     assert(!reps.exists(Set(100L, 101L, 102L, 200L)),
       "a non-representative duplicate survived")
   }
+
+  test("q69: near-dup cluster members never straddle a split boundary") {
+    val rows = Dedup.q69ClusterSplit(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(rows.length == 44) // one row per document, always
+    // the planted transitive family {0,100,101,102} and the pair
+    // {1,200} must each land wholly inside ONE split — the property
+    // the cluster-seeded key exists to guarantee
+    val byDoc = rows.map(r => r._1 -> r._3).toMap
+    assert(Seq(100L, 101L, 102L).forall(byDoc(_) == byDoc(0L)),
+      s"family of 0 straddles splits: ${rows.filter(r => Set(0L, 100L, 101L, 102L)(r._1))}")
+    assert(byDoc(200L) == byDoc(1L))
+    // stronger: split is a pure function of cluster_id, corpus-wide
+    val perCluster = rows.groupBy(_._2).map { case (_, g) => g.map(_._3).toSet }
+    assert(perCluster.forall(_.size == 1))
+    // all three splits are populated at this corpus size and the
+    // assignment is deterministic across runs
+    assert(rows.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    val again = Dedup.q69ClusterSplit(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }
