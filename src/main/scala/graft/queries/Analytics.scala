@@ -193,7 +193,53 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  // --------------------------------------------------------------- q70
+  /** Distribution drift per source: total-variation distance between
+    * each source's document-length histogram and the corpus-wide one —
+    * the slice-vs-whole comparison a data pipeline runs to catch a
+    * crawler/source whose content shifted (new template, truncation
+    * bug, language flip) before it pollutes a training mixture.
+    *
+    * Cross-engine exactness: TVD's inner term |n_sb/N_s − n_b/N| is
+    * rescaled to the all-integer |n_sb·N − n_b·N_s| (DECIMAL(19,0)
+    * products — exact to 1e38, overflow-proof at any corpus size where
+    * counts fit in BIGINT), summed exactly, and divided out in ONE
+    * fixed IEEE expression both engines evaluate identically — the
+    * [[q50Stats]] discipline applied to a distribution distance.
+    *
+    * Scale shape: one (source, bucket) partial+final aggregate over
+    * the corpus (the only full-data shuffle), then everything runs on
+    * the tiny histogram: marginals are re-aggregates of the cell
+    * table, the source×bucket grid is a crossJoin of two broadcast
+    * frames, and missing cells materialize as 0 via the left join —
+    * per-source sums never touch the raw rows again. */
+  def q70SourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(19, 0)
+    val d = Tables(spark, dir, "documents")
+      .select(col("source"), expr("n_chars div 100").as("bucket"))
+    val cell = d.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_sb"))
+    val bySource = cell.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
+    val byBucket = cell.groupBy(col("bucket")).agg(sum(col("n_sb")).as("n_b"))
+    val total = cell.agg(sum(col("n_sb")).as("n_total"))
+    val grid = bySource.crossJoin(broadcast(byBucket))
+      .join(cell, Seq("source", "bucket"), "left")
+      .na.fill(0L, Seq("n_sb"))
+      .crossJoin(broadcast(total))
+    val diff = abs(
+      col("n_sb").cast(dec) * col("n_total").cast(dec) -
+        col("n_b").cast(dec) * col("n_s").cast(dec))
+    grid.groupBy(col("source"), col("n_s"), col("n_total"))
+      .agg(sum(diff).as("num"))
+      .select(col("source"), col("n_s").as("n_docs"),
+        (col("num").cast(DoubleType) /
+          (lit(2.0) * col("n_s").cast(DoubleType) *
+            col("n_total").cast(DoubleType))).as("tvd"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_source_drift" -> (q70SourceDrift _),
     "q50_stats"      -> (q50Stats _),
     "q34_range_join" -> (q34RangeJoin _),
     "q35_rollup"     -> (q35Rollup _),
@@ -203,6 +249,32 @@ object Analytics {
     "q37a_sketch_exact" -> (q37aSketchExact _))
 
   val oracle: Map[String, String] = Map(
+    // same integer-rescaled TVD: |n_sb*N - n_b*N_s| in DECIMAL(19,0)
+    // products (exact), summed exactly, ONE final IEEE division tree
+    "q70_source_drift" ->
+      """WITH d AS (
+        | SELECT source, n_chars // 100 AS bucket FROM documents),
+        |cell AS (
+        | SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_sb
+        | FROM d GROUP BY source, bucket),
+        |bysrc AS (
+        | SELECT source, CAST(SUM(n_sb) AS BIGINT) AS n_s
+        | FROM cell GROUP BY source),
+        |bybkt AS (
+        | SELECT bucket, CAST(SUM(n_sb) AS BIGINT) AS n_b
+        | FROM cell GROUP BY bucket),
+        |tot AS (SELECT CAST(SUM(n_sb) AS BIGINT) AS n_total FROM cell),
+        |grid AS (
+        | SELECT s.source, s.n_s, b.bucket, b.n_b,
+        |  COALESCE(c.n_sb, 0) AS n_sb, t.n_total
+        | FROM bysrc s CROSS JOIN bybkt b
+        | LEFT JOIN cell c ON c.source = s.source AND c.bucket = b.bucket
+        | CROSS JOIN tot t)
+        |SELECT source, n_s AS n_docs,
+        | CAST(SUM(ABS(CAST(n_sb AS DECIMAL(19,0)) * CAST(n_total AS DECIMAL(19,0))
+        |     - CAST(n_b AS DECIMAL(19,0)) * CAST(n_s AS DECIMAL(19,0)))) AS DOUBLE)
+        |  / (2.0 * CAST(n_s AS DOUBLE) * CAST(n_total AS DOUBLE)) AS tvd
+        |FROM grid GROUP BY source, n_s, n_total ORDER BY source""".stripMargin,
     // same explicit histogram definition both sides: discrete quantile
     // = MIN value whose cumulative count reaches 1-based sorted
     // position ceil(p*n); BIGINT*0.25 promotes to DOUBLE identically

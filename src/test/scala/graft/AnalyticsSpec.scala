@@ -59,4 +59,43 @@ class AnalyticsSpec extends SparkSpec {
         $"ts" < lit("2024-02-01").cast("timestamp")).count()
     assert(total == jan)
   }
+
+  test("q70: source matching the corpus distribution drifts exactly zero") {
+    def write(dir: String, rows: Seq[(Long, String, String, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ab = Seq(
+      (1L, "t", "en", "A", 50L), (2L, "t", "en", "A", 150L),
+      (3L, "t", "en", "A", 250L),
+      (4L, "t", "en", "B", 50L), (5L, "t", "en", "B", 150L),
+      (6L, "t", "en", "B", 250L))
+
+    // A and B have identical length histograms ⇒ each equals the
+    // corpus distribution ⇒ TVD is EXACTLY 0.0 (the integer-rescaled
+    // arithmetic cancels bit-for-bit, not approximately)
+    val d1 = java.nio.file.Files.createTempDirectory("q70a").toString
+    write(d1, ab)
+    val even = Analytics.q70SourceDrift(spark, d1).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("tvd")).toMap
+    assert(even == Map("A" -> 0.0, "B" -> 0.0), s"expected zero drift: $even")
+
+    // C concentrated in one bucket drifts strictly positive; missing
+    // (source, bucket) cells must materialize as 0 for A/B too
+    val d2 = java.nio.file.Files.createTempDirectory("q70b").toString
+    write(d2, ab ++ Seq(
+      (7L, "t", "en", "C", 50L), (8L, "t", "en", "C", 50L),
+      (9L, "t", "en", "C", 55L)))
+    val skew = Analytics.q70SourceDrift(spark, d2).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("tvd")).toMap
+    assert(skew("C") > skew("A") && skew("C") > 0.0)
+    assert(skew.values.forall(t => t >= 0.0 && t <= 1.0))
+
+    // real corpus: one row per source, all bounded
+    val sf = Analytics.q70SourceDrift(spark, sfDir).collect()
+    val srcs = Tables(spark, sfDir, "documents")
+      .select("source").distinct().count()
+    assert(sf.length == srcs)
+    assert(sf.forall { r =>
+      val t = r.getAs[Double]("tvd"); t >= 0.0 && t <= 1.0 })
+  }
 }
