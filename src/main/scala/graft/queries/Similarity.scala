@@ -288,13 +288,44 @@ object Similarity {
       count(when(col("cosine") >= 0.5, 1)).as("n_neardup_050"))
   }
 
+  // --------------------------------------------------------------- q71
+  /** Per-label class centroids — the supervised counterpart of the
+    * k-means re-estimation step: for every (label, dimension), the
+    * exact component sum, the centroid mean, and the member count.
+    * An embedding pipeline runs this to seed classifiers, audit label
+    * coherence (centroid norms collapsing toward 0 under random
+    * labels), and warm-start quantizer training.
+    *
+    * Cross-engine exactness: elements are float→double→DECIMAL(12,9)
+    * (both engines round the same 17-digit value — the [[dotExact]]
+    * discipline), summed exactly (decimal addition is associative ⇒
+    * partition-order-proof), finished as doubles; the mean divides in
+    * one IEEE expression both engines build identically.
+    *
+    * Scale shape: `posexplode` amplifies rows ×dim, but the partial
+    * hash-aggregate combines map-side immediately — what crosses the
+    * wire is |labels|×dim partial sums per task, not exploded rows.
+    * One shuffle on the (label, pos) key; no window, no collect. */
+  def q71LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x").cast(DoubleType).cast(dec)).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        col("s").cast(DoubleType).as("component_sum"),
+        (col("s").cast(DoubleType) / col("n").cast(DoubleType)).as("centroid"),
+        col("n"))
+      .orderBy(col("label"), col("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_knn_brute"    -> (q21KnnBrute _),
     "q22_lsh_buckets"  -> (q22LshBuckets _),
     "q23_ivf_ann"      -> (q23IvfAnn _),
     "q38_embed_neardup" -> (q38EmbedNearDup _),
     "q51_ivf_assign"   -> (q51IvfAssign _),
-    "q68_cell_purity"  -> (q68CellPurity _))
+    "q68_cell_purity"  -> (q68CellPurity _),
+    "q71_label_centroids" -> (q71LabelCentroids _))
 
   /** q51's deterministic assignment (k lowest-vec_id centroids, exact
     * decimal dots, argmax with highest-label tie-break) as a reusable
@@ -319,6 +350,21 @@ object Similarity {
       | FROM p)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q71: same float→double→DECIMAL(12,9) element discipline as the
+    // dot-product oracles; decimal SUM is exact in both engines, and
+    // the mean is the identical IEEE division
+    "q71_label_centroids" ->
+      """WITH u AS (
+        | SELECT label, u.pos AS pos,
+        |  CAST(CAST(u.x AS DOUBLE) AS DECIMAL(12,9)) AS x
+        | FROM (SELECT label, unnest(list_transform(range(1, len(embedding)+1),
+        |   i -> {'pos': i - 1, 'x': embedding[i]})) AS u
+        |   FROM embeddings) u)
+        |SELECT label, CAST(pos AS BIGINT) AS pos,
+        | CAST(SUM(x) AS DOUBLE) AS component_sum,
+        | CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM u GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     // q38: assembled from the two proven pieces — q22's splitmix64
     // bucket replay (blocking) and q21's exact-decimal cosine (the
     // pair kernel) — so the near-dup SUMMARY is hash-checked end to

@@ -119,6 +119,33 @@ class SimilaritySpec extends SparkSpec {
       "every vector must land in exactly one cell")
   }
 
+  test("q71: label centroids partition the corpus sums exactly") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val dim = emb.select(size($"embedding")).head.getInt(0)
+    val nVec = emb.count()
+    val labelSizes = emb.groupBy($"label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val rows = Similarity.q71LabelCentroids(spark, sfDir).collect()
+    assert(rows.length == labelSizes.size * dim)
+    rows.foreach { r =>
+      // n is the label's member count for EVERY dimension, and the
+      // mean is exactly sum/n in the emitted doubles
+      assert(r.getAs[Long]("n") == labelSizes(r.getAs[Int]("label")))
+      assert(r.getAs[Double]("centroid") ==
+        r.getAs[Double]("component_sum") / r.getAs[Long]("n").toDouble)
+    }
+    // per-dimension label sums add up to the corpus-wide sum (the
+    // decimal accumulation is exact, so only double-add tolerance)
+    val byPos = rows.groupBy(_.getAs[Long]("pos"))
+      .map { case (p, g) => p -> g.map(_.getAs[Double]("component_sum")).sum }
+    val global = Similarity.q71LabelCentroids(spark, sfDir)
+      .groupBy($"pos").agg(sum($"component_sum").as("s"))
+      .collect().map(r => r.getAs[Long]("pos") -> r.getAs[Double]("s")).toMap
+    byPos.foreach { case (p, s) => assert(math.abs(s - global(p)) < 1e-9) }
+    assert(rows.map(_.getAs[Long]("n")).sum == nVec * dim)
+  }
+
   test("argmax_cosine: picks nearest, breaks ties on highest label, null-propagates") {
     import spark.implicits._
     import graft.functions.VectorOps._
