@@ -209,7 +209,10 @@ object Analytics {
     *
     * Scale shape: one (source, bucket) partial+final aggregate over
     * the corpus (the only full-data shuffle), then everything runs on
-    * the tiny histogram: marginals are re-aggregates of the cell
+    * the tiny histogram: the cell table is `localCheckpoint`'d — the
+    * marginals, grid, and left join are FOUR consumers, and without
+    * the cut Catalyst re-derives each from the source, scanning the
+    * corpus four times — marginals are re-aggregates of the cell
     * table, the source×bucket grid is a crossJoin of two broadcast
     * frames, and missing cells materialize as 0 via the left join —
     * per-source sums never touch the raw rows again. */
@@ -219,6 +222,7 @@ object Analytics {
       .select(col("source"), expr("n_chars div 100").as("bucket"))
     val cell = d.groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n_sb"))
+      .localCheckpoint()
     val bySource = cell.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
     val byBucket = cell.groupBy(col("bucket")).agg(sum(col("n_sb")).as("n_b"))
     val total = cell.agg(sum(col("n_sb")).as("n_total"))
