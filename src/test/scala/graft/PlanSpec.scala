@@ -125,4 +125,31 @@ class PlanSpec extends SparkSpec {
         l.contains("l_extendedprice")),
       s"window must consume the (flag, price) histogram aggregate:\n$plan")
   }
+
+  test("q70: corpus scans once; marginals and grid run on the checkpointed histogram") {
+    val df = graft.queries.Analytics.q70SourceDrift(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the (source, bucket) cell table is localCheckpoint'd before its
+    // four consumers — without the cut Catalyst re-derives each branch
+    // from parquet, scanning the corpus four times
+    assert(!plan.contains("Scan parquet"),
+      s"drift consumers must read the checkpointed histogram, not re-scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"grid sides should broadcast:\n$plan")
+  }
+
+  test("q71: partial aggregation combines exploded rows before the only exchange") {
+    val df = graft.queries.Similarity.q71LabelCentroids(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // scan reads exactly (embedding, label); posexplode's ×dim row
+    // amplification is collapsed map-side (partial_sum under Generate)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("vec_id"), s"scan reads unneeded columns: $readSchema")
+    assert(plan.contains("Generate explode") || plan.contains("Generate posexplode"),
+      s"expected generate:\n$plan")
+    assert(plan.linesIterator.exists(_.contains("partial_sum")),
+      s"exploded rows must combine map-side before the exchange:\n$plan")
+  }
 }
