@@ -259,6 +259,58 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q72
+  /** Near-dup DEGREE per document — how many verified near-dup
+    * partners each doc has. Degree is the template detector duplicate
+    * clustering can't give you: a boilerplate page duplicated 10,000×
+    * and a chain of 10,000 pairwise-distinct drafts can land in
+    * equal-sized clusters, but the template's members have degree
+    * ~10,000 while the chain's have degree ~2. High-degree hubs are
+    * what a crawl-cleanup pipeline samples for template review.
+    *
+    * Scale shape: the pair stream is the LSH-bounded Σ bucket² (never
+    * N²); degree is one hash-agg over its two endpoint projections;
+    * the corpus joins the degree table on doc_id and fills 0 — no
+    * window, no self-join beyond the bucketed one already paid. */
+  def q72DupDegree(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashCandidatePairs(spark, dir)
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    docs(spark, dir).select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("degree"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- q73
+  /** Per-source duplication rate: the fraction of each source's
+    * documents that sit in a multi-document near-dup cluster. A
+    * source whose dup rate jumps is a crawler re-fetching the same
+    * pages or a template site — the per-source health signal that
+    * decides whether a source's weight in the corpus mixture ([[
+    * TextOps.q54SampleMix]]) needs cutting before training.
+    *
+    * Scale shape: cluster sizes are a re-aggregate of q41's (doc_id,
+    * cluster_id) assignment — never the text; the per-source rollup
+    * is a count over the assignment joined to the corpus's (doc_id,
+    * source) projection. The dominant cost stays the LSH pipeline the
+    * dedup pass already paid. */
+  def q73SourceDupRate(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = q41DupClusters(spark, dir)
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("_csize"))
+    clusters.join(sizes, "cluster_id")
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("_csize") > 1, 1)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_minhash_lsh"   -> (q18MinhashLsh _),
     "q19_simhash"       -> (q19Simhash _),
@@ -266,7 +318,9 @@ object Dedup {
     "q41_dup_clusters"  -> (q41DupClusters _),
     "q42_dedup_corpus"  -> (q42DedupCorpus _),
     "q52_dedup_ranked"  -> (q52DedupRanked _),
-    "q69_cluster_split" -> (q69ClusterSplit _))
+    "q69_cluster_split" -> (q69ClusterSplit _),
+    "q72_dup_degree"    -> (q72DupDegree _),
+    "q73_source_dup_rate" -> (q73SourceDupRate _))
 
   private val mhSelect = (0 until NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> md5('$i#' || x))) AS mh$i").mkString(",\n |  ")
@@ -429,5 +483,32 @@ object Dedup {
         |SELECT doc_id, cluster_id, split_key,
         | CASE WHEN split_key < 0.90 THEN 'train'
         |      WHEN split_key < 0.95 THEN 'val' ELSE 'test' END AS split
-        |FROM k ORDER BY doc_id""".stripMargin)
+        |FROM k ORDER BY doc_id""".stripMargin,
+    // degree over the shared verified-pair CTE (reach goes unused and
+    // unplanned); COALESCE(…, 0) mirrors Spark's left-join + fill
+    "q72_dup_degree" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |deg AS (
+        | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |  SELECT doc_a AS doc_id FROM pairs
+        |  UNION ALL SELECT doc_b FROM pairs)
+        | GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(deg.degree, 0) AS degree
+        |FROM documents d LEFT JOIN deg ON deg.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q73_source_dup_rate" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |clus AS (SELECT a AS doc_id, min(b) AS cluster_id
+        |         FROM reach GROUP BY a),
+        |sizes AS (SELECT cluster_id, COUNT(*) AS csize
+        |          FROM clus GROUP BY cluster_id)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(COUNT(CASE WHEN s.csize > 1 THEN 1 END) AS BIGINT)
+        |   AS n_dup_docs,
+        | CAST(COUNT(CASE WHEN s.csize > 1 THEN 1 END) AS DOUBLE)
+        |   / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+        |FROM documents d
+        |JOIN clus ON clus.doc_id = d.doc_id
+        |JOIN sizes s ON s.cluster_id = clus.cluster_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)
 }

@@ -174,6 +174,29 @@ class DedupSpec extends SparkSpec {
       "a non-representative duplicate survived")
   }
 
+  test("q72/q73: degree finds the planted hub; dup rate counts multi-doc clusters") {
+    val deg = Dedup.q72DupDegree(spark, plantedDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg.size == 44) // one row per document, zeros included
+    // doc 0's family {0,100,101,102}: every member has ≥1 verified
+    // partner; the exact-dup pair {1,200} has degree exactly 1 each
+    assert(Seq(0L, 100L, 101L, 102L).forall(deg(_) >= 1), s"family degrees: $deg")
+    assert(deg(1L) == 1L && deg(200L) == 1L)
+    // degree is symmetric: total degree = 2 × |pairs|
+    val nPairs = Dedup.minhashCandidatePairs(spark, plantedDir).count()
+    assert(deg.values.sum == 2 * nPairs)
+    // strangers stay at zero
+    assert(deg.count(_._2 == 0L) == 38)
+
+    val rate = Dedup.q73SourceDupRate(spark, plantedDir).collect()
+    assert(rate.length == 1) // planted corpus is single-source
+    val r = rate.head
+    assert(r.getString(0) == "t" && r.getLong(1) == 44L)
+    // exactly the 6 planted docs sit in multi-doc clusters
+    assert(r.getLong(2) == 6L, s"n_dup_docs: ${r.getLong(2)}")
+    assert(r.getDouble(3) == 6.0 / 44.0)
+  }
+
   test("q69: near-dup cluster members never straddle a split boundary") {
     val rows = Dedup.q69ClusterSplit(spark, plantedDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
