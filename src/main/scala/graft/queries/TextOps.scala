@@ -323,6 +323,49 @@ object TextOps {
       .orderBy(col("source"), col("lang"))
   }
 
+  // --------------------------------------------------------------- q74
+  /** Corpus mixture PLAN — the step between [[q66Composition]]'s
+    * accounting and [[q54SampleMix]]'s execution: per-language
+    * sampling rates that rebalance the corpus to a target language
+    * mixture at CONSTANT total token budget. Target here: en 50%,
+    * es 20%, remaining languages split the last 30% equally.
+    * `rate` = target_share × total_tokens / lang_tokens — rate < 1
+    * is the downsampling probability to feed q54; rate > 1 is the
+    * epoch count an under-represented language repeats for.
+    *
+    * Cross-engine exactness: token counts are exact integers (q13's
+    * split semantics); every share/rate is one fixed IEEE expression
+    * over them that both engines build identically.
+    *
+    * Scale shape: ONE corpus pass for the per-language cells
+    * (partial+final agg, `localCheckpoint`'d for its two consumers);
+    * totals are a 1-row re-aggregate of the |langs|-row cell table,
+    * broadcast back. The plan for a trillion-token corpus costs the
+    * same single scan as its token count. */
+  def q74MixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = withWords(docs(spark, dir))
+      .select(col("lang"), size(words).cast("long").as("_n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n_tok")).as("n_tokens"))
+      .localCheckpoint()
+    val totals = byLang.agg(
+      sum(col("n_tokens")).as("_total"),
+      count(when(!col("lang").isin("en", "es"), 1)).as("_n_other"))
+    byLang.crossJoin(broadcast(totals))
+      .withColumn("actual_share",
+        col("n_tokens").cast("double") / col("_total").cast("double"))
+      .withColumn("target_share",
+        when(col("lang") === "en", lit(0.5))
+          .when(col("lang") === "es", lit(0.2))
+          .otherwise(lit(0.3) / col("_n_other").cast("double")))
+      .withColumn("rate",
+        col("target_share") * col("_total").cast("double") /
+          col("n_tokens").cast("double"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("actual_share"), col("target_share"), col("rate"))
+      .orderBy(col("lang"))
+  }
+
   // --------------------------------------------------------------- q67
   /** Token frequency spectrum — frequency-of-frequencies (how many
     * distinct tokens occur exactly n times), the corpus statistic
@@ -776,6 +819,7 @@ object TextOps {
     "q65_gopher_gate"   -> (q65GopherGate _),
     "q66_composition"   -> (q66Composition _),
     "q67_freq_spectrum" -> (q67FreqSpectrum _),
+    "q74_mixture_plan"  -> (q74MixturePlan _),
     "q33_prep_pipeline" -> (q33PrepPipeline _),
     "q13_token_count"   -> (q13TokenCount _),
     "q14_quality_score" -> (q14QualityScore _),
@@ -825,6 +869,27 @@ object TextOps {
     "q53_decontaminate" -> decontamOracleSql,
     "q60_bloom_decontam" -> decontamOracleSql,
     "q66_composition" -> compositionOracleSql,
+    // q74: exact integer token counts (q13 split semantics); the
+    // shares/rates are the identical IEEE trees — note rate reuses
+    // the full CASE so both engines build (case*total)/tokens
+    "q74_mixture_plan" ->
+      """WITH cells AS (
+        | SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY lang),
+        |t AS (
+        | SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+        |  CAST(COUNT(CASE WHEN lang NOT IN ('en','es') THEN 1 END) AS BIGINT)
+        |    AS n_other
+        | FROM cells)
+        |SELECT lang, n_docs, n_tokens,
+        | CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS actual_share,
+        | CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'es' THEN 0.2
+        |      ELSE 0.3 / CAST(n_other AS DOUBLE) END AS target_share,
+        | CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'es' THEN 0.2
+        |      ELSE 0.3 / CAST(n_other AS DOUBLE) END
+        |   * CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rate
+        |FROM cells CROSS JOIN t ORDER BY lang""".stripMargin,
     "q67_freq_spectrum" ->
       """WITH t AS (
         | SELECT unnest(string_split_regex(text, '\s+')) AS tok

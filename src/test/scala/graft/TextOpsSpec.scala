@@ -369,4 +369,26 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.groupBy(_._2).values
       .forall(rs => rs.minBy(_._1)._4 == 0L))
   }
+
+  test("q74: mixture plan preserves the token budget and sums shares to 1") {
+    val rows = TextOps.q74MixturePlan(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    // shares are complete mixtures
+    assert(math.abs(rows.map(_.getAs[Double]("actual_share")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("target_share")).sum - 1.0) < 1e-9)
+    // en/es targets pinned; the rest split 30% equally
+    val byLang = rows.map(r => r.getString(0) -> r).toMap
+    assert(byLang("en").getAs[Double]("target_share") == 0.5)
+    assert(byLang("es").getAs[Double]("target_share") == 0.2)
+    // executing the plan reproduces the budget: Σ rate·tokens = total
+    val planned = rows.map(r =>
+      r.getAs[Double]("rate") * r.getAs[Long]("n_tokens")).sum
+    assert(math.abs(planned - total) / total < 1e-9,
+      s"plan moves the budget: $planned vs $total")
+    // and lands each language exactly on its target share
+    rows.foreach { r =>
+      val landed = r.getAs[Double]("rate") * r.getAs[Long]("n_tokens") / total
+      assert(math.abs(landed - r.getAs[Double]("target_share")) < 1e-9)
+    }
+  }
 }
