@@ -366,6 +366,42 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  // --------------------------------------------------------------- q75
+  /** Overlapping token-window chunker — the long-document splitting
+    * primitive behind context-length training prep and RAG indexing:
+    * windows of [[ChunkWindow]] tokens starting every
+    * [[ChunkStride]] (16-token overlap preserves context across
+    * boundaries), one output row per (doc, window) with the window's
+    * md5 — never the text — so the result stays narrow at any scale.
+    *
+    * Window starts are `sequence(0, size-1, stride)` — every token is
+    * covered, the last window is allowed to run short, and an empty
+    * document still emits its one (empty) window so the chunk table
+    * keeps one-row-per-doc-minimum accounting.
+    *
+    * Scale shape: entirely array-native per row (transform + slice in
+    * codegen, one posexplode); NO shuffle anywhere but the
+    * presentation sort — the chunker of a trillion-doc corpus is a
+    * pure map. */
+  val ChunkWindow = 64
+  val ChunkStride = 48
+  def q75ChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    withWords(docs(spark, dir))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, greatest(size(_ws) - 1, 0), $ChunkStride),
+             |  st -> struct(
+             |    st AS start,
+             |    least($ChunkWindow, size(_ws) - st) AS n_chunk_tokens,
+             |    md5(concat_ws(' ', slice(_ws, st + 1, $ChunkWindow)))
+             |      AS chunk_md5))""".stripMargin))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.start").cast("long").as("start"),
+        col("c.n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+        col("c.chunk_md5").as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   // --------------------------------------------------------------- q67
   /** Token frequency spectrum — frequency-of-frequencies (how many
     * distinct tokens occur exactly n times), the corpus statistic
@@ -820,6 +856,7 @@ object TextOps {
     "q66_composition"   -> (q66Composition _),
     "q67_freq_spectrum" -> (q67FreqSpectrum _),
     "q74_mixture_plan"  -> (q74MixturePlan _),
+    "q75_chunk_windows" -> (q75ChunkWindows _),
     "q33_prep_pipeline" -> (q33PrepPipeline _),
     "q13_token_count"   -> (q13TokenCount _),
     "q14_quality_score" -> (q14QualityScore _),
@@ -890,6 +927,26 @@ object TextOps {
         |      ELSE 0.3 / CAST(n_other AS DOUBLE) END
         |   * CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rate
         |FROM cells CROSS JOIN t ORDER BY lang""".stripMargin,
+    // q75: DuckDB range() excludes its stop exactly where Spark's
+    // sequence(0, size-1, step) includes size-1 — both enumerate the
+    // same starts; 1-based inclusive list slice ws[st+1 : st+64]
+    // clamps like Spark's slice(ws, st+1, 64)
+    "q75_chunk_windows" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split_regex(text, '\s+') AS ws,
+        |  range(0, greatest(len(string_split_regex(text, '\s+')), 1), 48)
+        |    AS sts
+        | FROM documents),
+        |u AS (
+        | SELECT doc_id, ws,
+        |  unnest(list_transform(range(0, len(sts)),
+        |    i -> {'i': i, 'st': sts[i+1]})) AS u
+        | FROM w)
+        |SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+        | CAST(u.st AS BIGINT) AS start,
+        | CAST(least(64, len(ws) - u.st) AS BIGINT) AS n_chunk_tokens,
+        | md5(array_to_string(ws[u.st+1 : u.st+64], ' ')) AS chunk_md5
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
     "q67_freq_spectrum" ->
       """WITH t AS (
         | SELECT unnest(string_split_regex(text, '\s+')) AS tok

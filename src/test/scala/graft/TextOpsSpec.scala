@@ -370,6 +370,35 @@ class TextOpsSpec extends SparkSpec {
       .forall(rs => rs.minBy(_._1)._4 == 0L))
   }
 
+  test("q75: chunk windows cover every token with the declared overlap") {
+    val W = TextOps.ChunkWindow
+    val S = TextOps.ChunkStride
+    val rows = TextOps.q75ChunkWindows(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nTok = Tables(spark, sfDir, "documents")
+      .select($"doc_id", size(split($"text", "\\s+")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet == nTok.keySet)
+    rows.groupBy(_._1).foreach { case (doc, chunks) =>
+      val n = nTok(doc)
+      val sorted = chunks.sortBy(_._2)
+      // starts are exactly 0, S, 2S, … while < n; idx enumerates them
+      sorted.zipWithIndex.foreach { case ((_, idx, start, len), i) =>
+        assert(idx == i && start == i.toLong * S)
+        assert(len == math.min(W.toLong, n - start), s"doc $doc window $i")
+      }
+      // full coverage: the last window reaches the last token, and
+      // consecutive windows overlap by exactly W - S tokens
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen == n)
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) =>
+          assert(s2 == s1 + S && (s1 + l1 - s2) == math.min(l1 - S, W - S))
+        case _ =>
+      }
+    }
+  }
+
   test("q74: mixture plan preserves the token budget and sums shares to 1") {
     val rows = TextOps.q74MixturePlan(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
