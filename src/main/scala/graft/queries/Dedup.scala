@@ -237,8 +237,8 @@ object Dedup {
     * of training documents (the contamination mode that silently
     * inflates eval numbers; Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better", measure exactly this
-    * train/test leak). 90/5/5 via the same md5-uniform key as
-    * [[TextOps.q54SampleMix]]: first 8 md5 hex digits over 2^32 —
+    * train/test leak). 90/5/5 via the ONE md5-uniform key definition
+    * ([[TextOps.uniformKeyOf]], q54's): first 8 md5 hex digits over 2^32 —
     * exact in IEEE double, reproducible across engines, runs, and
     * cluster layouts.
     *
@@ -247,9 +247,7 @@ object Dedup {
     * corpus costs one md5 per row on top of the dedup pass the
     * pipeline already runs. */
   def q69ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
-    val key = (conv(substring(md5(col("cluster_id").cast("string")), 1, 8),
-      16, 10).cast("long").cast("double") / lit(4294967296.0))
-      .as("split_key")
+    val key = TextOps.uniformKeyOf(col("cluster_id")).as("split_key")
     q41DupClusters(spark, dir)
       .select(col("doc_id"), col("cluster_id"), key)
       .withColumn("split",
@@ -269,13 +267,14 @@ object Dedup {
     * what a crawl-cleanup pipeline samples for template review.
     *
     * Scale shape: the pair stream is the LSH-bounded Σ bucket² (never
-    * N²); degree is one hash-agg over its two endpoint projections;
-    * the corpus joins the degree table on doc_id and fills 0 — no
-    * window, no self-join beyond the bucketed one already paid. */
+    * N²); degree is one hash-agg over an explode of BOTH endpoints in
+    * a single pass — a unionAll of two projections would plan the
+    * whole verify pipeline twice; the corpus joins the degree table
+    * on doc_id and fills 0 — no window, no self-join beyond the
+    * bucketed one already paid. */
   def q72DupDegree(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashCandidatePairs(spark, dir)
-    val deg = pairs.select(col("doc_a").as("doc_id"))
-      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+    val deg = minhashCandidatePairs(spark, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
     docs(spark, dir).select(col("doc_id"))
       .join(deg, Seq("doc_id"), "left")
@@ -292,12 +291,14 @@ object Dedup {
     * TextOps.q54SampleMix]]) needs cutting before training.
     *
     * Scale shape: cluster sizes are a re-aggregate of q41's (doc_id,
-    * cluster_id) assignment — never the text; the per-source rollup
-    * is a count over the assignment joined to the corpus's (doc_id,
-    * source) projection. The dominant cost stays the LSH pipeline the
-    * dedup pass already paid. */
+    * cluster_id) assignment — never the text; the assignment is
+    * `localCheckpoint`'d so its two consumers (sizes + join) read the
+    * materialized table instead of each re-running the LSH pipeline;
+    * the per-source rollup is a count over the assignment joined to
+    * the corpus's (doc_id, source) projection. The dominant cost
+    * stays the ONE LSH pass the dedup already paid. */
   def q73SourceDupRate(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = q41DupClusters(spark, dir)
+    val clusters = q41DupClusters(spark, dir).localCheckpoint()
     val sizes = clusters.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("_csize"))
     clusters.join(sizes, "cluster_id")
@@ -465,20 +466,15 @@ object Dedup {
         | CAST(doc_id AS BIGINT) AS rep_doc_id, quality_score,
         | CAST(n_members AS BIGINT) AS n_members
         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
-    // q54's md5-uniform key idiom, seeded from the CLUSTER id: the
-    // nibble-weighted sum reproduces Spark's conv(substr(md5,1,8),16,10)
-    // exactly, and /2^32 is exact in IEEE double.
+    // the ONE md5-uniform key replay (TextOps.md5UniformSql), seeded
+    // from the CLUSTER id
     "q69_cluster_split" ->
       s"""WITH RECURSIVE $clusterCtes,
         |clus AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
         |         FROM reach GROUP BY a),
         |k AS (
         | SELECT doc_id, cluster_id,
-        |  CAST(list_sum(list_transform(range(1, 9),
-        |    i -> (strpos('0123456789abcdef',
-        |            substr(md5(CAST(cluster_id AS VARCHAR)), i, 1)) - 1)
-        |         * (1::BIGINT << (4 * (8 - i))))) AS DOUBLE)
-        |    / 4294967296.0 AS split_key
+        |  ${TextOps.md5UniformSql("cluster_id")} AS split_key
         | FROM clus)
         |SELECT doc_id, cluster_id, split_key,
         | CASE WHEN split_key < 0.90 THEN 'train'

@@ -298,7 +298,12 @@ object Similarity {
     *
     * Cross-engine exactness: elements are float→double→DECIMAL(12,9)
     * (both engines round the same 17-digit value — the [[dotExact]]
-    * discipline), summed exactly (decimal addition is associative ⇒
+    * discipline), widened to DECIMAL(28,9) before the sum so Spark's
+    * accumulator lands at (38,9) — matching DuckDB's SUM width, and
+    * overflow-proof up to 1e29 (a 12-billion-member label at
+    * max-magnitude elements would overflow the default (22,9)
+    * accumulator into NULL exactly at the scale this module
+    * advertises) — summed exactly (decimal addition is associative ⇒
     * partition-order-proof), finished as doubles; the mean divides in
     * one IEEE expression both engines build identically.
     *
@@ -310,7 +315,8 @@ object Similarity {
     Tables(spark, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
-      .agg(sum(col("x").cast(DoubleType).cast(dec)).as("s"),
+      .agg(sum(col("x").cast(DoubleType).cast(dec)
+          .cast(DecimalType(28, 9))).as("s"),
         count(lit(1)).as("n"))
       .select(col("label"), col("pos").cast("long").as("pos"),
         col("s").cast(DoubleType).as("component_sum"),

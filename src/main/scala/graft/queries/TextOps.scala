@@ -328,14 +328,22 @@ object TextOps {
     * accounting and [[q54SampleMix]]'s execution: per-language
     * sampling rates that rebalance the corpus to a target language
     * mixture at CONSTANT total token budget. Target here: en 50%,
-    * es 20%, remaining languages split the last 30% equally.
-    * `rate` = target_share × total_tokens / lang_tokens — rate < 1
-    * is the downsampling probability to feed q54; rate > 1 is the
-    * epoch count an under-represented language repeats for.
+    * es 20%, remaining languages split the last 30% equally — and the
+    * raw weights are RENORMALIZED over the languages actually present
+    * (the closed-form `_raw_sum` below), so a corpus missing a pinned
+    * language still gets a complete mixture instead of silently
+    * planning only half the budget (Σ rate·tokens = total holds for
+    * ANY language composition; the spec proves it on an es/fr-only
+    * corpus). `rate` = target_share × total_tokens / lang_tokens —
+    * rate < 1 is the downsampling probability to feed q54; rate > 1
+    * is the epoch count an under-represented language repeats for.
     *
     * Cross-engine exactness: token counts are exact integers (q13's
     * split semantics); every share/rate is one fixed IEEE expression
-    * over them that both engines build identically.
+    * over them that both engines build identically. `_raw_sum` is a
+    * closed form over presence flags — NOT a float sum over rows,
+    * whose grouping (and thus last-ulp result) would depend on
+    * partitioning.
     *
     * Scale shape: ONE corpus pass for the per-language cells
     * (partial+final agg, `localCheckpoint`'d for its two consumers);
@@ -350,14 +358,26 @@ object TextOps {
       .localCheckpoint()
     val totals = byLang.agg(
       sum(col("n_tokens")).as("_total"),
-      count(when(!col("lang").isin("en", "es"), 1)).as("_n_other"))
+      count(when(!col("lang").isin("en", "es"), 1)).as("_n_other"),
+      count(when(col("lang") === "en", 1)).as("_has_en"),
+      count(when(col("lang") === "es", 1)).as("_has_es"))
     byLang.crossJoin(broadcast(totals))
       .withColumn("actual_share",
         col("n_tokens").cast("double") / col("_total").cast("double"))
-      .withColumn("target_share",
+      .withColumn("_raw",
         when(col("lang") === "en", lit(0.5))
           .when(col("lang") === "es", lit(0.2))
           .otherwise(lit(0.3) / col("_n_other").cast("double")))
+      // closed-form sum of the raw weights actually present: exactly
+      // 1 ulp-stable term per pinned language + one for the others
+      .withColumn("_raw_sum",
+        col("_has_en").cast("double") * lit(0.5) +
+          col("_has_es").cast("double") * lit(0.2) +
+          when(col("_n_other") > 0,
+            col("_n_other").cast("double") *
+              (lit(0.3) / col("_n_other").cast("double")))
+            .otherwise(lit(0.0)))
+      .withColumn("target_share", col("_raw") / col("_raw_sum"))
       .withColumn("rate",
         col("target_share") * col("_total").cast("double") /
           col("n_tokens").cast("double"))
@@ -662,14 +682,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** q54's reproducible uniform key in [0,1): first 8 md5 hex digits
-    * of the doc id over 2^32 — exact in IEEE double (integer / power
-    * of two), bit-identical in DuckDB, no RNG state, no partition
-    * dependence. */
-  private def uniformKey =
-    (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-      16, 10).cast("long").cast("double") / lit(4294967296.0))
-      .as("sample_key")
+  /** The reproducible uniform key in [0,1) seeded by any column:
+    * first 8 md5 hex digits over 2^32 — exact in IEEE double
+    * (integer / power of two), bit-identical in DuckDB (see
+    * [[md5UniformSql]], the single SQL counterpart), no RNG state,
+    * no partition dependence. ONE definition — q54/q55 seed it by
+    * doc_id, [[Dedup.q69ClusterSplit]] by cluster_id — so the
+    * cross-engine bit-identity can't drift per call site. */
+  private[queries] def uniformKeyOf(seed: Column): Column =
+    conv(substring(md5(seed.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** DuckDB replay of [[uniformKeyOf]] for oracle SQL: the
+    * nibble-weighted sum reproduces `conv(substr(md5,1,8),16,10)`
+    * exactly, and /2^32 is exact in IEEE double. */
+  private[queries] def md5UniformSql(seedExpr: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 9),
+       |    i -> (strpos('0123456789abcdef',
+       |            substr(md5(CAST($seedExpr AS VARCHAR)), i, 1)) - 1)
+       |         * (1::BIGINT << (4 * (8 - i))))) AS DOUBLE)
+       |    / 4294967296.0""".stripMargin
+
+  private def uniformKey = uniformKeyOf(col("doc_id")).as("sample_key")
 
   // --------------------------------------------------------------- q55
   /** Deterministic per-source cap — the domain-balancing primitive
@@ -909,6 +943,10 @@ object TextOps {
     // q74: exact integer token counts (q13 split semantics); the
     // shares/rates are the identical IEEE trees — note rate reuses
     // the full CASE so both engines build (case*total)/tokens
+    // q74: the raw-weight CASE and the closed-form raw_sum (presence
+    // flags, one term per pinned language — never a float sum over
+    // rows, whose grouping would be partition-dependent) mirror the
+    // Spark expression trees node for node
     "q74_mixture_plan" ->
       """WITH cells AS (
         | SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -917,16 +955,25 @@ object TextOps {
         |t AS (
         | SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
         |  CAST(COUNT(CASE WHEN lang NOT IN ('en','es') THEN 1 END) AS BIGINT)
-        |    AS n_other
-        | FROM cells)
-        |SELECT lang, n_docs, n_tokens,
-        | CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS actual_share,
-        | CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'es' THEN 0.2
-        |      ELSE 0.3 / CAST(n_other AS DOUBLE) END AS target_share,
-        | CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'es' THEN 0.2
-        |      ELSE 0.3 / CAST(n_other AS DOUBLE) END
-        |   * CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rate
-        |FROM cells CROSS JOIN t ORDER BY lang""".stripMargin,
+        |    AS n_other,
+        |  CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS has_en,
+        |  CAST(COUNT(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS has_es
+        | FROM cells),
+        |r AS (
+        | SELECT lang, n_docs, n_tokens, total,
+        |  CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS actual_share,
+        |  CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'es' THEN 0.2
+        |       ELSE 0.3 / CAST(n_other AS DOUBLE) END AS raw,
+        |  CAST(has_en AS DOUBLE) * 0.5 + CAST(has_es AS DOUBLE) * 0.2 +
+        |   CASE WHEN n_other > 0
+        |        THEN CAST(n_other AS DOUBLE) * (0.3 / CAST(n_other AS DOUBLE))
+        |        ELSE 0.0 END AS raw_sum
+        | FROM cells CROSS JOIN t)
+        |SELECT lang, n_docs, n_tokens, actual_share,
+        | raw / raw_sum AS target_share,
+        | raw / raw_sum * CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |   AS rate
+        |FROM r ORDER BY lang""".stripMargin,
     // q75: DuckDB range() excludes its stop exactly where Spark's
     // sequence(0, size-1, step) includes size-1 — both enumerate the
     // same starts; 1-based inclusive list slice ws[st+1 : st+64]
@@ -983,13 +1030,9 @@ object TextOps {
     // exact integers, so the double division and the < compare are
     // bit-identical to Spark's conv(substring(md5(...)))
     "q54_sample_mix" ->
-      """WITH u AS (
+      s"""WITH u AS (
         | SELECT doc_id, lang,
-        |  CAST(list_sum(list_transform(range(1, 9),
-        |    i -> (strpos('0123456789abcdef',
-        |            substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-        |         * (1::BIGINT << (4 * (8 - i))))) AS DOUBLE)
-        |    / 4294967296.0 AS sample_key,
+        |  ${md5UniformSql("doc_id")} AS sample_key,
         |  CAST(CASE WHEN lang = 'en' THEN 0.25 WHEN lang = 'es' THEN 0.5
         |       ELSE 1.0 END AS DOUBLE) AS rate
         | FROM documents)
@@ -1066,13 +1109,9 @@ object TextOps {
     // q55: q54's digit-by-digit md5 key; pass-through-or-rank is
     // expressed as one predicate (n <= K keeps all, else rn <= K)
     "q55_source_cap" ->
-      """WITH u AS (
+      s"""WITH u AS (
         | SELECT doc_id, source,
-        |  CAST(list_sum(list_transform(range(1, 9),
-        |    i -> (strpos('0123456789abcdef',
-        |            substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-        |         * (1::BIGINT << (4 * (8 - i))))) AS DOUBLE)
-        |    / 4294967296.0 AS sample_key
+        |  ${md5UniformSql("doc_id")} AS sample_key
         | FROM documents),
         |c AS (SELECT source, count(*) AS n FROM u GROUP BY source),
         |r AS (

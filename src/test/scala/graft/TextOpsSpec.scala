@@ -387,14 +387,29 @@ class TextOpsSpec extends SparkSpec {
         assert(idx == i && start == i.toLong * S)
         assert(len == math.min(W.toLong, n - start), s"doc $doc window $i")
       }
-      // full coverage: the last window reaches the last token, and
-      // consecutive windows overlap by exactly W - S tokens
+      // full coverage: the last window reaches the last token
       val (_, _, lastStart, lastLen) = sorted.last
       assert(lastStart + lastLen == n)
-      sorted.sliding(2).foreach {
-        case Array((_, _, s1, l1), (_, _, s2, _)) =>
-          assert(s2 == s1 + S && (s1 + l1 - s2) == math.min(l1 - S, W - S))
-        case _ =>
+    }
+    // content, not just geometry: chunk_md5 IS the md5 of the actual
+    // token slice — including the overlapping tokens shared between
+    // consecutive windows (recomputed from raw text, Spark-free)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hashes = TextOps.q75ChunkWindows(spark, sfDir)
+      .filter($"doc_id" < 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getString(4)).toMap
+    val sample = Tables(spark, sfDir, "documents").filter($"doc_id" < 5)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(sample.nonEmpty)
+    sample.foreach { case (doc, text) =>
+      val toks = text.split("\\s+", -1)
+      (0 until toks.length by S).foreach { st =>
+        val want = md5hex(toks.slice(st, st + W).mkString(" "))
+        assert(hashes((doc, st.toLong)) == want,
+          s"doc $doc window at $st hashes wrong content")
       }
     }
   }
@@ -405,10 +420,11 @@ class TextOpsSpec extends SparkSpec {
     // shares are complete mixtures
     assert(math.abs(rows.map(_.getAs[Double]("actual_share")).sum - 1.0) < 1e-9)
     assert(math.abs(rows.map(_.getAs[Double]("target_share")).sum - 1.0) < 1e-9)
-    // en/es targets pinned; the rest split 30% equally
+    // en/es targets pinned (up to the renormalization ulps); the
+    // rest split 30% equally
     val byLang = rows.map(r => r.getString(0) -> r).toMap
-    assert(byLang("en").getAs[Double]("target_share") == 0.5)
-    assert(byLang("es").getAs[Double]("target_share") == 0.2)
+    assert(math.abs(byLang("en").getAs[Double]("target_share") - 0.5) < 1e-12)
+    assert(math.abs(byLang("es").getAs[Double]("target_share") - 0.2) < 1e-12)
     // executing the plan reproduces the budget: Σ rate·tokens = total
     val planned = rows.map(r =>
       r.getAs[Double]("rate") * r.getAs[Long]("n_tokens")).sum
@@ -419,5 +435,28 @@ class TextOpsSpec extends SparkSpec {
       val landed = r.getAs[Double]("rate") * r.getAs[Long]("n_tokens") / total
       assert(math.abs(landed - r.getAs[Double]("target_share")) < 1e-9)
     }
+
+    // a corpus MISSING a pinned language: raw weights renormalize
+    // over what's present, so the mixture stays complete and the
+    // budget is still preserved (not silently halved)
+    val dir = java.nio.file.Files.createTempDirectory("q74docs").toString
+    Seq((1L, "a b c", "es", "s", 5L), (2L, "d e", "fr", "s", 3L),
+      (3L, "f g h i", "fr", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val partial = TextOps.q74MixturePlan(spark, dir).collect()
+    assert(partial.map(_.getString(0)).sorted.toSeq == Seq("es", "fr"))
+    assert(math.abs(partial.map(_.getAs[Double]("target_share")).sum - 1.0)
+      < 1e-9, "shares must renormalize to a complete mixture")
+    val pTotal = partial.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val pPlanned = partial.map(r =>
+      r.getAs[Double]("rate") * r.getAs[Long]("n_tokens")).sum
+    assert(math.abs(pPlanned - pTotal) / pTotal < 1e-9,
+      s"missing-language corpus breaks the budget: $pPlanned vs $pTotal")
+    // es keeps 0.2 : 0.3 proportionality against the others' pool
+    val m = partial.map(r => r.getString(0) ->
+      r.getAs[Double]("target_share")).toMap
+    assert(math.abs(m("es") - 0.2 / 0.5) < 1e-9)
+    assert(math.abs(m("fr") - 0.3 / 0.5) < 1e-9)
   }
 }
