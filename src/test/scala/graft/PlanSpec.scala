@@ -139,6 +139,32 @@ class PlanSpec extends SparkSpec {
       s"grid sides should broadcast:\n$plan")
   }
 
+  test("q72/q73: the expensive dedup pipeline is planned exactly once") {
+    // q72's degree must explode both endpoints in ONE pass (a
+    // unionAll of projections re-planned the whole LSH verify
+    // pipeline twice); the only parquet scan is the corpus join —
+    // signatures come from the checkpointed table
+    // AQE's toString repeats the tree under "== Initial Plan ==" —
+    // count scans in the final section only
+    def finalSection(plan: String): String =
+      plan.split("== Initial Plan ==").head
+    def parquetScans(plan: String): Int =
+      finalSection(plan).linesIterator.count(l =>
+        l.contains("Scan") && l.contains("parquet"))
+    val d72 = graft.queries.Dedup.q72DupDegree(spark, sfDir)
+    d72.collect()
+    val p72 = d72.queryExecution.executedPlan.toString
+    assert(parquetScans(p72) == 1, s"q72 must scan parquet once:\n$p72")
+    // q73's cluster assignment is localCheckpoint'd for its two
+    // consumers — without the cut each re-runs the LSH pipeline
+    val d73 = graft.queries.Dedup.q73SourceDupRate(spark, sfDir)
+    d73.collect()
+    val p73 = d73.queryExecution.executedPlan.toString
+    assert(parquetScans(p73) == 1, s"q73 must scan parquet once:\n$p73")
+    assert(finalSection(p73).contains("ExistingRDD"),
+      s"q73 must read the checkpointed assignment:\n$p73")
+  }
+
   test("q71: partial aggregation combines exploded rows before the only exchange") {
     val df = graft.queries.Similarity.q71LabelCentroids(spark, sfDir)
     df.collect()
