@@ -979,10 +979,10 @@ object TextOps {
     // same starts; 1-based inclusive list slice ws[st+1 : st+64]
     // clamps like Spark's slice(ws, st+1, 64)
     "q75_chunk_windows" ->
-      """WITH w AS (
-        | SELECT doc_id, string_split_regex(text, '\s+') AS ws,
-        |  range(0, greatest(len(string_split_regex(text, '\s+')), 1), 48)
-        |    AS sts
+      s"""WITH w AS (
+        | SELECT doc_id, string_split_regex(text, '\\s+') AS ws,
+        |  range(0, greatest(len(string_split_regex(text, '\\s+')), 1),
+        |        $ChunkStride) AS sts
         | FROM documents),
         |u AS (
         | SELECT doc_id, ws,
@@ -991,8 +991,10 @@ object TextOps {
         | FROM w)
         |SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
         | CAST(u.st AS BIGINT) AS start,
-        | CAST(least(64, len(ws) - u.st) AS BIGINT) AS n_chunk_tokens,
-        | md5(array_to_string(ws[u.st+1 : u.st+64], ' ')) AS chunk_md5
+        | CAST(least($ChunkWindow, len(ws) - u.st) AS BIGINT)
+        |   AS n_chunk_tokens,
+        | md5(array_to_string(ws[u.st+1 : u.st+$ChunkWindow], ' '))
+        |   AS chunk_md5
         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
     "q67_freq_spectrum" ->
       """WITH t AS (
