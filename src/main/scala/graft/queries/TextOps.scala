@@ -689,7 +689,7 @@ object TextOps {
     * no partition dependence. ONE definition — q54/q55 seed it by
     * doc_id, [[Dedup.q69ClusterSplit]] by cluster_id — so the
     * cross-engine bit-identity can't drift per call site. */
-  private[queries] def uniformKeyOf(seed: Column): Column =
+  private[graft] def uniformKeyOf(seed: Column): Column =
     conv(substring(md5(seed.cast("string")), 1, 8), 16, 10)
       .cast("long").cast("double") / lit(4294967296.0)
 
