@@ -356,9 +356,15 @@ object TextOps {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_n_tok")).as("n_tokens"))
       .localCheckpoint()
+    // NULL-safe other-count: a null lang falls into the `.otherwise`
+    // raw-weight branch below (=== is null ⇒ not matched), so it MUST
+    // be counted here too — `!isin` alone is null for nulls, which
+    // would undercount _n_other and hand the null group an unbacked
+    // (at worst 0.3/0 = Infinity) weight
     val totals = byLang.agg(
       sum(col("n_tokens")).as("_total"),
-      count(when(!col("lang").isin("en", "es"), 1)).as("_n_other"),
+      count(when(col("lang").isNull || !col("lang").isin("en", "es"), 1))
+        .as("_n_other"),
       count(when(col("lang") === "en", 1)).as("_has_en"),
       count(when(col("lang") === "es", 1)).as("_has_es"))
     byLang.crossJoin(broadcast(totals))
@@ -394,10 +400,15 @@ object TextOps {
     * boundaries), one output row per (doc, window) with the window's
     * md5 — never the text — so the result stays narrow at any scale.
     *
-    * Window starts are `sequence(0, size-1, stride)` — every token is
-    * covered, the last window is allowed to run short, and an empty
-    * document still emits its one (empty) window so the chunk table
-    * keeps one-row-per-doc-minimum accounting.
+    * Window starts are `sequence(0, size-(W-S)-1, stride)` (floored
+    * at 0) — every token is covered and the last window is allowed to
+    * run short, but a start whose PREDECESSOR window already reached
+    * the document end is suppressed: its content would be a strict
+    * suffix of the previous chunk, bloating a RAG index with
+    * duplicate-span entries (for W=64, S=48 that's every document
+    * with size mod 48 in 1..16). An empty document still emits its
+    * one (empty) window so the chunk table keeps
+    * one-row-per-doc-minimum accounting.
     *
     * Scale shape: entirely array-native per row (transform + slice in
     * codegen, one posexplode); NO shuffle anywhere but the
@@ -409,7 +420,10 @@ object TextOps {
     withWords(docs(spark, dir))
       .select(col("doc_id"),
         posexplode(expr(
-          s"""transform(sequence(0, greatest(size(_ws) - 1, 0), $ChunkStride),
+          s"""transform(
+             |  sequence(0,
+             |    greatest(size(_ws) - ${ChunkWindow - ChunkStride} - 1, 0),
+             |    $ChunkStride),
              |  st -> struct(
              |    st AS start,
              |    least($ChunkWindow, size(_ws) - st) AS n_chunk_tokens,
@@ -940,13 +954,13 @@ object TextOps {
     "q53_decontaminate" -> decontamOracleSql,
     "q60_bloom_decontam" -> decontamOracleSql,
     "q66_composition" -> compositionOracleSql,
-    // q74: exact integer token counts (q13 split semantics); the
-    // shares/rates are the identical IEEE trees — note rate reuses
-    // the full CASE so both engines build (case*total)/tokens
-    // q74: the raw-weight CASE and the closed-form raw_sum (presence
+    // q74: exact integer token counts (q13 split semantics); shares
+    // and rates are identical IEEE trees both engines build the same:
+    // the raw-weight CASE and the closed-form raw_sum (presence
     // flags, one term per pinned language — never a float sum over
     // rows, whose grouping would be partition-dependent) mirror the
-    // Spark expression trees node for node
+    // Spark expression trees node for node; `lang IS NULL OR` keeps
+    // the null-language group counted in n_other exactly as Spark does
     "q74_mixture_plan" ->
       """WITH cells AS (
         | SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -954,8 +968,8 @@ object TextOps {
         | FROM documents GROUP BY lang),
         |t AS (
         | SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
-        |  CAST(COUNT(CASE WHEN lang NOT IN ('en','es') THEN 1 END) AS BIGINT)
-        |    AS n_other,
+        |  CAST(COUNT(CASE WHEN lang IS NULL OR lang NOT IN ('en','es')
+        |             THEN 1 END) AS BIGINT) AS n_other,
         |  CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS has_en,
         |  CAST(COUNT(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS has_es
         | FROM cells),
@@ -981,8 +995,10 @@ object TextOps {
     "q75_chunk_windows" ->
       s"""WITH w AS (
         | SELECT doc_id, string_split_regex(text, '\\s+') AS ws,
-        |  range(0, greatest(len(string_split_regex(text, '\\s+')), 1),
-        |        $ChunkStride) AS sts
+        |  range(0,
+        |    greatest(len(string_split_regex(text, '\\s+'))
+        |               - ${ChunkWindow - ChunkStride} - 1, 0) + 1,
+        |    $ChunkStride) AS sts
         | FROM documents),
         |u AS (
         | SELECT doc_id, ws,

@@ -78,7 +78,7 @@ object StreamingDecontam {
     // one session would otherwise each leak a cached gram table into
     // executor storage until the session dies
     val qid = query.id
-    spark.streams.addListener(
+    val listener =
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -88,7 +88,17 @@ object StreamingDecontam {
             evalGrams.unpersist()
             spark.streams.removeListener(this)
           }
-      })
+      }
+    spark.streams.addListener(listener)
+    // the terminated event can fire BEFORE the listener registers (an
+    // AvailableNow query over a tiny directory finishes fast, and the
+    // bus does not replay past events) — without this check the cache
+    // and the dead listener leak for the life of the session. Both
+    // cleanups are idempotent, so racing the listener is harmless.
+    if (!query.isActive) {
+      evalGrams.unpersist()
+      spark.streams.removeListener(listener)
+    }
     query
   }
 }

@@ -77,7 +77,7 @@ object StreamingMixer {
     // release the rate cache when this query ends (same lifecycle as
     // StreamingDecontam's probe cache)
     val qid = query.id
-    spark.streams.addListener(
+    val listener =
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -87,7 +87,17 @@ object StreamingMixer {
             r.unpersist()
             spark.streams.removeListener(this)
           }
-      })
+      }
+    spark.streams.addListener(listener)
+    // the terminated event can fire BEFORE the listener registers (an
+    // AvailableNow query over a tiny directory finishes fast, and the
+    // bus does not replay past events) — without this check the cache
+    // and the dead listener leak for the life of the session. Both
+    // cleanups are idempotent, so racing the listener is harmless.
+    if (!query.isActive) {
+      r.unpersist()
+      spark.streams.removeListener(listener)
+    }
     query
   }
 }

@@ -406,7 +406,13 @@ class TextOpsSpec extends SparkSpec {
     assert(sample.nonEmpty)
     sample.foreach { case (doc, text) =>
       val toks = text.split("\\s+", -1)
-      (0 until toks.length by S).foreach { st =>
+      // the suppression rule, independently restated: starts step S
+      // from 0 while the PREVIOUS window has not yet reached the end
+      val starts = 0 until math.max(toks.length - (W - S), 1) by S
+      assert(starts.map(_.toLong).toSet ==
+        hashes.keySet.collect { case (d, st) if d == doc => st },
+        s"doc $doc emits the wrong window starts")
+      starts.foreach { st =>
         val want = md5hex(toks.slice(st, st + W).mkString(" "))
         assert(hashes((doc, st.toLong)) == want,
           s"doc $doc window at $st hashes wrong content")
@@ -458,5 +464,21 @@ class TextOpsSpec extends SparkSpec {
       r.getAs[Double]("target_share")).toMap
     assert(math.abs(m("es") - 0.2 / 0.5) < 1e-9)
     assert(math.abs(m("fr") - 0.3 / 0.5) < 1e-9)
+
+    // a NULL-language group counts into the others' pool (a null-blind
+    // `NOT IN` predicate would hand it an unbacked weight — at worst
+    // 0.3/0 = Infinity — and silently break the budget)
+    val dirN = java.nio.file.Files.createTempDirectory("q74null").toString
+    Seq((1L, "a b", "en", "s", 3L), (2L, "c d e", null, "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dirN/documents.parquet")
+    val withNull = TextOps.q74MixturePlan(spark, dirN).collect()
+    assert(withNull.forall(r =>
+      !r.getAs[Double]("rate").isInfinite && !r.getAs[Double]("rate").isNaN))
+    val nTotal = withNull.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val nPlanned = withNull.map(r =>
+      r.getAs[Double]("rate") * r.getAs[Long]("n_tokens")).sum
+    assert(math.abs(nPlanned - nTotal) / nTotal < 1e-9,
+      s"null-lang corpus breaks the budget: $nPlanned vs $nTotal")
   }
 }
