@@ -202,10 +202,15 @@ object Analytics {
     *
     * Cross-engine exactness: TVD's inner term |n_sb/N_s − n_b/N| is
     * rescaled to the all-integer |n_sb·N − n_b·N_s| (DECIMAL(19,0)
-    * products — exact to 1e38, overflow-proof at any corpus size where
-    * counts fit in BIGINT), summed exactly, and divided out in ONE
+    * products, exact per-term), summed exactly, and divided out in ONE
     * fixed IEEE expression both engines evaluate identically — the
-    * [[q50Stats]] discipline applied to a distribution distance.
+    * [[q50Stats]] discipline applied to a distribution distance. The
+    * summed numerator is bounded by 2·N_s·N, so the DECIMAL(38,0)
+    * accumulator is exact while 2·N_s·N < 10^38 — i.e. any corpus
+    * under ~7×10^18 documents, comfortably past BIGINT-count reality;
+    * beyond that bound Spark's non-ANSI decimal sum would return NULL
+    * where DuckDB raises, so the divergence mode is loud-vs-null, not
+    * silently wrong values.
     *
     * Scale shape: one (source, bucket) partial+final aggregate over
     * the corpus (the only full-data shuffle), then everything runs on

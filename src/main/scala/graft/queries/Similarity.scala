@@ -311,18 +311,28 @@ object Similarity {
     * hash-aggregate combines map-side immediately — what crosses the
     * wire is |labels|×dim partial sums per task, not exploded rows.
     * One shuffle on the (label, pos) key; no window, no collect. */
-  def q71LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+  def q71LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    // DECIMAL(12,9) holds |x| < 1000; a larger element would cast to
+    // NULL in Spark's non-ANSI mode — silently vanishing from the sum
+    // while still counted in n — where DuckDB raises on the same cast.
+    // Fail loudly instead, so both engines reject out-of-domain
+    // embeddings the same way rather than diverging.
+    val xd = col("x").cast(DoubleType)
+    val xq = when(abs(xd) < lit(1000.0), xd.cast(dec)).otherwise(
+      raise_error(concat(
+        lit("q71: embedding element outside DECIMAL(12,9) domain (|x| >= 1000): "),
+        col("x").cast(StringType))))
     Tables(spark, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
-      .agg(sum(col("x").cast(DoubleType).cast(dec)
-          .cast(DecimalType(28, 9))).as("s"),
+      .agg(sum(xq.cast(DecimalType(28, 9))).as("s"),
         count(lit(1)).as("n"))
       .select(col("label"), col("pos").cast("long").as("pos"),
         col("s").cast(DoubleType).as("component_sum"),
         (col("s").cast(DoubleType) / col("n").cast(DoubleType)).as("centroid"),
         col("n"))
       .orderBy(col("label"), col("pos"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_knn_brute"    -> (q21KnnBrute _),

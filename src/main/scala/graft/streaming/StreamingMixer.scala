@@ -63,7 +63,14 @@ object StreamingMixer {
     * files with a static (lang, rate) table. */
   def start(spark: SparkSession, inDir: String, outDir: String,
       schema: StructType, rates: DataFrame): StreamingQuery = {
-    val r = rates.persist()
+    // Canonicalize to one row per lang before anything joins against
+    // it: a rates frame with duplicate lang rows (e.g. q74 outputs
+    // unioned across runs) would fan out the sampleFilter join and
+    // emit duplicate documents into the kept sink. min() is the
+    // deterministic, conservative resolution (keep the fewest docs);
+    // the table is tiny, so this costs one aggregation at start.
+    val r = rates.groupBy(col("lang"))
+      .agg(min(col("rate")).as("rate")).persist()
     r.count()
     val query = spark.readStream.schema(schema).parquet(inDir)
       .writeStream

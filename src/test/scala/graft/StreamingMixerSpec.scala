@@ -52,6 +52,34 @@ class StreamingMixerSpec extends SparkSpec {
     assert(first == second && first.nonEmpty)
   }
 
+  test("duplicate lang rows in the rate table do not duplicate docs") {
+    val in = Files.createTempDirectory("graft-mix-dup-in").toString + "/docs"
+    val out = Files.createTempDirectory("graft-mix-dup-out").toString
+    val corpus = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .filter(col("doc_id") < 200)
+    corpus.write.parquet(in)
+    // a q74 output unioned across runs: en appears twice with
+    // conflicting rates — start() must canonicalize (min wins), not
+    // fan out the join
+    val dupRates = rates.union(Seq(("en", 0.75)).toDF("lang", "rate"))
+    val schema = spark.read.parquet(in).schema
+    val q = StreamingMixer.start(spark, in, out, schema, dupRates)
+    try q.awaitTermination(120000) finally q.stop()
+    val kept = StreamingMixer.readSink(spark, s"$out/kept")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept.size == kept.distinct.size, "fan-out duplicated docs")
+    // min-rate resolution: identical to running with en->0.25 alone
+    val canonical = StreamingMixer.readSink(spark, {
+      val out2 = Files.createTempDirectory("graft-mix-dup-ref").toString
+      StreamingMixer.writeBatch(
+        spark.read.parquet(in), 0L,
+        Seq(("en", 0.25), ("es", 0.5)).toDF("lang", "rate"), out2)
+      s"$out2/kept"
+    }).select("doc_id").as[Long].collect().toSet
+    assert(kept.toSet == canonical)
+  }
+
   test("languages missing from the rate table pass through entirely") {
     val out = Files.createTempDirectory("graft-mix-dflt").toString
     val batch = Seq((1L, "xx", "a"), (2L, "xx", "b"), (3L, "xx", "c"))
