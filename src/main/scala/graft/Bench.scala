@@ -94,7 +94,13 @@ object Bench {
         if (!Files.exists(p)) None
         else {
           val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-          """"queries":\{([^}]*)\}""".r.findFirstMatchIn(text).map(_.group(1)) match {
+          // a mirror from a different scale factor (e.g. a dev run at
+          // sf0.01 before the driver's sf0.1 run) would produce a
+          // meaningless non-uniform ratio; refuse to compare across sf
+          val prevSf = """"sf":"([^"]*)"""".r
+            .findFirstMatchIn(text).map(_.group(1))
+          if (prevSf.exists(_ != sfDir)) None
+          else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(text).map(_.group(1)) match {
             case None => None
             case Some(qObj) =>
               // signed exponent: a prev value like 1.0E-5 must parse, not
