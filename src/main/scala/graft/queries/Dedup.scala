@@ -312,6 +312,108 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  // --------------------------------------------------------------- q76
+  /** Incremental (delta) dedup: an incoming batch checked against the
+    * standing corpus WITHOUT re-pairing the corpus against itself —
+    * the ingest-time shape of LSH dedup. The "batch" is the ~10% of
+    * documents whose md5-uniform key ([[TextOps.uniformKeyOf]], the
+    * ONE definition) falls below 0.1 — a deterministic stand-in for
+    * "today's crawl"; the remaining 90% is the reference corpus. Each
+    * batch doc reports its LSH candidate count against the corpus,
+    * whether any candidate verifies at est-Jaccard ≥ 0.5, and the
+    * smallest matching corpus doc (its canonical duplicate target).
+    *
+    * Scale shape — why this is THE 100 TB dedup pattern: the corpus
+    * side of the band join is a precomputed signature/band index (N
+    * rows × 12 narrow columns — the thing a production pipeline
+    * persists once and reuses every ingest); per ingest you compute
+    * signatures for the DELTA only and join band-to-band, so cost is
+    * |delta bands| × matching buckets, never corpus × corpus and
+    * never a re-cluster of the standing corpus. Signatures are
+    * `localCheckpoint`'d for the same HOF-re-evaluation reason as
+    * [[minhashCandidatePairs]]. */
+  def q76DeltaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(docs(spark, dir))
+      .withColumn("_delta", TextOps.uniformKeyOf(col("doc_id")) < lit(0.1))
+      .localCheckpoint()
+    def bandsOf(df: DataFrame): DataFrame =
+      (0 until NumHashes / BandSize).map(b =>
+        df.select(col("doc_id"), col(s"band$b").as("bucket")))
+        .reduce(_ unionByName _)
+    val cand = bandsOf(sig.filter(col("_delta"))).as("d")
+      .join(bandsOf(sig.filter(!col("_delta"))).as("c"),
+        col("d.bucket") === col("c.bucket"))
+      .select(col("d.doc_id").as("doc_id"), col("c.doc_id").as("ref_id"))
+      .distinct()
+    val sigD = sig.select((col("doc_id") +:
+      (0 until NumHashes).map(i => col(s"mh$i").as(s"a_mh$i"))): _*)
+    val sigR = sig.select((col("doc_id").as("ref_id") +:
+      (0 until NumHashes).map(i => col(s"mh$i").as(s"b_mh$i"))): _*)
+    val est = (0 until NumHashes)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(NumHashes.toDouble)
+    val verified = cand.join(sigD, "doc_id").join(sigR, "ref_id")
+      .withColumn("_est", est).filter(col("_est") >= 0.5)
+      .groupBy(col("doc_id")).agg(min(col("ref_id")).as("dup_of"))
+    val nCand = cand.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    sig.filter(col("_delta")).select(col("doc_id"))
+      .join(nCand, Seq("doc_id"), "left")
+      .join(verified, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_candidates"))
+      .select(col("doc_id"), col("n_candidates"),
+        col("dup_of").isNotNull.cast("long").as("is_dup"), col("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- q78
+  /** Asymmetric n-gram CONTAINMENT on LSH candidate pairs:
+    * |S_a ∩ S_b| / |S_a| and / |S_b| over distinct word-3-gram sets.
+    * Jaccard (q20) misses the excerpt/quote case — a short doc fully
+    * contained in a long one has low Jaccard but containment ≈ 1 on
+    * the short side, which is how a pipeline catches boilerplate
+    * embedded in larger pages and near-total quotations (Broder's
+    * original resemblance/containment pair, 1997).
+    *
+    * Cross-engine exactness: set sizes are integers (Spark
+    * `array_distinct`/`array_intersect` both dedup, DuckDB
+    * `list_distinct`/`list_intersect` match), divided in ONE IEEE
+    * expression per side.
+    *
+    * Scale shape: containment is computed ONLY on LSH candidate pairs
+    * (Σ bucket², never N²); the distinct-shingle sets are one narrow
+    * derived table joined twice — the text crosses the shuffle once
+    * as a shingle array, not re-shingled per pair. */
+  def q78Containment(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(docs(spark, dir)).localCheckpoint()
+    val bands = (0 until NumHashes / BandSize).map(b =>
+      sig.select(col("doc_id"), col(s"band$b").as("bucket")))
+      .reduce(_ unionByName _)
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = docs(spark, dir)
+      .withColumn("_ws", split(col("text"), "\\s+"))
+      .select(col("doc_id"),
+        array_distinct(expr(shinglesExpr)).as("sh"))
+      .localCheckpoint()
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("_sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("_sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("_sa")).cast("long").as("n_a"),
+        size(col("_sb")).cast("long").as("n_b"),
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long")
+          .as("n_common"))
+      .withColumn("containment_a",
+        col("n_common").cast("double") / col("n_a").cast("double"))
+      .withColumn("containment_b",
+        col("n_common").cast("double") / col("n_b").cast("double"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_minhash_lsh"   -> (q18MinhashLsh _),
     "q19_simhash"       -> (q19Simhash _),
@@ -321,7 +423,9 @@ object Dedup {
     "q52_dedup_ranked"  -> (q52DedupRanked _),
     "q69_cluster_split" -> (q69ClusterSplit _),
     "q72_dup_degree"    -> (q72DupDegree _),
-    "q73_source_dup_rate" -> (q73SourceDupRate _))
+    "q73_source_dup_rate" -> (q73SourceDupRate _),
+    "q76_delta_dedup"   -> (q76DeltaDedup _),
+    "q78_containment"   -> (q78Containment _))
 
   private val mhSelect = (0 until NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> md5('$i#' || x))) AS mh$i").mkString(",\n |  ")
@@ -373,7 +477,71 @@ object Dedup {
       .stripMargin
   }
 
+  /** Estimated-Jaccard term over aliases `sa`/`sb` — shared by the
+    * clusterCtes verify and the q76 delta verify. */
+  private val estSql = (0 until NumHashes)
+    .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    // q76: the q18 signature chain, split 10/90 by the ONE md5-uniform
+    // key, delta bands joined to corpus bands only — the unreferenced
+    // bands/cand/pairs/edges/reach CTEs in the shared chain are never
+    // executed
+    "q76_delta_dedup" ->
+      s"""WITH $clusterCtes,
+        |spl AS (
+        | SELECT sig.*, (${TextOps.md5UniformSql("doc_id")}) < 0.1 AS is_delta
+        | FROM sig),
+        |dbands AS (
+        | SELECT doc_id, band0 AS bucket FROM spl WHERE is_delta UNION ALL
+        | SELECT doc_id, band1 FROM spl WHERE is_delta UNION ALL
+        | SELECT doc_id, band2 FROM spl WHERE is_delta UNION ALL
+        | SELECT doc_id, band3 FROM spl WHERE is_delta),
+        |cbands AS (
+        | SELECT doc_id, band0 AS bucket FROM spl WHERE NOT is_delta UNION ALL
+        | SELECT doc_id, band1 FROM spl WHERE NOT is_delta UNION ALL
+        | SELECT doc_id, band2 FROM spl WHERE NOT is_delta UNION ALL
+        | SELECT doc_id, band3 FROM spl WHERE NOT is_delta),
+        |candd AS (
+        | SELECT DISTINCT d.doc_id AS doc_id, c.doc_id AS ref_id
+        | FROM dbands d JOIN cbands c ON d.bucket = c.bucket),
+        |verd AS (
+        | SELECT candd.doc_id, MIN(candd.ref_id) AS dup_of
+        | FROM candd
+        |  JOIN spl sa ON sa.doc_id = candd.doc_id
+        |  JOIN spl sb ON sb.doc_id = candd.ref_id
+        | WHERE ($estSql) / 8.0 >= 0.5
+        | GROUP BY candd.doc_id),
+        |ncd AS (
+        | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        | FROM candd GROUP BY doc_id)
+        |SELECT s.doc_id,
+        | CAST(COALESCE(ncd.n_candidates, 0) AS BIGINT) AS n_candidates,
+        | CAST(verd.dup_of IS NOT NULL AS BIGINT) AS is_dup,
+        | verd.dup_of
+        |FROM spl s
+        | LEFT JOIN ncd ON ncd.doc_id = s.doc_id
+        | LEFT JOIN verd ON verd.doc_id = s.doc_id
+        |WHERE s.is_delta ORDER BY s.doc_id""".stripMargin,
+    // q78: candidate pairs from the shared chain, exact distinct-3-gram
+    // containment per side
+    "q78_containment" ->
+      s"""WITH $clusterCtes,
+        |sets AS (
+        | SELECT doc_id, list_distinct(sh) AS s FROM sh)
+        |SELECT cand.doc_a, cand.doc_b,
+        | CAST(len(sa.s) AS BIGINT) AS n_a,
+        | CAST(len(sb.s) AS BIGINT) AS n_b,
+        | CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_common,
+        | CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |   / CAST(len(sa.s) AS DOUBLE) AS containment_a,
+        | CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |   / CAST(len(sb.s) AS DOUBLE) AS containment_b
+        |FROM cand
+        | JOIN sets sa ON sa.doc_id = cand.doc_a
+        | JOIN sets sb ON sb.doc_id = cand.doc_b
+        |ORDER BY cand.doc_a, cand.doc_b""".stripMargin,
     "q18_minhash_lsh" ->
       s"""WITH w AS (
         | SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),

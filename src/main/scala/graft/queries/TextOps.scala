@@ -392,6 +392,72 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  // --------------------------------------------------------------- q77
+  /** Per-language top-30% quality gate: keep exactly ceil(0.3·n) docs
+    * per language, ranked by the q14 quality score. [[q61QualityGate]]
+    * is the absolute-threshold variant (keep ≥ the language median);
+    * this is the fixed-budget variant — when the pipeline owes
+    * downstream a known corpus size, a quantile cut is the gate that
+    * delivers it regardless of how the score distribution drifts.
+    *
+    * Cross-engine exactness: the score is q14's proven-exact float
+    * expression; the cut itself never touches floats — keep iff
+    * q_rank ≤ ceil(0.3·n) ⇔ 10·q_rank ≤ 3·n + 9, all BIGINT, with
+    * (score DESC, doc_id) making the ranking total and deterministic.
+    *
+    * Scale shape: one window per language partition (rank + count
+    * share the same partitioning, one shuffle); no global window, no
+    * self-join — per-language partitions are the natural parallel
+    * unit at 100 TB, with skew bounded by the largest language (salt
+    * or split by (lang, score-bucket) if one language dominates). */
+  def q77QuantileGate(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+    val rankW = byLang.orderBy(col("quality_score").desc, col("doc_id"))
+    withQuality(docs(spark, dir))
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .withColumn("q_rank", row_number().over(rankW).cast("long"))
+      .withColumn("_n", count(lit(1)).over(byLang))
+      .filter(col("q_rank") * 10 <= col("_n") * 3 + 9)
+      .drop("_n")
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- q79
+  /** Per-language token-budget head: assemble an epoch by walking each
+    * language's documents in the deterministic md5-uniform order
+    * ([[uniformKeyOf]] — the ONE key definition, so the "shuffle" is
+    * reproducible across runs and engines) and taking documents until
+    * a fixed token budget fills, truncating the boundary document to
+    * the remaining budget (`take_tokens`) — the packing step between
+    * q74's mixture rates and a training loader.
+    *
+    * Cross-engine exactness: all integers — a cumulative BIGINT sum
+    * ordered by (sample_key, doc_id); the only float is the ordering
+    * key, which is exact by construction (integer / 2^32).
+    *
+    * Scale shape: one window per language partition — the cumulative
+    * sum shuffles each language's (doc_id, n_tokens) pairs once,
+    * never the text; budget selection at 100 TB runs on the token-
+    * count projection (16 bytes/row), and the kept ids join back to
+    * the corpus for extraction. */
+  def q79TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("sample_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withWords(docs(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        size(words).cast("long").as("n_tokens"), uniformKey)
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .withColumn("take_tokens",
+        least(col("n_tokens"), lit(budget) - col("cum_before")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_before"), col("take_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- q75
   /** Overlapping token-window chunker — the long-document splitting
     * primitive behind context-length training prep and RAG indexing:
@@ -905,6 +971,8 @@ object TextOps {
     "q67_freq_spectrum" -> (q67FreqSpectrum _),
     "q74_mixture_plan"  -> (q74MixturePlan _),
     "q75_chunk_windows" -> (q75ChunkWindows _),
+    "q77_quantile_gate" -> (q77QuantileGate _),
+    "q79_token_budget"  -> (q79TokenBudget _),
     "q33_prep_pipeline" -> (q33PrepPipeline _),
     "q13_token_count"   -> (q13TokenCount _),
     "q14_quality_score" -> (q14QualityScore _),
@@ -951,6 +1019,43 @@ object TextOps {
         |ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q77: q14's exact score, then a pure-integer quantile cut —
+    // keep iff 10·q_rank <= 3·n + 9 (⇔ q_rank <= ceil(0.3n))
+    "q77_quantile_gate" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, string_split_regex(text, '\s+') AS w
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, lang,
+        |  (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / CAST(len(w) AS DOUBLE))
+        |    * (CAST(least(len(w), 100) AS DOUBLE) / 100.0) AS quality_score
+        | FROM t),
+        |r AS (
+        | SELECT doc_id, lang, quality_score,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY quality_score DESC, doc_id) AS BIGINT) AS q_rank,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        | FROM s)
+        |SELECT doc_id, lang, quality_score, q_rank
+        |FROM r WHERE q_rank * 10 <= n * 3 + 9 ORDER BY doc_id""".stripMargin,
+    // q79: cumulative BIGINT token sum in the md5-uniform order, head
+    // under a 2000-token budget per language, boundary doc truncated
+    "q79_token_budget" ->
+      s"""WITH t AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+        |  ${md5UniformSql("doc_id")} AS sample_key
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, lang, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY sample_key, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before
+        | FROM t)
+        |SELECT doc_id, lang, n_tokens, cum_before,
+        | CAST(least(n_tokens, 2000 - cum_before) AS BIGINT) AS take_tokens
+        |FROM c WHERE cum_before < 2000 ORDER BY doc_id""".stripMargin,
     "q53_decontaminate" -> decontamOracleSql,
     "q60_bloom_decontam" -> decontamOracleSql,
     "q66_composition" -> compositionOracleSql,

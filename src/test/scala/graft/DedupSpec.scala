@@ -93,6 +93,67 @@ class DedupSpec extends SparkSpec {
     assert(bands.forall(_ == null))
   }
 
+  test("q76: delta doc duplicating a corpus doc is flagged, unique delta doc is not") {
+    import graft.queries.TextOps
+    // pick real delta-side (key < 0.1) and corpus-side ids by the ONE
+    // uniform-key definition, so the test controls which side each
+    // planted doc lands on
+    val keys = spark.range(0, 300)
+      .select($"id", TextOps.uniformKeyOf($"id").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val deltaIds = keys.filter(_._2 < 0.1).map(_._1)
+    val corpusIds = keys.filter(_._2 >= 0.1).map(_._1)
+    assert(deltaIds.size >= 2 && corpusIds.size >= 10)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(11)
+    def doc(): String =
+      (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpus = corpusIds.take(10).map(id => (id, doc()))
+    val dupDelta = (deltaIds(0), corpus.head._2) // exact clone of a corpus doc
+    val uniqDelta = (deltaIds(1), doc())
+    val dir = Files.createTempDirectory("graft-delta").toString
+    (corpus :+ dupDelta :+ uniqDelta).toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.q76DeltaDedup(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(out.keySet == Set(dupDelta._1, uniqDelta._1),
+      s"output must be exactly the delta docs, got ${out.keySet}")
+    val (nCand, isDup, dupOf) = out(dupDelta._1)
+    assert(isDup == 1L && dupOf == corpus.head._1 && nCand >= 1,
+      s"clone not flagged against corpus: $nCand $isDup $dupOf")
+    assert(out(uniqDelta._1) == ((0L, 0L, -1L)),
+      "unique delta doc must pass clean")
+  }
+
+  test("q78: a prefix excerpt has containment 1.0 on its side, below 1 on the host's") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(13)
+    val host = (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val excerpt = host.take(54) // 90% prefix: every excerpt shingle ⊂ host's
+    val fillers = (0 until 10).map(i =>
+      (10L + i, (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val dir = Files.createTempDirectory("graft-contain").toString
+    (fillers :+ (1L, host.mkString(" ")) :+ (2L, excerpt.mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.q78Containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(5), r.getDouble(6))).toMap
+    val pair = rows.get((1L, 2L))
+    assert(pair.isDefined, s"excerpt pair not an LSH candidate: ${rows.keySet}")
+    val (cHost, cExcerpt) = pair.get
+    assert(cExcerpt == 1.0, s"excerpt side must be fully contained: $cExcerpt")
+    assert(cHost < 1.0, s"host side must not be fully contained: $cHost")
+  }
+
   test("q18 signatures are stable across runs (deterministic)") {
     val a = Dedup.q18MinhashLsh(spark, sfDir).collect()
     val b = Dedup.q18MinhashLsh(spark, sfDir).collect()

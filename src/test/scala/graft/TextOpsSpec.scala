@@ -481,4 +481,47 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(nPlanned - nTotal) / nTotal < 1e-9,
       s"null-lang corpus breaks the budget: $nPlanned vs $nTotal")
   }
+
+  test("q77: keeps exactly ceil(0.3·n) docs per language, the highest-scored ones") {
+    val perLang = Tables(spark, sfDir, "documents")
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextOps.q77QuantileGate(spark, sfDir)
+    val keptByLang = kept.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      val want = (3 * n + 9) / 10 // ceil(0.3n) in integer arithmetic
+      assert(keptByLang.getOrElse(lang, 0L) == want,
+        s"$lang: kept ${keptByLang.get(lang)} of $n, want $want")
+    }
+    // kept docs are a prefix of the per-language ranking: every kept
+    // score must be >= every dropped score within its language
+    val minKept = kept.groupBy($"lang")
+      .agg(min($"quality_score").as("mn")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dropped = TextOps.q14QualityScore(spark, sfDir)
+      .join(Tables(spark, sfDir, "documents").select("doc_id", "lang"), "doc_id")
+      .join(kept.select($"doc_id".as("k_id")), $"doc_id" === $"k_id", "left_anti")
+    dropped.select($"lang", $"quality_score").collect().foreach { r =>
+      assert(r.getDouble(1) <= minKept(r.getString(0)),
+        s"dropped doc outscores a kept one in ${r.getString(0)}")
+    }
+  }
+
+  test("q79: per-language take_tokens sums to exactly min(budget, available)") {
+    val avail = TextOps.q13TokenCount(spark, sfDir)
+      .groupBy($"lang").agg(sum($"n_ws_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val taken = TextOps.q79TokenBudget(spark, sfDir)
+      .groupBy($"lang").agg(sum($"take_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    avail.foreach { case (lang, t) =>
+      assert(taken.getOrElse(lang, 0L) == math.min(2000L, t),
+        s"$lang: took ${taken.get(lang)} of $t under budget 2000")
+    }
+    // every emitted row contributes: the boundary doc is truncated,
+    // never zero-taken
+    val rows = TextOps.q79TokenBudget(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[Long]("take_tokens") > 0L))
+  }
 }
