@@ -334,7 +334,56 @@ object Similarity {
       .orderBy(col("label"), col("pos"))
   }
 
+  // --------------------------------------------------------------- q80
+  /** Product-quantization encoder: each 64-dim embedding → 4 codes,
+    * one per 16-dim subspace, by nearest-centroid assignment against
+    * 8 deterministic centroids per subspace (the subvectors of the 8
+    * lowest vec_ids — the [[q51IvfAssign]] seeding discipline, so the
+    * codebook is reproducible without a stored model). PQ is the
+    * memory side of the ANN story: 64 floats (256 B) compress to 4
+    * codes (4 B), which is what makes a 100 TB embedding corpus fit
+    * an in-memory distance table (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011).
+    *
+    * Cross-engine exactness: squared L2 per subspace in exact decimal
+    * (diffs at DECIMAL(13,9), squares at scale 18, accumulator pinned
+    * like [[dotExact]]); argmin per subspace via `min(struct(dist,
+    * cid))` — distance ties break to the lowest centroid id, the same
+    * total order the oracle's window-min reproduces. Codes are
+    * integers, so no float ever reaches the output.
+    *
+    * Scale shape: one broadcast of the 8-row codebook, one narrow
+    * crossJoin pass (N×8 rows of 4 decimal distances — never N×N),
+    * one hash-aggregate on vec_id. At production scale the codebook
+    * comes from k-means ([[graft.operators.CoarseQuantizer]]) instead
+    * of seeding, and this pass is unchanged. */
+  def q80PqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val numSub = 4; val subDim = 16; val k = 8
+    val emb = Tables(spark, dir, "embeddings")
+    def subs(c: Column, prefix: String): Seq[Column] =
+      (0 until numSub).map(s =>
+        slice(c, s * subDim + 1, subDim).as(s"$prefix$s"))
+    val cents = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid") +: subs(col("embedding"), "c"): _*)
+    val vecs = emb.select(col("vec_id") +: subs(col("embedding"), "v"): _*)
+    def d2(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast(DoubleType).cast(dec) - y.cast(DoubleType).cast(dec)
+        d * d
+      }),
+      lit(java.math.BigDecimal.ZERO).cast(accType),
+      (acc, x) => (acc + x).cast(accType))
+    val codes = (0 until numSub).map(s =>
+      min(struct(d2(col(s"v$s"), col(s"c$s")).as("d"), col("cid").as("c")))
+        .getField("c").as(s"code$s"))
+    vecs.crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(codes.head, codes.tail: _*)
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_pq_encode"    -> (q80PqEncode _),
     "q21_knn_brute"    -> (q21KnnBrute _),
     "q22_lsh_buckets"  -> (q22LshBuckets _),
     "q23_ivf_ann"      -> (q23IvfAnn _),
@@ -365,7 +414,42 @@ object Similarity {
       |    ORDER BY cosine DESC, c_label DESC) AS rn
       | FROM p)""".stripMargin
 
+  /** Per-subspace exact squared-L2 term for the q80 oracle: the diff
+    * expression is written twice (squared) because DuckDB lambdas
+    * can't bind a local. */
+  private def pqDistSql(s: Int): String = {
+    val dv = s"CAST(CAST(v.embedding[${s * 16} + i] AS DOUBLE) AS DECIMAL(12,9))"
+    val dc = s"CAST(CAST(c.ce[${s * 16} + i] AS DOUBLE) AS DECIMAL(12,9))"
+    s"list_sum(list_transform(range(1, 17), i -> ($dv - $dc) * ($dv - $dc)))"
+  }
+
   val oracle: Map[String, String] = Map(
+    // q80: same decimal element discipline; DuckDB's decimal list_sum
+    // lands at DECIMAL(38,18) — exact, so distance equality (and
+    // therefore the argmin with lowest-cid tie-break) matches Spark's
+    // min(struct) bit-for-bit
+    "q80_pq_encode" ->
+      s"""WITH c AS (
+        | SELECT vec_id AS cid, embedding AS ce
+        | FROM embeddings ORDER BY vec_id LIMIT 8),
+        |p AS (
+        | SELECT v.vec_id, c.cid,
+        |  ${pqDistSql(0)} AS d0, ${pqDistSql(1)} AS d1,
+        |  ${pqDistSql(2)} AS d2, ${pqDistSql(3)} AS d3
+        | FROM embeddings v CROSS JOIN c),
+        |m AS (
+        | SELECT vec_id, cid, d0, d1, d2, d3,
+        |  MIN(d0) OVER (PARTITION BY vec_id) AS m0,
+        |  MIN(d1) OVER (PARTITION BY vec_id) AS m1,
+        |  MIN(d2) OVER (PARTITION BY vec_id) AS m2,
+        |  MIN(d3) OVER (PARTITION BY vec_id) AS m3
+        | FROM p)
+        |SELECT vec_id,
+        | CAST(MIN(CASE WHEN d0 = m0 THEN cid END) AS BIGINT) AS code0,
+        | CAST(MIN(CASE WHEN d1 = m1 THEN cid END) AS BIGINT) AS code1,
+        | CAST(MIN(CASE WHEN d2 = m2 THEN cid END) AS BIGINT) AS code2,
+        | CAST(MIN(CASE WHEN d3 = m3 THEN cid END) AS BIGINT) AS code3
+        |FROM m GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // q71: same float→double→DECIMAL(12,9) element discipline as the
     // dot-product oracles; decimal SUM is exact in both engines, and
     // the mean is the identical IEEE division

@@ -171,4 +171,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L).get.getLong(1) == 2L, "equal cosines must keep highest label")
     assert(out(3L).isEmpty, "null vector must null-propagate, not throw")
   }
+
+  test("q80: codebook vectors encode to themselves; codes stay in the codebook") {
+    val rows = Similarity.q80PqEncode(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (1 to 4).map(i => r.getLong(i))).toMap
+    val cids = Tables(spark, sfDir, "embeddings")
+      .orderBy(col("vec_id")).limit(8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // a codebook member is distance 0 from its own subvectors in every
+    // subspace — it must self-encode
+    cids.foreach { cid =>
+      assert(rows(cid).forall(_ == cid), s"centroid $cid: ${rows(cid)}")
+    }
+    assert(rows.values.flatten.toSet.subsetOf(cids),
+      "codes must reference codebook members only")
+    assert(rows.size == Tables(spark, sfDir, "embeddings").count())
+  }
 }
