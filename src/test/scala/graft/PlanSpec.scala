@@ -165,6 +165,48 @@ class PlanSpec extends SparkSpec {
       s"q73 must read the checkpointed assignment:\n$p73")
   }
 
+  test("q77: both windows share the lang partitioning; scan is pruned") {
+    val df = graft.queries.TextOps.q77QuantileGate(spark, sfDir)
+    df.collect()
+    // AQE stringification repeats the whole tree under "== Initial
+    // Plan ==" — count nodes in the final plan only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"scan reads unneeded columns: $readSchema")
+    // rank and count windows both partition by lang — they must share
+    // ONE hash exchange (the only other exchange is the final orderBy's
+    // range partitioning)
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"the two lang windows must share one shuffle:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Window")) == 2,
+      s"expected rank + count windows:\n$plan")
+  }
+
+  test("q79: one lang shuffle feeds the cumulative sum; scan is pruned") {
+    val df = graft.queries.TextOps.q79TokenBudget(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"scan reads unneeded columns: $readSchema")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"the budget walk is one lang-partitioned window:\n$plan")
+  }
+
+  test("q80: the codebook is broadcast; assignment is one partial+final aggregate") {
+    val df = graft.queries.Similarity.q80PqEncode(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"8-row codebook must broadcast, never shuffle the corpus:\n$plan")
+    assert(plan.linesIterator.exists(_.contains("partial_min")),
+      s"argmin must combine map-side before the vec_id exchange:\n$plan")
+  }
+
   test("q71: partial aggregation combines exploded rows before the only exchange") {
     val df = graft.queries.Similarity.q71LabelCentroids(spark, sfDir)
     df.collect()
