@@ -336,18 +336,32 @@ object Dedup {
     val sig = minhashSignatures(docs(spark, dir))
       .withColumn("_delta", TextOps.uniformKeyOf(col("doc_id")) < lit(0.1))
       .localCheckpoint()
+    flagAgainstIndex(sig.filter(col("_delta")).drop("_delta"),
+      sig.filter(!col("_delta")).drop("_delta"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Flag every doc in `batchSigs` against the standing corpus band
+    * index `corpusSigs` (both in [[minhashSignatures]] layout): LSH
+    * candidate count, verified-dup flag (est-Jaccard ≥ 0.5), and the
+    * smallest matching corpus doc. ONE definition shared by the batch
+    * [[q76DeltaDedup]] and the streaming ingest filter
+    * ([[graft.streaming.StreamingDeltaDedup]]) — the same
+    * batch≡stream guarantee the quality/decontam/mixer seams make. */
+  private[graft] def flagAgainstIndex(batchSigs: DataFrame,
+      corpusSigs: DataFrame): DataFrame = {
     def bandsOf(df: DataFrame): DataFrame =
       (0 until NumHashes / BandSize).map(b =>
         df.select(col("doc_id"), col(s"band$b").as("bucket")))
         .reduce(_ unionByName _)
-    val cand = bandsOf(sig.filter(col("_delta"))).as("d")
-      .join(bandsOf(sig.filter(!col("_delta"))).as("c"),
+    val cand = bandsOf(batchSigs).as("d")
+      .join(bandsOf(corpusSigs).as("c"),
         col("d.bucket") === col("c.bucket"))
       .select(col("d.doc_id").as("doc_id"), col("c.doc_id").as("ref_id"))
       .distinct()
-    val sigD = sig.select((col("doc_id") +:
+    val sigD = batchSigs.select((col("doc_id") +:
       (0 until NumHashes).map(i => col(s"mh$i").as(s"a_mh$i"))): _*)
-    val sigR = sig.select((col("doc_id").as("ref_id") +:
+    val sigR = corpusSigs.select((col("doc_id").as("ref_id") +:
       (0 until NumHashes).map(i => col(s"mh$i").as(s"b_mh$i"))): _*)
     val est = (0 until NumHashes)
       .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
@@ -357,13 +371,12 @@ object Dedup {
       .groupBy(col("doc_id")).agg(min(col("ref_id")).as("dup_of"))
     val nCand = cand.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_candidates"))
-    sig.filter(col("_delta")).select(col("doc_id"))
+    batchSigs.select(col("doc_id"))
       .join(nCand, Seq("doc_id"), "left")
       .join(verified, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_candidates"))
       .select(col("doc_id"), col("n_candidates"),
         col("dup_of").isNotNull.cast("long").as("is_dup"), col("dup_of"))
-      .orderBy(col("doc_id"))
   }
 
   // --------------------------------------------------------------- q78
