@@ -322,6 +322,10 @@ object Dedup {
     * batch doc reports its LSH candidate count against the corpus,
     * whether any candidate verifies at est-Jaccard ≥ 0.5, and the
     * smallest matching corpus doc (its canonical duplicate target).
+    * In scope: batch-vs-corpus only — two NEW docs duplicating each
+    * other are deliberately not flagged here; within-batch dedup is
+    * the self-join pipeline's job (q41, or [[graft.streaming
+    * .StreamingDedup]] at ingest).
     *
     * Scale shape — why this is THE 100 TB dedup pattern: the corpus
     * side of the band join is a precomputed signature/band index (N
@@ -377,6 +381,38 @@ object Dedup {
       .na.fill(0L, Seq("n_candidates"))
       .select(col("doc_id"), col("n_candidates"),
         col("dup_of").isNotNull.cast("long").as("is_dup"), col("dup_of"))
+  }
+
+  // --------------------------------------------------------------- q81
+  /** Cross-source duplication matrix: verified near-dup pairs rolled
+    * up by unordered source pair. The diagonal (same source twice) is
+    * template/re-crawl duplication inside one source; off-diagonal
+    * cells are syndication — the same content arriving through two
+    * feeds — which per-source dup rate (q73) cannot distinguish.
+    * High off-diagonal mass means dedup must run globally, not
+    * per-source partition; that is a pipeline-topology decision this
+    * matrix is the evidence for.
+    *
+    * Cross-engine exactness: pure integer pair counts; the unordered
+    * key is `least/greatest` on the source strings — one total order,
+    * both engines.
+    *
+    * Scale shape: reuses the one LSH pass ([[minhashCandidatePairs]]
+    * — Σ bucket², never N²); sources attach by two joins against the
+    * narrow (doc_id, source) projection, and the rollup aggregates
+    * |pairs| rows down to ≤ |sources|² cells. */
+  def q81SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    minhashCandidatePairs(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("_sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("_sb")), "doc_b")
+      .select(least(col("_sa"), col("_sb")).as("source_x"),
+        greatest(col("_sa"), col("_sb")).as("source_y"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_x"), col("source_y"))
   }
 
   // --------------------------------------------------------------- q78
@@ -438,7 +474,8 @@ object Dedup {
     "q72_dup_degree"    -> (q72DupDegree _),
     "q73_source_dup_rate" -> (q73SourceDupRate _),
     "q76_delta_dedup"   -> (q76DeltaDedup _),
-    "q78_containment"   -> (q78Containment _))
+    "q78_containment"   -> (q78Containment _),
+    "q81_source_overlap" -> (q81SourceOverlap _))
 
   private val mhSelect = (0 until NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> md5('$i#' || x))) AS mh$i").mkString(",\n |  ")
@@ -537,6 +574,18 @@ object Dedup {
         | LEFT JOIN ncd ON ncd.doc_id = s.doc_id
         | LEFT JOIN verd ON verd.doc_id = s.doc_id
         |WHERE s.is_delta ORDER BY s.doc_id""".stripMargin,
+    // q81: the shared chain's VERIFIED pairs (est >= 0.5, exactly
+    // minhashCandidatePairs' default), rolled up by unordered source
+    "q81_source_overlap" ->
+      s"""WITH $clusterCtes,
+        |sp AS (SELECT doc_id, source FROM documents)
+        |SELECT least(a.source, b.source) AS source_x,
+        | greatest(a.source, b.source) AS source_y,
+        | CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM pairs
+        | JOIN sp a ON a.doc_id = pairs.doc_a
+        | JOIN sp b ON b.doc_id = pairs.doc_b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q78: candidate pairs from the shared chain, exact distinct-3-gram
     // containment per side
     "q78_containment" ->

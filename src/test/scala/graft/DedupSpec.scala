@@ -154,6 +154,30 @@ class DedupSpec extends SparkSpec {
     assert(cHost < 1.0, s"host side must not be fully contained: $cHost")
   }
 
+  test("q81: clone pairs roll up into the right unordered source cells") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(17)
+    def doc(): String =
+      (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val shared = doc()
+    val rows = Seq(
+      (1L, shared, "s1"),   // original
+      (2L, shared, "s2"),   // syndicated copy in another source
+      (3L, shared, "s1")) ++ // re-crawl inside the same source
+      (10 until 20).map(i => (i.toLong, doc(), "s3"))
+    val dir = Files.createTempDirectory("graft-srcov").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cells = Dedup.q81SourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // pairs (1,2)=(s1,s2), (1,3)=(s1,s1), (2,3)=(s2,s1)→(s1,s2)
+    assert(cells == Map(("s1", "s1") -> 1L, ("s1", "s2") -> 2L),
+      s"unexpected matrix: $cells")
+  }
+
   test("q18 signatures are stable across runs (deterministic)") {
     val a = Dedup.q18MinhashLsh(spark, sfDir).collect()
     val b = Dedup.q18MinhashLsh(spark, sfDir).collect()
