@@ -44,6 +44,19 @@ object Similarity {
   /** Euclidean norm via the exact self-dot, finished in double. */
   def norm(v: Column): Column = sqrt(dotExact(v, v).cast(DoubleType))
 
+  /** Exact decimal squared-L2 distance of two float-array columns —
+    * the [[dotExact]] discipline on differences (diffs exact at
+    * DECIMAL(13,9), squares at scale 18, accumulator pinned). Shared
+    * by the PQ encoder (q80) and the ADC search (q83). */
+  private[queries] def sqDistExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast(DoubleType).cast(dec) - y.cast(DoubleType).cast(dec)
+        d * d
+      }),
+      lit(java.math.BigDecimal.ZERO).cast(accType),
+      (acc, x) => (acc + x).cast(accType))
+
   // --------------------------------------------------------------- q21
   /** Brute-force cosine top-5 for query vectors vec_id < 10.
     * Queries are broadcast (tiny side), candidates stream — a single
@@ -366,15 +379,9 @@ object Similarity {
     val cents = emb.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid") +: subs(col("embedding"), "c"): _*)
     val vecs = emb.select(col("vec_id") +: subs(col("embedding"), "v"): _*)
-    def d2(a: Column, b: Column): Column = aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast(DoubleType).cast(dec) - y.cast(DoubleType).cast(dec)
-        d * d
-      }),
-      lit(java.math.BigDecimal.ZERO).cast(accType),
-      (acc, x) => (acc + x).cast(accType))
     val codes = (0 until numSub).map(s =>
-      min(struct(d2(col(s"v$s"), col(s"c$s")).as("d"), col("cid").as("c")))
+      min(struct(sqDistExact(col(s"v$s"), col(s"c$s")).as("d"),
+        col("cid").as("c")))
         .getField("c").as(s"code$s"))
     vecs.crossJoin(broadcast(cents))
       .groupBy(col("vec_id"))
@@ -382,8 +389,106 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // --------------------------------------------------------------- q82
+  /** IVF posting-list imbalance: cell-size spread plus FAISS's
+    * imbalance factor k·Σnᵢ²/N² over [[q51IvfAssign]]'s cells (1.0 =
+    * perfectly balanced; higher = probe latency dominated by hot
+    * cells). The load-balance health check a pipeline runs after
+    * (re)training a coarse quantizer — [[q68CellPurity]] answers "do
+    * the cells carry structure", this answers "are they evenly
+    * loaded", and both run on the same assignment pass. k is the
+    * count of NON-EMPTY cells (empty cells cost no probe time).
+    *
+    * Cross-engine exactness: cell sizes are BIGINT; Σnᵢ² accumulates
+    * in DECIMAL(38,0) (exact while Σnᵢ² < 10^38 — nᵢ ≤ 10^12 members
+    * across 10^12 cells stays within it, the q70 widening
+    * discipline); the factor divides out in ONE IEEE expression.
+    *
+    * Scale shape: one hash-agg over the assignment to ≤k cell sizes,
+    * then a single-row re-aggregate of the tiny counts table. */
+  def q82IvfImbalance(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val sizes = q51IvfAssign(spark, dir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_i"))
+    sizes.agg(
+      count(lit(1)).as("k_cells"),
+      sum(col("n_i")).as("n_vectors"),
+      min(col("n_i")).as("min_cell"),
+      max(col("n_i")).as("max_cell"),
+      sum(col("n_i").cast(d19) * col("n_i").cast(d19)).as("_ss"))
+      .select(col("k_cells"), col("n_vectors"),
+        col("min_cell"), col("max_cell"),
+        (col("k_cells").cast(DoubleType) * col("_ss").cast(DoubleType) /
+          (col("n_vectors").cast(DoubleType) *
+            col("n_vectors").cast(DoubleType))).as("imbalance"))
+  }
+
+  // --------------------------------------------------------------- q83
+  /** PQ asymmetric-distance (ADC) top-5 search over the q80 codes —
+    * the query side of product quantization (Jégou et al. 2011): per
+    * query, distances to each subspace centroid are tabulated ONCE
+    * (k×m small decimals), and every corpus vector is scored by four
+    * table lookups on its codes — the full float corpus is never
+    * touched at query time. The recall/compression trade-off against
+    * exact kNN (q21) is measured in SimilaritySpec.
+    *
+    * Cross-engine exactness: the distance tables are [[sqDistExact]]
+    * decimals; an ADC score is the sum of four exact decimals, so
+    * ranking (score ASC, neighbor ASC) is a total order both engines
+    * agree on bit-for-bit; the reported score rounds the exact value
+    * to 9 decimals only at the output boundary (the q21 discipline).
+    *
+    * Scale shape: codes (4 B/vector) + the broadcast distance tables
+    * are all the search touches — the classic memory-resident ANN
+    * layout; the per-query top-k here is a rank window over the
+    * scored stream (fine for a query batch; a serving path would
+    * per-partition TakeOrdered first, the q21/q4 discipline). */
+  def q83PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val numSub = 4; val subDim = 16; val k = 8; val topK = 5
+    val emb = Tables(spark, dir, "embeddings")
+    def subs(c: Column, p: String): Seq[Column] =
+      (0 until numSub).map(s =>
+        slice(c, s * subDim + 1, subDim).as(s"$p$s"))
+    val cents = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid") +: subs(col("embedding"), "c"): _*)
+    val queries10 = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id") +: subs(col("embedding"), "q"): _*)
+    // per-query distance table: k×m exact decimals, computed once
+    val dtab = queries10.crossJoin(broadcast(cents))
+      .select(col("query_id") +: col("cid") +:
+        (0 until numSub).map(s =>
+          sqDistExact(col(s"q$s"), col(s"c$s")).as(s"e$s")): _*)
+      .localCheckpoint() // HOF pipeline: materialize before 4 reuses
+    val scored = (0 until numSub).foldLeft(
+      q80PqEncode(spark, dir)
+        .crossJoin(broadcast(queries10.select(col("query_id"))))) {
+      (acc, s) =>
+        acc.join(
+          broadcast(dtab.select(col("query_id").as(s"_q$s"),
+            col("cid").as(s"_c$s"), col(s"e$s"))),
+          col("query_id") === col(s"_q$s") &&
+            col(s"code$s") === col(s"_c$s"))
+          .drop(s"_q$s", s"_c$s")
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_dist"), col("neighbor_id"))
+    scored
+      .withColumn("_dist",
+        (0 until numSub).map(s => col(s"e$s")).reduce(_ + _))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("_dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .withColumn("adc_dist", round(col("_dist").cast(DoubleType), 9))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_pq_encode"    -> (q80PqEncode _),
+    "q82_ivf_imbalance" -> (q82IvfImbalance _),
+    "q83_pq_adc"       -> (q83PqAdc _),
     "q21_knn_brute"    -> (q21KnnBrute _),
     "q22_lsh_buckets"  -> (q22LshBuckets _),
     "q23_ivf_ann"      -> (q23IvfAnn _),
@@ -588,6 +693,67 @@ object Similarity {
     // q21's exact-decimal dot/norm reused; the centroid table is the
     // k lowest vec_ids, rebuilt in SQL. Argmax tie-break (cosine DESC,
     // then HIGHEST label) mirrors Spark's max(struct(sim, c_label)).
+    // q82: the shared assignment CTE rolled up to cell sizes; Σn²
+    // accumulates in exact DECIMAL(38,0), the factor is ONE IEEE tree
+    "q82_ivf_imbalance" -> (ivfAssignCte + ",\n" +
+      """a AS (SELECT vec_id, c_label AS cell FROM r WHERE rn = 1),
+        |cs AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_i
+        |       FROM a GROUP BY cell)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS k_cells,
+        | CAST(SUM(n_i) AS BIGINT) AS n_vectors,
+        | CAST(MIN(n_i) AS BIGINT) AS min_cell,
+        | CAST(MAX(n_i) AS BIGINT) AS max_cell,
+        | CAST(COUNT(*) AS DOUBLE)
+        |   * CAST(SUM(CAST(n_i AS DECIMAL(19,0)) * CAST(n_i AS DECIMAL(19,0))) AS DOUBLE)
+        |   / (CAST(SUM(n_i) AS DOUBLE) * CAST(SUM(n_i) AS DOUBLE)) AS imbalance
+        |FROM cs""".stripMargin),
+    // q83: the q80 code CTEs + per-query distance tables, ADC = the
+    // sum of four exact decimals, ranked (dist ASC, neighbor ASC)
+    "q83_pq_adc" ->
+      s"""WITH c AS (
+        | SELECT vec_id AS cid, embedding AS ce
+        | FROM embeddings ORDER BY vec_id LIMIT 8),
+        |p AS (
+        | SELECT v.vec_id, c.cid,
+        |  ${pqDistSql(0)} AS d0, ${pqDistSql(1)} AS d1,
+        |  ${pqDistSql(2)} AS d2, ${pqDistSql(3)} AS d3
+        | FROM embeddings v CROSS JOIN c),
+        |m AS (
+        | SELECT vec_id, cid, d0, d1, d2, d3,
+        |  MIN(d0) OVER (PARTITION BY vec_id) AS m0,
+        |  MIN(d1) OVER (PARTITION BY vec_id) AS m1,
+        |  MIN(d2) OVER (PARTITION BY vec_id) AS m2,
+        |  MIN(d3) OVER (PARTITION BY vec_id) AS m3
+        | FROM p),
+        |codes AS (
+        | SELECT vec_id,
+        |  MIN(CASE WHEN d0 = m0 THEN cid END) AS code0,
+        |  MIN(CASE WHEN d1 = m1 THEN cid END) AS code1,
+        |  MIN(CASE WHEN d2 = m2 THEN cid END) AS code2,
+        |  MIN(CASE WHEN d3 = m3 THEN cid END) AS code3
+        | FROM m GROUP BY vec_id),
+        |dt AS (
+        | SELECT v.vec_id AS query_id, c.cid,
+        |  ${pqDistSql(0)} AS e0, ${pqDistSql(1)} AS e1,
+        |  ${pqDistSql(2)} AS e2, ${pqDistSql(3)} AS e3
+        | FROM embeddings v CROSS JOIN c WHERE v.vec_id < 10),
+        |adc AS (
+        | SELECT t0.query_id, co.vec_id AS neighbor_id,
+        |  t0.e0 + t1.e1 + t2.e2 + t3.e3 AS dist
+        | FROM codes co
+        |  JOIN dt t0 ON t0.cid = co.code0
+        |  JOIN dt t1 ON t1.query_id = t0.query_id AND t1.cid = co.code1
+        |  JOIN dt t2 ON t2.query_id = t0.query_id AND t2.cid = co.code2
+        |  JOIN dt t3 ON t3.query_id = t0.query_id AND t3.cid = co.code3
+        | WHERE co.vec_id <> t0.query_id),
+        |rk AS (
+        | SELECT query_id, neighbor_id, dist,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY dist ASC, neighbor_id ASC) AS BIGINT) AS rank
+        | FROM adc)
+        |SELECT query_id, neighbor_id, rank,
+        | round(CAST(dist AS DOUBLE), 9) AS adc_dist
+        |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q51_ivf_assign" -> (ivfAssignCte + "\n" +
       """SELECT vec_id, CAST(c_label AS BIGINT) AS cell,
         | round(cosine, 9) AS cosine

@@ -172,6 +172,47 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L).isEmpty, "null vector must null-propagate, not throw")
   }
 
+  test("q82: imbalance factor matches a driver-side recomputation and is >= 1") {
+    val sizes = Similarity.q51IvfAssign(spark, sfDir)
+      .groupBy(col("cell")).count().collect().map(_.getLong(1))
+    val k = sizes.length.toDouble
+    val n = sizes.sum.toDouble
+    val want = k * sizes.map(s => s.toDouble * s).sum / (n * n)
+    val row = Similarity.q82IvfImbalance(spark, sfDir).collect().head
+    assert(row.getLong(0) == sizes.length && row.getLong(1) == sizes.sum)
+    assert(row.getLong(2) == sizes.min && row.getLong(3) == sizes.max)
+    assert(math.abs(row.getDouble(4) - want) < 1e-12)
+    // Cauchy–Schwarz: k·Σn² >= (Σn)² when k counts the non-empty cells
+    assert(row.getDouble(4) >= 1.0 - 1e-12)
+  }
+
+  test("q83: a planted clone is its query's ADC rank-1 at distance 0") {
+    val rnd = new scala.util.Random(23)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() * 2 - 1)
+    val queries = (0L until 10L).map(i => (i, vec(), i.toInt))
+    val corpus = (10L until 30L).map(i => (i, vec(), i.toInt))
+      .map { case (i, v, l) => if (i == 15L) (i, queries(3)._2, l) else (i, v, l) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-adc").toString
+    (queries ++ corpus).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.q83PqAdc(spark, dir).collect()
+    // structural: 5 ranks per query, never self, scores non-decreasing
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == (0L until 10L).toSet)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to 5L), s"query $q ranks")
+      assert(!rs.exists(_.getLong(1) == q), s"query $q returned itself")
+      val ds = rs.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, s"query $q order")
+    }
+    // the clone of query 3 shares query 3's codes exactly (the
+    // codebook contains query 3 itself), so its ADC score is 0 — the
+    // global minimum — and it must surface at rank 1
+    val r1 = rows.find(r => r.getLong(0) == 3L && r.getLong(2) == 1L).get
+    assert(r1.getLong(1) == 15L && r1.getDouble(3) == 0.0,
+      s"clone not rank-1: ${r1.mkString(",")}")
+  }
+
   test("q80: codebook vectors encode to themselves; codes stay in the codebook") {
     val rows = Similarity.q80PqEncode(spark, sfDir).collect()
       .map(r => r.getLong(0) ->
