@@ -360,33 +360,40 @@ object Similarity {
     *
     * Cross-engine exactness: squared L2 per subspace in exact decimal
     * (diffs at DECIMAL(13,9), squares at scale 18, accumulator pinned
-    * like [[dotExact]]); argmin per subspace via `min(struct(dist,
-    * cid))` — distance ties break to the lowest centroid id, the same
-    * total order the oracle's window-min reproduces. Codes are
-    * integers, so no float ever reaches the output.
+    * like [[dotExact]]); argmin per subspace is `array_position` of
+    * the `array_min` over the 8 literal-codebook distances — the
+    * FIRST index achieving the minimum, i.e. ties break to the lowest
+    * centroid id (centroids are ordered by vec_id), the same total
+    * order the oracle's window-min reproduces. Codes are integers, so
+    * no float ever reaches the output.
     *
-    * Scale shape: one broadcast of the 8-row codebook, one narrow
-    * crossJoin pass (N×8 rows of 4 decimal distances — never N×N),
-    * one hash-aggregate on vec_id. At production scale the codebook
-    * comes from k-means ([[graft.operators.CoarseQuantizer]]) instead
-    * of seeding, and this pass is unchanged. */
+    * Scale shape: the 8-row codebook is collected once (bounded — the
+    * [[q51IvfAssign]] codebook discipline) and inlined as literals,
+    * so encoding is a PURE MAP-SIDE PROJECTION: no join, no
+    * aggregate, no shuffle (a first draft assigned via crossJoin +
+    * `min(struct)` groupBy, which planned as a SortAggregate over N×8
+    * rows — the q56 lesson, structs are not hash-aggregable). At
+    * production scale the codebook comes from k-means
+    * ([[graft.operators.CoarseQuantizer]]) and is still ≤ k×dim
+    * floats — literal inlining holds. */
   def q80PqEncode(spark: SparkSession, dir: String): DataFrame = {
     val numSub = 4; val subDim = 16; val k = 8
     val emb = Tables(spark, dir, "embeddings")
-    def subs(c: Column, prefix: String): Seq[Column] =
-      (0 until numSub).map(s =>
-        slice(c, s * subDim + 1, subDim).as(s"$prefix$s"))
     val cents = emb.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid") +: subs(col("embedding"), "c"): _*)
-    val vecs = emb.select(col("vec_id") +: subs(col("embedding"), "v"): _*)
-    val codes = (0 until numSub).map(s =>
-      min(struct(sqDistExact(col(s"v$s"), col(s"c$s")).as("d"),
-        col("cid").as("c")))
-        .getField("c").as(s"code$s"))
-    vecs.crossJoin(broadcast(cents))
-      .groupBy(col("vec_id"))
-      .agg(codes.head, codes.tail: _*)
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding")).collect()
+    val cids = cents.map(_.getLong(0)).toSeq
+    val codes = (0 until numSub).map { s =>
+      val dists = cents.indices.map { c =>
+        val sub = cents(c).getSeq[Float](1)
+          .slice(s * subDim, (s + 1) * subDim)
+        sqDistExact(slice(col("embedding"), s * subDim + 1, subDim),
+          typedLit(sub))
+      }
+      val arr = array(dists: _*)
+      element_at(typedLit(cids),
+        array_position(arr, array_min(arr)).cast("int")).as(s"code$s")
+    }
+    emb.select(col("vec_id") +: codes: _*).orderBy(col("vec_id"))
   }
 
   // --------------------------------------------------------------- q82

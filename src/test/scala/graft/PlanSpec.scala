@@ -196,15 +196,19 @@ class PlanSpec extends SparkSpec {
       s"the budget walk is one lang-partitioned window:\n$plan")
   }
 
-  test("q80: the codebook is broadcast; assignment is one partial+final aggregate") {
+  test("q80: encoding is a pure map-side projection — no join, no aggregate") {
     val df = graft.queries.Similarity.q80PqEncode(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"),
-      s"8-row codebook must broadcast, never shuffle the corpus:\n$plan")
-    assert(plan.linesIterator.exists(_.contains("partial_min")),
-      s"argmin must combine map-side before the vec_id exchange:\n$plan")
+      .split("== Initial Plan ==").head
+    // the literal-inlined codebook leaves nothing to join or
+    // aggregate: the only exchange is the presentation sort's (a
+    // crossJoin + min(struct) draft planned as SortAggregate over N×8
+    // rows — the q56 lesson)
+    assert(!plan.contains("Join"), s"no join expected:\n$plan")
+    assert(!plan.contains("Aggregate"), s"no aggregate expected:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1,
+      s"only the orderBy range exchange expected:\n$plan")
   }
 
   test("q71: partial aggregation combines exploded rows before the only exchange") {
