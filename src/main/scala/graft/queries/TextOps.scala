@@ -392,6 +392,37 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  // --------------------------------------------------------------- q84
+  /** Keyword extraction: each document's top-3 most distinctive terms
+    * — ranked by term frequency (desc), then RARITY across the corpus
+    * (document frequency asc), then the term itself. The tf-idf
+    * intuition with no floats: (tf, df) carries the same ordering
+    * information for a per-doc top-k as tf·log(N/df) without the
+    * cross-engine hazard of matching `log` implementations
+    * bit-for-bit, so the whole ranking is integer/string-exact.
+    *
+    * Scale shape: one explode + two hash-aggregates (tf, then df as a
+    * re-aggregate of the distinct (doc, term) pairs — never a second
+    * corpus pass); the tf⋈df join shuffles on the term key (both
+    * sides are already aggregates, vocab-sized not corpus-sized); the
+    * per-doc top-3 is a rank window that Spark caps map-side via
+    * WindowGroupLimit. */
+  def q84Keywords(spark: SparkSession, dir: String): DataFrame = {
+    val tf = withWords(docs(spark, dir))
+      .select(col("doc_id"), explode(words).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   // --------------------------------------------------------------- q77
   /** Per-language top-30% quality gate: keep exactly ceil(0.3·n) docs
     * per language, ranked by the q14 quality score. [[q61QualityGate]]
@@ -973,6 +1004,7 @@ object TextOps {
     "q75_chunk_windows" -> (q75ChunkWindows _),
     "q77_quantile_gate" -> (q77QuantileGate _),
     "q79_token_budget"  -> (q79TokenBudget _),
+    "q84_keywords"      -> (q84Keywords _),
     "q33_prep_pipeline" -> (q33PrepPipeline _),
     "q13_token_count"   -> (q13TokenCount _),
     "q14_quality_score" -> (q14QualityScore _),
@@ -1019,6 +1051,25 @@ object TextOps {
         |ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q84: integer/string-exact (tf desc, df asc, term asc) ranking;
+    // df re-aggregates the distinct (doc, term) pairs, as in Spark
+    "q84_keywords" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        | FROM documents),
+        |tf AS (
+        | SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        | FROM tok GROUP BY doc_id, term),
+        |dfq AS (
+        | SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        | FROM tf GROUP BY term),
+        |r AS (
+        | SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS BIGINT) AS rank
+        | FROM tf JOIN dfq USING (term))
+        |SELECT doc_id, rank, term, tf, df
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // q77: q14's exact score, then a pure-integer quantile cut —
     // keep iff 10·q_rank <= 3·n + 9 (⇔ q_rank <= ceil(0.3n))
     "q77_quantile_gate" ->

@@ -508,6 +508,28 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q84: a rare repeated term outranks common fillers; ties break on rarity then term") {
+    val dir = Files.createTempDirectory("graft-kw").toString
+    Seq(
+      (1L, "the the the zebra zebra cat"), // zebra: tf2 df1; the: tf3 df3
+      (2L, "the cat cat dog"),             // cat tf2 beats dog tf1
+      (3L, "the dog dog bird bird"))       // bird/dog tf2: bird df1 < dog df2
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val top = TextOps.q84Keywords(spark, dir).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).toSeq).toMap
+    // doc 1: "the" has tf 3 (beats zebra's 2) but zebra is rarer at
+    // equal-tf stage — expected order: the(3), zebra(2,df1), cat(1,df2)
+    assert(top(1L) == Seq("the", "zebra", "cat"), s"doc1: ${top(1L)}")
+    // doc 2: cat tf 2 first; at tf 1, dog (df 2) outranks the (df 3)
+    assert(top(2L) == Seq("cat", "dog", "the"), s"doc2: ${top(2L)}")
+    // doc 3: bird and dog both tf 2 — bird wins on df 1 < dog's 2
+    assert(top(3L).take(2) == Seq("bird", "dog"), s"doc3: ${top(3L)}")
+  }
+
   test("q79: per-language take_tokens sums to exactly min(budget, available)") {
     val avail = TextOps.q13TokenCount(spark, sfDir)
       .groupBy($"lang").agg(sum($"n_ws_tokens").as("t")).collect()
