@@ -96,13 +96,7 @@ object Dedup {
   def minhashCandidatePairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     val sig = q18MinhashLsh(spark, dir).localCheckpoint()
-    val bands = (0 until NumHashes / BandSize).map(b =>
-      sig.select(col("doc_id"), col(s"band$b").as("bucket")))
-      .reduce(_ unionByName _)
-    val pairs = bands.as("a").join(bands.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = bandCandidatePairs(sig)
     val sigA = sig.select((col("doc_id").as("doc_a") +:
       (0 until NumHashes).map(i => col(s"mh$i").as(s"a_mh$i"))): _*)
     val sigB = sig.select((col("doc_id").as("doc_b") +:
@@ -435,14 +429,7 @@ object Dedup {
     * as a shingle array, not re-shingled per pair. */
   def q78Containment(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(docs(spark, dir)).localCheckpoint()
-    val bands = (0 until NumHashes / BandSize).map(b =>
-      sig.select(col("doc_id"), col(s"band$b").as("bucket")))
-      .reduce(_ unionByName _)
-    val pairs = bands.as("a").join(bands.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = bandCandidatePairs(sig)
     val sets = docs(spark, dir)
       .withColumn("_ws", split(col("text"), "\\s+"))
       .select(col("doc_id"),
@@ -463,6 +450,125 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Band-bucket candidate pairs from a [[minhashSignatures]] frame:
+    * documents sharing ANY LSH band bucket, emitted once (doc_a <
+    * doc_b, distinct). The Σ bucket² pair generator every verify
+    * kernel downstream (est-Jaccard, containment, BoW cosine) shares. */
+  private def bandCandidatePairs(sig: DataFrame): DataFrame = {
+    val bands = (0 until NumHashes / BandSize).map(b =>
+      sig.select(col("doc_id"), col(s"band$b").as("bucket")))
+      .reduce(_ unionByName _)
+    bands.as("a").join(bands.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // --------------------------------------------------------------- q85
+  /** Catalog entity resolution: fuzzy-match the part-name VOCABULARY
+    * with blocked Levenshtein distance. Classic record linkage
+    * (Fellegi–Sunter blocking + edit-distance compare): names are
+    * first collapsed to distinct normalized strings with their entity
+    * counts, candidate pairs are generated only inside a block (here
+    * the head noun — the last token), and survivors are pairs within
+    * edit distance ≤ 3 ("red gear" ≈ "hot gear", but never
+    * "small gear" ≈ "large gear").
+    *
+    * Cross-engine exactness: `levenshtein` is the same unit-cost
+    * insert/delete/substitute integer in Spark and DuckDB; block key
+    * and the `<` pair ordering are plain ASCII string comparisons.
+    *
+    * Scale shape: resolution runs on the DISTINCT-name vocabulary
+    * (|V| ≪ N rows — the first groupBy is the only corpus-sized
+    * shuffle), so the quadratic compare is Σ block² over vocabulary
+    * blocks, not rows; the match table that comes out is tiny and
+    * broadcasts back onto the corpus for canonicalization. */
+  def q85FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    // the corpus-sized scan+agg runs ONCE: the vocabulary that comes
+    // out is tiny, so it is materialized before the self-join rather
+    // than re-derived per side
+    val names = Tables(spark, dir, "part")
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", split(col("p_name"), " ").getItem(1))
+      .localCheckpoint()
+    val a = names.select(col("blk"), col("p_name").as("name_a"),
+      col("n_parts").as("n_parts_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"),
+      col("n_parts").as("n_parts_b"))
+    a.join(b, "blk")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("lev_dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("lev_dist") <= 3)
+      .select("name_a", "name_b", "lev_dist", "n_parts_a", "n_parts_b")
+      .orderBy("name_a", "name_b")
+  }
+
+  // --------------------------------------------------------------- q86
+  /** Bag-of-words cosine verification of LSH candidate pairs in PURE
+    * INTEGER arithmetic: with term-frequency vectors a, b the keep
+    * test cos(a,b) ≥ 0.8 is cross-multiplied to
+    * `25·(a·b)² ≥ 16·|a|²·|b|²` — counts in, BIGINT comparison out,
+    * so no sqrt/division ever runs and the decision is bit-identical
+    * in any engine. Complements the set-based kernels: Jaccard (q20)
+    * ignores repetition, containment (q78) is asymmetric — tf-cosine
+    * is the kernel that treats "spam spam spam" ≠ "spam".
+    *
+    * Exactness domain: the comparison operands are widened (decimal
+    * on the Spark side, HUGEINT in the oracle), exact while
+    * 25·dot² < 10³⁸ — i.e. per-document Σtf² below ~10¹⁸, unreachable
+    * for real documents (a 10⁵-token doc is ~10¹⁰).
+    *
+    * Scale shape: tf vectors live as a (doc_id, token, tf) long table
+    * built map-side (explode → partial-agg); dots are two hash joins
+    * against candidates (Σ bucket² pairs, never N²) followed by a
+    * pair-keyed partial agg. Norms are one more agg over the same tf
+    * table — the text itself never crosses a shuffle. */
+  def q86BowCosine(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(docs(spark, dir)).localCheckpoint()
+    // two consumers (dot join + final assembly): materialize so the
+    // Σ bucket² band self-join runs once, not once per consumer
+    val cand = bandCandidatePairs(sig).localCheckpoint()
+    val tf = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // 3 consumers (norms + both dot sides): one scan
+    bowCosineVerify(cand, tf).orderBy("doc_a", "doc_b")
+  }
+
+  /** The q86 decision kernel over prepared frames — `cand(doc_a,
+    * doc_b)` candidates and `tf(doc_id, token, tf)` term frequencies —
+    * split out so crafted tf vectors can exercise the integer
+    * cross-multiplication directly (repetition-sensitivity, the
+    * zero-overlap left-join path). */
+  private[graft] def bowCosineVerify(cand: DataFrame, tf: DataFrame): DataFrame = {
+    val norms = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("norm2"))
+    val dots = cand
+      .join(tf.select(col("doc_id").as("doc_a"), col("token"),
+        col("tf").as("_tfa")), "doc_a")
+      .join(tf.select(col("doc_id").as("doc_b"), col("token"),
+        col("tf").as("_tfb")), Seq("doc_b", "token"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("_tfa") * col("_tfb")).as("dot"))
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    cand
+      .join(dots, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"),
+        col("norm2").as("norm2_a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"),
+        col("norm2").as("norm2_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        col("norm2_a"), col("norm2_b"),
+        (d19(lit(25)) * d19(col("dot")) * d19(col("dot")) >=
+          d19(lit(16)) * d19(col("norm2_a")) * d19(col("norm2_b")))
+          .cast("long").as("is_dup"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_minhash_lsh"   -> (q18MinhashLsh _),
     "q19_simhash"       -> (q19Simhash _),
@@ -475,7 +581,9 @@ object Dedup {
     "q73_source_dup_rate" -> (q73SourceDupRate _),
     "q76_delta_dedup"   -> (q76DeltaDedup _),
     "q78_containment"   -> (q78Containment _),
-    "q81_source_overlap" -> (q81SourceOverlap _))
+    "q81_source_overlap" -> (q81SourceOverlap _),
+    "q85_fuzzy_match"   -> (q85FuzzyMatch _),
+    "q86_bow_cosine"    -> (q86BowCosine _))
 
   private val mhSelect = (0 until NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> md5('$i#' || x))) AS mh$i").mkString(",\n |  ")
@@ -534,6 +642,49 @@ object Dedup {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // q85: DuckDB levenshtein = Spark levenshtein (unit-cost edit
+    // distance); blocking key = second token of the two-word name
+    "q85_fuzzy_match" ->
+      """WITH nm AS (
+        | SELECT p_name, split_part(p_name, ' ', 2) AS blk,
+        |  COUNT(*) AS n_parts
+        | FROM part GROUP BY p_name)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev_dist,
+        | a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        |FROM nm a JOIN nm b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+    // q86: shared candidate CTE; tf from the same regex split as the
+    // shingle chain; HUGEINT cross-multiplication mirrors Spark's
+    // decimal(38,0) — both exact in the documented domain
+    "q86_bow_cosine" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |tf AS (
+        | SELECT doc_id, token, COUNT(*) AS tf
+        | FROM (SELECT doc_id, unnest(ws) AS token FROM w)
+        | GROUP BY doc_id, token),
+        |nrm AS (
+        | SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS norm2
+        | FROM tf GROUP BY doc_id),
+        |dots AS (
+        | SELECT cand.doc_a, cand.doc_b,
+        |  CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        | FROM cand
+        | JOIN tf a ON a.doc_id = cand.doc_a
+        | JOIN tf b ON b.doc_id = cand.doc_b AND b.token = a.token
+        | GROUP BY cand.doc_a, cand.doc_b)
+        |SELECT cand.doc_a, cand.doc_b, COALESCE(d.dot, 0) AS dot,
+        | na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+        | CAST(CASE WHEN 25 * CAST(COALESCE(d.dot, 0) AS HUGEINT)
+        |                   * COALESCE(d.dot, 0)
+        |        >= 16 * CAST(na.norm2 AS HUGEINT) * nb.norm2
+        |      THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        |FROM cand
+        |LEFT JOIN dots d ON d.doc_a = cand.doc_a AND d.doc_b = cand.doc_b
+        |JOIN nrm na ON na.doc_id = cand.doc_a
+        |JOIN nrm nb ON nb.doc_id = cand.doc_b
+        |ORDER BY cand.doc_a, cand.doc_b""".stripMargin,
     // q76: the q18 signature chain, split 10/90 by the ONE md5-uniform
     // key, delta bands joined to corpus bands only — the unreferenced
     // bands/cand/pairs/edges/reach CTEs in the shared chain are never

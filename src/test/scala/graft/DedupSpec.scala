@@ -303,4 +303,62 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
     assert(rows.toSeq == again.toSeq)
   }
+
+  /** Textbook Levenshtein for cross-checking Spark's builtin. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("q85: every matched pair is in-block, ordered, and its distance is exact") {
+    val rows = Dedup.q85FuzzyMatch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, d) =>
+      assert(a < b, s"unordered pair ($a, $b)")
+      assert(a.split(" ")(1) == b.split(" ")(1), s"cross-block pair ($a, $b)")
+      assert(d == lev(a, b).toLong, s"distance mismatch for ($a, $b)")
+      assert(d >= 1 && d <= 3)
+    }
+    // distinct names never pair with themselves, and the result is
+    // exactly the pairs a driver-side replay of block×block produces
+    val names = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_name").distinct().collect().map(_.getString(0))
+    val expected = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ")(1) == b.split(" ")(1) && lev(a, b) <= 3
+    } yield (a, b)).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == expected)
+  }
+
+  test("q86: exact dup scores is_dup=1 with dot == both norms") {
+    val r = Dedup.q86BowCosine(spark, plantedDir)
+      .filter($"doc_a" === 1L && $"doc_b" === 200L).collect()
+    assert(r.length == 1, "exact-dup pair missing from candidates")
+    assert(r(0).getLong(2) == r(0).getLong(3) &&
+      r(0).getLong(3) == r(0).getLong(4))
+    assert(r(0).getLong(5) == 1L)
+  }
+
+  test("q86 kernel: repetition-sensitive where set-Jaccard is blind; zero-overlap joins through") {
+    // tf vectors: a = {spam:3}, b = {spam:1,x:1,y:1}, c = {spam:3,z:1},
+    // e = {q:1}. As SETS a and b both contain 'spam' (Jaccard 1/3) —
+    // tf-cosine sees 3/sqrt(9*3)=0.577 < 0.8 for (a,b) but
+    // 9/sqrt(9*10)=0.949 >= 0.8 for (a,c).
+    val tf = Seq((1L, "spam", 3L), (2L, "spam", 1L), (2L, "x", 1L),
+      (2L, "y", 1L), (3L, "spam", 3L), (3L, "z", 1L), (4L, "q", 1L))
+      .toDF("doc_id", "token", "tf")
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.bowCosineVerify(cand, tf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out((1L, 2L)) == ((3L, 9L, 3L, 0L)))
+    assert(out((1L, 3L)) == ((9L, 9L, 10L, 1L)))
+    // no shared token at all: the left join must still emit the pair
+    assert(out((1L, 4L)) == ((0L, 9L, 1L, 0L)))
+  }
 }

@@ -211,6 +211,35 @@ class PlanSpec extends SparkSpec {
       s"only the orderBy range exchange expected:\n$plan")
   }
 
+  test("q85: corpus scans once into the vocab; the blocked self-join broadcasts") {
+    val df = graft.queries.Dedup.q85FuzzyMatch(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the part scan happens once, pre-checkpoint: both self-join sides
+    // must read the materialized vocabulary, not re-scan + re-agg
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Scan") && l.contains("parquet")),
+      s"q85 re-scans parquet instead of the checkpointed vocab:\n$plan")
+    assert(plan.contains("ExistingRDD"), s"expected checkpointed vocab:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab self-join should broadcast:\n$plan")
+  }
+
+  test("q86: signatures and tf are checkpointed; text scans bounded") {
+    val df = graft.queries.Dedup.q86BowCosine(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // every consumer (bands ×4 ×2 sides, dot ×2, norms ×2, assembly)
+    // reads one of the three checkpointed tables — zero parquet
+    // re-scans survive in the final plan
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Scan") && l.contains("parquet")),
+      s"q86 re-derives instead of reading checkpoints:\n$plan")
+    assert(plan.contains("ExistingRDD"), s"expected checkpointed inputs:\n$plan")
+  }
+
   test("q71: partial aggregation combines exploded rows before the only exchange") {
     val df = graft.queries.Similarity.q71LabelCentroids(spark, sfDir)
     df.collect()
