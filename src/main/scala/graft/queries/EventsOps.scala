@@ -222,6 +222,45 @@ object EventsOps {
       .orderBy(col("event_id"))
   }
 
+  // --------------------------------------------------------------- q88
+  /** Event-type co-occurrence (market-basket over users): for every
+    * unordered type pair, how many users did BOTH, alongside each
+    * type's own user count and the total user universe — the exact
+    * integer sufficient statistics from which support, confidence,
+    * lift and PMI all derive downstream (division stays out of the
+    * engine, so the result is hash-exact everywhere).
+    *
+    * Scale shape: the DISTINCT (user, type) projection is the only
+    * corpus-sized shuffle; the pair self-join is per-user and bounded
+    * by the type vocabulary k (≤ k²/2 pairs per user — never
+    * events²), and the pair counts partial-aggregate map-side down to
+    * ≤ k² rows. Type totals and the universe count are
+    * broadcast-sized joins onto that. */
+  def q88Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val ut = events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint() // 4 consumers: pair sides, per-type, total
+    val pairs = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_users_both"))
+    val per = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val total = ut.agg(countDistinct(col("user_id")).as("n_users_total"))
+    pairs
+      .join(per.select(col("event_type").as("type_a"),
+        col("n_users").as("n_users_a")), "type_a")
+      .join(per.select(col("event_type").as("type_b"),
+        col("n_users").as("n_users_b")), "type_b")
+      .crossJoin(broadcast(total))
+      .select("type_a", "type_b", "n_users_both",
+        "n_users_a", "n_users_b", "n_users_total")
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_outliers"         -> ((s: SparkSession, d: String) => q62Outliers(s, d)),
     "q26_json_extract"     -> (q26JsonExtract _),
@@ -230,9 +269,33 @@ object EventsOps {
     "q29_group_first_fill" -> (q29GroupFirstFill _),
     "q32_sessionize"       -> (q32Sessionize _),
     "q58_funnel"           -> (q58Funnel _),
-    "q59_cohort"           -> (q59Cohort _))
+    "q59_cohort"           -> (q59Cohort _),
+    "q88_cooccurrence"     -> (q88Cooccurrence _))
 
   val oracle: Map[String, String] = Map(
+    // q88: pure integer counts; same distinct projection + per-user
+    // self-join on both engines
+    "q88_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |per AS (
+        | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        | FROM ut GROUP BY event_type),
+        |tot AS (
+        | SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_total
+        | FROM ut),
+        |pairs AS (
+        | SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users_both
+        | FROM ut a JOIN ut b
+        |   ON a.user_id = b.user_id AND a.event_type < b.event_type
+        | GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_users_both, pa.n_users AS n_users_a,
+        | pb.n_users AS n_users_b, n_users_total
+        |FROM pairs
+        |JOIN per pa ON pa.event_type = type_a
+        |JOIN per pb ON pb.event_type = type_b
+        |CROSS JOIN tot
+        |ORDER BY type_a, type_b""".stripMargin,
     // q62: q50's exactness recipe — decimal moment sums, then one
     // fixed IEEE expression for mean/stddev/zscore in both engines
     "q62_outliers" ->

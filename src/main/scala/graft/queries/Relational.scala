@@ -210,6 +210,48 @@ object Relational {
       .agg((lit(5050L) - sum($"n")).as("missing"))
   }
 
+  /** CDC changeset between two snapshots of a keyed table: one
+    * full-outer join on the key, classified `added` (key only in new)
+    * / `removed` (only in old) / `changed` (both, value differs) —
+    * unchanged rows are dropped so the output is the changeset, not a
+    * copy of the table. The general kernel behind [[q87SnapshotDiff]],
+    * split out so crafted snapshots exercise all four classes.
+    *
+    * Scale shape: both sides shuffle on the key ONCE for a
+    * sort-merge full-outer; with both snapshots bucketed by key in
+    * the lake (`Sinks`' bucketed writer) the exchanges vanish
+    * entirely, and the changes-only output is |Δ| ≪ N. */
+  private[graft] def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      key: String, oldVal: String, newVal: String): DataFrame =
+    oldSnap.join(newSnap, Seq(key), "full_outer")
+      .withColumn("diff_class",
+        when(col(oldVal).isNull, lit("added"))
+          .when(col(newVal).isNull, lit("removed"))
+          .when(col(newVal) =!= col(oldVal), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("diff_class") =!= "unchanged")
+      .select(col(key), col("diff_class"), col(oldVal), col(newVal))
+
+  // --------------------------------------------------------------- q87
+  /** Snapshot diff on orders: the "old" and "new" states are derived
+    * deterministically from the one orders table (delete keys ≡ 3 mod
+    * 97 from old, keys ≡ 51 mod 97 from new, double o_totalprice on
+    * keys ≡ 0 mod 13) so both engines construct identical snapshots;
+    * ×2 is an exponent bump — IEEE-exact in any engine — keeping the
+    * double values hash-comparable. */
+  def q87SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val oldSnap = orders.filter(col("o_orderkey") % 97 =!= 3)
+      .select(col("o_orderkey"), col("o_totalprice").as("old_totalprice"))
+    val newSnap = orders.filter(col("o_orderkey") % 97 =!= 51)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("new_totalprice"))
+    snapshotDiff(oldSnap, newSnap,
+      "o_orderkey", "old_totalprice", "new_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"             -> (q1Agg _),
     "q2_join_agg"        -> (q2JoinAgg _),
@@ -222,7 +264,8 @@ object Relational {
     "q9_union"           -> (q9Union _),
     "q10_daily_totals"   -> (q10DailyTotals _),
     "q11_null_profile"   -> (q11NullProfile _),
-    "q12_gauss_missing"  -> (q12GaussMissing _))
+    "q12_gauss_missing"  -> (q12GaussMissing _),
+    "q87_snapshot_diff"  -> (q87SnapshotDiff _))
 
   /** DuckDB-dialect oracles. Integer SUMs are CAST to BIGINT (DuckDB
     * widens to HUGEINT); decimal sums CAST to DOUBLE to match Spark. */
@@ -309,5 +352,25 @@ object Relational {
     "q12_gauss_missing" ->
       """SELECT CAST(5050 - SUM(n) AS BIGINT) AS missing
         |FROM (SELECT CAST(range AS BIGINT) AS n FROM range(1, 101)) t
-        |WHERE n <> 57""".stripMargin)
+        |WHERE n <> 57""".stripMargin,
+    // q87: identical derived snapshots on both engines; the ×2 price
+    // mutation is IEEE-exact so double equality is portable
+    "q87_snapshot_diff" ->
+      """WITH old AS (
+        | SELECT o_orderkey, o_totalprice AS old_totalprice
+        | FROM orders WHERE o_orderkey % 97 <> 3),
+        |nw AS (
+        | SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS new_totalprice
+        | FROM orders WHERE o_orderkey % 97 <> 51)
+        |SELECT COALESCE(old.o_orderkey, nw.o_orderkey) AS o_orderkey,
+        | CASE WHEN old.o_orderkey IS NULL THEN 'added'
+        |      WHEN nw.o_orderkey IS NULL THEN 'removed'
+        |      ELSE 'changed' END AS diff_class,
+        | old_totalprice, new_totalprice
+        |FROM old FULL OUTER JOIN nw ON old.o_orderkey = nw.o_orderkey
+        |WHERE old.o_orderkey IS NULL OR nw.o_orderkey IS NULL
+        |   OR old_totalprice <> new_totalprice
+        |ORDER BY o_orderkey""".stripMargin)
 }

@@ -80,4 +80,30 @@ class EventsOpsSpec extends SparkSpec {
       (1L, 0L) -> 1L  // user 3's own cohort
     ), s"unexpected triangle: $got")
   }
+
+  test("q88: pair counts match a driver-side replay; marginals consistent") {
+    val ut = graft.Tables(spark, sfDir, "events")
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byUser = ut.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val expectedPairs = byUser.values.flatMap(ts =>
+      for (a <- ts; b <- ts if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val perType = ut.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nUsers = byUser.size.toLong
+
+    val rows = EventsOps.q88Cooccurrence(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val gotPairs = rows.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gotPairs == expectedPairs, "co-occurrence counts diverge")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pair not in canonical order")
+      assert(r.getLong(3) == perType(r.getString(0)))
+      assert(r.getLong(4) == perType(r.getString(1)))
+      assert(r.getLong(5) == nUsers)
+      // both-count can never exceed either marginal
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+    }
+  }
 }

@@ -240,6 +240,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ExistingRDD"), s"expected checkpointed inputs:\n$plan")
   }
 
+  test("q87: diff is one full-outer SMJ over key-pruned scans") {
+    val df = graft.queries.Relational.q87SnapshotDiff(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("FullOuter"), s"expected full-outer join:\n$plan")
+    // each snapshot scan reads only (key, value) — never the whole row
+    plan.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("o_orderdate") && !l.contains("o_orderstatus"),
+        s"diff scan reads unneeded columns: $l")
+    }
+  }
+
+  test("q88: one corpus shuffle into the checkpointed projection; pair agg is partial+final") {
+    val df = graft.queries.EventsOps.q88Cooccurrence(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // all four consumers read the checkpointed (user, type) distinct —
+    // the events parquet never reappears in the final plan
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Scan") && l.contains("parquet")),
+      s"q88 re-scans events instead of the checkpointed projection:\n$plan")
+    assert(plan.contains("ExistingRDD"), s"expected checkpointed input:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final pair aggregation:\n$plan")
+  }
+
   test("q71: partial aggregation combines exploded rows before the only exchange") {
     val df = graft.queries.Similarity.q71LabelCentroids(spark, sfDir)
     df.collect()

@@ -23,6 +23,41 @@ class RelationalSpec extends SparkSpec {
     assert((missing -- allowed).isEmpty, s"queries without oracle: $missing")
   }
 
+  test("snapshotDiff kernel: all four classes classify; unchanged is dropped") {
+    val oldSnap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("k", "old_v")
+    val newSnap = Seq((2L, 20.0), (3L, 31.0), (4L, 40.0))
+      .toDF("k", "new_v")
+    val got = Relational.snapshotDiff(oldSnap, newSnap, "k", "old_v", "new_v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got == Map(
+      1L -> (("removed", Some(10.0), None)),
+      3L -> (("changed", Some(30.0), Some(31.0))),
+      4L -> (("added", None, Some(40.0)))), s"wrong changeset: $got")
+  }
+
+  test("q87: the changeset is exactly the constructed added/removed/changed keys") {
+    val keys = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val expected = keys.flatMap { k =>
+      val inOld = k % 97 != 3
+      val inNew = k % 97 != 51
+      if (!inOld && inNew) Some(k -> "added")
+      else if (inOld && !inNew) Some(k -> "removed")
+      else if (inOld && inNew && k % 13 == 0) Some(k -> "changed")
+      else None // ×2 of a positive price always differs; %13!=0 never does
+    }.toMap
+    val got = Relational.q87SnapshotDiff(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected)
+    // changed rows carry exactly the doubled price
+    Relational.q87SnapshotDiff(spark, sfDir)
+      .filter($"diff_class" === "changed").collect().foreach { r =>
+        assert(r.getDouble(3) == 2.0 * r.getDouble(2))
+      }
+  }
+
   test("q1 groups by (returnflag, linestatus) with positive sums") {
     val rows = Relational.q1Agg(spark, sfDir).collect()
     assert(rows.length >= 4)
