@@ -247,7 +247,52 @@ object Analytics {
       .orderBy(col("source"))
   }
 
+  // --------------------------------------------------------------- q89
+  /** Per-group winsorization (robust-stats clamp at the exact 5th/95th
+    * percentiles): outliers are not dropped (q62) but clamped to the
+    * cut values — the standard robust mean/total when extreme values
+    * are suspect but mass must be conserved.
+    *
+    * Cross-engine exactness: the percentile is the q77 integer-cut
+    * idiom — the k = ⌈p·n⌉-th smallest value via `20·rank ≤ n + 19`
+    * (p=1/20) and `20·rank ≤ 19·n + 19` (p=19/20) — row_number ties
+    * permute only inside equal values, so the cut VALUE is
+    * deterministic; the clamp is `least/greatest` on doubles and the
+    * winsorized total follows q1's decimal-sum recipe.
+    *
+    * Scale shape: one window sort per group computes rank and n in the
+    * same partitioning (one exchange); the ranked frame is
+    * materialized so cut extraction and the final clamp-aggregate
+    * reuse it instead of re-sorting; cut values (one row per group)
+    * broadcast back. Exact per-group quantiles cost a per-group sort
+    * at any engine — at 100 TB swap in the q37 sketch percentiles if
+    * ±ε is acceptable; this operator is the exact path. */
+  def q89Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val byG = Window.partitionBy(col("g"))
+    val ranked = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      .withColumn("rk", row_number().over(byG.orderBy(col("x"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byG))
+      .localCheckpoint() // two consumers: cut extraction + clamp agg
+    val cuts = ranked.groupBy(col("g")).agg(
+      max(when(col("rk") * 20 <= col("n") + 19, col("x"))).as("v_low"),
+      max(when(col("rk") * 20 <= col("n") * 19 + 19, col("x"))).as("v_high"))
+    val clamped = greatest(least(col("x"), col("v_high")), col("v_low"))
+    ranked.join(broadcast(cuts), "g")
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("v_low")).as("v_low"),
+        first(col("v_high")).as("v_high"),
+        count(when(col("x") < col("v_low"), 1)).as("n_clamped_low"),
+        count(when(col("x") > col("v_high"), 1)).as("n_clamped_high"),
+        sum(clamped.cast(DecimalType(28, 2))).cast(DoubleType)
+          .as("sum_winsorized"))
+      .orderBy(col("g"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_winsorize"  -> (q89Winsorize _),
     "q70_source_drift" -> (q70SourceDrift _),
     "q50_stats"      -> (q50Stats _),
     "q34_range_join" -> (q34RangeJoin _),
@@ -258,6 +303,30 @@ object Analytics {
     "q37a_sketch_exact" -> (q37aSketchExact _))
 
   val oracle: Map[String, String] = Map(
+    // q89: the q77 integer quantile cut, replayed with window ranks;
+    // decimal-exact winsorized sum per the q1 recipe
+    "q89_winsorize" ->
+      """WITH r AS (
+        | SELECT l_returnflag AS g, l_extendedprice AS x,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                     ORDER BY l_extendedprice) AS rk,
+        |  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        | FROM lineitem),
+        |c AS (
+        | SELECT g,
+        |  MAX(CASE WHEN rk * 20 <= n + 19 THEN x END) AS v_low,
+        |  MAX(CASE WHEN rk * 20 <= n * 19 + 19 THEN x END) AS v_high
+        | FROM r GROUP BY g)
+        |SELECT r.g, CAST(COUNT(*) AS BIGINT) AS n, v_low, v_high,
+        | CAST(COUNT(CASE WHEN x < v_low THEN 1 END) AS BIGINT)
+        |   AS n_clamped_low,
+        | CAST(COUNT(CASE WHEN x > v_high THEN 1 END) AS BIGINT)
+        |   AS n_clamped_high,
+        | CAST(SUM(CAST(GREATEST(LEAST(x, v_high), v_low)
+        |   AS DECIMAL(28,2))) AS DOUBLE) AS sum_winsorized
+        |FROM r JOIN c ON c.g = r.g
+        |GROUP BY r.g, v_low, v_high
+        |ORDER BY r.g""".stripMargin,
     // same integer-rescaled TVD: |n_sb*N - n_b*N_s| in DECIMAL(19,0)
     // products (exact), summed exactly, ONE final IEEE division tree
     "q70_source_drift" ->

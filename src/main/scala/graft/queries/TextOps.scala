@@ -984,7 +984,45 @@ object TextOps {
           " <eos> ").as("packed_text"))
       .orderBy(col("source"), col("bin"))
 
+  // --------------------------------------------------------------- q90
+  /** Vocabulary-growth (token novelty) curve over ingest batches: with
+    * doc_id order standing in for arrival order and `doc_id div 100`
+    * as the batch, count per batch the distinct tokens seen and the
+    * tokens seen for the FIRST time, plus the running vocabulary
+    * size. A flattening curve is the classic crawl-saturation signal
+    * (Heaps' law bend) — the evidence for when more crawling stops
+    * buying new vocabulary.
+    *
+    * Cross-engine exactness: all BIGINT counts; Spark `div` = DuckDB
+    * `//` on the non-negative doc_id; the cumulative window orders by
+    * the unique bucket so frame semantics cannot diverge.
+    *
+    * Scale shape: the distinct (bucket, token) projection is the one
+    * corpus-sized shuffle; first-seen is a min-agg over it (tokens ≪
+    * corpus) and the cumulative sum runs on the ≤ #batches-row curve —
+    * the single-partition window is over that tiny frame, never the
+    * corpus. */
+  def q90VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(expr("doc_id div 100").as("bucket"),
+        explode(split(col("text"), "\\s+")).as("token"))
+      .distinct()
+      .localCheckpoint() // two consumers: first-seen + per-batch counts
+    val firstSeen = tok.groupBy(col("token"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_tokens"))
+    val perBucket = tok.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_distinct_tokens"))
+    perBucket.join(firstSeen, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new_tokens"))
+      .withColumn("vocab_size",
+        sum(col("n_new_tokens")).over(Window.orderBy(col("bucket"))))
+      .select("bucket", "n_distinct_tokens", "n_new_tokens", "vocab_size")
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_vocab_growth"  -> (q90VocabGrowth _),
     "q53_decontaminate" -> (q53Decontaminate _),
     "q60_bloom_decontam" -> (q60BloomDecontam _),
     "q64_contam_attr"   -> (q64ContamAttribution _),
@@ -1051,6 +1089,29 @@ object TextOps {
         |ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q90: same distinct (bucket, token) projection; cumulative SUM
+    // over the unique bucket key — frame semantics identical
+    "q90_vocab_growth" ->
+      """WITH tok AS (
+        | SELECT DISTINCT doc_id // 100 AS bucket, token
+        | FROM (SELECT doc_id,
+        |        unnest(string_split_regex(text, '\s+')) AS token
+        |       FROM documents)),
+        |fs AS (
+        | SELECT first_bucket AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_new_tokens
+        | FROM (SELECT token, MIN(bucket) AS first_bucket
+        |       FROM tok GROUP BY token)
+        | GROUP BY first_bucket),
+        |pb AS (
+        | SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+        | FROM tok GROUP BY bucket)
+        |SELECT pb.bucket, n_distinct_tokens,
+        | COALESCE(n_new_tokens, 0) AS n_new_tokens,
+        | CAST(SUM(COALESCE(n_new_tokens, 0)) OVER (ORDER BY pb.bucket)
+        |   AS BIGINT) AS vocab_size
+        |FROM pb LEFT JOIN fs ON fs.bucket = pb.bucket
+        |ORDER BY pb.bucket""".stripMargin,
     // q84: integer/string-exact (tf desc, df asc, term asc) ranking;
     // df re-aggregates the distinct (doc, term) pairs, as in Spark
     "q84_keywords" ->

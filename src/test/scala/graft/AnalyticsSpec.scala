@@ -98,4 +98,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(sf.forall { r =>
       val t = r.getAs[Double]("tvd"); t >= 0.0 && t <= 1.0 })
   }
+
+  test("q89: cuts, clamp counts and winsorized sum match a driver-side replay") {
+    val data = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expected = data.groupBy(_._1).map { case (g, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length
+      // k-th smallest at k = ceil(n/20) and ceil(19n/20), 1-based
+      val vLow = sorted((n + 19) / 20 - 1)
+      val vHigh = sorted((19 * n + 19) / 20 - 1)
+      val clamped = sorted.map(x => math.max(math.min(x, vHigh), vLow))
+      val sum = clamped.map(BigDecimal.valueOf).sum.toDouble
+      g -> ((n.toLong, vLow, vHigh,
+        sorted.count(_ < vLow).toLong, sorted.count(_ > vHigh).toLong, sum))
+    }
+    val got = Analytics.q89Winsorize(spark, sfDir).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got == expected, s"winsorize replay diverged:\n$got\n$expected")
+    // the clamp conserves row count and clamps ~5% each side (± the
+    // ceil granularity at small n)
+    got.values.foreach { case (n, vLow, vHigh, nLo, nHi, _) =>
+      assert(vLow <= vHigh)
+      assert(nLo <= (n + 19) / 20 && nHi <= n - (19 * n + 19) / 20 + 1)
+    }
+  }
 }

@@ -268,6 +268,40 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final pair aggregation:\n$plan")
   }
 
+  test("q89: one window sort total — cuts broadcast back onto the checkpointed ranks") {
+    val df = graft.queries.Analytics.q89Winsorize(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the per-group sort ran once, before the checkpoint: the final
+    // plan must contain NO Window and no parquet re-scan — both
+    // consumers read the materialized ranked frame
+    assert(!plan.contains("Window"),
+      s"q89 re-runs the rank window after the checkpoint:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Scan") && l.contains("parquet")),
+      s"q89 re-scans lineitem:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cut values should broadcast:\n$plan")
+  }
+
+  test("q90: cumulative window runs over the tiny curve, not the corpus") {
+    val df = graft.queries.TextOps.q90VocabGrowth(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Scan") && l.contains("parquet")),
+      s"q90 re-derives the token projection:\n$plan")
+    // the Window must sit ABOVE the per-bucket aggregation (inputs
+    // already reduced to one row per bucket before the global sort)
+    val lines = plan.linesIterator.toVector
+    val winAt = lines.indexWhere(_.contains("Window"))
+    val aggAt = lines.indexWhere(_.contains("HashAggregate"))
+    assert(winAt >= 0 && aggAt > winAt,
+      s"cumulative window not over the aggregated curve:\n$plan")
+  }
+
   test("q71: partial aggregation combines exploded rows before the only exchange") {
     val df = graft.queries.Similarity.q71LabelCentroids(spark, sfDir)
     df.collect()

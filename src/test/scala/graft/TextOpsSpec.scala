@@ -546,4 +546,34 @@ class TextOpsSpec extends SparkSpec {
     val rows = TextOps.q79TokenBudget(spark, sfDir).collect()
     assert(rows.forall(_.getAs[Long]("take_tokens") > 0L))
   }
+
+  test("q90: growth curve matches a driver-side replay; vocab_size telescopes") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bucketTokens = docs
+      .flatMap { case (id, t) => t.split("\\s+").map((id / 100) -> _) }
+      .distinct
+    val perBucket = bucketTokens.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val firstSeen = bucketTokens.groupBy(_._2).view
+      .mapValues(_.map(_._1).min).toMap
+    val newPer = firstSeen.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+
+    val got = TextOps.q90VocabGrowth(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+    got.foreach { case (b, nd, nn, _) =>
+      assert(nd == perBucket(b), s"bucket $b distinct count")
+      assert(nn == newPer.getOrElse(b, 0L), s"bucket $b new-token count")
+    }
+    // the cumulative column telescopes to the running sum and ends at
+    // the full vocabulary size
+    val cum = got.scanLeft(0L)(_ + _._3).drop(1)
+    assert(got.map(_._4).toSeq == cum.toSeq)
+    assert(got.last._4 == firstSeen.size.toLong)
+    // novelty can never exceed the batch's distinct count
+    got.foreach { case (_, nd, nn, _) => assert(nn <= nd) }
+  }
 }
