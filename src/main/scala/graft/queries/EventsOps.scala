@@ -261,7 +261,37 @@ object EventsOps {
       .orderBy("type_a", "type_b")
   }
 
+  // --------------------------------------------------------------- q92
+  /** Event-rate spike detection over a TRAILING window: per
+    * (event_type, hour) count n, compare to the previous 3 observed
+    * hours — spike iff `3·n > 2·Σprev` (rate > 2× the trailing mean,
+    * cross-multiplied so no division runs) and only once full history
+    * exists. The frame is `ROWS 3 PRECEDING .. 1 PRECEDING` — the
+    * bounded trailing shape (distinct from q6's running total), with
+    * row-based semantics over OBSERVED hours so both engines agree
+    * even across gaps.
+    *
+    * Scale shape: the corpus-sized work is one partial+final count to
+    * ≤ |types|·|hours| rows; the window then runs per type over that
+    * tiny series. Monitoring at 100 TB/day is exactly this rollup —
+    * the fact stream never reaches the window. */
+  def q92RateSpike(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(-3, -1)
+    events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+      .withColumn("trailing_n", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("n_prev_windows", count(col("n")).over(w))
+      .withColumn("is_spike",
+        (col("n_prev_windows") === 3 &&
+          col("n") * 3 > col("trailing_n") * 2).cast("long"))
+      .orderBy("event_type", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_rate_spike"       -> (q92RateSpike _),
     "q62_outliers"         -> ((s: SparkSession, d: String) => q62Outliers(s, d)),
     "q26_json_extract"     -> (q26JsonExtract _),
     "q27_asof_join"        -> (q27AsofJoin _),
@@ -273,6 +303,23 @@ object EventsOps {
     "q88_cooccurrence"     -> (q88Cooccurrence _))
 
   val oracle: Map[String, String] = Map(
+    // q92: epoch_us // == unix_micros div on non-negative epochs;
+    // identical row-based trailing frame in both engines
+    "q92_rate_spike" ->
+      """WITH pb AS (
+        | SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket, n,
+        | CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS trailing_n,
+        | CAST(COUNT(n) OVER w AS BIGINT) AS n_prev_windows,
+        | CAST(CASE WHEN COUNT(n) OVER w = 3
+        |            AND n * 3 > COALESCE(SUM(n) OVER w, 0) * 2
+        |      THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+        |FROM pb
+        |WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_type, bucket""".stripMargin,
     // q88: pure integer counts; same distinct projection + per-user
     // self-join on both engines
     "q88_cooccurrence" ->

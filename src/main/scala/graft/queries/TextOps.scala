@@ -1021,7 +1021,43 @@ object TextOps {
       .orderBy("bucket")
   }
 
+  // --------------------------------------------------------------- q91
+  /** Character-distribution chi-square against uniform, in pure
+    * integer arithmetic — a gibberish/encoding-noise signal: natural
+    * language has a sharply non-uniform letter distribution, base64
+    * blobs and mashed keyboards sit near uniform. With per-letter
+    * counts c_i and n = Σc_i the statistic is Σ(26·c_i − n)² — the
+    * χ² numerator rescaled by 26²n so it stays integral (the q70 TVD
+    * rescaling trick). Under uniform its expectation is 650·n, so the
+    * non-uniformity flag fires above 1300·n (2×). Exact while
+    * n < ~7·10⁸ letters per document (the Σ stays under 2⁶³).
+    *
+    * Scale shape: embarrassingly parallel — 26 codegen'd
+    * length/translate diffs per row, no shuffle at all before the
+    * output sort; at 100 TB this runs at scan speed. */
+  def q91CharChisq(spark: SparkSession, dir: String): DataFrame = {
+    val letters = 'a' to 'z'
+    val withC = letters.foldLeft(
+      docs(spark, dir).select(col("doc_id"), col("text"))) { (df, ch) =>
+      df.withColumn(s"_c_$ch",
+        (length(col("text")) -
+          length(translate(col("text"), ch.toString, ""))).cast("long"))
+    }
+    val nLetters = letters.map(ch => col(s"_c_$ch")).reduce(_ + _)
+    val term = (ch: Char) => {
+      val d = lit(26L) * col(s"_c_$ch") - col("n_letters")
+      d * d
+    }
+    withC.withColumn("n_letters", nLetters)
+      .withColumn("chisq_num", letters.map(term).reduce(_ + _))
+      .select(col("doc_id"), col("n_letters"), col("chisq_num"),
+        (col("chisq_num") > lit(1300L) * col("n_letters"))
+          .cast("long").as("is_nonuniform"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_char_chisq"    -> (q91CharChisq _),
     "q90_vocab_growth"  -> (q90VocabGrowth _),
     "q53_decontaminate" -> (q53Decontaminate _),
     "q60_bloom_decontam" -> (q60BloomDecontam _),
@@ -1089,6 +1125,29 @@ object TextOps {
         |ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q91: replace-diff letter counts (≡ Spark's translate-diff);
+    // the integer χ² numerator is the same expression tree
+    "q91_char_chisq" -> {
+      val letters = 'a' to 'z'
+      val cs = letters.map(ch =>
+        s"CAST(length(text) - length(replace(text, '$ch', '')) AS BIGINT) AS c_$ch")
+        .mkString(",\n |  ")
+      val n = letters.map(ch => s"c_$ch").mkString(" + ")
+      val chisq = letters.map(ch =>
+        s"(26 * c_$ch - n_letters) * (26 * c_$ch - n_letters)")
+        .mkString("\n |   + ")
+      s"""WITH l AS (
+        | SELECT doc_id,
+        |  $cs
+        | FROM documents),
+        |t AS (
+        | SELECT *, ($n) AS n_letters FROM l)
+        |SELECT doc_id, n_letters,
+        | ($chisq) AS chisq_num,
+        | CAST(CASE WHEN ($chisq) > 1300 * n_letters
+        |      THEN 1 ELSE 0 END AS BIGINT) AS is_nonuniform
+        |FROM t ORDER BY doc_id""".stripMargin
+    },
     // q90: same distinct (bucket, token) projection; cumulative SUM
     // over the unique bucket key — frame semantics identical
     "q90_vocab_growth" ->

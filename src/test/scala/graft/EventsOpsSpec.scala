@@ -81,6 +81,35 @@ class EventsOpsSpec extends SparkSpec {
     ), s"unexpected triangle: $got")
   }
 
+  test("q92: spike fires only on >2× the trailing mean with full history; gaps use row frames") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-spike").toString
+    def ns(hour: Long, i: Long) = (hour * 3600000000L + i * 1000L) * 1000L
+    val rows =
+      // type a: flat 1/h for hours 0-2, burst of 3 in hour 3, calm hour 4
+      (Seq(0L, 1L, 2L).map(h => ("a", ns(h, 0))) ++
+        (0 until 3).map(i => ("a", ns(3, i.toLong))) ++
+        Seq(("a", ns(4, 0))) ++
+        // type b: hours 0,1,2 then a GAP to hour 10 — the row-based
+        // frame still sees three prior observed hours
+        Seq(0L, 1L, 2L, 10L).map(h => ("b", ns(h, 0))))
+    rows.toDF("event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.EventsOps.q92RateSpike(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // early rows never spike (incomplete history)
+    assert(got(("a", 0L)) == ((1L, 0L, 0L, 0L)))
+    assert(got(("a", 1L)) == ((1L, 1L, 1L, 0L)))
+    assert(got(("a", 2L)) == ((1L, 2L, 2L, 0L)))
+    // 3 events vs trailing sum 3: 9 > 6 → spike
+    assert(got(("a", 3L)) == ((3L, 3L, 3L, 1L)))
+    // back to 1 vs trailing 1+1+3=5: 3 > 10 is false
+    assert(got(("a", 4L)) == ((1L, 5L, 3L, 0L)))
+    // gap: hour 10 sees rows 0,1,2 as its 3 predecessors
+    assert(got(("b", 10L)) == ((1L, 3L, 3L, 0L)))
+  }
+
   test("q88: pair counts match a driver-side replay; marginals consistent") {
     val ut = graft.Tables(spark, sfDir, "events")
       .select("user_id", "event_type").distinct().collect()

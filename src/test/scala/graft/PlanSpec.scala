@@ -302,6 +302,36 @@ class PlanSpec extends SparkSpec {
       s"cumulative window not over the aggregated curve:\n$plan")
   }
 
+  test("q91: map-only scoring — no shuffle except the output sort; scan pruned") {
+    val df = graft.queries.TextOps.q91CharChisq(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exactly one Exchange (the deterministic output orderBy); the
+    // statistic itself must be computed scan-side
+    assert("Exchange".r.findAllIn(plan).size <= 2, // rangepartition + AQE read
+      s"q91 shuffles before the output sort:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Window"),
+      s"q91 must be a pure projection:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"q91 scan reads unneeded columns: $readSchema")
+  }
+
+  test("q92: the trailing window runs over the hourly rollup, not raw events") {
+    val df = graft.queries.EventsOps.q92RateSpike(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val lines = plan.linesIterator.toVector
+    val winAt = lines.indexWhere(_.contains("Window"))
+    val aggAt = lines.indexWhere(_.contains("HashAggregate"))
+    assert(winAt >= 0 && aggAt > winAt,
+      s"window must consume the aggregated series:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final hourly rollup:\n$plan")
+  }
+
   test("q71: partial aggregation combines exploded rows before the only exchange") {
     val df = graft.queries.Similarity.q71LabelCentroids(spark, sfDir)
     df.collect()

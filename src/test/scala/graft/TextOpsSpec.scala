@@ -576,4 +576,29 @@ class TextOpsSpec extends SparkSpec {
     // novelty can never exceed the batch's distinct count
     got.foreach { case (_, nd, nn, _) => assert(nn <= nd) }
   }
+
+  test("q91: uniform alphabet scores zero; single-letter text is flagged") {
+    val dir = Files.createTempDirectory("graft-chisq").toString
+    Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz" * 4), // perfectly uniform
+      (2L, "aaaa"),                           // maximally skewed
+      (3L, "the quick brown fox jumps over the lazy dog")) // english-ish
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.q91CharChisq(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((104L, 0L, 0L)), s"uniform text must score 0: $got")
+    // c_a=4, n=4: (26*4-4)^2 + 25*(0-4)^2 = 10000 + 400 = 10400 > 5200
+    assert(got(2L) == ((4L, 10400L, 1L)), s"skewed text: $got")
+    // the pangram is near-uniform over its letters — sanity: computed
+    // n excludes spaces, statistic matches a driver-side replay
+    val text3 = "the quick brown fox jumps over the lazy dog"
+    val counts = ('a' to 'z').map(ch => text3.count(_ == ch).toLong)
+    val n3 = counts.sum
+    val chisq3 = counts.map(c => { val d = 26 * c - n3; d * d }).sum
+    assert(got(3L) == ((n3, chisq3, if (chisq3 > 1300 * n3) 1L else 0L)))
+  }
 }
