@@ -1056,7 +1056,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q93
+  /** Per-source bigram diversity — distinct/total word-bigram counts
+    * and their type-token ratio: the distinct-n diversity metric
+    * (the corpus-level cousin of Self-BLEU) that separates a source of
+    * templated/boilerplate pages (low TTR: many repeats of few
+    * bigrams) from genuinely varied text, complementing q43's
+    * WITHIN-document repetition with ACROSS-document repetition.
+    *
+    * Cross-engine exactness: integer counts; the ratio is the one
+    * IEEE division both engines build; sub-2-token docs contribute
+    * zero bigrams (the q18 shingle guard, 2-gram version).
+    *
+    * Scale shape: totals come from array lengths without exploding;
+    * only the distinct count pays the explode, and its dedup is a
+    * two-level (source, bigram) aggregate with map-side partials —
+    * never a corpus-wide distinct over raw rows. */
+  def q93DistinctNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val bigramExpr =
+      """CASE WHEN size(_ws) >= 2 THEN
+        |  transform(sequence(0, size(_ws) - 2),
+        |    i -> concat_ws(' ', _ws[i], _ws[i+1]))
+        |ELSE array() END""".stripMargin
+    val d = docs(spark, dir)
+      .select(col("source"), split(col("text"), "\\s+").as("_ws"))
+    val totals = d.groupBy(col("source")).agg(
+      sum(greatest(size(col("_ws")) - 1, lit(0)).cast("long"))
+        .as("n_bigrams"))
+    val dist = d.select(col("source"), explode(expr(bigramExpr)).as("bg"))
+      .distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_distinct_bigrams"))
+    totals.join(dist, Seq("source"), "left")
+      .na.fill(0L, Seq("n_distinct_bigrams"))
+      .withColumn("ttr",
+        when(col("n_bigrams") > 0,
+          col("n_distinct_bigrams").cast("double") /
+            col("n_bigrams").cast("double")))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_distinct_ngrams" -> (q93DistinctNgrams _),
     "q91_char_chisq"    -> (q91CharChisq _),
     "q90_vocab_growth"  -> (q90VocabGrowth _),
     "q53_decontaminate" -> (q53Decontaminate _),
@@ -1125,6 +1165,31 @@ object TextOps {
         |ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q93: DuckDB range(1, len) is empty for len ≤ 1 — the short-doc
+    // guard Spark needs a CASE for comes free; one shared IEEE ratio
+    "q93_distinct_ngrams" ->
+      """WITH w AS (
+        | SELECT source, string_split_regex(text, '\s+') AS ws
+        | FROM documents),
+        |tot AS (
+        | SELECT source,
+        |  CAST(SUM(GREATEST(len(ws) - 1, 0)) AS BIGINT) AS n_bigrams
+        | FROM w GROUP BY source),
+        |dist AS (
+        | SELECT source, CAST(COUNT(DISTINCT bg) AS BIGINT)
+        |   AS n_distinct_bigrams
+        | FROM (SELECT source,
+        |        unnest(list_transform(range(1, len(ws)),
+        |          i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |       FROM w)
+        | GROUP BY source)
+        |SELECT tot.source, n_bigrams,
+        | COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+        | CASE WHEN n_bigrams > 0 THEN
+        |  CAST(COALESCE(n_distinct_bigrams, 0) AS DOUBLE)
+        |    / CAST(n_bigrams AS DOUBLE) END AS ttr
+        |FROM tot LEFT JOIN dist ON dist.source = tot.source
+        |ORDER BY tot.source""".stripMargin,
     // q91: replace-diff letter counts (≡ Spark's translate-diff);
     // the integer χ² numerator is the same expression tree
     "q91_char_chisq" -> {

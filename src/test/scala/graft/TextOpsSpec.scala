@@ -577,6 +577,23 @@ class TextOpsSpec extends SparkSpec {
     got.foreach { case (_, nd, nn, _) => assert(nn <= nd) }
   }
 
+  test("q93: bigram totals, cross-doc distincts, short-doc guard and null ttr") {
+    val dir = Files.createTempDirectory("graft-ttr").toString
+    Seq(
+      (1L, "a b a b a b", "t1"), // 5 bigrams, 2 distinct
+      (2L, "x", "t2"),           // <2 tokens → zero bigrams
+      (3L, "p q r", "t3"), (4L, "q r s", "t3")) // 4 bigrams, 3 distinct
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.q93DistinctNgrams(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(got("t1") == ((5L, 2L, Some(0.4))), s"repetitious source: $got")
+    assert(got("t2") == ((0L, 0L, None)), s"short-doc source: $got")
+    assert(got("t3") == ((4L, 3L, Some(0.75))), s"varied source: $got")
+  }
+
   test("q91: uniform alphabet scores zero; single-letter text is flagged") {
     val dir = Files.createTempDirectory("graft-chisq").toString
     Seq(
