@@ -488,9 +488,13 @@ object Dedup {
     // the corpus-sized scan+agg runs ONCE: the vocabulary that comes
     // out is tiny, so it is materialized before the self-join rather
     // than re-derived per side
+    // block key = LAST token (the head noun of "<modifier…> <noun>"
+    // names): element_at(…, -1) is total — a one-word name blocks on
+    // itself rather than vanishing behind a NULL key, matching the
+    // oracle's list_extract(…, -1)
     val names = Tables(spark, dir, "part")
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
-      .withColumn("blk", split(col("p_name"), " ").getItem(1))
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
       .localCheckpoint()
     val a = names.select(col("blk"), col("p_name").as("name_a"),
       col("n_parts").as("n_parts_a"))
@@ -643,10 +647,11 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     // q85: DuckDB levenshtein = Spark levenshtein (unit-cost edit
-    // distance); blocking key = second token of the two-word name
+    // distance); blocking key = LAST token, total on one-word names
     "q85_fuzzy_match" ->
       """WITH nm AS (
-        | SELECT p_name, split_part(p_name, ' ', 2) AS blk,
+        | SELECT p_name,
+        |  list_extract(string_split(p_name, ' '), -1) AS blk,
         |  COUNT(*) AS n_parts
         | FROM part GROUP BY p_name)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,

@@ -223,11 +223,17 @@ object Relational {
     * entirely, and the changes-only output is |Δ| ≪ N. */
   private[graft] def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       key: String, oldVal: String, newVal: String): DataFrame =
-    oldSnap.join(newSnap, Seq(key), "full_outer")
+    // presence comes from explicit per-side indicators, NOT from value
+    // nullity — a snapshot may legitimately carry NULL values, and a
+    // (key, NULL) row present on one side only must classify by the
+    // key's presence (null-safe <=> likewise keeps NULL→x and x→NULL
+    // transitions classified as changed, not unchanged)
+    oldSnap.withColumn("_in_old", lit(1))
+      .join(newSnap.withColumn("_in_new", lit(1)), Seq(key), "full_outer")
       .withColumn("diff_class",
-        when(col(oldVal).isNull, lit("added"))
-          .when(col(newVal).isNull, lit("removed"))
-          .when(col(newVal) =!= col(oldVal), lit("changed"))
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(!(col(newVal) <=> col(oldVal)), lit("changed"))
           .otherwise(lit("unchanged")))
       .filter(col("diff_class") =!= "unchanged")
       .select(col(key), col("diff_class"), col(oldVal), col(newVal))

@@ -1073,17 +1073,13 @@ object TextOps {
     * two-level (source, bigram) aggregate with map-side partials —
     * never a corpus-wide distinct over raw rows. */
   def q93DistinctNgrams(spark: SparkSession, dir: String): DataFrame = {
-    val bigramExpr =
-      """CASE WHEN size(_ws) >= 2 THEN
-        |  transform(sequence(0, size(_ws) - 2),
-        |    i -> concat_ws(' ', _ws[i], _ws[i+1]))
-        |ELSE array() END""".stripMargin
-    val d = docs(spark, dir)
-      .select(col("source"), split(col("text"), "\\s+").as("_ws"))
+    val d = withWords(docs(spark, dir).select(col("source"), col("text")))
+      .select(col("source"), col("_ws"))
+      .localCheckpoint() // two consumers: totals + distinct explode
     val totals = d.groupBy(col("source")).agg(
       sum(greatest(size(col("_ws")) - 1, lit(0)).cast("long"))
         .as("n_bigrams"))
-    val dist = d.select(col("source"), explode(expr(bigramExpr)).as("bg"))
+    val dist = d.select(col("source"), explode(bigramsExpr).as("bg"))
       .distinct()
       .groupBy(col("source")).agg(count(lit(1)).as("n_distinct_bigrams"))
     totals.join(dist, Seq("source"), "left")

@@ -320,7 +320,7 @@ class DedupSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { case (a, b, d) =>
       assert(a < b, s"unordered pair ($a, $b)")
-      assert(a.split(" ")(1) == b.split(" ")(1), s"cross-block pair ($a, $b)")
+      assert(a.split(" ").last == b.split(" ").last, s"cross-block pair ($a, $b)")
       assert(d == lev(a, b).toLong, s"distance mismatch for ($a, $b)")
       assert(d >= 1 && d <= 3)
     }
@@ -330,7 +330,7 @@ class DedupSpec extends SparkSpec {
       .select("p_name").distinct().collect().map(_.getString(0))
     val expected = (for {
       a <- names; b <- names
-      if a < b && a.split(" ")(1) == b.split(" ")(1) && lev(a, b) <= 3
+      if a < b && a.split(" ").last == b.split(" ").last && lev(a, b) <= 3
     } yield (a, b)).toSet
     assert(rows.map(r => (r._1, r._2)).toSet == expected)
   }

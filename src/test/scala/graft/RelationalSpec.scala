@@ -24,9 +24,11 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("snapshotDiff kernel: all four classes classify; unchanged is dropped") {
-    val oldSnap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+    val oldSnap = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(30.0)),
+      (5L, None), (6L, None), (7L, None))
       .toDF("k", "old_v")
-    val newSnap = Seq((2L, 20.0), (3L, 31.0), (4L, 40.0))
+    val newSnap = Seq((2L, Some(20.0)), (3L, Some(31.0)), (4L, Some(40.0)),
+      (6L, Some(60.0)), (7L, None))
       .toDF("k", "new_v")
     val got = Relational.snapshotDiff(oldSnap, newSnap, "k", "old_v", "new_v")
       .collect().map(r => r.getLong(0) ->
@@ -34,7 +36,13 @@ class RelationalSpec extends SparkSpec {
     assert(got == Map(
       1L -> (("removed", Some(10.0), None)),
       3L -> (("changed", Some(30.0), Some(31.0))),
-      4L -> (("added", None, Some(40.0)))), s"wrong changeset: $got")
+      4L -> (("added", None, Some(40.0))),
+      // presence is keyed on the SIDE, not value nullity: a NULL-valued
+      // key that disappears is removed (not "added"), a NULL→value
+      // transition is changed, and NULL→NULL on a surviving key is
+      // unchanged (key 7 absent)
+      5L -> (("removed", None, None)),
+      6L -> (("changed", None, Some(60.0)))), s"wrong changeset: $got")
   }
 
   test("q87: the changeset is exactly the constructed added/removed/changed keys") {
