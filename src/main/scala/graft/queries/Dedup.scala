@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.SimHash64.simhash64
@@ -573,6 +574,51 @@ object Dedup {
           .cast("long").as("is_dup"))
   }
 
+  // --------------------------------------------------------------- q94
+  /** Entity canonicalization — the record-linkage pipeline completed:
+    * q85's blocked fuzzy-match pairs become edges, transitive closure
+    * ([[graft.operators.ConnectedComponents]]) merges chains
+    * ("red gear" ≈ "hot gear" ≈ "hot gearx" even if the ends never
+    * pair directly), and every name maps to its cluster's
+    * lexicographic-min member as the canonical key — the surrogate a
+    * warehouse would store on the dimension.
+    *
+    * Cross-engine exactness: ids are `row_number` over the sorted
+    * vocabulary, so min-id ≡ min-name and the oracle's recursive
+    * reachability + `MIN(name)` reproduces the component contract
+    * exactly.
+    *
+    * Scale shape: everything after the first groupBy runs at
+    * VOCABULARY scale — the id window, the edge joins, the closure
+    * (whose driver union-find fast path is bounded by the pair count)
+    * and the size rollup; the resulting canonical map is tiny and
+    * broadcasts back onto the corpus-sized dimension. */
+  def q94EntityCanon(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q85FuzzyMatch(spark, dir)
+      .select(col("name_a"), col("name_b"))
+    val ids = Tables(spark, dir, "part").select(col("p_name")).distinct()
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("p_name"))).cast("long"))
+      .localCheckpoint() // vocab-sized; three consumers below
+    val edges = pairs
+      .join(ids.select(col("p_name").as("name_a"), col("id").as("src")),
+        "name_a")
+      .join(ids.select(col("p_name").as("name_b"), col("id").as("dst")),
+        "name_b")
+      .select("src", "dst")
+    val canon = graft.operators.ConnectedComponents
+      .run(spark, ids.select(col("id")), edges)
+      .join(ids, "id")
+      .join(ids.select(col("id").as("component"),
+        col("p_name").as("canon_name")), "component")
+      .select(col("p_name"), col("canon_name"))
+      .localCheckpoint() // two consumers: size rollup + output join
+    canon.join(canon.groupBy(col("canon_name"))
+        .agg(count(lit(1)).as("n_cluster_names")), "canon_name")
+      .select("p_name", "canon_name", "n_cluster_names")
+      .orderBy("p_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_minhash_lsh"   -> (q18MinhashLsh _),
     "q19_simhash"       -> (q19Simhash _),
@@ -587,7 +633,8 @@ object Dedup {
     "q78_containment"   -> (q78Containment _),
     "q81_source_overlap" -> (q81SourceOverlap _),
     "q85_fuzzy_match"   -> (q85FuzzyMatch _),
-    "q86_bow_cosine"    -> (q86BowCosine _))
+    "q86_bow_cosine"    -> (q86BowCosine _),
+    "q94_entity_canon"  -> (q94EntityCanon _))
 
   private val mhSelect = (0 until NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> md5('$i#' || x))) AS mh$i").mkString(",\n |  ")
@@ -660,6 +707,31 @@ object Dedup {
         |FROM nm a JOIN nm b ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |ORDER BY name_a, name_b""".stripMargin,
+    // q94: the q85 match CTE as edges, recursive reachability, MIN
+    // over the component = the row_number-min contract
+    "q94_entity_canon" ->
+      """WITH RECURSIVE nm AS (
+        | SELECT p_name,
+        |  list_extract(string_split(p_name, ' '), -1) AS blk
+        | FROM part GROUP BY p_name),
+        |m AS (
+        | SELECT a.p_name AS s, b.p_name AS d
+        | FROM nm a JOIN nm b ON a.blk = b.blk AND a.p_name < b.p_name
+        | WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        |edges AS (
+        | SELECT s, d FROM m UNION ALL SELECT d, s FROM m),
+        |reach(a, b) AS (
+        | SELECT p_name, p_name FROM nm
+        | UNION
+        | SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b),
+        |c AS (
+        | SELECT a AS p_name, MIN(b) AS canon_name FROM reach GROUP BY a)
+        |SELECT c.p_name, c.canon_name,
+        | CAST(cnt.n AS BIGINT) AS n_cluster_names
+        |FROM c JOIN (
+        | SELECT canon_name, COUNT(*) AS n FROM c GROUP BY canon_name) cnt
+        | USING (canon_name)
+        |ORDER BY c.p_name""".stripMargin,
     // q86: shared candidate CTE; tf from the same regex split as the
     // shingle chain; HUGEINT cross-multiplication mirrors Spark's
     // decimal(38,0) — both exact in the documented domain

@@ -335,6 +335,23 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(r => (r._1, r._2)).toSet == expected)
   }
 
+  test("q94: transitive chains canonicalize to one lexicographic-min key") {
+    val dir = Files.createTempDirectory("graft-canon").toString
+    // chain: aaaaa ≈ aaabb (2) ≈ abbbb (2), but aaaaa vs abbbb = 4 —
+    // only the closure merges the ends; zzz bolt is a singleton block
+    Seq("aaaaa gear", "aaabb gear", "abbbb gear", "zzz bolt")
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Dedup.q94EntityCanon(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "aaaaa gear" -> (("aaaaa gear", 3L)),
+      "aaabb gear" -> (("aaaaa gear", 3L)),
+      "abbbb gear" -> (("aaaaa gear", 3L)),
+      "zzz bolt"   -> (("zzz bolt", 1L))), s"wrong canonicalization: $got")
+  }
+
   test("q86: exact dup scores is_dup=1 with dot == both norms") {
     val r = Dedup.q86BowCosine(spark, plantedDir)
       .filter($"doc_a" === 1L && $"doc_b" === 200L).collect()
