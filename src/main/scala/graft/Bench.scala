@@ -36,8 +36,18 @@ object Bench {
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(sess, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-      catch { case t: Throwable => Left(s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}") }
+      val r =
+        try { fn(sess, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case t: Throwable => Left(s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}") }
+      // drop this query's localCheckpoint blocks before the next one:
+      // ~30 checkpointing queries × iters × 2 passes otherwise pile
+      // hundreds of persisted RDDs into the block manager, and the
+      // second (AQE) pass pays eviction churn concentrated in exactly
+      // the checkpoint-heavy dedup family (measured: +50% on the AQE
+      // total at sf0.1 before this cleanup). Outside the timed section
+      // — each query is benched cold-cache, matching the plain pass.
+      sess.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      r
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
