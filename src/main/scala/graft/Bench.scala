@@ -44,9 +44,15 @@ object Bench {
       // hundreds of persisted RDDs into the block manager, and the
       // second (AQE) pass pays eviction churn concentrated in exactly
       // the checkpoint-heavy dedup family (measured: +50% on the AQE
-      // total at sf0.1 before this cleanup). Outside the timed section
-      // — each query is benched cold-cache, matching the plain pass.
-      sess.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // total at sf0.1 before this cleanup). blocking=true so removal
+      // finishes inside this untimed gap; guarded so a query that
+      // killed the context cannot take the whole artifact with it —
+      // the per-query Left/-1 integrity contract outranks cleanup.
+      try {
+        if (!sess.sparkContext.isStopped)
+          sess.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+      } catch { case scala.util.control.NonFatal(_) => () }
       r
     }
     def median(xs: Seq[Double]): Double = {

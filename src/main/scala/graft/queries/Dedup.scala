@@ -467,13 +467,41 @@ object Dedup {
   }
 
   // --------------------------------------------------------------- q85
+  /** Distinct part-name vocabulary with entity counts and block key —
+    * the ONE corpus-scale scan+aggregate the whole ER family (q85,
+    * q94) shares; the tiny result is materialized and everything
+    * downstream runs at |V| scale. Block key = LAST token (the head
+    * noun of "<modifier…> <noun>" names): `element_at(…, -1)` is
+    * total — a one-word name blocks on itself rather than vanishing
+    * behind a NULL key, matching the oracle's `list_extract(…, -1)`. */
+  private def partNames(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      .localCheckpoint()
+
+  /** The q85 match kernel over a prepared `(p_name, n_parts, blk)`
+    * vocabulary: blocked self-join, Levenshtein ≤ 3 survivors. */
+  private def fuzzyMatchPairs(names: DataFrame): DataFrame = {
+    val a = names.select(col("blk"), col("p_name").as("name_a"),
+      col("n_parts").as("n_parts_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"),
+      col("n_parts").as("n_parts_b"))
+    a.join(b, "blk")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("lev_dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("lev_dist") <= 3)
+      .select("name_a", "name_b", "lev_dist", "n_parts_a", "n_parts_b")
+  }
+
   /** Catalog entity resolution: fuzzy-match the part-name VOCABULARY
     * with blocked Levenshtein distance. Classic record linkage
     * (Fellegi–Sunter blocking + edit-distance compare): names are
     * first collapsed to distinct normalized strings with their entity
-    * counts, candidate pairs are generated only inside a block (here
-    * the head noun — the last token), and survivors are pairs within
-    * edit distance ≤ 3 ("red gear" ≈ "hot gear", but never
+    * counts ([[partNames]]), candidate pairs are generated only inside
+    * a block (the head noun — the last token), and survivors are pairs
+    * within edit distance ≤ 3 ("red gear" ≈ "hot gear", but never
     * "small gear" ≈ "large gear").
     *
     * Cross-engine exactness: `levenshtein` is the same unit-cost
@@ -485,30 +513,9 @@ object Dedup {
     * shuffle), so the quadratic compare is Σ block² over vocabulary
     * blocks, not rows; the match table that comes out is tiny and
     * broadcasts back onto the corpus for canonicalization. */
-  def q85FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
-    // the corpus-sized scan+agg runs ONCE: the vocabulary that comes
-    // out is tiny, so it is materialized before the self-join rather
-    // than re-derived per side
-    // block key = LAST token (the head noun of "<modifier…> <noun>"
-    // names): element_at(…, -1) is total — a one-word name blocks on
-    // itself rather than vanishing behind a NULL key, matching the
-    // oracle's list_extract(…, -1)
-    val names = Tables(spark, dir, "part")
-      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
-      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
-      .localCheckpoint()
-    val a = names.select(col("blk"), col("p_name").as("name_a"),
-      col("n_parts").as("n_parts_a"))
-    val b = names.select(col("blk"), col("p_name").as("name_b"),
-      col("n_parts").as("n_parts_b"))
-    a.join(b, "blk")
-      .filter(col("name_a") < col("name_b"))
-      .withColumn("lev_dist",
-        levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("lev_dist") <= 3)
-      .select("name_a", "name_b", "lev_dist", "n_parts_a", "n_parts_b")
+  def q85FuzzyMatch(spark: SparkSession, dir: String): DataFrame =
+    fuzzyMatchPairs(partNames(spark, dir))
       .orderBy("name_a", "name_b")
-  }
 
   // --------------------------------------------------------------- q86
   /** Bag-of-words cosine verification of LSH candidate pairs in PURE
@@ -594,9 +601,12 @@ object Dedup {
     * and the size rollup; the resulting canonical map is tiny and
     * broadcasts back onto the corpus-sized dimension. */
   def q94EntityCanon(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = q85FuzzyMatch(spark, dir)
+    // ONE corpus scan: pairs and ids both derive from the same
+    // materialized vocabulary
+    val names = partNames(spark, dir)
+    val pairs = fuzzyMatchPairs(names)
       .select(col("name_a"), col("name_b"))
-    val ids = Tables(spark, dir, "part").select(col("p_name")).distinct()
+    val ids = names.select(col("p_name"))
       .withColumn("id",
         row_number().over(Window.orderBy(col("p_name"))).cast("long"))
       .localCheckpoint() // vocab-sized; three consumers below
