@@ -35,6 +35,16 @@ object Bench {
     def once(sess: SparkSession,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
+      // snapshot BEFORE the query so cleanup can target only RDDs this
+      // query registered — a deliberately long-lived cross-query cache
+      // (e.g. a shared signature index) must not be silently evicted
+      // between queries, which would re-charge its build to every user.
+      val preexisting: Set[Int] =
+        try {
+          if (!sess.sparkContext.isStopped)
+            sess.sparkContext.getPersistentRDDs.keySet.toSet
+          else Set.empty
+        } catch { case scala.util.control.NonFatal(_) => Set.empty }
       val t0 = System.nanoTime()
       val r =
         try { fn(sess, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
@@ -50,8 +60,9 @@ object Bench {
       // the per-query Left/-1 integrity contract outranks cleanup.
       try {
         if (!sess.sparkContext.isStopped)
-          sess.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = true))
+          sess.sparkContext.getPersistentRDDs
+            .filterNot { case (id, _) => preexisting.contains(id) }
+            .values.foreach(_.unpersist(blocking = true))
       } catch { case scala.util.control.NonFatal(_) => () }
       r
     }

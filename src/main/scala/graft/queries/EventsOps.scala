@@ -278,9 +278,15 @@ object EventsOps {
   def q92RateSpike(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
       .rowsBetween(-3, -1)
+    // Spark `div` truncates toward zero, DuckDB `//` floors — they
+    // diverge on pre-1970 timestamps, so fail loudly on negative
+    // epochs (q71 discipline) instead of silently mis-bucketing.
+    val bucket = when(expr("unix_micros(ts)") >= 0L,
+      expr("unix_micros(ts) div 3600000000"))
+      .otherwise(raise_error(lit(
+        "q92: pre-1970 timestamp — Spark div (truncate) and DuckDB // (floor) diverge")))
     events(spark, dir)
-      .select(col("event_type"),
-        expr("unix_micros(ts) div 3600000000").as("bucket"))
+      .select(col("event_type"), bucket.as("bucket"))
       .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
       .withColumn("trailing_n", coalesce(sum(col("n")).over(w), lit(0L)))
       .withColumn("n_prev_windows", count(col("n")).over(w))

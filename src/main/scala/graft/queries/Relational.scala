@@ -377,6 +377,6 @@ object Relational {
         | old_totalprice, new_totalprice
         |FROM old FULL OUTER JOIN nw ON old.o_orderkey = nw.o_orderkey
         |WHERE old.o_orderkey IS NULL OR nw.o_orderkey IS NULL
-        |   OR old_totalprice <> new_totalprice
+        |   OR old_totalprice IS DISTINCT FROM new_totalprice
         |ORDER BY o_orderkey""".stripMargin)
 }

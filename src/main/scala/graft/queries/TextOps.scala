@@ -993,18 +993,28 @@ object TextOps {
     * (Heaps' law bend) — the evidence for when more crawling stops
     * buying new vocabulary.
     *
-    * Cross-engine exactness: all BIGINT counts; Spark `div` = DuckDB
-    * `//` on the non-negative doc_id; the cumulative window orders by
-    * the unique bucket so frame semantics cannot diverge.
+    * Cross-engine exactness: all BIGINT counts; Spark `div` truncates
+    * where DuckDB `//` floors, so negative doc_ids fail loudly (q71
+    * discipline) instead of silently bucketing off-by-one.
     *
     * Scale shape: the distinct (bucket, token) projection is the one
     * corpus-sized shuffle; first-seen is a min-agg over it (tokens ≪
-    * corpus) and the cumulative sum runs on the ≤ #batches-row curve —
-    * the single-partition window is over that tiny frame, never the
-    * corpus. */
+    * corpus). The running vocabulary size is a TWO-PHASE prefix sum —
+    * the curve grows Θ(corpus/100), so a global `Window.orderBy` over
+    * it would funnel every bucket row through one task: instead (1)
+    * range-partition the curve by bucket (partition ids ordered by
+    * range), (2) running sum PARTITIONED by partition id, (3) offsets
+    * = exclusive prefix over the per-partition totals, computed as a
+    * triangular broadcast self-join (≤ one row per shuffle partition —
+    * config-bounded — so the ≤P² join is trivial and NO unpartitioned
+    * window exists anywhere in the plan), (4) broadcast the offsets
+    * back and add map-side. */
   def q90VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = when(col("doc_id") >= 0L, expr("doc_id div 100"))
+      .otherwise(raise_error(lit(
+        "q90: negative doc_id — Spark div (truncate) and DuckDB // (floor) diverge")))
     val tok = docs(spark, dir)
-      .select(expr("doc_id div 100").as("bucket"),
+      .select(bucket.as("bucket"),
         explode(split(col("text"), "\\s+")).as("token"))
       .distinct()
       .localCheckpoint() // two consumers: first-seen + per-batch counts
@@ -1013,10 +1023,24 @@ object TextOps {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_tokens"))
     val perBucket = tok.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_distinct_tokens"))
-    perBucket.join(firstSeen, Seq("bucket"), "left")
+    val curve = perBucket.join(firstSeen, Seq("bucket"), "left")
       .na.fill(0L, Seq("n_new_tokens"))
-      .withColumn("vocab_size",
-        sum(col("n_new_tokens")).over(Window.orderBy(col("bucket"))))
+    val parts = curve.repartitionByRange(col("bucket"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // pin _pid: both consumers must see ONE assignment
+    val within = parts.withColumn("_within",
+      sum(col("n_new_tokens")).over(
+        Window.partitionBy(col("_pid")).orderBy(col("bucket"))))
+    val totals = parts.groupBy(col("_pid"))
+      .agg(sum(col("n_new_tokens")).as("_t"))
+      .localCheckpoint() // ≤ one row per shuffle partition; 2 consumers
+    val offsets = totals.select(col("_pid"))
+      .join(broadcast(totals.toDF("_ppid", "_pt")),
+        col("_ppid") < col("_pid"), "left")
+      .groupBy(col("_pid"))
+      .agg(coalesce(sum(col("_pt")), lit(0L)).as("_off"))
+    within.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("vocab_size", col("_within") + col("_off"))
       .select("bucket", "n_distinct_tokens", "n_new_tokens", "vocab_size")
       .orderBy("bucket")
   }

@@ -285,7 +285,7 @@ class PlanSpec extends SparkSpec {
       s"cut values should broadcast:\n$plan")
   }
 
-  test("q90: cumulative window runs over the tiny curve, not the corpus") {
+  test("q90: two-phase prefix sum — no unpartitioned window over the curve") {
     val df = graft.queries.TextOps.q90VocabGrowth(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
@@ -293,13 +293,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.linesIterator.exists(l =>
       l.contains("Scan") && l.contains("parquet")),
       s"q90 re-derives the token projection:\n$plan")
-    // the Window must sit ABOVE the per-bucket aggregation (inputs
-    // already reduced to one row per bucket before the global sort)
-    val lines = plan.linesIterator.toVector
-    val winAt = lines.indexWhere(_.contains("Window"))
-    val aggAt = lines.indexWhere(_.contains("HashAggregate"))
-    assert(winAt >= 0 && aggAt > winAt,
-      s"cumulative window not over the aggregated curve:\n$plan")
+    // phase 1+2: the running sum over the curve must be PARTITIONED by
+    // the range-partition id — `windowspecdefinition(_pid, bucket ASC`
+    assert("windowspecdefinition\\(_pid#\\d+, bucket#\\d+L? ASC".r
+      .findFirstIn(plan).isDefined,
+      s"curve running sum is not partitioned by _pid:\n$plan")
+    // EVERY window in the plan must be the partitioned one — no
+    // unpartitioned window (the r11 scale-killer shape, and the
+    // trigger of WindowExec's single-partition warning) anywhere
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(plan).toVector
+    assert(specs.nonEmpty && specs.forall(_.matches(
+      "windowspecdefinition\\(_pid#\\d+, bucket#\\d+L? ASC.*")),
+      s"unpartitioned window present in q90's plan: $specs\n$plan")
+    // phases 3+4: offsets come back via broadcast joins, not shuffles
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"offsets should broadcast-join back onto the curve:\n$plan")
   }
 
   test("q91: map-only scoring — no shuffle except the output sort; scan pruned") {
