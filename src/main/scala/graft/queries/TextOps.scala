@@ -1115,7 +1115,105 @@ object TextOps {
       .orderBy("source")
   }
 
+  // --------------------------------------------------------------- q95
+  /** Size of the subword vocabulary (top-K character n-grams) and the
+    * n-gram length range. Shared by the Spark derivation and the
+    * DuckDB oracle — one constant, no drift. */
+  val SubwordVocabK = 150
+  private val SubwordNgramLens = Seq(2, 3, 4)
+
+  /** Corpus-derived subword vocabulary as a LITERAL array column: the
+    * [[SubwordVocabK]] most frequent character n-grams (lengths
+    * [[SubwordNgramLens]]) over all whitespace words, ties broken by
+    * gram for a total order. Derivation is q48's wordcount shape
+    * (explode → map-side-combined hash agg → TakeOrdered top-K); the
+    * driver collect is bounded at K rows by construction — the q80
+    * codebook-inlining precedent — so the scoring pass that consumes
+    * it is a pure map with the vocabulary baked into codegen. */
+  private def subwordVocabLit(spark: SparkSession, dir: String): Column = {
+    val gramsOfWord = expr(
+      s"""flatten(transform(array(${SubwordNgramLens.mkString(", ")}), n ->
+         |  CASE WHEN length(w) >= n
+         |       THEN transform(sequence(1, length(w) - n + 1),
+         |                      p -> substring(w, p, n))
+         |       ELSE array() END))""".stripMargin)
+    val top = withWords(docs(spark, dir))
+      .select(explode(words).as("w")).filter(length(col("w")) > 0)
+      .select(explode(gramsOfWord).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(SubwordVocabK)
+      .select("gram").collect() // ≤ K rows — bounded by construction
+    if (top.isEmpty) typedLit(Seq.empty[String])
+    else array(top.toSeq.map(r => lit(r.getString(0))): _*)
+  }
+
+  /** Subword-aware token accounting: per-document token count under
+    * greedy longest-match tokenization ([[graft.functions.SubwordCount]])
+    * against the corpus-derived [[subwordVocabLit]] vocabulary — the
+    * BPE/wordpiece-unit denominator that budget/packing/mixture
+    * operators need, where whitespace counts (q13) misallocate
+    * no-whitespace scripts (a CJK "word" is one whitespace token but
+    * many subword units).
+    *
+    * Cross-engine exactness: the vocabulary is an exact top-K (BIGINT
+    * counts, gram tiebreak) and the greedy walk is deterministic, so
+    * the DuckDB recursive-CTE replay reproduces every count; all
+    * outputs BIGINT.
+    *
+    * Scale shape: vocabulary = one wordcount to K rows; scoring is
+    * map-ONLY — the greedy matcher runs inside whole-stage codegen
+    * with the vocabulary shipped as a codegen reference, no join, no
+    * shuffle before the presentation sort. At 100 TB this runs at
+    * scan speed, unlike a tokenize-then-explode plan which would 2×
+    * the corpus on the wire. */
+  def q95SubwordCount(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = subwordVocabLit(spark, dir)
+    withWords(docs(spark, dir))
+      .withColumn("_wf", filter(words, w => length(w) > lit(0)))
+      .select(col("doc_id"),
+        size(col("_wf")).cast("long").as("n_words"),
+        graft.functions.SubwordCount.subwordCount(col("_wf"), vocab)
+          .as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q96
+  /** q79's token-budget head re-denominated in SUBWORD units: walk
+    * each language's documents in the md5-uniform order and take
+    * documents until a fixed subword budget fills, truncating the
+    * boundary document. Budgets in whitespace units under-charge
+    * no-whitespace scripts ~|word|-fold; charging subword units is
+    * how a mixture plan stays language-fair.
+    *
+    * Scale shape: q79's — the window runs over the (doc_id,
+    * n_subwords) projection (16 bytes/row), never the text; the
+    * subword counts themselves are the q95 map-only pass. */
+  def q96SubwordBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 4000L
+    val vocab = subwordVocabLit(spark, dir)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("sample_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withWords(docs(spark, dir))
+      .withColumn("_wf", filter(words, x => length(x) > lit(0)))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.SubwordCount.subwordCount(col("_wf"), vocab)
+          .as("n_subwords"),
+        uniformKey)
+      .withColumn("cum_before",
+        coalesce(sum(col("n_subwords")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .withColumn("take_subwords",
+        least(col("n_subwords"), lit(budget) - col("cum_before")))
+      .select(col("doc_id"), col("lang"), col("n_subwords"),
+        col("cum_before"), col("take_subwords"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_subword_count"   -> (q95SubwordCount _),
+    "q96_subword_budget"  -> (q96SubwordBudget _),
     "q93_distinct_ngrams" -> (q93DistinctNgrams _),
     "q91_char_chisq"    -> (q91CharChisq _),
     "q90_vocab_growth"  -> (q90VocabGrowth _),
@@ -1184,7 +1282,69 @@ object TextOps {
         |LEFT JOIN h ON h.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin
 
+  /** Shared CTE chain for the subword oracles: vocabulary = exact
+    * top-K n-grams (same K/lengths/tiebreak as [[subwordVocabLit]]);
+    * the greedy longest-match walk is a recursive CTE over DISTINCT
+    * words (pos advances by the longest matching vocab gram, else 1),
+    * joined back per document. Must be prefixed by `WITH RECURSIVE`. */
+  private val subwordCtes =
+    s"""wl AS (
+       | SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+       | FROM documents),
+       |wl2 AS (SELECT doc_id, w FROM wl WHERE length(w) > 0),
+       |grams AS (
+       | SELECT substr(w, p.p, ns.n) AS gram, CAST(count(*) AS BIGINT) AS cnt
+       | FROM wl2
+       | CROSS JOIN LATERAL (SELECT unnest(generate_series(1, length(w))) AS p) p
+       | CROSS JOIN (VALUES ${SubwordNgramLens.map(n => s"($n)").mkString(",")}) ns(n)
+       | WHERE p.p + ns.n - 1 <= length(w)
+       | GROUP BY 1),
+       |vocab AS (SELECT gram FROM grams ORDER BY cnt DESC, gram LIMIT $SubwordVocabK),
+       |dw AS (SELECT DISTINCT w FROM wl2),
+       |walk AS (
+       | SELECT w, 1 AS pos, 0 AS cnt FROM dw
+       | UNION ALL
+       | SELECT w,
+       |  pos + COALESCE((SELECT MAX(length(v.gram)) FROM vocab v
+       |                  WHERE v.gram = substr(walk.w, walk.pos, length(v.gram))), 1),
+       |  cnt + 1
+       | FROM walk WHERE pos <= length(w)),
+       |wcnt AS (SELECT w, MAX(cnt) AS n_sub FROM walk GROUP BY w),
+       |per_doc AS (
+       | SELECT wl2.doc_id, CAST(SUM(wcnt.n_sub) AS BIGINT) AS n_subwords,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words
+       | FROM wl2 JOIN wcnt USING (w) GROUP BY wl2.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // q95: recursive-CTE replay of the greedy longest-match walk;
+    // empty documents surface with zero counts via the LEFT JOIN
+    "q95_subword_count" ->
+      s"""WITH RECURSIVE
+         |$subwordCtes
+         |SELECT d.doc_id,
+         | CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+         | CAST(COALESCE(p.n_subwords, 0) AS BIGINT) AS n_subwords
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // q96: q79's budget-head window over subword counts
+    "q96_subword_budget" ->
+      s"""WITH RECURSIVE
+         |$subwordCtes,
+         |t AS (
+         | SELECT d.doc_id, d.lang,
+         |  CAST(COALESCE(p.n_subwords, 0) AS BIGINT) AS n_subwords,
+         |  ${md5UniformSql("d.doc_id")} AS sample_key
+         | FROM documents d LEFT JOIN per_doc p USING (doc_id)),
+         |c AS (
+         | SELECT doc_id, lang, n_subwords,
+         |  CAST(COALESCE(SUM(n_subwords) OVER (PARTITION BY lang
+         |    ORDER BY sample_key, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cum_before
+         | FROM t)
+         |SELECT doc_id, lang, n_subwords, cum_before,
+         | CAST(least(n_subwords, 4000 - cum_before) AS BIGINT) AS take_subwords
+         |FROM c WHERE cum_before < 4000 ORDER BY doc_id""".stripMargin,
     // q93: DuckDB range(1, len) is empty for len ≤ 1 — the short-doc
     // guard Spark needs a CASE for comes free; one shared IEEE ratio
     "q93_distinct_ngrams" ->

@@ -327,6 +327,31 @@ class PlanSpec extends SparkSpec {
       s"q91 scan reads unneeded columns: $readSchema")
   }
 
+  test("q95: subword scoring is map-only with the vocabulary baked into codegen") {
+    val df = graft.queries.TextOps.q95SubwordCount(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the scoring pass (vocab derivation is its own bounded top-K job)
+    // must shuffle only for the deterministic output orderBy
+    assert("Exchange".r.findAllIn(plan).size <= 2, // rangepartition + AQE read
+      s"q95 scoring shuffles before the output sort:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Window") &&
+      !plan.contains("Join"),
+      s"q95 scoring must be a pure projection:\n$plan")
+    // the native expression runs inside whole-stage codegen (the
+    // `*(n)` star on its Project), vocab as a codegen reference — not
+    // an interpreted fallback
+    val scoring = plan.linesIterator.find(_.contains("subword_count"))
+    assert(scoring.isDefined,
+      s"native subword_count expression missing:\n$plan")
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(scoring.get).isDefined,
+      s"q95 scoring fell out of whole-stage codegen: ${scoring.get}")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"q95 scan reads unneeded columns: $readSchema")
+  }
+
   test("q92: the trailing window runs over the hourly rollup, not raw events") {
     val df = graft.queries.EventsOps.q92RateSpike(spark, sfDir)
     df.collect()

@@ -618,4 +618,94 @@ class TextOpsSpec extends SparkSpec {
     val chisq3 = counts.map(c => { val d = 26 * c - n3; d * d }).sum
     assert(got(3L) == ((n3, chisq3, if (chisq3 > 1300 * n3) 1L else 0L)))
   }
+
+  test("subword_count expression: greedy longest-match with 1-char fallback") {
+    import graft.functions.SubwordCount.subwordCount
+    val vocab = array(Seq("ab", "abc", "cd").map(lit): _*)
+    val got = Seq(
+      (1L, Seq("abcd")),   // "abc" + "d" fallback      -> 2
+      (2L, Seq("abab")),   // "ab" + "ab"               -> 2
+      (3L, Seq("zzz")),    // 3 single-char fallbacks   -> 3
+      (4L, Seq("abcabcd")),// "abc" + "abc" + "d"       -> 3
+      (5L, Seq("ab", "cd", "", "x"))) // empties skipped -> 1+1+0+1 = 3
+      .toDF("id", "ws")
+      .select($"id", subwordCount($"ws", vocab).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
+  }
+
+  test("q95: no-whitespace (CJK-shaped) words split into multiple subwords") {
+    val dir = Files.createTempDirectory("graft-subword").toString
+    Seq(
+      (1L, "abcabc"),    // one word, covered by its own 4+2 grams -> 2
+      (2L, "abc abd"),   // two words, each a vocab 3-gram         -> 2
+      (3L, "xyzzy"),     // "xyzz" + 1-char fallback "y"           -> 2
+      (4L, "q"))         // 1-char word: below min gram length     -> 1
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // < K distinct grams in this corpus, so the vocabulary holds ALL
+    // its 2..4-grams: greedy takes the longest prefix each step
+    val got = TextOps.q95SubwordCount(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 2L)), 2L -> ((2L, 2L)),
+      3L -> ((1L, 2L)), 4L -> ((1L, 1L))), s"got $got")
+  }
+
+  test("q95: counts match a driver-side greedy replay on the sf corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wordsOf = (t: String) => t.split("\\s+").filter(_.nonEmpty)
+    val gramCounts = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, t) <- docs; w <- wordsOf(t); n <- 2 to 4;
+         p <- 0 to w.length - n)
+      gramCounts.updateWith(w.substring(p, p + n))(c => Some(c.getOrElse(0L) + 1))
+    val vocab = gramCounts.toSeq
+      .sortBy { case (g, c) => (-c, g) }.take(TextOps.SubwordVocabK)
+      .map(_._1).toSet
+    def greedy(w: String): Long = {
+      var pos = 0; var cnt = 0L
+      while (pos < w.length) {
+        val l = (math.min(4, w.length - pos) to 2 by -1)
+          .find(n => vocab(w.substring(pos, pos + n))).getOrElse(1)
+        pos += l; cnt += 1
+      }
+      cnt
+    }
+    val want = docs.map { case (id, t) =>
+      id -> wordsOf(t).map(greedy).sum }.toMap
+    val got = TextOps.q95SubwordCount(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want)
+    // subword count never below whitespace count (every word >= 1 unit)
+    val words = TextOps.q95SubwordCount(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(words.forall { case (nw, ns) => ns >= nw })
+  }
+
+  test("q96: per-language take_subwords sums to exactly min(budget, available)") {
+    val langOf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val avail = TextOps.q95SubwordCount(spark, sfDir).collect()
+      .map(r => langOf(r.getLong(0)) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val rows = TextOps.q96SubwordBudget(spark, sfDir).collect()
+    val taken = rows.map(r => r.getString(1) -> r.getAs[Long]("take_subwords"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    avail.foreach { case (lang, t) =>
+      assert(taken.getOrElse(lang, 0L) == math.min(4000L, t),
+        s"$lang: took ${taken.get(lang)} of $t under budget 4000")
+    }
+    // boundary doc truncated, never zero-taken; head rows fit whole
+    assert(rows.forall(_.getAs[Long]("take_subwords") > 0L))
+    assert(rows.forall { r =>
+      val (n, cum, take) = (r.getAs[Long]("n_subwords"),
+        r.getAs[Long]("cum_before"), r.getAs[Long]("take_subwords"))
+      take == math.min(n, 4000L - cum)
+    })
+  }
 }
