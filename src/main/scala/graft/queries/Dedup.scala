@@ -475,10 +475,15 @@ object Dedup {
     * total — a one-word name blocks on itself rather than vanishing
     * behind a NULL key, matching the oracle's `list_extract(…, -1)`. */
   private def partNames(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "part")
-      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+    nameVocabOf(Tables(spark, dir, "part")).localCheckpoint()
+
+  /** The `(p_name, n_parts, blk)` vocabulary of any part-shaped frame
+    * — split from [[partNames]] so the streaming ingest
+    * ([[graft.streaming.StreamingEntityCanon]]) derives its per-batch
+    * vocabulary with the SAME block-key definition. */
+  private[graft] def nameVocabOf(parts: DataFrame): DataFrame =
+    parts.groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
       .withColumn("blk", element_at(split(col("p_name"), " "), -1))
-      .localCheckpoint()
 
   /** The q85 match kernel over a prepared `(p_name, n_parts, blk)`
     * vocabulary: blocked self-join, Levenshtein ≤ 3 survivors. */
@@ -603,7 +608,23 @@ object Dedup {
   def q94EntityCanon(spark: SparkSession, dir: String): DataFrame = {
     // ONE corpus scan: pairs and ids both derive from the same
     // materialized vocabulary
-    val names = partNames(spark, dir)
+    val canon = canonMapOf(spark, partNames(spark, dir))
+      .localCheckpoint() // two consumers: size rollup + output join
+    canon.join(canon.groupBy(col("canon_name"))
+        .agg(count(lit(1)).as("n_cluster_names")), "canon_name")
+      .select("p_name", "canon_name", "n_cluster_names")
+      .orderBy("p_name")
+  }
+
+  /** q94's closure as a reusable kernel: a `(p_name, n_parts, blk)`
+    * vocabulary → its `(p_name, canon_name)` canonical map (fuzzy
+    * pairs → transitive closure → lexicographic-min member). ONE
+    * definition shared by the full rebuild ([[q94EntityCanon]]) and
+    * the incremental path ([[q97DeltaEntityCanon]] /
+    * [[graft.streaming.StreamingEntityCanon]]), which matches new
+    * names against THIS standing map. */
+  private[graft] def canonMapOf(spark: SparkSession, names: DataFrame)
+      : DataFrame = {
     val pairs = fuzzyMatchPairs(names)
       .select(col("name_a"), col("name_b"))
     val ids = names.select(col("p_name"))
@@ -616,17 +637,81 @@ object Dedup {
       .join(ids.select(col("p_name").as("name_b"), col("id").as("dst")),
         "name_b")
       .select("src", "dst")
-    val canon = graft.operators.ConnectedComponents
+    graft.operators.ConnectedComponents
       .run(spark, ids.select(col("id")), edges)
       .join(ids, "id")
       .join(ids.select(col("id").as("component"),
         col("p_name").as("canon_name")), "component")
       .select(col("p_name"), col("canon_name"))
-      .localCheckpoint() // two consumers: size rollup + output join
-    canon.join(canon.groupBy(col("canon_name"))
-        .agg(count(lit(1)).as("n_cluster_names")), "canon_name")
-      .select("p_name", "canon_name", "n_cluster_names")
-      .orderBy("p_name")
+  }
+
+  // --------------------------------------------------------------- q97
+  /** Incremental entity canonicalization: q76's `flagAgainstIndex`
+    * pattern applied to the ER family. New part names (the ~10% of
+    * the vocabulary whose md5-uniform key — seeded by the NAME, so
+    * "never seen before" is well-defined — falls below 0.1, a
+    * deterministic stand-in for today's catalog feed) are matched
+    * against the STANDING vocabulary with the q85 blocked-Levenshtein
+    * kernel, and each resolves to the standing catalog's canonical
+    * key ([[canonMapOf]] over the standing names) or, unmatched, to
+    * itself — the surrogate the ingest path writes without
+    * re-clustering the catalog.
+    *
+    * Scope mirrors q76: batch-vs-catalog only — two NEW names that
+    * match each other but nothing standing each canonicalize to
+    * themselves; merging them is the next full rebuild's job (q94).
+    * A new name bridging two standing clusters resolves to the
+    * lexicographic-min canon (deterministic); the bridge itself also
+    * waits for the rebuild — the classic incremental-vs-batch ER
+    * tradeoff (Fellegi–Sunter linkage run incrementally).
+    *
+    * Cross-engine exactness: same levenshtein/blocking/string-order
+    * contracts as q85/q94; the uniform split key is the ONE md5
+    * definition ([[TextOps.uniformKeyOf]]).
+    *
+    * Scale shape: everything runs at VOCABULARY scale behind the one
+    * corpus-sized name groupBy ([[partNames]], shared scan); the
+    * delta side is |new names| × block peers — never a re-closure of
+    * the standing catalog, whose canon map a production pipeline
+    * persists and reuses every feed (exactly q76's persisted band
+    * index, for entities). */
+  def q97DeltaEntityCanon(spark: SparkSession, dir: String): DataFrame = {
+    val names = partNames(spark, dir)
+      .withColumn("_delta",
+        TextOps.uniformKeyOf(col("p_name")) < lit(0.1))
+    val fresh = names.filter(col("_delta")).drop("_delta")
+    val standing = names.filter(!col("_delta")).drop("_delta")
+      .localCheckpoint() // two consumers: canon map + block join
+    flagAgainstCatalog(fresh, standing, canonMapOf(spark, standing))
+      .orderBy(col("p_name"))
+  }
+
+  /** Flag new entity names against a standing catalog: block-peer
+    * candidate count, verified-match flag (Levenshtein ≤ 3), and the
+    * canonical key (min standing canon, else the name itself). ONE
+    * definition shared by the batch [[q97DeltaEntityCanon]] and the
+    * streaming ingest ([[graft.streaming.StreamingEntityCanon]]) —
+    * the same batch≡stream guarantee as [[flagAgainstIndex]]. */
+  private[graft] def flagAgainstCatalog(freshNames: DataFrame,
+      standingNames: DataFrame, standingCanon: DataFrame): DataFrame = {
+    val blocked = freshNames.select(col("blk"), col("p_name"))
+      .join(standingNames.select(col("blk"), col("p_name").as("ref_name")),
+        "blk")
+    val nCand = blocked.groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val verified = blocked
+      .filter(levenshtein(col("p_name"), col("ref_name")) <= 3)
+      .join(standingCanon.select(col("p_name").as("ref_name"),
+        col("canon_name")), "ref_name")
+      .groupBy(col("p_name"))
+      .agg(min(col("canon_name")).as("_match_canon"))
+    freshNames.select(col("p_name"))
+      .join(nCand, Seq("p_name"), "left")
+      .join(verified, Seq("p_name"), "left")
+      .na.fill(0L, Seq("n_candidates"))
+      .select(col("p_name"), col("n_candidates"),
+        col("_match_canon").isNotNull.cast("long").as("is_known"),
+        coalesce(col("_match_canon"), col("p_name")).as("canon_name"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -644,7 +729,8 @@ object Dedup {
     "q81_source_overlap" -> (q81SourceOverlap _),
     "q85_fuzzy_match"   -> (q85FuzzyMatch _),
     "q86_bow_cosine"    -> (q86BowCosine _),
-    "q94_entity_canon"  -> (q94EntityCanon _))
+    "q94_entity_canon"  -> (q94EntityCanon _),
+    "q97_delta_entity_canon" -> (q97DeltaEntityCanon _))
 
   private val mhSelect = (0 until NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> md5('$i#' || x))) AS mh$i").mkString(",\n |  ")
@@ -717,6 +803,52 @@ object Dedup {
         |FROM nm a JOIN nm b ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |ORDER BY name_a, name_b""".stripMargin,
+    // q97: closure over the STANDING names only (the md5-uniform
+    // name-seeded split), then the delta's block join + lev verify
+    "q97_delta_entity_canon" ->
+      s"""WITH RECURSIVE nm AS (
+        | SELECT p_name,
+        |  list_extract(string_split(p_name, ' '), -1) AS blk
+        | FROM part GROUP BY p_name),
+        |fresh AS (
+        | SELECT p_name, blk FROM nm
+        | WHERE (${TextOps.md5UniformSql("p_name")}) < 0.1),
+        |standing AS (
+        | SELECT p_name, blk FROM nm
+        | WHERE NOT ((${TextOps.md5UniformSql("p_name")}) < 0.1)),
+        |m AS (
+        | SELECT a.p_name AS s, b.p_name AS d
+        | FROM standing a JOIN standing b
+        |   ON a.blk = b.blk AND a.p_name < b.p_name
+        | WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        |edges AS (
+        | SELECT s, d FROM m UNION ALL SELECT d, s FROM m),
+        |reach(a, b) AS (
+        | SELECT p_name, p_name FROM standing
+        | UNION
+        | SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b),
+        |c AS (
+        | SELECT a AS p_name, MIN(b) AS canon_name FROM reach GROUP BY a),
+        |blocked AS (
+        | SELECT f.p_name, s.p_name AS ref_name
+        | FROM fresh f JOIN standing s ON f.blk = s.blk),
+        |ncand AS (
+        | SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        | FROM blocked GROUP BY p_name),
+        |verified AS (
+        | SELECT blocked.p_name, MIN(c.canon_name) AS match_canon
+        | FROM blocked JOIN c ON c.p_name = blocked.ref_name
+        | WHERE levenshtein(blocked.p_name, blocked.ref_name) <= 3
+        | GROUP BY blocked.p_name)
+        |SELECT f.p_name,
+        | CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+        | CAST(CASE WHEN v.p_name IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |   AS is_known,
+        | COALESCE(v.match_canon, f.p_name) AS canon_name
+        |FROM fresh f
+        |LEFT JOIN ncand n USING (p_name)
+        |LEFT JOIN verified v USING (p_name)
+        |ORDER BY f.p_name""".stripMargin,
     // q94: the q85 match CTE as edges, recursive reachability, MIN
     // over the component = the row_number-min contract
     "q94_entity_canon" ->
