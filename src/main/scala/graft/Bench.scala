@@ -19,6 +19,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // isolation probe: run ONLY the named queries (comma-separated) —
+    // the judge-prescribed way to adjudicate a single-query drift
+    // without suite-wide block-manager pressure. A probe never writes
+    // over the full-suite mirrors (its own default out path), but by
+    // default COMPARES against them, so the probe's vs_prev answers
+    // "was the drift environmental?" directly.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -92,7 +101,9 @@ object Bench {
            scala.collection.mutable.LinkedHashMap[String, String]) = {
       val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
       val raw = Seq.newBuilder[(String, Seq[Double])]
-      val res = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val res = SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .sortBy(_._1).map { case (name, fn) =>
         val runs = (1 to iters).map(_ => once(sess, fn))
         raw += name -> runs.map(_.getOrElse(-1.0))
         val oks = runs.collect { case Right(s) => s }
@@ -106,44 +117,55 @@ object Bench {
 
     val (results, rawRuns, errors) = runSuite(spark)
 
-    /** Median ratio current/previous over queries present in both runs
-      * (VERDICT r8 #4): the previous round's per-query medians are read
-      * from the mirror file this run is about to overwrite. A uniform
-      * ratio across all common queries (e.g. 2.9 everywhere) is the
-      * self-documenting signature of box contention; a single-query
-      * spike is a plan regression. Both formerly needed a judge re-run
-      * to tell apart. Only the flat `"queries"` object is parsed — this
-      * file is self-produced, so a regex is enough and keeps the
-      * dependency surface at zero. */
-    def vsPrev(prevPath: String, cur: Seq[(String, Double)]): Option[Double] = {
+    /** Previous per-query medians from a mirror file (the one this run
+      * is about to overwrite). Only the flat `"queries"` object is
+      * parsed — this file is self-produced, so a regex is enough and
+      * keeps the dependency surface at zero. A mirror from a different
+      * scale factor (e.g. a dev run at sf0.01 before the driver's
+      * sf0.1 run) would produce a meaningless ratio; refuse to compare
+      * across sf. */
+    def loadPrev(prevPath: String): Option[Map[String, Double]] = {
       try {
         val p = Paths.get(prevPath)
         if (!Files.exists(p)) None
         else {
           val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-          // a mirror from a different scale factor (e.g. a dev run at
-          // sf0.01 before the driver's sf0.1 run) would produce a
-          // meaningless non-uniform ratio; refuse to compare across sf
           val prevSf = """"sf":"([^"]*)"""".r
             .findFirstMatchIn(text).map(_.group(1))
           if (prevSf.exists(_ != sfDir)) None
-          else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(text).map(_.group(1)) match {
-            case None => None
-            case Some(qObj) =>
+          else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(text).map(_.group(1))
+            .map { qObj =>
               // signed exponent: a prev value like 1.0E-5 must parse, not
               // match as "1.0E" and throw (silently nulling the whole ratio)
-              val prev = """"([^"]+)":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)""".r
+              """"([^"]+)":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)""".r
                 .findAllMatchIn(qObj)
                 .map(m => m.group(1) -> m.group(2).toDouble).toMap
-              val ratios = cur.collect {
-                case (name, v) if v > 0 && prev.getOrElse(name, -1.0) > 0 =>
-                  v / prev(name)
-              }
-              if (ratios.isEmpty) None else Some(median(ratios))
-          }
+            }
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     }
+    /** Per-query current/previous ratios over queries in both runs. */
+    def ratiosVsPrev(prev: Map[String, Double], cur: Seq[(String, Double)])
+        : Seq[(String, Double)] =
+      cur.collect {
+        case (name, v) if v > 0 && prev.getOrElse(name, -1.0) > 0 =>
+          name -> v / prev(name)
+      }
+    /** Median ratio current/previous (VERDICT r8 #4): a uniform ratio
+      * across all common queries (e.g. 2.9 everywhere) is the
+      * self-documenting signature of box contention; a single-query
+      * spike is a plan regression. Both formerly needed a judge re-run
+      * to tell apart. */
+    def vsPrev(ratios: Seq[(String, Double)]): Option[Double] =
+      if (ratios.isEmpty) None else Some(median(ratios.map(_._2)))
+    /** The worst 3 per-query ratios (VERDICT r11 #6): the headline
+      * median was flat in a round where one query moved 15% — the
+      * single-query spike must be visible in the tail-truncated round
+      * artifact without re-parsing the full `queries` object. */
+    def topRegressionsJson(ratios: Seq[(String, Double)]): String =
+      ratios.sortBy(-_._2).take(3)
+        .map { case (n, r) => s"""{"q":"${esc(n)}","ratio":${fmtRatio(r)}}""" }
+        .mkString("[", ",", "]")
     // pinned locale: under a comma-decimal default locale f"%.4f" renders
     // "2,9000", corrupting the JSON metric line
     def fmtRatio(r: Double): String =
@@ -165,12 +187,14 @@ object Bench {
       .mkString("{", ",", "}")
     // failures are excluded from the headline total (they contribute no time)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val vsPrevJson = vsPrev(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", out), results)
-      .map(fmtRatio).getOrElse("null")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "bench_out.only.json" else "bench_out.json")
+    val headRatios = loadPrev(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+      if (only.isDefined) "bench_out.json" else out))
+      .map(ratiosVsPrev(_, results)).getOrElse(Seq.empty)
+    val vsPrevJson = vsPrev(headRatios).map(fmtRatio).getOrElse("null")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":${runsJson(rawRuns)},"errors":$errJson,"vs_prev":$vsPrevJson,"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":${runsJson(rawRuns)},"errors":$errJson,"vs_prev":$vsPrevJson,"top_regressions":${topRegressionsJson(headRatios)},"iters":$iters,"sf":"$sfDir"}"""
     println(line)
     // plain-file mirror (VERDICT r1 #10): BENCH_r01 had "parsed": null
     // because the line only existed inside sbt's [info]-prefixed stdout
@@ -211,11 +235,12 @@ object Bench {
       // 100 TB story leans on — is regression-tracked too. Matters doubly
       // because the driver's BENCH_rNN.json keeps the stdout *tail*: this
       // last-printed line is the one that survives in the round artifact.
-      val aqeVsPrev = vsPrev(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV_AQE", out + ".aqe"),
-        aqeResults).map(fmtRatio).getOrElse("null")
+      val aqeRatios = loadPrev(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV_AQE",
+        if (only.isDefined) "bench_out.json.aqe" else out + ".aqe"))
+        .map(ratiosVsPrev(_, aqeResults)).getOrElse(Seq.empty)
+      val aqeVsPrev = vsPrev(aqeRatios).map(fmtRatio).getOrElse("null")
       val aqeLine =
-        s"""{"metric":"total_aqe","value":$aqeTotal,"unit":"sec","queries":$aqeQs,"runs":${runsJson(aqeRaw)},"errors":$aqeErrJson,"vs_prev":$aqeVsPrev,"iters":$iters,"sf":"$sfDir"}"""
+        s"""{"metric":"total_aqe","value":$aqeTotal,"unit":"sec","queries":$aqeQs,"runs":${runsJson(aqeRaw)},"errors":$aqeErrJson,"vs_prev":$aqeVsPrev,"top_regressions":${topRegressionsJson(aqeRatios)},"iters":$iters,"sf":"$sfDir"}"""
       println(aqeLine)
       try Files.write(Paths.get(out + ".aqe"),
         (aqeLine + "\n").getBytes(StandardCharsets.UTF_8))

@@ -76,27 +76,93 @@ object Dedup {
   /** MinHash signatures + LSH band keys per document. Band keys are
     * md5 of adjacent minhash pairs; equal band key ⇒ candidate pair.
     * Emitted per-doc (deterministic, N rows) — pair generation is the
-    * groupBy in [[minhashCandidatePairs]]. */
+    * groupBy in [[minhashCandidatePairs]]. Always computes directly
+    * (it IS the index builder's definition); every other family
+    * member reads the persisted [[signatureIndex]]. */
   def q18MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashSignatures(docs(spark, dir)).orderBy(col("doc_id"))
+
+  /** Root for persisted signature indexes (override:
+    * `SPARK_GRAFT_INDEX_DIR`). Outside the read-only corpus dirs. */
+  private[graft] val indexBase: String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/") +
+        "/graft-sigindex")
+
+  /** The corpus signature/band index as a PERSISTED parquet table —
+    * the thing q76's scaladoc says a production pipeline maintains,
+    * now maintained: built once per corpus, read by every dedup-family
+    * consumer (q72/q73/q76/q78/q81/q86 via [[minhashCandidatePairs]]),
+    * instead of each query re-running the shingle→minhash→band pass.
+    *
+    * Content-addressed publication: the index path is keyed by the md5
+    * of the corpus files' (path, length, mtime) metadata — a changed
+    * corpus gets a NEW path, so staleness is impossible by
+    * construction and the check costs one file listing, never a scan.
+    * Publish is write-staging + atomic rename (the [[graft.sources
+    * .Lake]] swap discipline); a lost race or crashed attempt is
+    * detected by the missing `_SUCCESS` marker and retried. Content is
+    * exactly [[minhashSignatures]] — md5-deterministic, so persisted
+    * vs recomputed frames are value-identical and every oracle is
+    * unaffected.
+    *
+    * Scale shape: N rows × 13 narrow columns, written once per corpus
+    * version; consumers re-scan parquet (columnar, pruned) rather than
+    * pinning corpus-sized state in executor memory. At 100 TB this is
+    * the persisted band index every ingest and every dedup query
+    * shares — the LSH pass runs once per corpus, not once per query. */
+  private[graft] def signatureIndex(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val docsPath = new Path(s"$dir/documents.parquet")
+    val fs = docsPath.getFileSystem(conf)
+    val statuses =
+      if (fs.getFileStatus(docsPath).isDirectory)
+        fs.listStatus(docsPath).sortBy(_.getPath.toString)
+      else Array(fs.getFileStatus(docsPath))
+    val fp = statuses
+      .map(s => s"${s.getPath}:${s.getLen}:${s.getModificationTime}")
+      .mkString("\n")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = new Path(s"$indexBase/$key")
+    val outFs = out.getFileSystem(conf)
+    if (!outFs.exists(new Path(out, "_SUCCESS"))) {
+      val staging =
+        new Path(s"$indexBase/.staging-$key-${java.util.UUID.randomUUID}")
+      minhashSignatures(docs(spark, dir))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(staging.toString)
+      outFs.mkdirs(out.getParent)
+      // an `out` without _SUCCESS is a crashed publish — clear it;
+      // a failed rename means a concurrent winner published a
+      // value-identical table — drop ours and read theirs
+      if (outFs.exists(out) && !outFs.exists(new Path(out, "_SUCCESS")))
+        outFs.delete(out, true)
+      if (!outFs.rename(staging, out)) outFs.delete(staging, true)
+    }
+    spark.read.parquet(out.toString)
+  }
 
   /** LSH candidate pairs: docs sharing any band bucket, verified with
     * estimated Jaccard (fraction of equal minhashes). The production
     * dedup entry point; exercised with planted near-dups in tests.
     *
-    * The signature table is materialized (localCheckpoint) before the
-    * self-join, and this is load-bearing: minhash/band expressions are
-    * higher-order-function trees (`transform` lambdas), which Spark
-    * evaluates interpreted and EXCLUDES from codegen subexpression
-    * elimination — left lazy, the 4-branch band union referenced the
-    * full shingle→md5 pipeline 8× across the self-join, and the
-    * join's derived `isnotnull(bucket)` pushdown re-evaluated it once
-    * more per row (measured: 51 s for a 5k-doc corpus; materialized:
-    * under 2 s). At 100 TB the signature table is the thing you'd
-    * persist/write anyway — it's N rows × 12 small columns. */
+    * Signatures come MATERIALIZED from the persisted
+    * [[signatureIndex]], and this is load-bearing twice over: (1)
+    * minhash/band expressions are higher-order-function trees
+    * (`transform` lambdas), which Spark evaluates interpreted and
+    * EXCLUDES from codegen subexpression elimination — left lazy, the
+    * 4-branch band union referenced the full shingle→md5 pipeline 8×
+    * across the self-join, and the join's derived `isnotnull(bucket)`
+    * pushdown re-evaluated it once more per row (measured: 51 s for a
+    * 5k-doc corpus; materialized: under 2 s); (2) the index is built
+    * ONCE PER CORPUS and shared by the whole dedup family, so the LSH
+    * pass itself no longer re-runs per query. */
   def minhashCandidatePairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
-    val sig = q18MinhashLsh(spark, dir).localCheckpoint()
+    val sig = signatureIndex(spark, dir)
     val pairs = bandCandidatePairs(sig)
     val sigA = sig.select((col("doc_id").as("doc_a") +:
       (0 until NumHashes).map(i => col(s"mh$i").as(s"a_mh$i"))): _*)
@@ -332,9 +398,8 @@ object Dedup {
     * `localCheckpoint`'d for the same HOF-re-evaluation reason as
     * [[minhashCandidatePairs]]. */
   def q76DeltaDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(docs(spark, dir))
+    val sig = signatureIndex(spark, dir)
       .withColumn("_delta", TextOps.uniformKeyOf(col("doc_id")) < lit(0.1))
-      .localCheckpoint()
     flagAgainstIndex(sig.filter(col("_delta")).drop("_delta"),
       sig.filter(!col("_delta")).drop("_delta"))
       .orderBy(col("doc_id"))
@@ -429,7 +494,7 @@ object Dedup {
     * derived table joined twice — the text crosses the shuffle once
     * as a shingle array, not re-shingled per pair. */
   def q78Containment(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(docs(spark, dir)).localCheckpoint()
+    val sig = signatureIndex(spark, dir)
     val pairs = bandCandidatePairs(sig)
     val sets = docs(spark, dir)
       .withColumn("_ws", split(col("text"), "\\s+"))
@@ -543,7 +608,7 @@ object Dedup {
     * pair-keyed partial agg. Norms are one more agg over the same tf
     * table — the text itself never crosses a shuffle. */
   def q86BowCosine(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(docs(spark, dir)).localCheckpoint()
+    val sig = signatureIndex(spark, dir)
     // two consumers (dot join + final assembly): materialize so the
     // Σ bucket² band self-join runs once, not once per consumer
     val cand = bandCandidatePairs(sig).localCheckpoint()

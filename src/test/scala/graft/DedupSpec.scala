@@ -378,4 +378,39 @@ class DedupSpec extends SparkSpec {
     // no shared token at all: the left join must still emit the pair
     assert(out((1L, 4L)) == ((0L, 9L, 1L, 0L)))
   }
+
+  test("signature index: content ≡ direct signatures; reused; content-addressed") {
+    val dir = Files.createTempDirectory("graft-sigidx").toString
+    def writeCorpus(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length($"text"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeCorpus(Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "zz yy xx ww vv")))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val direct = snap(Dedup.minhashSignatures(
+      spark.read.parquet(s"$dir/documents.parquet")))
+    val viaIndex = snap(Dedup.signatureIndex(spark, dir))
+    assert(viaIndex.toSeq == direct.toSeq,
+      "persisted index must be value-identical to direct signatures")
+    // second call re-reads the SAME published table — no rebuild: every
+    // _SUCCESS marker under the index base keeps its mtime
+    val base = new java.io.File(Dedup.indexBase)
+    def markers(): Map[String, Long] =
+      Option(base.listFiles()).getOrElse(Array.empty)
+        .flatMap(d => Option(new java.io.File(d, "_SUCCESS"))
+          .filter(_.exists()).map(s => d.getName -> s.lastModified()))
+        .toMap
+    val before = markers()
+    Dedup.signatureIndex(spark, dir).count()
+    assert(markers() == before, "re-read must not republish the index")
+    // a CHANGED corpus gets a NEW content-addressed path — the old
+    // index can never be misread as current
+    writeCorpus(Seq((7L, "p q r s t u"), (8L, "p q r s t v")))
+    val fresh = Dedup.signatureIndex(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(fresh == Seq(7L, 8L), s"stale index served after corpus change: $fresh")
+  }
 }

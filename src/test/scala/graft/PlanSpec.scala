@@ -139,28 +139,36 @@ class PlanSpec extends SparkSpec {
       s"grid sides should broadcast:\n$plan")
   }
 
-  test("q72/q73: the expensive dedup pipeline is planned exactly once") {
+  test("q72/q73: one corpus scan; signatures come from the persisted index") {
     // q72's degree must explode both endpoints in ONE pass (a
     // unionAll of projections re-planned the whole LSH verify
-    // pipeline twice); the only parquet scan is the corpus join —
-    // signatures come from the checkpointed table
+    // pipeline twice); the CORPUS text is scanned at most once —
+    // signatures come from the persisted signature index (narrow
+    // parquet re-scans of the index are the design, corpus re-scans
+    // are the regression)
     // AQE's toString repeats the tree under "== Initial Plan ==" —
     // count scans in the final section only
     def finalSection(plan: String): String =
       plan.split("== Initial Plan ==").head
-    def parquetScans(plan: String): Int =
+    def corpusScans(plan: String): Int =
       finalSection(plan).linesIterator.count(l =>
-        l.contains("Scan") && l.contains("parquet"))
+        l.contains("Scan") && l.contains("documents.parquet"))
+    def indexScans(plan: String): Int =
+      finalSection(plan).linesIterator.count(l =>
+        l.contains("Scan") && l.contains("graft-sigindex"))
     val d72 = graft.queries.Dedup.q72DupDegree(spark, sfDir)
     d72.collect()
     val p72 = d72.queryExecution.executedPlan.toString
-    assert(parquetScans(p72) == 1, s"q72 must scan parquet once:\n$p72")
+    assert(corpusScans(p72) == 1,
+      s"q72 must scan the corpus exactly once (the doc_id base):\n$p72")
+    assert(indexScans(p72) >= 1, s"q72 must read the signature index:\n$p72")
     // q73's cluster assignment is localCheckpoint'd for its two
     // consumers — without the cut each re-runs the LSH pipeline
     val d73 = graft.queries.Dedup.q73SourceDupRate(spark, sfDir)
     d73.collect()
     val p73 = d73.queryExecution.executedPlan.toString
-    assert(parquetScans(p73) == 1, s"q73 must scan parquet once:\n$p73")
+    assert(corpusScans(p73) == 1,
+      s"q73 must scan the corpus exactly once (the source join):\n$p73")
     assert(finalSection(p73).contains("ExistingRDD"),
       s"q73 must read the checkpointed assignment:\n$p73")
   }
@@ -226,17 +234,17 @@ class PlanSpec extends SparkSpec {
       s"vocab self-join should broadcast:\n$plan")
   }
 
-  test("q86: signatures and tf are checkpointed; text scans bounded") {
+  test("q86: tf/candidates checkpointed, signatures from the index; corpus scanned once") {
     val df = graft.queries.Dedup.q86BowCosine(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // every consumer (bands ×4 ×2 sides, dot ×2, norms ×2, assembly)
-    // reads one of the three checkpointed tables — zero parquet
-    // re-scans survive in the final plan
+    // the corpus text feeds ONLY the tf build (checkpointed, three
+    // consumers); signatures come from the persisted index — the only
+    // parquet lines allowed in the final plan are index scans
     assert(!plan.linesIterator.exists(l =>
-      l.contains("Scan") && l.contains("parquet")),
-      s"q86 re-derives instead of reading checkpoints:\n$plan")
+      l.contains("Scan") && l.contains("documents.parquet")),
+      s"q86 re-scans the corpus instead of reading checkpoints:\n$plan")
     assert(plan.contains("ExistingRDD"), s"expected checkpointed inputs:\n$plan")
   }
 
