@@ -360,6 +360,39 @@ class PlanSpec extends SparkSpec {
       s"q95 scan reads unneeded columns: $readSchema")
   }
 
+  test("q96: the budget window consumes the narrow subword projection") {
+    val df = graft.queries.TextOps.q96SubwordBudget(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the cumulative window is lang-partitioned (never global) and its
+    // input is the map-side (doc_id, lang, n_subwords, sample_key)
+    // projection — the text column must not appear above the scan
+    assert("windowspecdefinition\\(lang#\\d+".r.findFirstIn(plan).isDefined,
+      s"q96 window must partition by lang:\n$plan")
+    assert(plan.contains("subword_count"),
+      s"q96 must count via the native expression:\n$plan")
+    val aboveScan = plan.linesIterator
+      .filter(l => l.contains("Window") || l.contains("Sort"))
+    assert(!aboveScan.exists(_.contains("text#")),
+      s"text reaches the window/sort:\n$plan")
+  }
+
+  test("q97: delta resolution runs off the checkpointed vocabulary — one part scan") {
+    val df = graft.queries.Dedup.q97DeltaEntityCanon(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the ONE corpus-scale scan (part → name vocabulary) happened
+    // before the checkpoint; closure, block join and canon map all
+    // read ExistingRDDs at vocabulary scale
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Scan") && l.contains("part.parquet")),
+      s"q97 re-scans the part table:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"q97 must read the checkpointed vocabulary:\n$plan")
+  }
+
   test("q92: the trailing window runs over the hourly rollup, not raw events") {
     val df = graft.queries.EventsOps.q92RateSpike(spark, sfDir)
     df.collect()
