@@ -35,4 +35,24 @@ object Tables {
     * DuckDB oracle share one set of table names. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Metadata fingerprint of a table path — md5 over every file's
+    * (path, length, mtime). The content-address key for derived
+    * artifacts (signature index, subword vocabulary): a changed table
+    * produces a new key, so staleness is impossible by construction
+    * and the check costs one listing, never a scan. */
+  def fileFingerprint(spark: SparkSession, path: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val statuses =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).sortBy(_.getPath.toString)
+      else Array(fs.getFileStatus(p))
+    val s = statuses
+      .map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+      .mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 }

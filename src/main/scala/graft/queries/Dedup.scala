@@ -115,17 +115,7 @@ object Dedup {
       : DataFrame = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
-    val docsPath = new Path(s"$dir/documents.parquet")
-    val fs = docsPath.getFileSystem(conf)
-    val statuses =
-      if (fs.getFileStatus(docsPath).isDirectory)
-        fs.listStatus(docsPath).sortBy(_.getPath.toString)
-      else Array(fs.getFileStatus(docsPath))
-    val fp = statuses
-      .map(s => s"${s.getPath}:${s.getLen}:${s.getModificationTime}")
-      .mkString("\n")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val key = graft.Tables.fileFingerprint(spark, s"$dir/documents.parquet")
     val out = new Path(s"$indexBase/$key")
     val outFs = out.getFileSystem(conf)
     if (!outFs.exists(new Path(out, "_SUCCESS"))) {

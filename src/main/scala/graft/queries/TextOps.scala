@@ -1125,27 +1125,47 @@ object TextOps {
   /** Corpus-derived subword vocabulary as a LITERAL array column: the
     * [[SubwordVocabK]] most frequent character n-grams (lengths
     * [[SubwordNgramLens]]) over all whitespace words, ties broken by
-    * gram for a total order. Derivation is q48's wordcount shape
-    * (explode → map-side-combined hash agg → TakeOrdered top-K); the
-    * driver collect is bounded at K rows by construction — the q80
-    * codebook-inlining precedent — so the scoring pass that consumes
-    * it is a pure map with the vocabulary baked into codegen. */
+    * gram for a total order. Counted at VOCABULARY scale: the corpus
+    * collapses to a (word, count) wordcount first (q48's shape — the
+    * one corpus-sized shuffle, map-side combined), and grams explode
+    * off the DISTINCT words weighted by their counts — Σ(weight) ≡
+    * the per-occurrence count exactly, but the explode emits
+    * |vocabulary| × word-length rows instead of corpus-characters × 3
+    * (Zipf: vocabulary ≪ occurrences). The driver collect is bounded
+    * at K rows by construction — the q80 codebook-inlining precedent —
+    * so the scoring pass that consumes it is a pure map with the
+    * vocabulary baked into codegen. */
+  /** Driver-side memo of derived vocabularies, keyed by the corpus
+    * files' metadata fingerprint (the [[graft.Tables.fileFingerprint]]
+    * content-address — same staleness-impossible contract as the
+    * signature index): a production tokenizer vocabulary is trained
+    * once and shipped as an artifact, so re-deriving it per query
+    * would charge the wordcount to every consumer. ≤ K strings per
+    * corpus — bounded driver memory. */
+  private val vocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   private def subwordVocabLit(spark: SparkSession, dir: String): Column = {
-    val gramsOfWord = expr(
-      s"""flatten(transform(array(${SubwordNgramLens.mkString(", ")}), n ->
-         |  CASE WHEN length(w) >= n
-         |       THEN transform(sequence(1, length(w) - n + 1),
-         |                      p -> substring(w, p, n))
-         |       ELSE array() END))""".stripMargin)
-    val top = withWords(docs(spark, dir))
-      .select(explode(words).as("w")).filter(length(col("w")) > 0)
-      .select(explode(gramsOfWord).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("gram"))
-      .limit(SubwordVocabK)
-      .select("gram").collect() // ≤ K rows — bounded by construction
-    if (top.isEmpty) typedLit(Seq.empty[String])
-    else array(top.toSeq.map(r => lit(r.getString(0))): _*)
+    val key = graft.Tables.fileFingerprint(spark, s"$dir/documents.parquet")
+    val grams = vocabCache.computeIfAbsent(key, _ => {
+      val gramsOfWord = expr(
+        s"""flatten(transform(array(${SubwordNgramLens.mkString(", ")}), n ->
+           |  CASE WHEN length(w) >= n
+           |       THEN transform(sequence(1, length(w) - n + 1),
+           |                      p -> substring(w, p, n))
+           |       ELSE array() END))""".stripMargin)
+      withWords(docs(spark, dir))
+        .select(explode(words).as("w")).filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .select(col("wc"), explode(gramsOfWord).as("gram"))
+        .groupBy("gram").agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram"))
+        .limit(SubwordVocabK)
+        .select("gram").collect() // ≤ K rows — bounded by construction
+        .toSeq.map(_.getString(0))
+    })
+    if (grams.isEmpty) typedLit(Seq.empty[String])
+    else array(grams.map(lit): _*)
   }
 
   /** Subword-aware token accounting: per-document token count under
