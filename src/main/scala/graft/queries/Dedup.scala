@@ -113,26 +113,9 @@ object Dedup {
     * shares — the LSH pass runs once per corpus, not once per query. */
   private[graft] def signatureIndex(spark: SparkSession, dir: String)
       : DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val conf = spark.sessionState.newHadoopConf()
     val key = graft.Tables.fileFingerprint(spark, s"$dir/documents.parquet")
-    val out = new Path(s"$indexBase/$key")
-    val outFs = out.getFileSystem(conf)
-    if (!outFs.exists(new Path(out, "_SUCCESS"))) {
-      val staging =
-        new Path(s"$indexBase/.staging-$key-${java.util.UUID.randomUUID}")
-      minhashSignatures(docs(spark, dir))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(staging.toString)
-      outFs.mkdirs(out.getParent)
-      // an `out` without _SUCCESS is a crashed publish — clear it;
-      // a failed rename means a concurrent winner published a
-      // value-identical table — drop ours and read theirs
-      if (outFs.exists(out) && !outFs.exists(new Path(out, "_SUCCESS")))
-        outFs.delete(out, true)
-      if (!outFs.rename(staging, out)) outFs.delete(staging, true)
-    }
-    spark.read.parquet(out.toString)
+    graft.sources.ArtifactStore.readOrPublish(spark, s"$indexBase/$key")(
+      minhashSignatures(docs(spark, dir)))
   }
 
   /** LSH candidate pairs: docs sharing any band bucket, verified with

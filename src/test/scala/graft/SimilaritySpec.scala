@@ -229,4 +229,12 @@ class SimilaritySpec extends SparkSpec {
       "codes must reference codebook members only")
     assert(rows.size == Tables(spark, sfDir, "embeddings").count())
   }
+
+  test("pq codes index: persisted table ≡ direct q80 encoding") {
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(snap(Similarity.pqCodesIndex(spark, sfDir)) ==
+      snap(Similarity.q80PqEncode(spark, sfDir)),
+      "persisted PQ codes must be value-identical to direct encoding")
+  }
 }
