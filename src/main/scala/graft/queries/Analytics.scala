@@ -291,7 +291,53 @@ object Analytics {
       .orderBy(col("g"))
   }
 
+  // --------------------------------------------------------------- q98
+  /** Robust per-source document-length gate: median + MAD (median
+    * absolute deviation) with the outlier flag `|x − med| > 3·MAD` —
+    * the robust complement to q62's z-score (mean/stddev are
+    * themselves dragged by the outliers they're meant to catch; a
+    * handful of giant crawl artifacts inflates σ until nothing flags,
+    * while the median/MAD pair is 50%-breakdown robust — Hampel's
+    * classic identifier). Per-source, because length distributions
+    * are source-shaped (code vs chat vs web).
+    *
+    * Cross-engine exactness: both quantiles use the q77/q89 integer
+    * rank cut (value at rank ceil(n/2): `2·rk ≤ n+1` — the LOWER
+    * median, no float interpolation ever), deviations and the 3·MAD
+    * comparison are pure BIGINT. A 50%-duplicate source makes
+    * MAD = 0 — then ANY deviation flags, the documented degenerate
+    * contract (evidence the source needs dedup before gating).
+    *
+    * Scale shape: q89's — one window sort per source computes rank
+    * and n together; the one-row-per-source cuts broadcast back; the
+    * second (deviation) ranking reuses the same source partitioning.
+    * Output is ≤ |sources| rows. */
+  def q98MadGate(spark: SparkSession, dir: String): DataFrame = {
+    val byS = Window.partitionBy(col("source"))
+    val ranked = Tables(spark, dir, "documents")
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+      .withColumn("rk", row_number().over(byS.orderBy(col("x"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byS))
+      .localCheckpoint() // two consumers: median cut + deviation join
+    val med = ranked.groupBy(col("source")).agg(
+      max(when(col("rk") * 2 <= col("n") + 1, col("x"))).as("med"))
+    val ranked2 = ranked.join(broadcast(med), "source")
+      .withColumn("ad", abs(col("x") - col("med")))
+      .withColumn("rk2", row_number().over(byS.orderBy(col("ad"))).cast("long"))
+      .localCheckpoint() // two consumers: MAD cut + final rollup
+    val mad = ranked2.groupBy(col("source")).agg(
+      max(when(col("rk2") * 2 <= col("n") + 1, col("ad"))).as("mad"))
+    ranked2.join(broadcast(mad), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("med")).as("med_chars"),
+        first(col("mad")).as("mad_chars"),
+        count(when(col("ad") > col("mad") * 3, 1)).as("n_outliers"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_mad_gate"   -> (q98MadGate _),
     "q89_winsorize"  -> (q89Winsorize _),
     "q70_source_drift" -> (q70SourceDrift _),
     "q50_stats"      -> (q50Stats _),
@@ -303,6 +349,37 @@ object Analytics {
     "q37a_sketch_exact" -> (q37aSketchExact _))
 
   val oracle: Map[String, String] = Map(
+    // q98: lower-median rank cut (2·rk ≤ n+1) twice — value then
+    // absolute deviation — all BIGINT, no interpolation
+    "q98_mad_gate" ->
+      """WITH d AS (
+        | SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |r1 AS (
+        | SELECT source, x,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS rk,
+        |  COUNT(*) OVER (PARTITION BY source) AS n
+        | FROM d),
+        |med AS (
+        | SELECT source, MAX(CASE WHEN rk * 2 <= n + 1 THEN x END) AS med
+        | FROM r1 GROUP BY source),
+        |r2 AS (
+        | SELECT r1.source, r1.x, r1.n, med.med,
+        |  abs(r1.x - med.med) AS ad,
+        |  ROW_NUMBER() OVER (PARTITION BY r1.source
+        |                     ORDER BY abs(r1.x - med.med)) AS rk2
+        | FROM r1 JOIN med USING (source)),
+        |mad AS (
+        | SELECT source, MAX(CASE WHEN rk2 * 2 <= n + 1 THEN ad END) AS mad
+        | FROM r2 GROUP BY source)
+        |SELECT r2.source,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | MAX(r2.med) AS med_chars,
+        | MAX(mad.mad) AS mad_chars,
+        | CAST(COUNT(CASE WHEN r2.ad > 3 * mad.mad THEN 1 END) AS BIGINT)
+        |   AS n_outliers
+        |FROM r2 JOIN mad USING (source)
+        |GROUP BY r2.source
+        |ORDER BY r2.source""".stripMargin,
     // q89: the q77 integer quantile cut, replayed with window ranks;
     // decimal-exact winsorized sum per the q1 recipe
     "q89_winsorize" ->

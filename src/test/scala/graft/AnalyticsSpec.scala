@@ -125,4 +125,31 @@ class AnalyticsSpec extends SparkSpec {
       assert(nLo <= (n + 19) / 20 && nHi <= n - (19 * n + 19) / 20 + 1)
     }
   }
+
+  test("q98: exact lower-median MAD gate, incl. the MAD=0 degenerate source") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mad").toString
+    // A: lengths 10,10,10,10,100 → med 10 (rank 3 of 5), deviations
+    // 0,0,0,0,90 → MAD 0 → ANY deviation flags (degenerate contract)
+    // B: 5,6,7,8,9 → med 7, deviations sorted 0,1,1,2,2 → MAD 1,
+    // outliers need ad > 3 → none
+    // C: 1,2,3,4,100 → med 3, ads 2,1,0,1,97 → MAD 1, outlier: 97 only
+    val rows =
+      Seq(10, 10, 10, 10, 100).map(("A", _)) ++
+      Seq(5, 6, 7, 8, 9).map(("B", _)) ++
+      Seq(1, 2, 3, 4, 100).map(("C", _))
+    rows.zipWithIndex
+      .map { case ((s, len), i) => (i.toLong, "x" * len, s) }
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Analytics.q98MadGate(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "A" -> ((5L, 10L, 0L, 1L)),
+      "B" -> ((5L, 7L, 1L, 0L)),
+      "C" -> ((5L, 3L, 1L, 1L))), s"got $got")
+  }
 }

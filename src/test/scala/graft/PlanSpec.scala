@@ -360,6 +360,23 @@ class PlanSpec extends SparkSpec {
       s"q95 scan reads unneeded columns: $readSchema")
   }
 
+  test("q98: MAD gate reads checkpointed rankings; cuts broadcast back") {
+    val df = graft.queries.Analytics.q98MadGate(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // both rank windows ran before their checkpoints — the final plan
+    // reads ExistingRDDs, never the corpus
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Scan") && l.contains("documents.parquet")),
+      s"q98 re-scans the corpus:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"q98 must read the checkpointed ranking:\n$plan")
+    // the one-row-per-source MAD cut comes back via a broadcast join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q98 cuts should broadcast:\n$plan")
+  }
+
   test("q96: the budget window consumes the narrow subword projection") {
     val df = graft.queries.TextOps.q96SubwordBudget(spark, sfDir)
     df.collect()
