@@ -346,6 +346,46 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  // --------------------------------------------------------------- q99
+  /** Duplicate-cluster cohesion: per cluster, the verified edge count
+    * and the min/mean/max estimated Jaccard over its edges — the
+    * threshold-tuning evidence the dedup family was missing. A min
+    * hugging the 0.5 threshold means the cluster is held together by
+    * borderline edges (it would split under a stricter threshold); a
+    * high mean with few edges is a chain (transitive merge of
+    * pairwise drafts), many edges a template hub — the same shapes
+    * q72's degree separates, now with the similarity mass attached.
+    *
+    * Cross-engine exactness: est-Jaccard values are dyadic rationals
+    * (k/8 — exact IEEE doubles), and sums of dyadic rationals with
+    * numerator < 2⁵³ are exact at ANY accumulation order, so
+    * `mean = SUM(est)/n` is one division over bit-identical operands
+    * in both engines — the one case where a float mean is hash-safe.
+    *
+    * Scale shape: one pass over the verified pair stream (Σ bucket²,
+    * via the persisted signature index), keyed to clusters by a
+    * narrow join against the checkpointed assignment (both endpoints
+    * share a cluster by construction — components were built from
+    * these edges — so ONE endpoint join suffices); the rollup is
+    * ≤ |multi-member clusters| rows. */
+  def q99ClusterCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = q41DupClusters(spark, dir).localCheckpoint()
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    minhashCandidatePairs(spark, dir)
+      .join(clusters.select(col("doc_id").as("doc_a"), col("cluster_id")),
+        "doc_a")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("est_jaccard")).as("min_est"),
+        (sum(col("est_jaccard")) / count(lit(1))).as("mean_est"),
+        max(col("est_jaccard")).as("max_est"))
+      .join(sizes, "cluster_id")
+      .select(col("cluster_id"), col("n_members"), col("n_edges"),
+        col("min_est"), col("mean_est"), col("max_est"))
+      .orderBy(col("cluster_id"))
+  }
+
   // --------------------------------------------------------------- q76
   /** Incremental (delta) dedup: an incoming batch checked against the
     * standing corpus WITHOUT re-pairing the corpus against itself —
@@ -768,7 +808,8 @@ object Dedup {
     "q85_fuzzy_match"   -> (q85FuzzyMatch _),
     "q86_bow_cosine"    -> (q86BowCosine _),
     "q94_entity_canon"  -> (q94EntityCanon _),
-    "q97_delta_entity_canon" -> (q97DeltaEntityCanon _))
+    "q97_delta_entity_canon" -> (q97DeltaEntityCanon _),
+    "q99_cluster_cohesion" -> (q99ClusterCohesion _))
 
   private val mhSelect = (0 until NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> md5('$i#' || x))) AS mh$i").mkString(",\n |  ")
@@ -841,6 +882,30 @@ object Dedup {
         |FROM nm a JOIN nm b ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |ORDER BY name_a, name_b""".stripMargin,
+    // q99: the shared cluster CTE chain + per-pair est recomputed from
+    // the sig CTE; mean is SUM/COUNT over exact dyadic rationals
+    "q99_cluster_cohesion" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |c AS (
+        | SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+        |pe AS (
+        | SELECT p.doc_a, p.doc_b, ($estSql) / 8.0 AS est
+        | FROM pairs p
+        | JOIN sig sa ON sa.doc_id = p.doc_a
+        | JOIN sig sb ON sb.doc_id = p.doc_b),
+        |sz AS (
+        | SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        | FROM c GROUP BY cluster_id)
+        |SELECT c.cluster_id, sz.n_members,
+        | CAST(COUNT(*) AS BIGINT) AS n_edges,
+        | MIN(pe.est) AS min_est,
+        | SUM(pe.est) / COUNT(*) AS mean_est,
+        | MAX(pe.est) AS max_est
+        |FROM pe
+        |JOIN c ON c.doc_id = pe.doc_a
+        |JOIN sz USING (cluster_id)
+        |GROUP BY c.cluster_id, sz.n_members
+        |ORDER BY c.cluster_id""".stripMargin,
     // q97: closure over the STANDING names only (the md5-uniform
     // name-seeded split), then the delta's block join + lev verify
     "q97_delta_entity_canon" ->

@@ -379,6 +379,34 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 4L)) == ((0L, 9L, 1L, 0L)))
   }
 
+  test("q99: cohesion matches a driver-side replay of pairs × assignment") {
+    val pairs = Dedup.minhashCandidatePairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cluster = Dedup.q41DupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = cluster.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val byCluster = pairs.groupBy { case (a, _, _) => cluster(a) }
+    val got = Dedup.q99ClusterCohesion(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == byCluster.keySet)
+    got.foreach { case (cid, (nm, ne, mn, mean, mx)) =>
+      val es = byCluster(cid).map(_._3)
+      assert(nm == sizes(cid) && ne == es.length.toLong, s"cluster $cid counts")
+      assert(mn == es.min && mx == es.max, s"cluster $cid extremes")
+      // dyadic-rational sums are order-exact: strict equality is safe
+      assert(mean == es.sum / es.length, s"cluster $cid mean")
+      // every edge connects two members of the SAME cluster
+      byCluster(cid).foreach { case (a, b, _) =>
+        assert(cluster(a) == cluster(b) && cluster(a) == cid) }
+      // a connected n-member cluster needs at least n-1 edges, and
+      // verified edges sit in [0.5, 1]
+      assert(ne >= nm - 1)
+      assert(mn >= 0.5 && mx <= 1.0 && mn <= mean && mean <= mx)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("signature index: content ≡ direct signatures; reused; content-addressed") {
     val dir = Files.createTempDirectory("graft-sigidx").toString
     def writeCorpus(rows: Seq[(Long, String)]): Unit =
