@@ -70,10 +70,51 @@ object DataQuality {
       countDistinct(col("c_nationkey")).as("distinct_nations"),
       countDistinct(col("c_mktsegment")).as("distinct_segments"))
 
+  // --------------------------------------------------------------- q100
+  /** Join-key skew profile — the diagnostic a pipeline runs BEFORE
+    * shuffling 100 TB on a key: per-key cardinalities collapsed to a
+    * profile table, the top-10 heavy hitters with their row share, and
+    * the skew factor max/mean (1.0 = perfectly uniform; ≫1 = salt this
+    * key or let AQE split it — the decision input for
+    * [[graft.operators.SkewJoin]]).
+    *
+    * Scale shape: ONE hash-agg shuffle of the fact table compresses it
+    * to |distinct keys| rows; that profile is localCheckpoint'd because
+    * it has two consumers (top-k and the global summary) — without the
+    * checkpoint each consumer would rescan the fact table. Top-k over
+    * the profile is TakeOrderedAndProject (no global sort), the window
+    * ranks 10 rows, and the global summary is a 1-row re-agg. Nothing
+    * downstream of the first shuffle touches fact-table cardinality.
+    *
+    * Share and skew are single IEEE divisions of exact integer
+    * aggregates — the identical expression tree the oracle builds, so
+    * the row hash-matches cross-engine. */
+  def q100KeySkew(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val global = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"),
+      max(col("n")).as("n_max"))
+    val top = counts.orderBy(col("n").desc, col("user_id")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("user_id"))))
+    top.crossJoin(global)
+      .select(col("rank"), col("user_id"), col("n"),
+        (col("n").cast("double") / col("n_rows").cast("double")).as("share"),
+        col("n_keys"), col("n_rows"),
+        (col("n_max").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).as("skew_factor"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_fk_check"   -> (q30FkCheck _),
     "q31_schema_caps" -> (q31SchemaCaps _),
-    "q40_profile"    -> (q40Profile _))
+    "q40_profile"    -> (q40Profile _),
+    "q100_key_skew"  -> (q100KeySkew _))
 
   val oracle: Map[String, String] = Map(
     "q30_fk_check" ->
@@ -99,5 +140,27 @@ object DataQuality {
         | (SELECT COUNT(CASE WHEN abs(c_acctbal) > 99999.99 THEN 1 END) FROM customer) AS c_acctbal_over_cap,
         | (SELECT COUNT(CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 1 END) FROM customer) AS c_mktsegment_empty,
         | (SELECT COUNT(CASE WHEN length(p_name) > 55 THEN 1 END) FROM part) AS p_name_over_55,
-        | (SELECT COUNT(CASE WHEN p_size < 1 OR p_size > 50 THEN 1 END) FROM part) AS p_size_out_of_range""".stripMargin)
+        | (SELECT COUNT(CASE WHEN p_size < 1 OR p_size > 50 THEN 1 END) FROM part) AS p_size_out_of_range""".stripMargin,
+    // q100: share and skew_factor are the identical IEEE expression
+    // trees Spark builds (one double cast per exact-integer aggregate,
+    // same operator order), so the doubles hash-match bit-for-bit
+    "q100_key_skew" ->
+      """WITH c AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY user_id),
+        |g AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(max(n) AS BIGINT) AS n_max
+        | FROM c),
+        |t AS (
+        | SELECT user_id, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INT) AS rank
+        | FROM c QUALIFY rank <= 10)
+        |SELECT t.rank, t.user_id, t.n,
+        | CAST(t.n AS DOUBLE) / CAST(g.n_rows AS DOUBLE) AS share,
+        | g.n_keys, g.n_rows,
+        | CAST(g.n_max AS DOUBLE) * CAST(g.n_keys AS DOUBLE)
+        |   / CAST(g.n_rows AS DOUBLE) AS skew_factor
+        |FROM t CROSS JOIN g ORDER BY t.rank""".stripMargin)
 }

@@ -301,6 +301,55 @@ object Similarity {
       count(when(col("cosine") >= 0.5, 1)).as("n_neardup_050"))
   }
 
+  // --------------------------------------------------------------- q102
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with the coarse quantizer, compare embeddings
+    * only WITHIN a cluster, and prune every vector that has an
+    * earlier-id neighbor above the cosine threshold — the one-pass
+    * deterministic keep rule (lowest vec_id of each ε-ball survives).
+    * Per vector: its cell, kept flag, and the pruning representative.
+    *
+    * Scale shape: the ONLY pair generator is the within-cell self-join
+    * — Σ cell² with k ∝ N keeping cells bounded, never corpus² (the
+    * SemDeDup argument; same cost model as the LSH families). The
+    * keep rule is a single aggregate + left join — no iteration, no
+    * connected components: unlike q41's transitive clusters, semantic
+    * prune-vs-keep needs only "does an earlier neighbor exist", which
+    * is embarrassingly parallel. The assignment ⋈ quantized-vector
+    * table is localCheckpoint'd — three consumers (both self-join
+    * sides + the final left join) would otherwise re-run the argmax
+    * assignment scan. Only 4-byte-code-scale columns (q6, nrm) cross
+    * the shuffle; raw float arrays never do.
+    *
+    * Cross-engine: assignment is q51's shared-CTE semantics; the pair
+    * cosine is the q38 fixed-point discipline (exact decimal dot,
+    * IEEE-double finish); threshold gaps ≫ 1 ulp on real data. */
+  def q102SemanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    import graft.functions.VectorOps._
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("q6", vector_quantize(col("embedding")))
+      .withColumn("nrm", normQ(dot_long(col("q6"), col("q6"))))
+      .select("vec_id", "q6", "nrm")
+    val v = q51IvfAssign(spark, dir).select(col("vec_id"), col("cell"))
+      .join(emb, "vec_id")
+      .localCheckpoint()
+    val pruned = v.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        cosineQ(dot_long(col("a.q6"), col("b.q6")), col("a.nrm"), col("b.nrm")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("pruned_by"))
+    v.select(col("vec_id"), col("cell"))
+      .join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("pruned_by").isNull, 1).otherwise(0).as("kept"),
+        col("pruned_by"))
+      .orderBy(col("vec_id"))
+  }
+
   // --------------------------------------------------------------- q71
   /** Per-label class centroids — the supervised counterpart of the
     * k-means re-estimation step: for every (label, dimension), the
@@ -525,6 +574,7 @@ object Similarity {
     "q22_lsh_buckets"  -> (q22LshBuckets _),
     "q23_ivf_ann"      -> (q23IvfAnn _),
     "q38_embed_neardup" -> (q38EmbedNearDup _),
+    "q102_semantic_dedup" -> ((s: SparkSession, d: String) => q102SemanticDedup(s, d)),
     "q51_ivf_assign"   -> (q51IvfAssign _),
     "q68_cell_purity"  -> (q68CellPurity _),
     "q71_label_centroids" -> (q71LabelCentroids _))
@@ -790,6 +840,28 @@ object Similarity {
       """SELECT vec_id, CAST(c_label AS BIGINT) AS cell,
         | round(cosine, 9) AS cosine
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    // q102: the shared assignment CTE for cells (its `n` CTE also
+    // supplies the norms), the q38 decimal-dot pair cosine inside a
+    // cell, and the one-pass lowest-id dominance rule as MIN + LEFT
+    // JOIN — the same three proven pieces the Spark plan composes
+    "q102_semantic_dedup" -> (ivfAssignCte + ",\n" +
+      """a AS (SELECT vec_id, c_label AS cell FROM r WHERE rn = 1),
+        |pc AS (
+        | SELECT x.vec_id AS va, y.vec_id AS vb,
+        |  CAST(list_sum(list_transform(range(1, len(qa.embedding)+1),
+        |    i -> CAST(CAST(qa.embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(qb.embedding[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)
+        |   / (qa.nrm * qb.nrm) AS cosine
+        | FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        | JOIN n qa ON qa.vec_id = x.vec_id
+        | JOIN n qb ON qb.vec_id = y.vec_id),
+        |pr AS (
+        | SELECT vb AS vec_id, CAST(MIN(va) AS BIGINT) AS pruned_by
+        | FROM pc WHERE cosine >= 0.35 GROUP BY vb)
+        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+        | CASE WHEN pr.pruned_by IS NULL THEN 1 ELSE 0 END AS kept,
+        | pr.pruned_by
+        |FROM a LEFT JOIN pr ON pr.vec_id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin),
     // q68: the shared assignment CTE joined to each vector's label;
     // totals and majority both derive from the (cell, label) COUNTS
     // table, mirroring the Spark plan

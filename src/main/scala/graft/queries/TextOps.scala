@@ -628,6 +628,48 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  // --------------------------------------------------------------- q101
+  /** Inverted index build — the retrieval/decontamination primitive:
+    * per term, document frequency, total term frequency, and a capped
+    * posting list (the 10 doc_ids with highest in-doc tf, ties to the
+    * lower doc_id), serialized as a comma-joined string. Output bounded
+    * to the 300 highest-df terms (df desc, then term) so the index head
+    * — the part that matters for stopword discovery and posting-skew
+    * sizing — is the deterministic observable.
+    *
+    * Scale shape: the token stream collapses to (term, doc_id, tf) in
+    * ONE hash-agg shuffle (map-side partial combine absorbs in-doc
+    * repeats before anything moves). That grain IS the index, and it
+    * has two consumers — posting-list cap and per-term stats — so it is
+    * localCheckpoint'd rather than re-exploding the corpus twice. The
+    * posting cap is a rank window PARTITIONED BY term (bounded groups;
+    * `WindowGroupLimit` prunes to ≤10 rows per term map-side before the
+    * exchange), and the head cut is TakeOrderedAndProject — no global
+    * sort anywhere. The `transform` lambda that renders postings runs
+    * on ≤10-element arrays AFTER aggregation, off the per-token hot
+    * path (the HOF-cost discipline in COVERAGE.md). */
+  def q101InvertedIndex(spark: SparkSession, dir: String,
+      postingCap: Int = 10, headTerms: Int = 300): DataFrame = {
+    val tf = withWords(docs(spark, dir))
+      .select(col("doc_id"), explode(words).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val postings = tf.withColumn("_r", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("tf").desc, col("doc_id"))))
+      .filter(col("_r") <= postingCap)
+      .groupBy("term")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("_r"), col("doc_id")))),
+        s => s.getField("doc_id").cast("string")), ",").as("postings"))
+    val stats = tf.groupBy("term").agg(
+      count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+    stats.join(postings, "term")
+      .orderBy(col("df").desc, col("term")).limit(headTerms)
+      .select(col("term"), col("df"), col("tf_total"), col("postings"))
+      .orderBy(col("df").desc, col("term"))
+  }
+
   // --------------------------------------------------------------- q53
   /** Eval-set decontamination: flag corpus documents sharing any word
     * 3-gram with a benchmark ("eval") set — the overlap-removal step a
@@ -1246,6 +1288,7 @@ object TextOps {
     "q57_pack_bins"     -> ((s: SparkSession, d: String) => q57PackBins(s, d)),
     "q63_pack_concat"   -> ((s: SparkSession, d: String) => q63PackConcat(s, d)),
     "q48_vocab"         -> ((s: SparkSession, d: String) => q48Vocab(s, d)),
+    "q101_inverted_index" -> ((s: SparkSession, d: String) => q101InvertedIndex(s, d)),
     "q46_pii_scrub"     -> (q46PiiScrub _),
     "q47_boilerplate"   -> ((s: SparkSession, d: String) => q47BoilerplateStrip(s, d)),
     "q43_repetition"    -> (q43Repetition _),
@@ -1690,6 +1733,34 @@ object TextOps {
         |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank,
         |       token, n
         |FROM c ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // q101: same \s+ split as q48; posting order (tf desc, doc_id) and
+    // the head cut (df desc, term) are total orders, so string_agg's
+    // ORDER BY reproduces Spark's sorted-struct render exactly
+    "q101_inverted_index" ->
+      """WITH tf AS (
+        | SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        | FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |       FROM documents)
+        | GROUP BY term, doc_id),
+        |p AS (
+        | SELECT term, doc_id, tf,
+        |  row_number() OVER (PARTITION BY term
+        |    ORDER BY tf DESC, doc_id) AS r
+        | FROM tf),
+        |post AS (
+        | SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY r)
+        |   AS postings
+        | FROM p WHERE r <= 10 GROUP BY term),
+        |s AS (
+        | SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS tf_total
+        | FROM tf GROUP BY term),
+        |h AS (
+        | SELECT s.term, s.df, s.tf_total, post.postings,
+        |  row_number() OVER (ORDER BY s.df DESC, s.term) AS hr
+        | FROM s JOIN post ON s.term = post.term)
+        |SELECT term, df, tf_total, postings
+        |FROM h WHERE hr <= 300 ORDER BY df DESC, term""".stripMargin,
     "q46_pii_scrub" ->
       s"""SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '$emailPattern')) AS INT) AS n_emails,

@@ -237,4 +237,24 @@ class SimilaritySpec extends SparkSpec {
       snap(Similarity.q80PqEncode(spark, sfDir)),
       "persisted PQ codes must be value-identical to direct encoding")
   }
+
+  test("q102: dominance keep rule — pruned_by earlier, same cell, above threshold") {
+    val out = Similarity.q102SemanticDedup(spark, sfDir).collect()
+    assert(out.length == Tables(spark, sfDir, "embeddings").count())
+    val cellOf = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // lowest vec_id of every cell has no earlier in-cell neighbor → kept
+    out.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      val first = rs.minBy(_.getLong(0))
+      assert(first.getInt(2) == 1, s"cell-min ${first.getLong(0)} must be kept")
+    }
+    out.filter(_.getInt(2) == 0).foreach { r =>
+      val by = r.getAs[Long]("pruned_by")
+      assert(by < r.getLong(0), "representative must be earlier")
+      assert(cellOf(by) == r.getLong(1), "representative must share the cell")
+    }
+    out.filter(_.getInt(2) == 1).foreach(r =>
+      assert(r.isNullAt(3), "kept rows carry no representative"))
+    // at least one prune at sf0.001? not guaranteed — assert only
+    // consistency; the sf0.01 oracle covers the non-trivial counts
+  }
 }

@@ -708,4 +708,30 @@ class TextOpsSpec extends SparkSpec {
       take == math.min(n, 4000L - cum)
     })
   }
+
+  test("q101: posting lists capped at min(df,10), ordered tf desc then doc_id") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.q101InvertedIndex(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 300)
+    out.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val posts = r.getAs[String]("postings").split(",")
+      assert(posts.length == math.min(df, 10L),
+        s"term ${r.getString(0)}: ${posts.length} postings for df=$df")
+      assert(posts.distinct.length == posts.length)
+      assert(r.getAs[Long]("tf_total") >= df)
+    }
+    // independent cross-check of one term's df/tf/postings head
+    val head = out.head
+    val term = head.getString(0)
+    val tf = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+      .filter(col("t") === term)
+      .groupBy("doc_id").agg(count(lit(1)).as("tf")).collect()
+    assert(head.getAs[Long]("df") == tf.length)
+    assert(head.getAs[Long]("tf_total") == tf.map(_.getAs[Long]("tf")).sum)
+    val expectHead = tf.sortBy(r => (-r.getAs[Long]("tf"), r.getAs[Long]("doc_id")))
+      .take(10).map(_.getAs[Long]("doc_id").toString)
+    assert(head.getAs[String]("postings").split(",").toSeq == expectHead.toSeq)
+  }
 }
