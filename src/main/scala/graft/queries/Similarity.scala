@@ -57,6 +57,67 @@ object Similarity {
       lit(java.math.BigDecimal.ZERO).cast(accType),
       (acc, x) => (acc + x).cast(accType))
 
+  /** Flag every vector of `batch` against the standing `corpus` index
+    * (both in (vec_id, cell, q6, nrm) layout — the persisted IVF
+    * artifact): cell occupancy as candidate count, verified near-dup
+    * at fixed-point cosine ≥ `threshold`, smallest matching corpus
+    * vec_id as the canonical target. ONE definition shared by the
+    * batch [[q103DeltaEmbedDedup]] and the streaming ingest filter
+    * ([[graft.streaming.StreamingEmbedDedup]]) — the embedding twin of
+    * [[Dedup.flagAgainstIndex]]'s batch≡stream guarantee.
+    *
+    * Scale shape: the corpus side is the index the pipeline already
+    * maintains (assignment + 8-byte-per-dim codes, no raw floats);
+    * per ingest the join touches |batch| × cell occupancy — never
+    * corpus × corpus, and never a re-cluster of the standing index. */
+  private[graft] def flagAgainstCells(batch: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorOps._
+    val occ = corpus.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val verified = batch.as("d").join(corpus.as("c"), col("d.cell") === col("c.cell"))
+      .withColumn("cosine",
+        cosineQ(dot_long(col("d.q6"), col("c.q6")), col("d.nrm"), col("c.nrm")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("d.vec_id").as("vec_id"))
+      .agg(min(col("c.vec_id")).as("dup_of"))
+    batch.select(col("vec_id"), col("cell"))
+      .join(occ, Seq("cell"), "left")
+      .join(verified, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_candidates"))
+      .select(col("vec_id"), col("cell"), col("n_candidates"),
+        col("dup_of").isNotNull.cast("long").as("is_dup"), col("dup_of"))
+  }
+
+  // --------------------------------------------------------------- q103
+  /** Incremental (delta) SEMANTIC dedup — q76's ingest pattern applied
+    * to embeddings, completing the delta triple (q76 text LSH, q97
+    * entities, q103 embeddings): an incoming batch of vectors is
+    * checked against the standing corpus WITHOUT re-pairing the corpus
+    * against itself. The "batch" is the ~10% of vectors whose
+    * md5-uniform key falls below 0.1 (the q76 stand-in for "today's
+    * embeddings"); the rest is the standing corpus. Blocking is the
+    * frozen coarse-quantizer artifact ([[q51IvfAssign]]'s codebook) —
+    * batch vectors are assigned with the SAME argmax kernel, then
+    * compared only against corpus vectors in their cell at the q102
+    * threshold. In scope: batch-vs-corpus only — two NEW vectors
+    * duplicating each other are within-batch dedup's job (q102).
+    *
+    * Scale shape: per ingest, assignment is map-side (broadcast
+    * codebook), and the verify join costs |batch| × cell occupancy —
+    * the IVF ingest path a production vector store runs. The shared
+    * assignment⋈codes table is localCheckpoint'd (delta and corpus
+    * sides both read it). */
+  def q103DeltaEmbedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val embRaw = Tables(spark, dir, "embeddings")
+    val v = assignCells(embRaw, frozenCodebook(embRaw))
+      .withColumn("_delta", TextOps.uniformKeyOf(col("vec_id")) < lit(0.1))
+      .localCheckpoint()
+    flagAgainstCells(v.filter(col("_delta")).drop("_delta"),
+        v.filter(!col("_delta")).drop("_delta"), threshold = 0.35)
+      .orderBy(col("vec_id"))
+  }
+
   // --------------------------------------------------------------- q21
   /** Brute-force cosine top-5 for query vectors vec_id < 10.
     * Queries are broadcast (tiny side), candidates stream — a single
@@ -210,20 +271,49 @@ object Similarity {
     * shuffled every (vector, centroid) pair and planned the struct
     * max as a SortAggregate). The codebook collect is k rows by
     * construction. */
-  def q51IvfAssign(spark: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, …, q6, nrm) quantized-code projection — the columns the
+    * similarity family ships instead of raw float arrays. */
+  private[graft] def quantizedCodes(df: DataFrame): DataFrame = {
     import graft.functions.VectorOps._
-    val k = 10
-    val emb = Tables(spark, dir, "embeddings")
-      .withColumn("q6", vector_quantize(col("embedding")))
+    df.withColumn("q6", vector_quantize(col("embedding")))
       .withColumn("nrm", normQ(dot_long(col("q6"), col("q6"))))
-    val centRows = emb.filter(col("vec_id") < k)
+  }
+
+  /** The frozen coarse-quantizer artifact: the k lowest-vec_id vectors
+    * of `embRaw`, collected (k rows by construction) into the literal
+    * codebook the argmax kernel broadcasts. ONE derivation shared by
+    * q51/q102/q103 and the streaming ingest seam. */
+  private[graft] def frozenCodebook(embRaw: DataFrame, k: Int = 10)
+      : graft.functions.CentroidCodebook = {
+    val centRows = quantizedCodes(embRaw).filter(col("vec_id") < k)
       .select(col("vec_id"), col("q6"), col("nrm"))
       .orderBy("vec_id").collect()
-    val cb = graft.functions.CentroidCodebook(
+    graft.functions.CentroidCodebook(
       centRows.map(_.getLong(0)),
       centRows.map(_.getSeq[Long](1).toArray),
       centRows.map(_.getDouble(2)))
-    emb.select(col("vec_id"),
+  }
+
+  /** Cell assignment + codes for any embedding frame under a frozen
+    * codebook — map-side only (the codebook rides inside the single
+    * [[graft.functions.ArgmaxCosine]] expression; no join, no shuffle,
+    * no explode). */
+  private[graft] def assignCells(embRaw: DataFrame,
+      cb: graft.functions.CentroidCodebook): DataFrame = {
+    import graft.functions.VectorOps._
+    quantizedCodes(embRaw)
+      .select(col("vec_id"),
+        argmax_cosine(col("q6"), col("nrm"), cb).as("best"),
+        col("q6"), col("nrm"))
+      .select(col("vec_id"), col("best.c_label").as("cell"),
+        col("q6"), col("nrm"))
+  }
+
+  def q51IvfAssign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps._
+    val emb = Tables(spark, dir, "embeddings")
+    val cb = frozenCodebook(emb)
+    quantizedCodes(emb).select(col("vec_id"),
         argmax_cosine(col("q6"), col("nrm"), cb).as("best"))
       .select(col("vec_id"), col("best.c_label").as("cell"),
         round(col("best.sim"), 9).as("cosine"))
@@ -327,12 +417,8 @@ object Similarity {
   def q102SemanticDedup(spark: SparkSession, dir: String,
       threshold: Double = 0.35): DataFrame = {
     import graft.functions.VectorOps._
-    val emb = Tables(spark, dir, "embeddings")
-      .withColumn("q6", vector_quantize(col("embedding")))
-      .withColumn("nrm", normQ(dot_long(col("q6"), col("q6"))))
-      .select("vec_id", "q6", "nrm")
-    val v = q51IvfAssign(spark, dir).select(col("vec_id"), col("cell"))
-      .join(emb, "vec_id")
+    val embRaw = Tables(spark, dir, "embeddings")
+    val v = assignCells(embRaw, frozenCodebook(embRaw))
       .localCheckpoint()
     val pruned = v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") &&
@@ -575,6 +661,7 @@ object Similarity {
     "q23_ivf_ann"      -> (q23IvfAnn _),
     "q38_embed_neardup" -> (q38EmbedNearDup _),
     "q102_semantic_dedup" -> ((s: SparkSession, d: String) => q102SemanticDedup(s, d)),
+    "q103_delta_embed_dedup" -> (q103DeltaEmbedDedup _),
     "q51_ivf_assign"   -> (q51IvfAssign _),
     "q68_cell_purity"  -> (q68CellPurity _),
     "q71_label_centroids" -> (q71LabelCentroids _))
@@ -840,6 +927,34 @@ object Similarity {
       """SELECT vec_id, CAST(c_label AS BIGINT) AS cell,
         | round(cosine, 9) AS cosine
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    // q103: the shared assignment CTE, the md5-uniform delta split
+    // (TextOps.md5UniformSql — the ONE definition), cell occupancy of
+    // the corpus side, and the q38 decimal-dot verify with MIN target
+    "q103_delta_embed_dedup" -> (ivfAssignCte + ",\n" +
+      s"""a AS (SELECT vec_id, c_label AS cell,
+        |  (${TextOps.md5UniformSql("vec_id")}) < 0.1 AS is_delta
+        | FROM r WHERE rn = 1),
+        |occ AS (
+        | SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        | FROM a WHERE NOT is_delta GROUP BY cell),
+        |pc AS (
+        | SELECT d.vec_id AS dv, c.vec_id AS cv,
+        |  CAST(list_sum(list_transform(range(1, len(qd.embedding)+1),
+        |    i -> CAST(CAST(qd.embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(qc.embedding[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)
+        |   / (qd.nrm * qc.nrm) AS cosine
+        | FROM a d JOIN a c ON d.cell = c.cell AND d.is_delta AND NOT c.is_delta
+        | JOIN n qd ON qd.vec_id = d.vec_id
+        | JOIN n qc ON qc.vec_id = c.vec_id),
+        |v AS (
+        | SELECT dv AS vec_id, CAST(MIN(cv) AS BIGINT) AS dup_of
+        | FROM pc WHERE cosine >= 0.35 GROUP BY dv)
+        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+        | COALESCE(occ.n_candidates, 0) AS n_candidates,
+        | CAST(CASE WHEN v.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+        | v.dup_of
+        |FROM a LEFT JOIN occ ON occ.cell = a.cell
+        |LEFT JOIN v ON v.vec_id = a.vec_id
+        |WHERE a.is_delta ORDER BY a.vec_id""".stripMargin),
     // q102: the shared assignment CTE for cells (its `n` CTE also
     // supplies the norms), the q38 decimal-dot pair cosine inside a
     // cell, and the one-pass lowest-id dominance rule as MIN + LEFT
