@@ -1157,6 +1157,76 @@ object TextOps {
       .orderBy("source")
   }
 
+  // -------------------------------------------------------------- q104
+  /** Word-5-gram array over `_ws`, <5-token-guarded (the q43 bigram
+    * guard at n=5 — `sequence(0, negative)` counts DOWN). */
+  private def fivegramsExpr = expr(
+    """CASE WHEN size(_ws) >= 5 THEN
+      |  transform(sequence(0, size(_ws) - 5),
+      |    i -> concat_ws(' ', _ws[i], _ws[i+1], _ws[i+2], _ws[i+3], _ws[i+4]))
+      |ELSE array() END""".stripMargin)
+
+  /** Character-MASS repetition metrics — the other half of the Gopher
+    * repetition family (Rae et al. 2021 table A1): q43 measures the
+    * fraction of duplicate n-GRAMS; these measure the fraction of
+    * CHARACTERS captured by (a) the single most frequent word-bigram
+    * and (b) all word-5-grams occurring more than once. A page that
+    * repeats one long boilerplate sentence has a low duplicate-bigram
+    * ratio but a huge duplicate-5-gram character mass — the mass view
+    * is what catches it. Reference text surface for provenance:
+    * `etl/03_transform_and_load.py:47-49` (normalization only; the
+    * repetition family is extension scope).
+    *
+    * Exactness: masses are pure BIGINT (occurrences × gram length);
+    * the threshold flags are integer cross-multiplications
+    * (`5·top2_chars ≥ n_chars` ⇔ fraction ≥ 0.2, `20·dup5_chars ≥
+    * 3·n_chars` ⇔ fraction ≥ 0.15 — Gopher's published cutoffs), so
+    * no float ever crosses an engine boundary. The top bigram
+    * tie-breaks by the lexicographically LARGEST gram among max
+    * counts (`max(struct(cnt, gram))` ≡ the oracle's `ORDER BY cnt
+    * DESC, gram DESC` row_number) — a total order, engine-portable on
+    * the binary collation both engines default to.
+    *
+    * Scale shape: both n-gram grains ride ONE explode → ONE
+    * (doc, tag, gram) hash-agg (map-side combined — within a doc a
+    * repeated gram collapses before the exchange) → ONE per-doc agg;
+    * the argmax is `max(struct)` (no window), the base table joins
+    * back only for row conservation (empty docs keep their row, flags
+    * fail closed at mass 0). Nothing here is corpus²; the widest
+    * intermediate is the token stream itself. */
+  def q104RepetitionMass(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = withWords(docs(spark, dir))
+      .withColumn("_bg", bigramsExpr).withColumn("_fg", fivegramsExpr)
+      .select(col("doc_id"), explode(concat(
+          transform(col("_bg"), g => struct(lit("b").as("tag"), g.as("gram"))),
+          transform(col("_fg"), g => struct(lit("f").as("tag"), g.as("gram")))))
+        .as("tg"))
+      .select(col("doc_id"), col("tg.tag").as("tag"), col("tg.gram").as("gram"))
+    val counts = tagged.groupBy(col("doc_id"), col("tag"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = counts.groupBy(col("doc_id")).agg(
+      max(when(col("tag") === "b", struct(col("cnt"), col("gram"))))
+        .as("_top"),
+      sum(when(col("tag") === "f" && col("cnt") >= 2,
+          col("cnt") * length(col("gram")).cast("long")).otherwise(lit(0L)))
+        .as("_dup5"))
+    val top2Chars =
+      coalesce(col("_top.cnt") * length(col("_top.gram")).cast("long"), lit(0L))
+    val dup5Chars = coalesce(col("_dup5"), lit(0L))
+    docs(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_chars"),
+        col("_top.gram").as("top2_gram"),
+        coalesce(col("_top.cnt"), lit(0L)).as("top2_cnt"),
+        top2Chars.as("top2_chars"),
+        dup5Chars.as("dup5_chars"),
+        (lit(5L) * top2Chars >= col("n_chars")).as("top2_flag"),
+        (lit(20L) * dup5Chars >= lit(3L) * col("n_chars")).as("dup5_flag"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- q95
   /** Size of the subword vocabulary (top-K character n-grams) and the
     * n-gram length range. Shared by the Spark derivation and the
@@ -1292,6 +1362,7 @@ object TextOps {
     "q46_pii_scrub"     -> (q46PiiScrub _),
     "q47_boilerplate"   -> ((s: SparkSession, d: String) => q47BoilerplateStrip(s, d)),
     "q43_repetition"    -> (q43Repetition _),
+    "q104_repetition_mass" -> (q104RepetitionMass _),
     "q65_gopher_gate"   -> (q65GopherGate _),
     "q66_composition"   -> (q66Composition _),
     "q67_freq_spectrum" -> (q67FreqSpectrum _),
@@ -1816,6 +1887,43 @@ object TextOps {
         |   CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) END
         |  AS dup_bigram_ratio
         |FROM b ORDER BY doc_id""".stripMargin,
+    // q104: char-mass twin of q43 — same split + n-gram construction;
+    // top bigram via row_number (cnt DESC, gram DESC ≡ Spark's
+    // max(struct)); masses/flags all-integer so hashes can't drift
+    "q104_repetition_mass" ->
+      """WITH w AS (
+        | SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  string_split_regex(text, '\s+') AS ws FROM documents),
+        |b AS (
+        | SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+        |   list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |  ELSE [] END) AS gram FROM w),
+        |f AS (
+        | SELECT doc_id, unnest(CASE WHEN len(ws) >= 5 THEN
+        |   list_transform(range(1, len(ws) - 3), i ->
+        |     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |     ws[i+3] || ' ' || ws[i+4])
+        |  ELSE [] END) AS gram FROM w),
+        |bc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |top AS (
+        | SELECT doc_id, gram AS top2_gram, cnt AS top2_cnt FROM (
+        |  SELECT doc_id, gram, cnt, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+        |  FROM bc) WHERE rn = 1),
+        |fc AS (
+        | SELECT doc_id, CAST(SUM(cnt * length(gram)) AS BIGINT) AS dup5_chars
+        | FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM f GROUP BY 1, 2)
+        | WHERE cnt >= 2 GROUP BY 1)
+        |SELECT w.doc_id, w.n_chars, top2_gram,
+        | CAST(COALESCE(top2_cnt, 0) AS BIGINT) AS top2_cnt,
+        | CAST(COALESCE(top2_cnt * length(top2_gram), 0) AS BIGINT)
+        |  AS top2_chars,
+        | CAST(COALESCE(dup5_chars, 0) AS BIGINT) AS dup5_chars,
+        | 5 * COALESCE(top2_cnt * length(top2_gram), 0) >= w.n_chars
+        |  AS top2_flag,
+        | 20 * COALESCE(dup5_chars, 0) >= 3 * w.n_chars AS dup5_flag
+        |FROM w LEFT JOIN top USING (doc_id) LEFT JOIN fc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // q65: q43's bigram construction + integer-ratio metrics; rules
     // are COALESCE(..., false) so empty docs fail closed identically
     "q65_gopher_gate" ->

@@ -335,6 +335,23 @@ class PlanSpec extends SparkSpec {
       s"q91 scan reads unneeded columns: $readSchema")
   }
 
+  test("q104: one explode feeds both n-gram grains; no window, partial aggs") {
+    val df = graft.queries.TextOps.q104RepetitionMass(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // both gram grains ride one Generate — a second explode would
+    // double the token-stream cost
+    assert("Generate".r.findAllIn(plan).size == 1,
+      s"q104 must explode exactly once:\n$plan")
+    // the per-doc argmax is max(struct), never a rank window
+    assert(!plan.contains("Window"),
+      s"q104 must not use a window for the argmax:\n$plan")
+    // count grain combines map-side before its exchange
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"q104 gram counts must have a partial phase:\n$plan")
+  }
+
   test("q95: subword scoring is map-only with the vocabulary baked into codegen") {
     val df = graft.queries.TextOps.q95SubwordCount(spark, sfDir)
     df.collect()

@@ -63,6 +63,39 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - 1.0 / 3.0) < 1e-15)
   }
 
+  test("q104 char-mass: planted masses, max-struct tie-break, guard rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-q104").toString
+    Seq(
+      (1L, "x y z w v x y z w v"),        // repeated 5-gram, 4-way bigram tie
+      (2L, "spam spam spam spam spam x"), // dominant bigram, no dup 5-gram
+      (3L, "solo"))                       // <2 tokens: guard row survives
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q104RepetitionMass(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 3, "row conservation incl. the gram-less doc")
+    val r1 = rows(1L)
+    // bigrams x y / y z / z w / w v all cnt 2 — tie-break picks the
+    // lexicographically largest gram, mirroring the oracle's gram DESC
+    assert(r1.getAs[String]("top2_gram") == "z w")
+    assert(r1.getAs[Long]("top2_cnt") == 2L)
+    assert(r1.getAs[Long]("top2_chars") == 6L)
+    assert(r1.getAs[Long]("dup5_chars") == 18L) // "x y z w v" ×2 × 9 chars
+    assert(r1.getAs[Boolean]("top2_flag") && r1.getAs[Boolean]("dup5_flag"))
+    val r2 = rows(2L)
+    assert(r2.getAs[String]("top2_gram") == "spam spam")
+    assert(r2.getAs[Long]("top2_cnt") == 4L)
+    assert(r2.getAs[Long]("top2_chars") == 36L)
+    assert(r2.getAs[Long]("dup5_chars") == 0L)
+    assert(r2.getAs[Boolean]("top2_flag") && !r2.getAs[Boolean]("dup5_flag"))
+    val r3 = rows(3L)
+    assert(r3.isNullAt(r3.fieldIndex("top2_gram")))
+    assert(r3.getAs[Long]("top2_cnt") == 0L &&
+      r3.getAs[Long]("top2_chars") == 0L && r3.getAs[Long]("dup5_chars") == 0L)
+    assert(!r3.getAs[Boolean]("top2_flag") && !r3.getAs[Boolean]("dup5_flag"))
+  }
+
   test("q46 detects and masks planted emails/phones; clean docs untouched") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
