@@ -20,15 +20,47 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects (µs is its max precision). Read nanos as long via the
-    * legacy conf, then truncate to a µs timestamp — matching DuckDB's
-    * `CAST(ts AS TIMESTAMP)` truncation so oracle values line up. */
+  /** `events.ts` has shipped in two generations of the testdata:
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — µs is
+    * its max precision — so the legacy conf reads it as a raw nanos
+    * long) and plain timestamp[us]. Branch on the type the footer
+    * actually resolves to, not on an assumption: a long is nanos and
+    * gets truncated to µs (matching DuckDB's µs semantics), a
+    * timestamp passes through. Either way callers see one contract:
+    * `ts: TimestampType` at µs precision. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      // integer `div`, not `/`: ns epochs (~1.7e18) overflow double precision
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventsTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** ts-layout adaptation shared by the batch and streaming loaders. */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/`: ns epochs (~1.7e18) overflow double precision
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ =>
+        // TIMESTAMP_NTZ: same µs instants; every session here runs UTC,
+        // so the cast is a re-tag, not a clock shift
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+
+  /** Streaming twin of `events`: `readStream` needs an explicit schema,
+    * so borrow the batch reader's footer-resolved one, then apply the
+    * same ts adaptation. `path` may be the parquet file itself (file
+    * streams list a directory, so a file streams its parent under a
+    * glob) or a directory of arriving files. */
+  def eventsStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val f = new java.io.File(path)
+    val (base, glob) =
+      if (f.isFile) (f.getParent, Some(f.getName)) else (path, None)
+    val schema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(schema)
+    normalizeEventsTs(
+      glob.fold(reader)(g => reader.option("pathGlobFilter", g)).parquet(base))
   }
 
   /** Register every table as a temp view so `spark.sql` queries and the

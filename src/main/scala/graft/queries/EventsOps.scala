@@ -10,9 +10,11 @@ import graft.Tables
   * as-of joins, and the reference's group-first fill (SURVEY A1 — its
   * known-hard #1) oracle-checked on driver data.
   *
-  * Timestamps: events.ts is ns in parquet; both engines reduce to µs
-  * epoch longs (Spark `div 1000` == DuckDB `epoch_us`, both truncate)
-  * so every time-valued output is an exact BIGINT.
+  * Timestamps: `graft.Tables.events` normalizes `ts` to a µs
+  * TimestampType regardless of the parquet generation (nanos-long or
+  * timestamp[us] — the testdata has shipped as both); both engines
+  * reduce to µs epoch longs (Spark `unix_micros` == DuckDB `epoch_us`,
+  * exact at µs) so every time-valued output is an exact BIGINT.
   */
 object EventsOps {
 

@@ -19,15 +19,6 @@ import org.apache.spark.sql.types._
   */
 object StreamingDaily {
 
-  /** events-shaped schema for the file stream (ts already µs). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // raw nanos; converted below
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Shared aggregation: hourly totals per event type. Decimal-exact
     * sum (same discipline as the batch oracles). */
   def hourlyTotals(events: DataFrame): DataFrame =
@@ -65,16 +56,10 @@ object StreamingDaily {
     * then read `spark.table(queryName)`. */
   def startFileStream(spark: SparkSession, dir: String,
       queryName: String): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // file streams list a DIRECTORY; when pointed at a single file,
-    // stream its parent with a glob filter
-    val f = new java.io.File(dir)
-    val (base, filter) =
-      if (f.isFile) (f.getParent, Some(f.getName)) else (dir, None)
-    val reader = spark.readStream.schema(eventsSchema)
-    val raw = filter.fold(reader)(g => reader.option("pathGlobFilter", g))
-      .parquet(base)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // ts-layout adaptation (nanos-long vs timestamp[us]) lives in ONE
+    // place: graft.Tables. A second copy of the conversion here is how
+    // the r12 testdata regeneration broke two loaders at once.
+    val raw = graft.Tables.eventsStream(spark, dir)
     hourlyTotals(raw).writeStream
       .outputMode(OutputMode.Complete()) // agg w/o append-finalized windows
       .format("memory")

@@ -21,13 +21,7 @@ class StreamingSpec extends SparkSpec {
   test("watermark metadata is attached for state cleanup") {
     // batch planning elides watermarks entirely — assert on the
     // STREAMING plan, where the watermark bounds state
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(StreamingDaily.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val stream = Tables.eventsStream(spark, s"$sfDir/events.parquet")
     val df = StreamingDaily.hourlyTotals(stream)
     assert(df.queryExecution.logical.toString.contains("EventTimeWatermark"))
   }
