@@ -117,6 +117,16 @@ object Bench {
 
     val (results, rawRuns, errors) = runSuite(spark)
 
+    // Per-SCALE-FACTOR history mirrors. vs_prev refuses a cross-sf
+    // ratio (meaningless), and the plain mirror is last-run-wins — so
+    // one local dev run at sf0.01 between driver rounds overwrote the
+    // sf0.1 baseline and silently nulled the next round's vs_prev
+    // (that, not the r12 query errors, is why BENCH_r12 lost its
+    // drift signal). History files are keyed by the sf dir's basename:
+    // a run at another sf writes its OWN history and can never clobber
+    // the driver's.
+    val sfBase = Paths.get(sfDir).getFileName.toString
+
     /** Previous per-query medians from a mirror file (the one this run
       * is about to overwrite). Only the flat `"queries"` object is
       * parsed — this file is self-produced, so a regex is enough and
@@ -189,12 +199,17 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "bench_out.only.json" else "bench_out.json")
-    val headRatios = loadPrev(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
-      if (only.isDefined) "bench_out.json" else out))
-      .map(ratiosVsPrev(_, results)).getOrElse(Seq.empty)
+    val histHead = s"bench_hist.$sfBase.json"
+    // prev priority: explicit env > per-sf history > same-sf last mirror
+    // (migration path for the first run after history files exist)
+    val prevHead: Option[Map[String, Double]] =
+      sys.env.get("SPARK_GRAFT_BENCH_PREV").map(loadPrev).getOrElse(
+        loadPrev(histHead).orElse(
+          loadPrev(if (only.isDefined) "bench_out.json" else out)))
+    val headRatios = prevHead.map(ratiosVsPrev(_, results)).getOrElse(Seq.empty)
     val vsPrevJson = vsPrev(headRatios).map(fmtRatio).getOrElse("null")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":${runsJson(rawRuns)},"errors":$errJson,"vs_prev":$vsPrevJson,"top_regressions":${topRegressionsJson(headRatios)},"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":${runsJson(rawRuns)},"errors":$errJson,"vs_prev":$vsPrevJson,"vs_prev_n":${headRatios.length},"top_regressions":${topRegressionsJson(headRatios)},"iters":$iters,"sf":"$sfDir"}"""
     println(line)
     // plain-file mirror (VERDICT r1 #10): BENCH_r01 had "parsed": null
     // because the line only existed inside sbt's [info]-prefixed stdout
@@ -205,6 +220,12 @@ object Bench {
       case t: Throwable =>
         System.err.println(s"BENCH WARN: mirror write to $out failed: $t")
     }
+    // full-suite runs advance this sf's baseline; probes never do
+    if (only.isEmpty)
+      try Files.write(Paths.get(histHead),
+        (line + "\n").getBytes(StandardCharsets.UTF_8))
+      catch { case t: Throwable =>
+        System.err.println(s"BENCH WARN: history write to $histHead failed: $t") }
 
     // Second pass under the real scale posture (AQE + skew-join
     // + 128 MB scan partitions — GraftSession's cluster config). The
@@ -235,17 +256,26 @@ object Bench {
       // 100 TB story leans on — is regression-tracked too. Matters doubly
       // because the driver's BENCH_rNN.json keeps the stdout *tail*: this
       // last-printed line is the one that survives in the round artifact.
-      val aqeRatios = loadPrev(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV_AQE",
-        if (only.isDefined) "bench_out.json.aqe" else out + ".aqe"))
-        .map(ratiosVsPrev(_, aqeResults)).getOrElse(Seq.empty)
+      val histAqe = s"bench_hist.$sfBase.json.aqe"
+      val prevAqe: Option[Map[String, Double]] =
+        sys.env.get("SPARK_GRAFT_BENCH_PREV_AQE").map(loadPrev).getOrElse(
+          loadPrev(histAqe).orElse(
+            loadPrev(if (only.isDefined) "bench_out.json.aqe" else out + ".aqe")))
+      val aqeRatios =
+        prevAqe.map(ratiosVsPrev(_, aqeResults)).getOrElse(Seq.empty)
       val aqeVsPrev = vsPrev(aqeRatios).map(fmtRatio).getOrElse("null")
       val aqeLine =
-        s"""{"metric":"total_aqe","value":$aqeTotal,"unit":"sec","queries":$aqeQs,"runs":${runsJson(aqeRaw)},"errors":$aqeErrJson,"vs_prev":$aqeVsPrev,"top_regressions":${topRegressionsJson(aqeRatios)},"iters":$iters,"sf":"$sfDir"}"""
+        s"""{"metric":"total_aqe","value":$aqeTotal,"unit":"sec","queries":$aqeQs,"runs":${runsJson(aqeRaw)},"errors":$aqeErrJson,"vs_prev":$aqeVsPrev,"vs_prev_n":${aqeRatios.length},"top_regressions":${topRegressionsJson(aqeRatios)},"iters":$iters,"sf":"$sfDir"}"""
       println(aqeLine)
       try Files.write(Paths.get(out + ".aqe"),
         (aqeLine + "\n").getBytes(StandardCharsets.UTF_8))
       catch { case t: Throwable =>
         System.err.println(s"BENCH WARN: aqe mirror write failed: $t") }
+      if (only.isEmpty)
+        try Files.write(Paths.get(histAqe),
+          (aqeLine + "\n").getBytes(StandardCharsets.UTF_8))
+        catch { case t: Throwable =>
+          System.err.println(s"BENCH WARN: history write to $histAqe failed: $t") }
       if (aqeErrors.nonEmpty)
         System.err.println(
           s"BENCH AQE FAILURES: ${aqeErrors.keys.mkString(", ")}")

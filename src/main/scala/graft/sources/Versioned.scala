@@ -33,9 +33,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * current AND previous versions on disk, so a reader that resolved
   * just before a publish still has its files for a full publish cycle.
   *
-  * Single-writer by design (like the reference's one ETL process);
-  * a racing second publisher loses the atomic marker create and fails
-  * loudly instead of corrupting state.
+  * Single-writer by design (like the reference's one ETL process),
+  * and ENFORCED: a publish first takes an exclusive per-version claim
+  * (`_v/claim-N`, atomic `createNewFile`), so of two racing publishers
+  * exactly one proceeds and the loser errors before writing a byte —
+  * never last-write-wins, never a shared data dir. A crashed publisher
+  * leaves its claim behind; the next publish fails with a message
+  * naming the claim file to remove (loud manual recovery beats a
+  * timeout heuristic that could break exclusivity under a slow writer).
   */
 object Versioned {
 
@@ -82,6 +87,31 @@ object Versioned {
     val cur = currentVersion(spark, base).getOrElse(0L)
     val next = cur + 1
     val vdir = versionDir(b, next)
+    val marker = new Path(markerDir(b), fmt(next))
+    val claim = new Path(markerDir(b), s"claim-${fmt(next)}")
+
+    // CLAIM: exclusive ownership of `next` BEFORE touching its data
+    // dir. The commit marker alone is not enough — two racers sharing
+    // v$next would let the marker-race loser overwrite the winner's
+    // just-committed data dir before failing. Serializing on an atomic
+    // createNewFile up front means the loser errors before writing a
+    // byte. A claim with no matching marker survives a crashed
+    // publisher; that wedges the next publish LOUDLY (message below)
+    // rather than silently breaking exclusivity with a timeout guess.
+    f.mkdirs(markerDir(b))
+    if (!f.createNewFile(claim)) {
+      if (f.exists(marker))
+        sys.error(s"publish: version $next already committed by another " +
+          "writer — re-resolve the current version and retry")
+      else
+        sys.error(s"publish: version $next is claimed by an in-flight " +
+          s"publisher (or a crashed one — remove $claim to recover)")
+    }
+    if (f.exists(marker) || currentVersion(spark, base).getOrElse(0L) != cur) {
+      // stale read: someone committed between our resolve and our claim
+      f.delete(claim, false)
+      sys.error(s"publish: version advanced past $cur during claim — retry")
+    }
     // leftover from a crashed earlier attempt at this same version —
     // uncommitted (no marker), so deleting it is invisible to readers
     f.delete(vdir, true)
@@ -101,22 +131,24 @@ object Versioned {
         sys.error(s"publish: ${t.name} has no _SUCCESS under $vdir — aborting uncommitted")
     }
 
-    // COMMIT: one atomic create. If a concurrent publisher won the
-    // race, fail loudly — never fall through to a half-owned version.
-    f.mkdirs(markerDir(b))
-    val marker = new Path(markerDir(b), fmt(next))
+    // COMMIT: one atomic create. With the claim held this cannot lose
+    // a race; a false here means external interference — fail loudly.
     if (!f.createNewFile(marker))
       sys.error(s"publish: version $next already committed by another writer")
 
     // GC everything older than the previous version (kept as the
     // in-flight-reader grace copy). Marker first: once it's gone the
     // version can no longer be resolved, so deleting its dir is safe.
+    // Claims of GC'd versions go with them; recent claims stay, so a
+    // publisher holding a stale `cur` fails its claim instead of
+    // deleting committed data.
     if (f.exists(markerDir(b)))
       f.listStatus(markerDir(b)).toSeq
         .flatMap(s => s.getPath.getName.toLongOption)
         .filter(_ < next - 1)
         .foreach { v =>
           f.delete(new Path(markerDir(b), fmt(v)), false)
+          f.delete(new Path(markerDir(b), s"claim-${fmt(v)}"), false)
           f.delete(versionDir(b, v), true)
         }
     next

@@ -23,6 +23,27 @@ class RelationalSpec extends SparkSpec {
     assert((missing -- allowed).isEmpty, s"queries without oracle: $missing")
   }
 
+  test("§2 parity queries stay registered with oracles — no silent drop") {
+    // SURVEY §2 rows whose ONLY driver-table oracle evidence is one
+    // query key: A7→q11, C1→q28, A1/J2/W1→q29, A3→q10, M-family→q12,
+    // J3→q30 (the r12 events breakage silently removed three of these
+    // from CORRECTNESS; this pins the mapping so a dropped key fails
+    // CI naming the parity row, not a downstream diff)
+    val parity = Map(
+      "q10_daily_totals" -> "A3 sum by 2 keys",
+      "q11_null_profile" -> "A7 null-profile aggregates",
+      "q12_gauss_missing" -> "M1-M5 First100Set",
+      "q28_coerce_clean" -> "C1 numeric coerce + half-even round",
+      "q29_group_first_fill" -> "A1/J2/W1 group-first fill",
+      "q30_fk_check" -> "J3 FK integrity")
+    parity.foreach { case (key, row) =>
+      assert(SparkEntry.queries.contains(key),
+        s"§2 row '$row' lost its query entry $key")
+      assert(SparkEntry.oracleSql.contains(key),
+        s"§2 row '$row' lost its oracle entry $key")
+    }
+  }
+
   test("snapshotDiff kernel: all four classes classify; unchanged is dropped") {
     val oldSnap = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(30.0)),
       (5L, None), (6L, None), (7L, None))

@@ -79,6 +79,60 @@ class VersionedLakeSpec extends SparkSpec {
     assert(Versioned.read(spark, base, "t").count() == 7)
   }
 
+  test("two racing publishers: exactly one wins, the loser errors before writing") {
+    val base = mkBase()
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer A's table blocks mid-write on a latch, holding its claim
+    // open while writer B races — deterministic overlap, not a sleep
+    VersionedRaceGate.reset()
+    val slow = spark.range(10).toDF("v")
+      .mapPartitions { it => VersionedRaceGate.await(); it }(
+        org.apache.spark.sql.Encoders.row(spark.range(1).toDF("v").schema))
+    @volatile var aResult: Either[Throwable, Long] = Left(new Exception("not run"))
+    val a = new Thread(() => aResult =
+      try Right(Versioned.publish(spark, base, Seq(TableSpec("t", slow))))
+      catch { case t: Throwable => Left(t) })
+    a.start()
+    // wait until A owns the claim (taken before any data write)
+    val claim = new Path(s"$base/_v/claim-00000001")
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (!fs.exists(claim) && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(fs.exists(claim), "writer A never claimed")
+
+    // writer B races the SAME version number and must lose LOUDLY,
+    // without ever touching A's data dir
+    val bErr = intercept[RuntimeException] {
+      Versioned.publish(spark, base,
+        Seq(TableSpec("t", spark.range(99).toDF("v"))))
+    }
+    assert(bErr.getMessage.contains("in-flight"),
+      s"loser must name the conflict, got: ${bErr.getMessage}")
+    assert(Versioned.currentVersion(spark, base).isEmpty,
+      "loser must not have committed anything")
+
+    VersionedRaceGate.release()
+    a.join(30000)
+    assert(aResult == Right(1L), s"winner must commit v1, got $aResult")
+    assert(Versioned.read(spark, base, "t").count() == 10,
+      "committed data must be the WINNER's rows, untouched by the loser")
+  }
+
+  test("a crashed publisher's claim wedges the next publish loudly, then recovers") {
+    val base = mkBase()
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$base/_v"))
+    fs.createNewFile(new Path(s"$base/_v/claim-00000001")) // crash leftover
+    val err = intercept[RuntimeException] {
+      Versioned.publish(spark, base, Seq(TableSpec("t", spark.range(5).toDF("v"))))
+    }
+    assert(err.getMessage.contains("claim-00000001"),
+      s"error must name the claim file to remove, got: ${err.getMessage}")
+    fs.delete(new Path(s"$base/_v/claim-00000001"), false) // operator recovery
+    assert(Versioned.publish(spark, base,
+      Seq(TableSpec("t", spark.range(5).toDF("v")))) == 1L)
+    assert(Versioned.read(spark, base, "t").count() == 5)
+  }
+
   test("date-partitioned table inside a version prunes directories") {
     import org.apache.spark.sql.functions._
     val base = mkBase()
@@ -92,4 +146,14 @@ class VersionedLakeSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"))
     assert(pruned.count() > 0)
   }
+}
+
+/** JVM-global gate for the race test: local-mode tasks run in-process,
+  * so a static latch can hold writer A's data write open while writer
+  * B races the claim. */
+object VersionedRaceGate {
+  @volatile private var latch = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = latch = new java.util.concurrent.CountDownLatch(1)
+  def await(): Unit = latch.await(60, java.util.concurrent.TimeUnit.SECONDS)
+  def release(): Unit = latch.countDown()
 }
