@@ -792,6 +792,89 @@ object Dedup {
         coalesce(col("_match_canon"), col("p_name")).as("canon_name"))
   }
 
+  // --------------------------------------------------------------- q105
+  /** ExactSubstr-style duplicated-window mass (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * suffix-array pass, re-expressed relationally): for each document,
+    * how many of its sliding K-char windows occur verbatim in at least
+    * one OTHER document. Near-dup LSH (q18) scores whole documents;
+    * this localizes verbatim REGIONS — boilerplate, license blocks,
+    * quoted passages — inside otherwise-distinct documents.
+    *
+    * Plan: map-side window explode (array-native, no per-row UDF), one
+    * shuffle to pre-aggregate (window, doc) — the combine that bounds
+    * the exchange by DISTINCT windows, not positions — a count-over-
+    * window on the window string for its distinct-doc degree, then a
+    * per-doc sum. Σ work is O(total chars); nothing is doc×doc. At
+    * 100 TB the shuffle key would be an 8-byte rolling hash of the
+    * window (collision-checked on the survivors) instead of the raw
+    * 40-char string — 5× less exchange payload; the raw string here
+    * keeps the DuckDB oracle byte-exact. */
+  val WindowChars = 40
+  def q105DupWindowMass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = WindowChars
+    val base = docs(spark, dir).select($"doc_id",
+      greatest(length($"text") - (k - 1), lit(0)).cast("long").as("n_windows"))
+    val grams = docs(spark, dir).select($"doc_id",
+      // guarded like shinglesExpr: sequence() counts DOWN for short
+      // docs and negative indexes are fatal under ANSI mode
+      explode(expr(
+        s"""CASE WHEN length(text) >= $k
+           |THEN transform(sequence(0, length(text) - $k),
+           |               i -> substring(text, i + 1, $k))
+           |ELSE array() END""".stripMargin)).as("w"))
+    val perDoc = grams.groupBy($"w", $"doc_id").agg(count(lit(1)).as("cnt"))
+    val dupPerDoc = perDoc
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy($"w")))
+      .filter($"nd" >= 2)
+      .groupBy($"doc_id").agg(sum($"cnt").as("dup_windows"))
+    base
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_windows"))
+      .orderBy($"doc_id")
+  }
+
+  // --------------------------------------------------------------- q106
+  /** Duplicated-SPAN coverage — q105's companion: not how many windows
+    * are duplicated but how many CHARACTERS sit under at least one
+    * duplicated window, i.e. the text mass an ExactSubstr pass would
+    * actually cut. Union-of-intervals without an interval structure:
+    * duplicated positions sorted per doc, each contributes
+    * min(next_pos − pos, K) chars (K for the last) — a lead() window
+    * per doc, everything integer-exact.
+    *
+    * Scale shape: the heavy part (window → distinct-doc degree) is the
+    * same bounded shuffle as q105; the coverage pass adds one
+    * partition-local window per doc (keyed by doc_id — no global
+    * sort). */
+  def q106DupSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = WindowChars
+    val pos = docs(spark, dir).select($"doc_id",
+      posexplode(expr(
+        s"""CASE WHEN length(text) >= $k
+           |THEN transform(sequence(0, length(text) - $k),
+           |               i -> substring(text, i + 1, $k))
+           |ELSE array() END""".stripMargin)).as(Seq("pos", "w")))
+    val dupW = pos.groupBy($"w")
+      .agg(count_distinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"w")
+    val lw = Window.partitionBy($"doc_id").orderBy($"pos")
+    val cov = pos.join(dupW, Seq("w"))
+      .select($"doc_id", $"pos")
+      .withColumn("nxt", lead($"pos", 1).over(lw))
+      .groupBy($"doc_id")
+      .agg(sum(least(coalesce($"nxt" - $"pos", lit(k)), lit(k)))
+        .cast("long").as("covered_chars"))
+    docs(spark, dir)
+      .select($"doc_id", length($"text").cast("long").as("n_chars"))
+      .join(cov, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("covered_chars"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_minhash_lsh"   -> (q18MinhashLsh _),
     "q19_simhash"       -> (q19Simhash _),
@@ -809,7 +892,9 @@ object Dedup {
     "q86_bow_cosine"    -> (q86BowCosine _),
     "q94_entity_canon"  -> (q94EntityCanon _),
     "q97_delta_entity_canon" -> (q97DeltaEntityCanon _),
-    "q99_cluster_cohesion" -> (q99ClusterCohesion _))
+    "q99_cluster_cohesion" -> (q99ClusterCohesion _),
+    "q105_dup_window_mass" -> (q105DupWindowMass _),
+    "q106_dup_span_coverage" -> (q106DupSpanCoverage _))
 
   private val mhSelect = (0 until NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> md5('$i#' || x))) AS mh$i").mkString(",\n |  ")
@@ -1209,5 +1294,48 @@ object Dedup {
         |FROM documents d
         |JOIN clus ON clus.doc_id = d.doc_id
         |JOIN sizes s ON s.cluster_id = clus.cluster_id
-        |GROUP BY d.source ORDER BY d.source""".stripMargin)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // q105: same sliding-window relational plan, 1-based substr; pd is
+    // already one row per (w, doc), so its count(*) IS the
+    // distinct-doc degree
+    "q105_dup_window_mass" ->
+      """WITH g AS (
+        | SELECT doc_id, unnest(list_transform(
+        |   range(1, greatest(length(text) - 39, 0) + 1),
+        |   i -> substr(text, i, 40))) AS w
+        | FROM documents),
+        |pd AS (
+        | SELECT w, doc_id, count(*) AS cnt FROM g GROUP BY w, doc_id),
+        |nd AS (SELECT w FROM pd GROUP BY w HAVING count(*) >= 2),
+        |dp AS (
+        | SELECT pd.doc_id, SUM(pd.cnt) AS dup_windows
+        | FROM pd JOIN nd USING (w) GROUP BY pd.doc_id)
+        |SELECT d.doc_id,
+        | CAST(greatest(length(d.text) - 39, 0) AS BIGINT) AS n_windows,
+        | CAST(coalesce(dp.dup_windows, 0) AS BIGINT) AS dup_windows
+        |FROM documents d LEFT JOIN dp USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q106: positions are 1-based here, 0-based in Spark — only
+    // DIFFERENCES (nxt − i) enter the arithmetic, so the bases cancel
+    "q106_dup_span_coverage" ->
+      """WITH p AS (
+        | SELECT doc_id, text,
+        |  unnest(range(1, greatest(length(text) - 39, 0) + 1)) AS i
+        | FROM documents),
+        |g AS (SELECT doc_id, i, substr(text, i, 40) AS w FROM p),
+        |nd AS (
+        | SELECT w FROM (SELECT w, doc_id FROM g GROUP BY w, doc_id)
+        | GROUP BY w HAVING count(*) >= 2),
+        |dp AS (SELECT g.doc_id, g.i FROM g JOIN nd USING (w)),
+        |cov AS (
+        | SELECT doc_id,
+        |  SUM(least(coalesce(nxt - i, 40), 40)) AS covered
+        | FROM (SELECT doc_id, i,
+        |        lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        |       FROM dp)
+        | GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        | CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_chars
+        |FROM documents d LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
 }

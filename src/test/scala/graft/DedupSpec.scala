@@ -379,6 +379,67 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 4L)) == ((0L, 9L, 1L, 0L)))
   }
 
+  test("q105: duplicated-window mass matches a brute-force driver replay") {
+    import spark.implicits._
+    val k = Dedup.WindowChars
+    val texts = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // brute force: every k-window of every doc → per-window distinct
+    // docs → per-doc count of positions whose window is cross-doc
+    val winDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, t) <- texts; i <- 0 to t.length - k)
+      winDocs.getOrElseUpdate(t.substring(i, i + k),
+        scala.collection.mutable.Set.empty) += id
+    val expected = texts.map { case (id, t) =>
+      val nw = math.max(t.length - k + 1, 0)
+      val dup = (0 to t.length - k)
+        .count(i => winDocs(t.substring(i, i + k)).size >= 2)
+      id -> ((nw.toLong, dup.toLong))
+    }.toMap
+    val got = Dedup.q105DupWindowMass(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, "window-mass mismatch vs brute force")
+    assert(expected.values.exists(_._2 > 0),
+      "fixture has no duplicated windows — test is vacuous")
+    // a doc's duplicated windows can never exceed its window count
+    got.foreach { case (id, (nw, dup)) =>
+      assert(dup <= nw, s"doc $id: dup $dup > windows $nw") }
+  }
+
+  test("q106: span coverage matches a boolean-mask replay; bounded by q105 mass") {
+    import spark.implicits._
+    val k = Dedup.WindowChars
+    val texts = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val winDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, t) <- texts; i <- 0 to t.length - k)
+      winDocs.getOrElseUpdate(t.substring(i, i + k),
+        scala.collection.mutable.Set.empty) += id
+    // ground truth the straightforward way: mark every char under a
+    // duplicated window, count marks — no interval arithmetic to share
+    // bugs with the implementation under test
+    val expected = texts.map { case (id, t) =>
+      val mask = new Array[Boolean](t.length)
+      for (i <- 0 to t.length - k
+           if winDocs(t.substring(i, i + k)).size >= 2;
+           j <- i until i + k) mask(j) = true
+      id -> ((t.length.toLong, mask.count(identity).toLong))
+    }.toMap
+    val got = Dedup.q106DupSpanCoverage(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, "span coverage mismatch vs boolean-mask replay")
+    assert(expected.values.exists(_._2 > 0), "fixture has no coverage — vacuous")
+    // cross-query invariant: covered chars ≤ k × duplicated windows,
+    // and a doc has coverage iff it has duplicated windows
+    val mass = Dedup.q105DupWindowMass(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, (_, cov)) =>
+      assert(cov <= k.toLong * mass(id), s"doc $id: coverage $cov exceeds k×mass")
+      assert((cov > 0) == (mass(id) > 0), s"doc $id: coverage/mass disagree") }
+  }
+
   test("q99: cohesion matches a driver-side replay of pairs × assignment") {
     val pairs = Dedup.minhashCandidatePairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -15,6 +15,58 @@ class MultimodalSpec extends SparkSpec {
     assert(metaOnly.count() > 0)
   }
 
+  test("real decoder: planted PNG decodes bit-exactly through the seam") {
+    // PNG is lossless, so pixel values — and therefore gray_sum and the
+    // block-average grid — are EXACT, not approximate. 8×8 image: left
+    // half gray 50, right half gray 200.
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = if (x < 4) 50 else 200
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf), "PNG writer missing")
+    val png = buf.toByteArray
+
+    val rows = Multimodal.decodeImages(
+      Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+        .toDS(), gridW = 2, gridH = 2)
+      .orderBy("doc_id").collect()
+
+    val ok = rows(0)
+    assert(ok.getAs[Boolean]("ok"))
+    assert(ok.getAs[Int]("width") == 8 && ok.getAs[Int]("height") == 8)
+    assert(ok.getAs[Long]("gray_sum") == 32L * 50 + 32L * 200)
+    // 2×2 grid: left cells average 50, right cells 200 (exact)
+    assert(ok.getAs[String]("grid") == "50,200,50,200")
+
+    // corrupt payload is DATA (ok=false row), not a task failure
+    val bad = rows(1)
+    assert(!bad.getAs[Boolean]("ok"))
+    assert(bad.getAs[Int]("width") == 0 && bad.getAs[String]("grid") == "")
+  }
+
+  test("real decoder: planted JPEG decodes with exact dims, plausible raster") {
+    // JPEG is lossy — assert structure (dims, ok) exactly and the
+    // raster approximately: a uniform mid-gray image must come back
+    // within a few DCT quant steps of itself.
+    val img = new java.awt.image.BufferedImage(
+      16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 16)
+      img.setRGB(x, y, (128 << 16) | (128 << 8) | 128)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", buf), "JPEG writer missing")
+
+    val row = Multimodal.decodeImages(Seq((7L, buf.toByteArray)).toDS())
+      .collect().head
+    assert(row.getAs[Boolean]("ok"))
+    assert(row.getAs[Int]("width") == 16 && row.getAs[Int]("height") == 12)
+    val meanGray = row.getAs[Long]("gray_sum").toDouble / (16 * 12)
+    assert(math.abs(meanGray - 128.0) < 4.0,
+      s"uniform gray-128 JPEG decoded to mean $meanGray")
+  }
+
   test("stub decode is deterministic and batch-shaped") {
     val a = Multimodal.q25MultimodalFeatures(spark, sfDir).collect()
     val b = Multimodal.q25MultimodalFeatures(spark, sfDir).collect()

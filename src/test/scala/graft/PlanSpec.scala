@@ -454,4 +454,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.exists(_.contains("partial_sum")),
       s"exploded rows must combine map-side before the exchange:\n$plan")
   }
+
+  test("q105/q106: window explode combines map-side; all joins and windows keyed") {
+    for (fn <- Seq(
+        graft.queries.Dedup.q105DupWindowMass _,
+        graft.queries.Dedup.q106DupSpanCoverage _)) {
+      val df = fn(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // the exploded (window, doc) stream must pre-aggregate before its
+      // exchange — the combine that bounds shuffle by DISTINCT windows
+      assert(plan.linesIterator.exists(l =>
+        l.contains("partial_count") || l.contains("partial_sum")),
+        s"exploded windows must combine map-side:\n$plan")
+      // the join back to the base is keyed on doc_id — broadcast at
+      // this sf, shuffled-hash at scale, either is fine; what must
+      // never appear is a cartesian/nested-loop shape
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"unkeyed join in:\n$plan")
+      // no scale-killers: the only windows are keyed (by w / doc_id)
+      assert(!plan.contains("windowspecdefinition()"),
+        s"unpartitioned window in:\n$plan")
+    }
+  }
 }
