@@ -816,14 +816,8 @@ object Dedup {
     val k = WindowChars
     val base = docs(spark, dir).select($"doc_id",
       greatest(length($"text") - (k - 1), lit(0)).cast("long").as("n_windows"))
-    val grams = docs(spark, dir).select($"doc_id",
-      // guarded like shinglesExpr: sequence() counts DOWN for short
-      // docs and negative indexes are fatal under ANSI mode
-      explode(expr(
-        s"""CASE WHEN length(text) >= $k
-           |THEN transform(sequence(0, length(text) - $k),
-           |               i -> substring(text, i + 1, $k))
-           |ELSE array() END""".stripMargin)).as("w"))
+    val grams = docs(spark, dir)
+      .select($"doc_id", explode(expr(windowArraySql)).as("w"))
     val perDoc = grams.groupBy($"w", $"doc_id").agg(count(lit(1)).as("cnt"))
     val dupPerDoc = perDoc
       .withColumn("nd", count(lit(1)).over(Window.partitionBy($"w")))
@@ -852,11 +846,7 @@ object Dedup {
     import spark.implicits._
     val k = WindowChars
     val pos = docs(spark, dir).select($"doc_id",
-      posexplode(expr(
-        s"""CASE WHEN length(text) >= $k
-           |THEN transform(sequence(0, length(text) - $k),
-           |               i -> substring(text, i + 1, $k))
-           |ELSE array() END""".stripMargin)).as(Seq("pos", "w")))
+      posexplode(expr(windowArraySql)).as(Seq("pos", "w")))
     val dupW = pos.groupBy($"w")
       .agg(count_distinct($"doc_id").as("nd"))
       .filter($"nd" >= 2)
@@ -873,6 +863,67 @@ object Dedup {
       .join(cov, Seq("doc_id"), "left")
       .na.fill(0L, Seq("covered_chars"))
       .orderBy($"doc_id")
+  }
+
+  /** Sliding K-char window array over `text` — shared by the
+    * ExactSubstr family (q105/q106/q107). Guarded for short docs like
+    * [[shinglesExpr]] (negative-length sequence is fatal under ANSI). */
+  private def windowArraySql: String =
+    s"""CASE WHEN length(text) >= $WindowChars
+       |THEN transform(sequence(0, length(text) - $WindowChars),
+       |               i -> substring(text, i + 1, $WindowChars))
+       |ELSE array() END""".stripMargin
+
+  /** Distinct verbatim windows of the STANDING (non-delta) corpus —
+    * the probe set for incremental ExactSubstr, persisted
+    * content-addressed like [[signatureIndex]] (namespaced `win-` so
+    * the two artifact families never collide on a fingerprint). */
+  private[graft] def windowIndex(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val key = graft.Tables.fileFingerprint(spark, s"$dir/documents.parquet")
+    graft.sources.ArtifactStore.readOrPublish(spark, s"$indexBase/win-$key")(
+      distinctWindowsOf(docs(spark, dir)
+        .filter(!(TextOps.uniformKeyOf(col("doc_id")) < lit(0.1)))))
+  }
+
+  /** Distinct K-char windows of any documents frame — the probe-set
+    * builder behind [[windowIndex]] and the streaming scorer's
+    * in-memory index. */
+  private[graft] def distinctWindowsOf(d: DataFrame): DataFrame =
+    d.select(explode(expr(windowArraySql)).as("w")).distinct()
+
+  // --------------------------------------------------------------- q107
+  /** Incremental ExactSubstr — q105 at the ingest seam, completing the
+    * delta quartet (q76 text LSH / q97 entities / q103 embeddings /
+    * verbatim windows): the fresh batch (md5-uniform 10% split) is
+    * scored ONLY against the standing corpus's persisted
+    * [[windowIndex]] — |batch| × index probe, never a corpus re-scan,
+    * and the index is built once per corpus version and shared by
+    * every subsequent batch. A fresh doc's window counts as duplicated
+    * when it occurs verbatim anywhere in the standing corpus. */
+  def q107DeltaWindowMass(spark: SparkSession, dir: String): DataFrame =
+    massAgainstWindowIndex(
+      docs(spark, dir).filter(TextOps.uniformKeyOf(col("doc_id")) < lit(0.1)),
+      windowIndex(spark, dir))
+      .orderBy(col("doc_id"))
+
+  /** Window-mass of `batch` (any frame with doc_id + text) against a
+    * standing distinct-window set `idx`. ONE definition shared by the
+    * batch [[q107DeltaWindowMass]] and the streaming ingest scorer
+    * ([[graft.streaming.StreamingWindowMass]]) — the same
+    * batch ≡ stream guarantee as [[flagAgainstIndex]]. */
+  private[graft] def massAgainstWindowIndex(batch: DataFrame,
+      idx: DataFrame): DataFrame = {
+    val dupPerDoc = batch
+      .select(col("doc_id"), explode(expr(windowArraySql)).as("w"))
+      .join(idx, Seq("w"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
+    batch
+      .select(col("doc_id"),
+        greatest(length(col("text")) - (WindowChars - 1), lit(0))
+          .cast("long").as("n_windows"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_windows"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -894,7 +945,8 @@ object Dedup {
     "q97_delta_entity_canon" -> (q97DeltaEntityCanon _),
     "q99_cluster_cohesion" -> (q99ClusterCohesion _),
     "q105_dup_window_mass" -> (q105DupWindowMass _),
-    "q106_dup_span_coverage" -> (q106DupSpanCoverage _))
+    "q106_dup_span_coverage" -> (q106DupSpanCoverage _),
+    "q107_delta_window_mass" -> (q107DeltaWindowMass _))
 
   private val mhSelect = (0 until NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> md5('$i#' || x))) AS mh$i").mkString(",\n |  ")
@@ -1337,5 +1389,33 @@ object Dedup {
         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
         | CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_chars
         |FROM documents d LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q107: the md5-uniform split (TextOps.md5UniformSql, the shared
+    // cross-engine key) partitions documents; the standing side
+    // collapses to DISTINCT windows — exactly the persisted index —
+    // and fresh positions count via the join
+    "q107_delta_window_mass" ->
+      s"""WITH keyed AS (
+        | SELECT doc_id, text,
+        |  (${TextOps.md5UniformSql("doc_id")}) < 0.1 AS is_fresh
+        | FROM documents),
+        |sw AS (
+        | SELECT DISTINCT unnest(list_transform(
+        |   range(1, greatest(length(text) - 39, 0) + 1),
+        |   i -> substr(text, i, 40))) AS w
+        | FROM keyed WHERE NOT is_fresh),
+        |fg AS (
+        | SELECT doc_id, unnest(list_transform(
+        |   range(1, greatest(length(text) - 39, 0) + 1),
+        |   i -> substr(text, i, 40))) AS w
+        | FROM keyed WHERE is_fresh),
+        |dp AS (
+        | SELECT fg.doc_id, count(*) AS dup_windows
+        | FROM fg JOIN sw USING (w) GROUP BY fg.doc_id)
+        |SELECT f.doc_id,
+        | CAST(greatest(length(f.text) - 39, 0) AS BIGINT) AS n_windows,
+        | CAST(coalesce(dp.dup_windows, 0) AS BIGINT) AS dup_windows
+        |FROM (SELECT doc_id, text FROM keyed WHERE is_fresh) f
+        |LEFT JOIN dp USING (doc_id)
         |ORDER BY doc_id""".stripMargin)
 }

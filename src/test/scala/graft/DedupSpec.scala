@@ -440,6 +440,41 @@ class DedupSpec extends SparkSpec {
       assert((cov > 0) == (mass(id) > 0), s"doc $id: coverage/mass disagree") }
   }
 
+  test("q107: delta window mass probes ONLY the standing corpus; replay-exact") {
+    import spark.implicits._
+    val k = Dedup.WindowChars
+    val texts = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def uniform(id: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(h, 16).toDouble / 4294967296.0
+    }
+    val (freshT, standingT) = texts.partition { case (id, _) => uniform(id) < 0.1 }
+    assert(freshT.nonEmpty && standingT.nonEmpty, "split degenerate")
+    val standingWins = standingT.flatMap { case (_, t) =>
+      (0 to t.length - k).map(i => t.substring(i, i + k)) }.toSet
+    val expected = freshT.map { case (id, t) =>
+      val nw = math.max(t.length - k + 1, 0)
+      val dup = (0 to t.length - k)
+        .count(i => standingWins(t.substring(i, i + k)))
+      id -> ((nw.toLong, dup.toLong))
+    }.toMap
+    val got = Dedup.q107DeltaWindowMass(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, "delta mass mismatch vs standing-only replay")
+    // only FRESH docs appear — the batch is scored, never the corpus
+    assert(got.keySet == freshT.map(_._1).toSet)
+    // a fresh doc duplicating another FRESH doc (but nothing standing)
+    // must NOT count — q105 on the full corpus differs exactly there
+    val full = Dedup.q105DupWindowMass(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, (_, dup)) =>
+      assert(dup <= full(id), s"doc $id: delta dup exceeds full-corpus dup") }
+  }
+
   test("q99: cohesion matches a driver-side replay of pairs × assignment") {
     val pairs = Dedup.minhashCandidatePairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
