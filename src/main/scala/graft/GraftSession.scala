@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{DotLong, MinHashMd5, SimHash64, VectorQuantize}
+import graft.functions.{DotLong, MinHashMd5, SimHash64, VectorQuantize, WindowHash61}
 
 /** Session wiring for the engine.
   *
@@ -43,6 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[MinHashMd5].getName, "minhash_md5"),
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           MinHashMd5(children.head, GraftSession.intLiteral(children(1)))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("window_hash61"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[WindowHash61].getName, "window_hash61"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          WindowHash61(children.head)))
   }
 }
 
@@ -59,6 +65,8 @@ object GraftSession {
       exprs => DotLong(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_md5",
       exprs => MinHashMd5(exprs.head, intLiteral(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("window_hash61",
+      exprs => WindowHash61(exprs.head), "scala_udf")
   }
 
   /** `minhash_md5`'s seed count must be a literal int at plan time. */

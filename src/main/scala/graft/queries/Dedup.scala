@@ -926,6 +926,34 @@ object Dedup {
       .na.fill(0L, Seq("dup_windows"))
   }
 
+  // --------------------------------------------------------------- q108
+  /** q105 on the hashed shuffle key — [[graft.functions.WindowHash61]]
+    * turns each 40-char window into an 8-byte Rabin-Karp rolling hash
+    * inside whole-stage codegen, so the exchange carries longs instead
+    * of strings (the production posture for the ExactSubstr family:
+    * ≈5× less shuffle payload, O(1)-per-position window pass instead
+    * of O(K) substring materialization). Results are identical to q105
+    * up to hash collisions (~2⁻⁶¹ per pair); the oracle replays the
+    * same polynomial, so cross-engine equality is exact regardless. */
+  def q108HashedWindowMass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.WindowHash61
+    val base = docs(spark, dir).select($"doc_id",
+      greatest(length($"text") - (WindowChars - 1), lit(0))
+        .cast("long").as("n_windows"))
+    val grams = docs(spark, dir)
+      .select($"doc_id", explode(WindowHash61.windowHash61($"text")).as("h"))
+    val perDoc = grams.groupBy($"h", $"doc_id").agg(count(lit(1)).as("cnt"))
+    val dupPerDoc = perDoc
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy($"h")))
+      .filter($"nd" >= 2)
+      .groupBy($"doc_id").agg(sum($"cnt").as("dup_windows"))
+    base
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_windows"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_minhash_lsh"   -> (q18MinhashLsh _),
     "q19_simhash"       -> (q19Simhash _),
@@ -946,7 +974,8 @@ object Dedup {
     "q99_cluster_cohesion" -> (q99ClusterCohesion _),
     "q105_dup_window_mass" -> (q105DupWindowMass _),
     "q106_dup_span_coverage" -> (q106DupSpanCoverage _),
-    "q107_delta_window_mass" -> (q107DeltaWindowMass _))
+    "q107_delta_window_mass" -> (q107DeltaWindowMass _),
+    "q108_hashed_window_mass" -> (q108HashedWindowMass _))
 
   private val mhSelect = (0 until NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> md5('$i#' || x))) AS mh$i").mkString(",\n |  ")
@@ -1417,5 +1446,33 @@ object Dedup {
         | CAST(coalesce(dp.dup_windows, 0) AS BIGINT) AS dup_windows
         |FROM (SELECT doc_id, text FROM keyed WHERE is_fresh) f
         |LEFT JOIN dp USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q108: the rolling hash replayed positionally — Σ ord·B^(K−1−j)
+    // mod 2^61−1 per window, HUGEINT intermediates (terms < 2^82, sum
+    // < 2^88), powers inlined from the SAME Scala constants
+    "q108_hashed_window_mass" ->
+      s"""WITH g AS (
+        | SELECT doc_id, unnest(list_transform(
+        |   range(1, greatest(length(text) - 39, 0) + 1),
+        |   i -> substr(text, i, 40))) AS w
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(1, 41),
+        |    j -> (${graft.functions.WindowHash61.duckdbPowersLiteral}[j]
+        |          * CAST(ord(substr(w, j, 1)) AS HUGEINT))
+        |         % 2305843009213693951))
+        |   % 2305843009213693951 AS BIGINT) AS hw
+        | FROM g),
+        |pd AS (
+        | SELECT hw, doc_id, count(*) AS cnt FROM h GROUP BY hw, doc_id),
+        |nd AS (SELECT hw FROM pd GROUP BY hw HAVING count(*) >= 2),
+        |dp AS (
+        | SELECT pd.doc_id, SUM(pd.cnt) AS dup_windows
+        | FROM pd JOIN nd USING (hw) GROUP BY pd.doc_id)
+        |SELECT d.doc_id,
+        | CAST(greatest(length(d.text) - 39, 0) AS BIGINT) AS n_windows,
+        | CAST(coalesce(dp.dup_windows, 0) AS BIGINT) AS dup_windows
+        |FROM documents d LEFT JOIN dp USING (doc_id)
         |ORDER BY doc_id""".stripMargin)
 }

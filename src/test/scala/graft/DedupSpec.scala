@@ -475,6 +475,52 @@ class DedupSpec extends SparkSpec {
       assert(dup <= full(id), s"doc $id: delta dup exceeds full-corpus dup") }
   }
 
+  test("window_hash61 expression: matches a BigInteger replay; rolls correctly") {
+    import graft.functions.WindowHash61
+    assert(WindowHash61.K == Dedup.WindowChars,
+      "expression window width drifted from the family's")
+    // independent replay: positional polynomial in BigInteger — no
+    // shared mulmod/rolling code with the implementation under test
+    def ref(s: String): Seq[Long] = {
+      val Mb = BigInt(WindowHash61.M)
+      val cps = s.codePoints().toArray
+      (0 to cps.length - WindowHash61.K).map { i =>
+        (i until i + WindowHash61.K)
+          .map(j => BigInt(cps(j)) *
+            BigInt(WindowHash61.B).modPow(BigInt(i + WindowHash61.K - 1 - j), Mb))
+          .sum.mod(Mb).toLong
+      }
+    }
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog and then naps quietly",
+      "a" * 40,                       // exactly one window
+      "a" * 39,                       // one short of a window → empty
+      "züricher straße — ünïcodé padded out to well over forty characters total")
+    import spark.implicits._
+    val got = samples.toDF("text")
+      .select(WindowHash61.windowHash61($"text").as("h"))
+      .as[Seq[Long]].collect()
+    samples.zip(got).foreach { case (s, hs) =>
+      assert(hs == ref(s), s"hash mismatch for: $s") }
+    assert(got(2).isEmpty, "39 chars must yield no windows")
+    // all hashes in range and (here) collision-free
+    assert(got.flatten.forall(h => h >= 0 && h < WindowHash61.M))
+    // SQL registration reaches the same expression
+    GraftSession.registerFunctions(spark)
+    val viaSql = spark.sql(
+      s"SELECT window_hash61('${samples(1)}') AS h").as[Seq[Long]].head()
+    assert(viaSql == ref(samples(1)))
+  }
+
+  test("q108: hashed window mass ≡ q105 raw-string mass (collision-free corpus)") {
+    val raw = Dedup.q105DupWindowMass(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val hashed = Dedup.q108HashedWindowMass(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hashed == raw,
+      "hashing the shuffle key must not change any document's mass")
+  }
+
   test("q99: cohesion matches a driver-side replay of pairs × assignment") {
     val pairs = Dedup.minhashCandidatePairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -458,7 +458,8 @@ class PlanSpec extends SparkSpec {
   test("q105/q106: window explode combines map-side; all joins and windows keyed") {
     for (fn <- Seq(
         graft.queries.Dedup.q105DupWindowMass _,
-        graft.queries.Dedup.q106DupSpanCoverage _)) {
+        graft.queries.Dedup.q106DupSpanCoverage _,
+        graft.queries.Dedup.q108HashedWindowMass _)) {
       val df = fn(spark, sfDir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
