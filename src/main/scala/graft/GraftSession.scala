@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{DotLong, MinHashMd5, SimHash64, VectorQuantize, WindowHash61}
+import graft.functions.{DotLong, KmvSketch, MinHashMd5, SimHash64, VectorQuantize, WindowHash61}
 
 /** Session wiring for the engine.
   *
@@ -49,6 +49,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[WindowHash61].getName, "window_hash61"),
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           WindowHash61(children.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_sketch"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[KmvSketch].getName, "kmv_sketch"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          KmvSketch(children.head, GraftSession.intLiteral(children(1)))))
   }
 }
 
@@ -67,6 +73,8 @@ object GraftSession {
       exprs => MinHashMd5(exprs.head, intLiteral(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("window_hash61",
       exprs => WindowHash61(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_sketch",
+      exprs => KmvSketch(exprs.head, intLiteral(exprs(1))), "scala_udf")
   }
 
   /** `minhash_md5`'s seed count must be a literal int at plan time. */
@@ -74,7 +82,7 @@ object GraftSession {
       e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => sys.error(s"minhash_md5 numHashes must be an int literal, got $other")
+      case other => sys.error(s"count parameter must be an int literal, got $other")
     }
 
   /** Tuned builder for local or cluster use. */

@@ -336,6 +336,39 @@ object Analytics {
       .orderBy(col("source"))
   }
 
+  // --------------------------------------------------------------- q109
+  /** KMV distinct-count sketch per source — the deterministic,
+    * oracle-checkable cousin of q37's HLL, as a native
+    * [[graft.functions.KmvSketch]] TypedImperativeAggregate: O(k)
+    * state per group, map-side partial aggregation, commutative merge
+    * — the shuffle carries ≤k longs per group, never the value stream.
+    * The hash is the md5-prefix long (uniform on [0, 2^32), the same
+    * engine-neutral key family as the md5-uniform splits), so DuckDB
+    * replays the whole sketch exactly: `ROW_NUMBER() ≤ k` per source.
+    * Estimate: the unbiased (k−1)/h(k) on the normalized k-th minimum
+    * (one exactly-rounded double division — hash-stable); sources with
+    * fewer than k distinct values report their exact count. */
+  val KmvK = 16
+  def q109KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val hash = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+    Tables(spark, dir, "documents")
+      .select(col("source"), hash.as("hk"))
+      .groupBy(col("source"))
+      .agg(
+        graft.functions.KmvSketch.kmvSketch(col("hk"), KmvK).as("mins"),
+        countDistinct(col("hk")).as("exact_distinct"),
+        count(lit(1)).as("n_docs"))
+      .select(
+        col("source"), col("n_docs"), col("exact_distinct"),
+        when(size(col("mins")) < KmvK, size(col("mins")).cast("double"))
+          // (k−1)·2^32 precomputed as ONE literal so both engines do a
+          // single division, never a re-associable multiply chain
+          .otherwise(lit(64424509440.0) /
+            element_at(col("mins"), KmvK).cast("double"))
+          .as("est_distinct"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_mad_gate"   -> (q98MadGate _),
     "q89_winsorize"  -> (q89Winsorize _),
@@ -346,7 +379,8 @@ object Analytics {
     "q49_grouping_sets" -> (q49GroupingSets _),
     "q36_pivot"      -> (q36Pivot _),
     "q37_sketches"   -> (q37Sketches _),
-    "q37a_sketch_exact" -> (q37aSketchExact _))
+    "q37a_sketch_exact" -> (q37aSketchExact _),
+    "q109_kmv_distinct" -> (q109KmvDistinct _))
 
   val oracle: Map[String, String] = Map(
     // q98: lower-median rank cut (2·rk ≤ n+1) twice — value then
@@ -527,5 +561,34 @@ object Analytics {
         | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
         | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q109: the KMV sketch replayed exactly — the md5-prefix BIGINT
+    // (the nibble-weighted sum, md5UniformSql without its /2^32), the
+    // k smallest distinct per source via ROW_NUMBER, and the same
+    // single-literal division for the estimate
+    "q109_kmv_distinct" ->
+      """WITH d AS (
+        | SELECT source,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)
+        |         * (1::BIGINT << (4 * (8 - i))))) AS BIGINT) AS hk
+        | FROM documents),
+        |dist AS (SELECT DISTINCT source, hk FROM d),
+        |rk AS (
+        | SELECT source, hk,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk) AS rk,
+        |  COUNT(*) OVER (PARTITION BY source) AS nd
+        | FROM dist),
+        |kth AS (
+        | SELECT source, MAX(CASE WHEN rk = 16 THEN hk END) AS hk16,
+        |        MAX(nd) AS nd
+        | FROM rk GROUP BY source),
+        |cnt AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source)
+        |SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+        | CAST(k.nd AS BIGINT) AS exact_distinct,
+        | CASE WHEN k.nd < 16 THEN CAST(k.nd AS DOUBLE)
+        |      ELSE 64424509440.0 / CAST(k.hk16 AS DOUBLE) END
+        |   AS est_distinct
+        |FROM cnt c JOIN kth k USING (source)
+        |ORDER BY c.source""".stripMargin)
 }

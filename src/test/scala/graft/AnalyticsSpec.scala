@@ -152,4 +152,51 @@ class AnalyticsSpec extends SparkSpec {
       "B" -> ((5L, 7L, 1L, 0L)),
       "C" -> ((5L, 3L, 1L, 1L))), s"got $got")
   }
+
+  test("kmv_sketch aggregate: k smallest distinct, partition-invariant merge") {
+    import graft.functions.KmvSketch
+    val k = 8
+    val values = Seq(50L, 10L, 30L, 10L, 20L, 90L, 40L, 30L, 70L, 60L,
+      80L, 20L, 5L, 95L, 15L)
+    val expected = values.distinct.sorted.take(k)
+    // merge correctness: the result must not depend on how the input
+    // is partitioned (1 partition = no merge; 7 = heavy merging)
+    for (parts <- Seq(1, 3, 7)) {
+      val got = values.toDF("hk").repartition(parts)
+        .agg(KmvSketch.kmvSketch(col("hk"), k).as("mins"))
+        .as[Seq[Long]].head()
+      assert(got == expected, s"parts=$parts: $got != $expected")
+    }
+    // fewer distinct values than k → all of them, sorted
+    val small = Seq(3L, 1L, 3L, 2L).toDF("hk")
+      .agg(KmvSketch.kmvSketch(col("hk"), k).as("mins"))
+      .as[Seq[Long]].head()
+    assert(small == Seq(1L, 2L, 3L))
+    // SQL registration reaches the same aggregate
+    GraftSession.registerFunctions(spark)
+    values.toDF("hk").createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql(s"SELECT kmv_sketch(hk, $k) FROM kmv_in")
+      .as[Seq[Long]].head()
+    assert(viaSql == expected)
+  }
+
+  test("q109: estimate within KMV error bounds; exact path for small sources") {
+    val rows = Analytics.q109KmvDistinct(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, exact, est) =>
+      assert(exact <= nDocs)
+      if (exact < Analytics.KmvK)
+        assert(est == exact.toDouble, s"$src: small source must be exact")
+      else {
+        // KMV standard error ≈ 1/√(k−2); 6σ ≈ 160% at k=16 — a loose
+        // bound, but it catches a broken estimator (off by orders of
+        // magnitude) without flaking on an unlucky hash draw
+        val relErr = math.abs(est - exact) / exact
+        assert(relErr < 1.6, s"$src: est $est vs exact $exact (err $relErr)")
+      }
+    }
+    assert(rows.exists(_._3 >= Analytics.KmvK),
+      "no source exercised the estimator path — k too large for fixture")
+  }
 }
