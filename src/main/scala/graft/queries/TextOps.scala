@@ -691,6 +691,28 @@ object TextOps {
       d.filter(col("doc_id") % 50 === 0))
   }
 
+  // --------------------------------------------------------------- q110
+  /** VERBATIM-window decontamination — the ExactSubstr twist on q53's
+    * n-gram overlap: a train doc is contaminated by how many of its
+    * sliding 40-char window POSITIONS occur verbatim in any eval doc.
+    * Word 3-grams (q53/q60) catch paraphrase-level leakage but miss a
+    * verbatim answer string embedded in otherwise-novel text once
+    * tokenization differs; raw character windows catch exactly that
+    * (the benchmark-contamination mode Lee et al. 2022 §5 measure).
+    * Same eval split as the rest of the decontam family; machinery is
+    * [[Dedup.massAgainstWindowIndex]] — at scale the eval window set
+    * is the persisted `win-` artifact of the eval corpus. */
+  def q110WindowDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.massAgainstWindowIndex(
+      d.filter(col("doc_id") % 50 =!= 0),
+      Dedup.distinctWindowsOf(d.filter(col("doc_id") % 50 === 0)))
+      .withColumnRenamed("dup_windows", "contam_windows")
+      .withColumn("is_contaminated",
+        (col("contam_windows") > 0).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus rows flagged with their distinct-3-gram overlap against
     * `evalSet`. Both frames need (doc_id, text). */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame): DataFrame =
@@ -1351,6 +1373,7 @@ object TextOps {
     "q90_vocab_growth"  -> (q90VocabGrowth _),
     "q53_decontaminate" -> (q53Decontaminate _),
     "q60_bloom_decontam" -> (q60BloomDecontam _),
+    "q110_window_decontam" -> (q110WindowDecontam _),
     "q64_contam_attr"   -> (q64ContamAttribution _),
     "q54_sample_mix"    -> (q54SampleMix _),
     "q55_source_cap"    -> ((s: SparkSession, d: String) => q55SourceCap(s, d)),
@@ -1608,6 +1631,30 @@ object TextOps {
         |FROM c WHERE cum_before < 2000 ORDER BY doc_id""".stripMargin,
     "q53_decontaminate" -> decontamOracleSql,
     "q60_bloom_decontam" -> decontamOracleSql,
+    // q110: eval windows collapse to DISTINCT before the join (the
+    // persisted-index shape), train positions count via the join
+    "q110_window_decontam" ->
+      """WITH ev AS (
+        | SELECT DISTINCT unnest(list_transform(
+        |   range(1, greatest(length(text) - 39, 0) + 1),
+        |   i -> substr(text, i, 40))) AS w
+        | FROM documents WHERE doc_id % 50 = 0),
+        |tg AS (
+        | SELECT doc_id, unnest(list_transform(
+        |   range(1, greatest(length(text) - 39, 0) + 1),
+        |   i -> substr(text, i, 40))) AS w
+        | FROM documents WHERE doc_id % 50 <> 0),
+        |hits AS (
+        | SELECT tg.doc_id, count(*) AS contam_windows
+        | FROM tg JOIN ev USING (w) GROUP BY tg.doc_id)
+        |SELECT d.doc_id,
+        | CAST(greatest(length(d.text) - 39, 0) AS BIGINT) AS n_windows,
+        | CAST(coalesce(h.contam_windows, 0) AS BIGINT) AS contam_windows,
+        | CAST(CASE WHEN coalesce(h.contam_windows, 0) > 0
+        |      THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
     "q66_composition" -> compositionOracleSql,
     // q74: exact integer token counts (q13 split semantics); shares
     // and rates are identical IEEE trees both engines build the same:

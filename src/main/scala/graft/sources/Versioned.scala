@@ -72,7 +72,35 @@ object Versioned {
   def read(spark: SparkSession, base: String, table: String): DataFrame = {
     val v = currentVersion(spark, base)
       .getOrElse(sys.error(s"versioned lake $base has no committed version"))
-    spark.read.parquet(new Path(versionDir(new Path(base), v), table).toString)
+    readAt(spark, base, table, v)
+  }
+
+  /** Time travel: read `table` as of a specific committed `version`.
+    * GC keeps the current and previous versions on disk, so the
+    * previous version is always readable (the in-flight-reader grace
+    * window doubles as one step of history); older versions fail with
+    * the GC explanation rather than a bare missing-path error. */
+  def readAt(spark: SparkSession, base: String, table: String,
+      version: Long): DataFrame = {
+    val b = new Path(base)
+    val f = fs(spark, b)
+    if (!f.exists(new Path(markerDir(b), fmt(version)))) {
+      val cur = currentVersion(spark, base)
+      sys.error(s"versioned lake $base has no committed version $version" +
+        cur.fold("")(c => s" (current is $c; versions older than ${c - 1} " +
+          "are garbage-collected — raise retention by publishing less often " +
+          "or snapshot externally)"))
+    }
+    spark.read.parquet(new Path(versionDir(b, version), table).toString)
+  }
+
+  /** All committed versions still on disk, ascending. */
+  def listVersions(spark: SparkSession, base: String): Seq[Long] = {
+    val b = new Path(base)
+    val f = fs(spark, b)
+    if (!f.exists(markerDir(b))) Seq.empty
+    else f.listStatus(markerDir(b)).toSeq
+      .flatMap(s => s.getPath.getName.toLongOption).sorted
   }
 
   /** Atomically publish all `tables` as one new version. Returns the

@@ -767,4 +767,29 @@ class TextOpsSpec extends SparkSpec {
       .take(10).map(_.getAs[Long]("doc_id").toString)
     assert(head.getAs[String]("postings").split(",").toSeq == expectHead.toSeq)
   }
+
+  test("q110 kernel: verbatim spans contaminate; paraphrases do not") {
+    import graft.queries.Dedup
+    val answer = "the secret benchmark answer is exactly forty-two point seven"
+    assert(answer.length >= 40)
+    val evalSet = Seq((100L, s"question text here. $answer")).toDF("doc_id", "text")
+    val train = Seq(
+      // verbatim embed: every window inside the copied span must hit
+      (1L, s"some unrelated lead-in prose and then $answer trailing text"),
+      // paraphrase: same words reordered — char windows must NOT hit
+      (2L, "exactly forty-two point seven is the benchmark answer secret the"),
+      (3L, "nothing in common with anything at all in this document body"))
+      .toDF("doc_id", "text")
+    val got = Dedup.massAgainstWindowIndex(
+      train, Dedup.distinctWindowsOf(evalSet))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) > 0, "verbatim span must contaminate")
+    // expected count: every 40-window fully inside the longest shared
+    // substring. Eval has "…here. $answer", train "…then $answer" —
+    // the space BEFORE the answer is shared too, so the common span is
+    // " " + answer = 61 chars ⇒ 61 − 40 + 1 = 22 windows
+    assert(got(1L) == answer.length + 1 - 40 + 1, s"got ${got(1L)}")
+    assert(got(2L) == 0, "reordered words must not contaminate char windows")
+    assert(got(3L) == 0)
+  }
 }

@@ -133,6 +133,20 @@ class VersionedLakeSpec extends SparkSpec {
     assert(Versioned.read(spark, base, "t").count() == 5)
   }
 
+  test("time travel: previous version readable, GC'd version errors with why") {
+    val base = mkBase()
+    (1 to 3).foreach(i => Versioned.publish(spark, base, Seq(
+      TableSpec("t", spark.range(i * 10).toDF("v")))))
+    assert(Versioned.listVersions(spark, base) == Seq(2L, 3L))
+    assert(Versioned.readAt(spark, base, "t", 3L).count() == 30)
+    // the grace copy doubles as one step of history
+    assert(Versioned.readAt(spark, base, "t", 2L).count() == 20)
+    val err = intercept[RuntimeException](
+      Versioned.readAt(spark, base, "t", 1L))
+    assert(err.getMessage.contains("garbage-collected"),
+      s"GC'd read must explain itself, got: ${err.getMessage}")
+  }
+
   test("date-partitioned table inside a version prunes directories") {
     import org.apache.spark.sql.functions._
     val base = mkBase()
