@@ -1034,6 +1034,39 @@ object TextOps {
     * payload is bounded by the token budget (plus the one overflowing
     * document), so per-group state is O(budget), never O(source) —
     * the aggregate cannot skew however large a source is. */
+  // --------------------------------------------------------------- q111
+  /** Seeded epoch shuffle — the training-order permutation: each
+    * (epoch, doc) pair gets a deterministic md5 key; docs are
+    * hash-bucketed into shards by that key and ordered within the
+    * shard by it. Different epochs reorder deterministically with NO
+    * movement of the underlying corpus — only this thin ordering
+    * table is recomputed, and a trainer resumes mid-epoch from
+    * (shard, pos) alone.
+    *
+    * Scale shape: the permutation is shard-LOCAL — one hash-partition
+    * exchange on (epoch, shard) and a per-shard sort of |corpus|/S
+    * keys; a naive `ORDER BY random()` global sort serializes the
+    * whole corpus through a total order at 100 TB. Ties (md5
+    * collisions) break on doc_id so the order is total and the DuckDB
+    * replay bit-identical. */
+  def q111EpochShuffle(spark: SparkSession, dir: String,
+      epochs: Int = 2, shards: Int = 8): DataFrame = {
+    val keyed = docs(spark, dir).select(col("doc_id"))
+      .withColumn("epoch",
+        explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("hk",
+        conv(substring(md5(
+          concat(col("epoch"), lit(":"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("shard", pmod(col("hk"), lit(shards.toLong)))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("hk"), col("doc_id"))).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
   def q63PackConcat(spark: SparkSession, dir: String, budget: Int = 512)
       : DataFrame =
     binAssign(docs(spark, dir), budget)
@@ -1374,6 +1407,7 @@ object TextOps {
     "q53_decontaminate" -> (q53Decontaminate _),
     "q60_bloom_decontam" -> (q60BloomDecontam _),
     "q110_window_decontam" -> (q110WindowDecontam _),
+    "q111_epoch_shuffle" -> ((s: SparkSession, d: String) => q111EpochShuffle(s, d)),
     "q64_contam_attr"   -> (q64ContamAttribution _),
     "q54_sample_mix"    -> (q54SampleMix _),
     "q55_source_cap"    -> ((s: SparkSession, d: String) => q55SourceCap(s, d)),
@@ -1631,6 +1665,26 @@ object TextOps {
         |FROM c WHERE cum_before < 2000 ORDER BY doc_id""".stripMargin,
     "q53_decontaminate" -> decontamOracleSql,
     "q60_bloom_decontam" -> decontamOracleSql,
+    // q111: the epoch:doc md5 key replayed via the nibble-weighted
+    // sum; shard and within-shard order derive from the same key, so
+    // both engines produce one total order
+    "q111_epoch_shuffle" ->
+      """WITH e AS (
+        | SELECT doc_id, unnest(range(0, 2)) AS epoch FROM documents),
+        |k AS (
+        | SELECT epoch, doc_id,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |           substr(md5(CAST(epoch AS VARCHAR) || ':'
+        |                      || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |         * (1::BIGINT << (4 * (8 - i))))) AS BIGINT) AS hk
+        | FROM e)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        | CAST(hk % 8 AS BIGINT) AS shard,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY epoch, hk % 8
+        |        ORDER BY hk, doc_id) AS BIGINT) AS pos,
+        | doc_id
+        |FROM k ORDER BY epoch, shard, pos""".stripMargin,
     // q110: eval windows collapse to DISTINCT before the join (the
     // persisted-index shape), train positions count via the join
     "q110_window_decontam" ->

@@ -768,6 +768,32 @@ class TextOpsSpec extends SparkSpec {
     assert(head.getAs[String]("postings").split(",").toSeq == expectHead.toSeq)
   }
 
+  test("q111: epoch shuffle is a deterministic per-epoch permutation, shard-local") {
+    val a = TextOps.q111EpochShuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val b = TextOps.q111EpochShuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.toSeq == b.toSeq, "two runs must produce the identical order")
+    val byEpoch = a.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    // each epoch is a PERMUTATION: every doc exactly once
+    val docs0 = byEpoch(0L).map(_._4).sorted
+    assert(docs0.toSeq == byEpoch(1L).map(_._4).sorted.toSeq)
+    assert(docs0.distinct.length == docs0.length)
+    // epochs genuinely reorder: some doc lands in a different shard
+    val s0 = byEpoch(0L).map(t => t._4 -> t._2).toMap
+    assert(byEpoch(1L).exists(t => s0(t._4) != t._2),
+      "epoch 1 must reshuffle shard assignment for at least one doc")
+    // positions are contiguous 1..n within every (epoch, shard)
+    a.groupBy(t => (t._1, t._2)).foreach { case (k, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"positions not contiguous in $k") }
+    // shard balance: md5 spreads ~uniform (loose 3× bound, no flake)
+    val sizes = byEpoch(0L).groupBy(_._2).values.map(_.length)
+    assert(sizes.max <= 3 * sizes.min,
+      s"shards badly skewed: ${sizes.toSeq.sorted}")
+  }
+
   test("q110 kernel: verbatim spans contaminate; paraphrases do not") {
     import graft.queries.Dedup
     val answer = "the secret benchmark answer is exactly forty-two point seven"
