@@ -369,6 +369,35 @@ object Analytics {
       .orderBy(col("source"))
   }
 
+  // --------------------------------------------------------------- q112
+  /** q109's KMV sketch composed with ROLLUP: per-source AND
+    * corpus-total distinct estimates in ONE pass over the data — the
+    * cube-with-sketches pattern. This is exactly what a mergeable
+    * sketch buys at scale: the total is the MERGE of the per-source
+    * partials (Spark's rollup does it in the aggregation tree, ≤k
+    * longs per level), where an exact countDistinct would re-shuffle
+    * the value stream per grouping level. The corpus total also
+    * exercises the estimator against real duplication (distinct texts
+    * < total docs), which per-source groups at this sf barely do. */
+  def q112KmvRollup(spark: SparkSession, dir: String): DataFrame = {
+    val hash = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+    Tables(spark, dir, "documents")
+      .select(col("source"), hash.as("hk"))
+      .rollup(col("source"))
+      .agg(
+        graft.functions.KmvSketch.kmvSketch(col("hk"), KmvK).as("mins"),
+        countDistinct(col("hk")).as("exact_distinct"),
+        count(lit(1)).as("n_docs"))
+      .select(
+        coalesce(col("source"), lit("(all)")).as("scope"),
+        col("n_docs"), col("exact_distinct"),
+        when(size(col("mins")) < KmvK, size(col("mins")).cast("double"))
+          .otherwise(lit(64424509440.0) /
+            element_at(col("mins"), KmvK).cast("double"))
+          .as("est_distinct"))
+      .orderBy(col("scope"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_mad_gate"   -> (q98MadGate _),
     "q89_winsorize"  -> (q89Winsorize _),
@@ -380,7 +409,8 @@ object Analytics {
     "q36_pivot"      -> (q36Pivot _),
     "q37_sketches"   -> (q37Sketches _),
     "q37a_sketch_exact" -> (q37aSketchExact _),
-    "q109_kmv_distinct" -> (q109KmvDistinct _))
+    "q109_kmv_distinct" -> (q109KmvDistinct _),
+    "q112_kmv_rollup" -> (q112KmvRollup _))
 
   val oracle: Map[String, String] = Map(
     // q98: lower-median rank cut (2·rk ≤ n+1) twice — value then
@@ -590,5 +620,36 @@ object Analytics {
         |      ELSE 64424509440.0 / CAST(k.hk16 AS DOUBLE) END
         |   AS est_distinct
         |FROM cnt c JOIN kth k USING (source)
-        |ORDER BY c.source""".stripMargin)
+        |ORDER BY c.source""".stripMargin,
+    // q112: the rollup replayed as per-source UNION ALL corpus-total,
+    // both via the same ROW_NUMBER ≤ k sketch replay
+    "q112_kmv_rollup" ->
+      """WITH d AS (
+        | SELECT source,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)
+        |         * (1::BIGINT << (4 * (8 - i))))) AS BIGINT) AS hk
+        | FROM documents),
+        |lv AS (
+        | SELECT source AS scope, hk FROM d
+        | UNION ALL
+        | SELECT '(all)' AS scope, hk FROM d),
+        |dist AS (SELECT DISTINCT scope, hk FROM lv),
+        |rk AS (
+        | SELECT scope, hk,
+        |  ROW_NUMBER() OVER (PARTITION BY scope ORDER BY hk) AS rk,
+        |  COUNT(*) OVER (PARTITION BY scope) AS nd
+        | FROM dist),
+        |kth AS (
+        | SELECT scope, MAX(CASE WHEN rk = 16 THEN hk END) AS hk16,
+        |        MAX(nd) AS nd
+        | FROM rk GROUP BY scope),
+        |cnt AS (SELECT scope, count(*) AS n_docs FROM lv GROUP BY scope)
+        |SELECT c.scope, CAST(c.n_docs AS BIGINT) AS n_docs,
+        | CAST(k.nd AS BIGINT) AS exact_distinct,
+        | CASE WHEN k.nd < 16 THEN CAST(k.nd AS DOUBLE)
+        |      ELSE 64424509440.0 / CAST(k.hk16 AS DOUBLE) END
+        |   AS est_distinct
+        |FROM cnt c JOIN kth k USING (scope)
+        |ORDER BY c.scope""".stripMargin)
 }

@@ -199,4 +199,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.exists(_._3 >= Analytics.KmvK),
       "no source exercised the estimator path — k too large for fixture")
   }
+
+  test("q112: rollup total is the merge of per-source sketches") {
+    val rows = Analytics.q112KmvRollup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val (all, per) = rows.partition(_._1 == "(all)")
+    assert(all.length == 1 && per.nonEmpty)
+    val total = all.head
+    // conservation: totals are sums/merges of the per-source rows
+    assert(total._2 == per.map(_._2).sum, "n_docs must sum")
+    assert(total._3 <= per.map(_._3).sum,
+      "corpus distinct cannot exceed the per-source sum")
+    // the per-source slice must agree with q109 (same sketch, same
+    // groups — the rollup adds the total level, changes nothing else)
+    val q109 = Analytics.q109KmvDistinct(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(per.toSet == q109, "rollup per-source level diverged from q109")
+    // the corpus total exercises the estimator against real duplication
+    assert(total._3 >= Analytics.KmvK, "total should use the estimator path")
+    assert(math.abs(total._4 - total._3) / total._3 < 1.6,
+      s"total est ${total._4} vs exact ${total._3}")
+  }
 }
