@@ -33,7 +33,9 @@ object Scale {
     val diskSpill = new LongAdder
     val input = new LongAdder
     val peakExecMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stagesSeen = new LongAdder
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      stagesSeen.increment()
       val m = s.stageInfo.taskMetrics
       if (m != null) {
         shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
@@ -90,11 +92,21 @@ object Scale {
               Right(df.columns.length.toLong)
             } catch { case t: Throwable => Left(t.toString.take(200)) }
           val secs = (System.nanoTime() - t0) / 1e9
-          // let the event bus drain so every stage of this query is
-          // counted (listenerBus.waitUntilEmpty is private[spark]; the
-          // bus lags an action by milliseconds, so a bounded pause is
-          // enough for an offline evidence tool)
-          Thread.sleep(500)
+          // drain the event bus before detaching: poll until the
+          // stage-completed count is stable across two consecutive
+          // 100 ms windows (listenerBus.waitUntilEmpty is
+          // private[spark]); a fixed sleep under-reports on a loaded
+          // box when straggler events land after removal. Bounded at
+          // 5 s so a wedged bus can't hang the evidence tool.
+          var stable = 0
+          var last = -1L
+          var polls = 0
+          while (stable < 2 && polls < 50) {
+            Thread.sleep(100)
+            val now = c.stagesSeen.sum
+            if (now == last) stable += 1 else { stable = 0; last = now }
+            polls += 1
+          }
           spark.sparkContext.removeSparkListener(c)
           Some(r match {
             case Right(n) =>

@@ -75,27 +75,58 @@ object WindowHash61 {
     if (r >= M) r - M else r
   }
 
+  /** Code point at byte offset `off`, packed with its UTF-8 byte
+    * length as `(len << 32) | cp` so the cursor advance never decodes
+    * twice. Matches `String.codePoints()` exactly: a 4-byte sequence
+    * (a surrogate pair in UTF-16) is ONE code point here too. */
+  private def decodeAt(s: UTF8String, off: Int): Long = {
+    val b0 = s.getByte(off)
+    val len = UTF8String.numBytesForFirstByte(b0)
+    val cp = len match {
+      // & 0xff keeps an invalid first byte (continuation byte at a
+      // sequence start — unreachable for parquet-validated UTF-8)
+      // non-negative so the hash invariants (cp < 2^21) always hold
+      case 1 => b0 & 0xff
+      case 2 => ((b0 & 0x1f) << 6) | (s.getByte(off + 1) & 0x3f)
+      case 3 => ((b0 & 0x0f) << 12) | ((s.getByte(off + 1) & 0x3f) << 6) |
+        (s.getByte(off + 2) & 0x3f)
+      case _ => ((b0 & 0x07) << 18) | ((s.getByte(off + 1) & 0x3f) << 12) |
+        ((s.getByte(off + 2) & 0x3f) << 6) | (s.getByte(off + 3) & 0x3f)
+    }
+    (len.toLong << 32) | cp.toLong
+  }
+
   /** Static entry shared by interpreted eval and generated code (named
-    * NOT `eval` — see SimHash64's forwarder note). */
+    * NOT `eval` — see SimHash64's forwarder note). Decodes code points
+    * directly off the UTF8String's bytes with two cursors (admit /
+    * depart), so the hot path allocates nothing but the output array —
+    * no intermediate String, no int[] of code points. */
   def hashes(s: UTF8String): ArrayData = {
-    val cps = s.toString.codePoints().toArray
-    val n = cps.length
+    val n = s.numChars() // code-point count: one byte walk, no alloc
     if (n < K) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](n - K + 1)
     var h = 0L
+    var lead = 0 // byte offset of the next code point to admit
     var i = 0
     while (i < K) { // first window: Horner
-      h = mulmod(h, B) + cps(i)
+      val packed = decodeAt(s, lead)
+      h = mulmod(h, B) + (packed & 0xffffffffL)
       if (h >= M) h -= M // cp < 2^21 ≪ M, one subtract suffices
+      lead += (packed >>> 32).toInt
       i += 1
     }
     out(0) = h
+    var trail = 0 // byte offset of the departing code point
     i = 1
-    while (i <= n - K) { // slide: drop cps(i−1), admit cps(i+K−1)
-      h -= mulmod(cps(i - 1), PowK1)
+    while (i <= n - K) { // slide: drop cp at trail, admit cp at lead
+      val dep = decodeAt(s, trail)
+      trail += (dep >>> 32).toInt
+      h -= mulmod(dep & 0xffffffffL, PowK1)
       if (h < 0) h += M
-      h = mulmod(h, B) + cps(i + K - 1)
+      val adm = decodeAt(s, lead)
+      h = mulmod(h, B) + (adm & 0xffffffffL)
       if (h >= M) h -= M
+      lead += (adm >>> 32).toInt
       out(i) = h
       i += 1
     }

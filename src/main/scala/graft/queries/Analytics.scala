@@ -387,9 +387,16 @@ object Analytics {
       .agg(
         graft.functions.KmvSketch.kmvSketch(col("hk"), KmvK).as("mins"),
         countDistinct(col("hk")).as("exact_distinct"),
-        count(lit(1)).as("n_docs"))
+        count(lit(1)).as("n_docs"),
+        // grouping() tags the rollup-total LEVEL (it must be computed
+        // inside the Aggregate), so a NULL source group — or a source
+        // literally named "(all)" — can never collide with the
+        // corpus-total row; matches the oracle's UNION ALL replay,
+        // where NULL sources stay NULL at the per-source level
+        grouping(col("source")).as("_lvl"))
       .select(
-        coalesce(col("source"), lit("(all)")).as("scope"),
+        when(col("_lvl") === 1, lit("(all)"))
+          .otherwise(col("source")).as("scope"),
         col("n_docs"), col("exact_distinct"),
         when(size(col("mins")) < KmvK, size(col("mins")).cast("double"))
           .otherwise(lit(64424509440.0) /

@@ -803,9 +803,12 @@ object Dedup {
     *
     * Plan: map-side window explode (array-native, no per-row UDF), one
     * shuffle to pre-aggregate (window, doc) — the combine that bounds
-    * the exchange by DISTINCT windows, not positions — a count-over-
-    * window on the window string for its distinct-doc degree, then a
-    * per-doc sum. Σ work is O(total chars); nothing is doc×doc. At
+    * the exchange by DISTINCT windows, not positions — a groupBy on
+    * the window string for its distinct-doc degree (partial aggregation
+    * absorbs a degenerate hot window map-side; a count-over-window here
+    * would pin the hot window's whole partition on one task, and AQE
+    * skew handling does not split window partitions), a semi-join back,
+    * then a per-doc sum. Σ work is O(total chars); nothing is doc×doc. At
     * 100 TB the shuffle key would be an 8-byte rolling hash of the
     * window (collision-checked on the survivors) instead of the raw
     * 40-char string — 5× less exchange payload; the raw string here
@@ -819,9 +822,12 @@ object Dedup {
     val grams = docs(spark, dir)
       .select($"doc_id", explode(expr(windowArraySql)).as("w"))
     val perDoc = grams.groupBy($"w", $"doc_id").agg(count(lit(1)).as("cnt"))
+    // degree via agg + semi-join (q106's shape): rows of the (w, doc)
+    // pre-agg per w == distinct docs containing w
+    val dupW = perDoc.groupBy($"w").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2).select($"w")
     val dupPerDoc = perDoc
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy($"w")))
-      .filter($"nd" >= 2)
+      .join(dupW, Seq("w"), "left_semi")
       .groupBy($"doc_id").agg(sum($"cnt").as("dup_windows"))
     base
       .join(dupPerDoc, Seq("doc_id"), "left")
@@ -881,10 +887,21 @@ object Dedup {
   private[graft] def windowIndex(spark: SparkSession, dir: String)
       : DataFrame = {
     val key = graft.Tables.fileFingerprint(spark, s"$dir/documents.parquet")
-    graft.sources.ArtifactStore.readOrPublish(spark, s"$indexBase/win-$key")(
+    // the key folds in every parameter the artifact's VALUE depends on
+    // (window width, delta-split fraction) so changing either can never
+    // silently reuse a stale persisted index across JVM runs
+    graft.sources.ArtifactStore.readOrPublish(
+      spark, s"$indexBase/win$WindowChars-p$DeltaPermille-$key")(
       distinctWindowsOf(docs(spark, dir)
-        .filter(!(TextOps.uniformKeyOf(col("doc_id")) < lit(0.1)))))
+        .filter(!(TextOps.uniformKeyOf(col("doc_id")) < DeltaFracLit))))
   }
+
+  /** Fresh-batch split fraction shared by the delta family (q107 and
+    * [[windowIndex]]'s standing-corpus complement), expressed once so
+    * the artifact key and both filters can never drift apart. */
+  private[graft] val DeltaFrac = 0.1
+  private[graft] val DeltaPermille: Int = (DeltaFrac * 1000).round.toInt
+  private[graft] def DeltaFracLit = lit(DeltaFrac)
 
   /** Distinct K-char windows of any documents frame — the probe-set
     * builder behind [[windowIndex]] and the streaming scorer's
@@ -903,7 +920,8 @@ object Dedup {
     * when it occurs verbatim anywhere in the standing corpus. */
   def q107DeltaWindowMass(spark: SparkSession, dir: String): DataFrame =
     massAgainstWindowIndex(
-      docs(spark, dir).filter(TextOps.uniformKeyOf(col("doc_id")) < lit(0.1)),
+      docs(spark, dir)
+        .filter(TextOps.uniformKeyOf(col("doc_id")) < DeltaFracLit),
       windowIndex(spark, dir))
       .orderBy(col("doc_id"))
 
@@ -944,9 +962,11 @@ object Dedup {
     val grams = docs(spark, dir)
       .select($"doc_id", explode(WindowHash61.windowHash61($"text")).as("h"))
     val perDoc = grams.groupBy($"h", $"doc_id").agg(count(lit(1)).as("cnt"))
+    // same de-skewed degree shape as q105: agg + semi-join, no window
+    val dupH = perDoc.groupBy($"h").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2).select($"h")
     val dupPerDoc = perDoc
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy($"h")))
-      .filter($"nd" >= 2)
+      .join(dupH, Seq("h"), "left_semi")
       .groupBy($"doc_id").agg(sum($"cnt").as("dup_windows"))
     base
       .join(dupPerDoc, Seq("doc_id"), "left")

@@ -77,9 +77,13 @@ object Multimodal {
       * not an exception, at 100 TB). */
     def decode(docId: Long, bytes: Array[Byte], gridW: Int, gridH: Int)
         : DecodedImage = {
+      // javax.imageio codecs throw RuntimeExceptions (CMMException,
+      // ArrayIndexOutOfBoundsException, NegativeArraySizeException) on
+      // some malformed payloads — corrupt media must stay data, so
+      // anything non-fatal maps to the ok=false row, not a task failure.
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null)
         DecodedImage(docId, ok = false, 0, 0, 0L, Array.empty)
       else {

@@ -495,7 +495,12 @@ class DedupSpec extends SparkSpec {
       "the quick brown fox jumps over the lazy dog and then naps quietly",
       "a" * 40,                       // exactly one window
       "a" * 39,                       // one short of a window → empty
-      "züricher straße — ünïcodé padded out to well over forty characters total")
+      "züricher straße — ünïcodé padded out to well over forty characters total",
+      // 4-byte UTF-8 (surrogate pairs in UTF-16): the byte-walking
+      // decoder must count 🚀/𝔘-class code points as ONE unit, exactly
+      // like String.codePoints() did — both admitted and departing
+      "🚀🎉 emoji-prefixed body that keeps going with ascii to exceed forty chars",
+      "mid-string astral 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝕤𝕪𝕞𝕓𝕠𝕝𝕤 surrounded by enough ascii to roll windows")
     import spark.implicits._
     val got = samples.toDF("text")
       .select(WindowHash61.windowHash61($"text").as("h"))

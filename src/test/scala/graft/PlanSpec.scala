@@ -456,10 +456,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q105/q106: window explode combines map-side; all joins and windows keyed") {
-    for (fn <- Seq(
-        graft.queries.Dedup.q105DupWindowMass _,
-        graft.queries.Dedup.q106DupSpanCoverage _,
-        graft.queries.Dedup.q108HashedWindowMass _)) {
+    for ((fn, name) <- Seq(
+        (graft.queries.Dedup.q105DupWindowMass _, "q105"),
+        (graft.queries.Dedup.q106DupSpanCoverage _, "q106"),
+        (graft.queries.Dedup.q108HashedWindowMass _, "q108"))) {
       val df = fn(spark, sfDir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
@@ -474,9 +474,28 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
         s"unkeyed join in:\n$plan")
-      // no scale-killers: the only windows are keyed (by w / doc_id)
-      assert(!plan.contains("windowspecdefinition()"),
-        s"unpartitioned window in:\n$plan")
+      // no scale-killers: EVERY window spec must be partitioned by a
+      // real column (w / h / doc_id). Checking for the literal
+      // `windowspecdefinition()` only catches a spec with neither
+      // partitioning nor ordering — an unpartitioned-but-ordered
+      // global window (the actual single-task shape) renders as
+      // `windowspecdefinition(col ASC …)`, so assert the first token
+      // after the paren is a partition column reference.
+      val winSpec = raw"windowspecdefinition\((w|h|doc_id)#".r
+      val anySpec = raw"windowspecdefinition\(".r
+      assert(anySpec.findAllIn(plan).size == winSpec.findAllIn(plan).size,
+        s"window spec not partitioned by w/h/doc_id in:\n$plan")
+      // q105/q108 de-skew pin: the distinct-doc degree comes from a
+      // partial-aggregating groupBy + semi-join, never from a window
+      // over the shared key w/h — a degenerate hot window (a license
+      // block in millions of docs) would pin that window's whole
+      // partition on ONE task, and AQE does not split window partitions
+      if (name != "q106") {
+        assert(!plan.contains("windowspecdefinition"),
+          s"$name must not compute degree via a window over w/h:\n$plan")
+        assert(plan.contains("LeftSemi"),
+          s"$name degree filter should semi-join back:\n$plan")
+      }
     }
   }
 }

@@ -88,11 +88,19 @@ class SimilaritySpec extends SparkSpec {
     val ivf = Similarity.q23IvfAnn(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    // embeddings are near-uniform random, so cells are uninformative —
-    // probing 2 of 10 cells bounds recall near 0.2; assert the machinery
-    // finds a nontrivial overlap and full output shape
     assert(ivf.size == brute.size)
-    assert(recall > 0.05, s"recall $recall suspiciously low")
+    // q23 is no_oracle by design, so this band IS its correctness gate.
+    // Derivation: a garbage quantizer (uniform-random cell assignment)
+    // makes probing nprobe=2 of nCells=10 cells a blind 0.2 sample of
+    // each query's true top-k — recall ≈ 0.2 is the broken floor. A
+    // WORKING quantizer does much better even on near-uniform data,
+    // because a query's nearest neighbors share its direction and so
+    // tend to share its nearest (probed) centroid: measured recall on
+    // this corpus is ≈ 0.52. Probing every cell (a broken nprobe) would
+    // push recall toward 1.0. Band [0.30, 0.85] fails both failure
+    // modes with margin for testdata-regeneration noise around 0.52.
+    assert(recall >= 0.30 && recall <= 0.85,
+      s"recall $recall outside the working-quantizer band [0.30, 0.85]")
   }
 
   test("q68 purity equals a driver-side recomputation from the assignment") {
