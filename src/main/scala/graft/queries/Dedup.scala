@@ -974,6 +974,115 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // --------------------------------------------------------------- q113
+  /** Incremental maintenance of the verbatim-window index over a
+    * VERSIONED corpus — the composition the artifact layer was missing:
+    * every content-addressed index so far was rebuilt from scratch per
+    * corpus version, which at 100 TB with a daily ingest is a full
+    * corpus re-scan per day. Here `index(v) = merge(index(v−1),
+    * windows(delta v−1→v))`: the maintenance pass reads the PREVIOUS
+    * index artifact plus the new version's change table only — the
+    * corpus itself is never re-scanned (asserted file-exact and
+    * bytes-measured in the spec). Cost per version is
+    * O(|index| + |delta windows|) exchange instead of
+    * O(40 × corpus chars) re-explode + re-distinct; persisting the
+    * artifact bucketed by window hash would drop the standing side's
+    * exchange too (plain parquet here — the merge is already ≪ a
+    * rebuild). Set semantics are additive: an append-only ingest, the
+    * versioned-lake posture ([[graft.sources.Versioned]]); removals
+    * would need tombstones in the change table.
+    *
+    * The oracle proves VALUE-IDENTITY with the from-scratch build: it
+    * computes the distinct-window digest directly from the full corpus
+    * — the incremental path must land on exactly that set.
+    * Economics tie-in: the reference's idempotent re-run
+    * (etl/03_transform_and_load.py:134-156) exists to not redo work on
+    * re-ingest; this is that idea applied to derived indexes. */
+  def q113IncrWindowIndex(spark: SparkSession, dir: String): DataFrame = {
+    val base = versionedCorpus(spark, dir)
+    windowIndexAt(spark, base, 1L) // ensure v1's artifact exists (cached)
+    val idx = windowIndexAt(spark, base, 2L) // the incremental merge
+    // digest over the md5-prefix long of each window — the same
+    // engine-neutral key family as q109/q112, so DuckDB replays it
+    // exactly; all BIGINT (hk < 2^32, |index| ≪ 2^31 ⇒ sum < 2^63)
+    val hk = conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+    idx.select(hk.as("hk"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(col("hk")).as("sum_hk"),
+        min(col("hk")).as("min_hk"),
+        max(col("hk")).as("max_hk"))
+  }
+
+  /** Scratch versioned lake derived from the corpus by the standard
+    * md5-uniform split: v1 = the standing (1−[[DeltaFrac]]) corpus,
+    * v2 = the full corpus, each published WITH its change table
+    * (`documents_delta` = the docs new in that version) — the
+    * change-data-feed contract an ingest pipeline provides for free,
+    * and what lets index maintenance read delta bytes only.
+    * Content-addressed by the corpus fingerprint, so a regenerated
+    * corpus gets a fresh lake and re-runs are idempotent (version
+    * already committed ⇒ publish skipped; the claim protocol makes a
+    * genuine race fail loudly rather than corrupt). */
+  private[graft] def versionedCorpus(spark: SparkSession, dir: String)
+      : String = {
+    import graft.sources.Versioned
+    val key = graft.Tables.fileFingerprint(spark, s"$dir/documents.parquet")
+    val base = s"$indexBase/lake-win$WindowChars-p$DeltaPermille-$key"
+    val all = docs(spark, dir)
+    val fresh = TextOps.uniformKeyOf(col("doc_id")) < DeltaFracLit
+    if (Versioned.currentVersion(spark, base).isEmpty)
+      Versioned.publish(spark, base, Seq(
+        Versioned.TableSpec("documents", all.filter(!fresh)),
+        Versioned.TableSpec("documents_delta", all.filter(!fresh))))
+    if (Versioned.currentVersion(spark, base).contains(1L))
+      Versioned.publish(spark, base, Seq(
+        Versioned.TableSpec("documents", all),
+        Versioned.TableSpec("documents_delta", all.filter(fresh))))
+    base
+  }
+
+  /** Artifact path for the window index of lake version `v` — the lake
+    * base is already corpus-fingerprinted and parameter-keyed, so
+    * appending the (immutable once committed) version number keeps the
+    * whole family content-addressed. */
+  private[graft] def windowIndexArtifact(lakeBase: String, v: Long): String =
+    s"$lakeBase-idx-v$v"
+
+  /** The distinct-window index of the lake's documents AT version `v`,
+    * incrementally maintained ([[q113IncrWindowIndex]]'s engine). */
+  private[graft] def windowIndexAt(spark: SparkSession, lakeBase: String,
+      v: Long): DataFrame =
+    graft.sources.ArtifactStore.readOrPublish(
+      spark, windowIndexArtifact(lakeBase, v))(
+      incrementalWindowFrame(spark, lakeBase, v))
+
+  /** The un-persisted maintenance frame behind [[windowIndexAt]]:
+    * previous artifact present ⇒ merge it with the delta table's
+    * windows; absent ⇒ full build from the version's corpus. Exposed
+    * separately so the spec can assert exactly WHICH FILES the
+    * incremental path reads (prev artifact + delta, never the
+    * corpus). */
+  private[graft] def incrementalWindowFrame(spark: SparkSession,
+      lakeBase: String, v: Long): DataFrame = {
+    import graft.sources.{ArtifactStore, Versioned}
+    ArtifactStore.readIfPresent(spark, windowIndexArtifact(lakeBase, v - 1))
+      match {
+        // merge branch needs BOTH the prior artifact and a published
+        // change table — a version published without its delta (or a
+        // gap in the artifact chain) falls back to the full build
+        // rather than silently under-indexing
+        case Some(prev)
+            if Versioned.tableExists(spark, lakeBase, "documents_delta", v) =>
+          prev
+            .union(distinctWindowsOf(
+              Versioned.readAt(spark, lakeBase, "documents_delta", v)))
+            .distinct()
+        case _ => distinctWindowsOf(
+          Versioned.readAt(spark, lakeBase, "documents", v))
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_minhash_lsh"   -> (q18MinhashLsh _),
     "q19_simhash"       -> (q19Simhash _),
@@ -995,7 +1104,8 @@ object Dedup {
     "q105_dup_window_mass" -> (q105DupWindowMass _),
     "q106_dup_span_coverage" -> (q106DupSpanCoverage _),
     "q107_delta_window_mass" -> (q107DeltaWindowMass _),
-    "q108_hashed_window_mass" -> (q108HashedWindowMass _))
+    "q108_hashed_window_mass" -> (q108HashedWindowMass _),
+    "q113_incr_window_index" -> (q113IncrWindowIndex _))
 
   private val mhSelect = (0 until NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> md5('$i#' || x))) AS mh$i").mkString(",\n |  ")
@@ -1494,5 +1604,27 @@ object Dedup {
         | CAST(greatest(length(d.text) - 39, 0) AS BIGINT) AS n_windows,
         | CAST(coalesce(dp.dup_windows, 0) AS BIGINT) AS dup_windows
         |FROM documents d LEFT JOIN dp USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // q113: the oracle IS the from-scratch definition — the distinct-
+    // window digest computed directly over the FULL corpus. The Spark
+    // side arrives at the same set via index(2) = merge(index(1),
+    // windows(delta)), so hash equality here proves the incremental
+    // maintenance is value-identical to a full rebuild. hk is the
+    // md5-prefix long (q109/q112's engine-neutral key family).
+    "q113_incr_window_index" ->
+      """WITH w AS (
+        | SELECT DISTINCT unnest(list_transform(
+        |   range(1, greatest(length(text) - 39, 0) + 1),
+        |   i -> substr(text, i, 40))) AS w
+        | FROM documents),
+        |h AS (
+        | SELECT CAST(list_sum(list_transform(range(1, 9),
+        |   i -> (strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1)
+        |        * (1::BIGINT << (4 * (8 - i))))) AS BIGINT) AS hk
+        | FROM w)
+        |SELECT CAST(count(*) AS BIGINT) AS n_windows,
+        | CAST(sum(hk) AS BIGINT) AS sum_hk,
+        | CAST(min(hk) AS BIGINT) AS min_hk,
+        | CAST(max(hk) AS BIGINT) AS max_hk
+        |FROM h""".stripMargin)
 }

@@ -19,6 +19,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object ArtifactStore {
 
+  /** The artifact at `out`, if a completed publish exists there —
+    * never builds. The probe incremental maintenance runs against its
+    * previous version ([[graft.queries.Dedup.windowIndexAt]]): a
+    * present predecessor means merge-the-delta, an absent one means
+    * full build. */
+  def readIfPresent(spark: SparkSession, out: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val outPath = new Path(out)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(outPath, "_SUCCESS")))
+      Some(spark.read.parquet(out))
+    else None
+  }
+
   /** Read the table at `out`, building and atomically publishing it
     * first when absent. `build` is evaluated only on a miss. */
   def readOrPublish(spark: SparkSession, out: String)

@@ -94,6 +94,17 @@ object Versioned {
     spark.read.parquet(new Path(versionDir(b, version), table).toString)
   }
 
+  /** Whether `table` was published (with a completed write) at
+    * `version` — publishes declare their table set, so an optional
+    * table (e.g. a change-data table) is probed, not assumed. */
+  def tableExists(spark: SparkSession, base: String, table: String,
+      version: Long): Boolean = {
+    val b = new Path(base)
+    val f = fs(spark, b)
+    f.exists(new Path(markerDir(b), fmt(version))) &&
+      f.exists(new Path(new Path(versionDir(b, version), table), "_SUCCESS"))
+  }
+
   /** All committed versions still on disk, ascending. */
   def listVersions(spark: SparkSession, base: String): Seq[Long] = {
     val b = new Path(base)

@@ -517,6 +517,74 @@ class DedupSpec extends SparkSpec {
     assert(viaSql == ref(samples(1)))
   }
 
+  test("q113: incremental index ≡ from-scratch; maintenance reads index+delta only") {
+    val base = Dedup.versionedCorpus(spark, sfDir)
+    Dedup.windowIndexAt(spark, base, 1L) // v1 first, as q113 does —
+    // without it the v2 maintenance correctly falls back to full build
+    // value identity: the incrementally-maintained v2 index (merge of
+    // v1's artifact with the delta's windows) is EXACTLY the distinct
+    // windows of the full corpus — both set-difference directions empty
+    val incr = Dedup.windowIndexAt(spark, base, 2L)
+    val full = Dedup.distinctWindowsOf(Tables(spark, sfDir, "documents"))
+    assert(incr.exceptAll(full).count() == 0, "incremental has extra windows")
+    assert(full.exceptAll(incr).count() == 0, "incremental lost windows")
+    // ... and the incremental path took the merge branch, not a silent
+    // full rebuild: v1's artifact must exist before v2's frame is built
+    assert(graft.sources.ArtifactStore
+      .readIfPresent(spark, Dedup.windowIndexArtifact(base, 1L)).nonEmpty)
+
+    // file-exact: the maintenance frame reads ONLY the previous
+    // artifact and the v2 change table — never v2's corpus
+    val frame = Dedup.incrementalWindowFrame(spark, base, 2L)
+    val files = frame.inputFiles
+    val prevArt = Dedup.windowIndexArtifact(base, 1L)
+    assert(files.nonEmpty)
+    val stray = files.filterNot(f =>
+      f.contains(prevArt) || f.contains("/v2/documents_delta/"))
+    assert(stray.isEmpty, s"incremental path reads beyond index+delta: " +
+      s"${stray.take(3).mkString(", ")}")
+    assert(!files.exists(_.contains("/v2/documents/")),
+      "incremental path re-scans the corpus")
+
+    // bytes-measured (the Scale-harness assertion, not just plan
+    // shape): input traffic of materializing the maintenance frame is
+    // explained by prev-index + delta sizes alone. Slack covers parquet
+    // footer re-reads; suites run sequentially in the forked test JVM,
+    // so no foreign stages pollute the listener.
+    def dirBytes(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf())
+        .getContentSummary(hp).getLength
+    }
+    val budget = dirBytes(prevArt) + dirBytes(s"$base/v2/documents_delta")
+    val read = new java.util.concurrent.atomic.LongAdder
+    val seen = new java.util.concurrent.atomic.LongAdder
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        seen.increment()
+        val m = s.stageInfo.taskMetrics
+        if (m != null) read.add(m.inputMetrics.bytesRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try frame.write.format("noop").mode("overwrite").save()
+    finally {
+      var stable = 0; var last = -1L; var polls = 0
+      while (stable < 2 && polls < 50) {
+        Thread.sleep(100)
+        val now = seen.sum
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        polls += 1
+      }
+      spark.sparkContext.removeSparkListener(l)
+    }
+    assert(read.sum > 0, "listener saw no input — measurement broken")
+    assert(read.sum <= budget * 3 / 2 + (1L << 20),
+      s"incremental maintenance read ${read.sum} bytes; " +
+        s"index+delta budget is $budget")
+  }
+
   test("q108: hashed window mass ≡ q105 raw-string mass (collision-free corpus)") {
     val raw = Dedup.q105DupWindowMass(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

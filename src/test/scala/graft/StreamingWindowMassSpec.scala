@@ -34,6 +34,68 @@ class StreamingWindowMassSpec extends SparkSpec {
       "no overlap scored — fixture is vacuous")
   }
 
+  test("versioned scorer: a corpus publish changes scoring for later batches only") {
+    import graft.sources.Versioned
+    val lake = Files.createTempDirectory("graft-wm-lake").toString + "/lake"
+    val in = Files.createTempDirectory("graft-wm-vin").toString + "/docs"
+    val out = Files.createTempDirectory("graft-wm-vout").toString
+    val textA = "alpha corpus passage long enough to roll several full " +
+      "windows of forty characters through the hash"
+    val textB = "beta corpus passage that is absent at first and becomes " +
+      "standing corpus only at version two of the lake"
+
+    // v1: the lake knows only textA (delta = everything, first publish)
+    val v1docs = Seq((100L, textA)).toDF("doc_id", "text")
+    Versioned.publish(spark, lake, Seq(
+      Versioned.TableSpec("documents", v1docs),
+      Versioned.TableSpec("documents_delta", v1docs)))
+
+    // batch 1: one doc duplicating textA, one duplicating textB
+    Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val q1 = StreamingWindowMass.startVersioned(spark, in, out, schema, lake)
+    try q1.awaitTermination(120000) finally q1.stop()
+
+    // the ingest pipeline publishes v2 adding textB, with textB as the
+    // version's change table — exactly what the incremental index
+    // maintenance consumes
+    Versioned.publish(spark, lake, Seq(
+      Versioned.TableSpec("documents", Seq((100L, textA), (200L, textB))
+        .toDF("doc_id", "text")),
+      Versioned.TableSpec("documents_delta",
+        Seq((200L, textB)).toDF("doc_id", "text"))))
+
+    // batch 2: the same two texts under fresh ids, scored after the
+    // publish (same checkpoint — the restarted AvailableNow run picks
+    // up only the new file; the per-batch version probe is the same
+    // code path a long-running trigger takes between batches)
+    Seq((3L, textA), (4L, textB)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    val q2 = StreamingWindowMass.startVersioned(spark, in, out, schema, lake)
+    try q2.awaitTermination(120000) finally q2.stop()
+
+    val scored = StreamingWindowMass.readSink(spark, out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // batch 1, scored under v1: textA fully duplicated, textB unknown
+    assert(scored(1L)._2 > 0, s"textA must overlap v1: ${scored(1L)}")
+    assert(scored(2L)._2 == 0, s"textB unknown at v1: ${scored(2L)}")
+    // batch 2, scored under v2: textB is now standing corpus — the
+    // publish changed scoring for the SUBSEQUENT batch...
+    assert(scored(3L)._2 > 0, s"textA must still overlap at v2: ${scored(3L)}")
+    assert(scored(4L)._2 == scored(4L)._1,
+      s"textB must be fully duplicated at v2: ${scored(4L)}")
+    // ...and ONLY the subsequent batch: batch 1's ledger rows kept
+    // their v1 scores (doc 2 still reads 0)
+    assert(scored(2L)._2 == 0, "a later publish must not rewrite history")
+    // the v2 index came from the incremental chain: both version
+    // artifacts exist (v1 full-built, v2 merged from v1 + delta)
+    assert(graft.sources.ArtifactStore.readIfPresent(
+      spark, Dedup.windowIndexArtifact(lake, 1L)).nonEmpty)
+    assert(graft.sources.ArtifactStore.readIfPresent(
+      spark, Dedup.windowIndexArtifact(lake, 2L)).nonEmpty)
+  }
+
   test("redelivering a batchId overwrites, never duplicates, its scores") {
     val out = Files.createTempDirectory("graft-wm-replay").toString
     val pad = ("the quick brown fox jumps over one lazy dog and then naps " * 2)
