@@ -141,6 +141,99 @@ object Multimodal {
         concat_ws(",", transform(col("grid"), _.cast("string"))).as("grid"))
   }
 
+  /** REAL audio decode — `javax.sound.sampled` ships WAV/AIFF/AU
+    * parsers in the JDK, so like [[ImageDecoder]] this path needs no
+    * external library. Same seam, same contract: per-partition init,
+    * batch iteration, corrupt payloads as ok=false DATA rows (the
+    * javax.sound parsers throw `UnsupportedAudioFileException`,
+    * `IOException`, and assorted RuntimeExceptions on malformed
+    * headers — all non-fatal throws map to the failure row). Sample
+    * stats are integer-accumulated over the decoded PCM frames, so a
+    * lossless payload yields bit-exact sums a spec can assert against
+    * the planted samples. */
+  object AudioDecoder {
+    final case class DecodedAudio(
+        doc_id: Long,
+        ok: Boolean,
+        channels: Int,
+        sample_rate: Int,   // Hz, truncated — WAV stores it integral
+        n_frames: Long,     // sample frames actually decoded
+        sample_sum: Long,   // Σ signed sample values over all channels
+        sample_min: Long,
+        sample_max: Long)
+
+    private def failed(docId: Long) =
+      DecodedAudio(docId, ok = false, 0, 0, 0L, 0L, 0L, 0L)
+
+    /** Decode one payload. Non-PCM encodings (μ-law, a-law) are routed
+      * through the JDK's own converter to 16-bit signed PCM first, so
+      * the stats are always over linear samples. */
+    def decode(docId: Long, bytes: Array[Byte]): DecodedAudio = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      try {
+        val raw = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = raw.getFormat
+        val pcm =
+          if (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED) raw
+          else AudioSystem.getAudioInputStream(
+            AudioFormat.Encoding.PCM_SIGNED, raw)
+        val f = pcm.getFormat
+        val channels = f.getChannels
+        val bytesPerSample = (f.getSampleSizeInBits + 7) / 8
+        if (bytesPerSample < 1 || bytesPerSample > 2) return failed(docId)
+        val big = f.isBigEndian
+        val frameBytes = bytesPerSample * channels
+        val buf = new Array[Byte](frameBytes * 1024)
+        var sum = 0L
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        var frames = 0L
+        var read = pcm.read(buf)
+        while (read > 0) {
+          // a read may end mid-frame only at EOF of a truncated
+          // payload; whole samples only
+          val usable = read - (read % bytesPerSample)
+          var i = 0
+          while (i < usable) {
+            val s: Int =
+              if (bytesPerSample == 1) buf(i).toInt // PCM_SIGNED 8-bit
+              else if (big) (buf(i) << 8) | (buf(i + 1) & 0xff)
+              else (buf(i + 1) << 8) | (buf(i) & 0xff)
+            sum += s
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            i += bytesPerSample
+          }
+          frames += usable / frameBytes
+          read = pcm.read(buf)
+        }
+        if (frames == 0L) failed(docId)
+        else DecodedAudio(docId, ok = true, channels,
+          f.getSampleRate.toInt, frames, sum, mn, mx)
+      } catch { case scala.util.control.NonFatal(_) => failed(docId) }
+    }
+  }
+
+  /** Decode a (doc_id, payload) dataset of real audio clips into
+    * format metadata + exact signed-sample stats — the audio
+    * counterpart of [[decodeImages]], riding the identical
+    * `mapPartitions` seam (decode failure is data, not a task
+    * failure). */
+  def decodeAudio(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads
+      .mapPartitions { it =>
+        // per-partition init hook: javax.sound providers are located
+        // via a ServiceLoader scan on first use — forcing it here once
+        // per partition keeps the per-row path scan-free (a JNI codec
+        // would load its native lib in this slot)
+        javax.sound.sampled.AudioSystem.getAudioFileTypes()
+        it.map { case (id, bytes) => AudioDecoder.decode(id, bytes) }
+      }
+      .toDF()
+  }
+
   /** Documents with the text re-encoded as a binary payload column +
     * metadata — the storage schema for media at scale (payload stays
     * opaque/columnar; metadata is prunable without touching bytes). */

@@ -67,6 +67,62 @@ class MultimodalSpec extends SparkSpec {
       s"uniform gray-128 JPEG decoded to mean $meanGray")
   }
 
+  test("real decoder: planted WAV decodes with exact sample stats") {
+    // the WAV is HAND-ROLLED (canonical 44-byte RIFF header + PCM
+    // 16-bit LE data) so the fixture is independent of the javax.sound
+    // WRITER — the decoder under test parses bytes we constructed from
+    // the spec of the format, not bytes its own library produced.
+    def wav(samples: Seq[Int], channels: Int, rate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * 2) // byte rate
+        .putShort((channels * 2).toShort) // block align
+        .putShort(16) // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    // mono: samples 0..999 → sum 499500; stereo: ±k pairs → sum 0,
+    // 300 frames from 600 samples; includes negative values so the
+    // sign handling of the little-endian 16-bit read is exercised
+    val mono = wav(0 until 1000, channels = 1, rate = 8000)
+    val stereo = wav((1 to 300).flatMap(k => Seq(k, -k)),
+      channels = 2, rate = 44100)
+    val rows = Multimodal.decodeAudio(Seq(
+      (1L, mono), (2L, stereo),
+      (3L, "definitely not audio bytes".getBytes("UTF-8"))).toDS())
+      .orderBy("doc_id").collect()
+
+    val m = rows(0)
+    assert(m.getAs[Boolean]("ok"))
+    assert(m.getAs[Int]("channels") == 1)
+    assert(m.getAs[Int]("sample_rate") == 8000)
+    assert(m.getAs[Long]("n_frames") == 1000L)
+    assert(m.getAs[Long]("sample_sum") == 499500L)
+    assert(m.getAs[Long]("sample_min") == 0L)
+    assert(m.getAs[Long]("sample_max") == 999L)
+
+    val s = rows(1)
+    assert(s.getAs[Boolean]("ok"))
+    assert(s.getAs[Int]("channels") == 2)
+    assert(s.getAs[Int]("sample_rate") == 44100)
+    assert(s.getAs[Long]("n_frames") == 300L)
+    assert(s.getAs[Long]("sample_sum") == 0L)
+    assert(s.getAs[Long]("sample_min") == -300L)
+    assert(s.getAs[Long]("sample_max") == 300L)
+
+    // corrupt payload is DATA (ok=false row), not a task failure
+    val bad = rows(2)
+    assert(!bad.getAs[Boolean]("ok"))
+    assert(bad.getAs[Long]("n_frames") == 0L)
+  }
+
   test("stub decode is deterministic and batch-shaped") {
     val a = Multimodal.q25MultimodalFeatures(spark, sfDir).collect()
     val b = Multimodal.q25MultimodalFeatures(spark, sfDir).collect()
