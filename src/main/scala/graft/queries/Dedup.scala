@@ -1083,6 +1083,55 @@ object Dedup {
       }
   }
 
+  // --------------------------------------------------------------- q114
+  /** Incremental maintenance of the SIGNATURE index — [[q113IncrWindowIndex]]'s
+    * pattern applied to the second artifact family the r13 verdict
+    * named. Simpler than the window case because the signature table
+    * is doc-KEYED, one row per document: with an additive corpus
+    * (disjoint doc_ids per delta — the versioned-lake ingest contract)
+    * the merge is a pure APPEND, `index(v) = index(v−1) ∪
+    * signatures(delta)`, no distinct pass at all. Cost per version:
+    * the shingle→minhash→band pipeline runs over DELTA rows only
+    * (map-only, no shuffle), plus rewriting the artifact — and since
+    * nothing de-duplicates, even the rewrite could become an
+    * append-only partition add under the same index root at scale;
+    * write-once artifacts are kept here because they make version
+    * time-travel trivial. Oracle: q18's signature SQL verbatim — the
+    * from-scratch table over the full corpus, row-for-row. */
+  def q114IncrSignatureIndex(spark: SparkSession, dir: String): DataFrame = {
+    val base = versionedCorpus(spark, dir)
+    signatureIndexAt(spark, base, 1L) // v1 first — see q113
+    signatureIndexAt(spark, base, 2L).orderBy(col("doc_id"))
+  }
+
+  private[graft] def signatureIndexArtifact(lakeBase: String, v: Long)
+      : String = s"$lakeBase-sig-v$v"
+
+  /** The signature index of the lake's documents AT version `v`,
+    * incrementally maintained ([[q114IncrSignatureIndex]]'s engine). */
+  private[graft] def signatureIndexAt(spark: SparkSession, lakeBase: String,
+      v: Long): DataFrame =
+    graft.sources.ArtifactStore.readOrPublish(
+      spark, signatureIndexArtifact(lakeBase, v))(
+      incrementalSignatureFrame(spark, lakeBase, v))
+
+  /** Maintenance frame behind [[signatureIndexAt]] — append-only merge
+    * (see [[q114IncrSignatureIndex]]); same fallback discipline as
+    * [[incrementalWindowFrame]]. */
+  private[graft] def incrementalSignatureFrame(spark: SparkSession,
+      lakeBase: String, v: Long): DataFrame = {
+    import graft.sources.{ArtifactStore, Versioned}
+    ArtifactStore.readIfPresent(spark, signatureIndexArtifact(lakeBase, v - 1))
+      match {
+        case Some(prev)
+            if Versioned.tableExists(spark, lakeBase, "documents_delta", v) =>
+          prev.unionByName(minhashSignatures(
+            Versioned.readAt(spark, lakeBase, "documents_delta", v)))
+        case _ => minhashSignatures(
+          Versioned.readAt(spark, lakeBase, "documents", v))
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_minhash_lsh"   -> (q18MinhashLsh _),
     "q19_simhash"       -> (q19Simhash _),
@@ -1105,10 +1154,31 @@ object Dedup {
     "q106_dup_span_coverage" -> (q106DupSpanCoverage _),
     "q107_delta_window_mass" -> (q107DeltaWindowMass _),
     "q108_hashed_window_mass" -> (q108HashedWindowMass _),
-    "q113_incr_window_index" -> (q113IncrWindowIndex _))
+    "q113_incr_window_index" -> (q113IncrWindowIndex _),
+    "q114_incr_signature_index" -> (q114IncrSignatureIndex _))
 
   private val mhSelect = (0 until NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> md5('$i#' || x))) AS mh$i").mkString(",\n |  ")
+
+  /** The full shingle→minhash→band signature table in DuckDB — q18's
+    * oracle, shared verbatim by q114 (whose Spark side must land on
+    * exactly these rows through the incremental path). */
+  private val q18OracleSql =
+    s"""WITH w AS (
+      | SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+      |sh AS (
+      | SELECT doc_id, list_transform(range(1, len(ws) - 1),
+      |   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM w),
+      |mh AS (
+      | SELECT doc_id,
+      |  $mhSelect
+      | FROM sh)
+      |SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+      | md5(mh0 || '|' || mh1) AS band0,
+      | md5(mh2 || '|' || mh3) AS band1,
+      | md5(mh4 || '|' || mh5) AS band2,
+      | md5(mh6 || '|' || mh7) AS band3
+      |FROM mh ORDER BY doc_id""".stripMargin
 
   /** Shared CTE chain for the cluster oracles: the full q18 signature
     * pipeline → band-bucket candidate pairs → estimated-Jaccard verify
@@ -1373,22 +1443,13 @@ object Dedup {
         | JOIN sets sa ON sa.doc_id = cand.doc_a
         | JOIN sets sb ON sb.doc_id = cand.doc_b
         |ORDER BY cand.doc_a, cand.doc_b""".stripMargin,
-    "q18_minhash_lsh" ->
-      s"""WITH w AS (
-        | SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_transform(range(1, len(ws) - 1),
-        |   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM w),
-        |mh AS (
-        | SELECT doc_id,
-        |  $mhSelect
-        | FROM sh)
-        |SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
-        | md5(mh0 || '|' || mh1) AS band0,
-        | md5(mh2 || '|' || mh3) AS band1,
-        | md5(mh4 || '|' || mh5) AS band2,
-        | md5(mh6 || '|' || mh7) AS band3
-        |FROM mh ORDER BY doc_id""".stripMargin,
+    "q18_minhash_lsh" -> q18OracleSql,
+    // q114 shares q18's oracle VERBATIM: the from-scratch signature
+    // table over the full corpus. The Spark side arrives at the same
+    // rows via index(2) = append(index(1), signatures(delta)), so the
+    // row-for-row hash check proves the incremental signature
+    // maintenance is value-identical to a full rebuild.
+    "q114_incr_signature_index" -> q18OracleSql,
     // FNV-1a 64 + lane voting, exactly SimHash64.hash64: token bytes come
     // from hex(encode(tok)) (true UTF-8 octets, not codepoints); the
     // mod-2^64 multiply stays exact because h < 2^64 and the 41-bit FNV

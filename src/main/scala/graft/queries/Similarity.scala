@@ -340,6 +340,103 @@ object Similarity {
         frozenCodebook(Tables(spark, dir, "embeddings"))))
   }
 
+  // --------------------------------------------------------------- q115
+  /** Incremental maintenance of the IVF index — the THIRD artifact
+    * family from the r13 verdict's rebuild-from-scratch finding, and
+    * the one whose semantics differ: centroids come from training, so
+    * exact "incremental k-means" doesn't exist. The production vector-
+    * store pattern is assign-under-frozen-centroids: `index(v) =
+    * append(index(v−1), assign(delta, centroids))` with the centroids
+    * PINNED at the chain's origin — new vectors are assigned under the
+    * existing codebook each ingest, and retraining is an explicit full
+    * rebuild (the fallback branch here). The codebook needs no side
+    * channel: the index rows carry (q6, nrm), so the k centroid rows
+    * ride IN the previous artifact ([[codebookFromIndex]]) — the
+    * frozen-codebook discipline is self-enforcing, an artifact chain
+    * can never silently drift centroids between versions.
+    *
+    * Cost per version: one map-side argmax pass over DELTA vectors
+    * (the k-row codebook lives inside the expression — no join, no
+    * shuffle) plus the artifact rewrite; the embeddings table is
+    * never re-assigned. The oracle replays the whole contract from
+    * scratch: codebook = the standing split's vec_id<10 vectors,
+    * assignment of EVERY vector under it — hash equality proves the
+    * append path lands exactly where one global assignment would. */
+  def q115IncrIvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val base = versionedVectors(spark, dir)
+    ivfIndexAt(spark, base, 1L) // v1 first: origin of the frozen chain
+    ivfIndexAt(spark, base, 2L)
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Scratch versioned embeddings lake (q115's fixture): v1 = standing
+    * (1−0.1) split by the md5-uniform vec_id key — the SAME split
+    * q103's delta ingest uses — v2 = full, each with its
+    * `embeddings_delta` change table. Same idempotence/claim
+    * discipline as the documents lake. */
+  private[graft] def versionedVectors(spark: SparkSession, dir: String)
+      : String = {
+    import graft.sources.Versioned
+    val key = graft.Tables.fileFingerprint(spark, s"$dir/embeddings.parquet")
+    val base = s"$ivfBase/lake-$key"
+    val all = Tables(spark, dir, "embeddings")
+    val fresh = TextOps.uniformKeyOf(col("vec_id")) < lit(0.1)
+    if (Versioned.currentVersion(spark, base).isEmpty)
+      Versioned.publish(spark, base, Seq(
+        Versioned.TableSpec("embeddings", all.filter(!fresh)),
+        Versioned.TableSpec("embeddings_delta", all.filter(!fresh))))
+    if (Versioned.currentVersion(spark, base).contains(1L))
+      Versioned.publish(spark, base, Seq(
+        Versioned.TableSpec("embeddings", all),
+        Versioned.TableSpec("embeddings_delta", all.filter(fresh))))
+    base
+  }
+
+  private[graft] def ivfIndexArtifact(lakeBase: String, v: Long): String =
+    s"$lakeBase-idx-v$v"
+
+  /** The k-row codebook reconstructed from an index artifact's own
+    * rows — centroids are wherever the chain froze them. */
+  private[graft] def codebookFromIndex(idx: DataFrame, k: Int = 10)
+      : graft.functions.CentroidCodebook = {
+    val rows = idx.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("q6"), col("nrm"))
+      .orderBy("vec_id").collect() // ≤ k rows by construction
+    graft.functions.CentroidCodebook(
+      rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Long](1).toArray),
+      rows.map(_.getDouble(2)))
+  }
+
+  /** The IVF code table of the lake's embeddings AT version `v`,
+    * maintained by frozen-centroid append ([[q115IncrIvfIndex]]). */
+  private[graft] def ivfIndexAt(spark: SparkSession, lakeBase: String,
+      v: Long): DataFrame =
+    graft.sources.ArtifactStore.readOrPublish(
+      spark, ivfIndexArtifact(lakeBase, v))(
+      incrementalIvfFrame(spark, lakeBase, v))
+
+  /** Maintenance frame behind [[ivfIndexAt]]: previous artifact +
+    * change table present ⇒ assign the delta under the codebook
+    * carried by the previous artifact and append; otherwise full
+    * (re)build — which is also how a RETRAIN is expressed. */
+  private[graft] def incrementalIvfFrame(spark: SparkSession,
+      lakeBase: String, v: Long): DataFrame = {
+    import graft.sources.{ArtifactStore, Versioned}
+    ArtifactStore.readIfPresent(spark, ivfIndexArtifact(lakeBase, v - 1))
+      match {
+        case Some(prev)
+            if Versioned.tableExists(spark, lakeBase, "embeddings_delta", v) =>
+          prev.unionByName(assignCells(
+            Versioned.readAt(spark, lakeBase, "embeddings_delta", v),
+            codebookFromIndex(prev)))
+        case _ =>
+          val full = Versioned.readAt(spark, lakeBase, "embeddings", v)
+          assignCells(full, frozenCodebook(full))
+      }
+  }
+
   // --------------------------------------------------------------- q68
   /** IVF cell purity — the unsupervised-clustering quality report over
     * [[q51IvfAssign]]'s cells: per cell, how many vectors landed there
@@ -684,14 +781,17 @@ object Similarity {
     "q103_delta_embed_dedup" -> (q103DeltaEmbedDedup _),
     "q51_ivf_assign"   -> (q51IvfAssign _),
     "q68_cell_purity"  -> (q68CellPurity _),
-    "q71_label_centroids" -> (q71LabelCentroids _))
+    "q71_label_centroids" -> (q71LabelCentroids _),
+    "q115_incr_ivf_index" -> (q115IncrIvfIndex _))
 
   /** q51's deterministic assignment (k lowest-vec_id centroids, exact
     * decimal dots, argmax with highest-label tie-break) as a reusable
     * oracle CTE — shared verbatim by the q51 and q68 oracles so the
-    * assignment semantics can't drift between them. */
-  private val ivfAssignCte =
-    """WITH n AS (
+    * assignment semantics can't drift between them. The codebook
+    * predicate is a parameter so q115 can replay the SAME assignment
+    * under the standing-split codebook its frozen chain pins. */
+  private def ivfAssignCteWith(cbFilter: String): String =
+    s"""WITH n AS (
       | SELECT vec_id, embedding,
       |  sqrt(CAST(list_sum(list_transform(range(1, len(embedding)+1),
       |    i -> CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)) AS nrm
@@ -701,12 +801,14 @@ object Similarity {
       |  CAST(list_sum(list_transform(range(1, len(v.embedding)+1),
       |    i -> CAST(CAST(v.embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)
       |   / (v.nrm * c.nrm) AS cosine
-      | FROM n v JOIN n c ON c.vec_id < 10),
+      | FROM n v JOIN n c ON $cbFilter),
       |r AS (
       | SELECT vec_id, c_label, cosine,
       |  ROW_NUMBER() OVER (PARTITION BY vec_id
       |    ORDER BY cosine DESC, c_label DESC) AS rn
       | FROM p)""".stripMargin
+
+  private val ivfAssignCte = ivfAssignCteWith("c.vec_id < 10")
 
   /** Per-subspace exact squared-L2 term for the q80 oracle: the diff
     * expression is written twice (squared) because DuckDB lambdas
@@ -946,6 +1048,15 @@ object Similarity {
     "q51_ivf_assign" -> (ivfAssignCte + "\n" +
       """SELECT vec_id, CAST(c_label AS BIGINT) AS cell,
         | round(cosine, 9) AS cosine
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    // q115: the from-scratch replay of the frozen-centroid contract —
+    // codebook restricted to the STANDING split's vec_id<10 vectors
+    // (what v1 froze), every vector assigned under it. Hash equality
+    // proves append(assign(delta, frozen)) ≡ one global assignment.
+    "q115_incr_ivf_index" -> (ivfAssignCteWith(
+      s"c.vec_id < 10 AND (${TextOps.md5UniformSql("c.vec_id")}) >= 0.1") +
+      "\n" +
+      """SELECT vec_id, CAST(c_label AS BIGINT) AS cell
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
     // q103: the shared assignment CTE, the md5-uniform delta split
     // (TextOps.md5UniformSql — the ONE definition), cell occupancy of

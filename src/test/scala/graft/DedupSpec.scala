@@ -585,6 +585,29 @@ class DedupSpec extends SparkSpec {
         s"index+delta budget is $budget")
   }
 
+  test("q114: incremental signature index ≡ full rebuild; append reads delta only") {
+    val base = Dedup.versionedCorpus(spark, sfDir)
+    Dedup.signatureIndexAt(spark, base, 1L) // v1 first, as q114 does
+    // value identity at row granularity: the incrementally-appended v2
+    // signature table equals the from-scratch pipeline over the corpus
+    val incr = Dedup.signatureIndexAt(spark, base, 2L)
+    val full = Dedup.minhashSignatures(
+      Tables(spark, sfDir, "documents").select($"doc_id", $"text"))
+    assert(incr.exceptAll(full).count() == 0, "incremental has extra rows")
+    assert(full.exceptAll(incr).count() == 0, "incremental lost rows")
+    // file-exact: the maintenance frame reads ONLY the previous
+    // artifact and the change table — the corpus is never re-signed
+    val frame = Dedup.incrementalSignatureFrame(spark, base, 2L)
+    val prevArt = Dedup.signatureIndexArtifact(base, 1L)
+    val stray = frame.inputFiles.filterNot(f =>
+      f.contains(prevArt) || f.contains("/v2/documents_delta/"))
+    assert(frame.inputFiles.nonEmpty && stray.isEmpty,
+      s"signature maintenance reads beyond index+delta: " +
+        s"${stray.take(3).mkString(", ")}")
+    assert(!frame.inputFiles.exists(_.contains("/v2/documents/")),
+      "signature maintenance re-scans the corpus")
+  }
+
   test("q108: hashed window mass ≡ q105 raw-string mass (collision-free corpus)") {
     val raw = Dedup.q105DupWindowMass(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

@@ -103,6 +103,38 @@ class SimilaritySpec extends SparkSpec {
       s"recall $recall outside the working-quantizer band [0.30, 0.85]")
   }
 
+  test("q115: frozen-centroid append ≡ global assignment; reads index+delta only") {
+    import graft.queries.Similarity
+    val base = Similarity.versionedVectors(spark, sfDir)
+    Similarity.ivfIndexAt(spark, base, 1L) // chain origin
+    val incr = Similarity.ivfIndexAt(spark, base, 2L)
+    // value identity: appending the delta's frozen-codebook assignments
+    // equals assigning the WHOLE corpus under the same codebook
+    val cb = Similarity.codebookFromIndex(Similarity.ivfIndexAt(spark, base, 1L))
+    val full = Similarity.assignCells(Tables(spark, sfDir, "embeddings"), cb)
+    assert(incr.exceptAll(full).count() == 0 && full.exceptAll(incr).count() == 0,
+      "frozen-centroid append diverged from a global assignment")
+    // the codebook the chain carries is exactly the STANDING split's
+    // vec_id<10 rows — a delta centroid sneaking in (or a standing one
+    // dropping out) would break the freeze
+    val standingIds = graft.sources.Versioned
+      .readAt(spark, base, "embeddings", 1L)
+      .filter(col("vec_id") < 10).select("vec_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(cb.labels.toSeq == standingIds.toSeq,
+      s"codebook ${cb.labels.toSeq} != standing<10 ${standingIds.toSeq}")
+    // file-exact: maintenance reads the previous artifact + the change
+    // table, never the lake's embeddings table
+    val frame = Similarity.incrementalIvfFrame(spark, base, 2L)
+    val prevArt = Similarity.ivfIndexArtifact(base, 1L)
+    val stray = frame.inputFiles.filterNot(f =>
+      f.contains(prevArt) || f.contains("/v2/embeddings_delta/"))
+    assert(frame.inputFiles.nonEmpty && stray.isEmpty,
+      s"IVF maintenance reads beyond index+delta: ${stray.take(3).mkString(", ")}")
+    assert(!frame.inputFiles.exists(_.contains("/v2/embeddings/")),
+      "IVF maintenance re-assigns the corpus")
+  }
+
   test("q68 purity equals a driver-side recomputation from the assignment") {
     val assign = Similarity.q51IvfAssign(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
