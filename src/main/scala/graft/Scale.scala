@@ -57,9 +57,15 @@ object Scale {
       "q97_delta_entity_canon,q96_subword_budget,q99_cluster_cohesion," +
         "q73_source_dup_rate,q89_winsorize,q18_minhash_lsh,q102_semantic_dedup")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // shuffle partitions default to the core count, but are a separate
+    // knob: at a fixed heap the per-task working set scales with
+    // |data| / partitions, so scaling data WITHOUT scaling partitions
+    // manufactures spill — the 10× evidence run uses this to show
+    // spill is a partitioning knob, not a scaling wall (SCALE.md)
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
