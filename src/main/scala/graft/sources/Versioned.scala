@@ -114,6 +114,62 @@ object Versioned {
       .flatMap(s => s.getPath.getName.toLongOption).sorted
   }
 
+  /** Tables published (with completed writes) at `version`. */
+  def listTables(spark: SparkSession, base: String, version: Long)
+      : Seq[String] = {
+    val b = new Path(base)
+    val f = fs(spark, b)
+    val vdir = versionDir(b, version)
+    if (!f.exists(vdir)) Seq.empty
+    else f.listStatus(vdir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(t => f.exists(new Path(new Path(vdir, t), "_SUCCESS")))
+      .sorted
+  }
+
+  /** MERGE-style publish: the next version is the current one with
+    * `delta` UPSERTED into `table` — rows matching on `keys` replaced,
+    * unmatched rows appended — and every other table carried forward
+    * unchanged. Runs through [[publish]], so it inherits the claim
+    * protocol (two racing mergers: exactly one wins) and the
+    * all-or-nothing marker commit: a reader never sees half a merge.
+    *
+    * Schema EVOLUTION rides the union: a delta with new columns
+    * widens the table (old rows read null in the new columns —
+    * `unionByName(allowMissingColumns)`), while time travel keeps
+    * each version's own schema: `readAt(v−1)` still serves the
+    * pre-evolution shape from its immutable dir.
+    *
+    * Cost model, stated honestly: carry-forward REWRITES unchanged
+    * tables into the new version dir — the price of dirt-simple
+    * reader semantics (a version is a self-contained dir). A manifest
+    * format (Delta/Iceberg) shares unchanged files between versions
+    * instead; at 100 TB you would either adopt one or partition the
+    * versioned tables so carry-forward is a metadata-cheap file copy.
+    * The merge itself is one anti-join (key-hashed shuffle) + union —
+    * the reference's upsert economics (03_transform_and_load.py:
+    * 134-156) relationally. */
+  def mergePublish(spark: SparkSession, base: String, table: String,
+      delta: DataFrame, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val cur = currentVersion(spark, base).getOrElse(
+      sys.error(s"mergePublish: $base has no committed version to merge into"))
+    val existing = listTables(spark, base, cur)
+    require(existing.contains(table),
+      s"mergePublish: table $table not in version $cur (has: $existing)")
+    val specs = existing.map { t =>
+      if (t == table) {
+        val current = readAt(spark, base, t, cur)
+        val merged = current
+          .join(delta.select(keys.map(org.apache.spark.sql.functions.col): _*),
+            keys, "left_anti")
+          .unionByName(delta, allowMissingColumns = true)
+        TableSpec(t, merged)
+      } else TableSpec(t, readAt(spark, base, t, cur))
+    }
+    publish(spark, base, specs)
+  }
+
   /** Atomically publish all `tables` as one new version. Returns the
     * committed version number. All-or-nothing: either the marker lands
     * and every table is visible at the new version, or no reader ever

@@ -147,6 +147,51 @@ class VersionedLakeSpec extends SparkSpec {
       s"GC'd read must explain itself, got: ${err.getMessage}")
   }
 
+  test("mergePublish upserts, carries tables forward, and evolves schema") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(
+      TableSpec("companies", companies("v1")),
+      TableSpec("charges", Seq(
+        ("a", "c1", 10.0), ("b", "c1", 20.0), ("c", "c2", 30.0))
+        .toDF("id", "company_id", "amount"))))
+
+    // delta: updates row b, inserts row d, and ADDS a column (status)
+    val delta = Seq(
+      ("b", "c1", 25.0, "voided"),
+      ("d", "c2", 40.0, "paid"))
+      .toDF("id", "company_id", "amount", "status")
+    val v2 = Versioned.mergePublish(spark, base, "charges", delta, Seq("id"))
+    assert(v2 == 2L)
+
+    val merged = Versioned.read(spark, base, "charges").collect()
+      .map(r => r.getAs[String]("id") ->
+        ((r.getAs[Double]("amount"), Option(r.getAs[String]("status"))))).toMap
+    assert(merged.keySet == Set("a", "b", "c", "d"))
+    assert(merged("b") == ((25.0, Some("voided"))), "matched row must be replaced")
+    assert(merged("d") == ((40.0, Some("paid"))), "unmatched row must append")
+    // schema evolution: pre-existing rows read null in the new column
+    assert(merged("a") == ((10.0, None)) && merged("c") == ((30.0, None)))
+
+    // untouched table carried forward into v2 unchanged
+    assert(Versioned.read(spark, base, "companies")
+      .filter($"company_name".endsWith("-v1")).count() == 2)
+    // time travel serves v1's PRE-evolution schema from its own dir
+    assert(!Versioned.readAt(spark, base, "charges", 1L)
+      .columns.contains("status"))
+    assert(Versioned.readAt(spark, base, "charges", 1L).count() == 3)
+
+    // a second merge composes (and the claim protocol still guards it)
+    val v3 = Versioned.mergePublish(spark, base, "charges",
+      Seq(("a", "c1", 11.0, "paid")).toDF("id", "company_id", "amount", "status"),
+      Seq("id"))
+    assert(v3 == 3L)
+    val after = Versioned.read(spark, base, "charges").collect()
+      .map(r => r.getAs[String]("id") ->
+        Option(r.getAs[String]("status"))).toMap
+    assert(after("a") == Some("paid") && after("b") == Some("voided"))
+    assert(after.size == 4)
+  }
+
   test("date-partitioned table inside a version prunes directories") {
     import org.apache.spark.sql.functions._
     val base = mkBase()
