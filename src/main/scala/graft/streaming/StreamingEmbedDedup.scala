@@ -57,6 +57,66 @@ object StreamingEmbedDedup {
   def readSink(spark: SparkSession, sinkDir: String): DataFrame =
     spark.read.parquet(sinkDir).drop("graft_batch_id")
 
+  /** Start the embedding-dedup ingest against a VERSIONED embeddings
+    * lake — [[StreamingWindowMass.startVersioned]]'s contract for the
+    * vector family: every micro-batch re-resolves the lake's current
+    * version (one marker listing) and routes against THAT version's
+    * incrementally-maintained IVF artifact
+    * ([[Similarity.ivfIndexAt]]), so a corpus publish landing
+    * mid-stream changes routing for subsequent batches only, and the
+    * refresh costs a frozen-centroid delta append (or a cache read),
+    * never a corpus re-assignment. The codebook rides in the resolved
+    * artifact itself ([[Similarity.codebookFromIndex]]) — stream and
+    * batch can never disagree about centroids. */
+  def startVersioned(spark: SparkSession, inDir: String, outDir: String,
+      schema: StructType, lakeBase: String): StreamingQuery = {
+    import graft.sources.Versioned
+    var cached: Option[(Long, DataFrame,
+      graft.functions.CentroidCodebook)] = None
+    def resolve(): (DataFrame, graft.functions.CentroidCodebook) = {
+      val v = Versioned.currentVersion(spark, lakeBase).getOrElse(
+        sys.error(s"streaming embed dedup: no committed version at $lakeBase"))
+      cached match {
+        case Some((have, idx, cb)) if have == v => (idx, cb)
+        case stale =>
+          stale.foreach(_._2.unpersist())
+          val idx = Similarity.ivfIndexAt(spark, lakeBase, v).persist()
+          idx.count()
+          val cb = Similarity.codebookFromIndex(idx)
+          cached = Some((v, idx, cb))
+          (idx, cb)
+      }
+    }
+    val query = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (idx, cb) = resolve()
+        writeBatch(batch, batchId, idx, cb, outDir)
+      }
+      .start()
+    val qid = query.id
+    val listener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == qid) {
+            cached.foreach(_._2.unpersist()); cached = None
+            spark.streams.removeListener(this)
+          }
+      }
+    spark.streams.addListener(listener)
+    if (!query.isActive) {
+      cached.foreach(_._2.unpersist()); cached = None
+      spark.streams.removeListener(listener)
+    }
+    query
+  }
+
   /** Start the embedding-dedup ingest over a directory of parquet
     * vector files, checking each batch against `corpus` (any frame
     * with `vec_id` and `embedding`). `codebookSource` is the frame the

@@ -73,4 +73,57 @@ class StreamingEmbedDedupSpec extends SparkSpec {
       .select("dup_of").as[Long].collect().toSeq
     assert(dupOf == Seq(100L))
   }
+
+  test("versioned embed dedup: a lake publish changes routing for later batches only") {
+    import graft.sources.Versioned
+    val lake = Files.createTempDirectory("graft-ed-lake").toString + "/lake"
+    val in = Files.createTempDirectory("graft-ed-vin").toString + "/vecs"
+    val out = Files.createTempDirectory("graft-ed-vout").toString
+    def vecs(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
+    val centroid = 0L -> Seq(1.0f, 0.0f, 0.0f, 0.0f) // the frozen codebook
+    val vecA = 100L -> Seq(0.0f, 0.0f, 1.0f, 0.0f)
+    val vecB = 200L -> Seq(0.0f, 0.0f, 0.0f, 1.0f) // absent until v2
+
+    Versioned.publish(spark, lake, Seq(
+      Versioned.TableSpec("embeddings", vecs(centroid, vecA)),
+      Versioned.TableSpec("embeddings_delta", vecs(centroid, vecA))))
+
+    // batch 1: a near-clone of A (dup) and a near-clone of the
+    // still-unknown B (must pass)
+    vecs(1001L -> Seq(0.0f, 0.0f, 0.99f, 0.05f),
+         1002L -> Seq(0.0f, 0.0f, 0.05f, 0.99f))
+      .coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val q1 = StreamingEmbedDedup.startVersioned(spark, in, out, schema, lake)
+    try q1.awaitTermination(120000) finally q1.stop()
+
+    // the ingest pipeline publishes v2 adding B as the change table —
+    // the incremental IVF artifact appends B under the frozen centroid
+    Versioned.publish(spark, lake, Seq(
+      Versioned.TableSpec("embeddings", vecs(centroid, vecA, vecB)),
+      Versioned.TableSpec("embeddings_delta", vecs(vecB))))
+
+    // batch 2: same two directions under fresh ids
+    vecs(2001L -> Seq(0.0f, 0.0f, 0.99f, 0.05f),
+         2002L -> Seq(0.0f, 0.0f, 0.05f, 0.99f))
+      .coalesce(1).write.mode("append").parquet(in)
+    val q2 = StreamingEmbedDedup.startVersioned(spark, in, out, schema, lake)
+    try q2.awaitTermination(120000) finally q2.stop()
+
+    val kept = StreamingEmbedDedup.readSink(spark, s"$out/kept")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val dup = StreamingEmbedDedup.readSink(spark, s"$out/dup")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("dup_of")).toMap
+    // batch 1 under v1: A-clone quarantined, B-clone passed; batch 2
+    // under v2: BOTH quarantined — and the publish did not rewrite
+    // batch 1's routing (1002 stays kept)
+    assert(kept == Seq(1002L), s"history must keep 1002 only: $kept")
+    assert(dup.keySet == Set(1001L, 2001L, 2002L), s"dups: $dup")
+    assert(dup(1001L) == 100L && dup(2001L) == 100L)
+    assert(dup(2002L) == 200L, "batch 2's B-clone must attribute to the v2 vector")
+    // the v2 routing came from the incremental IVF chain
+    assert(graft.sources.ArtifactStore.readIfPresent(
+      spark, Similarity.ivfIndexArtifact(lake, 2L)).nonEmpty)
+  }
 }
