@@ -100,6 +100,24 @@ object SynthCorpus {
       .unionByName(replicasE)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
 
+    // carry every other table through UNSCALED so queries that join
+    // documents against dimension tables (entity vocab from `part`,
+    // etc.) still resolve on the synthetic dir — the scaling target is
+    // the text/vector corpus, dims stay dims
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(srcPath).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") &&
+        n != "documents.parquet" && n != "embeddings.parquet")
+      .foreach { n =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(srcPath, n),
+          fs, new org.apache.hadoop.fs.Path(outPath, n),
+          false, spark.sessionState.newHadoopConf())
+      }
+
     val nd = spark.read.parquet(s"$out/documents.parquet").count()
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
     println(s"""{"synth":"$out","factor":$factor,"documents":$nd,"embeddings":$ne}""")
