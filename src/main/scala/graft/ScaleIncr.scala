@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Marginal-cost evidence for the incremental index chains
+  * (q113/q114/q115): measures ONE version bump's maintenance —
+  * `merge(index(v−1), derive(delta))` — against the from-scratch
+  * rebuild of the same version, on whatever corpus
+  * `SPARK_GRAFT_SF_DIR` points at (pair with [[SynthCorpus]] for
+  * beyond-sf0.1 scale). The v2 window-index artifact is deleted first
+  * so the maintenance step itself is timed, not a cache read; the
+  * chain origin (v1) is kept, exactly the state a daily ingest is in
+  * when a new version lands. Emits one JSON line.
+  */
+object ScaleIncr {
+
+  final class Collector extends SparkListener {
+    val shuffleWrite = new java.util.concurrent.atomic.LongAdder
+    val input = new java.util.concurrent.atomic.LongAdder
+    val stages = new java.util.concurrent.atomic.LongAdder
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      stages.increment()
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+        input.add(m.inputMetrics.bytesRead)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.queries.Dedup
+
+    val base = Dedup.versionedCorpus(spark, sfDir)
+    Dedup.windowIndexAt(spark, base, 1L) // chain origin stays cached
+
+    def delete(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    def measure(label: String)(work: => Unit): String = {
+      val c = new Collector
+      spark.sparkContext.addSparkListener(c)
+      val t0 = System.nanoTime()
+      work
+      val secs = (System.nanoTime() - t0) / 1e9
+      var stable = 0; var last = -1L; var polls = 0
+      while (stable < 2 && polls < 50) {
+        Thread.sleep(100)
+        val now = c.stages.sum
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        polls += 1
+      }
+      spark.sparkContext.removeSparkListener(c)
+      def mb(b: Long) = math.round(b / 1048.576) / 1000.0
+      s""""$label":{"secs":${math.round(secs * 1000) / 1000.0},""" +
+        s""""input_mb":${mb(c.input.sum)},"shuffle_write_mb":${mb(c.shuffleWrite.sum)}}"""
+    }
+
+    // maintenance step in isolation: v2 artifact absent, v1 present —
+    // the daily-ingest state; windowIndexAt publishes the merge
+    delete(Dedup.windowIndexArtifact(base, 2L))
+    val incr = measure("incremental_maintenance") {
+      Dedup.windowIndexAt(spark, base, 2L).count()
+    }
+    // comparator: the same artifact from scratch (prior chain deleted
+    // so the fallback branch runs — the pre-r14 economics)
+    delete(Dedup.windowIndexArtifact(base, 2L))
+    delete(Dedup.windowIndexArtifact(base, 1L))
+    val full = measure("full_rebuild") {
+      Dedup.windowIndexAt(spark, base, 2L).count()
+    }
+    // restore the chain for whoever runs next
+    Dedup.windowIndexAt(spark, base, 1L)
+    println(s"""{"sf":"$sfDir","cpus":$cpus,$incr,$full}""")
+    spark.stop()
+  }
+}
