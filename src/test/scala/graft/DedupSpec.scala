@@ -585,6 +585,44 @@ class DedupSpec extends SparkSpec {
         s"index+delta budget is $budget")
   }
 
+  test("incremental window chain composes: v3 = merge of a merge, still exact") {
+    import graft.sources.Versioned
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-chain").toString + "/lake"
+    val pad = "a shared corpus sentence long enough to produce windows " * 2
+    def d(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val doc1 = 1L -> (pad + "version one body")
+    val doc2 = 2L -> (pad + "version two adds this distinct continuation")
+    val doc3 = 3L -> ("an entirely fresh third-version document with no " +
+      "shared prefix but enough length to roll its own windows forward")
+    // ingest order: publish, then maintain — as a pipeline would (GC
+    // keeps only current+previous versions, so indexing must keep
+    // pace; the ARTIFACTS persist regardless, which is what lets the
+    // v3 merge consume v2's index after v1's data dir is collected)
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("documents", d(doc1)),
+      Versioned.TableSpec("documents_delta", d(doc1))))
+    Dedup.windowIndexAt(spark, base, 1L)
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("documents", d(doc1, doc2)),
+      Versioned.TableSpec("documents_delta", d(doc2))))
+    Dedup.windowIndexAt(spark, base, 2L)
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("documents", d(doc1, doc2, doc3)),
+      Versioned.TableSpec("documents_delta", d(doc3))))
+    val v3 = Dedup.windowIndexAt(spark, base, 3L) // merge of a merge
+    val scratch = Dedup.distinctWindowsOf(d(doc1, doc2, doc3))
+    assert(v3.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(v3).count() == 0,
+      "depth-3 chain diverged from the from-scratch set")
+    // and the v3 maintenance frame reads v2's artifact + Δ3 only
+    val files = Dedup.incrementalWindowFrame(spark, base, 3L).inputFiles
+    val prevArt = Dedup.windowIndexArtifact(base, 2L)
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains(prevArt) || f.contains("/v3/documents_delta/")),
+      s"v3 maintenance read beyond chain+delta: ${files.mkString(", ")}")
+  }
+
   test("q114: incremental signature index ≡ full rebuild; append reads delta only") {
     val base = Dedup.versionedCorpus(spark, sfDir)
     Dedup.signatureIndexAt(spark, base, 1L) // v1 first, as q114 does
