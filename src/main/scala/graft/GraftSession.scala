@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{DotLong, KmvSketch, MinHashMd5, SimHash64, VectorQuantize, WindowHash61}
+import graft.functions.{CmsSketch, DotLong, KmvSketch, MinHashMd5, SimHash64, VectorQuantize, WindowHash61}
 
 /** Session wiring for the engine.
   *
@@ -55,6 +55,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[KmvSketch].getName, "kmv_sketch"),
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           KmvSketch(children.head, GraftSession.intLiteral(children(1)))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cms_sketch"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[CmsSketch].getName, "cms_sketch"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          CmsSketch(children.head, GraftSession.intLiteral(children(1)),
+            GraftSession.intLiteral(children(2)))))
   }
 }
 
@@ -75,6 +82,9 @@ object GraftSession {
       exprs => WindowHash61(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("kmv_sketch",
       exprs => KmvSketch(exprs.head, intLiteral(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("cms_sketch",
+      exprs => CmsSketch(exprs.head, intLiteral(exprs(1)),
+        intLiteral(exprs(2))), "scala_udf")
   }
 
   /** `minhash_md5`'s seed count must be a literal int at plan time. */

@@ -405,6 +405,56 @@ object Analytics {
       .orderBy(col("scope"))
   }
 
+  // --------------------------------------------------------------- q116
+  /** Count-Min heavy-hitter check — [[graft.functions.CmsSketch]]
+    * (Cormode–Muthukrishnan) aggregated over the corpus token stream in
+    * ONE pass, then the 10 highest-frequency tokens scored against it:
+    * `est = min over depth rows of counters[row][bucket_row(token)]`.
+    * Output per token: exact count, sketch estimate (≥ exact by the CM
+    * one-sided guarantee — collisions only ever over-count), and the
+    * stream length.
+    *
+    * Why it earns a row next to exact q48: at 100 TB the exact top-K
+    * needs a full (token → count) shuffle — fine for one vocabulary
+    * build, wrong for a RECURRING frequency probe (stopword drift
+    * monitoring, block-list hit rates). The sketch is O(depth·width)
+    * state per group with elementwise-add merge, so the shuffle carries
+    * one 16 KB matrix instead of the token stream, and sketches from
+    * disjoint corpus shards / streaming micro-batches merge exactly.
+    * Buckets come from four non-overlapping 8-hex-digit slices of one
+    * md5 per token, so DuckDB replays every counter (COUNT(*) per
+    * bucket) and every estimate (MIN over rows) bit-for-bit — this is
+    * the engine-neutral-hash discipline that got q109's KMV a full
+    * hash check where HLL can only manage rows-only. */
+  val CmsDepth = 4
+  val CmsWidth = 512
+  private def cmsBucket(r: Int, tok: org.apache.spark.sql.Column) =
+    conv(substring(md5(tok), 1 + 8 * r, 8), 16, 10).cast("long") % CmsWidth
+  def q116CmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+    val sketch = toks
+      .select(array((0 until CmsDepth).map(r => cmsBucket(r, col("token"))): _*)
+        .as("bkts"))
+      .agg(
+        graft.functions.CmsSketch.cmsSketch(col("bkts"), CmsDepth, CmsWidth)
+          .as("cms"),
+        count(lit(1)).as("n_tokens_total"))
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token")).limit(10)
+    // 10 × 1-row sketch: the bounded-crossJoin pattern (see q37a/q62)
+    top.crossJoin(broadcast(sketch))
+      .select(
+        col("token"), col("exact_cnt"),
+        least((0 until CmsDepth).map(r =>
+          element_at(col("cms"),
+            (lit(r * CmsWidth + 1) + cmsBucket(r, col("token"))).cast("int")))
+          : _*).as("est_cnt"),
+        col("n_tokens_total"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_mad_gate"   -> (q98MadGate _),
     "q89_winsorize"  -> (q89Winsorize _),
@@ -417,7 +467,8 @@ object Analytics {
     "q37_sketches"   -> (q37Sketches _),
     "q37a_sketch_exact" -> (q37aSketchExact _),
     "q109_kmv_distinct" -> (q109KmvDistinct _),
-    "q112_kmv_rollup" -> (q112KmvRollup _))
+    "q112_kmv_rollup" -> (q112KmvRollup _),
+    "q116_cms_topk" -> (q116CmsTopk _))
 
   val oracle: Map[String, String] = Map(
     // q98: lower-median rank cut (2·rk ≤ n+1) twice — value then
@@ -658,5 +709,38 @@ object Analytics {
         |      ELSE 64424509440.0 / CAST(k.hk16 AS DOUBLE) END
         |   AS est_distinct
         |FROM cnt c JOIN kth k USING (scope)
-        |ORDER BY c.scope""".stripMargin)
+        |ORDER BY c.scope""".stripMargin,
+    // q116: every CMS counter is COUNT(*) of the tokens hashing to its
+    // bucket and every estimate is the MIN over the depth rows — plain
+    // SQL over the same four non-overlapping md5-hex slices (the q109
+    // nibble-sum idiom, offset by 8r per row)
+    "q116_cms_topk" ->
+      """WITH t AS (
+        | SELECT unnest(string_split_regex(text, '\s+')) AS token
+        | FROM documents),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |hb AS (
+        | SELECT token, r,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(token), 8 * r + i, 1)) - 1)
+        |         * (1::BIGINT << (4 * (8 - i))))) AS BIGINT) % 512 AS bkt
+        | FROM t CROSS JOIN rs),
+        |counters AS (
+        | SELECT r, bkt, CAST(count(*) AS BIGINT) AS c
+        | FROM hb GROUP BY r, bkt),
+        |top AS (
+        | SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+        | FROM t GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 10),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens_total FROM t),
+        |qb AS (
+        | SELECT top.token, top.exact_cnt, rs.r,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(top.token), 8 * rs.r + i, 1)) - 1)
+        |         * (1::BIGINT << (4 * (8 - i))))) AS BIGINT) % 512 AS bkt
+        | FROM top CROSS JOIN rs)
+        |SELECT qb.token, qb.exact_cnt, MIN(c.c) AS est_cnt,
+        |       MAX(tot.n_tokens_total) AS n_tokens_total
+        |FROM qb JOIN counters c ON c.r = qb.r AND c.bkt = qb.bkt CROSS JOIN tot
+        |GROUP BY qb.token, qb.exact_cnt
+        |ORDER BY qb.exact_cnt DESC, qb.token""".stripMargin)
 }

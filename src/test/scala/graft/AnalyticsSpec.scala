@@ -221,4 +221,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(total._4 - total._3) / total._3 < 1.6,
       s"total est ${total._4} vs exact ${total._3}")
   }
+
+  test("cms_sketch aggregate: counters are bucket counts, partition-invariant merge") {
+    import graft.functions.CmsSketch
+    val depth = 2
+    val width = 4
+    // hand-laid bucket arrays: row 0 sees buckets (0,0,1,3,3), row 1
+    // sees (1,2,2,2,0) — the counter matrix is just their histograms
+    val in = Seq(
+      Seq(0L, 1L), Seq(0L, 2L), Seq(1L, 2L), Seq(3L, 2L), Seq(3L, 0L))
+    val expected = Seq(
+      2L, 1L, 0L, 2L, // row 0: bucket counts of (0,0,1,3,3)
+      1L, 1L, 3L, 0L) // row 1: bucket counts of (1,2,2,2,0)
+    for (parts <- Seq(1, 3, 7)) {
+      val got = in.toDF("bkts").repartition(parts)
+        .agg(CmsSketch.cmsSketch(col("bkts"), depth, width).as("cms"))
+        .as[Seq[Long]].head()
+      assert(got == expected, s"parts=$parts: $got != $expected")
+    }
+    // SQL registration reaches the same aggregate
+    GraftSession.registerFunctions(spark)
+    in.toDF("bkts").createOrReplaceTempView("cms_in")
+    val viaSql = spark.sql(s"SELECT cms_sketch(bkts, $depth, $width) FROM cms_in")
+      .as[Seq[Long]].head()
+    assert(viaSql == expected)
+  }
+
+  test("q116: sketch estimates dominate exact counts and total mass is conserved") {
+    val rows = Analytics.q116CmsTopk(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    // deterministic order: exact desc, token asc
+    assert(rows.sortBy(t => (-t._2, t._1)).toSeq == rows.toSeq)
+    val total = rows.head._4
+    rows.foreach { case (tok, exact, est, tot) =>
+      assert(tot == total)
+      // the CM one-sided guarantee: collisions only ever over-count
+      assert(est >= exact, s"$tok: est $est < exact $exact")
+      // and an estimate can never exceed the stream length
+      assert(est <= total, s"$tok: est $est > stream length $total")
+    }
+    // heavy hitters over a real vocabulary: with width 512 and ~1e4+
+    // token occurrences the min-row for the TOP tokens is rarely
+    // collision-free, but the estimate must stay within the additive
+    // eN/width CM bound with huge margin (factor 8 here — a broken
+    // bucket computation blows straight past it)
+    rows.foreach { case (tok, exact, est, tot) =>
+      assert(est - exact <= 8L * tot / Analytics.CmsWidth,
+        s"$tok: overcount ${est - exact} beyond the CM bound")
+    }
+  }
 }
