@@ -170,6 +170,45 @@ object Versioned {
     publish(spark, base, specs)
   }
 
+  /** OPTIMIZE-style compaction publish: the next version carries the
+    * SAME logical content, with `table` physically rewritten into at
+    * most `files` range-partitioned files sorted by `sortBy` within
+    * each file, and every other table carried forward. The
+    * small-file/layout maintenance op of an ingest lake: streaming and
+    * merge publishes accrete writer-count-sized files with no useful
+    * ordering; this rewrite (a) caps the file count — at 100 TB the
+    * scheduler and the namenode care long before the scanner does —
+    * and (b) clusters the sort keys so parquet row-group min/max
+    * statistics actually prune: a range predicate on a sort column
+    * skips whole row groups (and with range-partitioned files, whole
+    * files) instead of reading everything and filtering in memory.
+    * Runs through [[publish]] ⇒ claim protocol + atomic marker + time
+    * travel to the pre-compaction layout all apply; value-identity is
+    * the caller's oracle to check (and [[VersionedLakeSpec]] does).
+    *
+    * `repartitionByRange` samples the sort keys to build balanced
+    * range bounds — one extra pass over `table`, which is the honest
+    * cost of a compaction anywhere; skew in the sort key lands in
+    * bounded-width ranges rather than hot hash buckets. */
+  def compactPublish(spark: SparkSession, base: String, table: String,
+      sortBy: Seq[String], files: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    require(sortBy.nonEmpty && files >= 1, "compact needs sort columns and files >= 1")
+    val cur = currentVersion(spark, base).getOrElse(
+      sys.error(s"compactPublish: $base has no committed version"))
+    val existing = listTables(spark, base, cur)
+    require(existing.contains(table),
+      s"compactPublish: table $table not in version $cur (has: $existing)")
+    val specs = existing.map { t =>
+      if (t == table) TableSpec(t,
+        readAt(spark, base, t, cur)
+          .repartitionByRange(files, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*))
+      else TableSpec(t, readAt(spark, base, t, cur))
+    }
+    publish(spark, base, specs)
+  }
+
   /** Atomically publish all `tables` as one new version. Returns the
     * committed version number. All-or-nothing: either the marker lands
     * and every table is visible at the new version, or no reader ever

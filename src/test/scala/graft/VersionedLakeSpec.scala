@@ -192,6 +192,44 @@ class VersionedLakeSpec extends SparkSpec {
     assert(after.size == 4)
   }
 
+  test("compactPublish: value-identical rewrite, capped sorted files, carry-forward") {
+    import org.apache.spark.sql.functions._
+    val base = mkBase()
+    // accrete a fragmented charges table the way an ingest lake does:
+    // an initial publish then two merges, each adding writer-count files
+    Versioned.publish(spark, base, Seq(
+      TableSpec("companies", companies("v1")),
+      TableSpec("charges", charges(40).repartition(8))))
+    Versioned.mergePublish(spark, base, "charges",
+      spark.range(40, 60).selectExpr(
+        "CAST(id AS STRING) AS id", "'c2' AS company_id").repartition(8),
+      Seq("id"))
+    val before = Versioned.read(spark, base, "charges")
+      .collect().map(_.toSeq).toSet
+
+    val v3 = Versioned.compactPublish(spark, base, "charges", Seq("id"), 2)
+    assert(v3 == 3L)
+    // logical content unchanged — the caller's value-identity oracle
+    val after = Versioned.read(spark, base, "charges")
+    assert(after.collect().map(_.toSeq).toSet == before)
+    // physical layout: at most 2 data files, each internally sorted
+    // and covering a disjoint id range (repartitionByRange)
+    val files = after.select(input_file_name().as("f"), col("id"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(files.length <= 2 && files.length >= 1)
+    files.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap: $hi1 vs $lo2")
+      case _ =>
+    }
+    // untouched table carried forward; time travel reaches the
+    // pre-compaction layout
+    assert(Versioned.read(spark, base, "companies")
+      .filter($"company_name".endsWith("-v1")).count() == 2)
+    assert(Versioned.readAt(spark, base, "charges", 2L).count() == 60)
+  }
+
   test("date-partitioned table inside a version prunes directories") {
     import org.apache.spark.sql.functions._
     val base = mkBase()
