@@ -498,4 +498,25 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("q116: CMS aggregates map-side before one exchange; sketch side broadcasts") {
+    val df = graft.queries.Analytics.q116CmsTopk(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole point of the sketch: the token stream combines into a
+    // per-partition counter matrix BEFORE the exchange, so the shuffle
+    // carries one 16 KB array per task, never the tokens
+    assert(plan.contains("partial_cms_sketch"),
+      s"expected map-side partial_cms_sketch:\n$plan")
+    assert("cms_sketch".r.findAllIn(plan).size >= 2,
+      s"expected partial+final cms_sketch:\n$plan")
+    // the 1-row sketch joins the top-k via broadcast — the bounded-
+    // crossJoin pattern must never degrade to a shuffled cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"1-row sketch should broadcast:\n$plan")
+    // top-k is TakeOrdered over a partial+final count, no global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-k operator:\n$plan")
+  }
 }
