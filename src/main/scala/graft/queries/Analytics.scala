@@ -455,6 +455,87 @@ object Analytics {
       .orderBy(col("exact_cnt").desc, col("token"))
   }
 
+  // --------------------------------------------------------------- q117
+  /** Incremental maintenance of the corpus CMS over a VERSIONED lake —
+    * the q113/q114/q115 composition applied to aggregate STATE instead
+    * of a row-set index. Those three maintain set-algebra artifacts
+    * (distinct-union, append, frozen-centroid append); a Count-Min
+    * sketch is a LINEAR sketch, so its maintenance law is plain
+    * addition: `cms(v) = cms(v−1) + cms(delta v−1→v)` — elementwise,
+    * exact, no distinct pass, no fold-in order to get wrong. That is
+    * the property that makes a standing frequency monitor (stopword
+    * drift, block-list hit rates — q116's posture) affordable under a
+    * daily ingest at 100 TB: each version costs one map-only pass over
+    * DELTA tokens plus a 16 KB array add, never a corpus re-scan (the
+    * spec asserts the maintenance frame's input files are the previous
+    * artifact + the change table only). Removals would need a negative
+    * delta — which the SAME law supports (counters subtract), unlike
+    * the set-union indexes, where removal needs tombstones.
+    *
+    * Output: the nonzero counters of version 2's sketch as (r, bkt, c)
+    * rows. The oracle rebuilds every counter from the FULL corpus
+    * (COUNT(*) per md5-slice bucket — q116's replay), so hash equality
+    * proves the incremental chain lands on exactly the from-scratch
+    * sketch. */
+  def q117IncrCms(spark: SparkSession, dir: String): DataFrame = {
+    val base = Dedup.versionedCorpus(spark, dir)
+    cmsAt(spark, base, 1L) // ensure v1's artifact exists (cached)
+    cmsAt(spark, base, 2L) // the incremental add
+      .select(posexplode(col("cms")).as(Seq("pos", "c")))
+      .filter(col("c") > 0)
+      .select(
+        floor(col("pos") / CmsWidth).cast("long").as("r"),
+        (col("pos") % CmsWidth).cast("long").as("bkt"),
+        col("c"))
+      .orderBy(col("r"), col("bkt"))
+  }
+
+  /** One-pass CMS of `docsDf`'s whitespace-token stream: a 1-row frame
+    * with the flattened depth×width counter matrix (q116's sketch
+    * side, factored out so the batch query, the incremental
+    * maintenance, and the spec all share one definition). */
+  private[graft] def cmsOf(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .select(array((0 until CmsDepth).map(r => cmsBucket(r, col("token"))): _*)
+        .as("bkts"))
+      .agg(graft.functions.CmsSketch.cmsSketch(col("bkts"), CmsDepth, CmsWidth)
+        .as("cms"))
+
+  /** Artifact path for the corpus sketch of lake version `v` —
+    * parameter-keyed like the `win-` family so a depth/width change
+    * can never reuse a stale matrix. */
+  private[graft] def cmsArtifact(lakeBase: String, v: Long): String =
+    s"$lakeBase-cms$CmsDepth-w$CmsWidth-v$v"
+
+  /** The corpus CMS AT lake version `v`, incrementally maintained
+    * ([[q117IncrCms]]'s engine). */
+  private[graft] def cmsAt(spark: SparkSession, lakeBase: String, v: Long)
+      : DataFrame =
+    graft.sources.ArtifactStore.readOrPublish(
+      spark, cmsArtifact(lakeBase, v))(
+      incrementalCmsFrame(spark, lakeBase, v))
+
+  /** Maintenance frame behind [[cmsAt]]: previous artifact present ⇒
+    * elementwise-add the delta's sketch (two 1-row frames, broadcast);
+    * absent (or no published change table) ⇒ full build from the
+    * version's corpus — the same never-silently-under-count fallback
+    * discipline as [[Dedup.incrementalWindowFrame]]. */
+  private[graft] def incrementalCmsFrame(spark: SparkSession,
+      lakeBase: String, v: Long): DataFrame = {
+    import graft.sources.{ArtifactStore, Versioned}
+    ArtifactStore.readIfPresent(spark, cmsArtifact(lakeBase, v - 1)) match {
+      case Some(prev)
+          if Versioned.tableExists(spark, lakeBase, "documents_delta", v) =>
+        prev.crossJoin(broadcast(
+          cmsOf(Versioned.readAt(spark, lakeBase, "documents_delta", v))
+            .withColumnRenamed("cms", "cms_delta")))
+          .select(zip_with(col("cms"), col("cms_delta"),
+            (a, b) => a + b).as("cms"))
+      case _ => cmsOf(Versioned.readAt(spark, lakeBase, "documents", v))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_mad_gate"   -> (q98MadGate _),
     "q89_winsorize"  -> (q89Winsorize _),
@@ -468,7 +549,8 @@ object Analytics {
     "q37a_sketch_exact" -> (q37aSketchExact _),
     "q109_kmv_distinct" -> (q109KmvDistinct _),
     "q112_kmv_rollup" -> (q112KmvRollup _),
-    "q116_cms_topk" -> (q116CmsTopk _))
+    "q116_cms_topk" -> (q116CmsTopk _),
+    "q117_incr_cms" -> (q117IncrCms _))
 
   val oracle: Map[String, String] = Map(
     // q98: lower-median rank cut (2·rk ≤ n+1) twice — value then
@@ -742,5 +824,23 @@ object Analytics {
         |       MAX(tot.n_tokens_total) AS n_tokens_total
         |FROM qb JOIN counters c ON c.r = qb.r AND c.bkt = qb.bkt CROSS JOIN tot
         |GROUP BY qb.token, qb.exact_cnt
-        |ORDER BY qb.exact_cnt DESC, qb.token""".stripMargin)
+        |ORDER BY qb.exact_cnt DESC, qb.token""".stripMargin,
+    // q117: the incremental chain must land on exactly the
+    // from-scratch sketch, so the oracle IS the from-scratch
+    // definition — every nonzero counter rebuilt from the FULL corpus
+    // as COUNT(*) per md5-slice bucket (q116's counters CTE, all rows)
+    "q117_incr_cms" ->
+      """WITH t AS (
+        | SELECT unnest(string_split_regex(text, '\s+')) AS token
+        | FROM documents),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |hb AS (
+        | SELECT rs.r,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(t.token), 8 * rs.r + i, 1)) - 1)
+        |         * (1::BIGINT << (4 * (8 - i))))) AS BIGINT) % 512 AS bkt
+        | FROM t CROSS JOIN rs)
+        |SELECT CAST(r AS BIGINT) AS r, bkt, CAST(count(*) AS BIGINT) AS c
+        |FROM hb GROUP BY r, bkt
+        |ORDER BY r, bkt""".stripMargin)
 }

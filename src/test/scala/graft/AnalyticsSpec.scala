@@ -271,4 +271,39 @@ class AnalyticsSpec extends SparkSpec {
         s"$tok: overcount ${est - exact} beyond the CM bound")
     }
   }
+
+  test("q117: incremental sketch add equals the from-scratch build, delta bytes only") {
+    import graft.queries.Dedup
+    val base = Dedup.versionedCorpus(spark, sfDir)
+    // value-identity of the CHAIN: v2's incrementally-maintained matrix
+    // is elementwise-equal to a from-scratch sketch of the full corpus
+    Analytics.cmsAt(spark, base, 1L)
+    val incr = Analytics.cmsAt(spark, base, 2L).as[Seq[Long]].head()
+    val full = Analytics.cmsOf(Tables(spark, sfDir, "documents"))
+      .as[Seq[Long]].head()
+    assert(incr == full, "incremental chain diverged from the full build")
+    // total mass conservation per row: every depth row sums to the
+    // token-stream length
+    val n = Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), "\\s+"))).count()
+    (0 until Analytics.CmsDepth).foreach { r =>
+      val row = incr.slice(r * Analytics.CmsWidth, (r + 1) * Analytics.CmsWidth)
+      assert(row.sum == n, s"row $r mass ${row.sum} != stream length $n")
+    }
+    // ... and the merge branch was really taken: v1's artifact existed
+    // before v2's frame was built
+    assert(graft.sources.ArtifactStore
+      .readIfPresent(spark, Analytics.cmsArtifact(base, 1L)).nonEmpty)
+    // file-exact: the maintenance frame reads ONLY the previous
+    // artifact and the v2 change table — never v2's corpus
+    val files = Analytics.incrementalCmsFrame(spark, base, 2L).inputFiles
+    val prevArt = Analytics.cmsArtifact(base, 1L)
+    assert(files.nonEmpty)
+    val stray = files.filterNot(f =>
+      f.contains(prevArt) || f.contains("/v2/documents_delta/"))
+    assert(stray.isEmpty, s"incremental path reads beyond sketch+delta: " +
+      s"${stray.take(3).mkString(", ")}")
+    assert(!files.exists(_.contains("/v2/documents/")),
+      "incremental path re-scans the corpus")
+  }
 }
