@@ -536,6 +536,75 @@ object Analytics {
     }
   }
 
+  // --------------------------------------------------------------- q118
+  /** The per-source KMV sketch table (q109's aggregation without the
+    * estimate projection) — factored out so q118 can checkpoint it and
+    * PlanSpec can pin the map-side `partial_kmv_sketch` on the
+    * un-checkpointed frame. One corpus scan; ≤k longs per source cross
+    * the exchange. */
+  private[graft] def kmvSourceSketches(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val hash = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+    Tables(spark, dir, "documents")
+      .select(col("source"), hash.as("hk"))
+      .groupBy(col("source"))
+      .agg(graft.functions.KmvSketch.kmvSketch(col("hk"), KmvK).as("mins"))
+  }
+
+  /** Cross-source overlap estimation composed from per-source KMV
+    * sketches — the sketch SET ALGEBRA that makes q109 more than a
+    * counter (Beyer et al., SIGMOD 2007 §5). For every source pair:
+    * the bottom-k of the UNION of the two sketches — valid because
+    * bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)), the KMV
+    * mergeability identity — the count `common_k` of union-survivors
+    * present in BOTH sketches (the Jaccard estimator's numerator), and
+    * the derived distinct-union / Jaccard / intersection estimates.
+    * This is the mixture-planning input — "how much does source X
+    * duplicate source Y" — computed WITHOUT a pairwise doc- or
+    * token-level shuffle: the corpus is scanned ONCE (map-side partial
+    * sketches), and the composition runs over S(S−1)/2 rows of
+    * k-length arrays — codebook-scale, never corpus-scale. The exact
+    * alternative is a corpus-sized distinct-intersection shuffle PER
+    * PAIR; at 100 TB with tens of sources that is the difference
+    * between one scan and hundreds.
+    *
+    * Every estimate is hash-stable cross-engine: a union sketch that
+    * is not full (u < k) IS the exact union, so `common_k` is the
+    * exact intersection and the "estimates" are exact; a full one uses
+    * union_est = (k−1)·2^32 / h(k) (single exactly-rounded division,
+    * q109's idiom), jaccard_est = common_k / u (u = k, a power of two
+    * ⇒ exact dyadic), and inter_est = jaccard·union computed as ONE
+    * division of exactly-representable longs —
+    * (common_k·(k−1)·2^32) / (k·h(k)), numerator ≤ 16·15·2^32 < 2^53
+    * — so both engines round once, identically. */
+  def q118KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // one corpus scan; the S-row sketch table feeds both join sides
+    val sk = kmvSourceSketches(spark, dir).localCheckpoint()
+    val pairs = sk.select(col("source").as("src_a"), col("mins").as("amins"))
+      .join(sk.select(col("source").as("src_b"), col("mins").as("bmins")),
+        col("src_a") < col("src_b"))
+    val enriched = pairs
+      .withColumn("u",
+        slice(array_sort(array_union(col("amins"), col("bmins"))), 1, KmvK))
+      .withColumn("common_k",
+        size(filter(col("u"), x =>
+          array_contains(col("amins"), x) &&
+            array_contains(col("bmins"), x))).cast("long"))
+      .withColumn("union_k", size(col("u")).cast("long"))
+    enriched.select(
+      col("src_a"), col("src_b"), col("common_k"), col("union_k"),
+      when(col("union_k") < KmvK, col("union_k").cast("double"))
+        .otherwise(lit(64424509440.0) /
+          element_at(col("u"), KmvK).cast("double")).as("union_est"),
+      (col("common_k").cast("double") / col("union_k").cast("double"))
+        .as("jaccard_est"),
+      when(col("union_k") < KmvK, col("common_k").cast("double"))
+        .otherwise((col("common_k") * lit(64424509440L)).cast("double") /
+          (lit(KmvK.toLong) * element_at(col("u"), KmvK)).cast("double"))
+        .as("inter_est"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_mad_gate"   -> (q98MadGate _),
     "q89_winsorize"  -> (q89Winsorize _),
@@ -550,7 +619,8 @@ object Analytics {
     "q109_kmv_distinct" -> (q109KmvDistinct _),
     "q112_kmv_rollup" -> (q112KmvRollup _),
     "q116_cms_topk" -> (q116CmsTopk _),
-    "q117_incr_cms" -> (q117IncrCms _))
+    "q117_incr_cms" -> (q117IncrCms _),
+    "q118_kmv_overlap" -> (q118KmvOverlap _))
 
   val oracle: Map[String, String] = Map(
     // q98: lower-median rank cut (2·rk ≤ n+1) twice — value then
@@ -842,5 +912,56 @@ object Analytics {
         | FROM t CROSS JOIN rs)
         |SELECT CAST(r AS BIGINT) AS r, bkt, CAST(count(*) AS BIGINT) AS c
         |FROM hb GROUP BY r, bkt
-        |ORDER BY r, bkt""".stripMargin)
+        |ORDER BY r, bkt""".stripMargin,
+    // q118: the pairwise composition replayed from the same per-source
+    // bottom-16 sketches (q109's ROW_NUMBER replay); the per-pair
+    // union sketch is re-ranked from the two sketches' distinct union,
+    // and every estimate is the same single-division arithmetic the
+    // Spark side emits (see q118KmvOverlap's scaladoc)
+    "q118_kmv_overlap" ->
+      """WITH d AS (
+        | SELECT source,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)
+        |         * (1::BIGINT << (4 * (8 - i))))) AS BIGINT) AS hk
+        | FROM documents),
+        |dist AS (SELECT DISTINCT source, hk FROM d),
+        |rk AS (
+        | SELECT source, hk,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk) AS rk
+        | FROM dist),
+        |sk AS (SELECT source, hk FROM rk WHERE rk <= 16),
+        |pr AS (
+        | SELECT a.source AS sa, b.source AS sb
+        | FROM (SELECT DISTINCT source FROM d) a
+        | JOIN (SELECT DISTINCT source FROM d) b ON a.source < b.source),
+        |uni AS (
+        | SELECT pr.sa, pr.sb, s.hk FROM pr JOIN sk s ON s.source = pr.sa
+        | UNION
+        | SELECT pr.sa, pr.sb, s.hk FROM pr JOIN sk s ON s.source = pr.sb),
+        |urk AS (
+        | SELECT sa, sb, hk,
+        |  ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY hk) AS rk
+        | FROM uni),
+        |u AS (SELECT sa, sb, hk, rk FROM urk WHERE rk <= 16),
+        |agg AS (
+        | SELECT u.sa, u.sb,
+        |  COUNT(*) AS union_k,
+        |  MAX(CASE WHEN u.rk = 16 THEN u.hk END) AS hk16,
+        |  SUM(CASE WHEN x.hk IS NOT NULL AND y.hk IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS common_k
+        | FROM u
+        | LEFT JOIN sk x ON x.source = u.sa AND x.hk = u.hk
+        | LEFT JOIN sk y ON y.source = u.sb AND y.hk = u.hk
+        | GROUP BY u.sa, u.sb)
+        |SELECT sa AS src_a, sb AS src_b,
+        | CAST(common_k AS BIGINT) AS common_k,
+        | CAST(union_k AS BIGINT) AS union_k,
+        | CASE WHEN union_k < 16 THEN CAST(union_k AS DOUBLE)
+        |      ELSE 64424509440.0 / CAST(hk16 AS DOUBLE) END AS union_est,
+        | CAST(common_k AS DOUBLE) / CAST(union_k AS DOUBLE) AS jaccard_est,
+        | CASE WHEN union_k < 16 THEN CAST(common_k AS DOUBLE)
+        |      ELSE CAST(common_k * 64424509440 AS DOUBLE)
+        |           / CAST(16 * hk16 AS DOUBLE) END AS inter_est
+        |FROM agg ORDER BY src_a, src_b""".stripMargin)
 }

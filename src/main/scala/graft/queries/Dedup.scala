@@ -134,9 +134,36 @@ object Dedup {
     * ONCE PER CORPUS and shared by the whole dedup family, so the LSH
     * pass itself no longer re-runs per query. */
   def minhashCandidatePairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame =
+    candidatePairsFrom(signatureIndex(spark, dir), None, threshold)
+      .orderBy("doc_a", "doc_b")
+
+  /** The LSH band-join + verify over an ARBITRARY signature frame —
+    * [[minhashCandidatePairs]] generalized for the incremental family:
+    * `restrictTo = Some(ids)` confines the band join's LEFT side to
+    * those doc_ids, yielding exactly the pairs with at least one
+    * endpoint in the set (a delta batch) at |ids|·bucket-occupancy
+    * cost instead of Σ bucket² over the whole corpus — the standing
+    * corpus is probed, never re-paired against itself. */
+  private[graft] def candidatePairsFrom(sig: DataFrame,
+      restrictTo: Option[DataFrame] = None,
       threshold: Double = 0.5): DataFrame = {
-    val sig = signatureIndex(spark, dir)
-    val pairs = bandCandidatePairs(sig)
+    val pairs = restrictTo match {
+      case None => bandCandidatePairs(sig)
+      case Some(ids) =>
+        val bands = (0 until NumHashes / BandSize).map(b =>
+            sig.select(col("doc_id"), col(s"band$b").as("bucket")))
+          .reduce(_ unionByName _)
+        val deltaBands = bands.join(
+          ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        deltaBands.as("a").join(bands.as("b"),
+            col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(
+            least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+          .distinct()
+    }
     val sigA = sig.select((col("doc_id").as("doc_a") +:
       (0 until NumHashes).map(i => col(s"mh$i").as(s"a_mh$i"))): _*)
     val sigB = sig.select((col("doc_id").as("doc_b") +:
@@ -148,7 +175,6 @@ object Dedup {
       .withColumn("est_jaccard", est)
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   // --------------------------------------------------------------- q19
@@ -1132,6 +1158,78 @@ object Dedup {
       }
   }
 
+  // --------------------------------------------------------------- q119
+  /** Incremental maintenance of the duplicate-CLUSTER assignment —
+    * the q113/q114/q115 composition extended to the one derived
+    * artifact that is neither a set union nor an append: a transitive
+    * closure. The maintenance law exploits that contracting each
+    * existing component to its root preserves connectivity:
+    * `clusters(v) = CC(star(clusters(v−1)) ∪ pairs(Δv))`, where
+    * `star` re-encodes the previous assignment as doc→root edges
+    * (every cluster_id IS a member doc's id, so min-label over the
+    * contracted graph equals min-label over the full history of
+    * edges), and `pairs(Δv)` are the LSH pairs with at least one
+    * endpoint in the delta — standing↔standing pairs were all found in
+    * earlier versions, so the band join probes the signature index
+    * with the delta batch only (|Δ|·occupancy, never Σ bucket² over
+    * the corpus). A delta doc similar to members of TWO previously
+    * separate clusters correctly MERGES them — the case a naive
+    * "assign new docs to nearest existing cluster" maintenance gets
+    * wrong, pinned by a planted-bridge spec. Signatures come from the
+    * incrementally-maintained [[signatureIndexAt]] chain, so the whole
+    * path reads artifacts + the change table — the corpus is never
+    * re-scanned (file-exact in the spec). Fallback discipline as the
+    * rest of the family: no previous assignment or no change table ⇒
+    * full rebuild, never silent under-clustering. */
+  def q119IncrClusters(spark: SparkSession, dir: String): DataFrame = {
+    val base = versionedCorpus(spark, dir)
+    clusterAssignmentAt(spark, base, 1L) // v1 first — see q113
+    clusterAssignmentAt(spark, base, 2L).orderBy(col("doc_id"))
+  }
+
+  private[graft] def clusterArtifact(lakeBase: String, v: Long): String =
+    s"$lakeBase-cc-v$v"
+
+  /** The cluster assignment of the lake's documents AT version `v`,
+    * incrementally maintained ([[q119IncrClusters]]'s engine). */
+  private[graft] def clusterAssignmentAt(spark: SparkSession,
+      lakeBase: String, v: Long): DataFrame =
+    graft.sources.ArtifactStore.readOrPublish(
+      spark, clusterArtifact(lakeBase, v))(
+      incrementalClusterFrame(spark, lakeBase, v))
+
+  /** Maintenance frame behind [[clusterAssignmentAt]] — star-contract
+    * the previous assignment, add the delta's pairs, re-run connected
+    * components on the contracted graph (see [[q119IncrClusters]]). */
+  private[graft] def incrementalClusterFrame(spark: SparkSession,
+      lakeBase: String, v: Long): DataFrame = {
+    import graft.sources.{ArtifactStore, Versioned}
+    val sig = signatureIndexAt(spark, lakeBase, v)
+    ArtifactStore.readIfPresent(spark, clusterArtifact(lakeBase, v - 1))
+      match {
+        case Some(prev)
+            if Versioned.tableExists(spark, lakeBase, "documents_delta", v) =>
+          val delta = Versioned.readAt(spark, lakeBase, "documents_delta", v)
+            .select(col("doc_id"))
+          val newPairs = candidatePairsFrom(sig, Some(delta))
+            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          val starEdges = prev.filter(col("doc_id") =!= col("cluster_id"))
+            .select(col("doc_id").as("src"), col("cluster_id").as("dst"))
+          val verts = prev.select(col("doc_id").as("id"))
+            .unionByName(delta.select(col("doc_id").as("id"))).distinct()
+          graft.operators.ConnectedComponents.run(spark, verts,
+              starEdges.unionByName(newPairs))
+            .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        case _ =>
+          val pairs = candidatePairsFrom(sig)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          val verts = Versioned.readAt(spark, lakeBase, "documents", v)
+            .select(col("doc_id").as("id"))
+          graft.operators.ConnectedComponents.run(spark, verts, pairs)
+            .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_minhash_lsh"   -> (q18MinhashLsh _),
     "q19_simhash"       -> (q19Simhash _),
@@ -1155,7 +1253,8 @@ object Dedup {
     "q107_delta_window_mass" -> (q107DeltaWindowMass _),
     "q108_hashed_window_mass" -> (q108HashedWindowMass _),
     "q113_incr_window_index" -> (q113IncrWindowIndex _),
-    "q114_incr_signature_index" -> (q114IncrSignatureIndex _))
+    "q114_incr_signature_index" -> (q114IncrSignatureIndex _),
+    "q119_incr_clusters" -> (q119IncrClusters _))
 
   private val mhSelect = (0 until NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> md5('$i#' || x))) AS mh$i").mkString(",\n |  ")
@@ -1495,6 +1594,13 @@ object Dedup {
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_id""".stripMargin,
     "q41_dup_clusters" ->
+      s"""WITH RECURSIVE $clusterCtes
+        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // q119: the incremental chain must land on exactly the full
+    // recompute, so the oracle IS q41's from-scratch definition — the
+    // whole transitive closure rebuilt over the complete corpus
+    "q119_incr_clusters" ->
       s"""WITH RECURSIVE $clusterCtes
         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.queries.Dedup
+import graft.sources.Versioned
+
+/** Streaming ingest that keeps the duplicate-CLUSTER assignment
+  * current — the ingest-side twin of q119's version-chained
+  * maintenance, completing the streaming symmetry for the newest
+  * artifact family (windows / signatures / IVF / CMS all have ingest
+  * twins; the transitive closure now does too).
+  *
+  * Each micro-batch: (1) publish lake version v+1 with the batch as
+  * the change table (`documents_delta`) and the accreted corpus as
+  * `documents` — the change-data-feed contract every incremental
+  * chain consumes; (2) run the cluster chain's maintenance merge to
+  * v+1 ([[Dedup.clusterAssignmentAt]] — the SAME engine as batch
+  * q119: star-contracted previous assignment + delta pair probe,
+  * never a corpus re-pairing). A batch that bridges two standing
+  * clusters merges them, exactly as in batch mode, because the
+  * engine is shared rather than mirrored.
+  *
+  * Replay discipline: `foreachBatch` can re-deliver a batch after a
+  * crash between side effect and checkpoint commit. Overwrite-by-
+  * batch-id (the ledger twins' idempotency) does not fit a publish —
+  * versions are immutable — so each publish carries a 1-row
+  * `batch_marker` table holding its batch id, and a replayed batch
+  * finds its already-committed version by scanning the (short,
+  * listing-cheap) version history instead of double-publishing; it
+  * then re-ensures the artifact, which [[graft.sources
+  * .ArtifactStore]] serves from the already-published result. A
+  * genuine concurrent publisher race still fails loudly via the
+  * lake's claim protocol — replay safety here never weakens writer
+  * exclusivity.
+  *
+  * Cost model, stated honestly (as [[Versioned.mergePublish]] does):
+  * the carry-forward lake REWRITES the corpus per version — the
+  * price of self-contained version dirs. The MAINTENANCE is
+  * incremental regardless (artifact + delta + signature index reads
+  * only); at 100 TB the publish side would ride a manifest format
+  * (Delta/Iceberg) while this seam stays unchanged.
+  */
+object StreamingClusters {
+
+  /** Ingest one micro-batch, idempotently on `batchId` (see replay
+    * discipline above). Package-visible seam so the spec can prove
+    * replay does not double-publish and that stream ≡ batch. */
+  private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, lakeBase: String): Unit = {
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val cur = Versioned.currentVersion(spark, lakeBase)
+    // replay detection: a version already carrying this batch id
+    val existing = cur.flatMap { _ =>
+      Versioned.listVersions(spark, lakeBase).find { v =>
+        Versioned.tableExists(spark, lakeBase, "batch_marker", v) &&
+          Versioned.readAt(spark, lakeBase, "batch_marker", v)
+            .head().getLong(0) == batchId
+      }
+    }
+    val v = existing.getOrElse {
+      val docs = cur match {
+        case Some(c) =>
+          Versioned.readAt(spark, lakeBase, "documents", c).unionByName(batch)
+        case None => batch
+      }
+      Versioned.publish(spark, lakeBase, Seq(
+        Versioned.TableSpec("documents", docs),
+        Versioned.TableSpec("documents_delta", batch),
+        Versioned.TableSpec("batch_marker",
+          Seq(batchId).toDF("graft_batch_id"))))
+    }
+    Dedup.clusterAssignmentAt(spark, lakeBase, v)
+    ()
+  }
+
+  /** The assignment at the lake's current version — what a dedup
+    * consumer (q42-style representative picking, cluster-keyed
+    * splits) reads between ingest ticks. */
+  def currentAssignment(spark: SparkSession, lakeBase: String): DataFrame = {
+    val v = Versioned.currentVersion(spark, lakeBase).getOrElse(
+      sys.error(s"streaming clusters: no committed version at $lakeBase"))
+    Dedup.clusterAssignmentAt(spark, lakeBase, v)
+  }
+
+  /** Start ingesting a directory of parquet document files into the
+    * versioned lake at `lakeBase`, maintaining the cluster artifact
+    * per micro-batch. */
+  def start(spark: SparkSession, inDir: String, lakeBase: String,
+      checkpointDir: String, schema: StructType,
+      maxFilesPerTrigger: Int = Int.MaxValue): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(inDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, batch, batchId, lakeBase)
+      }
+      .start()
+}

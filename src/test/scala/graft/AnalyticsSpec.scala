@@ -222,6 +222,61 @@ class AnalyticsSpec extends SparkSpec {
       s"total est ${total._4} vs exact ${total._3}")
   }
 
+  test("q118: overlap algebra — exact branch exact, disjoint zero, estimator ≡ driver replay") {
+    // first 8 md5 hex chars as a long — the engine-neutral hash the
+    // whole KMV family keys on, replicated independently here
+    def md5hk(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map(x => f"$x%02x").mkString, 16)
+    }
+    val shared = (0 until 20).map(i => s"shared document body number $i")
+    val lOnly = (0 until 20).map(i => s"l-only document body number $i")
+    val mOnly = (0 until 20).map(i => s"m-only document body number $i")
+    val xTexts = (0 until 6).map(i => s"x equal-set doc $i")
+    val zTexts = (0 until 6).map(i => s"z disjoint doc $i")
+    def rows(src: String, texts: Seq[String], base: Long) =
+      texts.zipWithIndex.map { case (t, i) =>
+        (base + i, t, "en", src, t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("q118").toString
+    (rows("L", shared ++ lOnly, 1000L) ++ rows("M", shared ++ mOnly, 2000L) ++
+      rows("X", xTexts, 3000L) ++ rows("W", xTexts, 4000L) ++
+      rows("Z", zTexts, 5000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Analytics.q118KmvOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 10, "5 sources must yield C(5,2) pairs")
+    // W ≡ X (identical 6-text sets): the union sketch is not full, so
+    // every column is EXACT — not approximately, bit-for-bit
+    val wx = out(("W", "X"))
+    assert(wx.getLong(2) == 6 && wx.getLong(3) == 6)
+    assert(wx.getDouble(4) == 6.0 && wx.getDouble(5) == 1.0 &&
+      wx.getDouble(6) == 6.0)
+    // X ∩ Z = ∅: zero overlap through the same exact branch
+    val xz = out(("X", "Z"))
+    assert(xz.getLong(2) == 0 && xz.getLong(3) == 12)
+    assert(xz.getDouble(5) == 0.0 && xz.getDouble(6) == 0.0)
+    // L vs M (40 distinct each, 20 shared ⇒ union 60 > k): the
+    // estimator branch, replayed driver-side from the raw hashes —
+    // sketches, union bottom-k, and all three estimates must agree
+    // EXACTLY (same single-division arithmetic)
+    val skL = (shared ++ lOnly).map(md5hk).distinct.sorted.take(16)
+    val skM = (shared ++ mOnly).map(md5hk).distinct.sorted.take(16)
+    val u = (skL ++ skM).distinct.sorted.take(16)
+    val common = u.count(h => skL.contains(h) && skM.contains(h))
+    val lm = out(("L", "M"))
+    assert(lm.getLong(3) == 16, "union sketch must be full")
+    assert(lm.getLong(2) == common.toLong, "common_k diverged from replay")
+    assert(lm.getDouble(4) == 64424509440.0 / u(15).toDouble)
+    assert(lm.getDouble(5) == common.toDouble / 16.0)
+    assert(lm.getDouble(6) ==
+      (common * 64424509440L).toDouble / (16L * u(15)).toDouble)
+    // and the estimate is in the right decade (true union = 60)
+    assert(lm.getDouble(4) > 15 && lm.getDouble(4) < 600,
+      s"union_est ${lm.getDouble(4)} implausible for a 60-element union")
+  }
+
   test("cms_sketch aggregate: counters are bucket counts, partition-invariant merge") {
     import graft.functions.CmsSketch
     val depth = 2

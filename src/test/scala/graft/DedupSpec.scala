@@ -646,6 +646,77 @@ class DedupSpec extends SparkSpec {
       "signature maintenance re-scans the corpus")
   }
 
+  test("q119: incremental clusters ≡ full recompute; pair probe reads index+delta only") {
+    val base = Dedup.versionedCorpus(spark, sfDir)
+    Dedup.clusterAssignmentAt(spark, base, 1L) // v1 first, as q119 does
+    val incr = Dedup.clusterAssignmentAt(spark, base, 2L)
+    // value identity: the star-contracted incremental closure lands on
+    // exactly the from-scratch q41 clustering of the full corpus
+    val full = Dedup.q41DupClusters(spark, sfDir)
+    assert(incr.exceptAll(full).count() == 0, "incremental has extra rows")
+    assert(full.exceptAll(incr).count() == 0, "incremental lost rows")
+    // the merge branch was available (v1's assignment artifact exists)
+    assert(graft.sources.ArtifactStore
+      .readIfPresent(spark, Dedup.clusterArtifact(base, 1L)).nonEmpty)
+    // file-exact on the corpus-facing piece: the delta pair probe
+    // reads the signature INDEX and the change table — never the
+    // corpus. (The closure itself runs over the previous assignment
+    // artifact + these pairs; ConnectedComponents checkpoints its
+    // edges, so the probe frame is where a corpus re-scan could hide.)
+    val sig = Dedup.signatureIndexAt(spark, base, 2L)
+    val delta = graft.sources.Versioned
+      .readAt(spark, base, "documents_delta", 2L).select($"doc_id")
+    val probeFiles = Dedup.candidatePairsFrom(sig, Some(delta)).inputFiles
+    val sigArt = Dedup.signatureIndexArtifact(base, 2L)
+    val stray = probeFiles.filterNot(f =>
+      f.contains(sigArt) || f.contains("/v2/documents_delta/"))
+    assert(probeFiles.nonEmpty && stray.isEmpty,
+      s"delta pair probe reads beyond index+delta: " +
+        s"${stray.take(3).mkString(", ")}")
+    assert(!probeFiles.exists(_.contains("/v2/documents/")),
+      "delta pair probe re-scans the corpus")
+  }
+
+  test("q119: a delta doc bridging two standing clusters merges them") {
+    import graft.sources.Versioned
+    val base = Files.createTempDirectory("graft-ccbridge").toString + "/lake"
+    // Deterministic bridge fixture (seed 0 under java.util.Random —
+    // verified against the md5 minhash pipeline): A≈B and C≈D are
+    // one-word-changed near-dup pairs over DISJOINT vocabularies
+    // (est(A,C) = 0, no shared band), and E = A ++ C sits at exactly
+    // est 0.5 with BOTH sides, with a band collision to each — the
+    // configuration a naive assign-to-nearest-cluster maintenance
+    // cannot represent, because E belongs to two clusters at once.
+    val vocabA = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val vocabB = Vector("red", "blue", "green", "amber", "violet",
+      "cyan", "teal", "coral", "olive", "plum")
+    val rnd = new scala.util.Random(0)
+    val a = (0 until 60).map(_ => vocabA(rnd.nextInt(10))).mkString(" ")
+    val c = (0 until 60).map(_ => vocabB(rnd.nextInt(10))).mkString(" ")
+    val b = { val w = a.split(" "); w(10) = "CHANGEDX"; w.mkString(" ") }
+    val d = { val w = c.split(" "); w(10) = "CHANGEDY"; w.mkString(" ") }
+    val e = a + " " + c
+    def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val standing = df(1L -> a, 2L -> b, 3L -> c, 4L -> d)
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("documents", standing),
+      Versioned.TableSpec("documents_delta", standing)))
+    val v1 = Dedup.clusterAssignmentAt(spark, base, 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // precondition, not an assumption: v1 really is two clusters
+    assert(v1 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L),
+      s"fixture must start as two standing clusters: $v1")
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("documents",
+        df(1L -> a, 2L -> b, 3L -> c, 4L -> d, 10L -> e)),
+      Versioned.TableSpec("documents_delta", df(10L -> e))))
+    val v2 = Dedup.clusterAssignmentAt(spark, base, 2L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 1L),
+      s"bridge doc must merge the two standing clusters: $v2")
+  }
+
   test("q108: hashed window mass ≡ q105 raw-string mass (collision-free corpus)") {
     val raw = Dedup.q105DupWindowMass(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

@@ -519,4 +519,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected top-k operator:\n$plan")
   }
+
+  test("q118: sketches aggregate map-side; pairwise composition is sketch-only") {
+    // pin on the UN-checkpointed sketch frame (q118 checkpoints it to
+    // guarantee one corpus scan, which also cuts the plan): the corpus
+    // exchange must carry partial sketches, ≤k longs per source —
+    // never the doc hash stream
+    val sk = graft.queries.Analytics.kmvSourceSketches(spark, sfDir)
+    sk.collect()
+    val skPlan = sk.queryExecution.executedPlan.toString
+    assert(skPlan.contains("partial_kmv_sketch"),
+      s"expected map-side partial_kmv_sketch:\n$skPlan")
+    assert("kmv_sketch".r.findAllIn(skPlan).size >= 2,
+      s"expected partial+final kmv_sketch:\n$skPlan")
+    // and the composed query never touches the corpus again: its plan
+    // is the pair join over the checkpointed S-row sketch table only —
+    // no parquet scan of documents downstream of the checkpoint
+    val df = graft.queries.Analytics.q118KmvOverlap(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"pair composition must not re-scan the corpus:\n$plan")
+  }
 }
