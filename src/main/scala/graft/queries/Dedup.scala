@@ -913,14 +913,26 @@ object Dedup {
   private[graft] def windowIndex(spark: SparkSession, dir: String)
       : DataFrame = {
     val key = graft.Tables.fileFingerprint(spark, s"$dir/documents.parquet")
-    // the key folds in every parameter the artifact's VALUE depends on
-    // (window width, delta-split fraction) so changing either can never
-    // silently reuse a stale persisted index across JVM runs
-    graft.sources.ArtifactStore.readOrPublish(
-      spark, s"$indexBase/win$WindowChars-p$DeltaPermille-$key")(
+    // the key folds in every parameter the artifact's VALUE OR LAYOUT
+    // depends on (window width, delta-split fraction, bucket count) so
+    // changing any can never silently reuse a stale persisted index
+    // across JVM runs. Bucketed by the window itself: the probe join
+    // (massAgainstWindowIndex) then shuffles the BATCH side only — at
+    // 100 TB the index is the big side, and this layout is what keeps
+    // a daily delta probe |batch|-shaped instead of |index|-shaped.
+    graft.sources.ArtifactStore.readOrPublishBucketed(
+      spark,
+      s"$indexBase/win$WindowChars-p$DeltaPermille-b$IndexBuckets-$key",
+      "w", IndexBuckets)(
       distinctWindowsOf(docs(spark, dir)
         .filter(!(TextOps.uniformKeyOf(col("doc_id")) < DeltaFracLit))))
   }
+
+  /** Bucket count for bucketed index artifacts — part of every such
+    * artifact's content address (a layout change is a new artifact).
+    * Sized for the test corpus; a deployment sizes it to target
+    * file sizes (index bytes / ~256 MB). */
+  private[graft] val IndexBuckets = 16
 
   /** Fresh-batch split fraction shared by the delta family (q107 and
     * [[windowIndex]]'s standing-corpus complement), expressed once so

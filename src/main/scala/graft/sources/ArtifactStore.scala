@@ -54,4 +54,75 @@ object ArtifactStore {
     }
     spark.read.parquet(out)
   }
+
+  /** [[readOrPublish]] with a BUCKETED layout: the artifact is written
+    * hash-partitioned (and sorted) by `bucketCol` into `buckets`
+    * files, and read back through a catalog table that declares that
+    * layout — so every consumer joining or aggregating on `bucketCol`
+    * gets the index side WITHOUT an Exchange: only the probe (delta)
+    * side shuffles. That is the asymmetry that matters at 100 TB: the
+    * standing index is the big side, the daily batch the small one,
+    * and a plain-parquet artifact forces the big side through a
+    * corpus-sized exchange on every probe.
+    *
+    * Mechanics, since path-based writes cannot carry bucket metadata:
+    * the frame is written via a throwaway EXTERNAL catalog table at a
+    * staging path (Spark's `bucketBy` encodes the bucket id in each
+    * file name), the table entry is dropped (external ⇒ files stay),
+    * and the staging dir promotes by the same atomic rename as
+    * [[readOrPublish]]. Readers re-register a session-local external
+    * table over the published path declaring the same CLUSTERED BY
+    * spec — file names carry the bucket assignment, so the layout
+    * survives JVMs while the catalog entry (in-memory) does not.
+    * Callers must fold the bucket parameters into the artifact path:
+    * a layout change must be a new artifact, never a reinterpreted
+    * one. */
+  def readOrPublishBucketed(spark: SparkSession, out: String,
+      bucketCol: String, buckets: Int)(build: => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val outPath = new Path(out)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(outPath, "_SUCCESS"))) {
+      val staging = new Path(outPath.getParent,
+        s".staging-${outPath.getName}-${java.util.UUID.randomUUID}")
+      val stageTable =
+        s"graft_stage_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      // repartition on the bucket key first: bucketBy splits each
+      // WRITE TASK's rows across its buckets, so an unaligned upstream
+      // partitioning writes tasks×buckets small files; pre-hashing on
+      // the same key (same Murmur3 HashPartitioning) collapses that to
+      // one file per bucket
+      build.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .option("path", staging.toString)
+        .saveAsTable(stageTable)
+      spark.sql(s"DROP TABLE IF EXISTS $stageTable") // external: files stay
+      fs.mkdirs(outPath.getParent)
+      if (fs.exists(outPath) && !fs.exists(new Path(outPath, "_SUCCESS")))
+        fs.delete(outPath, true)
+      if (!fs.rename(staging, outPath)) fs.delete(staging, true)
+    }
+    bucketedTable(spark, out, bucketCol, buckets)
+  }
+
+  /** Session-local registration of a published bucketed artifact (see
+    * [[readOrPublishBucketed]]). Idempotent per session; the table
+    * name is derived from the path, so distinct artifacts never
+    * collide and a re-read is a catalog hit. */
+  private def bucketedTable(spark: SparkSession, out: String,
+      bucketCol: String, buckets: Int): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(out.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+    val name = s"graft_art_$digest"
+    if (!spark.catalog.tableExists(name)) {
+      val schemaDdl = spark.read.parquet(out).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $name ($schemaDdl) USING PARQUET
+           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+           |INTO $buckets BUCKETS
+           |LOCATION '$out'""".stripMargin)
+    }
+    spark.table(name)
+  }
 }

@@ -541,4 +541,28 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("documents.parquet"),
       s"pair composition must not re-scan the corpus:\n$plan")
   }
+
+  test("q107 probe posture: bucketed window index joins without an index-side exchange") {
+    // At bench scale the small index broadcasts, which hides the
+    // layout; the 100 TB posture is the index too big to broadcast and
+    // the delta batch small — force it and pin the asymmetry the
+    // bucketed artifact buys: the index scans pre-partitioned, ONLY
+    // the batch side exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.queries.Dedup.q107DeltaWindowMass(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"),
+        s"window index must scan as bucketed:\n$plan")
+      // exactly ONE exchange partitioned on the window key — the
+      // exploded batch side. An unbucketed index would add a second
+      // (|index|-sized) one; that is the exchange this layout deletes.
+      val wExchanges = "Exchange hashpartitioning\\(w#"
+        .r.findAllIn(plan).size
+      assert(wExchanges == 1,
+        s"expected one window-keyed exchange (batch side), got $wExchanges:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }

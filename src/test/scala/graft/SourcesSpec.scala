@@ -77,4 +77,44 @@ class SourcesSpec extends SparkSpec {
     val f = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part_date="))
     assert(f.nonEmpty)
   }
+
+  test("bucketed artifact: publish once, re-register across catalogs, probe-side-only shuffle") {
+    import graft.sources.ArtifactStore
+    val dir = Files.createTempDirectory("graft-bart").toString + "/art"
+    val df = spark.range(0, 1000).toDF("k")
+      .withColumn("v", col("k") * 2)
+    val art = ArtifactStore.readOrPublishBucketed(spark, dir, "k", 4)(df)
+    assert(art.count() == 1000)
+    assert(art.orderBy("k").collect().map(_.getLong(1)).take(3)
+      .sameElements(Array(0L, 2L, 4L)))
+    // second call must be a pure read — the thunk must never run
+    val again = ArtifactStore.readOrPublishBucketed(spark, dir, "k", 4)(
+      sys.error("readOrPublishBucketed rebuilt a published artifact"))
+    assert(again.count() == 1000)
+    // cold-catalog path: drop the session registration (external —
+    // files stay) and re-resolve; the layout must come back from the
+    // file names alone, as it would in a fresh JVM
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_art_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val cold = ArtifactStore.readOrPublishBucketed(spark, dir, "k", 4)(
+      sys.error("cold re-registration rebuilt a published artifact"))
+    // the point of the layout: a join on the bucket key shuffles the
+    // PROBE side only — the artifact side scans pre-partitioned
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = spark.range(0, 100).toDF("k")
+      val joined = cold.join(probe, "k")
+      joined.collect()
+      // AQE's toString appends the pre-adaptive "Initial Plan" — judge
+      // the final plan section only
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"expected exactly one exchange (the probe side):\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"artifact scan must read as bucketed:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
