@@ -114,7 +114,13 @@ object Dedup {
   private[graft] def signatureIndex(spark: SparkSession, dir: String)
       : DataFrame = {
     val key = graft.Tables.fileFingerprint(spark, s"$dir/documents.parquet")
-    graft.sources.ArtifactStore.readOrPublish(spark, s"$indexBase/$key")(
+    // bucketed on doc_id (layout folded into the address): the verify
+    // joins read this table TWICE per pair pass (sigA/sigB) and the
+    // delta probes semi-join it by id — with the layout declared, the
+    // candidate-pair side shuffles, the |corpus|-sized signature scans
+    // never do (aliases preserve the partitioning through the renames)
+    graft.sources.ArtifactStore.readOrPublishBucketed(
+      spark, s"$indexBase/sig-b$IndexBuckets-$key", "doc_id", IndexBuckets)(
       minhashSignatures(docs(spark, dir)))
   }
 
