@@ -333,9 +333,19 @@ object Similarity {
     * keyed by the embeddings files' metadata fingerprint, so staleness
     * is impossible and the deterministic builder makes a republish
     * value-identical — oracles are unaffected. */
+  /** Bucket count for the bucketed IVF artifact — folded into the
+    * artifact address (layout change = new artifact). */
+  private[graft] val IvfBuckets = 16
+
   private[graft] def ivfIndex(spark: SparkSession, dir: String): DataFrame = {
     val key = graft.Tables.fileFingerprint(spark, s"$dir/embeddings.parquet")
-    graft.sources.ArtifactStore.readOrPublish(spark, s"$ivfBase/$key")(
+    // bucketed on cell: the SemDeDup within-cell self-join (q102) is
+    // the Σ cell² pass — with the layout declared, BOTH self-join
+    // sides read co-located and the pairwise stage runs with no
+    // exchange at all; cell-grouped consumers (q82 imbalance) get the
+    // same for free
+    graft.sources.ArtifactStore.readOrPublishBucketed(
+      spark, s"$ivfBase/cell-b$IvfBuckets-$key", "cell", IvfBuckets)(
       assignCells(Tables(spark, dir, "embeddings"),
         frozenCodebook(Tables(spark, dir, "embeddings"))))
   }

@@ -565,4 +565,22 @@ class PlanSpec extends SparkSpec {
         s"expected one window-keyed exchange (batch side), got $wExchanges:\n$plan")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("q102 posture: cell-bucketed IVF self-join runs with no cell exchange") {
+    // the Σ cell² pairwise pass is the heavy stage of SemDeDup; with
+    // the IVF artifact bucketed on cell, both self-join sides read
+    // co-located — the pairwise stage crosses NO exchange (the later
+    // vec_id join still shuffles; different key, its own stage)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.queries.Similarity.q102SemanticDedup(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"),
+        s"IVF index must scan as bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(cell#"),
+        s"cell self-join must be co-located, never exchanged:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
