@@ -543,12 +543,19 @@ object Analytics {
     * un-checkpointed frame. One corpus scan; ≤k longs per source cross
     * the exchange. */
   private[graft] def kmvSourceSketches(spark: SparkSession, dir: String)
-      : DataFrame = {
+      : DataFrame = kmvSketchOf(Tables(spark, dir, "documents"))
+
+  /** Per-source KMV sketch (+ row count) of any documents frame — one
+    * definition shared by the batch query, the pairwise composition
+    * (q118), and the version maintenance (q120). */
+  private[graft] def kmvSketchOf(docsDf: DataFrame): DataFrame = {
     val hash = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
-    Tables(spark, dir, "documents")
+    docsDf
       .select(col("source"), hash.as("hk"))
       .groupBy(col("source"))
-      .agg(graft.functions.KmvSketch.kmvSketch(col("hk"), KmvK).as("mins"))
+      .agg(
+        graft.functions.KmvSketch.kmvSketch(col("hk"), KmvK).as("mins"),
+        count(lit(1)).as("n_docs"))
   }
 
   /** Cross-source overlap estimation composed from per-source KMV
@@ -605,6 +612,81 @@ object Analytics {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  // --------------------------------------------------------------- q120
+  /** Incremental maintenance of the per-source KMV sketches over the
+    * versioned lake — the distinct-count sibling of q117's CMS chain,
+    * completing the sketch-maintenance symmetry: a CMS is LINEAR (its
+    * maintenance law is elementwise add), a KMV is a SET sketch (its
+    * law is the bottom-k merge — the same mergeability identity that
+    * powers q118's pairwise composition, here applied across VERSIONS
+    * instead of across sources):
+    * `kmv(v) = bottomk(kmv(v−1) ∪ sketch(delta v−1→v))`, per source,
+    * as one full-outer join of two S-row sketch tables. Each version
+    * therefore costs one map-only sketch pass over DELTA docs plus an
+    * S-row array merge — never a corpus re-scan (file-exact in the
+    * spec) — and the maintained artifact serves q109-style
+    * distinct-count probes AND q118-style overlap probes at any
+    * version. Append-only like the rest of the set-union family;
+    * removals would need re-sketching (a KMV cannot subtract), which
+    * is exactly why the CMS twin exists for frequencies.
+    *
+    * Output: q109's shape (minus the exact-count evidence column,
+    * which is not sketch-maintainable and exists in q109 only as
+    * test evidence). The oracle rebuilds every estimate from the FULL
+    * corpus, so hash equality proves the chain lands on exactly the
+    * from-scratch sketches. */
+  def q120IncrKmv(spark: SparkSession, dir: String): DataFrame = {
+    val base = Dedup.versionedCorpus(spark, dir)
+    kmvAt(spark, base, 1L) // ensure v1's artifact exists (cached)
+    kmvAt(spark, base, 2L) // the incremental bottom-k merge
+      .select(
+        col("source"), col("n_docs"),
+        when(size(col("mins")) < KmvK, size(col("mins")).cast("double"))
+          .otherwise(lit(64424509440.0) /
+            element_at(col("mins"), KmvK).cast("double"))
+          .as("est_distinct"))
+      .orderBy(col("source"))
+  }
+
+  private[graft] def kmvArtifact(lakeBase: String, v: Long): String =
+    s"$lakeBase-kmv$KmvK-v$v"
+
+  /** The per-source sketch table AT lake version `v`, incrementally
+    * maintained ([[q120IncrKmv]]'s engine). */
+  private[graft] def kmvAt(spark: SparkSession, lakeBase: String, v: Long)
+      : DataFrame =
+    graft.sources.ArtifactStore.readOrPublish(
+      spark, kmvArtifact(lakeBase, v))(
+      incrementalKmvFrame(spark, lakeBase, v))
+
+  /** Maintenance frame behind [[kmvAt]]: previous artifact present ⇒
+    * sketch the delta and bottom-k-merge per source (full outer — a
+    * brand-new source appears, an untouched one carries through);
+    * absent ⇒ full build, the family's fallback discipline. */
+  private[graft] def incrementalKmvFrame(spark: SparkSession,
+      lakeBase: String, v: Long): DataFrame = {
+    import graft.sources.{ArtifactStore, Versioned}
+    val emptyMins = expr("CAST(array() AS ARRAY<BIGINT>)")
+    ArtifactStore.readIfPresent(spark, kmvArtifact(lakeBase, v - 1)) match {
+      case Some(prev)
+          if Versioned.tableExists(spark, lakeBase, "documents_delta", v) =>
+        val delta = kmvSketchOf(
+          Versioned.readAt(spark, lakeBase, "documents_delta", v))
+        prev.select(col("source"), col("mins").as("a"),
+            col("n_docs").as("na"))
+          .join(delta.select(col("source"), col("mins").as("b"),
+            col("n_docs").as("nb")), Seq("source"), "full_outer")
+          .select(
+            col("source"),
+            slice(array_sort(array_union(
+              coalesce(col("a"), emptyMins),
+              coalesce(col("b"), emptyMins))), 1, KmvK).as("mins"),
+            (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)))
+              .as("n_docs"))
+      case _ => kmvSketchOf(Versioned.readAt(spark, lakeBase, "documents", v))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_mad_gate"   -> (q98MadGate _),
     "q89_winsorize"  -> (q89Winsorize _),
@@ -620,7 +702,8 @@ object Analytics {
     "q112_kmv_rollup" -> (q112KmvRollup _),
     "q116_cms_topk" -> (q116CmsTopk _),
     "q117_incr_cms" -> (q117IncrCms _),
-    "q118_kmv_overlap" -> (q118KmvOverlap _))
+    "q118_kmv_overlap" -> (q118KmvOverlap _),
+    "q120_incr_kmv" -> (q120IncrKmv _))
 
   val oracle: Map[String, String] = Map(
     // q98: lower-median rank cut (2·rk ≤ n+1) twice — value then
@@ -963,5 +1046,32 @@ object Analytics {
         | CASE WHEN union_k < 16 THEN CAST(common_k AS DOUBLE)
         |      ELSE CAST(common_k * 64424509440 AS DOUBLE)
         |           / CAST(16 * hk16 AS DOUBLE) END AS inter_est
-        |FROM agg ORDER BY src_a, src_b""".stripMargin)
+        |FROM agg ORDER BY src_a, src_b""".stripMargin,
+    // q120: the incremental chain must land on exactly the
+    // from-scratch sketches, so the oracle IS q109's replay over the
+    // full corpus (minus its exact-count evidence column)
+    "q120_incr_kmv" ->
+      """WITH d AS (
+        | SELECT source,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)
+        |         * (1::BIGINT << (4 * (8 - i))))) AS BIGINT) AS hk
+        | FROM documents),
+        |dist AS (SELECT DISTINCT source, hk FROM d),
+        |rk AS (
+        | SELECT source, hk,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk) AS rk,
+        |  COUNT(*) OVER (PARTITION BY source) AS nd
+        | FROM dist),
+        |kth AS (
+        | SELECT source, MAX(CASE WHEN rk = 16 THEN hk END) AS hk16,
+        |        MAX(nd) AS nd
+        | FROM rk GROUP BY source),
+        |cnt AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source)
+        |SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+        | CASE WHEN k.nd < 16 THEN CAST(k.nd AS DOUBLE)
+        |      ELSE 64424509440.0 / CAST(k.hk16 AS DOUBLE) END
+        |   AS est_distinct
+        |FROM cnt c JOIN kth k USING (source)
+        |ORDER BY c.source""".stripMargin)
 }

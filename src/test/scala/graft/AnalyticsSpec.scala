@@ -277,6 +277,57 @@ class AnalyticsSpec extends SparkSpec {
       s"union_est ${lm.getDouble(4)} implausible for a 60-element union")
   }
 
+  test("q120: incremental sketch merge ≡ from-scratch; reads sketches+delta only") {
+    val base = graft.queries.Dedup.versionedCorpus(spark, sfDir)
+    Analytics.kmvAt(spark, base, 1L) // v1 first, as q120 does
+    val incr = Analytics.kmvAt(spark, base, 2L)
+    val full = Analytics.kmvSketchOf(
+      graft.sources.Versioned.readAt(spark, base, "documents", 2L))
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(snap(incr) == snap(full),
+      "incremental bottom-k merge diverged from the from-scratch sketches")
+    // file-exact: the maintenance frame reads the previous sketch
+    // artifact and the change table only — never the corpus
+    val frame = Analytics.incrementalKmvFrame(spark, base, 2L)
+    val prevArt = Analytics.kmvArtifact(base, 1L)
+    val stray = frame.inputFiles.filterNot(f =>
+      f.contains(prevArt) || f.contains("/v2/documents_delta/"))
+    assert(frame.inputFiles.nonEmpty && stray.isEmpty,
+      s"kmv maintenance reads beyond sketches+delta: " +
+        s"${stray.take(3).mkString(", ")}")
+    assert(!frame.inputFiles.exists(_.contains("/v2/documents/")),
+      "kmv maintenance re-scans the corpus")
+  }
+
+  test("q120 merge law: new sources appear, untouched sources carry through exactly") {
+    import graft.sources.Versioned
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-kmvchain").toString + "/lake"
+    def df(rows: (String, String)*) = rows.toDF("text", "source")
+    val v1 = df(("alpha one", "S1"), ("alpha two", "S1"), ("beta one", "S2"))
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("documents", v1),
+      Versioned.TableSpec("documents_delta", v1)))
+    Analytics.kmvAt(spark, base, 1L)
+    val delta = df(("gamma fresh", "S3"), ("alpha three", "S1"))
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("documents", v1.unionByName(delta)),
+      Versioned.TableSpec("documents_delta", delta)))
+    val got = Analytics.kmvAt(spark, base, 2L).collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    // brand-new source from the delta exists (the full-outer branch)
+    assert(got.contains("S3") && got("S3")._2 == 1L)
+    // untouched source carries through bit-identically
+    val v1Sk = Analytics.kmvSketchOf(v1).collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(got("S2") == v1Sk("S2"), "untouched source must carry through")
+    // grown source = merge of its v1 sketch with its delta sketch
+    val fromScratch = Analytics.kmvSketchOf(v1.unionByName(delta)).collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(got == fromScratch, "chain diverged from from-scratch")
+  }
+
   test("cms_sketch aggregate: counters are bucket counts, partition-invariant merge") {
     import graft.functions.CmsSketch
     val depth = 2
