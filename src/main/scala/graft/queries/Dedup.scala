@@ -917,9 +917,8 @@ object Dedup {
     * content-addressed like [[signatureIndex]] (namespaced `win-` so
     * the two artifact families never collide on a fingerprint). */
   private[graft] def windowIndex(spark: SparkSession, dir: String)
-      : DataFrame = {
-    val key = graft.Tables.fileFingerprint(spark, s"$dir/documents.parquet")
-    // the key folds in every parameter the artifact's VALUE OR LAYOUT
+      : DataFrame =
+    // the path folds in every parameter the artifact's VALUE OR LAYOUT
     // depends on (window width, delta-split fraction, bucket count) so
     // changing any can never silently reuse a stale persisted index
     // across JVM runs. Bucketed by the window itself: the probe join
@@ -927,11 +926,17 @@ object Dedup {
     // 100 TB the index is the big side, and this layout is what keeps
     // a daily delta probe |batch|-shaped instead of |index|-shaped.
     graft.sources.ArtifactStore.readOrPublishBucketed(
-      spark,
-      s"$indexBase/win$WindowChars-p$DeltaPermille-b$IndexBuckets-$key",
-      "w", IndexBuckets)(
+      spark, windowIndexPath(spark, dir), "w", IndexBuckets)(
       distinctWindowsOf(docs(spark, dir)
         .filter(!(TextOps.uniformKeyOf(col("doc_id")) < DeltaFracLit))))
+
+  /** Published location of [[windowIndex]] — exposed so the scale
+    * harness can re-read the same files with the layout undeclared
+    * (the bucketed-vs-plain comparison). */
+  private[graft] def windowIndexPath(spark: SparkSession, dir: String)
+      : String = {
+    val key = graft.Tables.fileFingerprint(spark, s"$dir/documents.parquet")
+    s"$indexBase/win$WindowChars-p$DeltaPermille-b$IndexBuckets-$key"
   }
 
   /** Bucket count for bucketed index artifacts — part of every such
