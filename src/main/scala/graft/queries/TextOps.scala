@@ -670,6 +670,76 @@ object TextOps {
       .orderBy(col("df").desc, col("term"))
   }
 
+  // --------------------------------------------------------------- q121
+  /** Ranked retrieval over the inverted-index grain — BM25 with
+    * integer-exact arithmetic (Robertson et al.'s saturation shape;
+    * k1 = 6/5, b = 3/4, and a RATIONAL idf surrogate
+    * (N − df + 1)/(df + 1) in place of the logarithm). Clearing the
+    * fractions — multiply the tf-saturation term through by
+    * 10·totlen·N and fold in idf and a 10⁶ fixed-point scale — makes
+    * every per-term score ONE floor division of two positive BIGINTs:
+    *
+    *   score_t = (10⁶·22·totlen·tf·(N−df+1))
+    *             DIV ((df+1)·(10·totlen·tf + 3·totlen + 9·len·N))
+    *
+    * so ranking replays bit-exactly cross-engine — no ln(), no float
+    * accumulation order, no last-ulp hash drift. (At 100 TB the
+    * intermediate products outgrow BIGINT; the same expression widens
+    * to DECIMAL(38,0) unchanged — the fixture-scale gate stays on
+    * the fast integer path.) The query set is corpus-derived and
+    * deterministic: vocabulary ranks 11–20 (count desc, token) paired
+    * into five 2-term queries — no fixture to ship, and the oracle
+    * re-derives the same queries.
+    *
+    * Scale shape: the corpus collapses ONCE to the (term, doc, tf)
+    * grain (map-side combine); the query-term semi-join cuts it to
+    * candidate postings BEFORE any scoring work (|postings of query
+    * terms|, not |corpus|); df and doc-length ride as narrow joins;
+    * the 1-row corpus stats broadcast; top-k per query is a rank
+    * window over bounded candidate groups. An exact top-k over 5
+    * queries never touches documents containing no query term. */
+  def q121Bm25Topk(spark: SparkSession, dir: String, topK: Int = 10)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = withWords(docs(spark, dir))
+    val tok = d.select(col("doc_id"), explode(words).as("term"))
+      .localCheckpoint() // feeds tf grain AND vocabulary ranking
+    val tf = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds candidates AND df
+    val lens = d.select(col("doc_id"), size(words).cast("long").as("len"))
+    val stats = lens.agg(sum(col("len")).as("totlen"),
+      count(lit(1)).as("nd"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = tok.groupBy("term").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("term"))))
+      .filter(col("rk").between(11, 20))
+      .select(expr("CAST((rk - 11) DIV 2 AS BIGINT)").as("query_id"),
+        col("term"))
+      .localCheckpoint() // 10 rows; feeds scoring AND query rendering
+    val queries_ = qterms.groupBy("query_id")
+      .agg(array_join(sort_array(collect_list(col("term"))), " ")
+        .as("query"))
+    val scored = qterms.join(tf, "term").join(dfT, "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", expr(
+        """(1000000L * 22 * totlen * tf * (nd - df + 1))
+          |DIV ((df + 1) * (10 * totlen * tf + 3 * totlen + 9 * len * nd))
+          |""".stripMargin))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tscore")).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .join(queries_, "query_id")
+      .select(col("query_id"), col("query"),
+        col("rank").cast("long").as("rank"), col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // --------------------------------------------------------------- q53
   /** Eval-set decontamination: flag corpus documents sharing any word
     * 3-gram with a benchmark ("eval") set — the overlap-removal step a
@@ -1416,6 +1486,7 @@ object TextOps {
     "q63_pack_concat"   -> ((s: SparkSession, d: String) => q63PackConcat(s, d)),
     "q48_vocab"         -> ((s: SparkSession, d: String) => q48Vocab(s, d)),
     "q101_inverted_index" -> ((s: SparkSession, d: String) => q101InvertedIndex(s, d)),
+    "q121_bm25_topk"    -> ((s: SparkSession, d: String) => q121Bm25Topk(s, d)),
     "q46_pii_scrub"     -> (q46PiiScrub _),
     "q47_boilerplate"   -> ((s: SparkSession, d: String) => q47BoilerplateStrip(s, d)),
     "q43_repetition"    -> (q43Repetition _),
@@ -1933,6 +2004,56 @@ object TextOps {
         | FROM s JOIN post ON s.term = post.term)
         |SELECT term, df, tf_total, postings
         |FROM h WHERE hr <= 300 ORDER BY df DESC, term""".stripMargin,
+    // q121: same tokenization as q101; integer BM25 — every per-term
+    // score is one BIGINT floor division (// here, DIV in Spark; all
+    // operands positive, so floor = trunc agrees), and the query set
+    // re-derives from the same (count desc, term) vocabulary ranking
+    "q121_bm25_topk" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split_regex(text, '\s+') AS ws
+        | FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |tf AS (
+        | SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        | FROM tok GROUP BY term, doc_id),
+        |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len FROM w),
+        |st AS (
+        | SELECT CAST(SUM(len) AS BIGINT) AS totlen,
+        |        CAST(COUNT(*) AS BIGINT) AS nd
+        | FROM lens),
+        |vr AS (
+        | SELECT term,
+        |  row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+        | FROM tok GROUP BY term),
+        |qt AS (
+        | SELECT CAST((rk - 11) // 2 AS BIGINT) AS query_id, term
+        | FROM vr WHERE rk BETWEEN 11 AND 20),
+        |qs AS (
+        | SELECT query_id, string_agg(term, ' ' ORDER BY term) AS query
+        | FROM qt GROUP BY query_id),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY term),
+        |sc AS (
+        | SELECT qt.query_id, tf.doc_id,
+        |  CAST(SUM((1000000 * 22 * st.totlen * tf.tf * (st.nd - dft.df + 1))
+        |    // ((dft.df + 1) *
+        |        (10 * st.totlen * tf.tf + 3 * st.totlen
+        |         + 9 * lens.len * st.nd))) AS BIGINT) AS score
+        | FROM qt
+        | JOIN tf USING (term)
+        | JOIN dft USING (term)
+        | JOIN lens ON lens.doc_id = tf.doc_id
+        | CROSS JOIN st
+        | GROUP BY qt.query_id, tf.doc_id),
+        |rk2 AS (
+        | SELECT query_id, doc_id, score,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rank
+        | FROM sc)
+        |SELECT r.query_id, qs.query, CAST(r.rank AS BIGINT) AS rank,
+        | r.doc_id, r.score
+        |FROM rk2 r JOIN qs USING (query_id)
+        |WHERE r.rank <= 10 ORDER BY r.query_id, r.rank""".stripMargin,
     "q46_pii_scrub" ->
       s"""SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '$emailPattern')) AS INT) AS n_emails,

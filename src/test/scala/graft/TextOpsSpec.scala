@@ -818,4 +818,57 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) == 0, "reordered words must not contaminate char windows")
     assert(got(3L) == 0)
   }
+
+  test("q121: planted relevance — tf dominance, length normalization, query derivation") {
+    // Controlled vocabulary: fillers f00..f09 at count 100 take ranks
+    // 1..10; query terms qa..qj at 90..81 take ranks 11..20 in known
+    // order, so the derived queries are q0=(qa,qb), q1=(qc,qd), …
+    // All remaining occurrences live in one dump doc, so each query's
+    // candidate set is {dump} ∪ the planted target docs.
+    val doc1 = (Seq.fill(5)("qa") ++ Seq.fill(5)("qb") ++
+      (0 until 10).map(i => s"zza$i")).mkString(" ") // both terms, tf 5
+    val doc2 = (Seq("qa") ++ (0 until 19).map(i => s"zzb$i")).mkString(" ")
+    val doc3 = (Seq.fill(2)("qc") ++ (0 until 8).map(i => s"zzc$i"))
+      .mkString(" ") // tf 2, len 10
+    val doc4 = (Seq.fill(2)("qc") ++ (0 until 38).map(i => s"zzd$i"))
+      .mkString(" ") // tf 2, len 40 — same tf, 4x longer
+    val qCounts = Seq("qa" -> 90, "qb" -> 89, "qc" -> 88, "qd" -> 87,
+      "qe" -> 86, "qf" -> 85, "qg" -> 84, "qh" -> 83, "qi" -> 82,
+      "qj" -> 81)
+    val planted = Map("qa" -> 6, "qb" -> 5, "qc" -> 4) // in docs 2-5
+    val dump = (qCounts.flatMap { case (t, n) =>
+      Seq.fill(n - planted.getOrElse(t, 0))(t) } ++
+      (0 until 10).flatMap(i => Seq.fill(100)(f"f$i%02d"))).mkString(" ")
+    val dir = Files.createTempDirectory("graft-bm25").toString
+    Seq(1L -> dump, 2L -> doc1, 3L -> doc2, 4L -> doc3, 5L -> doc4)
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = TextOps.q121Bm25Topk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // query derivation: ranks 11-20 pair into the expected queries
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(rows.find(_._1 == 0L).get._2 == "qa qb")
+    assert(rows.find(_._1 == 1L).get._2 == "qc qd")
+    // ranks contiguous from 1, scores positive and non-increasing
+    byQ.values.foreach { qr =>
+      val sorted = qr.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._5).toSeq == sorted.map(_._5).sortBy(-_).toSeq)
+      assert(sorted.forall(_._5 > 0))
+    }
+    def rankOf(q: Long, doc: Long): Long =
+      rows.find(r => r._1 == q && r._4 == doc).get._3
+    // tf dominance: the doc with both query terms at tf 5 beats the
+    // single-term tf-1 doc of the same length
+    assert(rankOf(0L, 2L) < rankOf(0L, 3L),
+      "high-tf both-terms doc must outrank the one-term doc")
+    // length normalization: same tf, 4x shorter doc scores higher
+    assert(rankOf(1L, 4L) < rankOf(1L, 5L),
+      "BM25 length normalization must favor the shorter doc")
+  }
 }
