@@ -649,11 +649,24 @@ object TextOps {
     * on ≤10-element arrays AFTER aggregation, off the per-token hot
     * path (the HOF-cost discipline in COVERAGE.md). */
   def q101InvertedIndex(spark: SparkSession, dir: String,
-      postingCap: Int = 10, headTerms: Int = 300): DataFrame = {
-    val tf = withWords(docs(spark, dir))
+      postingCap: Int = 10, headTerms: Int = 300): DataFrame =
+    invertedIndexFrom(
+      tfGrainOf(docs(spark, dir)).localCheckpoint(), postingCap, headTerms)
+
+  /** The (term, doc_id, tf) grain — the retrieval index's storage
+    * row. One definition shared by the inline build (q101), the
+    * ranked retrieval (q121), and the version maintenance (q122). */
+  private[graft] def tfGrainOf(docsDf: DataFrame): DataFrame =
+    withWords(docsDf)
       .select(col("doc_id"), explode(words).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+
+  /** Inverted-index head from a (term, doc_id, tf) grain — q101's
+    * aggregation factored so the incrementally-maintained grain
+    * artifact (q122) serves the identical index. */
+  private[graft] def invertedIndexFrom(tf: DataFrame,
+      postingCap: Int = 10, headTerms: Int = 300): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val postings = tf.withColumn("_r", row_number().over(
         Window.partitionBy(col("term"))
           .orderBy(col("tf").desc, col("doc_id"))))
@@ -668,6 +681,59 @@ object TextOps {
       .orderBy(col("df").desc, col("term")).limit(headTerms)
       .select(col("term"), col("df"), col("tf_total"), col("postings"))
       .orderBy(col("df").desc, col("term"))
+  }
+
+  // --------------------------------------------------------------- q122
+  /** The retrieval index as a MAINTAINED artifact — this round's two
+    * themes composed: the (term, doc_id, tf) grain rides the
+    * versioned-lake chain (doc-keyed ⇒ pure APPEND of the delta's
+    * grain, the q114 signature economics: map-only over delta tokens,
+    * no distinct pass, never a corpus re-tokenization) AND each
+    * version's artifact is BUCKETED on `term`, so every consumer that
+    * aggregates or joins on term — the df/tf_total stats, q101's
+    * posting window, q121's query-term probe — reads pre-partitioned
+    * with no term exchange. Per-term stats (df) are recomputed by
+    * re-aggregating the grain rather than maintained as running
+    * counters: df changes for EVERY term touched by the delta, and
+    * the re-agg over a bucketed grain is exchange-free — cheaper than
+    * merging a counter table would be.
+    *
+    * Output: the q101 inverted-index head served FROM the maintained
+    * grain at v2 — the oracle is q101's from-scratch definition over
+    * the full corpus, so hash equality proves a reader cannot tell
+    * the maintained index from a rebuilt one. */
+  def q122IncrTfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val base = Dedup.versionedCorpus(spark, dir)
+    tfGrainAt(spark, base, 1L) // v1 first — the chain origin
+    invertedIndexFrom(tfGrainAt(spark, base, 2L))
+  }
+
+  private[graft] def tfGrainArtifact(lakeBase: String, v: Long): String =
+    s"$lakeBase-tfg-b${Dedup.IndexBuckets}-v$v"
+
+  /** The grain AT lake version `v`, incrementally maintained and
+    * term-bucketed ([[q122IncrTfIndex]]'s engine). */
+  private[graft] def tfGrainAt(spark: SparkSession, lakeBase: String,
+      v: Long): DataFrame =
+    graft.sources.ArtifactStore.readOrPublishBucketed(
+      spark, tfGrainArtifact(lakeBase, v), "term", Dedup.IndexBuckets)(
+      incrementalTfGrainFrame(spark, lakeBase, v))
+
+  /** Maintenance frame behind [[tfGrainAt]] — append-only union (new
+    * docs bring new (term, doc) rows; existing rows never change);
+    * fallback discipline as the rest of the family. */
+  private[graft] def incrementalTfGrainFrame(spark: SparkSession,
+      lakeBase: String, v: Long): DataFrame = {
+    import graft.sources.{ArtifactStore, Versioned}
+    ArtifactStore.readIfPresent(spark, tfGrainArtifact(lakeBase, v - 1))
+      match {
+        case Some(prev)
+            if Versioned.tableExists(spark, lakeBase, "documents_delta", v) =>
+          prev.unionByName(tfGrainOf(
+            Versioned.readAt(spark, lakeBase, "documents_delta", v)))
+        case _ =>
+          tfGrainOf(Versioned.readAt(spark, lakeBase, "documents", v))
+      }
   }
 
   // --------------------------------------------------------------- q121
@@ -1487,6 +1553,7 @@ object TextOps {
     "q48_vocab"         -> ((s: SparkSession, d: String) => q48Vocab(s, d)),
     "q101_inverted_index" -> ((s: SparkSession, d: String) => q101InvertedIndex(s, d)),
     "q121_bm25_topk"    -> ((s: SparkSession, d: String) => q121Bm25Topk(s, d)),
+    "q122_incr_tf_index" -> (q122IncrTfIndex _),
     "q46_pii_scrub"     -> (q46PiiScrub _),
     "q47_boilerplate"   -> ((s: SparkSession, d: String) => q47BoilerplateStrip(s, d)),
     "q43_repetition"    -> (q43Repetition _),
@@ -1576,6 +1643,35 @@ object TextOps {
        | SELECT wl2.doc_id, CAST(SUM(wcnt.n_sub) AS BIGINT) AS n_subwords,
        |  CAST(COUNT(*) AS BIGINT) AS n_words
        | FROM wl2 JOIN wcnt USING (w) GROUP BY wl2.doc_id)""".stripMargin
+
+  /** q101's full inverted-index replay — shared verbatim by q122,
+    * whose incrementally-maintained grain must land on exactly this
+    * index (the [[graft.queries.Dedup]] q18/q114 sharing precedent). */
+  private val q101OracleSql: String =
+    """WITH tf AS (
+      | SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      | FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+      |       FROM documents)
+      | GROUP BY term, doc_id),
+      |p AS (
+      | SELECT term, doc_id, tf,
+      |  row_number() OVER (PARTITION BY term
+      |    ORDER BY tf DESC, doc_id) AS r
+      | FROM tf),
+      |post AS (
+      | SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY r)
+      |   AS postings
+      | FROM p WHERE r <= 10 GROUP BY term),
+      |s AS (
+      | SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |  CAST(sum(tf) AS BIGINT) AS tf_total
+      | FROM tf GROUP BY term),
+      |h AS (
+      | SELECT s.term, s.df, s.tf_total, post.postings,
+      |  row_number() OVER (ORDER BY s.df DESC, s.term) AS hr
+      | FROM s JOIN post ON s.term = post.term)
+      |SELECT term, df, tf_total, postings
+      |FROM h WHERE hr <= 300 ORDER BY df DESC, term""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // q95: recursive-CTE replay of the greedy longest-match walk;
@@ -1979,31 +2075,11 @@ object TextOps {
     // q101: same \s+ split as q48; posting order (tf desc, doc_id) and
     // the head cut (df desc, term) are total orders, so string_agg's
     // ORDER BY reproduces Spark's sorted-struct render exactly
-    "q101_inverted_index" ->
-      """WITH tf AS (
-        | SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-        | FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
-        |       FROM documents)
-        | GROUP BY term, doc_id),
-        |p AS (
-        | SELECT term, doc_id, tf,
-        |  row_number() OVER (PARTITION BY term
-        |    ORDER BY tf DESC, doc_id) AS r
-        | FROM tf),
-        |post AS (
-        | SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY r)
-        |   AS postings
-        | FROM p WHERE r <= 10 GROUP BY term),
-        |s AS (
-        | SELECT term, CAST(count(*) AS BIGINT) AS df,
-        |  CAST(sum(tf) AS BIGINT) AS tf_total
-        | FROM tf GROUP BY term),
-        |h AS (
-        | SELECT s.term, s.df, s.tf_total, post.postings,
-        |  row_number() OVER (ORDER BY s.df DESC, s.term) AS hr
-        | FROM s JOIN post ON s.term = post.term)
-        |SELECT term, df, tf_total, postings
-        |FROM h WHERE hr <= 300 ORDER BY df DESC, term""".stripMargin,
+    "q101_inverted_index" -> q101OracleSql,
+    // q122: the maintained, term-bucketed grain must serve an index a
+    // reader cannot tell from a rebuilt one — the oracle IS q101's
+    // from-scratch definition over the full corpus
+    "q122_incr_tf_index" -> q101OracleSql,
     // q121: same tokenization as q101; integer BM25 — every per-term
     // score is one BIGINT floor division (// here, DIV in Spark; all
     // operands positive, so floor = trunc agrees), and the query set

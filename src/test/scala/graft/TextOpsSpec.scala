@@ -819,6 +819,39 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) == 0)
   }
 
+  test("q122: maintained grain ≡ from-scratch; append reads delta only; term aggs exchange-free") {
+    import graft.queries.Dedup
+    val base = Dedup.versionedCorpus(spark, sfDir)
+    TextOps.tfGrainAt(spark, base, 1L) // v1 first, as q122 does
+    val incr = TextOps.tfGrainAt(spark, base, 2L)
+    val full = TextOps.tfGrainOf(Tables(spark, sfDir, "documents"))
+    assert(incr.exceptAll(full).count() == 0, "maintained grain has extra rows")
+    assert(full.exceptAll(incr).count() == 0, "maintained grain lost rows")
+    // file-exact: the maintenance frame reads the previous artifact
+    // and the change table only — the corpus is never re-tokenized
+    val frame = TextOps.incrementalTfGrainFrame(spark, base, 2L)
+    val prevArt = TextOps.tfGrainArtifact(base, 1L)
+    val stray = frame.inputFiles.filterNot(f =>
+      f.contains(prevArt) || f.contains("/v2/documents_delta/"))
+    assert(frame.inputFiles.nonEmpty && stray.isEmpty,
+      s"grain maintenance reads beyond index+delta: " +
+        s"${stray.take(3).mkString(", ")}")
+    assert(!frame.inputFiles.exists(_.contains("/v2/documents/")),
+      "grain maintenance re-tokenizes the corpus")
+    // the bucketed layout pays at read: a term aggregation over the
+    // maintained grain plans with NO term exchange
+    val agg = incr.groupBy("term")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Bucketed: true"),
+      s"grain must scan as bucketed:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(term#"),
+      s"term agg over the bucketed grain must not exchange:\n$plan")
+  }
+
   test("q121: planted relevance — tf dominance, length normalization, query derivation") {
     // Controlled vocabulary: fillers f00..f09 at count 100 take ranks
     // 1..10; query terms qa..qj at 90..81 take ranks 11..20 in known
