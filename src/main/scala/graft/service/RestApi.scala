@@ -230,6 +230,61 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
         }
     })
 
+  // R7 extension: derived-index maintenance as a job — one POST walks
+  // every artifact chain (verbatim-window index, LSH signatures,
+  // duplicate clusters, CMS + KMV sketches, retrieval tf-grain over
+  // the documents lake; IVF over the embeddings lake) up to its
+  // lake's current version. Each step is ArtifactStore.readOrPublish:
+  // already-current chains are pure reads, behind ones run their
+  // incremental merge — so this endpoint is what an ingest scheduler
+  // calls after a publish, and calling it twice is free. Synchronous
+  // by design: the chains ARE the response payload (row counts double
+  // as a sanity check an operator can eyeball).
+  server.createContext("/index/maintain", (ex: HttpExchange) =>
+    (spark, ex.getRequestMethod) match {
+      case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
+      case (_, m) if m != "POST" =>
+        reply(ex, 405, """{"detail":"method not allowed"}""")
+      case (Some(s), _) =>
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        strField(body, "dir") match {
+          case None => reply(ex, 422, """{"detail":"dir: field required"}""")
+          case Some(dir) =>
+            try {
+              import graft.queries.{Analytics, Dedup, Similarity, TextOps}
+              import graft.sources.Versioned
+              val base = Dedup.versionedCorpus(s, dir)
+              val v = Versioned.currentVersion(s, base).getOrElse(
+                sys.error(s"no committed version at $base"))
+              val emb = Similarity.versionedVectors(s, dir)
+              val ev = Versioned.currentVersion(s, emb).getOrElse(
+                sys.error(s"no committed version at $emb"))
+              // walk each chain from its origin so every step is the
+              // incremental merge, never a silent full rebuild
+              def walk(last: Long)(at: Long => Long): Long =
+                (1L to last).map(at).last
+              val counts = Seq(
+                "windows" -> walk(v)(Dedup.windowIndexAt(s, base, _).count()),
+                "signatures" ->
+                  walk(v)(Dedup.signatureIndexAt(s, base, _).count()),
+                "clusters" ->
+                  walk(v)(Dedup.clusterAssignmentAt(s, base, _).count()),
+                "cms_rows" -> walk(v)(Analytics.cmsAt(s, base, _).count()),
+                "kmv_sources" -> walk(v)(Analytics.kmvAt(s, base, _).count()),
+                "tf_grain" -> walk(v)(TextOps.tfGrainAt(s, base, _).count()),
+                "ivf_vectors" ->
+                  walk(ev)(Similarity.ivfIndexAt(s, emb, _).count()))
+              reply(ex, 200,
+                s"""{"state":"done","lake":"${esc(base)}","version":$v,""" +
+                  counts.map { case (k, n) => s""""$k":$n""" }
+                    .mkString(",") + "}")
+            } catch {
+              case e: Exception => reply(ex, 500,
+                s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+            }
+        }
+    })
+
   // R5: OpenAPI document at /docs, mirroring the reference's
   // auto-served Swagger surface (readme.md:176-179, api/main.py:7).
   // Hand-written JSON — the route inventory IS the contract.
@@ -292,6 +347,9 @@ object RestApi {
       |"/query/daily_totals":{"get":{"summary":"daily_company_totals rows in a date range (capped at 1000 rows; X-Graft-Truncated header signals an incomplete page)",
       | "parameters":[{"name":"from","in":"query","required":true,"schema":{"type":"string","format":"date"}},{"name":"to","in":"query","required":true,"schema":{"type":"string","format":"date"}},{"name":"limit","in":"query","schema":{"type":"integer","default":1000,"maximum":1000}}],
       | "responses":{"200":{"description":"rows"},"409":{"description":"run /etl/run first"},"422":{"description":"bad dates"},"503":{"description":"no spark session"}}}},
+      |"/index/maintain":{"post":{"summary":"Walk every derived-index chain (windows, signatures, clusters, CMS, KMV, tf-grain, IVF) to its lake's current version; already-current chains are pure reads",
+      |  "requestBody":{"content":{"application/json":{"schema":{"properties":{"dir":{"type":"string"}},"required":["dir"]}}}},
+      |  "responses":{"200":{"description":"chains current; per-artifact row counts"},"422":{"description":"dir missing"},"500":{"description":"maintenance failed"},"503":{"description":"no spark session"}}}},
       |"/query/run":{"get":{"summary":"Run a registered engine query by name",
       | "parameters":[{"name":"name","in":"query","required":true,"schema":{"type":"string"}},{"name":"dir","in":"query","required":true,"schema":{"type":"string"}},{"name":"limit","in":"query","schema":{"type":"integer","default":20,"maximum":1000}}],
       | "responses":{"200":{"description":"rows"},"404":{"description":"unknown query"},"422":{"description":"name and dir required"},"503":{"description":"no spark session"}}}},

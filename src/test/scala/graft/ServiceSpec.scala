@@ -276,8 +276,33 @@ class ServiceSpec extends AnyFunSuite {
       assert(code == 200)
       assert(body.contains("\"openapi\""))
       Seq("/extract", "/missing", "/reset", "/health", "/etl/run",
-        "/etl/status", "/query/daily_totals", "/query/run", "/docs")
+        "/etl/status", "/query/daily_totals", "/query/run",
+        "/index/maintain", "/docs")
         .foreach(route => assert(body.contains("\"" + route + "\""), route))
+    } finally api.stop()
+  }
+
+  test("R7 index maintenance: one POST walks every artifact chain; repeat is a pure read") {
+    val spark = SparkSpec.spark
+    val api = new RestApi(Some(spark), 0).start()
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      assert(http("POST", s"$base/index/maintain",
+        Some("""{"nope":1}"""))._1 == 422)
+      assert(http("GET", s"$base/index/maintain")._1 == 405)
+      val (c, b) = http("POST", s"$base/index/maintain",
+        Some("""{"dir":"/root/testdata/sf0.001"}"""))
+      assert(c == 200 && b.contains("\"state\":\"done\""), b)
+      Seq("windows", "signatures", "clusters", "cms_rows", "kmv_sources",
+        "tf_grain", "ivf_vectors")
+        .foreach(k => assert(b.contains("\"" + k + "\":"), s"$k missing: $b"))
+      // every chain produced rows on the fixture corpus
+      assert(!b.contains(":0,") && !b.endsWith(":0}"), s"empty artifact: $b")
+      // idempotent: the second call reads published artifacts and
+      // reports the identical counts
+      val (c2, b2) = http("POST", s"$base/index/maintain",
+        Some("""{"dir":"/root/testdata/sf0.001"}"""))
+      assert(c2 == 200 && b2 == b, s"repeat diverged:\n$b\n$b2")
     } finally api.stop()
   }
 
