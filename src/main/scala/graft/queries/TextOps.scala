@@ -615,17 +615,40 @@ object TextOps {
     * TakeOrdered top-K (no global sort). The rank window runs AFTER
     * the K-row cut, so its single-partition sort is bounded at K. Ties
     * break by token for a total order (cross-engine determinism). */
-  def q48Vocab(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = withWords(docs(spark, dir))
+  def q48Vocab(spark: SparkSession, dir: String, topK: Int = 100): DataFrame =
+    rankedVocab(withWords(docs(spark, dir))
       .select(explode(words).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token"))
-      .limit(topK)
-    counts.withColumn("rank",
-      row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .groupBy("token").agg(count(lit(1)).as("n")), topK)
+
+  /** Top-K rank shape shared by the from-scratch vocabulary (q48) and
+    * the maintained-grain vocabulary (q123). */
+  private def rankedVocab(counts: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts.orderBy(col("n").desc, col("token")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
       .select(col("rank"), col("token"), col("n"))
       .orderBy(col("rank"))
+  }
+
+  // --------------------------------------------------------------- q123
+  /** The corpus vocabulary served from the MAINTAINED grain — the
+    * consumer-side payoff of q122: the tokenizer-training wordcount
+    * (q48) re-derived per corpus version as a re-aggregate of
+    * [[tfGrainAt]], so a daily ingest keeps the vocabulary current
+    * WITHOUT re-tokenizing the corpus (the delta was tokenized once,
+    * at grain maintenance), and the term-bucketed layout makes the
+    * re-aggregate exchange-free — sum(tf) partials are already
+    * co-located. The oracle is q48's from-scratch definition over the
+    * full corpus: vocabulary-from-grain must be indistinguishable
+    * from vocabulary-from-corpus. */
+  def q123IncrVocab(spark: SparkSession, dir: String, topK: Int = 100)
+      : DataFrame = {
+    val base = Dedup.versionedCorpus(spark, dir)
+    tfGrainAt(spark, base, 1L) // v1 first — the chain origin
+    rankedVocab(tfGrainAt(spark, base, 2L)
+      .select(col("term").as("token"), col("tf"))
+      .groupBy("token").agg(sum(col("tf")).as("n")), topK)
   }
 
   // --------------------------------------------------------------- q101
@@ -1554,6 +1577,7 @@ object TextOps {
     "q101_inverted_index" -> ((s: SparkSession, d: String) => q101InvertedIndex(s, d)),
     "q121_bm25_topk"    -> ((s: SparkSession, d: String) => q121Bm25Topk(s, d)),
     "q122_incr_tf_index" -> (q122IncrTfIndex _),
+    "q123_incr_vocab"   -> ((s: SparkSession, d: String) => q123IncrVocab(s, d)),
     "q46_pii_scrub"     -> (q46PiiScrub _),
     "q47_boilerplate"   -> ((s: SparkSession, d: String) => q47BoilerplateStrip(s, d)),
     "q43_repetition"    -> (q43Repetition _),
@@ -1643,6 +1667,18 @@ object TextOps {
        | SELECT wl2.doc_id, CAST(SUM(wcnt.n_sub) AS BIGINT) AS n_subwords,
        |  CAST(COUNT(*) AS BIGINT) AS n_words
        | FROM wl2 JOIN wcnt USING (w) GROUP BY wl2.doc_id)""".stripMargin
+
+  /** q48's vocabulary replay — shared verbatim by q123, whose
+    * maintained-grain derivation must land on exactly this table. */
+  private val q48OracleSql: String =
+    """WITH t AS (
+      | SELECT unnest(string_split_regex(text, '\s+')) AS token
+      | FROM documents),
+      |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+      |      FROM t GROUP BY token)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank,
+      |       token, n
+      |FROM c ORDER BY n DESC, token LIMIT 100""".stripMargin
 
   /** q101's full inverted-index replay — shared verbatim by q122,
     * whose incrementally-maintained grain must land on exactly this
@@ -2063,15 +2099,10 @@ object TextOps {
         |SELECT doc_id, source, sample_key FROM r
         |WHERE n <= 10 OR rn <= 10
         |ORDER BY doc_id""".stripMargin,
-    "q48_vocab" ->
-      """WITH t AS (
-        | SELECT unnest(string_split_regex(text, '\s+')) AS token
-        | FROM documents),
-        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
-        |      FROM t GROUP BY token)
-        |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank,
-        |       token, n
-        |FROM c ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "q48_vocab" -> q48OracleSql,
+    // q123: vocabulary-from-maintained-grain must be indistinguishable
+    // from vocabulary-from-corpus — the oracle IS q48's definition
+    "q123_incr_vocab" -> q48OracleSql,
     // q101: same \s+ split as q48; posting order (tf desc, doc_id) and
     // the head cut (df desc, term) are total orders, so string_agg's
     // ORDER BY reproduces Spark's sorted-struct render exactly
