@@ -639,10 +639,19 @@ object Similarity {
     * ([[graft.operators.CoarseQuantizer]]) and is still ≤ k×dim
     * floats — literal inlining holds. */
   def q80PqEncode(spark: SparkSession, dir: String): DataFrame = {
-    val numSub = 4; val subDim = 16; val k = 8
     val emb = Tables(spark, dir, "embeddings")
-    val cents = emb.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id"), col("embedding")).collect()
+    pqEncodeWith(emb, emb.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id"), col("embedding")).collect())
+      .orderBy(col("vec_id"))
+  }
+
+  /** PQ encode under an EXPLICIT codebook (rows of (vec_id,
+    * embedding)) — q80's kernel factored so the incremental chain
+    * (q124) encodes deltas under the chain-frozen codebook. Pure
+    * map-side projection; see [[q80PqEncode]]'s scaladoc. */
+  private[graft] def pqEncodeWith(emb: DataFrame,
+      cents: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val numSub = 4; val subDim = 16
     val cids = cents.map(_.getLong(0)).toSeq
     val codes = (0 until numSub).map { s =>
       val dists = cents.indices.map { c =>
@@ -655,7 +664,75 @@ object Similarity {
       element_at(typedLit(cids),
         array_position(arr, array_min(arr)).cast("int")).as(s"code$s")
     }
-    emb.select(col("vec_id") +: codes: _*).orderBy(col("vec_id"))
+    emb.select(col("vec_id") +: codes: _*)
+  }
+
+  // --------------------------------------------------------------- q124
+  /** Incremental maintenance of the PQ code table — the LAST of the
+    * persisted artifact families still rebuilding per corpus version
+    * (r13 named win-/signature/IVF/PQ/vocab; the others gained chains
+    * in q113/q114/q115/q123). Same physics as the IVF chain: codes
+    * only mean anything under the codebook that produced them, so the
+    * codebook FREEZES at chain origin — here persisted as its own
+    * tiny artifact (the 8 training vectors), because unlike IVF's
+    * cell table the code rows cannot reconstruct their centroids, and
+    * the lake's GC must not be able to collect the chain's geometry
+    * out from under it. Maintenance is then pure append:
+    * `codes(v) = codes(v−1) ∪ encode(delta, frozen codebook)` — a
+    * map-side projection over delta vectors, never a corpus re-encode
+    * (file-exact in the spec). Retrain = the full-rebuild fallback
+    * branch, exactly as IVF. The oracle replays the global encode
+    * under the standing-split codebook (q115's oracle convention), so
+    * hash equality proves the chain's codes are indistinguishable
+    * from a one-shot encode under the same frozen geometry. */
+  def q124IncrPq(spark: SparkSession, dir: String): DataFrame = {
+    val base = versionedVectors(spark, dir)
+    pqCodesAt(spark, base, 1L) // v1 first: origin freezes the codebook
+    pqCodesAt(spark, base, 2L).orderBy(col("vec_id"))
+  }
+
+  private[graft] def pqCodesArtifact(lakeBase: String, v: Long): String =
+    s"$lakeBase-pq-v$v"
+
+  /** Chain-frozen PQ training vectors — version-less: one codebook
+    * per chain, by construction. */
+  private[graft] def pqCodebookArtifact(lakeBase: String): String =
+    s"$lakeBase-pq-cb"
+
+  /** The PQ code table AT lake version `v`, maintained by
+    * frozen-codebook append ([[q124IncrPq]]'s engine). */
+  private[graft] def pqCodesAt(spark: SparkSession, lakeBase: String,
+      v: Long): DataFrame =
+    graft.sources.ArtifactStore.readOrPublish(
+      spark, pqCodesArtifact(lakeBase, v))(
+      incrementalPqFrame(spark, lakeBase, v))
+
+  /** Maintenance frame behind [[pqCodesAt]] — append under the frozen
+    * codebook artifact; fallback = full (re)build, which also
+    * (re)publishes the codebook. */
+  private[graft] def incrementalPqFrame(spark: SparkSession,
+      lakeBase: String, v: Long): DataFrame = {
+    import graft.sources.{ArtifactStore, Versioned}
+    ArtifactStore.readIfPresent(spark, pqCodesArtifact(lakeBase, v - 1))
+      match {
+        case Some(prev)
+            if Versioned.tableExists(spark, lakeBase, "embeddings_delta", v) =>
+          val cb = ArtifactStore
+            .readIfPresent(spark, pqCodebookArtifact(lakeBase))
+            .getOrElse(sys.error(
+              s"pq chain at $lakeBase has codes but no codebook artifact"))
+            .orderBy(col("vec_id")).collect() // 8 rows by construction
+          prev.unionByName(pqEncodeWith(
+            Versioned.readAt(spark, lakeBase, "embeddings_delta", v), cb))
+        case _ =>
+          val full = Versioned.readAt(spark, lakeBase, "embeddings", v)
+          val cb = ArtifactStore.readOrPublish(
+            spark, pqCodebookArtifact(lakeBase))(
+            full.orderBy(col("vec_id")).limit(8)
+              .select(col("vec_id"), col("embedding")))
+            .orderBy(col("vec_id")).collect()
+          pqEncodeWith(full, cb)
+      }
   }
 
   /** Root for persisted PQ code tables (override:
@@ -792,7 +869,8 @@ object Similarity {
     "q51_ivf_assign"   -> (q51IvfAssign _),
     "q68_cell_purity"  -> (q68CellPurity _),
     "q71_label_centroids" -> (q71LabelCentroids _),
-    "q115_incr_ivf_index" -> (q115IncrIvfIndex _))
+    "q115_incr_ivf_index" -> (q115IncrIvfIndex _),
+    "q124_incr_pq" -> (q124IncrPq _))
 
   /** q51's deterministic assignment (k lowest-vec_id centroids, exact
     * decimal dots, argmax with highest-label tie-break) as a reusable
@@ -1068,6 +1146,35 @@ object Similarity {
       "\n" +
       """SELECT vec_id, CAST(c_label AS BIGINT) AS cell
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    // q124: q80's replay with the codebook CTE restricted to the
+    // STANDING split (what the chain's origin froze) — the q115
+    // oracle convention applied to product quantization. Hash
+    // equality proves append(encode(delta, frozen)) is
+    // indistinguishable from one global encode under that codebook.
+    "q124_incr_pq" ->
+      s"""WITH c AS (
+        | SELECT vec_id AS cid, embedding AS ce
+        | FROM embeddings
+        | WHERE (${TextOps.md5UniformSql("vec_id")}) >= 0.1
+        | ORDER BY vec_id LIMIT 8),
+        |p AS (
+        | SELECT v.vec_id, c.cid,
+        |  ${pqDistSql(0)} AS d0, ${pqDistSql(1)} AS d1,
+        |  ${pqDistSql(2)} AS d2, ${pqDistSql(3)} AS d3
+        | FROM embeddings v CROSS JOIN c),
+        |m AS (
+        | SELECT vec_id, cid, d0, d1, d2, d3,
+        |  MIN(d0) OVER (PARTITION BY vec_id) AS m0,
+        |  MIN(d1) OVER (PARTITION BY vec_id) AS m1,
+        |  MIN(d2) OVER (PARTITION BY vec_id) AS m2,
+        |  MIN(d3) OVER (PARTITION BY vec_id) AS m3
+        | FROM p)
+        |SELECT vec_id,
+        | CAST(MIN(CASE WHEN d0 = m0 THEN cid END) AS BIGINT) AS code0,
+        | CAST(MIN(CASE WHEN d1 = m1 THEN cid END) AS BIGINT) AS code1,
+        | CAST(MIN(CASE WHEN d2 = m2 THEN cid END) AS BIGINT) AS code2,
+        | CAST(MIN(CASE WHEN d3 = m3 THEN cid END) AS BIGINT) AS code3
+        |FROM m GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // q103: the shared assignment CTE, the md5-uniform delta split
     // (TextOps.md5UniformSql — the ONE definition), cell occupancy of
     // the corpus side, and the q38 decimal-dot verify with MIN target

@@ -791,15 +791,16 @@ object TextOps {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = withWords(docs(spark, dir))
-    val tok = d.select(col("doc_id"), explode(words).as("term"))
-      .localCheckpoint() // feeds tf grain AND vocabulary ranking
-    val tf = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds candidates AND df
+    // ONE materialization, the (term, doc, tf) grain — vocabulary
+    // counts and df both re-aggregate it (sum(tf) ≡ the raw token
+    // count), so the exploded token stream itself is never checkpointed
+    val tf = tfGrainOf(docs(spark, dir))
+      .localCheckpoint() // feeds candidates, df, AND vocabulary
     val lens = d.select(col("doc_id"), size(words).cast("long").as("len"))
     val stats = lens.agg(sum(col("len")).as("totlen"),
       count(lit(1)).as("nd"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val qterms = tok.groupBy("term").agg(count(lit(1)).as("n"))
+    val qterms = tf.groupBy("term").agg(sum(col("tf")).as("n"))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("n").desc, col("term"))))
       .filter(col("rk").between(11, 20))

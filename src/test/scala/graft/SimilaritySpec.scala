@@ -135,6 +135,42 @@ class SimilaritySpec extends SparkSpec {
       "IVF maintenance re-assigns the corpus")
   }
 
+  test("q124: frozen-codebook PQ append ≡ global encode; reads codes+codebook+delta only") {
+    import graft.queries.Similarity
+    val base = Similarity.versionedVectors(spark, sfDir)
+    Similarity.pqCodesAt(spark, base, 1L) // chain origin freezes the codebook
+    val incr = Similarity.pqCodesAt(spark, base, 2L)
+    // the frozen codebook is its own artifact (GC-proof geometry) and
+    // holds exactly the STANDING split's 8 lowest vec_ids
+    val cbArt = graft.sources.ArtifactStore
+      .readIfPresent(spark, Similarity.pqCodebookArtifact(base))
+    assert(cbArt.nonEmpty, "codebook artifact missing")
+    val cb = cbArt.get.orderBy(col("vec_id")).collect()
+    val standing8 = graft.sources.Versioned
+      .readAt(spark, base, "embeddings", 1L)
+      .orderBy(col("vec_id")).limit(8).select("vec_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(cb.map(_.getLong(0)).toSeq == standing8,
+      s"codebook ids ${cb.map(_.getLong(0)).toSeq} != standing-8 $standing8")
+    // value identity: appending delta codes equals encoding the WHOLE
+    // corpus under the frozen codebook
+    val full = Similarity.pqEncodeWith(Tables(spark, sfDir, "embeddings"), cb)
+    assert(incr.exceptAll(full).count() == 0 && full.exceptAll(incr).count() == 0,
+      "frozen-codebook append diverged from a global encode")
+    // file-exact: maintenance reads the previous codes, the codebook
+    // artifact, and the change table — never the lake's vector table
+    val frame = Similarity.incrementalPqFrame(spark, base, 2L)
+    val prevArt = Similarity.pqCodesArtifact(base, 1L)
+    val stray = frame.inputFiles.filterNot(f =>
+      f.contains(prevArt) || f.contains(Similarity.pqCodebookArtifact(base)) ||
+        f.contains("/v2/embeddings_delta/"))
+    assert(frame.inputFiles.nonEmpty && stray.isEmpty,
+      s"PQ maintenance reads beyond codes+codebook+delta: " +
+        s"${stray.take(3).mkString(", ")}")
+    assert(!frame.inputFiles.exists(_.contains("/v2/embeddings/")),
+      "PQ maintenance re-encodes the corpus")
+  }
+
   test("q68 purity equals a driver-side recomputation from the assignment") {
     val assign = Similarity.q51IvfAssign(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
