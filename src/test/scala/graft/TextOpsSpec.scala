@@ -852,6 +852,39 @@ class TextOpsSpec extends SparkSpec {
       s"term agg over the bucketed grain must not exchange:\n$plan")
   }
 
+  test("tf-grain chain composes past depth two: v3 = append of an append, still exact") {
+    import graft.sources.Versioned
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-tfgchain").toString + "/lake"
+    def d(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val doc1 = 1L -> "alpha beta alpha gamma"
+    val doc2 = 2L -> "beta beta delta"
+    val doc3 = 3L -> "epsilon alpha epsilon"
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("documents", d(doc1)),
+      Versioned.TableSpec("documents_delta", d(doc1))))
+    TextOps.tfGrainAt(spark, base, 1L)
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("documents", d(doc1, doc2)),
+      Versioned.TableSpec("documents_delta", d(doc2))))
+    TextOps.tfGrainAt(spark, base, 2L)
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("documents", d(doc1, doc2, doc3)),
+      Versioned.TableSpec("documents_delta", d(doc3))))
+    val v3 = TextOps.tfGrainAt(spark, base, 3L) // append of an append
+    val scratch = TextOps.tfGrainOf(d(doc1, doc2, doc3))
+    assert(v3.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(v3).count() == 0,
+      "depth-3 grain chain diverged from the from-scratch grain")
+    // v3 maintenance reads v2's artifact + Δ3 only (the chain survives
+    // GC of v1 — artifacts, not lake versions, carry the history)
+    val files = TextOps.incrementalTfGrainFrame(spark, base, 3L).inputFiles
+    val prevArt = TextOps.tfGrainArtifact(base, 2L)
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains(prevArt) || f.contains("/v3/documents_delta/")),
+      s"v3 grain maintenance read beyond chain+delta: ${files.mkString(", ")}")
+  }
+
   test("q121: planted relevance — tf dominance, length normalization, query derivation") {
     // Controlled vocabulary: fillers f00..f09 at count 100 take ranks
     // 1..10; query terms qa..qj at 90..81 take ranks 11..20 in known
