@@ -687,6 +687,40 @@ object Analytics {
     }
   }
 
+  // --------------------------------------------------------------- q125
+  /** Cross-version frequency drift from the MAINTAINED sketch chain
+    * alone — the monitoring payoff of q117: "how much did each heavy
+    * token grow in the last ingest" answered by probing the two
+    * versions' Count-Min artifacts (two 16 KB reads), never by
+    * re-shuffling either version's token stream. The probe set is the
+    * current corpus's exact top-10 (q116's derivation — one pass, the
+    * recurring cost a drift monitor already pays); each token reports
+    * its estimate under v1's and v2's sketches and the delta. Counter
+    * monotonicity under the chain's elementwise add makes
+    * `est_v2 ≥ est_v1` an invariant (asserted in the spec), and the
+    * CM one-sided guarantee makes `est_v2 ≥ exact_cnt`; both MIN-over-
+    * rows estimates replay bit-exactly in the oracle, v1's over the
+    * standing split's counters. */
+  def q125VersionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val base = Dedup.versionedCorpus(spark, dir)
+    val s1 = cmsAt(spark, base, 1L).select(col("cms").as("cms1"))
+    val s2 = cmsAt(spark, base, 2L).select(col("cms").as("cms2"))
+    val top = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token")).limit(10)
+    def est(cmsCol: String) = least((0 until CmsDepth).map(r =>
+      element_at(col(cmsCol),
+        (lit(r * CmsWidth + 1) + cmsBucket(r, col("token"))).cast("int")))
+      : _*)
+    // 10 × two 1-row sketches: the bounded-crossJoin pattern
+    top.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+      .select(col("token"), col("exact_cnt"),
+        est("cms1").as("est_v1"), est("cms2").as("est_v2"),
+        (est("cms2") - est("cms1")).as("est_delta"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_mad_gate"   -> (q98MadGate _),
     "q89_winsorize"  -> (q89Winsorize _),
@@ -703,7 +737,8 @@ object Analytics {
     "q116_cms_topk" -> (q116CmsTopk _),
     "q117_incr_cms" -> (q117IncrCms _),
     "q118_kmv_overlap" -> (q118KmvOverlap _),
-    "q120_incr_kmv" -> (q120IncrKmv _))
+    "q120_incr_kmv" -> (q120IncrKmv _),
+    "q125_version_drift" -> (q125VersionDrift _))
 
   val oracle: Map[String, String] = Map(
     // q98: lower-median rank cut (2·rk ≤ n+1) twice — value then
@@ -1073,5 +1108,53 @@ object Analytics {
         |      ELSE 64424509440.0 / CAST(k.hk16 AS DOUBLE) END
         |   AS est_distinct
         |FROM cnt c JOIN kth k USING (source)
-        |ORDER BY c.source""".stripMargin)
+        |ORDER BY c.source""".stripMargin,
+    // q125: both versions' counter tables rebuilt from scratch (q116's
+    // bucket replay; v1's restricted to the standing md5-uniform
+    // split), each estimate the MIN over depth rows, delta exact
+    "q125_version_drift" ->
+      s"""WITH t2 AS (
+        | SELECT unnest(string_split_regex(text, '\\s+')) AS token
+        | FROM documents),
+        |t1 AS (
+        | SELECT unnest(string_split_regex(text, '\\s+')) AS token
+        | FROM documents
+        | WHERE (${graft.queries.TextOps.md5UniformSql("doc_id")}) >= 0.1),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |c2 AS (
+        | SELECT rs.r,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(t2.token), 8 * rs.r + i, 1)) - 1)
+        |         * (1::BIGINT << (4 * (8 - i))))) AS BIGINT) % 512 AS bkt,
+        |  COUNT(*) AS c
+        | FROM t2 CROSS JOIN rs GROUP BY 1, 2),
+        |c1 AS (
+        | SELECT rs.r,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(t1.token), 8 * rs.r + i, 1)) - 1)
+        |         * (1::BIGINT << (4 * (8 - i))))) AS BIGINT) % 512 AS bkt,
+        |  COUNT(*) AS c
+        | FROM t1 CROSS JOIN rs GROUP BY 1, 2),
+        |top AS (
+        | SELECT token, COUNT(*) AS exact_cnt FROM t2 GROUP BY token
+        | ORDER BY exact_cnt DESC, token LIMIT 10),
+        |qb AS (
+        | SELECT top.token, top.exact_cnt, rs.r,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(top.token), 8 * rs.r + i, 1)) - 1)
+        |         * (1::BIGINT << (4 * (8 - i))))) AS BIGINT) % 512 AS bkt
+        | FROM top CROSS JOIN rs),
+        |e AS (
+        | SELECT qb.token, qb.exact_cnt,
+        |  MIN(COALESCE(c1.c, 0)) AS est_v1,
+        |  MIN(COALESCE(c2.c, 0)) AS est_v2
+        | FROM qb
+        | LEFT JOIN c1 ON c1.r = qb.r AND c1.bkt = qb.bkt
+        | LEFT JOIN c2 ON c2.r = qb.r AND c2.bkt = qb.bkt
+        | GROUP BY qb.token, qb.exact_cnt)
+        |SELECT token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        | CAST(est_v1 AS BIGINT) AS est_v1,
+        | CAST(est_v2 AS BIGINT) AS est_v2,
+        | CAST(est_v2 - est_v1 AS BIGINT) AS est_delta
+        |FROM e ORDER BY exact_cnt DESC, token""".stripMargin)
 }

@@ -328,6 +328,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == fromScratch, "chain diverged from from-scratch")
   }
 
+  test("q125: drift estimates respect chain monotonicity and the CM guarantee") {
+    val rows = Analytics.q125VersionDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == 10)
+    rows.foreach { case (tok, exact, e1, e2, d) =>
+      // elementwise-add maintenance ⇒ every counter is monotone ⇒ so
+      // is the MIN-over-rows estimate
+      assert(e2 >= e1, s"$tok: est_v2 $e2 < est_v1 $e1 breaks monotonicity")
+      // CM one-sided guarantee on the full-corpus sketch
+      assert(e2 >= exact, s"$tok: est_v2 $e2 under-counts exact $exact")
+      assert(d == e2 - e1 && d >= 0)
+    }
+    // the ingest added tokens, so SOME heavy token must show growth
+    assert(rows.exists(_._5 > 0), "no token grew across the ingest")
+  }
+
   test("cms_sketch aggregate: counters are bucket counts, partition-invariant merge") {
     import graft.functions.CmsSketch
     val depth = 2
