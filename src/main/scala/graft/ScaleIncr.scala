@@ -82,7 +82,27 @@ object ScaleIncr {
     }
     // restore the chain for whoever runs next
     Dedup.windowIndexAt(spark, base, 1L)
-    println(s"""{"sf":"$sfDir","cpus":$cpus,$incr,$full}""")
+
+    // the CLUSTER chain (r14): same daily-ingest framing. The
+    // incremental step is star-contraction + a delta-restricted band
+    // probe; the comparator is the fallback full build — whole-corpus
+    // band self-join + closure. Both read the same signature index
+    // artifact, so the measured difference is exactly the maintenance
+    // law's value, not I/O noise.
+    Dedup.signatureIndexAt(spark, base, 1L)
+    Dedup.signatureIndexAt(spark, base, 2L)
+    Dedup.clusterAssignmentAt(spark, base, 1L)
+    delete(Dedup.clusterArtifact(base, 2L))
+    val ccIncr = measure("cc_incremental") {
+      Dedup.clusterAssignmentAt(spark, base, 2L).count()
+    }
+    delete(Dedup.clusterArtifact(base, 2L))
+    delete(Dedup.clusterArtifact(base, 1L))
+    val ccFull = measure("cc_full_rebuild") {
+      Dedup.clusterAssignmentAt(spark, base, 2L).count()
+    }
+    Dedup.clusterAssignmentAt(spark, base, 1L) // restore
+    println(s"""{"sf":"$sfDir","cpus":$cpus,$incr,$full,$ccIncr,$ccFull}""")
     spark.stop()
   }
 }
