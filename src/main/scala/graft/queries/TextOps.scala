@@ -742,21 +742,108 @@ object TextOps {
       spark, tfGrainArtifact(lakeBase, v), "term", Dedup.IndexBuckets)(
       incrementalTfGrainFrame(spark, lakeBase, v))
 
-  /** Maintenance frame behind [[tfGrainAt]] — append-only union (new
-    * docs bring new (term, doc) rows; existing rows never change);
-    * fallback discipline as the rest of the family. */
+  /** Maintenance frame behind [[tfGrainAt]]. The grain is doc-keyed,
+    * so BOTH change directions are cheap and exact — additions are a
+    * union of the delta's grain (new docs bring new (term, doc) rows;
+    * existing rows never change), and removals are an anti-join
+    * against the version's `documents_removed` tombstone table
+    * (q126): every (term, doc) row of a removed doc vanishes, which
+    * is precisely the removed doc's whole contribution. This is the
+    * capability the SET-keyed chains (distinct windows) structurally
+    * lack — a shared window's refcount is not recoverable from the
+    * distinct set — and why their scaladocs scope removals out while
+    * this one implements them. Fallback discipline as the rest of the
+    * family: a version with neither change table, or no previous
+    * artifact, rebuilds from the version's corpus. */
   private[graft] def incrementalTfGrainFrame(spark: SparkSession,
       lakeBase: String, v: Long): DataFrame = {
     import graft.sources.{ArtifactStore, Versioned}
+    val hasDelta = Versioned.tableExists(spark, lakeBase, "documents_delta", v)
+    val hasRemoved =
+      Versioned.tableExists(spark, lakeBase, "documents_removed", v)
     ArtifactStore.readIfPresent(spark, tfGrainArtifact(lakeBase, v - 1))
       match {
-        case Some(prev)
-            if Versioned.tableExists(spark, lakeBase, "documents_delta", v) =>
-          prev.unionByName(tfGrainOf(
-            Versioned.readAt(spark, lakeBase, "documents_delta", v)))
+        case Some(prev) if hasDelta || hasRemoved =>
+          val kept = if (hasRemoved)
+            prev.join(
+              Versioned.readAt(spark, lakeBase, "documents_removed", v)
+                .select(col("doc_id")), Seq("doc_id"), "left_anti")
+              // a USING-column join fronts doc_id — restore the
+              // grain's canonical column order so every version's
+              // artifact carries the same schema
+              .select(col("term"), col("doc_id"), col("tf"))
+          else prev
+          if (hasDelta)
+            kept.unionByName(tfGrainOf(
+              Versioned.readAt(spark, lakeBase, "documents_delta", v)))
+          else kept
         case _ =>
           tfGrainOf(Versioned.readAt(spark, lakeBase, "documents", v))
       }
+  }
+
+  // --------------------------------------------------------------- q126
+  /** Tombstoned REMOVAL through the maintained index — the change
+    * direction every set-union chain's scaladoc scopes out, exercised
+    * where it is actually exact: a third lake version publishes a
+    * `documents_removed` tombstone table (a takedown/opt-out batch —
+    * the md5-uniform [0.1, 0.15) slice), the grain chain anti-joins
+    * the tombstones and the index head is served from the result. The
+    * oracle rebuilds the index from scratch over the SURVIVING
+    * documents only, so hash equality proves removal through the
+    * chain is indistinguishable from never having ingested the
+    * removed docs — the GDPR-shaped guarantee a 100 TB corpus cannot
+    * afford to demonstrate by re-tokenizing itself. */
+  def q126TombstoneIndex(spark: SparkSession, dir: String): DataFrame = {
+    val base = versionedCorpusWithRemoval(spark, dir)
+    invertedIndexFrom(tfGrainAt(spark, base, 3L))
+  }
+
+  /** The removal slice shared by [[q126TombstoneIndex]]'s lake builder
+    * and spec: md5-uniform keys in [0.1, 0.15) — disjoint from the
+    * fresh-delta slice (< 0.1), so v3 removes STANDING docs. */
+  private[graft] def removalSlice(d: DataFrame): DataFrame =
+    d.filter(uniformKeyOf(col("doc_id")) >= lit(0.1) &&
+      uniformKeyOf(col("doc_id")) < lit(0.15))
+
+  /** Three-version scratch lake: v1 = standing split, v2 = full corpus
+    * (delta ingest), v3 = full minus the removal slice, published with
+    * a `documents_removed` tombstone table. The grain chain is
+    * maintained AFTER EACH publish — the posture a real ingest is
+    * forced into anyway, because the lake GC keeps only
+    * current+previous versions: indexing must keep pace, and the
+    * ARTIFACTS (content-addressed, never collected) are what carry
+    * the chain's history past GC. Idempotent like
+    * [[graft.queries.Dedup.versionedCorpus]]. */
+  private[graft] def versionedCorpusWithRemoval(spark: SparkSession,
+      dir: String): String = {
+    import graft.sources.Versioned
+    val key = graft.Tables.fileFingerprint(spark, s"$dir/documents.parquet")
+    val base = s"${Dedup.indexBase}/lake-rm-$key"
+    val all = docs(spark, dir)
+    val fresh = uniformKeyOf(col("doc_id")) < lit(0.1)
+    if (Versioned.currentVersion(spark, base).isEmpty) {
+      Versioned.publish(spark, base, Seq(
+        Versioned.TableSpec("documents", all.filter(!fresh)),
+        Versioned.TableSpec("documents_delta", all.filter(!fresh))))
+      tfGrainAt(spark, base, 1L)
+    }
+    if (Versioned.currentVersion(spark, base).contains(1L)) {
+      Versioned.publish(spark, base, Seq(
+        Versioned.TableSpec("documents", all),
+        Versioned.TableSpec("documents_delta", all.filter(fresh))))
+      tfGrainAt(spark, base, 2L)
+    }
+    if (Versioned.currentVersion(spark, base).contains(2L)) {
+      val removed = removalSlice(all)
+      Versioned.publish(spark, base, Seq(
+        Versioned.TableSpec("documents",
+          all.join(removed.select(col("doc_id")), Seq("doc_id"),
+            "left_anti")),
+        Versioned.TableSpec("documents_removed",
+          removed.select(col("doc_id")))))
+    }
+    base
   }
 
   // --------------------------------------------------------------- q121
@@ -1578,6 +1665,7 @@ object TextOps {
     "q101_inverted_index" -> ((s: SparkSession, d: String) => q101InvertedIndex(s, d)),
     "q121_bm25_topk"    -> ((s: SparkSession, d: String) => q121Bm25Topk(s, d)),
     "q122_incr_tf_index" -> (q122IncrTfIndex _),
+    "q126_tombstone_index" -> (q126TombstoneIndex _),
     "q123_incr_vocab"   -> ((s: SparkSession, d: String) => q123IncrVocab(s, d)),
     "q46_pii_scrub"     -> (q46PiiScrub _),
     "q47_boilerplate"   -> ((s: SparkSession, d: String) => q47BoilerplateStrip(s, d)),
@@ -1681,14 +1769,15 @@ object TextOps {
       |       token, n
       |FROM c ORDER BY n DESC, token LIMIT 100""".stripMargin
 
-  /** q101's full inverted-index replay — shared verbatim by q122,
-    * whose incrementally-maintained grain must land on exactly this
-    * index (the [[graft.queries.Dedup]] q18/q114 sharing precedent). */
-  private val q101OracleSql: String =
-    """WITH tf AS (
+  /** q101's full inverted-index replay over an arbitrary source —
+    * shared verbatim by q122 (maintained grain must land on exactly
+    * this index) and q126 (ditto, over the surviving documents only).
+    * The [[graft.queries.Dedup]] q18/q114 sharing precedent. */
+  private def q101OracleOver(src: String): String =
+    s"""WITH tf AS (
       | SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-      | FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
-      |       FROM documents)
+      | FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+      |       FROM $src)
       | GROUP BY term, doc_id),
       |p AS (
       | SELECT term, doc_id, tf,
@@ -1709,6 +1798,8 @@ object TextOps {
       | FROM s JOIN post ON s.term = post.term)
       |SELECT term, df, tf_total, postings
       |FROM h WHERE hr <= 300 ORDER BY df DESC, term""".stripMargin
+
+  private val q101OracleSql: String = q101OracleOver("documents")
 
   val oracle: Map[String, String] = Map(
     // q95: recursive-CTE replay of the greedy longest-match walk;
@@ -2112,6 +2203,13 @@ object TextOps {
     // reader cannot tell from a rebuilt one — the oracle IS q101's
     // from-scratch definition over the full corpus
     "q122_incr_tf_index" -> q101OracleSql,
+    // q126: the from-scratch index over the SURVIVING documents only —
+    // removal through the chain must be indistinguishable from never
+    // having ingested the removed docs
+    "q126_tombstone_index" -> q101OracleOver(
+      s"(SELECT doc_id, text FROM documents " +
+        s"WHERE NOT ((${md5UniformSql("doc_id")}) >= 0.1 " +
+        s"AND (${md5UniformSql("doc_id")}) < 0.15))"),
     // q121: same tokenization as q101; integer BM25 — every per-term
     // score is one BIGINT floor division (// here, DIV in Spark; all
     // operands positive, so floor = trunc agrees), and the query set

@@ -885,6 +885,38 @@ class TextOpsSpec extends SparkSpec {
       s"v3 grain maintenance read beyond chain+delta: ${files.mkString(", ")}")
   }
 
+  test("q126: tombstoned removal ≡ never ingested; reads grain+tombstones only") {
+    val base = TextOps.versionedCorpusWithRemoval(spark, sfDir)
+    val v3 = TextOps.tfGrainAt(spark, base, 3L)
+    val all = Tables(spark, sfDir, "documents")
+    val survivors = all.join(
+      TextOps.removalSlice(all).select($"doc_id"), Seq("doc_id"), "left_anti")
+    // the fixture actually removes something, and every removed doc's
+    // entire grain contribution vanishes
+    val removedIds = TextOps.removalSlice(all).select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(removedIds.nonEmpty, "removal slice empty — fixture vacuous")
+    assert(v3.filter($"doc_id".isin(removedIds.toSeq: _*)).count() == 0,
+      "removed docs still present in the maintained grain")
+    // value identity: chain-with-removal ≡ from-scratch over survivors
+    val scratch = TextOps.tfGrainOf(survivors)
+    assert(v3.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(v3).count() == 0,
+      "removal through the chain diverged from never-ingested")
+    // file-exact: the v3 maintenance frame reads the previous grain
+    // artifact and the tombstone table only — no corpus scan, no
+    // re-tokenization, exactly an anti-join
+    val frame = TextOps.incrementalTfGrainFrame(spark, base, 3L)
+    val prevArt = TextOps.tfGrainArtifact(base, 2L)
+    val stray = frame.inputFiles.filterNot(f =>
+      f.contains(prevArt) || f.contains("/v3/documents_removed/"))
+    assert(frame.inputFiles.nonEmpty && stray.isEmpty,
+      s"tombstone maintenance reads beyond grain+tombstones: " +
+        s"${stray.take(3).mkString(", ")}")
+    assert(!frame.inputFiles.exists(_.contains("/v3/documents/")),
+      "tombstone maintenance re-scans the corpus")
+  }
+
   test("q121: planted relevance — tf dominance, length normalization, query derivation") {
     // Controlled vocabulary: fillers f00..f09 at count 100 take ranks
     // 1..10; query terms qa..qj at 90..81 take ranks 11..20 in known
