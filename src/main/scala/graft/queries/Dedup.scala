@@ -1164,18 +1164,31 @@ object Dedup {
       spark, signatureIndexArtifact(lakeBase, v))(
       incrementalSignatureFrame(spark, lakeBase, v))
 
-  /** Maintenance frame behind [[signatureIndexAt]] — append-only merge
-    * (see [[q114IncrSignatureIndex]]); same fallback discipline as
-    * [[incrementalWindowFrame]]. */
+  /** Maintenance frame behind [[signatureIndexAt]] — append of the
+    * delta's signatures (see [[q114IncrSignatureIndex]]) and, like
+    * the grain chain (q126), tombstoned REMOVAL: the signature table
+    * is one doc-keyed row per document, so anti-joining a version's
+    * `documents_removed` table deletes a removed doc's entire LSH
+    * presence — it can never again band-collide with anything. Same
+    * fallback discipline as [[incrementalWindowFrame]]. */
   private[graft] def incrementalSignatureFrame(spark: SparkSession,
       lakeBase: String, v: Long): DataFrame = {
     import graft.sources.{ArtifactStore, Versioned}
+    val hasDelta = Versioned.tableExists(spark, lakeBase, "documents_delta", v)
+    val hasRemoved =
+      Versioned.tableExists(spark, lakeBase, "documents_removed", v)
     ArtifactStore.readIfPresent(spark, signatureIndexArtifact(lakeBase, v - 1))
       match {
-        case Some(prev)
-            if Versioned.tableExists(spark, lakeBase, "documents_delta", v) =>
-          prev.unionByName(minhashSignatures(
-            Versioned.readAt(spark, lakeBase, "documents_delta", v)))
+        case Some(prev) if hasDelta || hasRemoved =>
+          val kept = if (hasRemoved)
+            prev.join(
+              Versioned.readAt(spark, lakeBase, "documents_removed", v)
+                .select(col("doc_id")), Seq("doc_id"), "left_anti")
+          else prev
+          if (hasDelta)
+            kept.unionByName(minhashSignatures(
+              Versioned.readAt(spark, lakeBase, "documents_delta", v)))
+          else kept
         case _ => minhashSignatures(
           Versioned.readAt(spark, lakeBase, "documents", v))
       }

@@ -717,6 +717,44 @@ class DedupSpec extends SparkSpec {
       s"bridge doc must merge the two standing clusters: $v2")
   }
 
+  test("signature chain: tombstoned removal deletes a doc's LSH presence exactly") {
+    import graft.sources.Versioned
+    val base = Files.createTempDirectory("graft-sigrm").toString + "/lake"
+    def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val d1 = 1L -> "alpha beta gamma delta epsilon zeta"
+    val d2 = 2L -> "red blue green amber violet cyan"
+    val d3 = 3L -> "one two three four five six seven"
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("documents", df(d1, d2)),
+      Versioned.TableSpec("documents_delta", df(d1, d2))))
+    Dedup.signatureIndexAt(spark, base, 1L)
+    // v2: ingest d3 AND remove d2 in the same version — both change
+    // directions through one maintenance pass
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("documents", df(d1, d3)),
+      Versioned.TableSpec("documents_delta", df(d3)),
+      Versioned.TableSpec("documents_removed",
+        Seq(2L).toDF("doc_id"))))
+    val v2 = Dedup.signatureIndexAt(spark, base, 2L)
+    val scratch = Dedup.minhashSignatures(df(d1, d3))
+    assert(v2.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(v2).count() == 0,
+      "removal+ingest through the chain diverged from never-ingested")
+    assert(v2.filter($"doc_id" === 2L).count() == 0,
+      "removed doc still has LSH signatures")
+    // file-exact: prev artifact + both change tables, never documents
+    val frame = Dedup.incrementalSignatureFrame(spark, base, 2L)
+    val prevArt = Dedup.signatureIndexArtifact(base, 1L)
+    val stray = frame.inputFiles.filterNot(f =>
+      f.contains(prevArt) || f.contains("/v2/documents_delta/") ||
+        f.contains("/v2/documents_removed/"))
+    assert(frame.inputFiles.nonEmpty && stray.isEmpty,
+      s"signature maintenance reads beyond chain+changes: " +
+        s"${stray.take(3).mkString(", ")}")
+    assert(!frame.inputFiles.exists(_.contains("/v2/documents/")),
+      "signature maintenance re-signs the corpus")
+  }
+
   test("q108: hashed window mass ≡ q105 raw-string mass (collision-free corpus)") {
     val raw = Dedup.q105DupWindowMass(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
