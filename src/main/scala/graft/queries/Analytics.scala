@@ -525,8 +525,16 @@ object Analytics {
       lakeBase: String, v: Long): DataFrame = {
     import graft.sources.{ArtifactStore, Versioned}
     ArtifactStore.readIfPresent(spark, cmsArtifact(lakeBase, v - 1)) match {
+      // tombstones force the full rebuild here: a CMS COULD subtract
+      // (it is linear), but the subtrahend is the removed docs' token
+      // sketch, and the tombstone table carries ids only — the text
+      // lives in the PREVIOUS version, which lake GC may have
+      // collected by maintenance time. Rebuild-from-current is the
+      // guard that can never silently over-count
       case Some(prev)
-          if Versioned.tableExists(spark, lakeBase, "documents_delta", v) =>
+          if Versioned.tableExists(spark, lakeBase, "documents_delta", v)
+            && !Versioned.tableExists(
+              spark, lakeBase, "documents_removed", v) =>
         prev.crossJoin(broadcast(
           cmsOf(Versioned.readAt(spark, lakeBase, "documents_delta", v))
             .withColumnRenamed("cms", "cms_delta")))
@@ -668,8 +676,13 @@ object Analytics {
     import graft.sources.{ArtifactStore, Versioned}
     val emptyMins = expr("CAST(array() AS ARRAY<BIGINT>)")
     ArtifactStore.readIfPresent(spark, kmvArtifact(lakeBase, v - 1)) match {
+      // tombstones force the full rebuild: a KMV cannot subtract (a
+      // removed doc's hash may be another doc's hash too), so
+      // appending past a removal version would silently over-count
       case Some(prev)
-          if Versioned.tableExists(spark, lakeBase, "documents_delta", v) =>
+          if Versioned.tableExists(spark, lakeBase, "documents_delta", v)
+            && !Versioned.tableExists(
+              spark, lakeBase, "documents_removed", v) =>
         val delta = kmvSketchOf(
           Versioned.readAt(spark, lakeBase, "documents_delta", v))
         prev.select(col("source"), col("mins").as("a"),

@@ -1120,9 +1120,16 @@ object Dedup {
         // merge branch needs BOTH the prior artifact and a published
         // change table — a version published without its delta (or a
         // gap in the artifact chain) falls back to the full build
-        // rather than silently under-indexing
+        // rather than silently under-indexing. Tombstones force the
+        // same fallback: a distinct-window SET cannot subtract a
+        // removed doc's windows (no refcount — a window shared with a
+        // surviving doc must stay), so appending past a removal
+        // version would silently OVER-index; q126's doc-keyed grain
+        // chain is the one that removes exactly
         case Some(prev)
-            if Versioned.tableExists(spark, lakeBase, "documents_delta", v) =>
+            if Versioned.tableExists(spark, lakeBase, "documents_delta", v)
+              && !Versioned.tableExists(
+                spark, lakeBase, "documents_removed", v) =>
           prev
             .union(distinctWindowsOf(
               Versioned.readAt(spark, lakeBase, "documents_delta", v)))
@@ -1243,8 +1250,15 @@ object Dedup {
     val sig = signatureIndexAt(spark, lakeBase, v)
     ArtifactStore.readIfPresent(spark, clusterArtifact(lakeBase, v - 1))
       match {
+        // tombstones force the full rebuild: removing a doc can SPLIT
+        // a cluster it bridged, and star-contraction is exactly the
+        // operation that cannot undo a merge — appending past a
+        // removal version would silently keep the removed doc's
+        // connectivity (and its id as a possible min-label)
         case Some(prev)
-            if Versioned.tableExists(spark, lakeBase, "documents_delta", v) =>
+            if Versioned.tableExists(spark, lakeBase, "documents_delta", v)
+              && !Versioned.tableExists(
+                spark, lakeBase, "documents_removed", v) =>
           val delta = Versioned.readAt(spark, lakeBase, "documents_delta", v)
             .select(col("doc_id"))
           val newPairs = candidatePairsFrom(sig, Some(delta))
@@ -1361,6 +1375,13 @@ object Dedup {
       | SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b)"""
       .stripMargin
   }
+
+  /** The full closure replay — q41's oracle, shared verbatim by q119
+    * (whose incremental path must land on exactly these rows). */
+  private val q41OracleSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+      |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   /** Estimated-Jaccard term over aliases `sa`/`sb` — shared by the
     * clusterCtes verify and the q76 delta verify. */
@@ -1629,17 +1650,12 @@ object Dedup {
         |  / CAST(len(a.w) + len(b.w) - len(list_filter(a.w, x -> list_contains(b.w, x))) AS DOUBLE) AS jaccard
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_id""".stripMargin,
-    "q41_dup_clusters" ->
-      s"""WITH RECURSIVE $clusterCtes
-        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q41_dup_clusters" -> q41OracleSql,
     // q119: the incremental chain must land on exactly the full
     // recompute, so the oracle IS q41's from-scratch definition — the
     // whole transitive closure rebuilt over the complete corpus
-    "q119_incr_clusters" ->
-      s"""WITH RECURSIVE $clusterCtes
-        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // (shared val, the q18/q48/q101 can't-drift-apart discipline)
+    "q119_incr_clusters" -> q41OracleSql,
     "q42_dedup_corpus" ->
       s"""WITH RECURSIVE $clusterCtes,
         |clus AS (SELECT a, min(b) AS m FROM reach GROUP BY a)

@@ -434,13 +434,30 @@ object Similarity {
   private[graft] def incrementalIvfFrame(spark: SparkSession,
       lakeBase: String, v: Long): DataFrame = {
     import graft.sources.{ArtifactStore, Versioned}
+    val hasDelta = Versioned.tableExists(spark, lakeBase, "embeddings_delta", v)
+    val hasRemoved =
+      Versioned.tableExists(spark, lakeBase, "embeddings_removed", v)
     ArtifactStore.readIfPresent(spark, ivfIndexArtifact(lakeBase, v - 1))
       match {
-        case Some(prev)
-            if Versioned.tableExists(spark, lakeBase, "embeddings_delta", v) =>
-          prev.unionByName(assignCells(
-            Versioned.readAt(spark, lakeBase, "embeddings_delta", v),
-            codebookFromIndex(prev)))
+        case Some(prev) if hasDelta || hasRemoved =>
+          // vec-keyed rows ⇒ tombstoned removal is an exact anti-join
+          // (the q126 grain-chain discipline); a removed CENTROID
+          // vector only loses its data row — the chain's geometry
+          // lives in the frozen codebook reconstruction, which reads
+          // vec_id < k from the kept rows, so removing centroid rows
+          // forces the loud fallback on the NEXT maintenance rather
+          // than silent drift (codebookFromIndex returns fewer rows)
+          val kept = if (hasRemoved)
+            prev.join(
+              Versioned.readAt(spark, lakeBase, "embeddings_removed", v)
+                .select(col("vec_id")), Seq("vec_id"), "left_anti")
+              .select(prev.columns.map(col): _*)
+          else prev
+          if (hasDelta)
+            kept.unionByName(assignCells(
+              Versioned.readAt(spark, lakeBase, "embeddings_delta", v),
+              codebookFromIndex(prev)))
+          else kept
         case _ =>
           val full = Versioned.readAt(spark, lakeBase, "embeddings", v)
           assignCells(full, frozenCodebook(full))
@@ -713,17 +730,30 @@ object Similarity {
   private[graft] def incrementalPqFrame(spark: SparkSession,
       lakeBase: String, v: Long): DataFrame = {
     import graft.sources.{ArtifactStore, Versioned}
+    val hasDelta = Versioned.tableExists(spark, lakeBase, "embeddings_delta", v)
+    val hasRemoved =
+      Versioned.tableExists(spark, lakeBase, "embeddings_removed", v)
     ArtifactStore.readIfPresent(spark, pqCodesArtifact(lakeBase, v - 1))
       match {
-        case Some(prev)
-            if Versioned.tableExists(spark, lakeBase, "embeddings_delta", v) =>
+        case Some(prev) if hasDelta || hasRemoved =>
+          // vec-keyed codes ⇒ exact tombstone anti-join; the frozen
+          // codebook is its own artifact, so removing a training
+          // vector's data row never touches the chain's geometry
+          val kept = if (hasRemoved)
+            prev.join(
+              Versioned.readAt(spark, lakeBase, "embeddings_removed", v)
+                .select(col("vec_id")), Seq("vec_id"), "left_anti")
+              .select(prev.columns.map(col): _*)
+          else prev
+          if (!hasDelta) kept else {
           val cb = ArtifactStore
             .readIfPresent(spark, pqCodebookArtifact(lakeBase))
             .getOrElse(sys.error(
               s"pq chain at $lakeBase has codes but no codebook artifact"))
             .orderBy(col("vec_id")).collect() // 8 rows by construction
-          prev.unionByName(pqEncodeWith(
+          kept.unionByName(pqEncodeWith(
             Versioned.readAt(spark, lakeBase, "embeddings_delta", v), cb))
+          }
         case _ =>
           val full = Versioned.readAt(spark, lakeBase, "embeddings", v)
           val cb = ArtifactStore.readOrPublish(

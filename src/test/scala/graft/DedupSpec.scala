@@ -755,6 +755,65 @@ class DedupSpec extends SparkSpec {
       "signature maintenance re-signs the corpus")
   }
 
+  test("cluster chain: removing a bridge doc SPLITS the cluster (rebuild fallback)") {
+    import graft.sources.Versioned
+    val base = Files.createTempDirectory("graft-ccsplit").toString + "/lake"
+    // the deterministic bridge fixture, run FORWARD then UNDONE:
+    // v1 = {A,B,C,D,E} with E = A++C bridging both pairs into ONE
+    // cluster; v2 tombstones E — the star-contracted v1 assignment
+    // cannot express the split, so the maintenance MUST take the
+    // rebuild fallback and land on two clusters again
+    val vocabA = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val vocabB = Vector("red", "blue", "green", "amber", "violet",
+      "cyan", "teal", "coral", "olive", "plum")
+    val rnd = new scala.util.Random(0)
+    val a = (0 until 60).map(_ => vocabA(rnd.nextInt(10))).mkString(" ")
+    val c = (0 until 60).map(_ => vocabB(rnd.nextInt(10))).mkString(" ")
+    val b = { val w = a.split(" "); w(10) = "CHANGEDX"; w.mkString(" ") }
+    val d = { val w = c.split(" "); w(10) = "CHANGEDY"; w.mkString(" ") }
+    val e = a + " " + c
+    def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("documents", df(1L -> a, 2L -> b, 3L -> c, 4L -> d, 10L -> e)),
+      Versioned.TableSpec("documents_delta", df(1L -> a, 2L -> b, 3L -> c, 4L -> d, 10L -> e))))
+    val v1 = Dedup.clusterAssignmentAt(spark, base, 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v1.values.toSet == Set(1L), s"v1 must be one bridged cluster: $v1")
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("documents", df(1L -> a, 2L -> b, 3L -> c, 4L -> d)),
+      Versioned.TableSpec("documents_removed", Seq(10L).toDF("doc_id"))))
+    Dedup.signatureIndexAt(spark, base, 2L) // chain kept current
+    val v2 = Dedup.clusterAssignmentAt(spark, base, 2L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v2 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L),
+      s"removal of the bridge must split the cluster: $v2")
+  }
+
+  test("window chain: a removal version forces the full-rebuild fallback") {
+    import graft.sources.Versioned
+    val base = Files.createTempDirectory("graft-winrm").toString + "/lake"
+    val pad = "a corpus sentence long enough to produce sliding windows " * 2
+    def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val d1 = 1L -> (pad + "version one body")
+    val d2 = 2L -> (pad + "second document with its own distinct ending")
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("documents", df(d1, d2)),
+      Versioned.TableSpec("documents_delta", df(d1, d2))))
+    Dedup.windowIndexAt(spark, base, 1L)
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("documents", df(d1)),
+      Versioned.TableSpec("documents_delta", df(d1).limit(0)),
+      Versioned.TableSpec("documents_removed", Seq(2L).toDF("doc_id"))))
+    val v2 = Dedup.windowIndexAt(spark, base, 2L)
+    // a distinct-window set cannot subtract — correctness comes from
+    // the rebuild fallback, which must drop doc 2's windows entirely
+    val scratch = Dedup.distinctWindowsOf(df(d1))
+    assert(v2.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(v2).count() == 0,
+      "removal version must rebuild to exactly the survivors' windows")
+  }
+
   test("q108: hashed window mass ≡ q105 raw-string mass (collision-free corpus)") {
     val raw = Dedup.q105DupWindowMass(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

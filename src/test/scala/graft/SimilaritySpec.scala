@@ -171,6 +171,54 @@ class SimilaritySpec extends SparkSpec {
       "PQ maintenance re-encodes the corpus")
   }
 
+  test("IVF/PQ chains: vec tombstones anti-join away exactly; geometry survives") {
+    import graft.queries.Similarity
+    import graft.sources.Versioned
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-vecrm").toString + "/lake"
+    // 30 deterministic 64-dim vectors; ids 0..7 are the PQ training
+    // vectors and 0..9 the IVF centroids — remove a NON-centroid id
+    // so maintenance stays incremental (removing a centroid row is
+    // the documented loud-fallback-on-next-merge case)
+    val vecs = (0L until 30L).map { i =>
+      (i, (0 until 64).map(j =>
+        (((i * 31 + j * 7) % 13).toFloat - 6f) / 6f).toArray, i % 3)
+    }
+    def df(rows: Seq[(Long, Array[Float], Long)]) =
+      rows.toDF("vec_id", "embedding", "label")
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("embeddings", df(vecs)),
+      Versioned.TableSpec("embeddings_delta", df(vecs))))
+    Similarity.ivfIndexAt(spark, base, 1L)
+    Similarity.pqCodesAt(spark, base, 1L)
+    val survivors = vecs.filterNot(_._1 == 17L)
+    Versioned.publish(spark, base, Seq(
+      Versioned.TableSpec("embeddings", df(survivors)),
+      Versioned.TableSpec("embeddings_removed", Seq(17L).toDF("vec_id"))))
+    val ivf2 = Similarity.ivfIndexAt(spark, base, 2L)
+    val pq2 = Similarity.pqCodesAt(spark, base, 2L)
+    assert(ivf2.filter(col("vec_id") === 17L).count() == 0 &&
+      pq2.filter(col("vec_id") === 17L).count() == 0,
+      "removed vector still indexed")
+    assert(ivf2.count() == 29 && pq2.count() == 29)
+    // value identity: removal through the chain ≡ the v1 chain minus
+    // the row (codes/cells of survivors are untouched by removal)
+    val ivf1 = Similarity.ivfIndexAt(spark, base, 1L)
+      .filter(col("vec_id") =!= 17L)
+    assert(ivf2.exceptAll(ivf1).count() == 0 &&
+      ivf1.exceptAll(ivf2).count() == 0,
+      "IVF removal disturbed surviving rows")
+    // file-exact: the maintenance frames read prev artifacts (+ the
+    // PQ codebook) + the tombstone table — never the vector table
+    val frame = Similarity.incrementalIvfFrame(spark, base, 2L)
+    val stray = frame.inputFiles.filterNot(f =>
+      f.contains(Similarity.ivfIndexArtifact(base, 1L)) ||
+        f.contains("/v2/embeddings_removed/"))
+    assert(frame.inputFiles.nonEmpty && stray.isEmpty,
+      s"IVF tombstone maintenance reads beyond index+tombstones: " +
+        s"${stray.take(3).mkString(", ")}")
+  }
+
   test("q68 purity equals a driver-side recomputation from the assignment") {
     val assign = Similarity.q51IvfAssign(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
