@@ -855,14 +855,21 @@ object TextOps {
     * 10·totlen·N and fold in idf and a 10⁶ fixed-point scale — makes
     * every per-term score ONE floor division of two positive BIGINTs:
     *
-    *   score_t = (10⁶·22·totlen·tf·(N−df+1))
-    *             DIV ((df+1)·(10·totlen·tf + 3·totlen + 9·len·N))
+    *   idf_s = (10³·(N−df+1)) DIV (df+1)                — corpus-scale
+    *   sat_s = (10³·22·avgl·tf)
+    *           DIV (10·avgl·tf + 3·avgl + 9·len)         — doc-scale
+    *   score_t = idf_s · sat_s,  avgl = totlen DIV N
     *
     * so ranking replays bit-exactly cross-engine — no ln(), no float
-    * accumulation order, no last-ulp hash drift. (At 100 TB the
-    * intermediate products outgrow BIGINT; the same expression widens
-    * to DECIMAL(38,0) unchanged — the fixture-scale gate stays on
-    * the fast integer path.) The query set is corpus-derived and
+    * accumulation order, no last-ulp hash drift. The two-factor split
+    * is the overflow discipline: the ORIGINAL cleared form multiplied
+    * corpus-scale (totlen·N) into doc-scale (tf·len) products and
+    * left BIGINT around totlen·tf·N ≈ 4·10¹¹ — reachable by the 10×
+    * synth harness, where Spark would wrap silently while DuckDB
+    * raises. Here no factor mixes scales: idf_s < 10³·N (safe to
+    * N ≈ 9·10¹⁵ docs) and sat_s's operands stay ≤ 2.2·10⁴·avgl·tf
+    * (safe to avgl·tf ≈ 4·10¹⁴ — beyond any real document), with
+    * sat_s itself < 2.2·10³, so the product is ≤ ~10¹⁵. The query set is corpus-derived and
     * deterministic: vocabulary ranks 11–20 (count desc, token) paired
     * into five 2-term queries — no fixture to ship, and the oracle
     * re-derives the same queries.
@@ -877,13 +884,13 @@ object TextOps {
   def q121Bm25Topk(spark: SparkSession, dir: String, topK: Int = 10)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = withWords(docs(spark, dir))
     // ONE materialization, the (term, doc, tf) grain — vocabulary
-    // counts and df both re-aggregate it (sum(tf) ≡ the raw token
-    // count), so the exploded token stream itself is never checkpointed
+    // counts, df, AND per-doc lengths are all re-aggregates of it
+    // (sum(tf) per doc ≡ len(split(text)), since \s+ splitting yields
+    // ≥1 token for every doc), so the corpus is tokenized exactly once
     val tf = tfGrainOf(docs(spark, dir))
-      .localCheckpoint() // feeds candidates, df, AND vocabulary
-    val lens = d.select(col("doc_id"), size(words).cast("long").as("len"))
+      .localCheckpoint() // feeds candidates, df, vocabulary, lengths
+    val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
     val stats = lens.agg(sum(col("len")).as("totlen"),
       count(lit(1)).as("nd"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -901,8 +908,10 @@ object TextOps {
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("tscore", expr(
-        """(1000000L * 22 * totlen * tf * (nd - df + 1))
-          |DIV ((df + 1) * (10 * totlen * tf + 3 * totlen + 9 * len * nd))
+        """((1000L * (nd - df + 1)) DIV (df + 1)) *
+          |((1000L * 22 * (totlen DIV nd) * tf)
+          | DIV (10 * (totlen DIV nd) * tf
+          |      + 3 * (totlen DIV nd) + 9 * len))
           |""".stripMargin))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("tscore")).as("score"))
@@ -2241,10 +2250,12 @@ object TextOps {
         |        FROM tf GROUP BY term),
         |sc AS (
         | SELECT qt.query_id, tf.doc_id,
-        |  CAST(SUM((1000000 * 22 * st.totlen * tf.tf * (st.nd - dft.df + 1))
-        |    // ((dft.df + 1) *
-        |        (10 * st.totlen * tf.tf + 3 * st.totlen
-        |         + 9 * lens.len * st.nd))) AS BIGINT) AS score
+        |  CAST(SUM(
+        |    ((1000 * (st.nd - dft.df + 1)) // (dft.df + 1)) *
+        |    ((1000 * 22 * (st.totlen // st.nd) * tf.tf)
+        |     // (10 * (st.totlen // st.nd) * tf.tf
+        |         + 3 * (st.totlen // st.nd) + 9 * lens.len))
+        |  ) AS BIGINT) AS score
         | FROM qt
         | JOIN tf USING (term)
         | JOIN dft USING (term)
