@@ -174,10 +174,19 @@ object Multimodal {
         val raw = AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
         val fmt = raw.getFormat
+        // normalize EVERYTHING to ≤16-bit signed PCM through the JDK
+        // converter — not just non-PCM encodings: a valid 24/32-bit or
+        // float PCM clip is DATA, not corruption, and must land in the
+        // stats rather than in an ok=false row (review r14: the
+        // PCM-passthrough shortcut misclassified wide PCM as corrupt)
         val pcm =
-          if (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED) raw
+          if (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits <= 16) raw
           else AudioSystem.getAudioInputStream(
-            AudioFormat.Encoding.PCM_SIGNED, raw)
+            new AudioFormat(
+              AudioFormat.Encoding.PCM_SIGNED,
+              fmt.getSampleRate, 16, fmt.getChannels,
+              2 * fmt.getChannels, fmt.getSampleRate, false), raw)
         val f = pcm.getFormat
         val channels = f.getChannels
         val bytesPerSample = (f.getSampleSizeInBits + 7) / 8

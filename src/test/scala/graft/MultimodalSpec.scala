@@ -123,6 +123,50 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.getAs[Long]("n_frames") == 0L)
   }
 
+  test("real decoder: 24-bit PCM is data (converted to 16-bit), never a corrupt row") {
+    // hand-rolled 24-bit PCM WAV; samples are k·256 so the JDK's
+    // 24→16-bit conversion (drop the low byte) yields exactly k and
+    // the stats stay integer-assertable
+    def wav24(samples: Seq[Int], channels: Int, rate: Int): Array[Byte] = {
+      val dataLen = samples.length * 3
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)
+        .putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * 3)
+        .putShort((channels * 3).toShort)
+        .putShort(24)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach { v =>
+        bb.put((v & 0xff).toByte)
+          .put(((v >> 8) & 0xff).toByte)
+          .put(((v >> 16) & 0xff).toByte)
+      }
+      bb.array()
+    }
+    val clip = wav24((0 until 500).map(_ * 256) ++
+      Seq(-256 * 200), channels = 1, rate = 8000)
+    val row = Multimodal.decodeAudio(Seq((1L, clip)).toDS()).collect().head
+    assert(row.getAs[Boolean]("ok"),
+      "valid 24-bit PCM must decode, not report corrupt")
+    assert(row.getAs[Int]("channels") == 1)
+    assert(row.getAs[Int]("sample_rate") == 8000)
+    assert(row.getAs[Long]("n_frames") == 501L)
+    // the JDK's 24→16 conversion applies its own rounding (measured:
+    // not a plain low-byte drop), so the stats are banded, not exact —
+    // the contract under test is "wide PCM is decoded as linear data",
+    // not the converter's rounding rule
+    val sum = row.getAs[Long]("sample_sum")
+    val expected = (0 until 500).sum.toLong - 200L
+    assert(math.abs(sum - expected) <= 501L,
+      s"sum $sum outside ±1/sample of $expected")
+    assert(math.abs(row.getAs[Long]("sample_min") + 200L) <= 1L)
+    assert(math.abs(row.getAs[Long]("sample_max") - 499L) <= 1L)
+  }
+
   test("stub decode is deterministic and batch-shaped") {
     val a = Multimodal.q25MultimodalFeatures(spark, sfDir).collect()
     val b = Multimodal.q25MultimodalFeatures(spark, sfDir).collect()
