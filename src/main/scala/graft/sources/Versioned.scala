@@ -152,6 +152,20 @@ object Versioned {
   def mergePublish(spark: SparkSession, base: String, table: String,
       delta: DataFrame, keys: Seq[String]): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    // MERGE semantics require unique source keys: a duplicate-keyed
+    // delta (a retried extractor emitting the same row twice) would
+    // anti-join away the one current row and append BOTH copies —
+    // a silently duplicated primary key. SQL MERGE errors on multiple
+    // matches; so do we, before writing a byte. One aggregation over
+    // the (small) delta; a caller wanting last-wins dedups explicitly.
+    val dupKeys = delta
+      .groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+      .count()
+    require(dupKeys == 0,
+      s"mergePublish: delta carries $dupKeys duplicated key group(s) on " +
+        s"(${keys.mkString(", ")}) — MERGE requires unique source keys; " +
+        "dedup the delta (or choose last-wins explicitly) first")
     val cur = currentVersion(spark, base).getOrElse(
       sys.error(s"mergePublish: $base has no committed version to merge into"))
     val existing = listTables(spark, base, cur)

@@ -192,6 +192,25 @@ class VersionedLakeSpec extends SparkSpec {
     assert(after.size == 4)
   }
 
+  test("mergePublish refuses a duplicate-keyed delta before writing a byte") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(
+      TableSpec("charges", charges(5))))
+    val curBefore = Versioned.currentVersion(spark, base)
+    // a retried extractor emitting the same charge twice: SQL MERGE
+    // errors on multiple source matches — so must we, loudly, instead
+    // of committing a duplicated primary key
+    val dupDelta = spark.range(0, 2).selectExpr(
+      "'dup-id' AS id", "'c9' AS company_id")
+    val err = intercept[IllegalArgumentException] {
+      Versioned.mergePublish(spark, base, "charges", dupDelta, Seq("id"))
+    }
+    assert(err.getMessage.contains("duplicated key"),
+      s"unexpected message: ${err.getMessage}")
+    // nothing was published — the lake is untouched
+    assert(Versioned.currentVersion(spark, base) == curBefore)
+  }
+
   test("compactPublish: value-identical rewrite, capped sorted files, carry-forward") {
     import org.apache.spark.sql.functions._
     val base = mkBase()
