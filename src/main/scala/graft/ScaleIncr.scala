@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Marginal-cost evidence for the incremental index chains
@@ -14,20 +13,6 @@ import org.apache.spark.sql.SparkSession
   * when a new version lands. Emits one JSON line.
   */
 object ScaleIncr {
-
-  final class Collector extends SparkListener {
-    val shuffleWrite = new java.util.concurrent.atomic.LongAdder
-    val input = new java.util.concurrent.atomic.LongAdder
-    val stages = new java.util.concurrent.atomic.LongAdder
-    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-      stages.increment()
-      val m = s.stageInfo.taskMetrics
-      if (m != null) {
-        shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
-        input.add(m.inputMetrics.bytesRead)
-      }
-    }
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,24 +33,8 @@ object ScaleIncr {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     }
-    def measure(label: String)(work: => Unit): String = {
-      val c = new Collector
-      spark.sparkContext.addSparkListener(c)
-      val t0 = System.nanoTime()
-      work
-      val secs = (System.nanoTime() - t0) / 1e9
-      var stable = 0; var last = -1L; var polls = 0
-      while (stable < 2 && polls < 50) {
-        Thread.sleep(100)
-        val now = c.stages.sum
-        if (now == last) stable += 1 else { stable = 0; last = now }
-        polls += 1
-      }
-      spark.sparkContext.removeSparkListener(c)
-      def mb(b: Long) = math.round(b / 1048.576) / 1000.0
-      s""""$label":{"secs":${math.round(secs * 1000) / 1000.0},""" +
-        s""""input_mb":${mb(c.input.sum)},"shuffle_write_mb":${mb(c.shuffleWrite.sum)}}"""
-    }
+    def measure(label: String)(work: => Unit): String =
+      ScaleMeasure.measure(spark, label)(work)
 
     // maintenance step in isolation: v2 artifact absent, v1 present —
     // the daily-ingest state; windowIndexAt publishes the merge
