@@ -881,6 +881,26 @@ object TextOps {
     * the 1-row corpus stats broadcast; top-k per query is a rank
     * window over bounded candidate groups. An exact top-k over 5
     * queries never touches documents containing no query term. */
+  /** q121's corpus-derived query set: vocabulary ranks 11–20 paired
+    * into five 2-term queries. Top-20 cut FIRST (TakeOrderedAndProject
+    * — partial top-K per map task, no global sort), THEN the rank
+    * window over the 20-row result. The window is still
+    * ordered-unpartitioned, but its input is bounded at 20 rows by
+    * construction — the q48/[[rankedVocab]] discipline. Ranking the
+    * full vocabulary through one task instead would single-thread
+    * 10⁸–10⁹ distinct terms at corpus scale. Split out (pre-
+    * localCheckpoint) so PlanSpec can pin exactly that shape. */
+  private[graft] def bm25QueryTerms(tf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tf.groupBy("term").agg(sum(col("tf")).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("term"))))
+      .filter(col("rk").between(11, 20))
+      .select(expr("CAST((rk - 11) DIV 2 AS BIGINT)").as("query_id"),
+        col("term"))
+  }
+
   def q121Bm25Topk(spark: SparkSession, dir: String, topK: Int = 10)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -894,12 +914,7 @@ object TextOps {
     val stats = lens.agg(sum(col("len")).as("totlen"),
       count(lit(1)).as("nd"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val qterms = tf.groupBy("term").agg(sum(col("tf")).as("n"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("n").desc, col("term"))))
-      .filter(col("rk").between(11, 20))
-      .select(expr("CAST((rk - 11) DIV 2 AS BIGINT)").as("query_id"),
-        col("term"))
+    val qterms = bm25QueryTerms(tf)
       .localCheckpoint() // 10 rows; feeds scoring AND query rendering
     val queries_ = qterms.groupBy("query_id")
       .agg(array_join(sort_array(collect_list(col("term"))), " ")

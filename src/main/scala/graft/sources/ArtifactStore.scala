@@ -109,19 +109,43 @@ object ArtifactStore {
   /** Session-local registration of a published bucketed artifact (see
     * [[readOrPublishBucketed]]). Idempotent per session; the table
     * name is derived from the path, so distinct artifacts never
-    * collide and a re-read is a catalog hit. */
+    * collide and a re-read is a catalog hit.
+    *
+    * HARD INVARIANT: a published artifact path is immutable — the
+    * content-addressing contract (path = fingerprint of the source +
+    * layout parameters) makes in-place replacement a caller bug, never
+    * a supported operation. The catalog entry is still guarded against
+    * it: the `_SUCCESS` mtime at registration is recorded in the table
+    * properties, and a registration that finds a DIFFERENT mtime under
+    * the same path (a deleted-and-republished artifact in one session)
+    * drops and recreates the entry from the current parquet footers
+    * instead of serving stale schema/layout metadata. */
   private def bucketedTable(spark: SparkSession, out: String,
       bucketCol: String, buckets: Int): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(out.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
     val name = s"graft_art_$digest"
+    val outPath = new Path(out)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val mtime = fs.getFileStatus(new Path(outPath, "_SUCCESS"))
+      .getModificationTime.toString
+    if (spark.catalog.tableExists(name)) {
+      val recorded = spark.sql(s"SHOW TBLPROPERTIES $name")
+        .where(org.apache.spark.sql.functions.col("key") ===
+          "graft.success.mtime")
+        .collect().headOption.map(_.getString(1))
+      if (!recorded.contains(mtime))
+        spark.sql(s"DROP TABLE $name")
+    }
     if (!spark.catalog.tableExists(name)) {
       val schemaDdl = spark.read.parquet(out).schema.toDDL
       spark.sql(
         s"""CREATE TABLE $name ($schemaDdl) USING PARQUET
            |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
            |INTO $buckets BUCKETS
-           |LOCATION '$out'""".stripMargin)
+           |LOCATION '$out'
+           |TBLPROPERTIES ('graft.success.mtime' = '$mtime')""".stripMargin)
     }
     spark.table(name)
   }

@@ -158,9 +158,13 @@ object Versioned {
     // a silently duplicated primary key. SQL MERGE errors on multiple
     // matches; so do we, before writing a byte. One aggregation over
     // the (small) delta; a caller wanting last-wins dedups explicitly.
+    // the aggregate gets a collision-proof alias: a key column named
+    // `count` would make a bare .count()/filter("count") ambiguous
     val dupKeys = delta
       .groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
-      .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__graft_dup_n"))
+      .filter(org.apache.spark.sql.functions.col("__graft_dup_n") > 1)
       .count()
     require(dupKeys == 0,
       s"mergePublish: delta carries $dupKeys duplicated key group(s) on " +

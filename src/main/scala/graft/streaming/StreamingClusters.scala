@@ -52,13 +52,14 @@ object StreamingClusters {
     import spark.implicits._
     if (batch.isEmpty) return
     val cur = Versioned.currentVersion(spark, lakeBase)
-    // replay detection: a version already carrying this batch id
-    val existing = cur.flatMap { _ =>
-      Versioned.listVersions(spark, lakeBase).find { v =>
-        Versioned.tableExists(spark, lakeBase, "batch_marker", v) &&
-          Versioned.readAt(spark, lakeBase, "batch_marker", v)
-            .head().getLong(0) == batchId
-      }
+    // replay detection: foreachBatch re-delivers only the most recent
+    // batch whose checkpoint commit was lost, so ONLY the latest
+    // version's marker can carry a replayed id — probing just it keeps
+    // per-batch overhead O(1) instead of O(stream age) version scans
+    val existing = cur.filter { c =>
+      Versioned.tableExists(spark, lakeBase, "batch_marker", c) &&
+        Versioned.readAt(spark, lakeBase, "batch_marker", c)
+          .head().getLong(0) == batchId
     }
     val v = existing.getOrElse {
       val docs = cur match {

@@ -72,6 +72,42 @@ class PlanSpec extends SparkSpec {
       s"token counting must combine map-side:\n$plan")
   }
 
+  test("q121: no unbounded unpartitioned window; query cut is TakeOrdered") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // the query-term derivation (pre-localCheckpoint seam): the
+    // vocabulary rank-11–20 cut must be a top-K (partial per-task
+    // top-20, no single-task sort of the full vocabulary), and its
+    // only window must read a provably bounded input
+    val qt = graft.queries.TextOps.bm25QueryTerms(
+      graft.queries.TextOps.tfGrainOf(
+        graft.Tables(spark, sfDir, "documents")))
+    qt.collect()
+    val qtPlan = qt.queryExecution.executedPlan.toString
+    assert(qtPlan.contains("TakeOrderedAndProject"),
+      s"query-term cut must be TakeOrdered, not a global sort:\n$qtPlan")
+    var sawWindow = false
+    qt.queryExecution.optimizedPlan.foreach {
+      case w: LWindow =>
+        sawWindow = true
+        assert(w.partitionSpec.nonEmpty || w.child.maxRows.exists(_ <= 20L),
+          s"unpartitioned window over unbounded input " +
+            s"(maxRows=${w.child.maxRows}):\n" +
+            qt.queryExecution.optimizedPlan.toString)
+      case _ => ()
+    }
+    assert(sawWindow, "expected the bounded rank window in the cut")
+    // the full q121 plan: every window spec visible after the
+    // checkpoint seam must be partitioned by query_id (the bounded
+    // per-query rank) — no unpartitioned window survives anywhere
+    val df = graft.queries.TextOps.q121Bm25Topk(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val winSpec = raw"windowspecdefinition\(query_id#".r
+    val anySpec = raw"windowspecdefinition\(".r
+    assert(anySpec.findAllIn(plan).size == winSpec.findAllIn(plan).size,
+      s"window spec not partitioned by query_id in:\n$plan")
+  }
+
   test("q58: all three funnel windows share one shuffle and one sort") {
     val df = graft.queries.EventsOps.q58Funnel(spark, sfDir)
     df.collect()
