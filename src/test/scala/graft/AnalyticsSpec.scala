@@ -292,11 +292,11 @@ class AnalyticsSpec extends SparkSpec {
     val frame = Analytics.incrementalKmvFrame(spark, base, 2L)
     val prevArt = Analytics.kmvArtifact(base, 1L)
     val stray = frame.inputFiles.filterNot(f =>
-      f.contains(prevArt) || f.contains("/v2/documents_delta/"))
+      f.contains(prevArt) || f.contains("documents_delta"))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"kmv maintenance reads beyond sketches+delta: " +
         s"${stray.take(3).mkString(", ")}")
-    assert(!frame.inputFiles.exists(_.contains("/v2/documents/")),
+    assert(!frame.inputFiles.exists((f => f.contains("/documents/") || f.contains("_data/documents-"))),
       "kmv maintenance re-scans the corpus")
   }
 
@@ -423,10 +423,10 @@ class AnalyticsSpec extends SparkSpec {
     val prevArt = Analytics.cmsArtifact(base, 1L)
     assert(files.nonEmpty)
     val stray = files.filterNot(f =>
-      f.contains(prevArt) || f.contains("/v2/documents_delta/"))
+      f.contains(prevArt) || f.contains("documents_delta"))
     assert(stray.isEmpty, s"incremental path reads beyond sketch+delta: " +
       s"${stray.take(3).mkString(", ")}")
-    assert(!files.exists(_.contains("/v2/documents/")),
+    assert(!files.exists((f => f.contains("/documents/") || f.contains("_data/documents-"))),
       "incremental path re-scans the corpus")
   }
 }

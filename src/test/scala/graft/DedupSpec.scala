@@ -540,10 +540,10 @@ class DedupSpec extends SparkSpec {
     val prevArt = Dedup.windowIndexArtifact(base, 1L)
     assert(files.nonEmpty)
     val stray = files.filterNot(f =>
-      f.contains(prevArt) || f.contains("/v2/documents_delta/"))
+      f.contains(prevArt) || f.contains("documents_delta"))
     assert(stray.isEmpty, s"incremental path reads beyond index+delta: " +
       s"${stray.take(3).mkString(", ")}")
-    assert(!files.exists(_.contains("/v2/documents/")),
+    assert(!files.exists((f => f.contains("/documents/") || f.contains("_data/documents-"))),
       "incremental path re-scans the corpus")
 
     // bytes-measured (the Scale-harness assertion, not just plan
@@ -556,7 +556,11 @@ class DedupSpec extends SparkSpec {
       hp.getFileSystem(spark.sessionState.newHadoopConf())
         .getContentSummary(hp).getLength
     }
-    val budget = dirBytes(prevArt) + dirBytes(s"$base/v2/documents_delta")
+    // delta size resolved through the lake's manifest (layout-agnostic)
+    val deltaBytes = graft.sources.Versioned
+      .tableFiles(spark, base, "documents_delta", 2L)
+      .map(f => dirBytes(f)).sum
+    val budget = dirBytes(prevArt) + deltaBytes
     val read = new java.util.concurrent.atomic.LongAdder
     val seen = new java.util.concurrent.atomic.LongAdder
     val l = new org.apache.spark.scheduler.SparkListener {
@@ -619,7 +623,7 @@ class DedupSpec extends SparkSpec {
     val files = Dedup.incrementalWindowFrame(spark, base, 3L).inputFiles
     val prevArt = Dedup.windowIndexArtifact(base, 2L)
     assert(files.nonEmpty && files.forall(f =>
-      f.contains(prevArt) || f.contains("/v3/documents_delta/")),
+      f.contains(prevArt) || f.contains("documents_delta")),
       s"v3 maintenance read beyond chain+delta: ${files.mkString(", ")}")
   }
 
@@ -638,11 +642,11 @@ class DedupSpec extends SparkSpec {
     val frame = Dedup.incrementalSignatureFrame(spark, base, 2L)
     val prevArt = Dedup.signatureIndexArtifact(base, 1L)
     val stray = frame.inputFiles.filterNot(f =>
-      f.contains(prevArt) || f.contains("/v2/documents_delta/"))
+      f.contains(prevArt) || f.contains("documents_delta"))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"signature maintenance reads beyond index+delta: " +
         s"${stray.take(3).mkString(", ")}")
-    assert(!frame.inputFiles.exists(_.contains("/v2/documents/")),
+    assert(!frame.inputFiles.exists((f => f.contains("/documents/") || f.contains("_data/documents-"))),
       "signature maintenance re-scans the corpus")
   }
 
@@ -669,11 +673,11 @@ class DedupSpec extends SparkSpec {
     val probeFiles = Dedup.candidatePairsFrom(sig, Some(delta)).inputFiles
     val sigArt = Dedup.signatureIndexArtifact(base, 2L)
     val stray = probeFiles.filterNot(f =>
-      f.contains(sigArt) || f.contains("/v2/documents_delta/"))
+      f.contains(sigArt) || f.contains("documents_delta"))
     assert(probeFiles.nonEmpty && stray.isEmpty,
       s"delta pair probe reads beyond index+delta: " +
         s"${stray.take(3).mkString(", ")}")
-    assert(!probeFiles.exists(_.contains("/v2/documents/")),
+    assert(!probeFiles.exists((f => f.contains("/documents/") || f.contains("_data/documents-"))),
       "delta pair probe re-scans the corpus")
   }
 
@@ -746,12 +750,12 @@ class DedupSpec extends SparkSpec {
     val frame = Dedup.incrementalSignatureFrame(spark, base, 2L)
     val prevArt = Dedup.signatureIndexArtifact(base, 1L)
     val stray = frame.inputFiles.filterNot(f =>
-      f.contains(prevArt) || f.contains("/v2/documents_delta/") ||
-        f.contains("/v2/documents_removed/"))
+      f.contains(prevArt) || f.contains("documents_delta") ||
+        f.contains("documents_removed"))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"signature maintenance reads beyond chain+changes: " +
         s"${stray.take(3).mkString(", ")}")
-    assert(!frame.inputFiles.exists(_.contains("/v2/documents/")),
+    assert(!frame.inputFiles.exists((f => f.contains("/documents/") || f.contains("_data/documents-"))),
       "signature maintenance re-signs the corpus")
   }
 

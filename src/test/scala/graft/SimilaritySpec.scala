@@ -128,10 +128,10 @@ class SimilaritySpec extends SparkSpec {
     val frame = Similarity.incrementalIvfFrame(spark, base, 2L)
     val prevArt = Similarity.ivfIndexArtifact(base, 1L)
     val stray = frame.inputFiles.filterNot(f =>
-      f.contains(prevArt) || f.contains("/v2/embeddings_delta/"))
+      f.contains(prevArt) || f.contains("embeddings_delta"))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"IVF maintenance reads beyond index+delta: ${stray.take(3).mkString(", ")}")
-    assert(!frame.inputFiles.exists(_.contains("/v2/embeddings/")),
+    assert(!frame.inputFiles.exists((f => f.contains("/embeddings/") || f.contains("_data/embeddings-"))),
       "IVF maintenance re-assigns the corpus")
   }
 
@@ -163,11 +163,11 @@ class SimilaritySpec extends SparkSpec {
     val prevArt = Similarity.pqCodesArtifact(base, 1L)
     val stray = frame.inputFiles.filterNot(f =>
       f.contains(prevArt) || f.contains(Similarity.pqCodebookArtifact(base)) ||
-        f.contains("/v2/embeddings_delta/"))
+        f.contains("embeddings_delta"))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"PQ maintenance reads beyond codes+codebook+delta: " +
         s"${stray.take(3).mkString(", ")}")
-    assert(!frame.inputFiles.exists(_.contains("/v2/embeddings/")),
+    assert(!frame.inputFiles.exists((f => f.contains("/embeddings/") || f.contains("_data/embeddings-"))),
       "PQ maintenance re-encodes the corpus")
   }
 
@@ -213,7 +213,7 @@ class SimilaritySpec extends SparkSpec {
     val frame = Similarity.incrementalIvfFrame(spark, base, 2L)
     val stray = frame.inputFiles.filterNot(f =>
       f.contains(Similarity.ivfIndexArtifact(base, 1L)) ||
-        f.contains("/v2/embeddings_removed/"))
+        f.contains("embeddings_removed"))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"IVF tombstone maintenance reads beyond index+tombstones: " +
         s"${stray.take(3).mkString(", ")}")

@@ -832,11 +832,11 @@ class TextOpsSpec extends SparkSpec {
     val frame = TextOps.incrementalTfGrainFrame(spark, base, 2L)
     val prevArt = TextOps.tfGrainArtifact(base, 1L)
     val stray = frame.inputFiles.filterNot(f =>
-      f.contains(prevArt) || f.contains("/v2/documents_delta/"))
+      f.contains(prevArt) || f.contains("documents_delta"))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"grain maintenance reads beyond index+delta: " +
         s"${stray.take(3).mkString(", ")}")
-    assert(!frame.inputFiles.exists(_.contains("/v2/documents/")),
+    assert(!frame.inputFiles.exists((f => f.contains("/documents/") || f.contains("_data/documents-"))),
       "grain maintenance re-tokenizes the corpus")
     // the bucketed layout pays at read: a term aggregation over the
     // maintained grain plans with NO term exchange
@@ -881,7 +881,7 @@ class TextOpsSpec extends SparkSpec {
     val files = TextOps.incrementalTfGrainFrame(spark, base, 3L).inputFiles
     val prevArt = TextOps.tfGrainArtifact(base, 2L)
     assert(files.nonEmpty && files.forall(f =>
-      f.contains(prevArt) || f.contains("/v3/documents_delta/")),
+      f.contains(prevArt) || f.contains("documents_delta")),
       s"v3 grain maintenance read beyond chain+delta: ${files.mkString(", ")}")
   }
 
@@ -909,11 +909,11 @@ class TextOpsSpec extends SparkSpec {
     val frame = TextOps.incrementalTfGrainFrame(spark, base, 3L)
     val prevArt = TextOps.tfGrainArtifact(base, 2L)
     val stray = frame.inputFiles.filterNot(f =>
-      f.contains(prevArt) || f.contains("/v3/documents_removed/"))
+      f.contains(prevArt) || f.contains("documents_removed"))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"tombstone maintenance reads beyond grain+tombstones: " +
         s"${stray.take(3).mkString(", ")}")
-    assert(!frame.inputFiles.exists(_.contains("/v3/documents/")),
+    assert(!frame.inputFiles.exists((f => f.contains("/documents/") || f.contains("_data/documents-"))),
       "tombstone maintenance re-scans the corpus")
   }
 

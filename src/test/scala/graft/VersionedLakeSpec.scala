@@ -305,6 +305,136 @@ class VersionedLakeSpec extends SparkSpec {
       .agg(sum(length($"text"))).head().getLong(0) == expect)
   }
 
+  test("mergePublish shares unchanged tables by file identity; bytes written ∝ the merged table") {
+    import org.apache.spark.sql.functions._
+    val base = mkBase()
+    // a "big" standing table next to a small mutable one — the shape
+    // where pre-manifest carry-forward hurt: every merge rewrote the
+    // big table too
+    val docs = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+    Versioned.publish(spark, base, Seq(
+      TableSpec("documents", docs),
+      TableSpec("charges", charges(10))))
+    val docFilesV1 = Versioned.tableFiles(spark, base, "documents", 1L)
+    assert(docFilesV1.nonEmpty)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docBytes = fs.getContentSummary(
+      new Path(s"$base/_data/documents-00000001")).getLength
+
+    // listener-summed bytes written by the whole merge publish
+    val written = new java.util.concurrent.atomic.LongAdder
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) written.add(m.outputMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val v2 =
+      try Versioned.mergePublish(spark, base, "charges",
+        spark.range(10, 15).selectExpr(
+          "CAST(id AS STRING) AS id", "'c3' AS company_id"), Seq("id"))
+      finally {
+        var stable = 0; var last = -1L; var polls = 0
+        while (stable < 2 && polls < 50) {
+          Thread.sleep(100)
+          val now = written.sum
+          if (now == last) stable += 1 else { stable = 0; last = now }
+          polls += 1
+        }
+        spark.sparkContext.removeSparkListener(l)
+      }
+    assert(v2 == 2L)
+
+    // FILE IDENTITY: the untouched table at v2 is served by the SAME
+    // physical parquet files as at v1 — carry-forward wrote zero rows
+    assert(Versioned.tableFiles(spark, base, "documents", 2L) == docFilesV1,
+      "carried table must share v1's files, not a rewritten copy")
+    // and the merge's total write volume is a fraction of the big
+    // table's size — the publish wrote the merged table only
+    assert(written.sum < docBytes / 2,
+      s"merge wrote ${written.sum} bytes vs big table $docBytes — " +
+        "carry-forward is rewriting")
+    // the merged table itself is fresh files with the upsert applied
+    assert(Versioned.tableFiles(spark, base, "charges", 2L)
+      .intersect(Versioned.tableFiles(spark, base, "charges", 1L)).isEmpty)
+    assert(Versioned.read(spark, base, "charges").count() == 15)
+    assert(Versioned.read(spark, base, "documents").count() == docs.count())
+  }
+
+  test("GC refcounts shared data dirs: a chain of merges never tears down a carried table") {
+    val base = mkBase()
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Versioned.publish(spark, base, Seq(
+      TableSpec("shared", spark.range(100).toDF("v")),
+      TableSpec("x", charges(5))))
+    val sharedFiles = Versioned.tableFiles(spark, base, "shared", 1L)
+
+    // v2, v3, v4: merges into x only — each carries `shared` by ref.
+    // A reader resolved at the then-current version is materialized
+    // BEFORE each next publish and must stay readable through the
+    // publish+GC behind it (one version of grace).
+    (2 to 4).foreach { i =>
+      val graceReader = Versioned.read(spark, base, "shared")
+      Versioned.mergePublish(spark, base, "x",
+        spark.range(i * 100, i * 100 + 3).selectExpr(
+          "CAST(id AS STRING) AS id", "'c1' AS company_id"), Seq("id"))
+      assert(graceReader.count() == 100,
+        s"reader resolved before v$i must survive the publish's GC")
+      // v1's manifest is gone once v3 commits, but the data dir v1
+      // wrote stays as long as ANY surviving manifest references it
+      assert(Versioned.tableFiles(spark, base, "shared", i.toLong)
+        == sharedFiles, s"v$i must still share v1's files")
+      assert(fs.exists(new Path(s"$base/_data/shared-00000001")),
+        "refcounted data dir must survive manifest GC")
+    }
+    assert(!fs.exists(new Path(s"$base/v1")), "v1 manifest must be GC'd")
+    assert(!fs.exists(new Path(s"$base/v2")), "v2 manifest must be GC'd")
+
+    // rewrite `shared` twice (v5, v6): once no surviving manifest
+    // references the v1 data dir, the refcount pass collects it
+    (5 to 6).foreach { _ =>
+      Versioned.publish(spark, base,
+        Seq(TableSpec("shared", spark.range(50).toDF("v"))),
+        carry = Seq("x"))
+    }
+    assert(!fs.exists(new Path(s"$base/_data/shared-00000001")),
+      "unreferenced data dir must be collected")
+    assert(Versioned.read(spark, base, "shared").count() == 50)
+    assert(Versioned.read(spark, base, "x").count() == 14)
+  }
+
+  test("pre-manifest lakes read through; the first merge migrates carried tables once") {
+    val base = mkBase()
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hand-build an OLD-layout version: self-contained v1/<table>/
+    // dirs plus the marker, no .ref files anywhere
+    companies("v1").write.parquet(s"$base/v1/companies")
+    charges(8).write.parquet(s"$base/v1/charges")
+    fs.mkdirs(new Path(s"$base/_v"))
+    fs.createNewFile(new Path(s"$base/_v/00000001"))
+
+    assert(Versioned.currentVersion(spark, base).contains(1L))
+    assert(Versioned.listTables(spark, base, 1L) == Seq("charges", "companies"))
+    assert(Versioned.read(spark, base, "charges").count() == 8)
+
+    // a merge over the legacy version migrates: carried tables are
+    // rewritten into _data (a ref into v1/ would dangle at GC)
+    val v2 = Versioned.mergePublish(spark, base, "charges",
+      Seq(("z", "c1")).toDF("id", "company_id"), Seq("id"))
+    assert(v2 == 2L)
+    assert(Versioned.read(spark, base, "charges").count() == 9)
+    assert(Versioned.read(spark, base, "companies").count() == 2)
+    assert(Versioned.tableFiles(spark, base, "companies", 2L)
+      .forall(_.contains("_data/")), "migrated table must live in _data")
+    // and the NEXT merge shares the migrated dir by reference
+    Versioned.mergePublish(spark, base, "charges",
+      Seq(("z2", "c1")).toDF("id", "company_id"), Seq("id"))
+    assert(Versioned.tableFiles(spark, base, "companies", 3L)
+      == Versioned.tableFiles(spark, base, "companies", 2L))
+  }
+
   test("date-partitioned table inside a version prunes directories") {
     import org.apache.spark.sql.functions._
     val base = mkBase()
