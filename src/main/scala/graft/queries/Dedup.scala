@@ -1032,12 +1032,14 @@ object Dedup {
     * windows(delta v−1→v))`: the maintenance pass reads the PREVIOUS
     * index artifact plus the new version's change table only — the
     * corpus itself is never re-scanned (asserted file-exact and
-    * bytes-measured in the spec). Cost per version is
-    * O(|index| + |delta windows|) exchange instead of
-    * O(40 × corpus chars) re-explode + re-distinct; persisting the
-    * artifact bucketed by window hash would drop the standing side's
-    * exchange too (plain parquet here — the merge is already ≪ a
-    * rebuild). Set semantics are additive: an append-only ingest, the
+    * bytes-measured in the spec). The artifact is BUCKETED on `w` and
+    * the merge is bucket-aligned (one full-outer join against the
+    * bucketed standing side — [[incrementalWindowFrame]]), so a
+    * version bump shuffles O(|delta windows|) only: the standing
+    * index flows from bucket files to bucket files without crossing
+    * an exchange (measured: 43 MB vs the pre-alignment 238 MB ≈
+    * O(|index|) at the 10× corpus — SCALE.md). Set semantics are
+    * additive: an append-only ingest, the
     * versioned-lake posture ([[graft.sources.Versioned]]); removals
     * would need tombstones in the change table.
     *
@@ -1092,30 +1094,44 @@ object Dedup {
   }
 
   /** Artifact path for the window index of lake version `v` — the lake
-    * base is already corpus-fingerprinted and parameter-keyed, so
-    * appending the (immutable once committed) version number keeps the
-    * whole family content-addressed. */
+    * base is already corpus-fingerprinted and parameter-keyed; the
+    * bucket count joins the address (a layout change is a new
+    * artifact, the [[graft.sources.ArtifactStore]] contract) and the
+    * (immutable once committed) version number keeps the whole family
+    * content-addressed. */
   private[graft] def windowIndexArtifact(lakeBase: String, v: Long): String =
-    s"$lakeBase-idx-v$v"
+    s"$lakeBase-idx-b$IndexBuckets-v$v"
 
   /** The distinct-window index of the lake's documents AT version `v`,
-    * incrementally maintained ([[q113IncrWindowIndex]]'s engine). */
+    * incrementally maintained ([[q113IncrWindowIndex]]'s engine) and
+    * published BUCKETED on `w` with the merge BUCKET-ALIGNED: the
+    * previous artifact is read through its bucketed registration
+    * (partitioning advertised, no exchange), the delta's windows are
+    * hashed into the same 16 buckets (the only shuffle — O(|delta|)),
+    * and the prealigned publish writes each partition straight to its
+    * bucket file. The standing index never crosses an exchange on a
+    * version bump — the residual SCALE.md named at r14 (238 MB ≈
+    * O(|index|) merge shuffle) closed. */
   private[graft] def windowIndexAt(spark: SparkSession, lakeBase: String,
       v: Long): DataFrame =
-    graft.sources.ArtifactStore.readOrPublish(
-      spark, windowIndexArtifact(lakeBase, v))(
+    graft.sources.ArtifactStore.readOrPublishBucketed(
+      spark, windowIndexArtifact(lakeBase, v), "w", IndexBuckets,
+      prealigned = true)(
       incrementalWindowFrame(spark, lakeBase, v))
 
   /** The un-persisted maintenance frame behind [[windowIndexAt]]:
-    * previous artifact present ⇒ merge it with the delta table's
-    * windows; absent ⇒ full build from the version's corpus. Exposed
-    * separately so the spec can assert exactly WHICH FILES the
-    * incremental path reads (prev artifact + delta, never the
-    * corpus). */
+    * previous artifact present ⇒ bucket-aligned merge with the delta
+    * table's windows; absent ⇒ full build from the version's corpus.
+    * EVERY branch returns a frame whose partitions are aligned to the
+    * artifact's bucket layout (hashpartitioning(w, [[IndexBuckets]])),
+    * honoring the prealigned-publish contract. Exposed separately so
+    * the spec can assert exactly WHICH FILES the incremental path
+    * reads (prev artifact + delta, never the corpus). */
   private[graft] def incrementalWindowFrame(spark: SparkSession,
       lakeBase: String, v: Long): DataFrame = {
     import graft.sources.{ArtifactStore, Versioned}
-    ArtifactStore.readIfPresent(spark, windowIndexArtifact(lakeBase, v - 1))
+    ArtifactStore.readIfPresentBucketed(spark,
+        windowIndexArtifact(lakeBase, v - 1), "w", IndexBuckets)
       match {
         // merge branch needs BOTH the prior artifact and a published
         // change table — a version published without its delta (or a
@@ -1130,12 +1146,23 @@ object Dedup {
             if Versioned.tableExists(spark, lakeBase, "documents_delta", v)
               && !Versioned.tableExists(
                 spark, lakeBase, "documents_removed", v) =>
-          prev
-            .union(distinctWindowsOf(
-              Versioned.readAt(spark, lakeBase, "documents_delta", v)))
-            .distinct()
+          // set union as ONE bucket-aligned full-outer join: both
+          // sides hold distinct w (prev by construction, the delta by
+          // its distinct pass), so FULL OUTER on w emits each window
+          // exactly once — prev ∪ Δ with a SINGLE scan of the
+          // standing side, no distinct pass, no union. The delta's
+          // bucket hash is the only exchange (O(|delta|)); the join
+          // output inherits hashpartitioning(w, buckets), so the
+          // write appends bucket files without re-exchanging the
+          // index. (An anti-join + union would be equivalent but
+          // scans prev twice.)
+          val deltaW = distinctWindowsOf(
+            Versioned.readAt(spark, lakeBase, "documents_delta", v))
+            .repartition(IndexBuckets, col("w"))
+          prev.join(deltaW, Seq("w"), "full_outer").select(col("w"))
         case _ => distinctWindowsOf(
           Versioned.readAt(spark, lakeBase, "documents", v))
+          .repartition(IndexBuckets, col("w"))
       }
   }
 

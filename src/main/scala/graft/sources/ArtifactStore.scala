@@ -33,6 +33,22 @@ object ArtifactStore {
     else None
   }
 
+  /** [[readIfPresent]] through the bucketed-catalog registration: the
+    * returned frame ADVERTISES its hash-partitioned layout, so a
+    * downstream join or aggregate on `bucketCol` plans without an
+    * exchange on this side. The plain [[readIfPresent]] over the same
+    * files would read fine but re-shuffle — which is exactly the
+    * standing-side exchange incremental maintenance exists to avoid. */
+  def readIfPresentBucketed(spark: SparkSession, out: String,
+      bucketCol: String, buckets: Int): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val outPath = new Path(out)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(outPath, "_SUCCESS")))
+      Some(bucketedTable(spark, out, bucketCol, buckets))
+    else None
+  }
+
   /** Read the table at `out`, building and atomically publishing it
     * first when absent. `build` is evaluated only on a miss. */
   def readOrPublish(spark: SparkSession, out: String)
@@ -78,7 +94,8 @@ object ArtifactStore {
     * a layout change must be a new artifact, never a reinterpreted
     * one. */
   def readOrPublishBucketed(spark: SparkSession, out: String,
-      bucketCol: String, buckets: Int)(build: => DataFrame): DataFrame = {
+      bucketCol: String, buckets: Int, prealigned: Boolean = false)
+      (build: => DataFrame): DataFrame = {
     import org.apache.hadoop.fs.Path
     val outPath = new Path(out)
     val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -91,8 +108,18 @@ object ArtifactStore {
       // WRITE TASK's rows across its buckets, so an unaligned upstream
       // partitioning writes tasks×buckets small files; pre-hashing on
       // the same key (same Murmur3 HashPartitioning) collapses that to
-      // one file per bucket
-      build.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+      // one file per bucket. A PREALIGNED builder promises every input
+      // partition already holds exactly one bucket's rows (e.g. a
+      // bucketed previous artifact unioned with a bucket-repartitioned
+      // delta) — skipping the repartition here is what lets an
+      // incremental maintenance write O(|delta|) shuffle instead of
+      // re-exchanging the standing index; the cost is one file per
+      // CONTRIBUTING PARTITION per bucket (bucket ids ride in file
+      // names, so multi-file buckets stay valid bucketed reads).
+      val frame = if (prealigned) build
+        else build.repartition(buckets,
+          org.apache.spark.sql.functions.col(bucketCol))
+      frame
         .write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, bucketCol).sortBy(bucketCol)
         .option("path", staging.toString)

@@ -546,6 +546,23 @@ class DedupSpec extends SparkSpec {
     assert(!files.exists((f => f.contains("/documents/") || f.contains("_data/documents-"))),
       "incremental path re-scans the corpus")
 
+    // bucket-aligned merge pin: the standing side must enter the
+    // full-outer merge join straight from its BUCKETED scan — every
+    // exchange in the plan belongs to the delta side (O(|delta|)), so
+    // a version bump never re-shuffles the index. Two exchanges: the
+    // delta's distinct agg and its bucket-count alignment.
+    frame.collect()
+    val mergePlan = frame.queryExecution.executedPlan.toString
+    assert(mergePlan.contains("Bucketed: true"),
+      s"standing side must scan as a bucketed table:\n$mergePlan")
+    assert(mergePlan.contains("FullOuter"),
+      s"merge must be the single-scan full-outer union:\n$mergePlan")
+    val nExchanges = raw"Exchange hashpartitioning\(w#"
+      .r.findAllIn(mergePlan.linesIterator
+        .takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")).size
+    assert(nExchanges <= 2,
+      s"expected only the delta-side exchanges, found $nExchanges:\n$mergePlan")
+
     // bytes-measured (the Scale-harness assertion, not just plan
     // shape): input traffic of materializing the maintenance frame is
     // explained by prev-index + delta sizes alone. Slack covers parquet
