@@ -38,6 +38,12 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
     * Spark job executes on its own thread. */
   private val jobStatus = new AtomicReference[String]("""{"state":"idle"}""")
 
+  /** Index-maintenance job state (the /etl/run pair for
+    * /index/maintain) plus the lock serializing maintenance walks —
+    * two concurrent POSTs would race the same artifact publishes. */
+  private val indexStatus = new AtomicReference[String]("""{"state":"idle"}""")
+  private val maintainLock = new Object
+
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
   def boundPort: Int = server.getAddress.getPort
@@ -230,16 +236,21 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
         }
     })
 
-  // R7 extension: derived-index maintenance as a job — one POST walks
+  // R7 extension: derived-index maintenance as a job — one POST brings
   // every artifact chain (verbatim-window index, LSH signatures,
   // duplicate clusters, CMS + KMV sketches, retrieval tf-grain over
   // the documents lake; IVF over the embeddings lake) up to its
-  // lake's current version. Each step is ArtifactStore.readOrPublish:
-  // already-current chains are pure reads, behind ones run their
-  // incremental merge — so this endpoint is what an ingest scheduler
-  // calls after a publish, and calling it twice is free. Synchronous
-  // by design: the chains ARE the response payload (row counts double
-  // as a sanity check an operator can eyeball).
+  // lake's current version. RESUME-FROM-NEWEST: each chain is probed
+  // BACKWARD from the current version with one cheap _SUCCESS check
+  // per step until its newest existing artifact is found, and only the
+  // missing suffix is built (each step the incremental merge, never a
+  // silent full rebuild) — so a no-op call does O(chains) FS probes
+  // and zero Spark jobs regardless of chain depth, and a call retried
+  // after a mid-walk crash re-builds exactly the versions the crash
+  // left missing. Only the CURRENT version's artifact is counted (the
+  // operator-eyeball sanity number); prior steps publish without a
+  // count job. `"async": true` returns 202 immediately and exposes
+  // progress at GET /index/status — the /etl/run posture.
   server.createContext("/index/maintain", (ex: HttpExchange) =>
     (spark, ex.getRequestMethod) match {
       case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
@@ -250,40 +261,81 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
         strField(body, "dir") match {
           case None => reply(ex, 422, """{"detail":"dir: field required"}""")
           case Some(dir) =>
-            try {
-              import graft.queries.{Analytics, Dedup, Similarity, TextOps}
-              import graft.sources.Versioned
-              val base = Dedup.versionedCorpus(s, dir)
-              val v = Versioned.currentVersion(s, base).getOrElse(
-                sys.error(s"no committed version at $base"))
-              val emb = Similarity.versionedVectors(s, dir)
-              val ev = Versioned.currentVersion(s, emb).getOrElse(
-                sys.error(s"no committed version at $emb"))
-              // walk each chain from its origin so every step is the
-              // incremental merge, never a silent full rebuild
-              def walk(last: Long)(at: Long => Long): Long =
-                (1L to last).map(at).last
-              val counts = Seq(
-                "windows" -> walk(v)(Dedup.windowIndexAt(s, base, _).count()),
-                "signatures" ->
-                  walk(v)(Dedup.signatureIndexAt(s, base, _).count()),
-                "clusters" ->
-                  walk(v)(Dedup.clusterAssignmentAt(s, base, _).count()),
-                "cms_rows" -> walk(v)(Analytics.cmsAt(s, base, _).count()),
-                "kmv_sources" -> walk(v)(Analytics.kmvAt(s, base, _).count()),
-                "tf_grain" -> walk(v)(TextOps.tfGrainAt(s, base, _).count()),
-                "ivf_vectors" ->
-                  walk(ev)(Similarity.ivfIndexAt(s, emb, _).count()))
-              reply(ex, 200,
-                s"""{"state":"done","lake":"${esc(base)}","version":$v,""" +
-                  counts.map { case (k, n) => s""""$k":$n""" }
-                    .mkString(",") + "}")
-            } catch {
-              case e: Exception => reply(ex, 500,
-                s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+            val async = boolField(body, "async").getOrElse(false)
+            def run(): String = maintainLock.synchronized {
+              try {
+                import graft.queries.{Analytics, Dedup, Similarity, TextOps}
+                import graft.sources.{ArtifactStore, Versioned}
+                val base = Dedup.versionedCorpus(s, dir)
+                val v = Versioned.currentVersion(s, base).getOrElse(
+                  sys.error(s"no committed version at $base"))
+                val emb = Similarity.versionedVectors(s, dir)
+                val ev = Versioned.currentVersion(s, emb).getOrElse(
+                  sys.error(s"no committed version at $emb"))
+                // resume point: newest version whose artifact exists;
+                // build the missing (resume, last] suffix only, then
+                // count the head artifact
+                final case class Chain(name: String, last: Long,
+                    artifact: Long => String,
+                    at: Long => org.apache.spark.sql.DataFrame)
+                val chains = Seq(
+                  Chain("windows", v, Dedup.windowIndexArtifact(base, _),
+                    Dedup.windowIndexAt(s, base, _)),
+                  Chain("signatures", v,
+                    Dedup.signatureIndexArtifact(base, _),
+                    Dedup.signatureIndexAt(s, base, _)),
+                  Chain("clusters", v, Dedup.clusterArtifact(base, _),
+                    Dedup.clusterAssignmentAt(s, base, _)),
+                  Chain("cms_rows", v, Analytics.cmsArtifact(base, _),
+                    Analytics.cmsAt(s, base, _)),
+                  Chain("kmv_sources", v, Analytics.kmvArtifact(base, _),
+                    Analytics.kmvAt(s, base, _)),
+                  Chain("tf_grain", v, TextOps.tfGrainArtifact(base, _),
+                    TextOps.tfGrainAt(s, base, _)),
+                  Chain("ivf_vectors", ev,
+                    Similarity.ivfIndexArtifact(emb, _),
+                    Similarity.ivfIndexAt(s, emb, _)))
+                var built = 0L
+                val counts = chains.map { c =>
+                  val resume = (c.last to 1L by -1L)
+                    .find(k => ArtifactStore.exists(s, c.artifact(k)))
+                  val todo = resume match {
+                    case Some(k) => (k + 1) to c.last
+                    case None => 1L to c.last
+                  }
+                  todo.foreach { k => c.at(k); built += 1 }
+                  (c.name, c.at(c.last).count(), todo.size)
+                }
+                val summary =
+                  s"""{"state":"done","lake":"${esc(base)}",""" +
+                    s""""version":$v,"steps_built":$built,""" +
+                    counts.map { case (k, n, b) =>
+                      s""""$k":$n,"${k}_built":$b""" }.mkString(",") + "}"
+                indexStatus.set(summary)
+                summary
+              } catch {
+                case e: Exception =>
+                  val err = s"""{"state":"failed","detail":"${
+                    esc(String.valueOf(e.getMessage))}"}"""
+                  indexStatus.set(err)
+                  err
+              }
+            }
+            if (async) {
+              indexStatus.set("""{"state":"running"}""")
+              new Thread(() => { run(); () }, "graft-index-job").start()
+              reply(ex, 202, """{"state":"running"}""")
+            } else {
+              indexStatus.set("""{"state":"running"}""")
+              val out = run()
+              reply(ex, if (out.contains("\"done\"")) 200 else 500, out)
             }
         }
     })
+
+  // R7: index-maintenance inspection (the /etl/status twin)
+  server.createContext("/index/status", (ex: HttpExchange) =>
+    reply(ex, 200, indexStatus.get))
 
   // R5: OpenAPI document at /docs, mirroring the reference's
   // auto-served Swagger surface (readme.md:176-179, api/main.py:7).
@@ -347,9 +399,11 @@ object RestApi {
       |"/query/daily_totals":{"get":{"summary":"daily_company_totals rows in a date range (capped at 1000 rows; X-Graft-Truncated header signals an incomplete page)",
       | "parameters":[{"name":"from","in":"query","required":true,"schema":{"type":"string","format":"date"}},{"name":"to","in":"query","required":true,"schema":{"type":"string","format":"date"}},{"name":"limit","in":"query","schema":{"type":"integer","default":1000,"maximum":1000}}],
       | "responses":{"200":{"description":"rows"},"409":{"description":"run /etl/run first"},"422":{"description":"bad dates"},"503":{"description":"no spark session"}}}},
-      |"/index/maintain":{"post":{"summary":"Walk every derived-index chain (windows, signatures, clusters, CMS, KMV, tf-grain, IVF) to its lake's current version; already-current chains are pure reads",
-      |  "requestBody":{"content":{"application/json":{"schema":{"properties":{"dir":{"type":"string"}},"required":["dir"]}}}},
-      |  "responses":{"200":{"description":"chains current; per-artifact row counts"},"422":{"description":"dir missing"},"500":{"description":"maintenance failed"},"503":{"description":"no spark session"}}}},
+      |"/index/maintain":{"post":{"summary":"Bring every derived-index chain (windows, signatures, clusters, CMS, KMV, tf-grain, IVF) to its lake's current version; resumes each chain from its newest existing artifact (a no-op call runs zero Spark jobs)",
+      |  "requestBody":{"content":{"application/json":{"schema":{"properties":{"dir":{"type":"string"},"async":{"type":"boolean","default":false}},"required":["dir"]}}}},
+      |  "responses":{"200":{"description":"chains current; per-artifact row counts + versions built"},"202":{"description":"async maintenance started"},"422":{"description":"dir missing"},"500":{"description":"maintenance failed"},"503":{"description":"no spark session"}}}},
+      |"/index/status":{"get":{"summary":"Last/current index-maintenance state",
+      | "responses":{"200":{"description":"idle|running|done|failed"}}}},
       |"/query/run":{"get":{"summary":"Run a registered engine query by name",
       | "parameters":[{"name":"name","in":"query","required":true,"schema":{"type":"string"}},{"name":"dir","in":"query","required":true,"schema":{"type":"string"}},{"name":"limit","in":"query","schema":{"type":"integer","default":20,"maximum":1000}}],
       | "responses":{"200":{"description":"rows"},"404":{"description":"unknown query"},"422":{"description":"name and dir required"},"503":{"description":"no spark session"}}}},

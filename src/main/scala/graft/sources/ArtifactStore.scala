@@ -33,6 +33,17 @@ object ArtifactStore {
     else None
   }
 
+  /** Whether a completed publish exists at `out` — the `_SUCCESS`
+    * probe alone, no reader construction: the cheap existence check a
+    * resume-from-newest walk wants (one FS call per probe, never a
+    * parquet footer read). */
+  def exists(spark: SparkSession, out: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val outPath = new Path(out)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(new Path(outPath, "_SUCCESS"))
+  }
+
   /** [[readIfPresent]] through the bucketed-catalog registration: the
     * returned frame ADVERTISES its hash-partitioned layout, so a
     * downstream join or aggregate on `bucketCol` plans without an

@@ -282,27 +282,75 @@ class ServiceSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
-  test("R7 index maintenance: one POST walks every artifact chain; repeat is a pure read") {
+  test("R7 index maintenance: resume-from-newest, crash retry, async status") {
     val spark = SparkSpec.spark
     val api = new RestApi(Some(spark), 0).start()
+    val dir = "/root/testdata/sf0.001"
+    def counts(b: String): Map[String, Long] =
+      "\"(\\w+)\":(\\d+)".r.findAllMatchIn(b)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
     try {
       val base = s"http://localhost:${api.boundPort}"
       assert(http("POST", s"$base/index/maintain",
         Some("""{"nope":1}"""))._1 == 422)
       assert(http("GET", s"$base/index/maintain")._1 == 405)
       val (c, b) = http("POST", s"$base/index/maintain",
-        Some("""{"dir":"/root/testdata/sf0.001"}"""))
+        Some(s"""{"dir":"$dir"}"""))
       assert(c == 200 && b.contains("\"state\":\"done\""), b)
-      Seq("windows", "signatures", "clusters", "cms_rows", "kmv_sources",
-        "tf_grain", "ivf_vectors")
-        .foreach(k => assert(b.contains("\"" + k + "\":"), s"$k missing: $b"))
-      // every chain produced rows on the fixture corpus
-      assert(!b.contains(":0,") && !b.endsWith(":0}"), s"empty artifact: $b")
-      // idempotent: the second call reads published artifacts and
-      // reports the identical counts
+      val chains = Seq("windows", "signatures", "clusters", "cms_rows",
+        "kmv_sources", "tf_grain", "ivf_vectors")
+      chains.foreach(k =>
+        assert(counts(b).get(k).exists(_ > 0), s"$k missing/empty: $b"))
+
+      // RESUME: the second call finds every chain current — zero
+      // versions built (self-reported) AND the head artifact's
+      // _SUCCESS untouched on disk (externally observed)
+      import graft.queries.Dedup
+      import graft.sources.Versioned
+      val lake = Dedup.versionedCorpus(spark, dir)
+      val v = Versioned.currentVersion(spark, lake).get
+      val headArt = Dedup.windowIndexArtifact(lake, v)
+      def mtime(p: String): Long = {
+        val hp = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+        hp.getFileSystem(spark.sessionState.newHadoopConf())
+          .getFileStatus(hp).getModificationTime
+      }
+      val t1 = mtime(headArt)
       val (c2, b2) = http("POST", s"$base/index/maintain",
-        Some("""{"dir":"/root/testdata/sf0.001"}"""))
-      assert(c2 == 200 && b2 == b, s"repeat diverged:\n$b\n$b2")
+        Some(s"""{"dir":"$dir"}"""))
+      assert(c2 == 200 && counts(b2)("steps_built") == 0L,
+        s"repeat must build nothing: $b2")
+      chains.foreach(k => assert(counts(b2)(k) == counts(b)(k),
+        s"$k count drifted: $b vs $b2"))
+      assert(mtime(headArt) == t1, "repeat rewrote a current artifact")
+
+      // MID-WALK CRASH RETRY: a crash that lost one chain's newest
+      // artifact (others done) — the retry rebuilds exactly that one
+      // version of that one chain
+      val hp = new org.apache.hadoop.fs.Path(headArt)
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+      val (c3, b3) = http("POST", s"$base/index/maintain",
+        Some(s"""{"dir":"$dir"}"""))
+      assert(c3 == 200 && counts(b3)("steps_built") == 1L &&
+        counts(b3)("windows_built") == 1L,
+        s"retry must rebuild only the lost head: $b3")
+      assert(counts(b3)("windows") == counts(b)("windows"),
+        "rebuilt artifact diverged")
+
+      // ASYNC: 202 immediately, then /index/status converges to done
+      val (ca, ba) = http("POST", s"$base/index/maintain",
+        Some(s"""{"dir":"$dir","async":true}"""))
+      assert(ca == 202 && ba.contains("running"), s"$ca $ba")
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      var st = ""
+      while (!st.contains("\"state\":\"done\"") &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        st = http("GET", s"$base/index/status")._2
+        assert(!st.contains("failed"), st)
+      }
+      assert(st.contains("\"state\":\"done\"") &&
+        counts(st)("steps_built") == 0L, st)
     } finally api.stop()
   }
 
