@@ -490,6 +490,34 @@ object Analytics {
       .orderBy(col("r"), col("bkt"))
   }
 
+  // --------------------------------------------------------------- q127
+  /** Exact CMS TOMBSTONE SUBTRACTION — the removal direction for the
+    * sketch family, exercised where the linear-sketch algebra makes it
+    * exact: a third lake version publishes `documents_removed`
+    * CARRYING THE REMOVED TEXT (the takedown-batch contract — see
+    * [[TextOps.versionedCorpusWithRemoval]]), and the chain subtracts
+    * the tombstone batch's sketch counter-for-counter instead of
+    * re-sketching the surviving corpus. The oracle rebuilds every
+    * counter from the SURVIVORS only (q117's md5-slice COUNT(*)
+    * replay over the post-removal corpus), so hash equality proves
+    * `cms(prev) + cms(Δ) − cms(R) ≡ cms(corpus ∖ R)` — removal
+    * through the sketch chain is indistinguishable from never having
+    * ingested the removed docs, at 16 KB of maintenance I/O. Output
+    * shape = q117's nonzero (r, bkt, c) rows. */
+  def q127CmsSubtract(spark: SparkSession, dir: String): DataFrame = {
+    val base = TextOps.versionedCorpusWithRemoval(spark, dir)
+    cmsAt(spark, base, 1L) // chain origin
+    cmsAt(spark, base, 2L) // delta add
+    cmsAt(spark, base, 3L) // the tombstone subtract
+      .select(posexplode(col("cms")).as(Seq("pos", "c")))
+      .filter(col("c") > 0)
+      .select(
+        floor(col("pos") / CmsWidth).cast("long").as("r"),
+        (col("pos") % CmsWidth).cast("long").as("bkt"),
+        col("c"))
+      .orderBy(col("r"), col("bkt"))
+  }
+
   /** One-pass CMS of `docsDf`'s whitespace-token stream: a 1-row frame
     * with the flattened depth×width counter matrix (q116's sketch
     * side, factored out so the batch query, the incremental
@@ -517,29 +545,44 @@ object Analytics {
       incrementalCmsFrame(spark, lakeBase, v))
 
   /** Maintenance frame behind [[cmsAt]]: previous artifact present ⇒
-    * elementwise-add the delta's sketch (two 1-row frames, broadcast);
-    * absent (or no published change table) ⇒ full build from the
-    * version's corpus — the same never-silently-under-count fallback
-    * discipline as [[Dedup.incrementalWindowFrame]]. */
+    * elementwise-ADD the delta's sketch and, when the version's
+    * tombstone table carries the removed docs' TEXT, elementwise-
+    * SUBTRACT the tombstone batch's sketch — both 1-row broadcasts,
+    * both exact because the CMS is a linear map of the token stream:
+    * `cms(corpus ∖ R) = cms(corpus) − cms(R)` counter-for-counter
+    * when R's docs were ingested verbatim (the removal contract —
+    * q127 proves subtract ≡ rebuild-over-survivors, and a violated
+    * contract shows up as a negative counter, which the spec checks
+    * for). A tombstone table WITHOUT text still forces the full
+    * rebuild: the subtrahend would need the previous version's rows,
+    * which lake GC may have collected by maintenance time — the
+    * never-silently-over-count guard, same fallback discipline as
+    * [[Dedup.incrementalWindowFrame]]. */
   private[graft] def incrementalCmsFrame(spark: SparkSession,
       lakeBase: String, v: Long): DataFrame = {
     import graft.sources.{ArtifactStore, Versioned}
+    val hasDelta =
+      Versioned.tableExists(spark, lakeBase, "documents_delta", v)
+    val hasRemoved =
+      Versioned.tableExists(spark, lakeBase, "documents_removed", v)
+    lazy val removed = Versioned.readAt(spark, lakeBase, "documents_removed", v)
+    val removedWithText = hasRemoved && removed.columns.contains("text")
     ArtifactStore.readIfPresent(spark, cmsArtifact(lakeBase, v - 1)) match {
-      // tombstones force the full rebuild here: a CMS COULD subtract
-      // (it is linear), but the subtrahend is the removed docs' token
-      // sketch, and the tombstone table carries ids only — the text
-      // lives in the PREVIOUS version, which lake GC may have
-      // collected by maintenance time. Rebuild-from-current is the
-      // guard that can never silently over-count
       case Some(prev)
-          if Versioned.tableExists(spark, lakeBase, "documents_delta", v)
-            && !Versioned.tableExists(
-              spark, lakeBase, "documents_removed", v) =>
-        prev.crossJoin(broadcast(
-          cmsOf(Versioned.readAt(spark, lakeBase, "documents_delta", v))
-            .withColumnRenamed("cms", "cms_delta")))
-          .select(zip_with(col("cms"), col("cms_delta"),
-            (a, b) => a + b).as("cms"))
+          if (hasDelta || removedWithText) && (!hasRemoved || removedWithText) =>
+        val added = if (hasDelta)
+          prev.crossJoin(broadcast(
+            cmsOf(Versioned.readAt(spark, lakeBase, "documents_delta", v))
+              .withColumnRenamed("cms", "cms_delta")))
+            .select(zip_with(col("cms"), col("cms_delta"),
+              (a, b) => a + b).as("cms"))
+        else prev
+        if (removedWithText)
+          added.crossJoin(broadcast(
+            cmsOf(removed).withColumnRenamed("cms", "cms_rm")))
+            .select(zip_with(col("cms"), col("cms_rm"),
+              (a, b) => a - b).as("cms"))
+        else added
       case _ => cmsOf(Versioned.readAt(spark, lakeBase, "documents", v))
     }
   }
@@ -749,6 +792,7 @@ object Analytics {
     "q112_kmv_rollup" -> (q112KmvRollup _),
     "q116_cms_topk" -> (q116CmsTopk _),
     "q117_incr_cms" -> (q117IncrCms _),
+    "q127_cms_subtract" -> (q127CmsSubtract _),
     "q118_kmv_overlap" -> (q118KmvOverlap _),
     "q120_incr_kmv" -> (q120IncrKmv _),
     "q125_version_drift" -> (q125VersionDrift _))
@@ -1034,6 +1078,28 @@ object Analytics {
       """WITH t AS (
         | SELECT unnest(string_split_regex(text, '\s+')) AS token
         | FROM documents),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |hb AS (
+        | SELECT rs.r,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(t.token), 8 * rs.r + i, 1)) - 1)
+        |         * (1::BIGINT << (4 * (8 - i))))) AS BIGINT) % 512 AS bkt
+        | FROM t CROSS JOIN rs)
+        |SELECT CAST(r AS BIGINT) AS r, bkt, CAST(count(*) AS BIGINT) AS c
+        |FROM hb GROUP BY r, bkt
+        |ORDER BY r, bkt""".stripMargin,
+    // q127: q117's counter replay over the SURVIVING corpus only —
+    // the incremental path must land on exactly the sketch of a
+    // corpus that never contained the removed docs (subtract ≡
+    // rebuild-over-survivors)
+    "q127_cms_subtract" ->
+      s"""WITH surv AS (
+        | SELECT text FROM documents
+        | WHERE NOT ((${TextOps.md5UniformSql("doc_id")}) >= 0.1
+        |   AND (${TextOps.md5UniformSql("doc_id")}) < 0.15)),
+        |t AS (
+        | SELECT unnest(string_split_regex(text, '\\s+')) AS token
+        | FROM surv),
         |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
         |hb AS (
         | SELECT rs.r,

@@ -808,9 +808,15 @@ object TextOps {
 
   /** Three-version scratch lake: v1 = standing split, v2 = full corpus
     * (delta ingest), v3 = full minus the removal slice, published with
-    * a `documents_removed` tombstone table. The grain chain is
-    * maintained AFTER EACH publish — the posture a real ingest is
-    * forced into anyway, because the lake GC keeps only
+    * a `documents_removed` tombstone table. The tombstones carry
+    * (doc_id, TEXT) — the removal CONTRACT: a takedown/opt-out batch
+    * has the content it removes by definition, and shipping it in the
+    * change table is what lets the linear-sketch chains subtract
+    * exactly (q127) instead of full-rebuilding; id-keyed consumers
+    * (the tf-grain anti-join, q126) simply ignore the extra column,
+    * and chains that cannot use text still force their loud fallback.
+    * The grain chain is maintained AFTER EACH publish — the posture a
+    * real ingest is forced into anyway, because the lake GC keeps only
     * current+previous versions: indexing must keep pace, and the
     * ARTIFACTS (content-addressed, never collected) are what carry
     * the chain's history past GC. Idempotent like
@@ -819,7 +825,9 @@ object TextOps {
       dir: String): String = {
     import graft.sources.Versioned
     val key = graft.Tables.fileFingerprint(spark, s"$dir/documents.parquet")
-    val base = s"${Dedup.indexBase}/lake-rm-$key"
+    // rm2: the tombstone schema grew text — a new content address, so
+    // a lake built under the id-only contract can never be half-reused
+    val base = s"${Dedup.indexBase}/lake-rm2-$key"
     val all = docs(spark, dir)
     val fresh = uniformKeyOf(col("doc_id")) < lit(0.1)
     if (Versioned.currentVersion(spark, base).isEmpty) {
@@ -827,12 +835,14 @@ object TextOps {
         Versioned.TableSpec("documents", all.filter(!fresh)),
         Versioned.TableSpec("documents_delta", all.filter(!fresh))))
       tfGrainAt(spark, base, 1L)
+      Analytics.cmsAt(spark, base, 1L)
     }
     if (Versioned.currentVersion(spark, base).contains(1L)) {
       Versioned.publish(spark, base, Seq(
         Versioned.TableSpec("documents", all),
         Versioned.TableSpec("documents_delta", all.filter(fresh))))
       tfGrainAt(spark, base, 2L)
+      Analytics.cmsAt(spark, base, 2L)
     }
     if (Versioned.currentVersion(spark, base).contains(2L)) {
       val removed = removalSlice(all)
@@ -841,7 +851,7 @@ object TextOps {
           all.join(removed.select(col("doc_id")), Seq("doc_id"),
             "left_anti")),
         Versioned.TableSpec("documents_removed",
-          removed.select(col("doc_id")))))
+          removed.select(col("doc_id"), col("text")))))
     }
     base
   }

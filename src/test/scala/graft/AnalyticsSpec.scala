@@ -328,6 +328,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == fromScratch, "chain diverged from from-scratch")
   }
 
+  test("q127: CMS tombstone subtract ≡ rebuild over survivors; reads sketch+tombstones only") {
+    import graft.queries.TextOps
+    import graft.sources.Versioned
+    val base = TextOps.versionedCorpusWithRemoval(spark, sfDir)
+    Analytics.cmsAt(spark, base, 1L)
+    Analytics.cmsAt(spark, base, 2L)
+    import spark.implicits._
+    val sub = Analytics.cmsAt(spark, base, 3L).as[Seq[Long]].head()
+    // value identity with the from-scratch sketch of the survivors —
+    // removal through the chain ≡ never ingested
+    val survivors = Versioned.readAt(spark, base, "documents", 3L)
+    val rebuilt = Analytics.cmsOf(survivors).as[Seq[Long]].head()
+    assert(sub == rebuilt, "subtract diverged from rebuild-over-survivors")
+    // the removal contract held: no counter went negative (a tombstone
+    // for a never-ingested doc would show up here)
+    assert(sub.forall(_ >= 0L), "negative counter — tombstone not ingested?")
+    assert(sub.sum > 0, "fixture vacuous — empty sketch")
+    // file-exact: the subtract branch reads the previous sketch
+    // artifact and the tombstone table only — never the corpus
+    val frame = Analytics.incrementalCmsFrame(spark, base, 3L)
+    val prevArt = Analytics.cmsArtifact(base, 2L)
+    val stray = frame.inputFiles.filterNot(f =>
+      f.contains(prevArt) || f.contains("documents_removed"))
+    assert(frame.inputFiles.nonEmpty && stray.isEmpty,
+      s"cms subtract reads beyond sketch+tombstones: " +
+        s"${stray.take(3).mkString(", ")}")
+    // a tombstone table WITHOUT text still forces the loud rebuild —
+    // the guard that can never silently over-count
+    val idOnly = java.nio.file.Files
+      .createTempDirectory("graft-cms-idrm").toString + "/lake"
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    Versioned.publish(spark, idOnly, Seq(
+      Versioned.TableSpec("documents", docs),
+      Versioned.TableSpec("documents_delta", docs)))
+    Analytics.cmsAt(spark, idOnly, 1L)
+    Versioned.publish(spark, idOnly, Seq(
+      Versioned.TableSpec("documents", docs.filter($"doc_id" =!= 2L)),
+      Versioned.TableSpec("documents_removed", Seq(2L).toDF("doc_id"))))
+    val fb = Analytics.incrementalCmsFrame(spark, idOnly, 2L)
+    assert(fb.inputFiles.exists(f =>
+      f.contains("/documents/") || f.contains("_data/documents-")),
+      "id-only tombstones must fall back to the corpus rebuild")
+    assert(Analytics.cmsAt(spark, idOnly, 2L).as[Seq[Long]].head() ==
+      Analytics.cmsOf(docs.filter($"doc_id" =!= 2L)).as[Seq[Long]].head())
+  }
+
   test("q125: drift estimates respect chain monotonicity and the CM guarantee") {
     val rows = Analytics.q125VersionDrift(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
