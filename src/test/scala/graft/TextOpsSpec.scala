@@ -852,6 +852,38 @@ class TextOpsSpec extends SparkSpec {
       s"term agg over the bucketed grain must not exchange:\n$plan")
   }
 
+  test("q128: grain-served BM25 ≡ inline BM25; scoring never reads the corpus") {
+    import graft.queries.Dedup
+    val fromGrain = TextOps.q128Bm25FromGrain(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val inline = TextOps.q121Bm25Topk(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromGrain == inline,
+      "grain-served ranking diverged from tokenize-at-query-time")
+    assert(fromGrain.nonEmpty, "fixture vacuous — no ranked rows")
+    // file-exact: the whole ranking plan reads the grain artifact
+    // only — "the corpus is not re-tokenized at query time" as an
+    // input-set fact (localCheckpointed query terms scan no files;
+    // everything else must resolve to the v2 artifact)
+    val base = Dedup.versionedCorpus(spark, sfDir)
+    TextOps.tfGrainAt(spark, base, 1L)
+    val frame = TextOps.bm25Rank(TextOps.tfGrainAt(spark, base, 2L), 10)
+    val art = TextOps.tfGrainArtifact(base, 2L)
+    val stray = frame.inputFiles.filterNot(_.contains(art))
+    assert(frame.inputFiles.nonEmpty && stray.isEmpty,
+      s"bm25 scoring reads beyond the grain artifact: " +
+        s"${stray.take(3).mkString(", ")}")
+    // the bucketed layout serves the scorer's term-keyed work: df
+    // aggregation and the query-term probe plan with no term exchange
+    frame.collect()
+    val plan = frame.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Bucketed: true"),
+      s"bm25 grain must scan as bucketed:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(term#"),
+      s"term-keyed scoring over the bucketed grain must not exchange:\n$plan")
+  }
+
   test("tf-grain chain composes past depth two: v3 = append of an append, still exact") {
     import graft.sources.Versioned
     val base = java.nio.file.Files
