@@ -994,6 +994,25 @@ object TextOps {
     bm25Rank(tfGrainAt(spark, base, 2L), topK)
   }
 
+  // --------------------------------------------------------------- q129
+  /** Ranked retrieval AFTER TOMBSTONED REMOVAL — q126's GDPR-shaped
+    * guarantee carried all the way to the user-facing surface: the
+    * takedown version's grain (maintained by anti-join, never a
+    * corpus re-tokenization) serves [[bm25Rank]], and the oracle
+    * replays BM25 from scratch over the SURVIVING documents only —
+    * hash equality proves a removed document cannot influence ranking
+    * AT ALL, not merely "no longer appears": its postings are gone
+    * from candidate scoring, its tokens are gone from the
+    * corpus-derived query set and df statistics, and its length is
+    * gone from the normalization stats. Removal through the chain is
+    * indistinguishable from never having ingested the doc, observed
+    * from the retrieval endpoint itself. */
+  def q129Bm25Removal(spark: SparkSession, dir: String,
+      topK: Int = 10): DataFrame = {
+    val base = versionedCorpusWithRemoval(spark, dir)
+    bm25Rank(tfGrainAt(spark, base, 3L), topK)
+  }
+
   // --------------------------------------------------------------- q53
   /** Eval-set decontamination: flag corpus documents sharing any word
     * 3-gram with a benchmark ("eval") set — the overlap-removal step a
@@ -1742,6 +1761,7 @@ object TextOps {
     "q101_inverted_index" -> ((s: SparkSession, d: String) => q101InvertedIndex(s, d)),
     "q121_bm25_topk"    -> ((s: SparkSession, d: String) => q121Bm25Topk(s, d)),
     "q128_bm25_grain"   -> ((s: SparkSession, d: String) => q128Bm25FromGrain(s, d)),
+    "q129_bm25_removal" -> ((s: SparkSession, d: String) => q129Bm25Removal(s, d)),
     "q122_incr_tf_index" -> (q122IncrTfIndex _),
     "q126_tombstone_index" -> (q126TombstoneIndex _),
     "q123_incr_vocab"   -> ((s: SparkSession, d: String) => q123IncrVocab(s, d)),
@@ -1879,16 +1899,18 @@ object TextOps {
 
   private val q101OracleSql: String = q101OracleOver("documents")
 
-  /** The BM25 from-scratch replay, shared VERBATIM by q121 (inline
-    * grain) and q128 (maintained-grain serving): same tokenization as
-    * q101; integer BM25 — every per-term score is one BIGINT floor
-    * division (`//` here, `DIV` in Spark; all operands positive, so
-    * floor = trunc agrees), and the query set re-derives from the
-    * same (count desc, term) vocabulary ranking. */
-  private val bm25OracleSql: String =
-    """WITH w AS (
-      | SELECT doc_id, string_split_regex(text, '\s+') AS ws
-      | FROM documents),
+  /** The BM25 from-scratch replay over corpus relation `rel` — shared
+    * VERBATIM (over `documents`) by q121 (inline grain) and q128
+    * (maintained-grain serving), and over the survivor subquery by
+    * q129 (post-removal serving): same tokenization as q101; integer
+    * BM25 — every per-term score is one BIGINT floor division (`//`
+    * here, `DIV` in Spark; all operands positive, so floor = trunc
+    * agrees), and the query set re-derives from the same
+    * (count desc, term) vocabulary ranking. */
+  private def bm25OracleSqlOver(rel: String): String =
+    s"""WITH w AS (
+      | SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+      | FROM $rel),
       |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
       |tf AS (
       | SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
@@ -1933,6 +1955,8 @@ object TextOps {
       | r.doc_id, r.score
       |FROM rk2 r JOIN qs USING (query_id)
       |WHERE r.rank <= 10 ORDER BY r.query_id, r.rank""".stripMargin
+
+  private val bm25OracleSql: String = bm25OracleSqlOver("documents")
 
   val oracle: Map[String, String] = Map(
     // q95: recursive-CTE replay of the greedy longest-match walk;
@@ -2351,6 +2375,14 @@ object TextOps {
     // q128: q121's from-scratch SQL VERBATIM — grain-served ranking
     // must be indistinguishable from tokenize-at-query-time ranking
     "q128_bm25_grain" -> bm25OracleSql,
+    // q129: the same replay over SURVIVORS only (the [0.1, 0.15)
+    // md5-uniform removal slice excluded) — ranking through the
+    // tombstoned chain must equal ranking over a corpus that never
+    // held the removed docs
+    "q129_bm25_removal" -> bm25OracleSqlOver(
+      s"(SELECT doc_id, text FROM documents " +
+        s"WHERE NOT ((${md5UniformSql("doc_id")}) >= 0.1 " +
+        s"AND (${md5UniformSql("doc_id")}) < 0.15))"),
     "q46_pii_scrub" ->
       s"""SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '$emailPattern')) AS INT) AS n_emails,

@@ -45,18 +45,43 @@ object StreamingCms {
     ()
   }
 
-  /** The standing corpus sketch: elementwise sum of every batch
-    * matrix in the ledger, reassembled as one 1-row `cms` array —
-    * shape-compatible with [[Analytics.cmsOf]] and [[Analytics.cmsAt]]
-    * so probes and specs treat all three sources alike. Bounded:
-    * batches × (depth×width) longs in, one matrix out. */
-  def readSketch(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/sketch").drop("graft_batch_id")
+  /** Elementwise sum of a frame of `cms` matrices into one 1-row
+    * matrix — the linear-sketch merge, shared by the standing read
+    * and the ledger compaction fold. */
+  private def sumMatrices(matrices: DataFrame): DataFrame =
+    matrices
       .select(posexplode(col("cms")).as(Seq("pos", "c")))
       .groupBy(col("pos")).agg(sum(col("c")).as("c"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("cms"))
+
+  /** The standing corpus sketch: elementwise sum of every batch
+    * matrix in the ledger, reassembled as one 1-row `cms` array —
+    * shape-compatible with [[Analytics.cmsOf]] and [[Analytics.cmsAt]]
+    * so probes and specs treat all three sources alike. Bounded:
+    * batches × (depth×width) longs in, one matrix out. Heals a
+    * crashed compaction first — sum semantics cannot tolerate a
+    * folded-but-undeleted batch dir ([[LedgerCompaction]]). */
+  def readSketch(spark: SparkSession, outDir: String): DataFrame = {
+    LedgerCompaction.heal(spark, s"$outDir/sketch")
+    sumMatrices(
+      spark.read.parquet(s"$outDir/sketch").drop("graft_batch_id"))
+  }
+
+  /** Fold ledger partitions older than the newest `keepLast` batches
+    * into the reserved compacted partition — the "collapsible by
+    * periodic compaction" claim, implemented: partition discovery
+    * stays bounded over a long-running stream, and because a sum of
+    * CMS matrices IS a CMS matrix, the fold is value-invisible to
+    * [[readSketch]]. Crash safety (including the double-count window
+    * a sum cannot forgive) is [[LedgerCompaction]]'s manifest + heal
+    * discipline; `keepLast` must cover the replay horizon, as in
+    * [[StreamingChunkDedup.compactLedger]]. */
+  def compactLedger(spark: SparkSession, outDir: String,
+      keepLast: Int = 2): Unit =
+    LedgerCompaction.compact(spark, s"$outDir/sketch", keepLast,
+      dirs => sumMatrices(spark.read.parquet(dirs: _*)))
 
   /** Start sketching a directory of parquet document files. Pass
     * `maxFilesPerTrigger` to bound batch size (and, in the spec, to

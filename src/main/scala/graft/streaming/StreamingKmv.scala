@@ -49,19 +49,42 @@ object StreamingKmv {
     ()
   }
 
-  /** The standing per-source sketch table: bottom-k of the union of
-    * every batch's minima (distinct-then-sort-then-slice — the merge
-    * side of the mergeability identity), `n_docs` summed across
-    * batches. Shape-compatible with [[Analytics.kmvSketchOf]] and
-    * [[Analytics.kmvAt]], so q109-style distinct probes and
-    * q118-style overlap probes treat all three sources alike. */
-  def readSketches(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/sketch").drop("graft_batch_id")
-      .groupBy(col("source"))
+  /** Per-source bottom-k merge of a frame of sketch rows — the set
+    * law's merge (distinct-then-sort-then-slice), `n_docs` summed;
+    * shared by the standing read and the ledger compaction fold. */
+  private def mergeSketches(rows: DataFrame): DataFrame =
+    rows.groupBy(col("source"))
       .agg(
         slice(array_sort(array_distinct(flatten(
           collect_list(col("mins"))))), 1, Analytics.KmvK).as("mins"),
         sum(col("n_docs")).as("n_docs"))
+
+  /** The standing per-source sketch table: bottom-k of the union of
+    * every batch's minima (the merge side of the mergeability
+    * identity), `n_docs` summed across batches. Shape-compatible with
+    * [[Analytics.kmvSketchOf]] and [[Analytics.kmvAt]], so q109-style
+    * distinct probes and q118-style overlap probes treat all three
+    * sources alike. Heals a crashed compaction first — the `n_docs`
+    * sum cannot tolerate a folded-but-undeleted batch dir
+    * ([[LedgerCompaction]]). */
+  def readSketches(spark: SparkSession, outDir: String): DataFrame = {
+    LedgerCompaction.heal(spark, s"$outDir/sketch")
+    mergeSketches(
+      spark.read.parquet(s"$outDir/sketch").drop("graft_batch_id"))
+  }
+
+  /** Fold ledger partitions older than the newest `keepLast` batches
+    * into the reserved compacted partition. A bottom-k merge of
+    * bottom-k sketches IS the bottom-k of the union (the mergeability
+    * identity), so the fold is value-invisible to [[readSketches]] —
+    * for the minima by idempotence, for `n_docs` only because
+    * [[LedgerCompaction]]'s manifest + heal discipline closes the
+    * double-count window. `keepLast` must cover the replay horizon,
+    * as in [[StreamingChunkDedup.compactLedger]]. */
+  def compactLedger(spark: SparkSession, outDir: String,
+      keepLast: Int = 2): Unit =
+    LedgerCompaction.compact(spark, s"$outDir/sketch", keepLast,
+      dirs => mergeSketches(spark.read.parquet(dirs: _*)))
 
   /** Start sketching a directory of parquet document files (needs
     * `source` and `text` columns). Pass `maxFilesPerTrigger` to bound

@@ -57,4 +57,50 @@ class StreamingCmsSpec extends SparkSpec {
     assert(plus.zip(once).forall { case (a, b) => a >= b },
       "accumulation must be monotone per counter")
   }
+
+  test("ledger compaction is value-invisible and heals every crash window") {
+    val out = Files.createTempDirectory("graft-cms-compact").toString
+    def batchDocs(b: Long) = Seq(s"tok$b common").toDF("text")
+    (0L to 4L).foreach(b => StreamingCms.writeBatch(batchDocs(b), b, out))
+    def sketch() = StreamingCms.readSketch(spark, out).as[Seq[Long]].head()
+    val before = sketch()
+
+    StreamingCms.compactLedger(spark, out, keepLast = 2)
+    assert(sketch() == before, "compaction changed the standing sketch")
+    val root = new org.apache.hadoop.fs.Path(s"$out/sketch")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def parts() = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("graft_batch_id=")).toSet
+    assert(parts() == Set("graft_batch_id=-1", "graft_batch_id=3",
+      "graft_batch_id=4"), s"fold left ${parts()}")
+    // idempotent: nothing foldable remains below the horizon
+    StreamingCms.compactLedger(spark, out, keepLast = 2)
+    assert(sketch() == before && parts().size == 3)
+    // a kept batch's replay stays idempotent after compaction
+    StreamingCms.writeBatch(batchDocs(4L), 4L, out)
+    assert(sketch() == before, "kept-batch replay double-counted")
+
+    // crash window 1 (after promote, before source deletion): a folded
+    // batch dir still on disk — the exact shape that would DOUBLE-COUNT
+    // under sum semantics; the read-side heal must delete it
+    StreamingCms.writeBatch(batchDocs(2L), 2L, out)
+    assert(sketch() == before, "resurrected folded batch double-counted")
+    assert(!parts().contains("graft_batch_id=2"),
+      "heal must delete the manifest-recorded leftover")
+
+    // crash window 2 (between the swap renames): compacted partition
+    // moved aside to the backup name — heal restores it
+    val tgt = new org.apache.hadoop.fs.Path(root, "graft_batch_id=-1")
+    val bak = new org.apache.hadoop.fs.Path(root, "_compact_backup")
+    assert(fs.rename(tgt, bak))
+    assert(sketch() == before, "backup restore lost the compacted fold")
+    assert(fs.exists(tgt) && !fs.exists(bak))
+
+    // crash window 3 (before promote): a stale staging dir is ignored
+    // and cleared
+    val staging = new org.apache.hadoop.fs.Path(root, "_compact_staging")
+    fs.mkdirs(staging)
+    assert(sketch() == before)
+    assert(!fs.exists(staging), "heal must clear stale staging")
+  }
 }

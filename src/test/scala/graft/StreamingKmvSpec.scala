@@ -76,4 +76,41 @@ class StreamingKmvSpec extends SparkSpec {
     assert(plus("book") == ((once.find(_._1 == "book").get._2, 1L)),
       "untouched source must carry through bit-identically")
   }
+
+  test("ledger compaction is value-invisible; the n_docs sum survives the crash windows") {
+    val out = Files.createTempDirectory("graft-kmv-compact").toString
+    def batchDocs(b: Long) = Seq(
+      ("web", s"doc-$b-x"), ("web", s"doc-$b-y"), ("book", s"doc-$b-z"))
+      .toDF("source", "text")
+    (0L to 4L).foreach(b => StreamingKmv.writeBatch(batchDocs(b), b, out))
+    def rows() = StreamingKmv.readSketches(spark, out)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val before = rows()
+    assert(before.map(_._3).sum == 15L, "fixture: 5 batches x 3 docs")
+
+    StreamingKmv.compactLedger(spark, out, keepLast = 2)
+    assert(rows() == before, "compaction changed the standing sketches")
+    val root = new org.apache.hadoop.fs.Path(s"$out/sketch")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def parts() = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("graft_batch_id=")).toSet
+    assert(parts() == Set("graft_batch_id=-1", "graft_batch_id=3",
+      "graft_batch_id=4"), s"fold left ${parts()}")
+
+    // the double-count window: a folded batch dir back on disk after
+    // the promote — 3 phantom docs unless the read-side heal deletes
+    // it (the minima forgive by idempotence; the n_docs SUM does not)
+    StreamingKmv.writeBatch(batchDocs(1L), 1L, out)
+    assert(rows() == before, "resurrected folded batch inflated n_docs")
+    assert(!parts().contains("graft_batch_id=1"))
+
+    // swap-crash window: compacted partition aside under the backup
+    // name — heal restores it with every source's count intact
+    val tgt = new org.apache.hadoop.fs.Path(root, "graft_batch_id=-1")
+    val bak = new org.apache.hadoop.fs.Path(root, "_compact_backup")
+    assert(fs.rename(tgt, bak))
+    assert(rows() == before, "backup restore lost folded batches")
+    assert(fs.exists(tgt) && !fs.exists(bak))
+  }
 }

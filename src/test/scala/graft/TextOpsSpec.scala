@@ -884,6 +884,29 @@ class TextOpsSpec extends SparkSpec {
       s"term-keyed scoring over the bucketed grain must not exchange:\n$plan")
   }
 
+  test("q129: post-removal ranking ≡ ranking over a corpus that never held the docs") {
+    import graft.sources.Versioned
+    val got = TextOps.q129Bm25Removal(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val base = TextOps.versionedCorpusWithRemoval(spark, sfDir)
+    // the from-scratch comparator: tokenize ONLY the survivors (the
+    // lake's v3 documents table) and rank — the never-ingested world
+    val survivors = Versioned.readAt(spark, base, "documents", 3L)
+    val fromScratch = TextOps.bm25Rank(
+      TextOps.tfGrainOf(survivors).localCheckpoint(), 10)
+      .collect().map(_.toSeq).toSeq
+    assert(got == fromScratch,
+      "tombstone-chain ranking diverged from the survivor rebuild")
+    assert(got.nonEmpty, "fixture vacuous — no ranked rows")
+    // no removed doc appears anywhere in the rankings (implied by the
+    // equality above, asserted directly for the audit trail)
+    val removed = Versioned.readAt(spark, base, "documents_removed", 3L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(removed.nonEmpty, "fixture vacuous — nothing was removed")
+    assert(got.forall(r => !removed.contains(r(3).asInstanceOf[Long])),
+      "a removed doc surfaced in post-removal rankings")
+  }
+
   test("tf-grain chain composes past depth two: v3 = append of an append, still exact") {
     import graft.sources.Versioned
     val base = java.nio.file.Files
