@@ -929,14 +929,23 @@ object TextOps {
     * q128 passes the bucketed artifact read UNcheckpointed so the
     * term-hash layout stays advertised and the vocabulary/df
     * aggregations ride it exchange-free. */
-  private[graft] def bm25Rank(tf: DataFrame, topK: Int): DataFrame = {
+  private[graft] def bm25Rank(tf: DataFrame, topK: Int): DataFrame =
+    bm25RankQueries(tf, None, topK)
+
+  /** [[bm25Rank]] with an optionally caller-supplied (query_id, term)
+    * set — `None` derives the corpus-ranked default
+    * ([[bm25QueryTerms]]). The seam behind ad-hoc search
+    * ([[searchBm25]], q130): scoring, statistics, and rendering are
+    * IDENTICAL whichever way the query set arrives. */
+  private[graft] def bm25RankQueries(tf: DataFrame,
+      qtermsIn: Option[DataFrame], topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
     val stats = lens.agg(sum(col("len")).as("totlen"),
       count(lit(1)).as("nd"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val qterms = bm25QueryTerms(tf)
-      .localCheckpoint() // 10 rows; feeds scoring AND query rendering
+    val qterms = qtermsIn.getOrElse(bm25QueryTerms(tf))
+      .localCheckpoint() // few rows; feeds scoring AND query rendering
     val queries_ = qterms.groupBy("query_id")
       .agg(array_join(sort_array(collect_list(col("term"))), " ")
         .as("query"))
@@ -1011,6 +1020,56 @@ object TextOps {
       topK: Int = 10): DataFrame = {
     val base = versionedCorpusWithRemoval(spark, dir)
     bm25Rank(tfGrainAt(spark, base, 3L), topK)
+  }
+
+  // --------------------------------------------------------------- q130
+  /** A USER-SUPPLIED query string as a (query_id, term) frame:
+    * driver-side `\s+` split of one bounded string (a search query,
+    * not data), distinct terms, all under `query_id` 0. Terms absent
+    * from the corpus drop in the candidate semi-join, matching the
+    * oracle's behavior exactly. */
+  private[graft] def userQueryTerms(spark: SparkSession, query: String)
+      : DataFrame = {
+    import spark.implicits._
+    query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+      .toDF("term").select(lit(0L).as("query_id"), col("term"))
+  }
+
+  /** Ad-hoc ranked SEARCH over the maintained grain — the interactive
+    * face of the retrieval chain (and of `GET /search` in the REST
+    * layer): any query string, scored by [[bm25RankQueries]] against
+    * the term-bucketed grain at the corpus lake's CURRENT version —
+    * the document set a concurrent ingest most recently published,
+    * with no corpus tokenization on the query path (q128's file-exact
+    * property; the grain probe touches only the query terms'
+    * buckets). */
+  def searchBm25(spark: SparkSession, dir: String, query: String,
+      topK: Int = 10): DataFrame = {
+    import graft.sources.Versioned
+    val base = Dedup.versionedCorpus(spark, dir)
+    val v = Versioned.currentVersion(spark, base)
+      .getOrElse(sys.error(s"no published corpus version under $base"))
+    bm25RankQueries(tfGrainAt(spark, base, v),
+      Some(userQueryTerms(spark, query)), topK)
+  }
+
+  /** [[searchBm25]] pinned to the correctness gate with a
+    * DETERMINISTIC query — the corpus's two heaviest terms (count
+    * desc, term; a 2-row bounded collect), so the oracle re-derives
+    * the same string and replays the identical scoring with the qt
+    * CTE bounded to ranks 1–2. Proves the ad-hoc seam end-to-end:
+    * user-string tokenization, the query_id-0 frame, candidate
+    * semi-join, and rendering all hash-check against DuckDB. */
+  def q130SearchBm25(spark: SparkSession, dir: String,
+      topK: Int = 10): DataFrame = {
+    val base = Dedup.versionedCorpus(spark, dir)
+    tfGrainAt(spark, base, 1L) // v1 first — the chain origin
+    val tf = tfGrainAt(spark, base, 2L)
+    val top2 = tf.groupBy("term").agg(sum(col("tf")).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(2)
+      .select(col("term")).collect().map(_.getString(0))
+    bm25RankQueries(tf, Some(userQueryTerms(spark, top2.mkString(" "))),
+      topK)
   }
 
   // --------------------------------------------------------------- q53
@@ -1762,6 +1821,7 @@ object TextOps {
     "q121_bm25_topk"    -> ((s: SparkSession, d: String) => q121Bm25Topk(s, d)),
     "q128_bm25_grain"   -> ((s: SparkSession, d: String) => q128Bm25FromGrain(s, d)),
     "q129_bm25_removal" -> ((s: SparkSession, d: String) => q129Bm25Removal(s, d)),
+    "q130_bm25_search"  -> ((s: SparkSession, d: String) => q130SearchBm25(s, d)),
     "q122_incr_tf_index" -> (q122IncrTfIndex _),
     "q126_tombstone_index" -> (q126TombstoneIndex _),
     "q123_incr_vocab"   -> ((s: SparkSession, d: String) => q123IncrVocab(s, d)),
@@ -1907,7 +1967,8 @@ object TextOps {
     * here, `DIV` in Spark; all operands positive, so floor = trunc
     * agrees), and the query set re-derives from the same
     * (count desc, term) vocabulary ranking. */
-  private def bm25OracleSqlOver(rel: String): String =
+  private def bm25OracleSqlOver(rel: String, rankLo: Int = 11,
+      rankHi: Int = 20): String =
     s"""WITH w AS (
       | SELECT doc_id, string_split_regex(text, '\\s+') AS ws
       | FROM $rel),
@@ -1925,8 +1986,8 @@ object TextOps {
       |  row_number() OVER (ORDER BY count(*) DESC, term) AS rk
       | FROM tok GROUP BY term),
       |qt AS (
-      | SELECT CAST((rk - 11) // 2 AS BIGINT) AS query_id, term
-      | FROM vr WHERE rk BETWEEN 11 AND 20),
+      | SELECT CAST((rk - $rankLo) // 2 AS BIGINT) AS query_id, term
+      | FROM vr WHERE rk BETWEEN $rankLo AND $rankHi),
       |qs AS (
       | SELECT query_id, string_agg(term, ' ' ORDER BY term) AS query
       | FROM qt GROUP BY query_id),
@@ -2383,6 +2444,11 @@ object TextOps {
       s"(SELECT doc_id, text FROM documents " +
         s"WHERE NOT ((${md5UniformSql("doc_id")}) >= 0.1 " +
         s"AND (${md5UniformSql("doc_id")}) < 0.15))"),
+    // q130: the ad-hoc search seam under a deterministic query — the
+    // corpus's two heaviest terms, i.e. the same replay with the qt
+    // CTE bounded to vocabulary ranks 1–2 (both under query_id 0)
+    "q130_bm25_search" ->
+      bm25OracleSqlOver("documents", rankLo = 1, rankHi = 2),
     "q46_pii_scrub" ->
       s"""SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '$emailPattern')) AS INT) AS n_emails,

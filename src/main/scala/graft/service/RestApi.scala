@@ -337,6 +337,41 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
   server.createContext("/index/status", (ex: HttpExchange) =>
     reply(ex, 200, indexStatus.get))
 
+  // Extension: ad-hoc ranked retrieval over the maintained grain —
+  // the interactive face of the chain /index/maintain keeps current.
+  // GET so a search is addressable/cacheable; the scoring itself is
+  // TextOps.searchBm25 (integer-exact BM25, q130's oracle-checked
+  // seam) against the corpus lake's CURRENT version, so a search
+  // issued after a publish+maintain sees the new corpus.
+  server.createContext("/search", (ex: HttpExchange) =>
+    (spark, ex.getRequestMethod) match {
+      case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
+      case (_, m) if m != "GET" =>
+        reply(ex, 405, """{"detail":"method not allowed"}""")
+      case (Some(s), _) =>
+        val params = queryParams(ex)
+        RestApi.parseLimit(params.get("limit"), default = 10) match {
+          case None =>
+            reply(ex, 422, """{"detail":"limit: positive integer required"}""")
+          case Some(topK) =>
+            (params.get("q").map(_.trim).filter(_.nonEmpty),
+              params.get("dir")) match {
+              case (Some(q), Some(dir)) =>
+                try {
+                  val rows = graft.queries.TextOps
+                    .searchBm25(s, dir, q, topK).toJSON.collect()
+                  reply(ex, 200, rows.mkString("[", ",", "]"))
+                } catch {
+                  case e: Exception => reply(ex, 500,
+                    s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+                }
+              case _ =>
+                reply(ex, 422,
+                  """{"detail":"q (non-empty) and dir required"}""")
+            }
+        }
+    })
+
   // R5: OpenAPI document at /docs, mirroring the reference's
   // auto-served Swagger surface (readme.md:176-179, api/main.py:7).
   // Hand-written JSON — the route inventory IS the contract.
@@ -407,6 +442,9 @@ object RestApi {
       |"/query/run":{"get":{"summary":"Run a registered engine query by name",
       | "parameters":[{"name":"name","in":"query","required":true,"schema":{"type":"string"}},{"name":"dir","in":"query","required":true,"schema":{"type":"string"}},{"name":"limit","in":"query","schema":{"type":"integer","default":20,"maximum":1000}}],
       | "responses":{"200":{"description":"rows"},"404":{"description":"unknown query"},"422":{"description":"name and dir required"},"503":{"description":"no spark session"}}}},
+      |"/search":{"get":{"summary":"Ad-hoc BM25 ranked search over the maintained retrieval grain at the corpus lake's current version",
+      | "parameters":[{"name":"q","in":"query","required":true,"schema":{"type":"string"}},{"name":"dir","in":"query","required":true,"schema":{"type":"string"}},{"name":"limit","in":"query","schema":{"type":"integer","default":10,"maximum":1000}}],
+      | "responses":{"200":{"description":"ranked rows (query_id, query, rank, doc_id, score)"},"422":{"description":"q and dir required"},"500":{"description":"search failed"},"503":{"description":"no spark session"}}}},
       |"/docs":{"get":{"summary":"This document",
       | "responses":{"200":{"description":"OpenAPI JSON"}}}}
       |}}""".stripMargin

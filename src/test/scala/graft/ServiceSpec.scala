@@ -277,8 +277,41 @@ class ServiceSpec extends AnyFunSuite {
       assert(body.contains("\"openapi\""))
       Seq("/extract", "/missing", "/reset", "/health", "/etl/run",
         "/etl/status", "/query/daily_totals", "/query/run",
-        "/index/maintain", "/docs")
+        "/index/maintain", "/search", "/docs")
         .foreach(route => assert(body.contains("\"" + route + "\""), route))
+    } finally api.stop()
+  }
+
+  test("/search serves grain-backed BM25 over HTTP; contract = the library seam") {
+    val spark = SparkSpec.spark
+    val api = new RestApi(Some(spark), 0).start()
+    val dir = "/root/testdata/sf0.001"
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      // contract errors first: missing q, blank q, wrong method, bad limit
+      assert(http("GET", s"$base/search?dir=$dir")._1 == 422)
+      assert(http("GET", s"$base/search?dir=$dir&q=%20%20")._1 == 422)
+      assert(http("POST", s"$base/search?dir=$dir&q=x",
+        Some("{}"))._1 == 405)
+      assert(http("GET", s"$base/search?dir=$dir&q=x&limit=0")._1 == 422)
+      // a real query: the corpus's heaviest term (known to match docs)
+      import graft.queries.{Dedup, TextOps}
+      val lake = Dedup.versionedCorpus(spark, dir)
+      TextOps.tfGrainAt(spark, lake, 1L)
+      val top = TextOps.tfGrainAt(spark, lake, 2L)
+        .groupBy("term").agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("tf")).as("n"))
+        .orderBy(org.apache.spark.sql.functions.col("n").desc,
+          org.apache.spark.sql.functions.col("term"))
+        .limit(1).collect().head.getString(0)
+      val enc = java.net.URLEncoder.encode(top, "UTF-8")
+      val (code, body) = http("GET", s"$base/search?dir=$dir&q=$enc&limit=5")
+      assert(code == 200, body)
+      // the endpoint is plumbing: rows must equal the library call's
+      val expect = TextOps.searchBm25(spark, dir, top, 5)
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(body == expect, "HTTP rows diverged from the library seam")
+      assert(body.contains("\"rank\":1"), s"no ranked rows: $body")
     } finally api.stop()
   }
 

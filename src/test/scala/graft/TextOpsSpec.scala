@@ -907,6 +907,48 @@ class TextOpsSpec extends SparkSpec {
       "a removed doc surfaced in post-removal rankings")
   }
 
+  test("q130/searchBm25: ad-hoc queries score through the same seam; unknown terms drop") {
+    import graft.queries.Dedup
+    val rows = TextOps.q130SearchBm25(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(rows.nonEmpty, "fixture vacuous — no ranked rows")
+    // one query_id (0), contiguous ranks from 1
+    assert(rows.forall(_(0) == 0L), "fixed query must be query_id 0")
+    assert(rows.map(_(2)) == (1L to rows.size.toLong).toList,
+      "ranks must be contiguous from 1")
+    // the rendered query is the two heaviest terms, space-joined sorted
+    val base = Dedup.versionedCorpus(spark, sfDir)
+    TextOps.tfGrainAt(spark, base, 1L)
+    val tf = TextOps.tfGrainAt(spark, base, 2L)
+    val top2 = tf.groupBy("term")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("tf")).as("n"))
+      .orderBy(org.apache.spark.sql.functions.col("n").desc,
+        org.apache.spark.sql.functions.col("term"))
+      .limit(2).collect().map(_.getString(0))
+    assert(rows.head(1) == top2.sorted.mkString(" "),
+      s"rendered query ${rows.head(1)} != derived ${top2.mkString(" ")}")
+    // searchBm25 with the same string = q130 row-for-row (the REST
+    // endpoint's contract rides this identity)
+    val viaSearch = TextOps.searchBm25(spark, sfDir, top2.mkString(" "))
+      .collect().map(_.toSeq).toSeq
+    assert(viaSearch == rows, "searchBm25 diverged from q130")
+    // duplicate + unknown terms: dedup'd and dropped from SCORING
+    // (the rendered query still echoes what was asked) — ranking must
+    // equal the clean single-term search, never error
+    val noisy = TextOps.searchBm25(spark, sfDir,
+      s"${top2(0)} ${top2(0)} zz__never_a_token__zz")
+      .collect().map(_.toSeq).toSeq
+    val clean = TextOps.searchBm25(spark, sfDir, top2(0))
+      .collect().map(_.toSeq).toSeq
+    assert(noisy.nonEmpty &&
+      noisy.map(r => (r(2), r(3), r(4))) ==
+        clean.map(r => (r(2), r(3), r(4))),
+      "noisy query must rank exactly as its known term alone")
+    assert(TextOps.searchBm25(spark, sfDir, "zz__never_a_token__zz")
+      .collect().isEmpty, "all-unknown query must return no rows")
+  }
+
   test("tf-grain chain composes past depth two: v3 = append of an append, still exact") {
     import graft.sources.Versioned
     val base = java.nio.file.Files
