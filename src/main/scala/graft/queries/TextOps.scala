@@ -939,21 +939,38 @@ object TextOps {
     * IDENTICAL whichever way the query set arrives. */
   private[graft] def bm25RankQueries(tf: DataFrame,
       qtermsIn: Option[DataFrame], topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
     val stats = lens.agg(sum(col("len")).as("totlen"),
       count(lit(1)).as("nd"))
-    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qterms = qtermsIn.getOrElse(bm25QueryTerms(tf))
       .localCheckpoint() // few rows; feeds scoring AND query rendering
-    val queries_ = qterms.groupBy("query_id")
-      .agg(array_join(sort_array(collect_list(col("term"))), " ")
-        .as("query"))
-    // the 10-row query set broadcasts unconditionally: the grain side
+    // the few-row query set broadcasts unconditionally: the grain side
     // streams through the probe keeping its (possibly bucketed) term
     // layout — a sort-merge plan here would exchange the query side
     // on term and re-sort the candidates for nothing
-    val scored = broadcast(qterms).join(tf, "term").join(dfT, "term")
+    bm25Assemble(qterms, broadcast(qterms).join(tf, "term"),
+      lens, stats, topK)
+  }
+
+  /** Candidates → ranked results: the shared back half of every BM25
+    * path (derived queries, ad-hoc search, artifact-served). `cand`
+    * is the query-term probe of a (term, doc_id, tf) grain; `lens` a
+    * (doc_id, len) frame; `stats` a 1-row (totlen, nd) frame. df is
+    * derived from the CANDIDATES themselves — a query term's posting
+    * rows ARE its df rows, and since every query-set producer emits
+    * globally-UNIQUE terms ([[bm25QueryTerms]] by the rank partition,
+    * [[userQueryTerms]] by its driver-side distinct), a plain count
+    * per term is exact with no distinct pass and no exchange beyond
+    * the grain's own term layout. No full-vocabulary aggregation
+    * exists on any path through here. */
+  private def bm25Assemble(qterms: DataFrame, cand: DataFrame,
+      lens: DataFrame, stats: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries_ = qterms.groupBy("query_id")
+      .agg(array_join(sort_array(collect_list(col("term"))), " ")
+        .as("query"))
+    val dfT = cand.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = cand.join(dfT, "term")
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("tscore", expr(
@@ -1049,8 +1066,7 @@ object TextOps {
     val base = Dedup.versionedCorpus(spark, dir)
     val v = Versioned.currentVersion(spark, base)
       .getOrElse(sys.error(s"no published corpus version under $base"))
-    bm25RankQueries(tfGrainAt(spark, base, v),
-      Some(userQueryTerms(spark, query)), topK)
+    bm25Serve(spark, base, v, userQueryTerms(spark, query), topK)
   }
 
   /** [[searchBm25]] pinned to the correctness gate with a
@@ -1070,6 +1086,141 @@ object TextOps {
       .select(col("term")).collect().map(_.getString(0))
     bm25RankQueries(tf, Some(userQueryTerms(spark, top2.mkString(" "))),
       topK)
+  }
+
+  // --------------------------------------------------------------- q131
+  /** Per-document token length as a MAINTAINED artifact — the serving
+    * side's missing statistic: [[bm25RankQueries]] re-aggregates doc
+    * lengths from the whole grain on every call, which is a full
+    * index pass per query at corpus scale. Doc-keyed like the grain
+    * ⇒ both change directions are map-only and exact: additions are
+    * `size(split(text))` over delta docs (no aggregation at all —
+    * cheaper than the grain's own maintenance), removals an anti-join
+    * on the tombstone ids. Bucketed on `doc_id` so the serving path's
+    * candidate⋈length join hashes only the candidate side. */
+  private[graft] def docLenArtifact(lakeBase: String, v: Long): String =
+    s"$lakeBase-dlen-b${Dedup.IndexBuckets}-v$v"
+
+  private[graft] def docLenOf(docsDf: DataFrame): DataFrame =
+    withWords(docsDf)
+      .select(col("doc_id"), size(words).cast("long").as("len"))
+
+  private[graft] def docLenAt(spark: SparkSession, lakeBase: String,
+      v: Long): DataFrame =
+    graft.sources.ArtifactStore.readOrPublishBucketed(
+      spark, docLenArtifact(lakeBase, v), "doc_id", Dedup.IndexBuckets)(
+      incrementalDocLenFrame(spark, lakeBase, v))
+
+  private[graft] def incrementalDocLenFrame(spark: SparkSession,
+      lakeBase: String, v: Long): DataFrame = {
+    import graft.sources.{ArtifactStore, Versioned}
+    val hasDelta = Versioned.tableExists(spark, lakeBase, "documents_delta", v)
+    val hasRemoved =
+      Versioned.tableExists(spark, lakeBase, "documents_removed", v)
+    ArtifactStore.readIfPresent(spark, docLenArtifact(lakeBase, v - 1))
+      match {
+        case Some(prev) if hasDelta || hasRemoved =>
+          val kept = if (hasRemoved)
+            prev.join(
+              Versioned.readAt(spark, lakeBase, "documents_removed", v)
+                .select(col("doc_id")), Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), col("len"))
+          else prev
+          if (hasDelta)
+            kept.unionByName(docLenOf(
+              Versioned.readAt(spark, lakeBase, "documents_delta", v)))
+          else kept
+        case _ =>
+          docLenOf(Versioned.readAt(spark, lakeBase, "documents", v))
+      }
+  }
+
+  /** 1-row corpus statistics (totlen, nd) as a maintained artifact —
+    * the CMS economics applied to two scalars: sums are LINEAR, so
+    * maintenance is `prev + delta − removed`, with the removed docs'
+    * lengths recovered EXACTLY from the previous version's doc-length
+    * artifact (doc-keyed semi-join — no text needed, unlike the CMS
+    * subtraction whose subtrahend is a token stream). Fallback: a
+    * one-pass aggregate of the version's doc-length artifact. */
+  private[graft] def corpusStatsArtifact(lakeBase: String, v: Long)
+      : String = s"$lakeBase-cstats-v$v"
+
+  private def statsOfLens(lens: DataFrame): DataFrame =
+    lens.agg(coalesce(sum(col("len")), lit(0L)).as("totlen"),
+      count(lit(1)).as("nd"))
+
+  private[graft] def corpusStatsAt(spark: SparkSession, lakeBase: String,
+      v: Long): DataFrame =
+    graft.sources.ArtifactStore.readOrPublish(
+      spark, corpusStatsArtifact(lakeBase, v))(
+      incrementalCorpusStatsFrame(spark, lakeBase, v))
+
+  private[graft] def incrementalCorpusStatsFrame(spark: SparkSession,
+      lakeBase: String, v: Long): DataFrame = {
+    import graft.sources.{ArtifactStore, Versioned}
+    val hasDelta = Versioned.tableExists(spark, lakeBase, "documents_delta", v)
+    val hasRemoved =
+      Versioned.tableExists(spark, lakeBase, "documents_removed", v)
+    (ArtifactStore.readIfPresent(spark, corpusStatsArtifact(lakeBase, v - 1)),
+      ArtifactStore.readIfPresent(spark, docLenArtifact(lakeBase, v - 1)))
+      match {
+        case (Some(prev), Some(prevLens)) if hasDelta || hasRemoved =>
+          val d = if (hasDelta)
+            statsOfLens(docLenOf(
+              Versioned.readAt(spark, lakeBase, "documents_delta", v)))
+              .select(col("totlen").as("dt"), col("nd").as("dn"))
+          else spark.sql("SELECT CAST(0 AS BIGINT) dt, CAST(0 AS BIGINT) dn")
+          val r = if (hasRemoved)
+            statsOfLens(prevLens.join(
+              Versioned.readAt(spark, lakeBase, "documents_removed", v)
+                .select(col("doc_id")), Seq("doc_id"), "left_semi"))
+              .select(col("totlen").as("rt"), col("nd").as("rn"))
+          else spark.sql("SELECT CAST(0 AS BIGINT) rt, CAST(0 AS BIGINT) rn")
+          prev.crossJoin(broadcast(d)).crossJoin(broadcast(r))
+            .select((col("totlen") + col("dt") - col("rt")).as("totlen"),
+              (col("nd") + col("dn") - col("rn")).as("nd"))
+        case _ => statsOfLens(docLenAt(spark, lakeBase, v))
+      }
+  }
+
+  /** BM25 over the maintained SERVING artifacts at lake version `v` —
+    * the query path a 100 TB deployment actually runs: candidates
+    * from the term-bucketed grain (the probe touches only the query
+    * terms' buckets), doc lengths from the doc-keyed length artifact
+    * (candidate-side hash only), corpus stats from the 1-row stats
+    * artifact (a broadcast read). NOTHING on this path aggregates the
+    * full grain or the full document set — per query, work is
+    * O(|postings of the query terms|), the property q131's scale row
+    * measures. Value-identical to the recompute path by construction
+    * (same [[bm25Assemble]]; the artifacts maintain exactly the
+    * statistics the recompute derives) and by spec. */
+  private[graft] def bm25Serve(spark: SparkSession, lakeBase: String,
+      v: Long, qtermsIn: DataFrame, topK: Int): DataFrame = {
+    val tf = tfGrainAt(spark, lakeBase, v)
+    val qterms = qtermsIn.localCheckpoint()
+    bm25Assemble(qterms, broadcast(qterms).join(tf, "term"),
+      docLenAt(spark, lakeBase, v), corpusStatsAt(spark, lakeBase, v),
+      topK)
+  }
+
+  /** [[searchBm25]]'s serving path pinned to the correctness gate
+    * under q130's deterministic two-heaviest-terms query: same
+    * oracle, but doc lengths and corpus stats arrive from their
+    * maintained artifacts instead of full-grain re-aggregation —
+    * hash equality proves the chains maintain EXACTLY the statistics
+    * the from-scratch replay derives. */
+  def q131Bm25Serve(spark: SparkSession, dir: String,
+      topK: Int = 10): DataFrame = {
+    val base = Dedup.versionedCorpus(spark, dir)
+    tfGrainAt(spark, base, 1L) // chain origins
+    docLenAt(spark, base, 1L)
+    corpusStatsAt(spark, base, 1L)
+    val tf = tfGrainAt(spark, base, 2L)
+    val top2 = tf.groupBy("term").agg(sum(col("tf")).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(2)
+      .select(col("term")).collect().map(_.getString(0))
+    bm25Serve(spark, base, 2L,
+      userQueryTerms(spark, top2.mkString(" ")), topK)
   }
 
   // --------------------------------------------------------------- q53
@@ -1822,6 +1973,7 @@ object TextOps {
     "q128_bm25_grain"   -> ((s: SparkSession, d: String) => q128Bm25FromGrain(s, d)),
     "q129_bm25_removal" -> ((s: SparkSession, d: String) => q129Bm25Removal(s, d)),
     "q130_bm25_search"  -> ((s: SparkSession, d: String) => q130SearchBm25(s, d)),
+    "q131_bm25_serve"   -> ((s: SparkSession, d: String) => q131Bm25Serve(s, d)),
     "q122_incr_tf_index" -> (q122IncrTfIndex _),
     "q126_tombstone_index" -> (q126TombstoneIndex _),
     "q123_incr_vocab"   -> ((s: SparkSession, d: String) => q123IncrVocab(s, d)),
@@ -2448,6 +2600,11 @@ object TextOps {
     // corpus's two heaviest terms, i.e. the same replay with the qt
     // CTE bounded to vocabulary ranks 1–2 (both under query_id 0)
     "q130_bm25_search" ->
+      bm25OracleSqlOver("documents", rankLo = 1, rankHi = 2),
+    // q131: the SAME replay — the serving path's maintained length and
+    // stats artifacts must be indistinguishable from full-grain
+    // re-aggregation
+    "q131_bm25_serve" ->
       bm25OracleSqlOver("documents", rankLo = 1, rankHi = 2),
     "q46_pii_scrub" ->
       s"""SELECT doc_id,

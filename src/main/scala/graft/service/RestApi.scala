@@ -292,6 +292,14 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
                     Analytics.kmvAt(s, base, _)),
                   Chain("tf_grain", v, TextOps.tfGrainArtifact(base, _),
                     TextOps.tfGrainAt(s, base, _)),
+                  // doc_lens MUST precede corpus_stats: the stats
+                  // chain's removal subtraction reads the previous
+                  // version's length artifact
+                  Chain("doc_lens", v, TextOps.docLenArtifact(base, _),
+                    TextOps.docLenAt(s, base, _)),
+                  Chain("corpus_stats", v,
+                    TextOps.corpusStatsArtifact(base, _),
+                    TextOps.corpusStatsAt(s, base, _)),
                   Chain("ivf_vectors", ev,
                     Similarity.ivfIndexArtifact(emb, _),
                     Similarity.ivfIndexAt(s, emb, _)))
@@ -434,7 +442,7 @@ object RestApi {
       |"/query/daily_totals":{"get":{"summary":"daily_company_totals rows in a date range (capped at 1000 rows; X-Graft-Truncated header signals an incomplete page)",
       | "parameters":[{"name":"from","in":"query","required":true,"schema":{"type":"string","format":"date"}},{"name":"to","in":"query","required":true,"schema":{"type":"string","format":"date"}},{"name":"limit","in":"query","schema":{"type":"integer","default":1000,"maximum":1000}}],
       | "responses":{"200":{"description":"rows"},"409":{"description":"run /etl/run first"},"422":{"description":"bad dates"},"503":{"description":"no spark session"}}}},
-      |"/index/maintain":{"post":{"summary":"Bring every derived-index chain (windows, signatures, clusters, CMS, KMV, tf-grain, IVF) to its lake's current version; resumes each chain from its newest existing artifact (a no-op call runs zero Spark jobs)",
+      |"/index/maintain":{"post":{"summary":"Bring every derived-index chain (windows, signatures, clusters, CMS, KMV, tf-grain, doc-lengths, corpus-stats, IVF) to its lake's current version; resumes each chain from its newest existing artifact (a no-op call runs zero Spark jobs)",
       |  "requestBody":{"content":{"application/json":{"schema":{"properties":{"dir":{"type":"string"},"async":{"type":"boolean","default":false}},"required":["dir"]}}}},
       |  "responses":{"200":{"description":"chains current; per-artifact row counts + versions built"},"202":{"description":"async maintenance started"},"422":{"description":"dir missing"},"500":{"description":"maintenance failed"},"503":{"description":"no spark session"}}}},
       |"/index/status":{"get":{"summary":"Last/current index-maintenance state",

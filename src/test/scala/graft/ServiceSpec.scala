@@ -331,7 +331,8 @@ class ServiceSpec extends AnyFunSuite {
         Some(s"""{"dir":"$dir"}"""))
       assert(c == 200 && b.contains("\"state\":\"done\""), b)
       val chains = Seq("windows", "signatures", "clusters", "cms_rows",
-        "kmv_sources", "tf_grain", "ivf_vectors")
+        "kmv_sources", "tf_grain", "doc_lens", "corpus_stats",
+        "ivf_vectors")
       chains.foreach(k =>
         assert(counts(b).get(k).exists(_ > 0), s"$k missing/empty: $b"))
 

@@ -949,6 +949,60 @@ class TextOpsSpec extends SparkSpec {
       .collect().isEmpty, "all-unknown query must return no rows")
   }
 
+  test("q131: serving artifacts ≡ full-grain recompute; stats subtract removals exactly") {
+    import graft.queries.Dedup
+    import graft.sources.Versioned
+    val served = TextOps.q131Bm25Serve(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val recomputed = TextOps.q130SearchBm25(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(served == recomputed && served.nonEmpty,
+      "artifact-served ranking diverged from full-grain recompute")
+    // stats maintenance is file-exact: v2's frame reads the previous
+    // stats artifact and the delta only — never the corpus, never the
+    // full length table
+    val base = Dedup.versionedCorpus(spark, sfDir)
+    val f2 = TextOps.incrementalCorpusStatsFrame(spark, base, 2L)
+    val stray2 = f2.inputFiles.filterNot(f =>
+      f.contains(TextOps.corpusStatsArtifact(base, 1L)) ||
+        f.contains("documents_delta"))
+    assert(f2.inputFiles.nonEmpty && stray2.isEmpty,
+      s"stats maintenance reads beyond prev+delta: ${stray2.take(3).mkString(", ")}")
+    // removal: the subtraction recovers removed lengths from the
+    // PREVIOUS length artifact (doc-keyed, no text needed) and lands
+    // on exactly the survivors' aggregate
+    // chain origin at v2, the oldest version the lake's GC retains
+    // (current+previous): a chain may join a lake's life mid-history —
+    // the fallback full-build from that version's corpus IS the origin
+    val rm = TextOps.versionedCorpusWithRemoval(spark, sfDir)
+    TextOps.docLenAt(spark, rm, 2L)
+    TextOps.corpusStatsAt(spark, rm, 2L)
+    val s3 = TextOps.corpusStatsAt(spark, rm, 3L).collect().head
+    val survivors = Versioned.readAt(spark, rm, "documents", 3L)
+    val expect = TextOps.docLenOf(survivors)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("len")),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).collect().head
+    assert(s3.getLong(0) == expect.getLong(0) &&
+      s3.getLong(1) == expect.getLong(1),
+      s"stats after removal ${s3} != survivors' aggregate ${expect}")
+    val f3 = TextOps.incrementalCorpusStatsFrame(spark, rm, 3L)
+    val stray3 = f3.inputFiles.filterNot(f =>
+      f.contains(TextOps.corpusStatsArtifact(rm, 2L)) ||
+        f.contains(TextOps.docLenArtifact(rm, 2L)) ||
+        f.contains("documents_removed"))
+    assert(f3.inputFiles.nonEmpty && stray3.isEmpty,
+      s"stats removal reads beyond prev+lens+tombstones: ${stray3.take(3).mkString(", ")}")
+    // the length chain's own removal is the doc-keyed anti-join
+    val l3 = TextOps.docLenAt(spark, rm, 3L)
+    val gone = Versioned.readAt(spark, rm, "documents_removed", 3L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gone.nonEmpty &&
+      l3.collect().forall(r => !gone.contains(r.getLong(0))),
+      "a removed doc survived in the length artifact")
+  }
+
   test("tf-grain chain composes past depth two: v3 = append of an append, still exact") {
     import graft.sources.Versioned
     val base = java.nio.file.Files
