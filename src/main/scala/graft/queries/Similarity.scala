@@ -403,6 +403,96 @@ object Similarity {
     base
   }
 
+  // --------------------------------------------------------------- q132
+  /** ANN SERVED from the maintained IVF index — the vector sibling of
+    * q128's grain-served BM25, and the first ORACLE-CHECKED end-to-end
+    * ANN query (q23 is rows-only because its k-means centroids are not
+    * SQL-expressible; the CHAIN's codebook is the standing split's
+    * k-lowest-vec_id vectors, which is): queries probe their top-2
+    * centroid cells under the chain-frozen codebook (read from the v1
+    * origin artifact — the v2 artifact's own vec_id<k rows may include
+    * delta vectors the freeze never saw) and run exact fixed-point
+    * cosine ONLY against the probed cells' code rows. Hash equality
+    * against a full DuckDB replay (assignment CTE + decimal pair
+    * cosine + rank) proves cells, candidates, cosines, and ranking all
+    * match cross-engine.
+    *
+    * Scale shape: centroids and the (query × probed-cell) table
+    * broadcast; the index streams through ONE hash join on `cell`; per
+    * query the exact-cosine work is Σ probed-cell occupancy, never
+    * |corpus| — the IVF serving economics, now hash-verifiable. */
+  def q132IvfServe(spark: SparkSession, dir: String, topK: Int = 5,
+      probeCells: Int = 2): DataFrame = {
+    val base = versionedVectors(spark, dir)
+    val origin = ivfIndexAt(spark, base, 1L) // the frozen codebook rows
+    val idx = ivfIndexAt(spark, base, 2L)
+    val queries = idx.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("q6").as("qq6"),
+        col("nrm").as("qn"))
+    ivfServe(origin, idx, queries, topK, probeCells)
+  }
+
+  /** Probe + score under the chain-frozen codebook: the shared back
+    * half of [[q132IvfServe]] (registry queries) and [[searchKnn]]
+    * (ad-hoc vectors, `GET /knn`). `queries` carries (query_id, qq6,
+    * qn); a query_id no corpus vector uses (e.g. −1) disables the
+    * self-exclusion for external vectors. */
+  private[graft] def ivfServe(origin: DataFrame, idx: DataFrame,
+      queries: DataFrame, topK: Int, probeCells: Int): DataFrame = {
+    import graft.functions.VectorOps._
+    val cents = origin.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("c_label"), col("q6").as("c6"),
+        col("nrm").as("cn"))
+    // top-N cells per query: tiny cross (|queries| × ≤k centroids),
+    // rank window over bounded per-query groups; tie-break c_label
+    // DESC — the argmax kernel's highest-label convention, replayed
+    // verbatim in the oracle's assignment CTE
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        cosineQ(dot_long(col("qq6"), col("c6")), col("qn"), col("cn")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("c_label").desc)))
+      .filter(col("rn") <= probeCells)
+      .select(col("query_id"), col("qq6"), col("qn"),
+        col("c_label").as("cell"))
+    val cand = idx.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosineQ(dot_long(col("qq6"), col("q6")), col("qn"), col("nrm")))
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .withColumn("cosine", round(col("cosine"), 9))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Ad-hoc ANN search: a USER-SUPPLIED vector scored against the
+    * maintained IVF index at the embeddings lake's current version —
+    * the vector face of [[TextOps.searchBm25]], and `GET /knn`'s
+    * engine. The query rides as query_id −1 (no corpus vector uses
+    * it), so an external vector is never self-excluded. */
+  def searchKnn(spark: SparkSession, dir: String, qvec: Array[Float],
+      topK: Int = 5, probeCells: Int = 2): DataFrame = {
+    import graft.sources.Versioned
+    import graft.functions.VectorOps._
+    import spark.implicits._
+    val base = versionedVectors(spark, dir)
+    val v = Versioned.currentVersion(spark, base)
+      .getOrElse(sys.error(s"no published embeddings version under $base"))
+    val origin = ivfIndexAt(spark, base, 1L)
+    val idx = ivfIndexAt(spark, base, v)
+    val queries = Seq(Tuple1(qvec.toSeq)).toDF("embedding")
+      .withColumn("q6", vector_quantize(col("embedding")))
+      .withColumn("nrm", normQ(dot_long(col("q6"), col("q6"))))
+      .select(lit(-1L).as("query_id"), col("q6").as("qq6"),
+        col("nrm").as("qn"))
+    ivfServe(origin, idx, queries, topK, probeCells)
+  }
+
   private[graft] def ivfIndexArtifact(lakeBase: String, v: Long): String =
     s"$lakeBase-idx-v$v"
 
@@ -900,6 +990,7 @@ object Similarity {
     "q68_cell_purity"  -> (q68CellPurity _),
     "q71_label_centroids" -> (q71LabelCentroids _),
     "q115_incr_ivf_index" -> (q115IncrIvfIndex _),
+    "q132_ivf_serve" -> ((s: SparkSession, d: String) => q132IvfServe(s, d)),
     "q124_incr_pq" -> (q124IncrPq _))
 
   /** q51's deterministic assignment (k lowest-vec_id centroids, exact
@@ -1176,6 +1267,37 @@ object Similarity {
       "\n" +
       """SELECT vec_id, CAST(c_label AS BIGINT) AS cell
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    // q132: the full serving replay under the same standing-split
+    // codebook — assignment CTE (rn=1 → cells), probe CTE (rn≤2 →
+    // the queries' cells), decimal pair cosine inside probed cells
+    // only, rank. Hash equality proves the SERVED neighbors are the
+    // from-scratch neighbors.
+    "q132_ivf_serve" -> (ivfAssignCteWith(
+      s"c.vec_id < 10 AND (${TextOps.md5UniformSql("c.vec_id")}) >= 0.1") +
+      ",\n" +
+      """asg AS (SELECT vec_id, c_label AS cell FROM r WHERE rn = 1),
+        |probes AS (
+        | SELECT vec_id AS query_id, c_label AS cell
+        | FROM r WHERE vec_id < 3 AND rn <= 2),
+        |pair AS (
+        | SELECT p.query_id, a.vec_id AS neighbor_id,
+        |  CAST(list_sum(list_transform(range(1, len(v.embedding)+1),
+        |    i -> CAST(CAST(v.embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)
+        |   / (v.nrm * c.nrm) AS cosine
+        | FROM probes p
+        | JOIN asg a USING (cell)
+        | JOIN n v ON v.vec_id = p.query_id
+        | JOIN n c ON c.vec_id = a.vec_id
+        | WHERE a.vec_id <> p.query_id),
+        |rk AS (
+        | SELECT query_id, neighbor_id, cosine,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rn2
+        | FROM pair)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        | CAST(neighbor_id AS BIGINT) AS neighbor_id,
+        | CAST(rn2 AS BIGINT) AS rank, ROUND(cosine, 9) AS cosine
+        |FROM rk WHERE rn2 <= 5 ORDER BY query_id, rank""".stripMargin),
     // q124: q80's replay with the codebook CTE restricted to the
     // STANDING split (what the chain's origin froze) — the q115
     // oracle convention applied to product quantization. Hash

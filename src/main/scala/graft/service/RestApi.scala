@@ -380,6 +380,44 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
         }
     })
 
+  // Extension: ad-hoc vector search — /search's sibling over the
+  // maintained IVF index (Similarity.searchKnn, q132's oracle-checked
+  // serving path). The query vector arrives as comma-separated floats;
+  // parse failures are explicit 422s, never a silent truncation.
+  server.createContext("/knn", (ex: HttpExchange) =>
+    (spark, ex.getRequestMethod) match {
+      case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
+      case (_, m) if m != "GET" =>
+        reply(ex, 405, """{"detail":"method not allowed"}""")
+      case (Some(s), _) =>
+        val params = queryParams(ex)
+        RestApi.parseLimit(params.get("limit"), default = 5) match {
+          case None =>
+            reply(ex, 422, """{"detail":"limit: positive integer required"}""")
+          case Some(topK) =>
+            val vec = params.get("vec").map(_.split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty).map(_.toFloatOption))
+            (vec, params.get("dir")) match {
+              case (Some(vs), Some(dir))
+                  if vs.nonEmpty && vs.forall(_.isDefined) =>
+                try {
+                  val rows = graft.queries.Similarity
+                    .searchKnn(s, dir, vs.flatten.toArray, topK)
+                    .toJSON.collect()
+                  reply(ex, 200, rows.mkString("[", ",", "]"))
+                } catch {
+                  case e: Exception => reply(ex, 500,
+                    s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+                }
+              case (Some(_), Some(_)) =>
+                reply(ex, 422,
+                  """{"detail":"vec: comma-separated floats required"}""")
+              case _ =>
+                reply(ex, 422, """{"detail":"vec and dir required"}""")
+            }
+        }
+    })
+
   // R5: OpenAPI document at /docs, mirroring the reference's
   // auto-served Swagger surface (readme.md:176-179, api/main.py:7).
   // Hand-written JSON — the route inventory IS the contract.
@@ -453,6 +491,9 @@ object RestApi {
       |"/search":{"get":{"summary":"Ad-hoc BM25 ranked search over the maintained retrieval grain at the corpus lake's current version",
       | "parameters":[{"name":"q","in":"query","required":true,"schema":{"type":"string"}},{"name":"dir","in":"query","required":true,"schema":{"type":"string"}},{"name":"limit","in":"query","schema":{"type":"integer","default":10,"maximum":1000}}],
       | "responses":{"200":{"description":"ranked rows (query_id, query, rank, doc_id, score)"},"422":{"description":"q and dir required"},"500":{"description":"search failed"},"503":{"description":"no spark session"}}}},
+      |"/knn":{"get":{"summary":"Ad-hoc vector search over the maintained IVF index at the embeddings lake's current version",
+      | "parameters":[{"name":"vec","in":"query","required":true,"schema":{"type":"string","description":"comma-separated floats"}},{"name":"dir","in":"query","required":true,"schema":{"type":"string"}},{"name":"limit","in":"query","schema":{"type":"integer","default":5,"maximum":1000}}],
+      | "responses":{"200":{"description":"ranked rows (query_id, neighbor_id, rank, cosine)"},"422":{"description":"vec and dir required / malformed vec"},"500":{"description":"search failed"},"503":{"description":"no spark session"}}}},
       |"/docs":{"get":{"summary":"This document",
       | "responses":{"200":{"description":"OpenAPI JSON"}}}}
       |}}""".stripMargin

@@ -53,10 +53,30 @@ object StreamingTfGrain {
     * value-identical to [[TextOps.tfGrainOf]] over the full corpus
     * because documents partition across batches and the grain is
     * doc-keyed. Shape-compatible with [[TextOps.invertedIndexFrom]]
-    * and every other grain consumer. */
-  def readGrain(spark: SparkSession, outDir: String): DataFrame =
+    * and every other grain consumer. Heals a crashed compaction
+    * first: a folded-but-undeleted batch dir would DOUBLE its docs'
+    * tf rows, and every downstream aggregate (df, tf_total, BM25)
+    * would silently double-count — union semantics forgive nothing
+    * here, exactly like the sketch ledgers' sums. */
+  def readGrain(spark: SparkSession, outDir: String): DataFrame = {
+    LedgerCompaction.heal(spark, s"$outDir/grain")
     spark.read.parquet(s"$outDir/grain")
       .select("term", "doc_id", "tf")
+  }
+
+  /** Fold ledger partitions older than the newest `keepLast` batches
+    * into the reserved compacted partition — batch grains are
+    * DISJOINT row sets (doc-keyed, one batch per doc), so the fold is
+    * a plain re-write of their union with no merge computation, and
+    * value-invisible to [[readGrain]] only because
+    * [[LedgerCompaction]]'s manifest + heal discipline closes the
+    * duplicate-rows window. `keepLast` must cover the replay horizon,
+    * as in [[StreamingChunkDedup.compactLedger]]. */
+  def compactLedger(spark: SparkSession, outDir: String,
+      keepLast: Int = 2): Unit =
+    LedgerCompaction.compact(spark, s"$outDir/grain", keepLast,
+      dirs => spark.read.parquet(dirs: _*)
+        .select("term", "doc_id", "tf"))
 
   /** Start graining a directory of parquet document files. Pass
     * `maxFilesPerTrigger` to bound batch size (and, in the spec, to

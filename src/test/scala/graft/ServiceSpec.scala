@@ -277,8 +277,31 @@ class ServiceSpec extends AnyFunSuite {
       assert(body.contains("\"openapi\""))
       Seq("/extract", "/missing", "/reset", "/health", "/etl/run",
         "/etl/status", "/query/daily_totals", "/query/run",
-        "/index/maintain", "/search", "/docs")
+        "/index/maintain", "/search", "/knn", "/docs")
         .foreach(route => assert(body.contains("\"" + route + "\""), route))
+    } finally api.stop()
+  }
+
+  test("/knn serves index-backed ANN over HTTP; contract = the library seam") {
+    val spark = SparkSpec.spark
+    val api = new RestApi(Some(spark), 0).start()
+    val dir = "/root/testdata/sf0.001"
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      assert(http("GET", s"$base/knn?dir=$dir")._1 == 422)
+      assert(http("GET", s"$base/knn?dir=$dir&vec=1.0,abc")._1 == 422)
+      assert(http("POST", s"$base/knn?dir=$dir&vec=1.0", Some("{}"))._1 == 405)
+      val v0 = Tables(spark, dir, "embeddings")
+        .filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val vecParam = v0.mkString(",")
+      val (code, body) = http("GET", s"$base/knn?dir=$dir&vec=$vecParam&limit=3")
+      assert(code == 200, body)
+      val expect = graft.queries.Similarity
+        .searchKnn(spark, dir, v0.toArray, 3)
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(body == expect, "HTTP rows diverged from the library seam")
+      assert(body.contains("\"rank\":1"), s"no ranked rows: $body")
     } finally api.stop()
   }
 

@@ -372,6 +372,34 @@ class SimilaritySpec extends SparkSpec {
       "persisted IVF index must be value-identical to direct assignment")
   }
 
+  test("q132/searchKnn: served ANN is well-formed; an ad-hoc corpus vector finds itself") {
+    val rows = Similarity.q132IvfServe(spark, sfDir).collect()
+    assert(rows.nonEmpty, "fixture vacuous — no served neighbors")
+    // per query: contiguous ranks from 1, strictly ordered cosines
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq ==
+        (1L to sorted.length.toLong), s"query $qid ranks not contiguous")
+      val cos = sorted.map(_.getDouble(3)).toSeq
+      assert(cos == cos.sorted.reverse, s"query $qid cosines not descending")
+      assert(rs.forall(_.getLong(1) != qid), s"query $qid returned itself")
+    }
+    // ad-hoc serving: the raw embedding of vec_id 0 must find vec 0 as
+    // its rank-1 neighbor at cosine 1.0, and the REST of its ranking
+    // must equal q132's query-0 ranking shifted by the self row
+    val v0 = Tables(spark, sfDir, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val knn = Similarity.searchKnn(spark, sfDir, v0, topK = 6).collect()
+    assert(knn.head.getLong(1) == 0L && knn.head.getDouble(3) == 1.0,
+      s"self not rank-1: ${knn.head}")
+    val q0 = rows.filter(_.getLong(0) == 0L).sortBy(_.getLong(2))
+      .map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    val rest = knn.drop(1).map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    assert(rest == q0,
+      s"ad-hoc ranking diverged from the registry query: $rest vs $q0")
+  }
+
   test("q102: dominance keep rule — pruned_by earlier, same cell, above threshold") {
     val out = Similarity.q102SemanticDedup(spark, sfDir).collect()
     assert(out.length == Tables(spark, sfDir, "embeddings").count())

@@ -68,4 +68,35 @@ class StreamingTfGrainSpec extends SparkSpec {
     assert(plus.filter($"doc_id" === 3L && $"term" === "alpha" && $"tf" === 1L)
       .count() == 1L)
   }
+
+  test("ledger compaction is value-invisible; duplicate-rows crash window heals") {
+    val out = Files.createTempDirectory("graft-tfg-compact").toString
+    def batchDocs(b: Long) = Seq((b * 10 + 1, s"tok$b common"),
+      (b * 10 + 2, s"only$b")).toDF("doc_id", "text")
+    (0L to 4L).foreach(b => StreamingTfGrain.writeBatch(batchDocs(b), b, out))
+    def grain() = StreamingTfGrain.readGrain(spark, out)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val before = grain()
+
+    StreamingTfGrain.compactLedger(spark, out, keepLast = 2)
+    assert(grain() == before, "compaction changed the standing grain")
+    val root = new org.apache.hadoop.fs.Path(s"$out/grain")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def parts() = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("graft_batch_id=")).toSet
+    assert(parts() == Set("graft_batch_id=-1", "graft_batch_id=3",
+      "graft_batch_id=4"), s"fold left ${parts()}")
+
+    // the duplicate-rows window: a folded batch dir back on disk after
+    // the promote — its docs' grain rows would appear TWICE in the
+    // union (doubling every downstream df/tf aggregate) unless the
+    // read-side heal deletes it
+    StreamingTfGrain.writeBatch(batchDocs(0L), 0L, out)
+    assert(grain() == before, "resurrected folded batch duplicated grain rows")
+    assert(!parts().contains("graft_batch_id=0"))
+
+    // a kept batch's replay stays idempotent after compaction
+    StreamingTfGrain.writeBatch(batchDocs(4L), 4L, out)
+    assert(grain() == before, "kept-batch replay duplicated grain rows")
+  }
 }
