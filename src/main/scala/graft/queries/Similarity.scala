@@ -485,6 +485,15 @@ object Similarity {
       .getOrElse(sys.error(s"no published embeddings version under $base"))
     val origin = ivfIndexAt(spark, base, 1L)
     val idx = ivfIndexAt(spark, base, v)
+    // dimension guard: the fixed-point dot kernel truncates to the
+    // shorter array, so a wrong-width vector would return confidently
+    // wrong rankings instead of an error — check against the index's
+    // own quantized width (one ≤k-row probe) and refuse loudly
+    val dim = origin.filter(col("vec_id") < 10)
+      .select(size(col("q6"))).head.getInt(0)
+    require(qvec.length == dim,
+      s"query vector has ${qvec.length} components; the index is " +
+        s"$dim-dimensional")
     val queries = Seq(Tuple1(qvec.toSeq)).toDF("embedding")
       .withColumn("q6", vector_quantize(col("embedding")))
       .withColumn("nrm", normQ(dot_long(col("q6"), col("q6"))))

@@ -43,6 +43,27 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
     * two concurrent POSTs would race the same artifact publishes. */
   private val indexStatus = new AtomicReference[String]("""{"state":"idle"}""")
   private val maintainLock = new Object
+  // status writes are sequenced per REQUEST: a queued run's "running"
+  // must not be overwritten by an EARLIER run's completion (the
+  // overlap race: A long-running, B queued on the lock — A's done
+  // landing after B's running would tell a poller maintenance is
+  // finished while B has not executed)
+  private val maintainSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val indexStatusSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def setIndexStatus(seq: Long, json: String): Unit =
+    indexStatus.synchronized {
+      if (seq >= indexStatusSeq.get()) {
+        indexStatusSeq.set(seq)
+        indexStatus.set(json)
+      }
+    }
+  // head-artifact row counts, keyed by artifact path (immutable once
+  // published), so a repeat no-op POST /index/maintain runs ZERO
+  // Spark jobs — the resume probe is FS-only and the response's
+  // sanity numbers come from this cache; a chain that built anything
+  // recounts (a crash-retried head may have been rebuilt)
+  private val maintainCounts =
+    scala.collection.mutable.Map.empty[String, Long]
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -245,11 +266,14 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
   // per step until its newest existing artifact is found, and only the
   // missing suffix is built (each step the incremental merge, never a
   // silent full rebuild) — so a no-op call does O(chains) FS probes
-  // and zero Spark jobs regardless of chain depth, and a call retried
-  // after a mid-walk crash re-builds exactly the versions the crash
-  // left missing. Only the CURRENT version's artifact is counted (the
-  // operator-eyeball sanity number); prior steps publish without a
-  // count job. `"async": true` returns 202 immediately and exposes
+  // regardless of chain depth, and a call retried after a mid-walk
+  // crash re-builds exactly the versions the crash left missing. Only
+  // the CURRENT version's artifact is counted (the operator-eyeball
+  // sanity number), prior steps publish without a count job, and the
+  // head counts are CACHED by artifact path (immutable once
+  // published), so a REPEAT no-op call runs zero Spark jobs — the
+  // first no-op call on a fresh server pays one bounded count job per
+  // chain. `"async": true` returns 202 immediately and exposes
   // progress at GET /index/status — the /etl/run posture.
   server.createContext("/index/maintain", (ex: HttpExchange) =>
     (spark, ex.getRequestMethod) match {
@@ -312,30 +336,41 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
                     case None => 1L to c.last
                   }
                   todo.foreach { k => c.at(k); built += 1 }
-                  (c.name, c.at(c.last).count(), todo.size)
+                  val head = c.artifact(c.last)
+                  val n = if (todo.nonEmpty) {
+                    val x = c.at(c.last).count()
+                    maintainCounts(head) = x
+                    x
+                  } else maintainCounts.getOrElseUpdate(head,
+                    c.at(c.last).count())
+                  (c.name, n, todo.size)
                 }
                 val summary =
                   s"""{"state":"done","lake":"${esc(base)}",""" +
                     s""""version":$v,"steps_built":$built,""" +
                     counts.map { case (k, n, b) =>
                       s""""$k":$n,"${k}_built":$b""" }.mkString(",") + "}"
-                indexStatus.set(summary)
                 summary
               } catch {
                 case e: Exception =>
-                  val err = s"""{"state":"failed","detail":"${
+                  s"""{"state":"failed","detail":"${
                     esc(String.valueOf(e.getMessage))}"}"""
-                  indexStatus.set(err)
-                  err
               }
             }
+            val seq = maintainSeq.incrementAndGet()
+            def runAndPublish(): String = {
+              val out = run()
+              setIndexStatus(seq, out)
+              out
+            }
             if (async) {
-              indexStatus.set("""{"state":"running"}""")
-              new Thread(() => { run(); () }, "graft-index-job").start()
+              setIndexStatus(seq, """{"state":"running"}""")
+              new Thread(() => { runAndPublish(); () },
+                "graft-index-job").start()
               reply(ex, 202, """{"state":"running"}""")
             } else {
-              indexStatus.set("""{"state":"running"}""")
-              val out = run()
+              setIndexStatus(seq, """{"state":"running"}""")
+              val out = runAndPublish()
               reply(ex, if (out.contains("\"done\"")) 200 else 500, out)
             }
         }
@@ -395,8 +430,11 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
           case None =>
             reply(ex, 422, """{"detail":"limit: positive integer required"}""")
           case Some(topK) =>
-            val vec = params.get("vec").map(_.split(",").toSeq
-              .map(_.trim).filter(_.nonEmpty).map(_.toFloatOption))
+            // split with -1 limit so an empty segment ("1.0,,2.0" or a
+            // trailing comma) surfaces as a parse failure → 422, never
+            // a silently narrower vector
+            val vec = params.get("vec").map(_.split(",", -1).toSeq
+              .map(_.trim).map(_.toFloatOption))
             (vec, params.get("dir")) match {
               case (Some(vs), Some(dir))
                   if vs.nonEmpty && vs.forall(_.isDefined) =>
@@ -406,6 +444,9 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
                     .toJSON.collect()
                   reply(ex, 200, rows.mkString("[", ",", "]"))
                 } catch {
+                  // the library's dimension guard — a client error
+                  case e: IllegalArgumentException => reply(ex, 422,
+                    s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
                   case e: Exception => reply(ex, 500,
                     s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
                 }
@@ -480,7 +521,7 @@ object RestApi {
       |"/query/daily_totals":{"get":{"summary":"daily_company_totals rows in a date range (capped at 1000 rows; X-Graft-Truncated header signals an incomplete page)",
       | "parameters":[{"name":"from","in":"query","required":true,"schema":{"type":"string","format":"date"}},{"name":"to","in":"query","required":true,"schema":{"type":"string","format":"date"}},{"name":"limit","in":"query","schema":{"type":"integer","default":1000,"maximum":1000}}],
       | "responses":{"200":{"description":"rows"},"409":{"description":"run /etl/run first"},"422":{"description":"bad dates"},"503":{"description":"no spark session"}}}},
-      |"/index/maintain":{"post":{"summary":"Bring every derived-index chain (windows, signatures, clusters, CMS, KMV, tf-grain, doc-lengths, corpus-stats, IVF) to its lake's current version; resumes each chain from its newest existing artifact (a no-op call runs zero Spark jobs)",
+      |"/index/maintain":{"post":{"summary":"Bring every derived-index chain (windows, signatures, clusters, CMS, KMV, tf-grain, doc-lengths, corpus-stats, IVF) to its lake's current version; resumes each chain from its newest existing artifact (head counts cached: a repeat no-op call runs zero Spark jobs)",
       |  "requestBody":{"content":{"application/json":{"schema":{"properties":{"dir":{"type":"string"},"async":{"type":"boolean","default":false}},"required":["dir"]}}}},
       |  "responses":{"200":{"description":"chains current; per-artifact row counts + versions built"},"202":{"description":"async maintenance started"},"422":{"description":"dir missing"},"500":{"description":"maintenance failed"},"503":{"description":"no spark session"}}}},
       |"/index/status":{"get":{"summary":"Last/current index-maintenance state",

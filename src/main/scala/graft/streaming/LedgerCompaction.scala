@@ -69,7 +69,13 @@ object LedgerCompaction {
     f.delete(backup, true)  // stale from a completed prior swap
     f.delete(staging, true) // stale from a crashed prior write
     // finish deletions the live manifest records — the window where a
-    // folded batch dir still exists and would double-count
+    // folded batch dir still exists and would double-count — then
+    // RETIRE the manifest: once every listed dir is gone its job is
+    // done, and keeping it would re-issue one delete RPC per folded
+    // batch on EVERY subsequent read (on an object store, dozens of
+    // round-trips added to the serving path forever). Deletion order
+    // is dirs-then-manifest, so a crash mid-heal leaves the manifest
+    // and the next heal finishes the remainder.
     val manifest = new Path(tgt, ManifestName)
     if (f.exists(manifest)) {
       val in = f.open(manifest)
@@ -79,6 +85,7 @@ object LedgerCompaction {
       ids.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
         .foreach(b =>
           f.delete(new Path(root, s"graft_batch_id=$b"), true))
+      f.delete(manifest, false)
     }
   }
 

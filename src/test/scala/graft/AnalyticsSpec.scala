@@ -292,7 +292,7 @@ class AnalyticsSpec extends SparkSpec {
     val frame = Analytics.incrementalKmvFrame(spark, base, 2L)
     val prevArt = Analytics.kmvArtifact(base, 1L)
     val stray = frame.inputFiles.filterNot(f =>
-      f.contains(prevArt) || f.contains("documents_delta"))
+      f.contains(prevArt) || changeTableFile("documents_delta", 2L)(f))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"kmv maintenance reads beyond sketches+delta: " +
         s"${stray.take(3).mkString(", ")}")
@@ -350,7 +350,7 @@ class AnalyticsSpec extends SparkSpec {
     val frame = Analytics.incrementalCmsFrame(spark, base, 3L)
     val prevArt = Analytics.cmsArtifact(base, 2L)
     val stray = frame.inputFiles.filterNot(f =>
-      f.contains(prevArt) || f.contains("documents_removed"))
+      f.contains(prevArt) || changeTableFile("documents_removed", 3L)(f))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"cms subtract reads beyond sketch+tombstones: " +
         s"${stray.take(3).mkString(", ")}")
@@ -469,7 +469,7 @@ class AnalyticsSpec extends SparkSpec {
     val prevArt = Analytics.cmsArtifact(base, 1L)
     assert(files.nonEmpty)
     val stray = files.filterNot(f =>
-      f.contains(prevArt) || f.contains("documents_delta"))
+      f.contains(prevArt) || changeTableFile("documents_delta", 2L)(f))
     assert(stray.isEmpty, s"incremental path reads beyond sketch+delta: " +
       s"${stray.take(3).mkString(", ")}")
     assert(!files.exists((f => f.contains("/documents/") || f.contains("_data/documents-"))),

@@ -540,7 +540,7 @@ class DedupSpec extends SparkSpec {
     val prevArt = Dedup.windowIndexArtifact(base, 1L)
     assert(files.nonEmpty)
     val stray = files.filterNot(f =>
-      f.contains(prevArt) || f.contains("documents_delta"))
+      f.contains(prevArt) || changeTableFile("documents_delta", 2L)(f))
     assert(stray.isEmpty, s"incremental path reads beyond index+delta: " +
       s"${stray.take(3).mkString(", ")}")
     assert(!files.exists((f => f.contains("/documents/") || f.contains("_data/documents-"))),
@@ -640,7 +640,7 @@ class DedupSpec extends SparkSpec {
     val files = Dedup.incrementalWindowFrame(spark, base, 3L).inputFiles
     val prevArt = Dedup.windowIndexArtifact(base, 2L)
     assert(files.nonEmpty && files.forall(f =>
-      f.contains(prevArt) || f.contains("documents_delta")),
+      f.contains(prevArt) || changeTableFile("documents_delta", 3L)(f)),
       s"v3 maintenance read beyond chain+delta: ${files.mkString(", ")}")
   }
 
@@ -659,7 +659,7 @@ class DedupSpec extends SparkSpec {
     val frame = Dedup.incrementalSignatureFrame(spark, base, 2L)
     val prevArt = Dedup.signatureIndexArtifact(base, 1L)
     val stray = frame.inputFiles.filterNot(f =>
-      f.contains(prevArt) || f.contains("documents_delta"))
+      f.contains(prevArt) || changeTableFile("documents_delta", 2L)(f))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"signature maintenance reads beyond index+delta: " +
         s"${stray.take(3).mkString(", ")}")
@@ -690,7 +690,7 @@ class DedupSpec extends SparkSpec {
     val probeFiles = Dedup.candidatePairsFrom(sig, Some(delta)).inputFiles
     val sigArt = Dedup.signatureIndexArtifact(base, 2L)
     val stray = probeFiles.filterNot(f =>
-      f.contains(sigArt) || f.contains("documents_delta"))
+      f.contains(sigArt) || changeTableFile("documents_delta", 2L)(f))
     assert(probeFiles.nonEmpty && stray.isEmpty,
       s"delta pair probe reads beyond index+delta: " +
         s"${stray.take(3).mkString(", ")}")
@@ -767,8 +767,8 @@ class DedupSpec extends SparkSpec {
     val frame = Dedup.incrementalSignatureFrame(spark, base, 2L)
     val prevArt = Dedup.signatureIndexArtifact(base, 1L)
     val stray = frame.inputFiles.filterNot(f =>
-      f.contains(prevArt) || f.contains("documents_delta") ||
-        f.contains("documents_removed"))
+      f.contains(prevArt) || changeTableFile("documents_delta", 2L)(f) ||
+        changeTableFile("documents_removed", 2L)(f))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"signature maintenance reads beyond chain+changes: " +
         s"${stray.take(3).mkString(", ")}")

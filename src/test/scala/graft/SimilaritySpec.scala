@@ -128,7 +128,7 @@ class SimilaritySpec extends SparkSpec {
     val frame = Similarity.incrementalIvfFrame(spark, base, 2L)
     val prevArt = Similarity.ivfIndexArtifact(base, 1L)
     val stray = frame.inputFiles.filterNot(f =>
-      f.contains(prevArt) || f.contains("embeddings_delta"))
+      f.contains(prevArt) || changeTableFile("embeddings_delta", 2L)(f))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"IVF maintenance reads beyond index+delta: ${stray.take(3).mkString(", ")}")
     assert(!frame.inputFiles.exists((f => f.contains("/embeddings/") || f.contains("_data/embeddings-"))),
@@ -163,7 +163,7 @@ class SimilaritySpec extends SparkSpec {
     val prevArt = Similarity.pqCodesArtifact(base, 1L)
     val stray = frame.inputFiles.filterNot(f =>
       f.contains(prevArt) || f.contains(Similarity.pqCodebookArtifact(base)) ||
-        f.contains("embeddings_delta"))
+        changeTableFile("embeddings_delta", 2L)(f))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"PQ maintenance reads beyond codes+codebook+delta: " +
         s"${stray.take(3).mkString(", ")}")
@@ -213,7 +213,7 @@ class SimilaritySpec extends SparkSpec {
     val frame = Similarity.incrementalIvfFrame(spark, base, 2L)
     val stray = frame.inputFiles.filterNot(f =>
       f.contains(Similarity.ivfIndexArtifact(base, 1L)) ||
-        f.contains("embeddings_removed"))
+        changeTableFile("embeddings_removed", 2L)(f))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"IVF tombstone maintenance reads beyond index+tombstones: " +
         s"${stray.take(3).mkString(", ")}")

@@ -22,4 +22,15 @@ object SparkSpec {
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
   val sfDir: String = SparkSpec.sfDir
+
+  /** VERSION-PINNED file matcher for a lake change table, for the
+    * file-exactness assertions on incremental-maintenance frames:
+    * matches the manifest layout's `_data/<table>-%08d` dir (a change
+    * table is always written BY its version's publish, so the dir
+    * version IS the table's version) or the legacy per-version
+    * `/v<v>/<table>/` layout. A bare table-name substring would also
+    * match the WRONG version's change table and hide an off-by-one
+    * maintenance read. */
+  def changeTableFile(table: String, v: Long)(f: String): Boolean =
+    f.contains(f"_data/$table-$v%08d") || f.contains(s"/v$v/$table/")
 }

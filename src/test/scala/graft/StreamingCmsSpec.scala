@@ -80,13 +80,24 @@ class StreamingCmsSpec extends SparkSpec {
     StreamingCms.writeBatch(batchDocs(4L), 4L, out)
     assert(sketch() == before, "kept-batch replay double-counted")
 
+    // the manifest is retired once its deletions are confirmed —
+    // steady-state reads are a single existence probe, not one delete
+    // RPC per folded batch forever
+    val manifest = new org.apache.hadoop.fs.Path(root,
+      "graft_batch_id=-1/_folded")
+    assert(!fs.exists(manifest), "manifest must retire after heal")
+
     // crash window 1 (after promote, before source deletion): a folded
-    // batch dir still on disk — the exact shape that would DOUBLE-COUNT
-    // under sum semantics; the read-side heal must delete it
+    // batch dir still on disk WITH the manifest still live — the exact
+    // shape that would DOUBLE-COUNT under sum semantics; the read-side
+    // heal must delete the leftover, then retire the manifest
     StreamingCms.writeBatch(batchDocs(2L), 2L, out)
+    val mo = fs.create(manifest, true)
+    try mo.write("0,1,2".getBytes("UTF-8")) finally mo.close()
     assert(sketch() == before, "resurrected folded batch double-counted")
     assert(!parts().contains("graft_batch_id=2"),
       "heal must delete the manifest-recorded leftover")
+    assert(!fs.exists(manifest), "manifest must retire after the heal")
 
     // crash window 2 (between the swap renames): compacted partition
     // moved aside to the backup name — heal restores it

@@ -99,11 +99,17 @@ class StreamingKmvSpec extends SparkSpec {
       "graft_batch_id=4"), s"fold left ${parts()}")
 
     // the double-count window: a folded batch dir back on disk after
-    // the promote — 3 phantom docs unless the read-side heal deletes
-    // it (the minima forgive by idempotence; the n_docs SUM does not)
+    // the promote, manifest still live — 3 phantom docs unless the
+    // read-side heal deletes it (the minima forgive by idempotence;
+    // the n_docs SUM does not), after which the manifest retires
+    val manifest = new org.apache.hadoop.fs.Path(root,
+      "graft_batch_id=-1/_folded")
     StreamingKmv.writeBatch(batchDocs(1L), 1L, out)
+    val mo = fs.create(manifest, true)
+    try mo.write("0,1,2".getBytes("UTF-8")) finally mo.close()
     assert(rows() == before, "resurrected folded batch inflated n_docs")
     assert(!parts().contains("graft_batch_id=1"))
+    assert(!fs.exists(manifest), "manifest must retire after the heal")
 
     // swap-crash window: compacted partition aside under the backup
     // name — heal restores it with every source's count intact

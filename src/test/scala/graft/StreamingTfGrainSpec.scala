@@ -88,12 +88,18 @@ class StreamingTfGrainSpec extends SparkSpec {
       "graft_batch_id=4"), s"fold left ${parts()}")
 
     // the duplicate-rows window: a folded batch dir back on disk after
-    // the promote — its docs' grain rows would appear TWICE in the
-    // union (doubling every downstream df/tf aggregate) unless the
-    // read-side heal deletes it
+    // the promote, manifest still live — its docs' grain rows would
+    // appear TWICE in the union (doubling every downstream df/tf
+    // aggregate) unless the read-side heal deletes it, after which
+    // the manifest retires
+    val manifest = new org.apache.hadoop.fs.Path(root,
+      "graft_batch_id=-1/_folded")
     StreamingTfGrain.writeBatch(batchDocs(0L), 0L, out)
+    val mo = fs.create(manifest, true)
+    try mo.write("0,1,2".getBytes("UTF-8")) finally mo.close()
     assert(grain() == before, "resurrected folded batch duplicated grain rows")
     assert(!parts().contains("graft_batch_id=0"))
+    assert(!fs.exists(manifest), "manifest must retire after the heal")
 
     // a kept batch's replay stays idempotent after compaction
     StreamingTfGrain.writeBatch(batchDocs(4L), 4L, out)

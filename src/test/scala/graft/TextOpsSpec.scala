@@ -832,7 +832,7 @@ class TextOpsSpec extends SparkSpec {
     val frame = TextOps.incrementalTfGrainFrame(spark, base, 2L)
     val prevArt = TextOps.tfGrainArtifact(base, 1L)
     val stray = frame.inputFiles.filterNot(f =>
-      f.contains(prevArt) || f.contains("documents_delta"))
+      f.contains(prevArt) || changeTableFile("documents_delta", 2L)(f))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"grain maintenance reads beyond index+delta: " +
         s"${stray.take(3).mkString(", ")}")
@@ -965,7 +965,7 @@ class TextOpsSpec extends SparkSpec {
     val f2 = TextOps.incrementalCorpusStatsFrame(spark, base, 2L)
     val stray2 = f2.inputFiles.filterNot(f =>
       f.contains(TextOps.corpusStatsArtifact(base, 1L)) ||
-        f.contains("documents_delta"))
+        changeTableFile("documents_delta", 2L)(f))
     assert(f2.inputFiles.nonEmpty && stray2.isEmpty,
       s"stats maintenance reads beyond prev+delta: ${stray2.take(3).mkString(", ")}")
     // removal: the subtraction recovers removed lengths from the
@@ -991,7 +991,7 @@ class TextOpsSpec extends SparkSpec {
     val stray3 = f3.inputFiles.filterNot(f =>
       f.contains(TextOps.corpusStatsArtifact(rm, 2L)) ||
         f.contains(TextOps.docLenArtifact(rm, 2L)) ||
-        f.contains("documents_removed"))
+        changeTableFile("documents_removed", 3L)(f))
     assert(f3.inputFiles.nonEmpty && stray3.isEmpty,
       s"stats removal reads beyond prev+lens+tombstones: ${stray3.take(3).mkString(", ")}")
     // the length chain's own removal is the doc-keyed anti-join
@@ -1032,7 +1032,7 @@ class TextOpsSpec extends SparkSpec {
     val files = TextOps.incrementalTfGrainFrame(spark, base, 3L).inputFiles
     val prevArt = TextOps.tfGrainArtifact(base, 2L)
     assert(files.nonEmpty && files.forall(f =>
-      f.contains(prevArt) || f.contains("documents_delta")),
+      f.contains(prevArt) || changeTableFile("documents_delta", 3L)(f)),
       s"v3 grain maintenance read beyond chain+delta: ${files.mkString(", ")}")
   }
 
@@ -1060,7 +1060,7 @@ class TextOpsSpec extends SparkSpec {
     val frame = TextOps.incrementalTfGrainFrame(spark, base, 3L)
     val prevArt = TextOps.tfGrainArtifact(base, 2L)
     val stray = frame.inputFiles.filterNot(f =>
-      f.contains(prevArt) || f.contains("documents_removed"))
+      f.contains(prevArt) || changeTableFile("documents_removed", 3L)(f))
     assert(frame.inputFiles.nonEmpty && stray.isEmpty,
       s"tombstone maintenance reads beyond grain+tombstones: " +
         s"${stray.take(3).mkString(", ")}")
