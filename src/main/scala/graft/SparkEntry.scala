@@ -55,6 +55,7 @@ object SparkEntry {
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
       graft.queries.Multimodal.queries ++
+      graft.queries.MediaContainers.queries ++
       graft.queries.DataQuality.queries ++
       graft.queries.Analytics.queries
 
@@ -81,6 +82,7 @@ object SparkEntry {
       graft.queries.Dedup.oracle ++
       graft.queries.Similarity.oracle ++
       graft.queries.Multimodal.oracle ++
+      graft.queries.MediaContainers.oracle ++
       graft.queries.DataQuality.oracle ++
       graft.queries.Analytics.oracle
 }
