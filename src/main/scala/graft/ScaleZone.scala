@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Versioned
+
+/** Zone-map pruning, measured: bytes actually read for q134's range
+  * probe (~10% of the key space) under three postures on the SAME
+  * lake —
+  *   1. full scan + filter at the compacted version (no pruning),
+  *   2. pruned read at v1 (writer layout: interleaved key ranges, so
+  *      stats can barely prune),
+  *   3. pruned read at v2 (compacted on the key: disjoint per-file
+  *      ranges, so the manifest skips all but the matching files).
+  * The claim under test: pruned input bytes ∝ selectivity once the
+  * layout is sorted, while the ANSWER is identical in all three
+  * postures (asserted here, not just in the spec). Run on an
+  * otherwise-idle box; emits one JSON line. */
+object ScaleZone {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = graft.queries.Relational.zonemapLake(spark, sfDir)
+    val maxK = Versioned.read(spark, base, "lineitem")
+      .agg(max(col("l_orderkey"))).head.getLong(0)
+    val (lo, hi) = (maxK * 2 / 10, maxK * 3 / 10)
+    val pred = col("l_orderkey") >= lo && col("l_orderkey") <= hi
+
+    def digest(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("l_orderkey"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // selection evidence straight from the manifest layer
+    val Some((_, selV1, totV1)) =
+      Versioned.prunedFilesAt(spark, base, "lineitem", 1L, "l_orderkey", lo, hi)
+    val Some((_, selV2, totV2)) =
+      Versioned.prunedFilesAt(spark, base, "lineitem", 2L, "l_orderkey", lo, hi)
+
+    var full: (Long, Long) = null
+    var prunedV1: (Long, Long) = null
+    var prunedV2: (Long, Long) = null
+    val frags = Seq(
+      ScaleMeasure.measure(spark, "full_scan_filter_v2") {
+        full = digest(Versioned.readAt(spark, base, "lineitem", 2L).filter(pred))
+      },
+      ScaleMeasure.measure(spark, "pruned_v1_writer_layout") {
+        prunedV1 = digest(Versioned.readPrunedAt(
+          spark, base, "lineitem", 1L, "l_orderkey", lo, hi))
+      },
+      ScaleMeasure.measure(spark, "pruned_v2_compacted") {
+        prunedV2 = digest(Versioned.readPrunedAt(
+          spark, base, "lineitem", 2L, "l_orderkey", lo, hi))
+      })
+
+    require(full == prunedV1 && full == prunedV2,
+      s"value identity broken: full=$full v1=$prunedV1 v2=$prunedV2")
+    println(s"""{"sf":"$sfDir","range":[$lo,$hi],""" +
+      s""""files_v1":[${selV1.size},$totV1],""" +
+      s""""files_v2":[${selV2.size},$totV2],""" +
+      frags.mkString(",") + "}")
+    spark.stop()
+  }
+}

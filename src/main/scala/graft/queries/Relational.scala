@@ -258,7 +258,63 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  // -------------------------------------------------------------- q134
+  /** Zone-map pruned range scan (S5 extension, r15): lineitem lives in
+    * a versioned lake whose current version is COMPACTED on
+    * `l_orderkey` ([[graft.sources.Versioned.compactPublish]]) with a
+    * [[graft.sources.ZoneMaps]] sidecar, and the range probe reads
+    * through [[graft.sources.Versioned.readPruned]] — the manifest
+    * skips every file whose bounds miss the range BEFORE Spark plans a
+    * single split, so planning and I/O scale with the matching ~10% of
+    * the table, not its size. The answer is pruning-independent (the
+    * predicate still filters every surviving row; ZoneMapSpec pins
+    * value identity across layouts), which is exactly what lets the
+    * DuckDB oracle check it with a plain range query over the source
+    * table. Range bounds derive from `max(l_orderkey)` so the probe
+    * stays a fixed fraction at every scale factor; the 1-row max
+    * lookup is a bounded collect.
+    *
+    * Lake bootstrap is fingerprint-keyed and idempotent (the q113
+    * discipline): v1 = plain publish with stats, v2 = compaction;
+    * re-runs see version 2 committed and skip straight to the read. */
+  def q134ZonemapScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val base = zonemapLake(spark, dir)
+    val maxK = Versioned.read(spark, base, "lineitem")
+      .agg(max($"l_orderkey")).head.getLong(0)
+    Versioned.readPruned(spark, base, "lineitem", "l_orderkey",
+        maxK * 2 / 10, maxK * 3 / 10)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sumd($"l_quantity").as("sum_qty"),
+        min($"l_orderkey").as("min_k"),
+        max($"l_orderkey").as("max_k"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val ZonemapFiles = 8
+
+  /** Scratch versioned lake holding lineitem compacted on l_orderkey
+    * with zone maps — content-addressed by the source fingerprint,
+    * published at most once per corpus (claim protocol makes races
+    * fail loudly, committed versions make re-runs free). */
+  private[graft] def zonemapLake(spark: SparkSession, dir: String): String = {
+    import graft.sources.Versioned
+    val key = Tables.fileFingerprint(spark, s"$dir/lineitem.parquet")
+    val base = s"${Dedup.indexBase}/zlake-f$ZonemapFiles-$key"
+    if (Versioned.currentVersion(spark, base).isEmpty)
+      Versioned.publish(spark, base, Seq(Versioned.TableSpec("lineitem",
+        Tables(spark, dir, "lineitem"), statsCols = Seq("l_orderkey"))))
+    if (Versioned.currentVersion(spark, base).contains(1L))
+      Versioned.compactPublish(spark, base, "lineitem",
+        Seq("l_orderkey"), ZonemapFiles)
+    base
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_zonemap_scan"  -> (q134ZonemapScan _),
     "q1_agg"             -> (q1Agg _),
     "q2_join_agg"        -> (q2JoinAgg _),
     "q3_filter_pushdown" -> (q3FilterPushdown _),
@@ -276,6 +332,18 @@ object Relational {
   /** DuckDB-dialect oracles. Integer SUMs are CAST to BIGINT (DuckDB
     * widens to HUGEINT); decimal sums CAST to DOUBLE to match Spark. */
   val oracle: Map[String, String] = Map(
+    "q134_zonemap_scan" ->
+      """WITH m AS (
+        | SELECT (max(l_orderkey) * 2) // 10 AS lo,
+        |        (max(l_orderkey) * 3) // 10 AS hi
+        | FROM lineitem)
+        |SELECT l_returnflag,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        | min(l_orderkey) AS min_k, max(l_orderkey) AS max_k
+        |FROM lineitem, m
+        |WHERE l_orderkey BETWEEN m.lo AND m.hi
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,

@@ -67,9 +67,15 @@ object Versioned {
 
   /** One table in a publish: the frame plus its physical layout.
     * `partitionBy` gives facts the date-partitioned layout
-    * ([[Lake.writeDatePartitioned]] semantics) inside the version. */
+    * ([[Lake.writeDatePartitioned]] semantics) inside the version.
+    * `statsCols` declares zone-map columns: the publish distills the
+    * written files' parquet footer min/max into a [[ZoneMaps]] sidecar
+    * inside the data dir, enabling manifest-level file skipping via
+    * [[Versioned.readPruned]]. Must be DATA columns — naming a
+    * partition column (dir-encoded, absent from footers) fails the
+    * publish loudly. */
   final case class TableSpec(name: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil)
 
   private def markerDir(base: Path) = new Path(base, "_v")
   private def versionDir(base: Path, v: Long) = new Path(base, s"v$v")
@@ -155,6 +161,72 @@ object Versioned {
     val rel = resolveData(f, b, table, version).getOrElse(
       sys.error(s"versioned lake $base version $version has no table $table"))
     spark.read.parquet(new Path(b, rel).toString)
+  }
+
+  /** Data-dir path of `table` at `version` (manifest-resolved). */
+  private def dataDirAt(spark: SparkSession, base: String, table: String,
+      version: Long): String = {
+    val b = new Path(base)
+    val f = fs(spark, b)
+    val rel = resolveData(f, b, table, version).getOrElse(
+      sys.error(s"versioned lake $base version $version has no table $table"))
+    new Path(b, rel).toString
+  }
+
+  /** Zone-map columns tracked by `table`'s data dir at `version`
+    * (empty when the dir has no sidecar). */
+  def statsColsAt(spark: SparkSession, base: String, table: String,
+      version: Long): Seq[String] =
+    ZoneMaps.sidecarCols(spark, dataDirAt(spark, base, table, version))
+
+  /** Range read with manifest-level file skipping: rows of `table` at
+    * the current version with `colName ∈ [lo, hi]`. When the data dir
+    * carries a [[ZoneMaps]] sidecar tracking `colName`, only files
+    * whose bounds intersect the range are handed to Spark — planning
+    * and I/O ∝ matching files — and the predicate is STILL applied to
+    * every surviving row, so the answer is exact whether or not
+    * pruning engaged (missing sidecar / untracked column / legacy
+    * layout ⇒ full scan + filter, same rows). `lo`/`hi` are Scala
+    * values matching the column type (integer kinds, floating kinds,
+    * or String). */
+  def readPruned(spark: SparkSession, base: String, table: String,
+      colName: String, lo: Any, hi: Any): DataFrame = {
+    val v = currentVersion(spark, base)
+      .getOrElse(sys.error(s"versioned lake $base has no committed version"))
+    readPrunedAt(spark, base, table, v, colName, lo, hi)
+  }
+
+  /** [[readPruned]] with time travel. */
+  def readPrunedAt(spark: SparkSession, base: String, table: String,
+      version: Long, colName: String, lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    prunedFilesAt(spark, base, table, version, colName, lo, hi) match {
+      case None => readAt(spark, base, table, version).filter(pred)
+      case Some((dataDir, Nil, _)) =>
+        // statistics prove no file can match: empty frame, table schema
+        val schema = spark.read.parquet(dataDir).schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some((dataDir, files, _)) =>
+        spark.read
+          .option("basePath", dataDir) // keep partition-dir columns
+          .parquet(files.map(fl => new Path(dataDir, fl).toString): _*)
+          .filter(pred)
+    }
+  }
+
+  /** Pruning decision for a range probe, exposed for specs and ops
+    * introspection: (data dir, selected file paths, total file count),
+    * or None when no sidecar tracks `colName` (full scan). */
+  def prunedFilesAt(spark: SparkSession, base: String, table: String,
+      version: Long, colName: String, lo: Any, hi: Any)
+      : Option[(String, Seq[String], Int)] = {
+    val dataDir = dataDirAt(spark, base, table, version)
+    for {
+      stats <- ZoneMaps.readSidecar(spark, dataDir)
+      selected <- ZoneMaps.selectFiles(stats, colName, lo, hi)
+    } yield (dataDir, selected, stats.size)
   }
 
   /** Whether `table` was published (with a completed write) at
@@ -268,7 +340,10 @@ object Versioned {
       .join(delta.select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti")
       .unionByName(delta, allowMissingColumns = true)
-    publish(spark, base, Seq(TableSpec(table, merged)),
+    // zone maps survive maintenance: if the current data dir declared
+    // stats columns, the merged rewrite re-collects the same ones
+    publish(spark, base, Seq(TableSpec(table, merged,
+        statsCols = statsColsAt(spark, base, table, cur))),
       carry = existing.filterNot(_ == table))
   }
 
@@ -301,10 +376,15 @@ object Versioned {
     val existing = listTables(spark, base, cur)
     require(existing.contains(table),
       s"compactPublish: table $table not in version $cur (has: $existing)")
+    // the compacted layout is exactly what zone maps want (disjoint
+    // sort-key ranges per file) — collect bounds for the sort columns
+    // plus whatever the prior sidecar tracked
     publish(spark, base, Seq(TableSpec(table,
       readAt(spark, base, table, cur)
         .repartitionByRange(files, sortBy.map(col): _*)
-        .sortWithinPartitions(sortBy.map(col): _*))),
+        .sortWithinPartitions(sortBy.map(col): _*),
+      statsCols =
+        (sortBy ++ statsColsAt(spark, base, table, cur)).distinct)),
       carry = existing.filterNot(_ == table))
   }
 
@@ -385,6 +465,14 @@ object Versioned {
       val dd = new Path(b, dataDirName(t.name, next))
       if (!f.exists(new Path(dd, "_SUCCESS")))
         sys.error(s"publish: ${t.name} has no _SUCCESS under $dd — aborting uncommitted")
+    }
+    // zone-map sidecars: written into the (still-uncommitted) data
+    // dirs after the parquet _SUCCESS check and before the manifest,
+    // so stats and data commit together or not at all
+    writes.foreach { t =>
+      if (t.statsCols.nonEmpty)
+        ZoneMaps.writeSidecar(spark,
+          new Path(b, dataDirName(t.name, next)).toString, t.statsCols)
     }
     // MANIFEST: refs for fresh writes point at this version's data
     // dirs; refs for carried tables repeat the current version's. All

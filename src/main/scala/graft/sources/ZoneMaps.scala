@@ -1,0 +1,283 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
+
+/** File-level zone maps for versioned-lake tables — Iceberg/Delta-style
+  * data skipping on top of the manifest layout.
+  *
+  * Parquet already stores row-group min/max statistics, and a sorted
+  * layout ([[Versioned.compactPublish]]) makes them selective — but at
+  * 100 TB the scanner still has to OPEN every file's footer to learn
+  * that 99% of them are irrelevant: one metadata round-trip per file,
+  * serialized through the driver's split planning. A zone map distills
+  * those same footer statistics into ONE driver-readable sidecar per
+  * data dir at publish time, so a range predicate prunes the file list
+  * before Spark ever lists, opens, or schedules anything: planning
+  * cost ∝ matching files, not table files. This is exactly the role of
+  * Iceberg's manifest column bounds / Delta's per-file stats.
+  *
+  * Placement: the sidecar lives INSIDE the immutable data dir
+  * (`_zonemap.tsv` — the `_` prefix hides it from Spark's file index,
+  * like `_SUCCESS`). Stats thereby share the data's lifecycle by
+  * construction: a manifest carry-forward carries them, GC refcounting
+  * protects them, and they can never describe any bytes other than the
+  * dir they sit in. Written after the parquet `_SUCCESS` check and
+  * before the version's manifest/marker, so a crash mid-publish leaves
+  * only an uncommitted dir — readers never see data without its
+  * declared stats or vice versa.
+  *
+  * Correctness posture (no silent wrong answers):
+  *  - Pruning is an OPTIMIZATION over an always-applied filter — the
+  *    predicate is evaluated on every surviving row, so a stats bug
+  *    could only ever cost bytes, never rows, IF selection errs on the
+  *    side of inclusion. It does: a column chunk with no usable
+  *    statistics marks the file UNKNOWN (always read); only statistics
+  *    that PROVE disjointness skip a file. All-null chunks are skipped
+  *    for range predicates (NULL matches no range) — the one exactness
+  *    claim [[ZoneMapSpec]] pins with a planted all-null file.
+  *  - Collecting stats for a column absent from every footer (a typo,
+  *    or a partition column — dir-encoded, so footers never carry it)
+  *    fails the PUBLISH loudly rather than producing a sidecar that
+  *    can never prune.
+  *  - String bounds compare as unsigned UTF-8 bytes — parquet's
+  *    UNSIGNED sort order for UTF8 — not `String.compareTo` (UTF-16
+  *    code units), which disagrees beyond the BMP.
+  *  - A missing/corrupt sidecar downgrades to a full scan + filter
+  *    (identical answer, no pruning), because a lake that predates
+  *    zone maps must stay readable — same legacy discipline as the
+  *    pre-manifest fallback. */
+object ZoneMaps {
+
+  val SidecarName = "_zonemap.tsv"
+
+  /** Per-file, per-column bound: `tpe` ∈ long|double|string; `flag` K
+    * (known bounds) | N (all values null) | U (no usable statistics —
+    * never prune). For K: `min`/`max` are decimal text (long), raw-bit
+    * decimal text (double — exact round-trip, no decimal-repr drift),
+    * or base64 UTF-8 (string). */
+  final case class ColStats(tpe: String, flag: String, min: String, max: String)
+  final case class FileStats(relPath: String, cols: Map[String, ColStats])
+
+  // ------------------------------------------------------- footer walk
+
+  private def parquetFiles(f: FileSystem, dir: Path): Seq[Path] = {
+    def walk(p: Path): Seq[Path] = f.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) walk(st.getPath)
+      else if (n.endsWith(".parquet")) Seq(st.getPath)
+      else Nil
+    }
+    walk(dir)
+  }
+
+  /** Read ONE file's footer and fold its row-group statistics into
+    * per-column bounds. Metadata-only I/O — no data pages touched. */
+  private def fileStats(conf: org.apache.hadoop.conf.Configuration,
+      dir: Path, file: Path, cols: Seq[String]): FileStats = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val chunks = reader.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala)
+        .groupBy(_.getPath.toDotString)
+      val out = cols.flatMap { c =>
+        chunks.get(c).map { cc =>
+          val tpe = cc.head.getPrimitiveType.getPrimitiveTypeName match {
+            case INT32 | INT64 => "long"
+            case FLOAT | DOUBLE => "double"
+            case BINARY => "string"
+            case _ => "opaque" // e.g. FIXED_LEN_BYTE_ARRAY decimals
+          }
+          if (tpe == "opaque") c -> ColStats(tpe, "U", "", "")
+          else {
+            // fold row groups: every group must contribute usable
+            // stats or the file is UNKNOWN; a group that is entirely
+            // null contributes "no rows in range"
+            var minL = Long.MaxValue; var maxL = Long.MinValue
+            var minD = Double.PositiveInfinity; var maxD = Double.NegativeInfinity
+            var minB: Array[Byte] = null; var maxB: Array[Byte] = null
+            var sawValues = false
+            var unknown = false
+            cc.foreach { chunk =>
+              val st: org.apache.parquet.column.statistics.Statistics[_] =
+                chunk.getStatistics
+              val allNull = st != null && st.isNumNullsSet &&
+                st.getNumNulls == chunk.getValueCount
+              if (st == null || (!st.hasNonNullValue && !allNull)) unknown = true
+              else if (!allNull) {
+                sawValues = true
+                tpe match {
+                  case "long" =>
+                    val lo = st.genericGetMin.asInstanceOf[Number].longValue
+                    val hi = st.genericGetMax.asInstanceOf[Number].longValue
+                    if (lo < minL) minL = lo
+                    if (hi > maxL) maxL = hi
+                  case "double" =>
+                    val lo = st.genericGetMin.asInstanceOf[Number].doubleValue
+                    val hi = st.genericGetMax.asInstanceOf[Number].doubleValue
+                    if (lo < minD) minD = lo
+                    if (hi > maxD) maxD = hi
+                  case "string" =>
+                    val lo = st.genericGetMin
+                      .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                    val hi = st.genericGetMax
+                      .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                    if (minB == null || unsignedLt(lo, minB)) minB = lo
+                    if (maxB == null || unsignedLt(maxB, hi)) maxB = hi
+                }
+              }
+            }
+            val stats =
+              if (unknown) ColStats(tpe, "U", "", "")
+              else if (!sawValues) ColStats(tpe, "N", "", "")
+              else tpe match {
+                case "long" => ColStats(tpe, "K", minL.toString, maxL.toString)
+                case "double" => ColStats(tpe, "K",
+                  java.lang.Double.doubleToRawLongBits(minD).toString,
+                  java.lang.Double.doubleToRawLongBits(maxD).toString)
+                case "string" =>
+                  val enc = java.util.Base64.getEncoder
+                  ColStats(tpe, "K", enc.encodeToString(minB), enc.encodeToString(maxB))
+              }
+            c -> stats
+          }
+        }
+      }.toMap
+      val rel = file.toString.stripPrefix(dir.toString).stripPrefix("/")
+      FileStats(rel, out)
+    } finally reader.close()
+  }
+
+  private def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Collect per-file bounds for `cols` over every parquet file under
+    * `dataDir` and write the sidecar. Fails loudly if a column appears
+    * in NO footer (typo / partition column) — see object scaladoc. */
+  def writeSidecar(spark: SparkSession, dataDir: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "zone map needs at least one column")
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(dataDir)
+    val f = dir.getFileSystem(conf)
+    val files = parquetFiles(f, dir)
+    require(files.nonEmpty, s"zone map over empty data dir $dataDir")
+    val stats = files.map(fileStats(conf, dir, _, cols))
+    cols.foreach { c =>
+      require(stats.exists(_.cols.contains(c)),
+        s"zone map column '$c' appears in no parquet footer under " +
+          s"$dataDir — misspelled, or a partition column (dir-encoded, " +
+          "use partition pruning instead)")
+    }
+    val sb = new StringBuilder("graft-zonemap\tv1\n")
+    stats.foreach { fst =>
+      cols.foreach { c =>
+        val cs = fst.cols.getOrElse(c, ColStats("long", "U", "", ""))
+        sb.append(fst.relPath).append('\t').append(c).append('\t')
+          .append(cs.tpe).append('\t').append(cs.flag).append('\t')
+          .append(cs.min).append('\t').append(cs.max).append('\n')
+      }
+    }
+    val out = f.create(new Path(dir, SidecarName), true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Sidecar for a data dir, if present and well-formed. */
+  def readSidecar(spark: SparkSession, dataDir: String): Option[Seq[FileStats]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(dataDir)
+    val f = dir.getFileSystem(conf)
+    val p = new Path(dir, SidecarName)
+    if (!f.exists(p)) return None
+    try {
+      val in = f.open(p)
+      val text = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toString("UTF-8")
+      } finally in.close()
+      val lines = text.split('\n').filter(_.nonEmpty)
+      if (lines.isEmpty || lines.head != "graft-zonemap\tv1") return None
+      val rows = lines.tail.map { l =>
+        val a = l.split('\t') // min/max may be empty → pad
+        (a(0), a(1), ColStats(a(2), a(3),
+          if (a.length > 4) a(4) else "", if (a.length > 5) a(5) else ""))
+      }
+      Some(rows.groupBy(_._1).toSeq.map { case (rel, cs) =>
+        FileStats(rel, cs.map(r => r._2 -> r._3).toMap)
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Which columns a data dir's sidecar covers (for re-collection
+    * after maintenance rewrites). Empty if no sidecar. */
+  def sidecarCols(spark: SparkSession, dataDir: String): Seq[String] =
+    readSidecar(spark, dataDir)
+      .map(_.flatMap(_.cols.keys).distinct.sorted)
+      .getOrElse(Nil)
+
+  // --------------------------------------------------------- selection
+
+  private def asLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case s: Short => s.toLong
+    case other => sys.error(s"zone map: expected an integer bound, got $other")
+  }
+  private def asDouble(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case other => sys.error(s"zone map: expected a numeric bound, got $other")
+  }
+
+  /** Files that may hold rows with `col ∈ [lo, hi]`: K-files whose
+    * bounds intersect the range, plus every U-file (unknown never
+    * prunes). N-files (all null) match no range. Returns None when the
+    * column is untracked by this sidecar — caller must full-scan. */
+  def selectFiles(stats: Seq[FileStats], colName: String,
+      lo: Any, hi: Any): Option[Seq[String]] = {
+    if (!stats.exists(_.cols.contains(colName))) return None
+    Some(stats.filter { fst =>
+      fst.cols.get(colName) match {
+        case None => true // file unknown to this column → keep
+        case Some(cs) => cs.flag match {
+          case "U" => true
+          case "N" => false
+          case _ => cs.tpe match {
+            case "long" =>
+              !(cs.max.toLong < asLong(lo) || cs.min.toLong > asLong(hi))
+            case "double" =>
+              val mn = java.lang.Double.longBitsToDouble(cs.min.toLong)
+              val mx = java.lang.Double.longBitsToDouble(cs.max.toLong)
+              !(mx < asDouble(lo) || mn > asDouble(hi))
+            case "string" =>
+              val dec = java.util.Base64.getDecoder
+              val mn = dec.decode(cs.min); val mx = dec.decode(cs.max)
+              val l = lo.toString.getBytes("UTF-8")
+              val h = hi.toString.getBytes("UTF-8")
+              !(unsignedLt(mx, l) || unsignedLt(h, mn))
+            case _ => true
+          }
+        }
+      }
+    }.map(_.relPath))
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sources.{Versioned, ZoneMaps}
+import graft.sources.Versioned.TableSpec
+
+/** Zone-map data skipping over the versioned lake: pruning must only
+  * ever SAVE bytes — every test pairs a file-count claim with a
+  * value-identity claim against the unpruned filter, and the fallback
+  * paths (no sidecar, corrupt sidecar, untracked column) must serve
+  * the identical answer with zero pruning. */
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkBase() =
+    Files.createTempDirectory("graft-zonemap").toString + "/lake"
+
+  /** 4 disjoint key ranges, one file each (range-partitioned). */
+  private def rangedDf = spark.range(0, 400)
+    .select(col("id").as("k"),
+      (col("id").cast("double") * 1.5 - 100.0).as("x"),
+      concat(lit("key-"), format_string("%06d", col("id"))).as("s"))
+    .repartitionByRange(4, col("k"))
+
+  private def collectSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("long-range probe reads one file of four, same rows as full filter") {
+    val base = mkBase()
+    Versioned.publish(spark, base,
+      Seq(TableSpec("t", rangedDf, statsCols = Seq("k", "x", "s"))))
+    val Some((_, sel, total)) =
+      Versioned.prunedFilesAt(spark, base, "t", 1L, "k", 110L, 130L)
+    assert(total == 4 && sel.size == 1, s"selected ${sel.size} of $total")
+    assert(collectSet(Versioned.readPruned(spark, base, "t", "k", 110L, 130L))
+      == collectSet(Versioned.read(spark, base, "t")
+        .filter(col("k") >= 110 && col("k") <= 130)))
+  }
+
+  test("double and string bounds prune (negative doubles, UTF-8 order)") {
+    val base = mkBase()
+    Versioned.publish(spark, base,
+      Seq(TableSpec("t", rangedDf, statsCols = Seq("x", "s"))))
+    // x ∈ [-100, 498.5]; probe a negative slice → first file only
+    val Some((_, selX, _)) =
+      Versioned.prunedFilesAt(spark, base, "t", 1L, "x", -100.0, -50.0)
+    assert(selX.size == 1)
+    assert(collectSet(Versioned.readPruned(spark, base, "t", "x", -100.0, -50.0))
+      == collectSet(Versioned.read(spark, base, "t")
+        .filter(col("x") >= -100.0 && col("x") <= -50.0)))
+    val Some((_, selS, _)) =
+      Versioned.prunedFilesAt(spark, base, "t", 1L, "s", "key-000350", "key-000399")
+    assert(selS.size == 1)
+    assert(Versioned.readPruned(spark, base, "t", "s", "key-000350", "key-000399")
+      .count() == 50)
+  }
+
+  test("an all-null file is skipped; null rows match no range anyway") {
+    val base = mkBase()
+    // nulls sort first under repartitionByRange → land in file 0
+    val withNulls = spark.range(0, 300)
+      .select(when(col("id") < 100, lit(null)).otherwise(col("id"))
+        .cast("long").as("k"))
+      .repartitionByRange(3, col("k"))
+    Versioned.publish(spark, base,
+      Seq(TableSpec("t", withNulls, statsCols = Seq("k"))))
+    val dataDir = new Path(base).toString
+    val stats = ZoneMaps.readSidecar(spark,
+      Versioned.prunedFilesAt(spark, base, "t", 1L, "k", 0L, 0L).get._1).get
+    assert(stats.exists(_.cols("k").flag == "N"), "expected an all-null file")
+    val Some((_, sel, total)) =
+      Versioned.prunedFilesAt(spark, base, "t", 1L, "k", 100L, 150L)
+    assert(total == 3 && sel.size == 1)
+    assert(Versioned.readPruned(spark, base, "t", "k", 100L, 150L).count() == 51)
+  }
+
+  test("carry-forward keeps stats; merge re-collects them on the rewrite") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(
+      TableSpec("t", rangedDf, statsCols = Seq("k")),
+      TableSpec("other", Seq((1, "a")).toDF("id", "v"))))
+    // merge into OTHER: t is carried by reference — sidecar rides along
+    Versioned.mergePublish(spark, base, "other",
+      Seq((2, "b")).toDF("id", "v"), Seq("id"))
+    assert(Versioned.statsColsAt(spark, base, "t", 2L) == Seq("k"))
+    val Some((_, sel2, _)) =
+      Versioned.prunedFilesAt(spark, base, "t", 2L, "k", 0L, 10L)
+    assert(sel2.size == 1)
+    // merge into T itself: the rewritten dir re-collects the same cols
+    Versioned.mergePublish(spark, base, "t",
+      Seq((1000L, 0.0, "key-001000")).toDF("k", "x", "s"), Seq("k"))
+    assert(Versioned.statsColsAt(spark, base, "t", 3L) == Seq("k"))
+    assert(collectSet(Versioned.readPruned(spark, base, "t", "k", 990L, 1010L))
+      == collectSet(Versioned.read(spark, base, "t")
+        .filter(col("k").between(990, 1010))))
+  }
+
+  test("compaction turns overlapping zone maps into disjoint ones") {
+    val base = mkBase()
+    // interleaved layout: every file spans nearly the full key range
+    val interleaved = spark.range(0, 400)
+      .select(col("id").as("k")).repartitionByRange(4, col("k") % 4)
+    Versioned.publish(spark, base,
+      Seq(TableSpec("t", interleaved, statsCols = Seq("k"))))
+    val Some((_, selBefore, totBefore)) =
+      Versioned.prunedFilesAt(spark, base, "t", 1L, "k", 110L, 130L)
+    assert(totBefore == 4 && selBefore.size == 4,
+      "interleaved files cannot prune — every file spans the range")
+    Versioned.compactPublish(spark, base, "t", Seq("k"), files = 4)
+    val Some((_, selAfter, totAfter)) =
+      Versioned.prunedFilesAt(spark, base, "t", 2L, "k", 110L, 130L)
+    assert(totAfter == 4 && selAfter.size == 1,
+      s"compacted probe selected ${selAfter.size} of $totAfter")
+    assert(collectSet(Versioned.readPrunedAt(spark, base, "t", 2L, "k", 110L, 130L))
+      == collectSet(Versioned.readPrunedAt(spark, base, "t", 1L, "k", 110L, 130L)))
+  }
+
+  test("a stats column that is dir-encoded (partitionBy) fails the publish") {
+    val base = mkBase()
+    val e = intercept[Exception] {
+      Versioned.publish(spark, base, Seq(TableSpec("t",
+        Seq((1L, "a"), (2L, "b")).toDF("k", "p"),
+        partitionBy = Seq("p"), statsCols = Seq("p"))))
+    }
+    assert(e.getMessage.contains("partition column"))
+    // the failed publish committed nothing
+    assert(Versioned.currentVersion(spark, base).isEmpty)
+  }
+
+  test("no sidecar / corrupt sidecar / untracked column fall back exactly") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t", rangedDf))) // no stats
+    assert(Versioned.prunedFilesAt(spark, base, "t", 1L, "k", 0L, 10L).isEmpty)
+    val full = collectSet(Versioned.read(spark, base, "t")
+      .filter(col("k").between(0, 10)))
+    assert(collectSet(Versioned.readPruned(spark, base, "t", "k", 0L, 10L)) == full)
+
+    val base2 = mkBase()
+    Versioned.publish(spark, base2,
+      Seq(TableSpec("t", rangedDf, statsCols = Seq("k"))))
+    // untracked column → None → full scan
+    assert(Versioned.prunedFilesAt(spark, base2, "t", 1L, "x", 0.0, 1.0).isEmpty)
+    // corrupt the sidecar in place → reader degrades to full scan
+    val (dataDir, _, _) =
+      Versioned.prunedFilesAt(spark, base2, "t", 1L, "k", 0L, 10L).get
+    val p = new Path(dataDir, ZoneMaps.SidecarName)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = f.create(p, true)
+    out.write("not a zonemap".getBytes("UTF-8")); out.close()
+    assert(ZoneMaps.readSidecar(spark, dataDir).isEmpty)
+    assert(collectSet(Versioned.readPruned(spark, base2, "t", "k", 0L, 10L)) == full)
+  }
+
+  test("a provably-empty range returns an empty frame with the table schema") {
+    val base = mkBase()
+    Versioned.publish(spark, base,
+      Seq(TableSpec("t", rangedDf, statsCols = Seq("k"))))
+    val empty = Versioned.readPruned(spark, base, "t", "k", 5000L, 6000L)
+    assert(empty.columns.toSeq == Seq("k", "x", "s"))
+    assert(empty.count() == 0)
+    val Some((_, sel, _)) =
+      Versioned.prunedFilesAt(spark, base, "t", 1L, "k", 5000L, 6000L)
+    assert(sel.isEmpty)
+  }
+}
