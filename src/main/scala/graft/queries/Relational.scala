@@ -294,6 +294,65 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  // -------------------------------------------------------------- q135
+  /** Merge-on-read lake scan (S4/S5 extension, r15): orders lives in a
+    * versioned lake that took a MOR upsert (delta = every key ≡ 3
+    * (mod 10), price doubled — [[graft.sources.Versioned.mergePublish]]
+    * with `rewrite = false`: bytes written ∝ the delta, the standing
+    * dir untouched) and then a tombstone removal (every key ≡ 7
+    * (mod 10) — [[graft.sources.Versioned.removePublish]]: bytes
+    * written = the key list). The read is the ordered fold — standing
+    * dir ∪ appended dir, tombstone anti-joined, the later append
+    * overriding the tombstoned originals — and the DuckDB oracle
+    * replays the same history as plain SQL over the source table, so a
+    * hash match proves the fold's VALUE identity, not just its row
+    * count. At 100 TB this is the daily-upsert + takedown path that
+    * never rewrites the table; compaction (exercised in q134 and
+    * MergeOnReadSpec) retires the read-path debt on its own schedule.
+    *
+    * Bootstrap is fingerprint-keyed and idempotent (the q113/q134
+    * discipline): v1 publish, v2 MOR merge, v3 removal; re-runs see
+    * version 3 committed and skip straight to the read. */
+  def q135MorScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val base = morLake(spark, dir)
+    Versioned.read(spark, base, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sumd($"o_totalprice").as("sum_price"),
+        min($"o_orderkey").as("min_k"),
+        max($"o_orderkey").as("max_k"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Scratch MOR lake over orders — content-addressed by the source
+    * fingerprint; each step publishes at most once per corpus (claim
+    * protocol makes races fail loudly, committed versions make re-runs
+    * free). The doubled-price delta stays exact in binary (×2 shifts
+    * the exponent), so Spark and DuckDB agree bit-for-bit before the
+    * decimal-cast aggregation. */
+  private[graft] def morLake(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val key = Tables.fileFingerprint(spark, s"$dir/orders.parquet")
+    val base = s"${Dedup.indexBase}/morlake-$key"
+    val orders = Tables(spark, dir, "orders")
+    if (Versioned.currentVersion(spark, base).isEmpty)
+      Versioned.publish(spark, base, Seq(Versioned.TableSpec("orders",
+        orders, statsCols = Seq("o_orderkey"))))
+    if (Versioned.currentVersion(spark, base).contains(1L))
+      Versioned.mergePublish(spark, base, "orders",
+        orders.filter($"o_orderkey" % 10 === 3)
+          .withColumn("o_totalprice", $"o_totalprice" * 2),
+        Seq("o_orderkey"), rewrite = false)
+    if (Versioned.currentVersion(spark, base).contains(2L))
+      Versioned.removePublish(spark, base, "orders",
+        orders.filter($"o_orderkey" % 10 === 7).select($"o_orderkey"))
+    base
+  }
+
   private val ZonemapFiles = 8
 
   /** Scratch versioned lake holding lineitem compacted on l_orderkey
@@ -315,6 +374,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_zonemap_scan"  -> (q134ZonemapScan _),
+    "q135_mor_scan"      -> (q135MorScan _),
     "q1_agg"             -> (q1Agg _),
     "q2_join_agg"        -> (q2JoinAgg _),
     "q3_filter_pushdown" -> (q3FilterPushdown _),
@@ -344,6 +404,17 @@ object Relational {
         |FROM lineitem, m
         |WHERE l_orderkey BETWEEN m.lo AND m.hi
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q135_mor_scan" ->
+      """SELECT o_orderstatus,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(price AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+        | min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        |FROM (
+        | SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS price
+        | FROM orders WHERE o_orderkey % 10 <> 7)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,

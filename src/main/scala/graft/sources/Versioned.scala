@@ -17,18 +17,39 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *   _v/00000001 00000002 …      # empty marker files; commit points
   *   _data/charges-00000001/     # immutable parquet dirs, named by the
   *   _data/companies-00000002/   #   version whose publish WROTE them
-  *   v1/charges.ref v1/companies.ref   # manifest: table → data dir
+  *   v1/charges.ref v1/companies.ref   # manifest: table → data dirs
   *   v2/charges.ref v2/companies.ref
   * }}}
   *
   * A version is a MANIFEST — one tiny `.ref` file per table naming the
-  * base-relative data dir that holds its rows (the Delta/Iceberg
+  * base-relative data dir(s) that hold its rows (the Delta/Iceberg
   * indirection, reduced to its essence). A publish writes data dirs
   * only for tables that actually changed; carried-forward tables get a
-  * ref pointing at the SAME immutable data dir the previous version
-  * used. That is what makes [[mergePublish]] affordable at 100 TB: a
-  * daily merge into one table writes that table's bytes, never the
-  * lake's — unchanged tables are shared by pointer, not rewritten.
+  * ref repeating the previous version's entries. That is what makes
+  * [[mergePublish]] affordable at 100 TB: a daily merge into one table
+  * writes that table's bytes, never the lake's — unchanged tables are
+  * shared by pointer, not rewritten.
+  *
+  * MERGE-ON-READ (r15): a ref is an ORDERED list of entries — data
+  * dirs (`d:`) and key-tombstone dirs (`t:`). Readers fold the list in
+  * order: a data entry unions its rows in, a tombstone entry anti-joins
+  * the rows accumulated SO FAR on the tombstone's key columns. That
+  * ordering is the whole semantics: an upsert = tombstone(delta keys)
+  * then append(delta dir), so a key re-added after a removal is never
+  * masked by the earlier tombstone. Consequences:
+  *   - [[appendPublish]] writes ONLY the delta's bytes (one new dir,
+  *     one new ref line) — the daily-ingest path at 100 TB.
+  *   - [[removePublish]] writes ONLY the tombstone keys — a takedown
+  *     never rewrites the table it touches.
+  *   - [[mergePublish]] with `rewrite = false` is a merge-on-read
+  *     upsert: bytes ∝ delta. The default `rewrite = true` keeps the
+  *     copy-on-write merge (one clean dir, no read-path debt).
+  *   - The read-path debt is EXPLICIT: each MOR publish adds one union
+  *     (and possibly one anti-join) to the plan, until
+  *     [[compactPublish]] — which reads through the fold — materializes
+  *     tombstones and collapses the chain back to one sorted dir.
+  *     This is precisely Delta/Iceberg's COW-vs-MOR trade, reduced to
+  *     relational operators.
   *
   * The current version is the highest-numbered marker. A publish
   * writes every changed table's data dir, verifies each Spark
@@ -42,11 +63,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Readers resolve the version once per query ([[read]]), so a single
   * query is always served by one consistent version. GC keeps the
-  * current AND previous version manifests, and REFCOUNTS data dirs:
-  * a data dir is deleted only when no surviving manifest references it
-  * — versions sharing a table's files never tear each other down, and
-  * a reader that resolved just before a publish still has its files
-  * for a full publish cycle.
+  * current AND previous version manifests, and REFCOUNTS dirs (data
+  * and tombstone alike): a dir is deleted only when no surviving
+  * manifest references it — versions sharing a table's files never
+  * tear each other down, and a reader that resolved just before a
+  * publish still has its files for a full publish cycle.
   *
   * Single-writer by design (like the reference's one ETL process),
   * and ENFORCED: a publish first takes an exclusive per-version claim
@@ -77,6 +98,11 @@ object Versioned {
   final case class TableSpec(name: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil)
 
+  /** One line of a v2 ref file: `kind` is 'd' (data dir) or 't'
+    * (tombstone-key dir); `rel` is base-relative. Order is load-bearing
+    * (see object scaladoc). */
+  final case class RefEntry(kind: Char, rel: String)
+
   private def markerDir(base: Path) = new Path(base, "_v")
   private def versionDir(base: Path, v: Long) = new Path(base, s"v$v")
   private def dataRoot(base: Path) = new Path(base, "_data")
@@ -89,39 +115,67 @@ object Versioned {
   private def dataDirName(table: String, v: Long): String =
     s"_data/$table-${fmt(v)}"
 
+  /** Base-relative tombstone-dir name for `table` as written at `v`. */
+  private def tombDirName(table: String, v: Long): String =
+    s"_data/$table-${fmt(v)}.del"
+
   private def refFile(base: Path, v: Long, table: String): Path =
     new Path(versionDir(base, v), s"$table.ref")
 
-  private def writeRef(f: FileSystem, base: Path, v: Long, table: String,
-      dataDir: String): Unit = {
+  private val RefHeader = "graft-refs\tv2"
+
+  /** Write a ref. A single data entry keeps the legacy one-line format
+    * (older lakes and tooling read it as-is); anything richer gets the
+    * v2 header + ordered `d:`/`t:` lines. */
+  private def writeEntries(f: FileSystem, base: Path, v: Long,
+      table: String, entries: Seq[RefEntry]): Unit = {
+    val text = entries match {
+      case Seq(RefEntry('d', rel)) => rel
+      case es => (RefHeader +: es.map(e => s"${e.kind}:${e.rel}")).mkString("\n")
+    }
     val out = f.create(refFile(base, v, table), true)
-    try out.write(dataDir.getBytes("UTF-8")) finally out.close()
+    try out.write(text.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readRef(f: FileSystem, base: Path, v: Long, table: String)
-      : Option[String] = {
+  private def readEntries(f: FileSystem, base: Path, v: Long,
+      table: String): Option[Seq[RefEntry]] = {
     val p = refFile(base, v, table)
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      try {
+      val text = try {
         val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
         in.readFully(bytes)
-        Some(new String(bytes, "UTF-8").trim)
+        new String(bytes, "UTF-8").trim
       } finally in.close()
+      val lines = text.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+      if (lines.headOption.contains(RefHeader))
+        Some(lines.tail.map { l =>
+          require(l.length > 2 && l.charAt(1) == ':' &&
+            (l.charAt(0) == 'd' || l.charAt(0) == 't'),
+            s"corrupt ref entry '$l' in ${p}")
+          RefEntry(l.charAt(0), l.substring(2))
+        })
+      else Some(Seq(RefEntry('d', text))) // legacy single-dir ref
     }
   }
 
-  /** The base-relative data location serving `table` at `version`:
-    * the manifest ref when present, the pre-manifest in-version dir
-    * as fallback. None ⇒ the table is not part of that version. */
-  private def resolveData(f: FileSystem, base: Path, table: String,
-      version: Long): Option[String] =
-    readRef(f, base, version, table).orElse {
+  /** The ordered entry list serving `table` at `version`: the manifest
+    * ref when present, the pre-manifest in-version dir as fallback.
+    * None ⇒ the table is not part of that version. */
+  private def resolveEntries(f: FileSystem, base: Path, table: String,
+      version: Long): Option[Seq[RefEntry]] =
+    readEntries(f, base, version, table).orElse {
       val legacy = new Path(versionDir(base, version), table)
-      if (f.exists(new Path(legacy, "_SUCCESS"))) Some(s"v$version/$table")
+      if (f.exists(new Path(legacy, "_SUCCESS")))
+        Some(Seq(RefEntry('d', s"v$version/$table")))
       else None
     }
+
+  private def entriesOrFail(f: FileSystem, base: Path, table: String,
+      version: Long): Seq[RefEntry] =
+    resolveEntries(f, base, table, version).getOrElse(
+      sys.error(s"versioned lake $base version $version has no table $table"))
 
   /** Highest committed version, if any publish ever committed. */
   def currentVersion(spark: SparkSession, base: String): Option[Long] = {
@@ -143,14 +197,27 @@ object Versioned {
 
   /** Time travel: read `table` as of a specific committed `version`.
     * GC keeps the current and previous version manifests (and every
-    * data dir they reference), so the previous version is always
-    * readable (the in-flight-reader grace window doubles as one step
-    * of history); older versions fail with the GC explanation rather
-    * than a bare missing-path error. */
+    * dir they reference), so the previous version is always readable
+    * (the in-flight-reader grace window doubles as one step of
+    * history); older versions fail with the GC explanation rather
+    * than a bare missing-path error.
+    *
+    * Merge-on-read fold (see object scaladoc): data entries union in
+    * (by name, missing columns null — schema evolution across appended
+    * dirs), tombstone entries anti-join what is accumulated so far on
+    * the tombstone's own columns. A compacted table is a single data
+    * entry and the fold degenerates to one scan. */
   def readAt(spark: SparkSession, base: String, table: String,
       version: Long): DataFrame = {
     val b = new Path(base)
     val f = fs(spark, b)
+    requireVersion(spark, f, b, base, version)
+    foldEntries(spark, b, entriesOrFail(f, b, table, version),
+      dir => spark.read.parquet(dir))
+  }
+
+  private def requireVersion(spark: SparkSession, f: FileSystem, b: Path,
+      base: String, version: Long): Unit =
     if (!f.exists(new Path(markerDir(b), fmt(version)))) {
       val cur = currentVersion(spark, base)
       sys.error(s"versioned lake $base has no committed version $version" +
@@ -158,37 +225,57 @@ object Versioned {
           "are garbage-collected — raise retention by publishing less often " +
           "or snapshot externally)"))
     }
-    val rel = resolveData(f, b, table, version).getOrElse(
-      sys.error(s"versioned lake $base version $version has no table $table"))
-    spark.read.parquet(new Path(b, rel).toString)
+
+  /** The MOR fold. `scanData` maps a data dir to its (possibly pruned)
+    * frame, letting [[readPrunedAt]] share the exact fold semantics. */
+  private def foldEntries(spark: SparkSession, b: Path,
+      entries: Seq[RefEntry], scanData: String => DataFrame): DataFrame = {
+    var acc: DataFrame = null
+    entries.foreach { e =>
+      val dir = new Path(b, e.rel).toString
+      e.kind match {
+        case 'd' =>
+          val df = scanData(dir)
+          acc = if (acc == null) df
+            else acc.unionByName(df, allowMissingColumns = true)
+        case 't' =>
+          val tomb = spark.read.parquet(dir)
+          if (acc != null)
+            acc = acc.join(tomb, tomb.columns.toSeq, "left_anti")
+      }
+    }
+    if (acc == null)
+      sys.error("versioned table resolved to no data dirs — corrupt ref")
+    acc
   }
 
-  /** Data-dir path of `table` at `version` (manifest-resolved). */
-  private def dataDirAt(spark: SparkSession, base: String, table: String,
-      version: Long): String = {
+  /** Data dirs (kind 'd') of `table` at `version`, in ref order. */
+  private def dataDirsAt(spark: SparkSession, base: String, table: String,
+      version: Long): Seq[String] = {
     val b = new Path(base)
     val f = fs(spark, b)
-    val rel = resolveData(f, b, table, version).getOrElse(
-      sys.error(s"versioned lake $base version $version has no table $table"))
-    new Path(b, rel).toString
+    entriesOrFail(f, b, table, version)
+      .collect { case RefEntry('d', rel) => new Path(b, rel).toString }
   }
 
-  /** Zone-map columns tracked by `table`'s data dir at `version`
-    * (empty when the dir has no sidecar). */
+  /** Zone-map columns tracked by `table` at `version` — the union over
+    * its data dirs' sidecars (empty when none carries one). */
   def statsColsAt(spark: SparkSession, base: String, table: String,
       version: Long): Seq[String] =
-    ZoneMaps.sidecarCols(spark, dataDirAt(spark, base, table, version))
+    dataDirsAt(spark, base, table, version)
+      .flatMap(ZoneMaps.sidecarCols(spark, _)).distinct.sorted
 
   /** Range read with manifest-level file skipping: rows of `table` at
-    * the current version with `colName ∈ [lo, hi]`. When the data dir
-    * carries a [[ZoneMaps]] sidecar tracking `colName`, only files
-    * whose bounds intersect the range are handed to Spark — planning
-    * and I/O ∝ matching files — and the predicate is STILL applied to
-    * every surviving row, so the answer is exact whether or not
-    * pruning engaged (missing sidecar / untracked column / legacy
-    * layout ⇒ full scan + filter, same rows). `lo`/`hi` are Scala
-    * values matching the column type (integer kinds, floating kinds,
-    * or String). */
+    * the current version with `colName ∈ [lo, hi]`. Each data dir that
+    * carries a [[ZoneMaps]] sidecar tracking `colName` contributes only
+    * files whose bounds intersect the range — planning and I/O ∝
+    * matching files — and the predicate is STILL applied to every
+    * surviving row, so the answer is exact whether or not pruning
+    * engaged (missing sidecar / untracked column / legacy layout ⇒
+    * that dir full-scans, same rows). Tombstones are applied through
+    * the same fold as [[readAt]] — a removed row can never resurface
+    * through a pruned read. `lo`/`hi` are Scala values matching the
+    * column type (integer kinds, floating kinds, or String). */
   def readPruned(spark: SparkSession, base: String, table: String,
       colName: String, lo: Any, hi: Any): DataFrame = {
     val v = currentVersion(spark, base)
@@ -200,34 +287,55 @@ object Versioned {
   def readPrunedAt(spark: SparkSession, base: String, table: String,
       version: Long, colName: String, lo: Any, hi: Any): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    val b = new Path(base)
+    val f = fs(spark, b)
+    requireVersion(spark, f, b, base, version)
     val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
-    prunedFilesAt(spark, base, table, version, colName, lo, hi) match {
-      case None => readAt(spark, base, table, version).filter(pred)
-      case Some((dataDir, Nil, _)) =>
-        // statistics prove no file can match: empty frame, table schema
-        val schema = spark.read.parquet(dataDir).schema
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some((dataDir, files, _)) =>
-        spark.read
-          .option("basePath", dataDir) // keep partition-dir columns
-          .parquet(files.map(fl => new Path(dataDir, fl).toString): _*)
-          .filter(pred)
-    }
+    foldEntries(spark, b, entriesOrFail(f, b, table, version), dir =>
+      ZoneMaps.readSidecar(spark, dir)
+        .flatMap(ZoneMaps.selectFiles(_, colName, lo, hi)) match {
+        case None => spark.read.parquet(dir) // no sidecar / untracked
+        case Some(Nil) =>
+          // statistics prove no file in this dir can match
+          val schema = spark.read.parquet(dir).schema
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        case Some(files) =>
+          spark.read
+            .option("basePath", dir) // keep partition-dir columns
+            .parquet(files.map(fl => new Path(dir, fl).toString): _*)
+      }).filter(pred)
   }
 
-  /** Pruning decision for a range probe, exposed for specs and ops
-    * introspection: (data dir, selected file paths, total file count),
-    * or None when no sidecar tracks `colName` (full scan). */
+  /** Pruning decision for a range probe over a SINGLE-data-dir table,
+    * exposed for specs and ops introspection: (data dir, selected file
+    * paths, total file count), or None when no sidecar tracks
+    * `colName` (full scan). Multi-dir (merge-on-read) tables report
+    * per-dir through [[prunedSelectionAt]]. */
   def prunedFilesAt(spark: SparkSession, base: String, table: String,
       version: Long, colName: String, lo: Any, hi: Any)
       : Option[(String, Seq[String], Int)] = {
-    val dataDir = dataDirAt(spark, base, table, version)
+    val dirs = dataDirsAt(spark, base, table, version)
+    require(dirs.size == 1,
+      s"prunedFilesAt: $table at v$version has ${dirs.size} data dirs — " +
+        "use prunedSelectionAt for merge-on-read tables")
+    val dataDir = dirs.head
     for {
       stats <- ZoneMaps.readSidecar(spark, dataDir)
       selected <- ZoneMaps.selectFiles(stats, colName, lo, hi)
     } yield (dataDir, selected, stats.size)
   }
+
+  /** Per-data-dir pruning decisions for a range probe: (dir, None =
+    * full scan, Some((selected, total)) = sidecar-pruned). */
+  def prunedSelectionAt(spark: SparkSession, base: String, table: String,
+      version: Long, colName: String, lo: Any, hi: Any)
+      : Seq[(String, Option[(Seq[String], Int)])] =
+    dataDirsAt(spark, base, table, version).map { dir =>
+      dir -> ZoneMaps.readSidecar(spark, dir).flatMap(st =>
+        ZoneMaps.selectFiles(st, colName, lo, hi).map(_ -> st.size))
+        .map { case (sel, tot) => (sel, tot) }
+    }
 
   /** Whether `table` was published (with a completed write) at
     * `version` — publishes declare their table set, so an optional
@@ -237,8 +345,8 @@ object Versioned {
     val b = new Path(base)
     val f = fs(spark, b)
     f.exists(new Path(markerDir(b), fmt(version))) &&
-      resolveData(f, b, table, version)
-        .exists(rel => f.exists(new Path(new Path(b, rel), "_SUCCESS")))
+      resolveEntries(f, b, table, version).exists(_.forall(e =>
+        f.exists(new Path(new Path(b, e.rel), "_SUCCESS"))))
   }
 
   /** All committed versions still on disk, ascending. */
@@ -268,17 +376,15 @@ object Versioned {
     }
   }
 
-  /** The physical files currently serving `table` at `version` — the
-    * observable behind the manifest's sharing claim: two versions that
-    * carry a table forward list the IDENTICAL paths. Spec surface and
-    * operational probe (a backup tool wants exactly this list). */
+  /** The physical data files currently serving `table` at `version` —
+    * the observable behind the manifest's sharing claim: two versions
+    * that carry a table forward list the IDENTICAL paths. Spec surface
+    * and operational probe (a backup tool wants exactly this list).
+    * Tombstone-key files are not data and are excluded. */
   def tableFiles(spark: SparkSession, base: String, table: String,
       version: Long): Seq[String] = {
     val b = new Path(base)
     val f = fs(spark, b)
-    val rel = resolveData(f, b, table, version).getOrElse(
-      sys.error(s"versioned lake $base version $version has no table $table"))
-    val dir = new Path(b, rel)
     def walk(p: Path): Seq[String] =
       f.listStatus(p).toSeq.flatMap { s =>
         if (s.isDirectory) walk(s.getPath)
@@ -286,31 +392,35 @@ object Versioned {
           Seq(s.getPath.toString)
         else Seq.empty
       }
-    walk(dir).sorted
+    dataDirsAt(spark, base, table, version)
+      .flatMap(d => walk(new Path(d))).sorted
   }
 
   /** MERGE-style publish: the next version is the current one with
     * `delta` UPSERTED into `table` — rows matching on `keys` replaced,
     * unmatched rows appended — and every other table carried forward
-    * unchanged BY REFERENCE (its manifest ref repeats the previous
-    * version's data dir; zero bytes rewritten). Runs through
-    * [[publish]], so it inherits the claim protocol (two racing
-    * mergers: exactly one wins) and the all-or-nothing marker commit:
-    * a reader never sees half a merge.
+    * unchanged BY REFERENCE (zero bytes rewritten). Runs through the
+    * claim protocol (two racing mergers: exactly one wins) and the
+    * all-or-nothing marker commit: a reader never sees half a merge.
     *
-    * Schema EVOLUTION rides the union: a delta with new columns
-    * widens the table (old rows read null in the new columns —
-    * `unionByName(allowMissingColumns)`), while time travel keeps
-    * each version's own schema: `readAt(v−1)` still serves the
-    * pre-evolution shape from its immutable dir.
+    * Two physical strategies, same logical result:
+    *   - `rewrite = true` (default, copy-on-write): one anti-join +
+    *     union materialized as one clean data dir. Bytes written ∝ the
+    *     MERGED table; the read path stays a single scan. Zone-map
+    *     columns are re-collected on the rewrite.
+    *   - `rewrite = false` (merge-on-read): the delta's keys become a
+    *     tombstone entry and the delta itself an appended data dir —
+    *     bytes written ∝ the DELTA. The read path pays one union + one
+    *     anti-join per MOR merge until [[compactPublish]] collapses the
+    *     chain. The daily-merge path at 100 TB: a 1 GB delta into a
+    *     10 TB table writes 1 GB, not 10 TB. The appended dir gets a
+    *     sidecar for whichever tracked stats columns it carries.
     *
-    * Cost model: bytes written ∝ the MERGED table (current rows minus
-    * replaced, plus the delta) — the reference's upsert economics
-    * (03_transform_and_load.py:134-156) relationally, now with the
-    * manifest making every untouched table a metadata-only carry. The
-    * merge itself is one anti-join (key-hashed shuffle) + union. */
+    * Schema EVOLUTION rides both: a delta with new columns widens the
+    * table (old rows read null in the new columns), while time travel
+    * keeps each version's own schema from its immutable dirs. */
   def mergePublish(spark: SparkSession, base: String, table: String,
-      delta: DataFrame, keys: Seq[String]): Long = {
+      delta: DataFrame, keys: Seq[String], rewrite: Boolean = true): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     // MERGE semantics require unique source keys: a duplicate-keyed
     // delta (a retried extractor emitting the same row twice) would
@@ -335,30 +445,144 @@ object Versioned {
     val existing = listTables(spark, base, cur)
     require(existing.contains(table),
       s"mergePublish: table $table not in version $cur (has: $existing)")
-    val current = readAt(spark, base, table, cur)
-    val merged = current
-      .join(delta.select(keys.map(org.apache.spark.sql.functions.col): _*),
-        keys, "left_anti")
-      .unionByName(delta, allowMissingColumns = true)
-    // zone maps survive maintenance: if the current data dir declared
-    // stats columns, the merged rewrite re-collects the same ones
-    publish(spark, base, Seq(TableSpec(table, merged,
-        statsCols = statsColsAt(spark, base, table, cur))),
-      carry = existing.filterNot(_ == table))
+    if (rewrite) {
+      val current = readAt(spark, base, table, cur)
+      val merged = current
+        .join(delta.select(keys.map(org.apache.spark.sql.functions.col): _*),
+          keys, "left_anti")
+        .unionByName(delta, allowMissingColumns = true)
+      // zone maps survive maintenance: if the current data dirs declared
+      // stats columns, the merged rewrite re-collects the same ones
+      publish(spark, base, Seq(TableSpec(table, merged,
+          statsCols = statsColsAt(spark, base, table, cur))),
+        carry = existing.filterNot(_ == table))
+    } else {
+      // MOR: tombstone ALL delta keys (tombstoning an absent key is a
+      // no-op in the anti-join — no existence probe needed), then
+      // append the delta AFTER the tombstone so its own rows survive.
+      val tombKeys = delta
+        .select(keys.map(org.apache.spark.sql.functions.col): _*)
+      morPublish(spark, base, table, cur, existing,
+        tomb = Some(tombKeys), append = Some(delta))
+    }
+  }
+
+  /** Append-only publish: the next version is the current one with
+    * `delta`'s rows ADDED to `table` — one new data dir, one ref line;
+    * bytes written ∝ the delta, every standing byte untouched. The
+    * ingest path of an accreting fact table at 100 TB.
+    *
+    * When `keys` is given, the publish REFUSES a delta whose keys
+    * collide with standing rows (that is an upsert — use
+    * [[mergePublish]]): silent duplicate primary keys are the append
+    * trap, and the check is one semi-join against the standing table
+    * (key-pruned, not a rewrite). `keys = Nil` skips the check for
+    * keyless event streams. */
+  def appendPublish(spark: SparkSession, base: String, table: String,
+      delta: DataFrame, keys: Seq[String] = Nil): Long = {
+    val cur = currentVersion(spark, base).getOrElse(
+      sys.error(s"appendPublish: $base has no committed version to append to"))
+    val existing = listTables(spark, base, cur)
+    require(existing.contains(table),
+      s"appendPublish: table $table not in version $cur (has: $existing)")
+    if (keys.nonEmpty) {
+      val clash = readAt(spark, base, table, cur)
+        .select(keys.map(org.apache.spark.sql.functions.col): _*)
+        .join(delta.select(keys.map(org.apache.spark.sql.functions.col): _*),
+          keys, "left_semi")
+        .count()
+      require(clash == 0,
+        s"appendPublish: $clash standing row(s) share keys " +
+          s"(${keys.mkString(", ")}) with the delta — appends must be " +
+          "disjoint; use mergePublish to upsert")
+    }
+    morPublish(spark, base, table, cur, existing,
+      tomb = None, append = Some(delta))
+  }
+
+  /** Tombstone publish: the next version is the current one with every
+    * `table` row matching `tombstones` (on the tombstone frame's own
+    * columns) REMOVED — merge-on-read, so the removal writes only the
+    * key list; no data file is touched, and time travel to the prior
+    * version still serves the removed rows. The takedown path: a
+    * removal request is a key set by definition, and it must not cost
+    * a table rewrite. [[compactPublish]] later materializes the
+    * removal and drops the tombstone from the ref chain. */
+  def removePublish(spark: SparkSession, base: String, table: String,
+      tombstones: DataFrame): Long = {
+    require(tombstones.columns.nonEmpty, "tombstone frame needs key columns")
+    val cur = currentVersion(spark, base).getOrElse(
+      sys.error(s"removePublish: $base has no committed version"))
+    val existing = listTables(spark, base, cur)
+    require(existing.contains(table),
+      s"removePublish: table $table not in version $cur (has: $existing)")
+    morPublish(spark, base, table, cur, existing,
+      tomb = Some(tombstones), append = None)
+  }
+
+  /** Shared merge-on-read publish body: extend `table`'s entry chain
+    * with an optional tombstone entry then an optional appended data
+    * dir; carry every other table and the standing entries by
+    * reference. The appended dir re-collects a sidecar for whichever
+    * of the table's tracked stats columns it actually carries (an
+    * evolved delta may lack some). */
+  private def morPublish(spark: SparkSession, base: String, table: String,
+      cur: Long, existing: Seq[String],
+      tomb: Option[DataFrame], append: Option[DataFrame]): Long = {
+    val statCols = statsColsAt(spark, base, table, cur)
+    val appendStats = append.map(df =>
+      statCols.filter(df.columns.contains(_))).getOrElse(Nil)
+    publishWith(spark, base, cur) { (f, b, next) =>
+      val prior = entriesOrFail(f, b, table, cur)
+      require(prior.forall(_.rel.startsWith("_data/")),
+        s"merge-on-read needs a manifest table — $table at v$cur is " +
+          "pre-manifest; run one rewriting publish (e.g. mergePublish) first")
+      val tombEntry = tomb.map { df =>
+        val rel = tombDirName(table, next)
+        df.distinct.write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd")
+          .parquet(new Path(b, rel).toString)
+        checkSuccess(f, b, table, rel)
+        RefEntry('t', rel)
+      }
+      val dataEntry = append.map { df =>
+        val rel = dataDirName(table, next)
+        df.write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd")
+          .parquet(new Path(b, rel).toString)
+        checkSuccess(f, b, table, rel)
+        if (appendStats.nonEmpty)
+          ZoneMaps.writeSidecar(spark, new Path(b, rel).toString, appendStats)
+        RefEntry('d', rel)
+      }
+      f.mkdirs(versionDir(b, next))
+      writeEntries(f, b, next, table, prior ++ tombEntry ++ dataEntry)
+      existing.filterNot(_ == table).foreach { t =>
+        writeEntries(f, b, next, t, entriesOrFail(f, b, t, cur))
+      }
+    }
+  }
+
+  private def checkSuccess(f: FileSystem, b: Path, table: String,
+      rel: String): Unit = {
+    val dd = new Path(b, rel)
+    if (!f.exists(new Path(dd, "_SUCCESS")))
+      sys.error(s"publish: $table has no _SUCCESS under $dd — aborting uncommitted")
   }
 
   /** OPTIMIZE-style compaction publish: the next version carries the
     * SAME logical content, with `table` physically rewritten into at
     * most `files` range-partitioned files sorted by `sortBy` within
     * each file, and every other table carried forward by reference.
-    * The small-file/layout maintenance op of an ingest lake: streaming
-    * and merge publishes accrete writer-count-sized files with no
-    * useful ordering; this rewrite (a) caps the file count — at 100 TB
-    * the scheduler and the namenode care long before the scanner does
-    * — and (b) clusters the sort keys so parquet row-group min/max
-    * statistics actually prune: a range predicate on a sort column
-    * skips whole row groups (and with range-partitioned files, whole
-    * files) instead of reading everything and filtering in memory.
+    * The small-file/layout maintenance op of an ingest lake: streaming,
+    * merge, and merge-on-read publishes accrete writer-count-sized
+    * files and ref-chain debt with no useful ordering; this rewrite
+    * (a) caps the file count — at 100 TB the scheduler and the
+    * namenode care long before the scanner does — (b) clusters the
+    * sort keys so parquet row-group min/max statistics actually prune,
+    * and (c) MATERIALIZES the merge-on-read chain: it reads through
+    * the tombstone fold, so the compacted version is one clean data
+    * entry with every removal applied and the read-path debt gone.
     * Runs through [[publish]] ⇒ claim protocol + atomic marker + time
     * travel to the pre-compaction layout all apply; value-identity is
     * the caller's oracle to check (and [[VersionedLakeSpec]] does).
@@ -378,7 +602,7 @@ object Versioned {
       s"compactPublish: table $table not in version $cur (has: $existing)")
     // the compacted layout is exactly what zone maps want (disjoint
     // sort-key ranges per file) — collect bounds for the sort columns
-    // plus whatever the prior sidecar tracked
+    // plus whatever the prior sidecars tracked
     publish(spark, base, Seq(TableSpec(table,
       readAt(spark, base, table, cur)
         .repartitionByRange(files, sortBy.map(col): _*)
@@ -391,7 +615,7 @@ object Versioned {
   /** Atomically publish a new version: every table in `tables` is
     * written as a fresh immutable data dir; every table named in
     * `carry` is carried forward from the current version BY REFERENCE
-    * — its manifest ref repeats the current version's data dir, so
+    * — its manifest ref repeats the current version's entries, so
     * carry-forward costs one tiny file, not a table rewrite. (A
     * carried table whose current version predates the manifest layout
     * is rewritten once — old self-contained version dirs are not
@@ -404,9 +628,63 @@ object Versioned {
     require(tables.nonEmpty, "publish needs at least one table")
     require(tables.map(_.name).intersect(carry).isEmpty,
       "a table cannot be both written and carried")
+    val cur = currentVersion(spark, base).getOrElse(0L)
+    publishWith(spark, base, cur) { (f, b, next) =>
+      // carried tables resolve against the CURRENT manifest. A carry
+      // from a pre-manifest version (self-contained v$cur/<table>/ dir)
+      // is rewritten once instead of referenced: old version dirs are
+      // deleted wholesale by GC, so a ref into one would dangle.
+      val (carried, migrate) = carry.map { t =>
+        require(cur > 0, s"publish: cannot carry $t — no current version")
+        val entries = resolveEntries(f, b, t, cur).getOrElse(
+          sys.error(s"publish: cannot carry $t — not in version $cur"))
+        (t, entries)
+      }.partition(_._2.forall(_.rel.startsWith("_data/")))
+      val writes = tables ++ migrate.map { case (t, _) =>
+        TableSpec(t, readAt(spark, b.toString, t, cur))
+      }
+      writes.foreach { t =>
+        val dst = new Path(b, dataDirName(t.name, next)).toString
+        if (t.partitionBy.isEmpty)
+          t.df.write.mode(SaveMode.Overwrite)
+            .option("compression", "zstd").parquet(dst)
+        else t.df // one writer set per partition dir (no small files)
+          .repartition(t.partitionBy.map(org.apache.spark.sql.functions.col): _*)
+          .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+          .partitionBy(t.partitionBy: _*).parquet(dst)
+      }
+      writes.foreach(t => checkSuccess(f, b, t.name, dataDirName(t.name, next)))
+      // zone-map sidecars: written into the (still-uncommitted) data
+      // dirs after the parquet _SUCCESS check and before the manifest,
+      // so stats and data commit together or not at all
+      writes.foreach { t =>
+        if (t.statsCols.nonEmpty)
+          ZoneMaps.writeSidecar(spark,
+            new Path(b, dataDirName(t.name, next)).toString, t.statsCols)
+      }
+      // MANIFEST: refs for fresh writes point at this version's data
+      // dirs; refs for carried tables repeat the current version's
+      // entries. All written before the marker — a crash mid-manifest
+      // leaves an uncommitted (invisible) version dir.
+      f.mkdirs(versionDir(b, next))
+      writes.foreach(t => writeEntries(f, b, next, t.name,
+        Seq(RefEntry('d', dataDirName(t.name, next)))))
+      carried.foreach { case (t, entries) => writeEntries(f, b, next, t, entries) }
+    }
+  }
+
+  /** The claim-protocol wrapper every publish flavor runs through:
+    * claim `cur + 1` exclusively, fail loudly on any race or stale
+    * read, clear a crashed attempt's uncommitted leftovers, run `body`
+    * (which writes data dirs and the full manifest for `next`), then
+    * commit with the atomic marker create and GC. A `body` exception
+    * leaves the claim behind BY DESIGN — loud manual recovery (the
+    * message names the claim file) beats a timeout heuristic that
+    * could break single-writer exclusivity under a slow publisher. */
+  private def publishWith(spark: SparkSession, base: String, cur: Long)(
+      body: (FileSystem, Path, Long) => Unit): Long = {
     val b = new Path(base)
     val f = fs(spark, b)
-    val cur = currentVersion(spark, base).getOrElse(0L)
     val next = cur + 1
     val vdir = versionDir(b, next)
     val marker = new Path(markerDir(b), fmt(next))
@@ -434,53 +712,11 @@ object Versioned {
       f.delete(claim, false)
       sys.error(s"publish: version advanced past $cur during claim — retry")
     }
-    // carried tables resolve against the CURRENT manifest. A carry
-    // from a pre-manifest version (self-contained v$cur/<table>/ dir)
-    // is rewritten once instead of referenced: old version dirs are
-    // deleted wholesale by GC, so a ref into one would dangle.
-    val (carried, migrate) = carry.map { t =>
-      require(cur > 0, s"publish: cannot carry $t — no current version")
-      val rel = resolveData(f, b, t, cur).getOrElse(
-        sys.error(s"publish: cannot carry $t — not in version $cur"))
-      (t, rel)
-    }.partition(_._2.startsWith("_data/"))
-    val writes = tables ++ migrate.map { case (t, _) =>
-      TableSpec(t, readAt(spark, b.toString, t, cur))
-    }
     // leftover from a crashed earlier attempt at this same version —
     // uncommitted (no marker), so deleting it is invisible to readers
     f.delete(vdir, true)
 
-    writes.foreach { t =>
-      val dst = new Path(b, dataDirName(t.name, next)).toString
-      if (t.partitionBy.isEmpty)
-        t.df.write.mode(SaveMode.Overwrite)
-          .option("compression", "zstd").parquet(dst)
-      else t.df // one writer set per partition dir (no small files)
-        .repartition(t.partitionBy.map(org.apache.spark.sql.functions.col): _*)
-        .write.mode(SaveMode.Overwrite).option("compression", "zstd")
-        .partitionBy(t.partitionBy: _*).parquet(dst)
-    }
-    writes.foreach { t =>
-      val dd = new Path(b, dataDirName(t.name, next))
-      if (!f.exists(new Path(dd, "_SUCCESS")))
-        sys.error(s"publish: ${t.name} has no _SUCCESS under $dd — aborting uncommitted")
-    }
-    // zone-map sidecars: written into the (still-uncommitted) data
-    // dirs after the parquet _SUCCESS check and before the manifest,
-    // so stats and data commit together or not at all
-    writes.foreach { t =>
-      if (t.statsCols.nonEmpty)
-        ZoneMaps.writeSidecar(spark,
-          new Path(b, dataDirName(t.name, next)).toString, t.statsCols)
-    }
-    // MANIFEST: refs for fresh writes point at this version's data
-    // dirs; refs for carried tables repeat the current version's. All
-    // written before the marker — a crash mid-manifest leaves an
-    // uncommitted (invisible) version dir.
-    f.mkdirs(vdir)
-    writes.foreach(t => writeRef(f, b, next, t.name, dataDirName(t.name, next)))
-    carried.foreach { case (t, rel) => writeRef(f, b, next, t, rel) }
+    body(f, b, next)
 
     // COMMIT: one atomic create. With the claim held this cannot lose
     // a race; a false here means external interference — fail loudly.
@@ -492,17 +728,18 @@ object Versioned {
   }
 
   /** GC after a commit of `next`: keep the current and previous
-    * version MANIFESTS, and refcount data dirs — a `_data` dir
-    * survives iff some surviving manifest references it, so versions
-    * that share a carried table's files never invalidate each other,
-    * and a crashed publisher's orphaned data dirs get collected here.
-    * Marker first: once a version's marker is gone it can no longer
-    * be resolved, so deleting its manifest (and any data dir ONLY it
-    * referenced) is safe. Claims of GC'd versions go with them;
-    * recent claims stay, so a publisher holding a stale `cur` fails
-    * its claim instead of deleting committed data. Readers hold no
-    * locks: one version of grace (the kept previous manifest + its
-    * files) is the contract, exactly as before the manifest layer. */
+    * version MANIFESTS, and refcount `_data` dirs (data AND tombstone
+    * entries alike) — a dir survives iff some surviving manifest
+    * references it, so versions that share a carried table's files
+    * never invalidate each other, and a crashed publisher's orphaned
+    * dirs get collected here. Marker first: once a version's marker is
+    * gone it can no longer be resolved, so deleting its manifest (and
+    * any dir ONLY it referenced) is safe. Claims of GC'd versions go
+    * with them; recent claims stay, so a publisher holding a stale
+    * `cur` fails its claim instead of deleting committed data. Readers
+    * hold no locks: one version of grace (the kept previous manifest +
+    * its files) is the contract, exactly as before the manifest
+    * layer. */
   private def gc(f: FileSystem, b: Path, next: Long): Unit = {
     if (!f.exists(markerDir(b))) return
     f.listStatus(markerDir(b)).toSeq
@@ -513,7 +750,7 @@ object Versioned {
         f.delete(new Path(markerDir(b), s"claim-${fmt(v)}"), false)
         f.delete(versionDir(b, v), true)
       }
-    // refcount pass: data dirs referenced by any surviving manifest
+    // refcount pass: dirs referenced by any surviving manifest
     if (f.exists(dataRoot(b))) {
       val survivors = f.listStatus(markerDir(b)).toSeq
         .flatMap(s => s.getPath.getName.toLongOption)
@@ -522,7 +759,8 @@ object Versioned {
         if (!f.exists(vdir)) Seq.empty
         else f.listStatus(vdir).toSeq.filter(_.isFile)
           .map(_.getPath.getName).filter(_.endsWith(".ref"))
-          .flatMap(r => readRef(f, b, v, r.stripSuffix(".ref")))
+          .flatMap(r => readEntries(f, b, v, r.stripSuffix(".ref"))
+            .getOrElse(Nil).map(_.rel))
       }.toSet
       f.listStatus(dataRoot(b)).toSeq.foreach { s =>
         if (!referenced.contains(s"_data/${s.getPath.getName}"))
