@@ -15,8 +15,10 @@ object ScaleMeasure {
     val shuffleWrite = new java.util.concurrent.atomic.LongAdder
     val input = new java.util.concurrent.atomic.LongAdder
     val stages = new java.util.concurrent.atomic.LongAdder
+    val tasks = new java.util.concurrent.atomic.LongAdder
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       stages.increment()
+      tasks.add(s.stageInfo.numTasks)
       val m = s.stageInfo.taskMetrics
       if (m != null) {
         shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
@@ -27,7 +29,11 @@ object ScaleMeasure {
 
   /** Run `work`, wait for the listener bus to drain (stage count
     * stable across two 100 ms polls, bounded at 5 s), and return one
-    * `"label":{secs, input_mb, shuffle_write_mb}` JSON fragment. */
+    * `"label":{secs, input_mb, shuffle_write_mb, tasks}` JSON
+    * fragment. `tasks` is the scheduling-cost axis: for a scan it is
+    * ∝ the files the planner actually handed out — the number zone-map
+    * pruning cuts even when parquet's own row-group pushdown already
+    * bounds the bytes. */
   def measure(spark: SparkSession, label: String)(work: => Unit): String = {
     val c = new Collector
     spark.sparkContext.addSparkListener(c)
@@ -45,6 +51,7 @@ object ScaleMeasure {
     def mb(b: Long) = math.round(b / 1048.576) / 1000.0
     s""""$label":{"secs":${math.round(secs * 1000) / 1000.0},""" +
       s""""input_mb":${mb(c.input.sum)},""" +
-      s""""shuffle_write_mb":${mb(c.shuffleWrite.sum)}}"""
+      s""""shuffle_write_mb":${mb(c.shuffleWrite.sum)},""" +
+      s""""tasks":${c.tasks.sum}}"""
   }
 }

@@ -48,12 +48,16 @@ object ScaleZone {
     val Some((_, selV2, totV2)) =
       Versioned.prunedFilesAt(spark, base, "lineitem", 2L, "l_orderkey", lo, hi)
 
-    var full: (Long, Long) = null
+    var fullV1: (Long, Long) = null
+    var fullV2: (Long, Long) = null
     var prunedV1: (Long, Long) = null
     var prunedV2: (Long, Long) = null
     val frags = Seq(
+      ScaleMeasure.measure(spark, "full_scan_filter_v1") {
+        fullV1 = digest(Versioned.readAt(spark, base, "lineitem", 1L).filter(pred))
+      },
       ScaleMeasure.measure(spark, "full_scan_filter_v2") {
-        full = digest(Versioned.readAt(spark, base, "lineitem", 2L).filter(pred))
+        fullV2 = digest(Versioned.readAt(spark, base, "lineitem", 2L).filter(pred))
       },
       ScaleMeasure.measure(spark, "pruned_v1_writer_layout") {
         prunedV1 = digest(Versioned.readPrunedAt(
@@ -64,8 +68,9 @@ object ScaleZone {
           spark, base, "lineitem", 2L, "l_orderkey", lo, hi))
       })
 
-    require(full == prunedV1 && full == prunedV2,
-      s"value identity broken: full=$full v1=$prunedV1 v2=$prunedV2")
+    require(fullV1 == fullV2 && fullV1 == prunedV1 && fullV1 == prunedV2,
+      s"value identity broken: fullV1=$fullV1 fullV2=$fullV2 " +
+        s"v1=$prunedV1 v2=$prunedV2")
     println(s"""{"sf":"$sfDir","range":[$lo,$hi],""" +
       s""""files_v1":[${selV1.size},$totV1],""" +
       s""""files_v2":[${selV2.size},$totV2],""" +

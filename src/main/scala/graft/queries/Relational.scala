@@ -353,19 +353,31 @@ object Relational {
     base
   }
 
-  private val ZonemapFiles = 8
+  /** File count for the zone-map lake; the `SPARK_GRAFT_ZONE_FILES`
+    * override exists for [[graft.ScaleZone]]'s file-count axis (the
+    * 100 TB question is "does scheduling stay ∝ matching files as the
+    * file count grows"), and is part of the lake's content key, so
+    * differently-sized lakes never collide. Unset ⇒ 8 (the driver's
+    * deterministic q134 posture). */
+  private val ZonemapFiles: Int = sys.env.get("SPARK_GRAFT_ZONE_FILES")
+    .flatMap(_.toIntOption).getOrElse(8)
 
   /** Scratch versioned lake holding lineitem compacted on l_orderkey
     * with zone maps — content-addressed by the source fingerprint,
     * published at most once per corpus (claim protocol makes races
-    * fail loudly, committed versions make re-runs free). */
+    * fail loudly, committed versions make re-runs free). v1 is written
+    * round-robin (writer-ARRIVAL order: every file spans the key
+    * range, the honest model of an ingest landing zone — the sf
+    * corpus happens to arrive key-sorted, which would let v1 prune by
+    * accident); v2 is the compaction that earns the pruning. */
   private[graft] def zonemapLake(spark: SparkSession, dir: String): String = {
     import graft.sources.Versioned
     val key = Tables.fileFingerprint(spark, s"$dir/lineitem.parquet")
-    val base = s"${Dedup.indexBase}/zlake-f$ZonemapFiles-$key"
+    val base = s"${Dedup.indexBase}/zlake2-f$ZonemapFiles-$key"
     if (Versioned.currentVersion(spark, base).isEmpty)
       Versioned.publish(spark, base, Seq(Versioned.TableSpec("lineitem",
-        Tables(spark, dir, "lineitem"), statsCols = Seq("l_orderkey"))))
+        Tables(spark, dir, "lineitem").repartition(ZonemapFiles),
+        statsCols = Seq("l_orderkey"))))
     if (Versioned.currentVersion(spark, base).contains(1L))
       Versioned.compactPublish(spark, base, "lineitem",
         Seq("l_orderkey"), ZonemapFiles)

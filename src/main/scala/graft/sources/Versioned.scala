@@ -292,18 +292,25 @@ object Versioned {
     requireVersion(spark, f, b, base, version)
     val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
     foldEntries(spark, b, entriesOrFail(f, b, table, version), dir =>
-      ZoneMaps.readSidecar(spark, dir)
-        .flatMap(ZoneMaps.selectFiles(_, colName, lo, hi)) match {
-        case None => spark.read.parquet(dir) // no sidecar / untracked
-        case Some(Nil) =>
-          // statistics prove no file in this dir can match
-          val schema = spark.read.parquet(dir).schema
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        case Some(files) =>
-          spark.read
-            .option("basePath", dir) // keep partition-dir columns
-            .parquet(files.map(fl => new Path(dir, fl).toString): _*)
+      ZoneMaps.readSidecar(spark, dir) match {
+        case None => spark.read.parquet(dir) // no sidecar
+        case Some(stats) =>
+          ZoneMaps.selectFiles(stats, colName, lo, hi) match {
+            case None => spark.read.parquet(dir) // untracked column
+            case Some(Nil) =>
+              // statistics prove no file in this dir can match
+              val schema = spark.read.parquet(dir).schema
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            case Some(files) if files.size == stats.size =>
+              // nothing skipped: the plain dir scan is strictly better
+              // (no explicit-path listing, splits bin-pack normally)
+              spark.read.parquet(dir)
+            case Some(files) =>
+              spark.read
+                .option("basePath", dir) // keep partition-dir columns
+                .parquet(files.map(fl => new Path(dir, fl).toString): _*)
+          }
       }).filter(pred)
   }
 
