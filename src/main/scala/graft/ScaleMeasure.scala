@@ -14,6 +14,7 @@ object ScaleMeasure {
   final class Collector extends SparkListener {
     val shuffleWrite = new java.util.concurrent.atomic.LongAdder
     val input = new java.util.concurrent.atomic.LongAdder
+    val output = new java.util.concurrent.atomic.LongAdder
     val stages = new java.util.concurrent.atomic.LongAdder
     val tasks = new java.util.concurrent.atomic.LongAdder
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
@@ -23,6 +24,7 @@ object ScaleMeasure {
       if (m != null) {
         shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
         input.add(m.inputMetrics.bytesRead)
+        output.add(m.outputMetrics.bytesWritten)
       }
     }
   }
@@ -52,6 +54,7 @@ object ScaleMeasure {
     s""""$label":{"secs":${math.round(secs * 1000) / 1000.0},""" +
       s""""input_mb":${mb(c.input.sum)},""" +
       s""""shuffle_write_mb":${mb(c.shuffleWrite.sum)},""" +
+      s""""output_mb":${mb(c.output.sum)},""" +
       s""""tasks":${c.tasks.sum}}"""
   }
 }
