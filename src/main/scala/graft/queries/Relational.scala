@@ -327,6 +327,56 @@ object Relational {
       .orderBy($"o_orderstatus")
   }
 
+  // -------------------------------------------------------------- q136
+  /** Z-order rectangle scan (S5 extension, r15): lineitem lives in a
+    * lake whose current version is clustered along the Morton curve of
+    * (l_orderkey, l_partkey) ([[graft.sources.Versioned.zorderPublish]]
+    * — Delta's OPTIMIZE ZORDER BY as plain Spark columns), and a 2-D
+    * rectangle probe reads through
+    * [[graft.sources.Versioned.readPrunedMulti]]: every file carries a
+    * tight bounding rectangle over BOTH columns, so the probe skips
+    * files multiplicatively where a lexicographic sort would prune on
+    * the leading column only. The answer is layout-independent (both
+    * ranges still filter every surviving row — ZOrderSpec pins value
+    * identity across layouts), which is what lets DuckDB check it with
+    * a plain two-predicate range query. Bounds derive from the table's
+    * maxima so the probe stays a fixed fraction at every scale factor;
+    * the 1-row max lookup is a bounded collect. */
+  def q136ZorderRect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val base = zorderLake(spark, dir)
+    val m = Versioned.read(spark, base, "lineitem")
+      .agg(max($"l_orderkey"), max($"l_partkey")).head
+    val (maxK, maxP) = (m.getLong(0), m.getLong(1))
+    Versioned.readPrunedMulti(spark, base, "lineitem", Seq(
+        ("l_orderkey", maxK * 2 / 10, maxK * 5 / 10),
+        ("l_partkey",  maxP * 3 / 10, maxP * 6 / 10)))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sumd($"l_extendedprice").as("sum_price"),
+        min($"l_partkey").as("min_p"),
+        max($"l_orderkey").as("max_k"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Scratch z-ordered lake over lineitem — same fingerprint-keyed
+    * idempotent bootstrap as [[zonemapLake]]: v1 writer-arrival
+    * layout, v2 the Morton-curve compaction that earns 2-D pruning. */
+  private[graft] def zorderLake(spark: SparkSession, dir: String): String = {
+    import graft.sources.Versioned
+    val key = Tables.fileFingerprint(spark, s"$dir/lineitem.parquet")
+    val base = s"${Dedup.indexBase}/zolake-f$ZonemapFiles-$key"
+    if (Versioned.currentVersion(spark, base).isEmpty)
+      Versioned.publish(spark, base, Seq(Versioned.TableSpec("lineitem",
+        Tables(spark, dir, "lineitem").repartition(ZonemapFiles))))
+    if (Versioned.currentVersion(spark, base).contains(1L))
+      Versioned.zorderPublish(spark, base, "lineitem",
+        Seq("l_orderkey", "l_partkey"), ZonemapFiles)
+    base
+  }
+
   /** Scratch MOR lake over orders — content-addressed by the source
     * fingerprint; each step publishes at most once per corpus (claim
     * protocol makes races fail loudly, committed versions make re-runs
@@ -387,6 +437,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_zonemap_scan"  -> (q134ZonemapScan _),
     "q135_mor_scan"      -> (q135MorScan _),
+    "q136_zorder_rect"   -> (q136ZorderRect _),
     "q1_agg"             -> (q1Agg _),
     "q2_join_agg"        -> (q2JoinAgg _),
     "q3_filter_pushdown" -> (q3FilterPushdown _),
@@ -427,6 +478,21 @@ object Relational {
         |       ELSE o_totalprice END AS price
         | FROM orders WHERE o_orderkey % 10 <> 7)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q136_zorder_rect" ->
+      """WITH m AS (
+        | SELECT (max(l_orderkey) * 2) // 10 AS klo,
+        |        (max(l_orderkey) * 5) // 10 AS khi,
+        |        (max(l_partkey) * 3) // 10 AS plo,
+        |        (max(l_partkey) * 6) // 10 AS phi
+        | FROM lineitem)
+        |SELECT l_returnflag,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+        | min(l_partkey) AS min_p, max(l_orderkey) AS max_k
+        |FROM lineitem, m
+        |WHERE l_orderkey BETWEEN m.klo AND m.khi
+        |  AND l_partkey BETWEEN m.plo AND m.phi
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,

@@ -285,18 +285,41 @@ object Versioned {
 
   /** [[readPruned]] with time travel. */
   def readPrunedAt(spark: SparkSession, base: String, table: String,
-      version: Long, colName: String, lo: Any, hi: Any): DataFrame = {
+      version: Long, colName: String, lo: Any, hi: Any): DataFrame =
+    readPrunedMultiAt(spark, base, table, version, Seq((colName, lo, hi)))
+
+  /** Conjunctive (rectangle) pruned read: rows of `table` at the
+    * current version satisfying EVERY `col ∈ [lo, hi]` in `ranges`.
+    * A file is scanned only if its bounds intersect every tracked
+    * range — over a [[ZOrder]]-clustered layout each file's bounding
+    * rectangle is tight in all z-ordered dimensions, so a 2-D probe
+    * prunes multiplicatively where a lexicographic sort prunes only on
+    * its leading column. Same exactness posture as [[readPruned]]:
+    * every range is still applied to every surviving row. */
+  def readPrunedMulti(spark: SparkSession, base: String, table: String,
+      ranges: Seq[(String, Any, Any)]): DataFrame = {
+    val v = currentVersion(spark, base)
+      .getOrElse(sys.error(s"versioned lake $base has no committed version"))
+    readPrunedMultiAt(spark, base, table, v, ranges)
+  }
+
+  /** [[readPrunedMulti]] with time travel. */
+  def readPrunedMultiAt(spark: SparkSession, base: String, table: String,
+      version: Long, ranges: Seq[(String, Any, Any)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    require(ranges.nonEmpty, "pruned read needs at least one range")
     val b = new Path(base)
     val f = fs(spark, b)
     requireVersion(spark, f, b, base, version)
-    val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
     foldEntries(spark, b, entriesOrFail(f, b, table, version), dir =>
       ZoneMaps.readSidecar(spark, dir) match {
         case None => spark.read.parquet(dir) // no sidecar
         case Some(stats) =>
-          ZoneMaps.selectFiles(stats, colName, lo, hi) match {
-            case None => spark.read.parquet(dir) // untracked column
+          ZoneMaps.selectFilesMulti(stats, ranges) match {
+            case None => spark.read.parquet(dir) // no tracked column
             case Some(Nil) =>
               // statistics prove no file in this dir can match
               val schema = spark.read.parquet(dir).schema
@@ -616,6 +639,41 @@ object Versioned {
         .sortWithinPartitions(sortBy.map(col): _*),
       statsCols =
         (sortBy ++ statsColsAt(spark, base, table, cur)).distinct)),
+      carry = existing.filterNot(_ == table))
+  }
+
+  /** Z-ORDER compaction publish: [[compactPublish]]'s multi-dimension
+    * sibling — the next version carries the same logical content with
+    * `table` rewritten clustered along the Morton curve of `cols`
+    * ([[ZOrder]]): range-partitioned and sorted by the interleaved
+    * quantile-rank code, then the helper column dropped. Every file
+    * ends up with a tight bounding RECTANGLE over all of `cols`, so
+    * zone maps prune probes on ANY of them (and rectangles
+    * multiplicatively) where a lexicographic sort serves only its
+    * leading column. Costs one `approxQuantile` pass (driver-bounded
+    * boundary collect) plus the rewrite every compaction pays; the
+    * per-dimension pruning is ~2^bits coarser than a dedicated sort —
+    * the Morton locality trade, stated in [[ZOrder]]'s scaladoc. */
+  def zorderPublish(spark: SparkSession, base: String, table: String,
+      cols: Seq[String], files: Int, bits: Int = 8): Long = {
+    import org.apache.spark.sql.functions.col
+    require(cols.size >= 2,
+      "zorder needs >= 2 columns (use compactPublish for one)")
+    require(files >= 1, "zorder needs files >= 1")
+    val cur = currentVersion(spark, base).getOrElse(
+      sys.error(s"zorderPublish: $base has no committed version"))
+    val existing = listTables(spark, base, cur)
+    require(existing.contains(table),
+      s"zorderPublish: table $table not in version $cur (has: $existing)")
+    val current = readAt(spark, base, table, cur)
+    val bnds = ZOrder.boundaries(current, cols, bits)
+    val z = "__graft_z"
+    publish(spark, base, Seq(TableSpec(table,
+      current.withColumn(z, ZOrder.zcol(cols, bnds, bits))
+        .repartitionByRange(files, col(z))
+        .sortWithinPartitions(col(z))
+        .drop(z),
+      statsCols = (cols ++ statsColsAt(spark, base, table, cur)).distinct)),
       carry = existing.filterNot(_ == table))
   }
 

@@ -248,6 +248,25 @@ object ZoneMaps {
     case other => sys.error(s"zone map: expected a numeric bound, got $other")
   }
 
+  /** Files that may hold rows satisfying EVERY range in `ranges`
+    * (conjunction): a file survives only if, for each range on a
+    * column this sidecar tracks, its bounds intersect. Ranges on
+    * untracked columns cannot prune (the caller's filter still applies
+    * them row-wise); if NO range is tracked, returns None — caller
+    * must full-scan. The 2-D rectangle probe over a z-ordered layout
+    * ([[ZOrder]]) is the motivating case: each file carries a tight
+    * bounding rectangle, so the intersection of per-column selections
+    * is small. */
+  def selectFilesMulti(stats: Seq[FileStats],
+      ranges: Seq[(String, Any, Any)]): Option[Seq[String]] = {
+    val tracked = ranges.filter(r => stats.exists(_.cols.contains(r._1)))
+    if (tracked.isEmpty) return None
+    val perCol = tracked.map { case (c, lo, hi) =>
+      selectFiles(stats, c, lo, hi).get.toSet
+    }
+    Some(stats.map(_.relPath).filter(p => perCol.forall(_.contains(p))))
+  }
+
   /** Files that may hold rows with `col ∈ [lo, hi]`: K-files whose
     * bounds intersect the range, plus every U-file (unknown never
     * prunes). N-files (all null) match no range. Returns None when the

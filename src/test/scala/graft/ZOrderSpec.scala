@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Versioned
+import graft.sources.Versioned.TableSpec
+
+/** Z-order compaction: the multi-dimension clustering must (a) change
+  * no value, (b) let zone maps prune probes on EITHER dimension —
+  * including the one a lexicographic sort abandons — and (c) prune a
+  * 2-D rectangle multiplicatively. Every pruning claim is paired with
+  * a value-identity claim against the unpruned filter. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkBase() =
+    Files.createTempDirectory("graft-zorder").toString + "/lake"
+
+  /** A 32×32 grid in shuffled (hash) row order — no accidental
+    * clustering for either layout to inherit. */
+  private def grid = spark.range(0, 1024)
+    .select((col("id") % 32).as("x"),
+      (col("id") / 32).cast("long").as("y"),
+      col("id").as("payload"))
+    .repartition(8) // round-robin: writer-arrival order
+
+  private def collectSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("zorderPublish is value-identical and prunes BOTH dimensions") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t", grid)))
+    Versioned.zorderPublish(spark, base, "t", Seq("x", "y"),
+      files = 16, bits = 5)
+    assert(collectSet(Versioned.read(spark, base, "t"))
+      == collectSet(grid))
+
+    // probe each dimension alone: both must prune (select < half)
+    for (c <- Seq("x", "y")) {
+      val Some((_, sel, total)) =
+        Versioned.prunedFilesAt(spark, base, "t", 2L, c, 4L, 7L)
+      assert(total == 16 && sel.size <= 10, // ≤ half + boundary slack
+        s"$c-probe selected ${sel.size} of $total")
+      assert(collectSet(Versioned.readPruned(spark, base, "t", c, 4L, 7L))
+        == collectSet(Versioned.read(spark, base, "t")
+          .filter(col(c).between(4, 7))))
+    }
+  }
+
+  test("a lexicographic sort cannot prune its second column; z-order can") {
+    val lex = mkBase(); val zed = mkBase()
+    Versioned.publish(spark, lex, Seq(TableSpec("t", grid)))
+    Versioned.publish(spark, zed, Seq(TableSpec("t", grid)))
+    Versioned.compactPublish(spark, lex, "t", Seq("x", "y"), files = 16)
+    Versioned.zorderPublish(spark, zed, "t", Seq("x", "y"),
+      files = 16, bits = 5)
+
+    val Some((_, selLex, _)) =
+      Versioned.prunedFilesAt(spark, lex, "t", 2L, "y", 4L, 7L)
+    val Some((_, selZ, _)) =
+      Versioned.prunedFilesAt(spark, zed, "t", 2L, "y", 4L, 7L)
+    assert(selLex.size == 16,
+      s"every x-sorted file spans all y — expected 16, got ${selLex.size}")
+    assert(selZ.size < selLex.size,
+      s"z-order must beat lexicographic on the second column " +
+        s"(${selZ.size} vs ${selLex.size})")
+    // identical answers from both layouts
+    assert(collectSet(Versioned.readPruned(spark, lex, "t", "y", 4L, 7L))
+      == collectSet(Versioned.readPruned(spark, zed, "t", "y", 4L, 7L)))
+  }
+
+  test("a 2-D rectangle prunes multiplicatively and matches the filter") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t", grid)))
+    Versioned.zorderPublish(spark, base, "t", Seq("x", "y"),
+      files = 16, bits = 5)
+    val ranges = Seq(("x", 4L: Any, 7L: Any), ("y", 4L: Any, 7L: Any))
+    val sel = Versioned.prunedSelectionAt(spark, base, "t", 2L, "x", 4L, 7L)
+    val rect = Versioned.readPrunedMulti(spark, base, "t", ranges)
+    val expect = Versioned.read(spark, base, "t")
+      .filter(col("x").between(4, 7) && col("y").between(4, 7))
+    assert(collectSet(rect) == collectSet(expect))
+    assert(rect.count() == 16) // the 4×4 block, payload-distinct rows
+    // the rectangle's file selection is no larger than either single
+    // dimension's (conjunction can only shrink)
+    val Some((_, selX, _)) =
+      Versioned.prunedFilesAt(spark, base, "t", 2L, "x", 4L, 7L)
+    val Some((_, selY, _)) =
+      Versioned.prunedFilesAt(spark, base, "t", 2L, "y", 4L, 7L)
+    val rectSel = graft.sources.ZoneMaps.selectFilesMulti(
+      graft.sources.ZoneMaps.readSidecar(spark, sel.head._1).get, ranges).get
+    assert(rectSel.toSet.subsetOf(selX.toSet))
+    assert(rectSel.toSet.subsetOf(selY.toSet))
+    assert(rectSel.size <= math.min(selX.size, selY.size))
+  }
+
+  test("nulls cluster at the curve origin and never match a range") {
+    val base = mkBase()
+    val withNulls = spark.range(0, 300)
+      .select(when(col("id") < 50, lit(null)).otherwise(col("id") % 20)
+        .cast("long").as("x"), (col("id") / 20).cast("long").as("y"))
+    Versioned.publish(spark, base, Seq(TableSpec("t", withNulls)))
+    Versioned.zorderPublish(spark, base, "t", Seq("x", "y"),
+      files = 4, bits = 4)
+    val t = Versioned.read(spark, base, "t")
+    assert(t.filter(col("x").isNull).count() == 50)
+    assert(collectSet(Versioned.readPruned(spark, base, "t", "x", 5L, 9L))
+      == collectSet(t.filter(col("x").between(5, 9))))
+  }
+
+  test("zorder refuses one column and a missing table") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t", grid)))
+    intercept[IllegalArgumentException] {
+      Versioned.zorderPublish(spark, base, "t", Seq("x"), files = 4)
+    }
+    intercept[Exception] {
+      Versioned.zorderPublish(spark, base, "nope", Seq("x", "y"), files = 4)
+    }
+    assert(Versioned.currentVersion(spark, base).contains(1L))
+  }
+}
