@@ -1951,7 +1951,68 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------- q137
+  /** DSIR-style data selection via hashed-unigram importance — the
+    * shape of Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling" (arXiv:2302.03169): score every candidate
+    * document by how much more its hashed-token profile resembles a
+    * TARGET distribution (here the corpus's English documents — the
+    * stand-in for "looks like the eval domain") than the candidate
+    * pool itself, and keep the top-[[DsirK]]. DSIR's per-feature
+    * weight is the log-ratio `log(p_target[b] / p_raw[b])`; logs are
+    * libm-rounded and engine-divergent, so the weight here is the
+    * order-preserving integer parts-per-million rate difference
+    * `tc[b]·10⁶ div Ttot − rc[b]·10⁶ div Rtot` — the same
+    * integer-exact-factor discipline as q121's BM25, which is what
+    * lets DuckDB replay every weight and every score bit-for-bit.
+    * Buckets are the engine-neutral md5-prefix-long family
+    * (q116's r=0 slice) mod [[DsirBuckets]].
+    *
+    * Scale shape: ONE tokenize pass builds the (doc, bucket) grain
+    * (map-side explode, one grain-keyed partial agg); bucket weights
+    * are a [[DsirBuckets]]-row aggregate OF THE GRAIN (never a second
+    * corpus pass) broadcast back to it; doc scores are one
+    * doc_id-keyed partial agg; the cut is TakeOrderedAndProject — no
+    * corpus-sized join side, no global sort, and weight magnitudes
+    * are corpus-size-free (≤ 10⁶), so scores stay in BIGINT at any
+    * scale factor. */
+  val DsirBuckets = 1024
+  val DsirK = 25
+  def q137DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("token")), 1, 8), 16, 10)
+      .cast("long") % DsirBuckets
+    val grain = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(wordsCol).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds weights AND scoring: tokenize runs once
+    val byBucket = grain.groupBy(col("bucket"))
+      .agg(
+        sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("tc"),
+        sum(when(col("lang") =!= "en", col("n")).otherwise(0L)).as("rc"))
+    // totals: a 1-row aggregate of the B-row frame (bounded crossJoin)
+    val tot = byBucket.agg(sum(col("tc")).as("ttot"), sum(col("rc")).as("rtot"))
+    val weights = byBucket.crossJoin(tot)
+      .select(col("bucket"),
+        (expr("tc * 1000000 div ttot") - expr("rc * 1000000 div rtot"))
+          .as("w"))
+    grain.filter(col("lang") =!= "en")
+      .join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(
+        sum(col("n") * col("w")).as("score"),
+        sum(col("n")).as("n_tokens"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(DsirK)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_dsir_select"    -> (q137DsirSelect _),
     "q95_subword_count"   -> (q95SubwordCount _),
     "q96_subword_budget"  -> (q96SubwordBudget _),
     "q93_distinct_ngrams" -> (q93DistinctNgrams _),
@@ -2172,6 +2233,42 @@ object TextOps {
   private val bm25OracleSql: String = bm25OracleSqlOver("documents")
 
   val oracle: Map[String, String] = Map(
+    // q137: full replay — md5-prefix buckets (q116's r=0 slice),
+    // parts-per-million integer weights (both engines truncate
+    // non-negative integer division identically), BIGINT scores
+    "q137_dsir_select" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, source,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(token), i, 1)) - 1)
+        |         * (1::BIGINT << (4 * (8 - i))))) AS BIGINT) % 1024 AS bucket
+        | FROM (SELECT doc_id, lang, source,
+        |        unnest(string_split_regex(text, '\s+')) AS token
+        |       FROM documents)
+        | WHERE token <> ''),
+        |g AS (
+        | SELECT doc_id, lang, source, bucket, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM t GROUP BY doc_id, lang, source, bucket),
+        |bb AS (
+        | SELECT bucket,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS tc,
+        |  CAST(SUM(CASE WHEN lang <> 'en' THEN n ELSE 0 END) AS BIGINT) AS rc
+        | FROM g GROUP BY bucket),
+        |tot AS (
+        | SELECT CAST(SUM(tc) AS BIGINT) AS ttot,
+        |        CAST(SUM(rc) AS BIGINT) AS rtot FROM bb),
+        |w AS (
+        | SELECT bucket,
+        |  (tc * 1000000) // ttot - (rc * 1000000) // rtot AS w
+        | FROM bb, tot)
+        |SELECT g.doc_id, g.lang, g.source,
+        | CAST(SUM(g.n) AS BIGINT) AS n_tokens,
+        | CAST(SUM(g.n * w.w) AS BIGINT) AS score
+        |FROM g JOIN w USING (bucket)
+        |WHERE g.lang <> 'en'
+        |GROUP BY g.doc_id, g.lang, g.source
+        |ORDER BY score DESC, g.doc_id
+        |LIMIT 25""".stripMargin,
     // q95: recursive-CTE replay of the greedy longest-match walk;
     // empty documents surface with zero counts via the LEFT JOIN
     "q95_subword_count" ->

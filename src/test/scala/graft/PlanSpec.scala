@@ -108,6 +108,18 @@ class PlanSpec extends SparkSpec {
       s"window spec not partitioned by query_id in:\n$plan")
   }
 
+  test("q137: weights broadcast to the grain; the cut is TakeOrdered") {
+    val df = graft.queries.TextOps.q137DsirSelect(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 1024-row weight table must broadcast, not shuffle the grain:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-K cut must not globally sort the candidate scores:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized join side anywhere in the DSIR plan:\n$plan")
+  }
+
   test("q58: all three funnel windows share one shuffle and one sort") {
     val df = graft.queries.EventsOps.q58Funnel(spark, sfDir)
     df.collect()

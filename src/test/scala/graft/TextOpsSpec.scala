@@ -63,6 +63,32 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - 1.0 / 3.0) < 1e-15)
   }
 
+  test("q137 DSIR: target-like candidates outrank disjoint ones; no target leaks") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-q137").toString
+    Seq(
+      (1L, "alpha beta gamma alpha beta", "en", "tgt"),  // target distribution
+      (2L, "alpha gamma beta beta alpha", "en", "tgt"),
+      (3L, "alpha beta gamma beta", "de", "cand"),       // target-like candidate
+      (4L, "zulu yankee xray zulu", "de", "cand"),       // disjoint candidate
+      (5L, "alpha zulu", "fr", "cand"))                  // mixed
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q137DsirSelect(spark, dir).collect()
+    assert(rows.forall(_.getString(1) != "en"), "selection must be candidates only")
+    assert(rows.length == 3) // fewer candidates than K: all ranked
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    def score(id: Long) = byId(id).getLong(4)
+    // doc 3 shares every token with the target: strictly positive and first
+    assert(rows.head.getLong(0) == 3L && score(3L) > 0L,
+      s"target-like doc must rank first: ${rows.toSeq}")
+    // doc 4 shares none: its tokens are over-represented in the raw
+    // pool only, so every bucket weight it touches is negative
+    assert(score(4L) < 0L, s"disjoint doc must score negative: ${rows.toSeq}")
+    assert(score(3L) > score(5L) && score(5L) > score(4L),
+      "mixed doc lands between target-like and disjoint")
+  }
+
   test("q104 char-mass: planted masses, max-struct tie-break, guard rows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-q104").toString
