@@ -86,6 +86,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Versioned {
 
+  /** A publish lost a race with a concurrent (or crashed) writer —
+    * the lake is untouched by the loser, and the attempt is safe to
+    * repeat against the new current version. [[retryPublish]] is the
+    * policy layer that does so. Everything else a publish can throw
+    * (duplicate keys, missing tables, no `_SUCCESS`) is NOT this type
+    * and never retried: a genuine failure repeated is still a
+    * failure. */
+  final class PublishRaceException(msg: String) extends RuntimeException(msg)
+
+  /** A retry was requested but a concurrent publish modified a table
+    * the caller's frames were derived from — replaying the write would
+    * silently discard the interloper's rows (a lost update). Loud by
+    * design: the caller must recompute from the current version. */
+  final class ConcurrentTableModificationException(msg: String)
+    extends RuntimeException(msg)
+
   /** One table in a publish: the frame plus its physical layout.
     * `partitionBy` gives facts the date-partitioned layout
     * ([[Lake.writeDatePartitioned]] semantics) inside the version.
@@ -424,6 +440,96 @@ object Versioned {
       }
     dataDirsAt(spark, base, table, version)
       .flatMap(d => walk(new Path(d))).sorted
+  }
+
+  /** Tables whose content could differ between two committed versions:
+    * a table is changed iff its manifest entry list differs (including
+    * appearing or disappearing). Entry lists name immutable dirs, so
+    * list equality IS content identity — a carried-forward table
+    * compares equal at zero I/O, and any append/merge/remove/compact
+    * shows up as a changed list. Both versions must still be on disk
+    * (GC keeps current and previous); comparing into GC'd history
+    * fails loudly rather than guessing. */
+  def tablesChangedBetween(spark: SparkSession, base: String,
+      from: Long, to: Long): Set[String] = {
+    val b = new Path(base)
+    val f = fs(spark, b)
+    requireVersion(spark, f, b, base, from)
+    requireVersion(spark, f, b, base, to)
+    (listTables(spark, base, from) ++ listTables(spark, base, to)).toSet
+      .filter(t => resolveEntries(f, b, t, from) != resolveEntries(f, b, t, to))
+  }
+
+  /** Optimistic concurrency for racing writers — the policy layer over
+    * the claim protocol's mechanism. The protocol guarantees a loser
+    * exists and loses BEFORE writing a byte ([[PublishRaceException]]);
+    * this wrapper re-runs the loser against the advanced lake, which
+    * is safe exactly when the interloper's writes are invisible to the
+    * attempt:
+    *
+    *   - `readSet = Set.empty` — for self-revalidating publishes whose
+    *     inputs are external to the lake or re-resolved per attempt
+    *     ([[appendPublish]]/[[mergePublish]]/[[removePublish]] re-read
+    *     the standing table and re-check keys each call): any
+    *     interleaving serializes correctly, so every race retries.
+    *   - `readSet = tables the caller's frames were DERIVED from` — a
+    *     snapshot-derived [[publish]] replayed after a concurrent
+    *     change to its inputs would silently discard the interloper's
+    *     rows; if any readSet table changed between the version the
+    *     wrapper observed and the current one, it throws
+    *     [[ConcurrentTableModificationException]] instead of retrying
+    *     (Delta's ConcurrentAppend/WriteSerializable posture). A
+    *     history gap (the observed version already GC'd by >1
+    *     interleaved commits) is treated as a conflict — disjointness
+    *     that cannot be proven is not assumed.
+    *
+    * `op` MUST re-resolve the current version internally (every
+    * publish flavor in this object does); the wrapper never passes a
+    * version in. Bounded attempts with linear backoff: a claim left by
+    * a CRASHED publisher never commits, so after `maxAttempts` the
+    * original race error (naming the claim file to remove) is
+    * rethrown rather than spinning forever. */
+  def retryPublish(spark: SparkSession, base: String,
+      readSet: Set[String] = Set.empty, maxAttempts: Int = 5,
+      backoffMs: Long = 50)(op: => Long): Long = {
+    require(maxAttempts >= 1, "retryPublish needs maxAttempts >= 1")
+    var based = currentVersion(spark, base).getOrElse(0L)
+    var attempt = 1
+    while (true) {
+      try return op
+      catch {
+        case e: PublishRaceException =>
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(backoffMs * attempt)
+          val now = currentVersion(spark, base).getOrElse(0L)
+          if (now > based) {
+            if (readSet.nonEmpty) {
+              val changed =
+                try tablesChangedBetween(spark, base, based, now)
+                catch {
+                  case ex: RuntimeException =>
+                    throw new ConcurrentTableModificationException(
+                      s"retryPublish: versions $based..$now are no longer " +
+                        "comparable (history GC'd by interleaved commits) — " +
+                        "cannot prove the concurrent publishes disjoint from " +
+                        s"read set (${readSet.mkString(", ")}); recompute " +
+                        s"from the current version [${ex.getMessage}]")
+                }
+              val hit = changed.intersect(readSet)
+              if (hit.nonEmpty)
+                throw new ConcurrentTableModificationException(
+                  s"retryPublish: concurrent publish modified " +
+                    s"${hit.toSeq.sorted.mkString(", ")} between v$based and " +
+                    s"v$now — replaying a write derived from v$based would " +
+                    "lose the interloper's rows; recompute from the current " +
+                    "version and publish again")
+            }
+            based = now
+          }
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** MERGE-style publish: the next version is the current one with
@@ -766,16 +872,19 @@ object Versioned {
     f.mkdirs(markerDir(b))
     if (!f.createNewFile(claim)) {
       if (f.exists(marker))
-        sys.error(s"publish: version $next already committed by another " +
-          "writer — re-resolve the current version and retry")
+        throw new PublishRaceException(
+          s"publish: version $next already committed by another " +
+            "writer — re-resolve the current version and retry")
       else
-        sys.error(s"publish: version $next is claimed by an in-flight " +
-          s"publisher (or a crashed one — remove $claim to recover)")
+        throw new PublishRaceException(
+          s"publish: version $next is claimed by an in-flight " +
+            s"publisher (or a crashed one — remove $claim to recover)")
     }
     if (f.exists(marker) || currentVersion(spark, base).getOrElse(0L) != cur) {
       // stale read: someone committed between our resolve and our claim
       f.delete(claim, false)
-      sys.error(s"publish: version advanced past $cur during claim — retry")
+      throw new PublishRaceException(
+        s"publish: version advanced past $cur during claim — retry")
     }
     // leftover from a crashed earlier attempt at this same version —
     // uncommitted (no marker), so deleting it is invisible to readers
