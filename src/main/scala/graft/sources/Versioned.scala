@@ -748,6 +748,74 @@ object Versioned {
       carry = existing.filterNot(_ == table))
   }
 
+  /** PARTIAL compaction: [[compactPublish]] for the small-file TAIL of
+    * a merge-on-read chain only. A daily-append table accretes one
+    * small dir per ingest behind a big clustered base; full OPTIMIZE
+    * rewrites the base every time — O(|table|) for O(|tail|) of debt.
+    * This rewrites ONLY the trailing run of data dirs (each under
+    * `smallBytes`, strictly after the last tombstone) into one sorted
+    * dir and carries everything before it BY REFERENCE: bytes written
+    * ∝ the tail, the base dir's files are untouched (shared by
+    * manifest refcount), and the read-path fold shrinks by
+    * |tail| − 1 unions. Tombstones are the hard boundary — a data dir
+    * before one must not merge past it (the fold's order IS the
+    * semantics), so chains with trailing tombstones keep them and
+    * compact only what follows; the full [[compactPublish]] remains
+    * the op that materializes removals.
+    *
+    * Returns the new version — or the CURRENT version unchanged when
+    * fewer than two tail dirs qualify (an idempotent maintenance call,
+    * like a second OPTIMIZE: nothing to do costs a listing, not a
+    * claim). Value identity is the caller's oracle (and
+    * MergeOnReadSpec's): union over the all-data suffix is
+    * associative, so fold(prefix ++ [compacted]) ≡ fold(prefix ++
+    * tail) row-for-row, evolved schemas included. */
+  def compactTailPublish(spark: SparkSession, base: String, table: String,
+      sortBy: Seq[String] = Nil, files: Int = 1,
+      smallBytes: Long = 128L << 20): Long = {
+    import org.apache.spark.sql.functions.col
+    require(files >= 1, "compactTail needs files >= 1")
+    val cur = currentVersion(spark, base).getOrElse(
+      sys.error(s"compactTailPublish: $base has no committed version"))
+    val existing = listTables(spark, base, cur)
+    require(existing.contains(table),
+      s"compactTailPublish: table $table not in version $cur (has: $existing)")
+    val b = new Path(base)
+    val f = fs(spark, b)
+    val entries = entriesOrFail(f, b, table, cur)
+    require(entries.forall(_.rel.startsWith("_data/")),
+      s"compactTailPublish needs a manifest table — $table at v$cur is " +
+        "pre-manifest; run one rewriting publish (e.g. compactPublish) first")
+    val dataTail = entries.drop(entries.lastIndexWhere(_.kind == 't') + 1)
+    val tail = dataTail.reverse.takeWhile(e =>
+      f.getContentSummary(new Path(b, e.rel)).getLength < smallBytes).reverse
+    if (tail.size < 2) return cur
+    val prefix = entries.dropRight(tail.size)
+    val statCols = statsColsAt(spark, base, table, cur)
+    publishWith(spark, base, cur) { (f, b, next) =>
+      val merged = tail.map(e =>
+          spark.read.parquet(new Path(b, e.rel).toString))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      val frame =
+        if (sortBy.isEmpty) merged.coalesce(files)
+        else merged.repartitionByRange(files, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      val rel = dataDirName(table, next)
+      frame.write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .parquet(new Path(b, rel).toString)
+      checkSuccess(f, b, table, rel)
+      val present = statCols.filter(frame.columns.contains(_))
+      if (present.nonEmpty)
+        ZoneMaps.writeSidecar(spark, new Path(b, rel).toString, present)
+      f.mkdirs(versionDir(b, next))
+      writeEntries(f, b, next, table, prefix :+ RefEntry('d', rel))
+      existing.filterNot(_ == table).foreach { t =>
+        writeEntries(f, b, next, t, entriesOrFail(f, b, t, cur))
+      }
+    }
+  }
+
   /** Z-ORDER compaction publish: [[compactPublish]]'s multi-dimension
     * sibling — the next version carries the same logical content with
     * `table` rewritten clustered along the Morton curve of `cols`

@@ -204,4 +204,80 @@ class MergeOnReadSpec extends SparkSpec {
     assert(e.getMessage.contains("pre-manifest"))
     assert(Versioned.currentVersion(spark, base).contains(1L))
   }
+
+  test("compactTail merges only the small tail; the base's files never move") {
+    val base = mkBase()
+    Versioned.publish(spark, base,
+      Seq(TableSpec("t", facts(0, 5000), statsCols = Seq("k")),
+        TableSpec("dim", Seq((1, "a")).toDF("id", "nm"))))
+    Versioned.appendPublish(spark, base, "t", facts(5000, 5050), Seq("k"))
+    Versioned.appendPublish(spark, base, "t",
+      facts(5050, 5090).withColumn("note", lit("late")), Seq("k"))
+    Versioned.appendPublish(spark, base, "t", facts(5090, 5100), Seq("k"))
+    val vPre = Versioned.currentVersion(spark, base).get
+    val before = collectSet(Versioned.read(spark, base, "t"))
+    val baseDirFiles = Versioned.tableFiles(spark, base, "t", vPre)
+      .filter(_.contains("/t-00000001/")).toSet
+    assert(baseDirFiles.nonEmpty)
+    // threshold between the deltas (small) and the base (big): at test
+    // scale the 128 MB default would sweep the base into the tail too
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseBytes = fs.getContentSummary(
+      new Path(s"$base/_data/t-00000001")).getLength
+
+    val v = Versioned.compactTailPublish(spark, base, "t", sortBy = Seq("k"),
+      smallBytes = baseBytes)
+    assert(v == vPre + 1)
+    // value identity, evolved schema included (nulls where 'note' absent)
+    assert(collectSet(Versioned.read(spark, base, "t")) == before)
+    assert(Versioned.read(spark, base, "t")
+      .filter(col("note") === "late").count() == 40)
+    val after = Versioned.tableFiles(spark, base, "t", v)
+    // the base dir is carried by reference: identical physical files
+    assert(baseDirFiles.subsetOf(after.toSet), "base files were rewritten")
+    // the three delta dirs collapsed into one: exactly two dirs serve t
+    val dirs = after.map(p => p.substring(0, p.lastIndexOf('/'))).distinct
+    assert(dirs.size == 2, s"expected base + one compacted tail dir: $dirs")
+    // pruned reads still engage over the compacted tail's sidecar
+    assert(collectSet(Versioned.readPruned(spark, base, "t", "k", 5060L, 5095L))
+      == before.filter(r => { val k = r.head.asInstanceOf[Long]
+        k >= 5060L && k <= 5095L }))
+  }
+
+  test("compactTail stops at a tombstone and is a no-op below two tail dirs") {
+    val base = mkBase()
+    Versioned.publish(spark, base,
+      Seq(TableSpec("t", facts(0, 100))))
+    Versioned.appendPublish(spark, base, "t", facts(100, 120), Seq("k"))
+    Versioned.removePublish(spark, base, "t",
+      spark.range(0, 50).select(col("id").as("k")))
+    // only ONE data dir after the tombstone: nothing to merge — no-op
+    Versioned.appendPublish(spark, base, "t", facts(120, 140), Seq("k"))
+    val v0 = Versioned.currentVersion(spark, base).get
+    assert(Versioned.compactTailPublish(spark, base, "t") == v0,
+      "a single post-tombstone dir must not trigger a publish")
+    // a second post-tombstone append makes the tail mergeable; the
+    // tombstone must survive the compaction and keep its fold position
+    Versioned.appendPublish(spark, base, "t", facts(140, 160), Seq("k"))
+    val before = collectSet(Versioned.read(spark, base, "t"))
+    val v = Versioned.compactTailPublish(spark, base, "t")
+    assert(v == Versioned.currentVersion(spark, base).get && v > v0)
+    assert(collectSet(Versioned.read(spark, base, "t")) == before)
+    assert(Versioned.read(spark, base, "t")
+      .filter(col("k") < 50).isEmpty, "tombstoned keys resurrected")
+    // rows appended before the tombstone but ≥50 still survive it
+    assert(Versioned.read(spark, base, "t")
+      .filter(col("k").between(50, 119)).count() == 70)
+  }
+
+  test("compactTail skips big dirs: an all-big tail is a no-op") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t", facts(0, 100))))
+    Versioned.appendPublish(spark, base, "t", facts(100, 200), Seq("k"))
+    Versioned.appendPublish(spark, base, "t", facts(200, 300), Seq("k"))
+    val v0 = Versioned.currentVersion(spark, base).get
+    // a 1-byte threshold disqualifies every dir
+    assert(Versioned.compactTailPublish(spark, base, "t",
+      smallBytes = 1L) == v0)
+  }
 }
