@@ -377,6 +377,68 @@ object Relational {
     base
   }
 
+  // -------------------------------------------------------------- q138
+  /** Partial-OPTIMIZE scan (S4/S5 extension, r15): orders lives in a
+    * lake built as base publish + two disjoint-key appends (the second
+    * evolving the schema with an `ingest` column) and then a
+    * [[graft.sources.Versioned.compactTailPublish]] whose threshold is
+    * the base dir's own byte size — so the two small delta dirs merge
+    * into one sorted dir while the base dir's files are carried by
+    * manifest reference, untouched. The read is the post-compaction
+    * fold; the DuckDB oracle replays the same history as plain SQL
+    * over the source table, so a hash match proves the partial
+    * compaction changed no value (evolved-schema nulls included).
+    * MergeOnReadSpec proves the base-file identity and tombstone
+    * boundary; this query keeps the op in the per-SF correctness gate.
+    * Bootstrap is fingerprint-keyed and idempotent (q135's
+    * discipline). */
+  def q138TailCompactScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val base = tailCompactLake(spark, dir)
+    Versioned.read(spark, base, "orders")
+      .groupBy(coalesce($"ingest", lit("base")).as("ingest"))
+      .agg(
+        count(lit(1)).as("n"),
+        sumd($"o_totalprice").as("sum_price"),
+        min($"o_orderkey").as("min_k"),
+        max($"o_orderkey").as("max_k"))
+      .orderBy($"ingest")
+  }
+
+  private[graft] def tailCompactLake(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val key = Tables.fileFingerprint(spark, s"$dir/orders.parquet")
+    val base = s"${Dedup.indexBase}/tailco-$key"
+    val orders = Tables(spark, dir, "orders")
+    if (Versioned.currentVersion(spark, base).isEmpty)
+      Versioned.publish(spark, base, Seq(Versioned.TableSpec("orders",
+        orders.filter($"o_orderkey" % 10 =!= 3 && $"o_orderkey" % 10 =!= 7),
+        statsCols = Seq("o_orderkey"))))
+    if (Versioned.currentVersion(spark, base).contains(1L))
+      Versioned.appendPublish(spark, base, "orders",
+        orders.filter($"o_orderkey" % 10 === 3)
+          .withColumn("ingest", lit("d1")), Seq("o_orderkey"))
+    if (Versioned.currentVersion(spark, base).contains(2L))
+      Versioned.appendPublish(spark, base, "orders",
+        orders.filter($"o_orderkey" % 10 === 7)
+          .withColumn("ingest", lit("d2")), Seq("o_orderkey"))
+    if (Versioned.currentVersion(spark, base).contains(3L)) {
+      // threshold = the base dir's own bytes: each delta (~10% of the
+      // rows) qualifies as tail, the base never does
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val baseBytes = Versioned.tableFiles(spark, base, "orders", 3L)
+        .filter(_.contains("orders-00000001"))
+        .map(p => fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen)
+        .sum
+      Versioned.compactTailPublish(spark, base, "orders",
+        sortBy = Seq("o_orderkey"), smallBytes = baseBytes)
+    }
+    base
+  }
+
   /** Scratch MOR lake over orders — content-addressed by the source
     * fingerprint; each step publishes at most once per corpus (claim
     * protocol makes races fail loudly, committed versions make re-runs
@@ -438,6 +500,7 @@ object Relational {
     "q134_zonemap_scan"  -> (q134ZonemapScan _),
     "q135_mor_scan"      -> (q135MorScan _),
     "q136_zorder_rect"   -> (q136ZorderRect _),
+    "q138_tail_compact_scan" -> (q138TailCompactScan _),
     "q1_agg"             -> (q1Agg _),
     "q2_join_agg"        -> (q2JoinAgg _),
     "q3_filter_pushdown" -> (q3FilterPushdown _),
@@ -478,6 +541,15 @@ object Relational {
         |       ELSE o_totalprice END AS price
         | FROM orders WHERE o_orderkey % 10 <> 7)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q138_tail_compact_scan" ->
+      """SELECT CASE WHEN o_orderkey % 10 = 3 THEN 'd1'
+        |            WHEN o_orderkey % 10 = 7 THEN 'd2'
+        |            ELSE 'base' END AS ingest,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+        | min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q136_zorder_rect" ->
       """WITH m AS (
         | SELECT (max(l_orderkey) * 2) // 10 AS klo,
