@@ -786,11 +786,8 @@ object Versioned {
     require(entries.forall(_.rel.startsWith("_data/")),
       s"compactTailPublish needs a manifest table — $table at v$cur is " +
         "pre-manifest; run one rewriting publish (e.g. compactPublish) first")
-    val dataTail = entries.drop(entries.lastIndexWhere(_.kind == 't') + 1)
-    val tail = dataTail.reverse.takeWhile(e =>
-      f.getContentSummary(new Path(b, e.rel)).getLength < smallBytes).reverse
+    val (prefix, tail) = smallDataTail(f, b, entries, smallBytes)
     if (tail.size < 2) return cur
-    val prefix = entries.dropRight(tail.size)
     val statCols = statsColsAt(spark, base, table, cur)
     publishWith(spark, base, cur) { (f, b, next) =>
       val merged = tail.map(e =>
@@ -814,6 +811,18 @@ object Versioned {
         writeEntries(f, b, next, t, entriesOrFail(f, b, t, cur))
       }
     }
+  }
+
+  /** The trailing run of data entries strictly after the last
+    * tombstone, each under `smallBytes` — the mergeable maintenance
+    * tail shared by [[compactTailPublish]] and [[zorderTailPublish]].
+    * Returns (prefix, tail) with `prefix ++ tail == entries`. */
+  private def smallDataTail(f: FileSystem, b: Path, entries: Seq[RefEntry],
+      smallBytes: Long): (Seq[RefEntry], Seq[RefEntry]) = {
+    val dataTail = entries.drop(entries.lastIndexWhere(_.kind == 't') + 1)
+    val tail = dataTail.reverse.takeWhile(e =>
+      f.getContentSummary(new Path(b, e.rel)).getLength < smallBytes).reverse
+    (entries.dropRight(tail.size), tail)
   }
 
   /** Z-ORDER compaction publish: [[compactPublish]]'s multi-dimension
@@ -842,13 +851,95 @@ object Versioned {
     val current = readAt(spark, base, table, cur)
     val bnds = ZOrder.boundaries(current, cols, bits)
     val z = "__graft_z"
-    publish(spark, base, Seq(TableSpec(table,
+    val v = publish(spark, base, Seq(TableSpec(table,
       current.withColumn(z, ZOrder.zcol(cols, bnds, bits))
         .repartitionByRange(files, col(z))
         .sortWithinPartitions(col(z))
         .drop(z),
       statsCols = (cols ++ statsColsAt(spark, base, table, cur)).distinct)),
       carry = existing.filterNot(_ == table))
+    // persist the curve so maintenance can extend it without
+    // re-sampling the table ([[zorderTailPublish]]). Written after the
+    // commit: advisory metadata by [[ZOrder.Bounds]]' contract — a
+    // crash here leaves "no bounds ⇒ full recluster", never a wrong
+    // curve, so the all-or-nothing marker discipline is not weakened.
+    ZOrder.writeBounds(spark,
+      new Path(new Path(base), dataDirName(table, v)).toString,
+      ZOrder.Bounds(cols, bits, bnds))
+    v
+  }
+
+  /** Incremental z-order maintenance: re-cluster ONLY the small-file
+    * tail that accreted behind a [[zorderPublish]]'d base, encoding it
+    * onto the base's PERSISTED curve ([[ZOrder.Bounds]] — boundaries
+    * are never re-sampled, so base files never move and the tail's
+    * files get bounding rectangles consistent with the base's). This
+    * is the liquid-clustering/persisted-sort-order posture: ingest
+    * appends land unclustered (bytes ∝ delta), a cheap maintenance
+    * pass restores multi-column pruning over the tail (bytes ∝ tail),
+    * and the expensive boundary-resampling full [[zorderPublish]] runs
+    * only when drift warrants it — three ops, three costs, one lake.
+    * Zone-map pruning works per data dir, so probes skip files in the
+    * base and the re-clustered tail independently.
+    *
+    * The curve is found on the NEWEST prefix data dir carrying a
+    * bounds sidecar; no bounds anywhere ⇒ loud error (run
+    * [[zorderPublish]] first — clustering a tail onto an unknown curve
+    * would silently produce a layout nothing can reason about). Same
+    * tail selection, no-op, and tombstone-boundary semantics as
+    * [[compactTailPublish]]. */
+  def zorderTailPublish(spark: SparkSession, base: String, table: String,
+      files: Int = 1, smallBytes: Long = 128L << 20): Long = {
+    import org.apache.spark.sql.functions.col
+    require(files >= 1, "zorderTail needs files >= 1")
+    val cur = currentVersion(spark, base).getOrElse(
+      sys.error(s"zorderTailPublish: $base has no committed version"))
+    val existing = listTables(spark, base, cur)
+    require(existing.contains(table),
+      s"zorderTailPublish: table $table not in version $cur (has: $existing)")
+    val b = new Path(base)
+    val f = fs(spark, b)
+    val entries = entriesOrFail(f, b, table, cur)
+    require(entries.forall(_.rel.startsWith("_data/")),
+      s"zorderTailPublish needs a manifest table — $table at v$cur is " +
+        "pre-manifest; run zorderPublish first")
+    val (prefix, tail) = smallDataTail(f, b, entries, smallBytes)
+    if (tail.isEmpty) return cur
+    val bounds = entries.reverse.collectFirst(Function.unlift(e =>
+        if (e.kind == 'd')
+          ZOrder.readBounds(spark, new Path(b, e.rel).toString)
+        else None))
+      .getOrElse(sys.error(s"zorderTailPublish: no persisted z-order " +
+        s"curve on any standing data dir of $table — run zorderPublish " +
+        "once to establish (and persist) the curve"))
+    val statCols = statsColsAt(spark, base, table, cur)
+    publishWith(spark, base, cur) { (f, b, next) =>
+      val merged = tail.map(e =>
+          spark.read.parquet(new Path(b, e.rel).toString))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      val z = "__graft_z"
+      val frame = merged
+        .withColumn(z, ZOrder.zcol(bounds.cols, bounds.bnds, bounds.bits))
+        .repartitionByRange(files, col(z))
+        .sortWithinPartitions(col(z))
+        .drop(z)
+      val rel = dataDirName(table, next)
+      frame.write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .parquet(new Path(b, rel).toString)
+      checkSuccess(f, b, table, rel)
+      val present = (bounds.cols ++ statCols).distinct
+        .filter(merged.columns.contains(_))
+      if (present.nonEmpty)
+        ZoneMaps.writeSidecar(spark, new Path(b, rel).toString, present)
+      f.mkdirs(versionDir(b, next))
+      writeEntries(f, b, next, table, prefix :+ RefEntry('d', rel))
+      existing.filterNot(_ == table).foreach { t =>
+        writeEntries(f, b, next, t, entriesOrFail(f, b, t, cur))
+      }
+      // the new tail dir carries the curve forward for the next pass
+      ZOrder.writeBounds(spark, new Path(b, rel).toString, bounds)
+    }
   }
 
   /** Atomically publish a new version: every table in `tables` is

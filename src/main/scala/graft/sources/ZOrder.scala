@@ -59,6 +59,59 @@ object ZOrder {
         (acc, b) => acc + when(c.cast("double") >= b, 1).otherwise(0)))
   }
 
+  /** Persisted curve definition: (cols, bits, boundaries) written as a
+    * tiny text sidecar (`_graft_zbounds`) inside a z-ordered data dir,
+    * so a LATER maintenance publish can encode an appended tail onto
+    * the SAME curve without re-sampling the table
+    * ([[Versioned.zorderTailPublish]] — the incremental-clustering
+    * posture of Databricks' liquid clustering / Iceberg's persisted
+    * sort orders). Doubles round-trip through
+    * `java.lang.Double.toString`/`parseDouble` (exact). Advisory
+    * metadata by contract: absence (including the crash window between
+    * a publish's commit and this write) means "full recluster
+    * required", never a wrong curve. */
+  final case class Bounds(cols: Seq[String], bits: Int,
+      bnds: Map[String, Array[Double]])
+
+  private val BoundsFile = "_graft_zbounds"
+  private val BoundsHeader = "graft-zbounds\tv1"
+
+  def writeBounds(spark: org.apache.spark.sql.SparkSession, dir: String,
+      b: Bounds): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, BoundsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val text = (s"$BoundsHeader\tbits=${b.bits}" +:
+      b.cols.map(c => s"$c\t${b.bnds(c).map(_.toString).mkString(",")}"))
+      .mkString("\n")
+    val out = fs.create(p, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readBounds(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Option[Bounds] = {
+    val p = new org.apache.hadoop.fs.Path(dir, BoundsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8")
+      } finally in.close()
+      val lines = text.split('\n').toSeq
+      val hdr = lines.head.split('\t')
+      require(hdr.length == 3 && hdr(0) == "graft-zbounds" && hdr(1) == "v1",
+        s"corrupt zbounds header in $p")
+      val bits = hdr(2).stripPrefix("bits=").toInt
+      val bnds = lines.tail.filter(_.nonEmpty).map { l =>
+        val Array(c, vs) = l.split('\t')
+        c -> vs.split(',').map(java.lang.Double.parseDouble)
+      }
+      Some(Bounds(bnds.map(_._1), bits, bnds.toMap))
+    }
+  }
+
   /** The interleaved Morton code of `cols` as a LongType column:
     * bit i of dimension d lands at position i * dims + d, so equal
     * prefixes mean nearby cells in every dimension. Pure bit

@@ -108,6 +108,74 @@ class ZOrderSpec extends SparkSpec {
       == collectSet(t.filter(col("x").between(5, 9))))
   }
 
+  test("zorderTail clusters only the appended tail onto the persisted curve") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t", grid)))
+    Versioned.zorderPublish(spark, base, "t", Seq("x", "y"),
+      files = 16, bits = 5)
+    // two small appends land unclustered (bytes ∝ delta)
+    val d1 = spark.range(1024, 1200).select((col("id") % 32).as("x"),
+      ((col("id") / 32) % 32).cast("long").as("y"), col("id").as("payload"))
+    val d2 = spark.range(1200, 1400).select((col("id") % 32).as("x"),
+      ((col("id") / 32) % 32).cast("long").as("y"), col("id").as("payload"))
+    Versioned.appendPublish(spark, base, "t", d1)
+    Versioned.appendPublish(spark, base, "t", d2)
+    val before = collectSet(Versioned.read(spark, base, "t"))
+    val baseFiles = Versioned.tableFiles(spark, base, "t", 4L)
+      .filter(_.contains("/t-00000002/")).toSet
+    assert(baseFiles.nonEmpty)
+
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(
+      s"$base/_data/t-00000002")).getLength
+    val v = Versioned.zorderTailPublish(spark, base, "t", files = 4,
+      smallBytes = baseBytes)
+    assert(v == 5L)
+    // value identity; the z-ordered base's files never move
+    assert(collectSet(Versioned.read(spark, base, "t")) == before)
+    val after = Versioned.tableFiles(spark, base, "t", v)
+    assert(baseFiles.subsetOf(after.toSet), "z-ordered base was rewritten")
+    // the merged tail serves from ONE new dir...
+    val dirs = after.map(p => p.substring(0, p.lastIndexOf('/'))).distinct
+    assert(dirs.size == 2, s"expected base + one clustered tail dir: $dirs")
+    // ...whose files prune on BOTH dimensions (same curve as the base):
+    // a y-probe must skip tail files even though appends arrived
+    // y-ordered-ish; check via the pruned read's value identity plus a
+    // strictly-smaller multi-dim selection on the tail's own sidecar
+    // tail y-values span 0..11, so probe the upper half of that range
+    val tailDir = dirs.find(!_.contains("/t-00000002")).get
+    val st = graft.sources.ZoneMaps.readSidecar(spark, tailDir).get
+    val selY = graft.sources.ZoneMaps.selectFiles(st, "y", 8L, 11L).get
+    assert(st.size == 4 && selY.size < 4,
+      s"tail files must carry pruning y-bounds: ${selY.size} of ${st.size}")
+    assert(collectSet(Versioned.readPruned(spark, base, "t", "y", 8L, 11L))
+      == before.filter(_(1).asInstanceOf[Long] >= 8L)
+        .filter(_(1).asInstanceOf[Long] <= 11L))
+    // a second maintenance pass finds its curve on the TAIL dir too
+    Versioned.appendPublish(spark, base, "t",
+      spark.range(1400, 1450).select((col("id") % 32).as("x"),
+        ((col("id") / 32) % 32).cast("long").as("y"), col("id").as("payload")))
+    val v2 = Versioned.zorderTailPublish(spark, base, "t", files = 2,
+      smallBytes = baseBytes)
+    assert(v2 == 7L)
+    assert(Versioned.read(spark, base, "t").count() == 1450)
+  }
+
+  test("zorderTail without an established curve fails loudly") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t", grid)))
+    Versioned.appendPublish(spark, base, "t",
+      spark.range(1024, 1100).select((col("id") % 32).as("x"),
+        ((col("id") / 32) % 32).cast("long").as("y"), col("id").as("payload")))
+    val e = intercept[RuntimeException] {
+      Versioned.zorderTailPublish(spark, base, "t")
+    }
+    assert(e.getMessage.contains("zorderPublish"), e.getMessage)
+    assert(Versioned.currentVersion(spark, base).contains(2L),
+      "a failed maintenance pass must not commit")
+  }
+
   test("zorder refuses one column and a missing table") {
     val base = mkBase()
     Versioned.publish(spark, base, Seq(TableSpec("t", grid)))
