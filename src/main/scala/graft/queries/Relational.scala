@@ -439,6 +439,52 @@ object Relational {
     base
   }
 
+  // -------------------------------------------------------------- q139
+  /** Change-data-capture scan (S4/S5 extension, r15): orders lives in
+    * a lake whose newest window is a merge-on-read upsert (delta =
+    * every key ≡ 3 (mod 10), price doubled), and the query is the
+    * [[graft.sources.Versioned.changesBetween]] feed for that window,
+    * aggregated per (change, status). The manifest fast path reads
+    * ONLY the window's own dirs for inserts and applies the broadcast
+    * tombstone to the standing table for deletes — never a full
+    * two-sided diff — and the DuckDB oracle replays the upsert's
+    * delete+insert pairs from the source table, so a hash match proves
+    * the feed's VALUE exactness (old values on deletes, new values on
+    * inserts). The 100 TB story: a downstream consumer (index
+    * maintenance, replication, audit) reads O(|change|), not
+    * O(|table|), per version. */
+  def q139CdcScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val base = cdcLake(spark, dir)
+    val cur = Versioned.currentVersion(spark, base).get
+    Versioned.changesBetween(spark, base, "orders", cur - 1, cur)
+      .groupBy($"_change".as("change"), $"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sumd($"o_totalprice").as("sum_price"),
+        min($"o_orderkey").as("min_k"),
+        max($"o_orderkey").as("max_k"))
+      .orderBy($"change", $"o_orderstatus")
+  }
+
+  private[graft] def cdcLake(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val key = Tables.fileFingerprint(spark, s"$dir/orders.parquet")
+    val base = s"${Dedup.indexBase}/cdclake-$key"
+    val orders = Tables(spark, dir, "orders")
+    if (Versioned.currentVersion(spark, base).isEmpty)
+      Versioned.publish(spark, base,
+        Seq(Versioned.TableSpec("orders", orders)))
+    if (Versioned.currentVersion(spark, base).contains(1L))
+      Versioned.mergePublish(spark, base, "orders",
+        orders.filter($"o_orderkey" % 10 === 3)
+          .withColumn("o_totalprice", $"o_totalprice" * 2),
+        Seq("o_orderkey"), rewrite = false)
+    base
+  }
+
   /** Scratch MOR lake over orders — content-addressed by the source
     * fingerprint; each step publishes at most once per corpus (claim
     * protocol makes races fail loudly, committed versions make re-runs
@@ -501,6 +547,7 @@ object Relational {
     "q135_mor_scan"      -> (q135MorScan _),
     "q136_zorder_rect"   -> (q136ZorderRect _),
     "q138_tail_compact_scan" -> (q138TailCompactScan _),
+    "q139_cdc_scan"      -> (q139CdcScan _),
     "q1_agg"             -> (q1Agg _),
     "q2_join_agg"        -> (q2JoinAgg _),
     "q3_filter_pushdown" -> (q3FilterPushdown _),
@@ -541,6 +588,20 @@ object Relational {
         |       ELSE o_totalprice END AS price
         | FROM orders WHERE o_orderkey % 10 <> 7)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q139_cdc_scan" ->
+      """SELECT * FROM (
+        | SELECT 'delete' AS change, o_orderstatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        | FROM orders WHERE o_orderkey % 10 = 3 GROUP BY o_orderstatus
+        | UNION ALL
+        | SELECT 'insert' AS change, o_orderstatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        | FROM orders WHERE o_orderkey % 10 = 3 GROUP BY o_orderstatus)
+        |ORDER BY change, o_orderstatus""".stripMargin,
     "q138_tail_compact_scan" ->
       """SELECT CASE WHEN o_orderkey % 10 = 3 THEN 'd1'
         |            WHEN o_orderkey % 10 = 7 THEN 'd2'

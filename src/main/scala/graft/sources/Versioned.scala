@@ -532,6 +532,97 @@ object Versioned {
     sys.error("unreachable")
   }
 
+  /** Change data capture between two committed versions: every row of
+    * `table` present at `to` but not at `from` tagged `_change =
+    * 'insert'`, every row present at `from` but not at `to` tagged
+    * `'delete'` (an upsert surfaces as its delete+insert pair, a MOR
+    * upsert of an unchanged row included — this is the physical change
+    * feed, Delta CDF's posture). Schemas are aligned by name across
+    * evolution; value comparison is null-safe.
+    *
+    * Cost is manifest-aware: when `to`'s entry list EXTENDS `from`'s
+    * (pure append/merge-on-read history — the common daily window),
+    * inserts are the fold of the window's own dirs (O(|change|), the
+    * standing table is never scanned for them) and deletes are the
+    * window's tombstones applied to `from` as broadcast semi/anti
+    * joins in fold order (one pruned pass over `from`, zero shuffles
+    * of it — each row dies at most once, so the multiset is exact).
+    * A rewritten window (compaction, COW merge) falls back to the
+    * honest full diff, `exceptAll` both ways — which also means a
+    * pure-layout rewrite yields an EMPTY feed, the value-identity
+    * statement made queryable. Both versions must still be on disk
+    * (GC keeps current + previous): CDC is a consume-promptly feed,
+    * not an archive. */
+  def changesBetween(spark: SparkSession, base: String, table: String,
+      from: Long, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(from <= to, s"changesBetween: from=$from must be <= to=$to")
+    val b = new Path(base)
+    val f = fs(spark, b)
+    requireVersion(spark, f, b, base, from)
+    requireVersion(spark, f, b, base, to)
+    val fromE = entriesOrFail(f, b, table, from)
+    val toE = entriesOrFail(f, b, table, to)
+    val empty = readAt(spark, base, table, to).limit(0)
+      .withColumn("_change", lit("insert"))
+    if (fromE == toE) return empty
+    val (ins, del) =
+      if (toE.startsWith(fromE)) {
+        val window = toE.drop(fromE.size)
+        // inserts: the window folded from nothing — appended rows that
+        // survive the window's own later tombstones
+        var acc: DataFrame = null
+        window.foreach { e =>
+          val dir = new Path(b, e.rel).toString
+          e.kind match {
+            case 'd' =>
+              val df = spark.read.parquet(dir)
+              acc = if (acc == null) df
+                else acc.unionByName(df, allowMissingColumns = true)
+            case 't' =>
+              val tomb = spark.read.parquet(dir)
+              if (acc != null)
+                acc = acc.join(tomb, tomb.columns.toSeq, "left_anti")
+          }
+        }
+        // deletes: window tombstones applied to `from` in fold order;
+        // splitting (semi = dead, anti = remaining) makes each from-row
+        // die at most once — multiset-exact, and the tombstone key
+        // lists broadcast, so `from` is never shuffled
+        var remaining = readAt(spark, base, table, from)
+        var dead: DataFrame = null
+        window.filter(_.kind == 't').foreach { e =>
+          val tomb = spark.read.parquet(new Path(b, e.rel).toString)
+          val d = remaining.join(tomb, tomb.columns.toSeq, "left_semi")
+          dead = if (dead == null) d
+            else dead.unionByName(d, allowMissingColumns = true)
+          remaining = remaining.join(tomb, tomb.columns.toSeq, "left_anti")
+        }
+        (Option(acc), Option(dead))
+      } else {
+        // rewritten window: no manifest shortcut exists — full diff,
+        // exceptAll (multiset-exact, null-safe) over name-aligned
+        // schemas
+        val a = readAt(spark, base, table, from)
+        val z = readAt(spark, base, table, to)
+        val cols = (a.columns ++ z.columns).distinct.toSeq
+        def align(df: DataFrame) = {
+          import org.apache.spark.sql.functions.col
+          cols.foldLeft(df)((d, c) =>
+            if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+            .select(cols.map(col): _*)
+        }
+        val (a2, z2) = (align(a), align(z))
+        (Some(z2.exceptAll(a2)), Some(a2.exceptAll(z2)))
+      }
+    Seq(
+      ins.map(_.withColumn("_change", lit("insert"))),
+      del.map(_.withColumn("_change", lit("delete"))))
+      .flatten
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(empty)
+  }
+
   /** MERGE-style publish: the next version is the current one with
     * `delta` UPSERTED into `table` — rows matching on `keys` replaced,
     * unmatched rows appended — and every other table carried forward
