@@ -439,6 +439,68 @@ object Relational {
     base
   }
 
+  // -------------------------------------------------------------- q140
+  /** Incremental z-order maintenance under the gate (r15): lineitem's
+    * lake is a z-ordered base ([[graft.sources.Versioned.zorderPublish]]
+    * over 90% of the rows, curve persisted), two small appends landing
+    * unclustered, and a
+    * [[graft.sources.Versioned.zorderTailPublish]] that re-clusters
+    * ONLY the tail onto the persisted curve — base files by reference.
+    * The probe is q136's 2-D rectangle through the zone maps; the
+    * oracle is the same two-predicate SQL over the FULL table, so a
+    * hash match proves the three-op lifecycle (ingest / maintain /
+    * probe) loses no row and invents none, at every scale factor.
+    * ZOrderSpec pins the physical claims (file identity, tail
+    * pruning); this keeps the lifecycle's VALUES in the gate. */
+  def q140ZorderTailRect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val base = zorderTailLake(spark, dir)
+    val m = Versioned.read(spark, base, "lineitem")
+      .agg(max($"l_orderkey"), max($"l_partkey")).head
+    val (maxK, maxP) = (m.getLong(0), m.getLong(1))
+    Versioned.readPrunedMulti(spark, base, "lineitem", Seq(
+        ("l_orderkey", maxK * 2 / 10, maxK * 5 / 10),
+        ("l_partkey",  maxP * 3 / 10, maxP * 6 / 10)))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sumd($"l_extendedprice").as("sum_price"),
+        min($"l_partkey").as("min_p"),
+        max($"l_orderkey").as("max_k"))
+      .orderBy($"l_returnflag")
+  }
+
+  private[graft] def zorderTailLake(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val key = Tables.fileFingerprint(spark, s"$dir/lineitem.parquet")
+    val base = s"${Dedup.indexBase}/zotail-f$ZonemapFiles-$key"
+    val lineitem = Tables(spark, dir, "lineitem")
+    if (Versioned.currentVersion(spark, base).isEmpty)
+      Versioned.publish(spark, base, Seq(Versioned.TableSpec("lineitem",
+        lineitem.filter($"l_orderkey" % 10 =!= 2)
+          .repartition(ZonemapFiles))))
+    if (Versioned.currentVersion(spark, base).contains(1L))
+      Versioned.zorderPublish(spark, base, "lineitem",
+        Seq("l_orderkey", "l_partkey"), ZonemapFiles)
+    if (Versioned.currentVersion(spark, base).contains(2L))
+      Versioned.appendPublish(spark, base, "lineitem",
+        lineitem.filter($"l_orderkey" % 20 === 2))
+    if (Versioned.currentVersion(spark, base).contains(3L))
+      Versioned.appendPublish(spark, base, "lineitem",
+        lineitem.filter($"l_orderkey" % 20 === 12))
+    if (Versioned.currentVersion(spark, base).contains(4L)) {
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val baseBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(
+        s"$base/_data/lineitem-00000002")).getLength
+      Versioned.zorderTailPublish(spark, base, "lineitem",
+        files = math.max(2, ZonemapFiles / 8), smallBytes = baseBytes)
+    }
+    base
+  }
+
   // -------------------------------------------------------------- q139
   /** Change-data-capture scan (S4/S5 extension, r15): orders lives in
     * a lake whose newest window is a merge-on-read upsert (delta =
@@ -548,6 +610,7 @@ object Relational {
     "q136_zorder_rect"   -> (q136ZorderRect _),
     "q138_tail_compact_scan" -> (q138TailCompactScan _),
     "q139_cdc_scan"      -> (q139CdcScan _),
+    "q140_zorder_tail_rect" -> (q140ZorderTailRect _),
     "q1_agg"             -> (q1Agg _),
     "q2_join_agg"        -> (q2JoinAgg _),
     "q3_filter_pushdown" -> (q3FilterPushdown _),
@@ -588,6 +651,21 @@ object Relational {
         |       ELSE o_totalprice END AS price
         | FROM orders WHERE o_orderkey % 10 <> 7)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q140_zorder_tail_rect" ->
+      """WITH m AS (
+        | SELECT (max(l_orderkey) * 2) // 10 AS klo,
+        |        (max(l_orderkey) * 5) // 10 AS khi,
+        |        (max(l_partkey) * 3) // 10 AS plo,
+        |        (max(l_partkey) * 6) // 10 AS phi
+        | FROM lineitem)
+        |SELECT l_returnflag,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+        | min(l_partkey) AS min_p, max(l_orderkey) AS max_k
+        |FROM lineitem, m
+        |WHERE l_orderkey BETWEEN m.klo AND m.khi
+        |  AND l_partkey BETWEEN m.plo AND m.phi
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q139_cdc_scan" ->
       """SELECT * FROM (
         | SELECT 'delete' AS change, o_orderstatus,
