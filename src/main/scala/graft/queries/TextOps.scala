@@ -809,7 +809,7 @@ object TextOps {
   /** Three-version scratch lake: v1 = standing split, v2 = full corpus
     * (delta ingest), v3 = full minus the removal slice, published with
     * a `documents_removed` tombstone table. The tombstones carry
-    * (doc_id, TEXT) — the removal CONTRACT: a takedown/opt-out batch
+    * (doc_id, TEXT, LANG) — the removal CONTRACT: a takedown/opt-out batch
     * has the content it removes by definition, and shipping it in the
     * change table is what lets the linear-sketch chains subtract
     * exactly (q127) instead of full-rebuilding; id-keyed consumers
@@ -825,9 +825,11 @@ object TextOps {
       dir: String): String = {
     import graft.sources.Versioned
     val key = graft.Tables.fileFingerprint(spark, s"$dir/documents.parquet")
-    // rm2: the tombstone schema grew text — a new content address, so
-    // a lake built under the id-only contract can never be half-reused
-    val base = s"${Dedup.indexBase}/lake-rm2-$key"
+    // rm2 grew text, rm3 grew lang (the class-conditional DSIR chain
+    // subtracts per-class — q141): each contract change is a new
+    // content address, so a lake built under an older contract can
+    // never be half-reused
+    val base = s"${Dedup.indexBase}/lake-rm3-$key"
     val all = docs(spark, dir)
     val fresh = uniformKeyOf(col("doc_id")) < lit(0.1)
     if (Versioned.currentVersion(spark, base).isEmpty) {
@@ -836,6 +838,7 @@ object TextOps {
         Versioned.TableSpec("documents_delta", all.filter(!fresh))))
       tfGrainAt(spark, base, 1L)
       Analytics.cmsAt(spark, base, 1L)
+      dsirCountsAt(spark, base, 1L)
     }
     if (Versioned.currentVersion(spark, base).contains(1L)) {
       Versioned.publish(spark, base, Seq(
@@ -843,6 +846,7 @@ object TextOps {
         Versioned.TableSpec("documents_delta", all.filter(fresh))))
       tfGrainAt(spark, base, 2L)
       Analytics.cmsAt(spark, base, 2L)
+      dsirCountsAt(spark, base, 2L)
     }
     if (Versioned.currentVersion(spark, base).contains(2L)) {
       val removed = removalSlice(all)
@@ -851,7 +855,7 @@ object TextOps {
           all.join(removed.select(col("doc_id")), Seq("doc_id"),
             "left_anti")),
         Versioned.TableSpec("documents_removed",
-          removed.select(col("doc_id"), col("text")))))
+          removed.select(col("doc_id"), col("text"), col("lang")))))
     }
     base
   }
@@ -2011,8 +2015,105 @@ object TextOps {
         col("n_tokens"), col("score"))
   }
 
+  // -------------------------------------------------------------- q141
+  /** Incremental maintenance of the DSIR bucket-count table over the
+    * versioned lake — [[q137DsirSelect]]'s weights kept current under
+    * ingest AND takedown, on the q117/q127 pattern: the per-bucket
+    * class counts (tc, rc) are a LINEAR statistic of the token stream,
+    * so maintenance is plain addition — `counts(v) = counts(v−1) +
+    * counts(Δ) − counts(R)` bucket-for-bucket, exact — and each
+    * version costs one map-only pass over the CHANGE's tokens plus a
+    * [[DsirBuckets]]-row aggregate, never a corpus re-scan. The
+    * subtraction is class-conditional, so it needs the removal
+    * contract to carry text AND lang (the rm3 contract of
+    * [[versionedCorpusWithRemoval]]); a tombstone batch missing either
+    * forces the loud full rebuild, never a silently drifted weight
+    * table. Output: version 3's maintained counts with the derived
+    * parts-per-million integer weight; the oracle rebuilds every row
+    * from the SURVIVING corpus only, so hash equality proves
+    * subtract ≡ rebuild-over-survivors for the selection weights a
+    * curation pipeline would serve. */
+  def q141IncrDsir(spark: SparkSession, dir: String): DataFrame = {
+    val base = versionedCorpusWithRemoval(spark, dir)
+    dsirCountsAt(spark, base, 1L) // chain origin (cached artifact)
+    dsirCountsAt(spark, base, 2L) // delta add
+    val counts = dsirCountsAt(spark, base, 3L) // the tombstone subtract
+    val tot = counts.agg(sum(col("tc")).as("ttot"), sum(col("rc")).as("rtot"))
+    counts.crossJoin(tot)
+      .select(col("bucket"), col("tc"), col("rc"),
+        (expr("tc * 1000000 div ttot") - expr("rc * 1000000 div rtot"))
+          .as("w"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Per-bucket class counts of a documents frame — the linear
+    * statistic behind [[q137DsirSelect]]'s weights (md5-prefix bucket,
+    * target = `lang == "en"`). */
+  private[graft] def dsirCountsOf(df: DataFrame): DataFrame =
+    df.select(col("lang"), explode(split(col("text"), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("lang"),
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+          % DsirBuckets).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("rc"))
+
+  private[graft] def dsirArtifact(lakeBase: String, v: Long): String =
+    s"$lakeBase-dsir-b$DsirBuckets-v$v"
+
+  /** The maintained count table AT lake version `v` ([[q141IncrDsir]]'s
+    * engine). */
+  private[graft] def dsirCountsAt(spark: SparkSession, lakeBase: String,
+      v: Long): DataFrame =
+    graft.sources.ArtifactStore.readOrPublish(
+      spark, dsirArtifact(lakeBase, v))(
+      incrementalDsirFrame(spark, lakeBase, v))
+
+  /** Maintenance frame behind [[dsirCountsAt]]: previous artifact
+    * present ⇒ union prev counts, the delta's counts, and the
+    * tombstone batch's NEGATED counts, then one [[DsirBuckets]]-row
+    * re-aggregation — additivity makes the merge exact, and buckets
+    * that net to (0, 0) are dropped so the maintained table is
+    * row-identical to a from-scratch build. Subtraction requires
+    * tombstones carrying text AND lang (class-conditional counts);
+    * anything less forces the full rebuild, the same loud-fallback
+    * discipline as [[graft.queries.Analytics.incrementalCmsFrame]]. */
+  private[graft] def incrementalDsirFrame(spark: SparkSession,
+      lakeBase: String, v: Long): DataFrame = {
+    import graft.sources.{ArtifactStore, Versioned}
+    val hasDelta =
+      Versioned.tableExists(spark, lakeBase, "documents_delta", v)
+    val hasRemoved =
+      Versioned.tableExists(spark, lakeBase, "documents_removed", v)
+    lazy val removed = Versioned.readAt(spark, lakeBase, "documents_removed", v)
+    val removedUsable = hasRemoved &&
+      removed.columns.contains("text") && removed.columns.contains("lang")
+    ArtifactStore.readIfPresent(spark, dsirArtifact(lakeBase, v - 1)) match {
+      case Some(prev)
+          if (hasDelta || removedUsable) && (!hasRemoved || removedUsable) =>
+        val parts = Seq(
+          Some(prev.select(col("bucket"), col("tc"), col("rc"))),
+          if (hasDelta) Some(dsirCountsOf(
+            Versioned.readAt(spark, lakeBase, "documents_delta", v)))
+          else None,
+          if (removedUsable) Some(dsirCountsOf(removed)
+            .select(col("bucket"), (-col("tc")).as("tc"),
+              (-col("rc")).as("rc")))
+          else None).flatten
+        parts.reduce(_.unionByName(_))
+          .groupBy(col("bucket"))
+          .agg(sum(col("tc")).as("tc"), sum(col("rc")).as("rc"))
+          .filter(col("tc") =!= 0 || col("rc") =!= 0)
+      case _ => dsirCountsOf(
+        Versioned.readAt(spark, lakeBase, "documents", v))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_dsir_select"    -> (q137DsirSelect _),
+    "q141_incr_dsir"      -> (q141IncrDsir _),
     "q95_subword_count"   -> (q95SubwordCount _),
     "q96_subword_budget"  -> (q96SubwordBudget _),
     "q93_distinct_ngrams" -> (q93DistinctNgrams _),
@@ -2233,6 +2334,32 @@ object TextOps {
   private val bm25OracleSql: String = bm25OracleSqlOver("documents")
 
   val oracle: Map[String, String] = Map(
+    // q141: every maintained count and weight rebuilt from the
+    // SURVIVING corpus only — subtract ≡ rebuild-over-survivors
+    "q141_incr_dsir" ->
+      s"""WITH surv AS (
+         | SELECT lang, text FROM documents
+         | WHERE NOT ((${md5UniformSql("doc_id")}) >= 0.1
+         |        AND (${md5UniformSql("doc_id")}) < 0.15)),
+         |t AS (
+         | SELECT lang,
+         |  CAST(list_sum(list_transform(range(1, 9),
+         |    i -> (strpos('0123456789abcdef', substr(md5(token), i, 1)) - 1)
+         |         * (1::BIGINT << (4 * (8 - i))))) AS BIGINT) % 1024 AS bucket
+         | FROM (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS token
+         |       FROM surv)
+         | WHERE token <> ''),
+         |bb AS (
+         | SELECT bucket,
+         |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+         |  CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS rc
+         | FROM t GROUP BY bucket),
+         |tot AS (
+         | SELECT CAST(SUM(tc) AS BIGINT) AS ttot,
+         |        CAST(SUM(rc) AS BIGINT) AS rtot FROM bb)
+         |SELECT bucket, tc, rc,
+         | (tc * 1000000) // ttot - (rc * 1000000) // rtot AS w
+         |FROM bb, tot ORDER BY bucket""".stripMargin,
     // q137: full replay — md5-prefix buckets (q116's r=0 slice),
     // parts-per-million integer weights (both engines truncate
     // non-negative integer division identically), BIGINT scores

@@ -89,6 +89,55 @@ class TextOpsSpec extends SparkSpec {
       "mixed doc lands between target-like and disjoint")
   }
 
+  test("q141: DSIR count maintenance reads artifact+change only; id-only tombstones force rebuild") {
+    val base = TextOps.versionedCorpusWithRemoval(spark, SparkSpec.sfDir)
+    // add branch (v2): prev artifact + delta, never the corpus
+    val add = TextOps.incrementalDsirFrame(spark, base, 2L)
+    val strayAdd = add.inputFiles.filterNot(f =>
+      f.contains(TextOps.dsirArtifact(base, 1L)) ||
+        changeTableFile("documents_delta", 2L)(f))
+    assert(add.inputFiles.nonEmpty && strayAdd.isEmpty,
+      s"add maintenance reads beyond artifact+delta: ${strayAdd.take(3).mkString(", ")}")
+    // subtract branch (v3): prev artifact + tombstone table only
+    val sub = TextOps.incrementalDsirFrame(spark, base, 3L)
+    val straySub = sub.inputFiles.filterNot(f =>
+      f.contains(TextOps.dsirArtifact(base, 2L)) ||
+        changeTableFile("documents_removed", 3L)(f))
+    assert(sub.inputFiles.nonEmpty && straySub.isEmpty,
+      s"subtract maintenance reads beyond artifact+tombstones: ${straySub.take(3).mkString(", ")}")
+    assert(!sub.inputFiles.exists(f =>
+      f.contains("/documents/") || f.contains("_data/documents-")),
+      "subtract maintenance re-scans the corpus")
+    // no counter may net negative (contract violation would)
+    val neg = TextOps.dsirCountsAt(spark, base, 3L)
+      .filter(col("tc") < 0 || col("rc") < 0).count()
+    assert(neg == 0, s"$neg negative maintained counters")
+
+    // a lake whose tombstones lack lang cannot subtract per class:
+    // the chain must fall back to the full rebuild, never drift
+    import graft.sources.Versioned
+    val lb = Files.createTempDirectory("graft-dsir-idonly").toString + "/lake"
+    val d1 = Seq((1L, "alpha beta", "en"), (2L, "gamma delta", "de"))
+      .toDF("doc_id", "text", "lang")
+    Versioned.publish(spark, lb, Seq(
+      Versioned.TableSpec("documents", d1),
+      Versioned.TableSpec("documents_delta", d1)))
+    TextOps.dsirCountsAt(spark, lb, 1L)
+    Versioned.publish(spark, lb, Seq(
+      Versioned.TableSpec("documents", d1.filter(col("doc_id") =!= 2L)),
+      Versioned.TableSpec("documents_removed",
+        Seq((2L, "gamma delta")).toDF("doc_id", "text")))) // no lang
+    val fb = TextOps.incrementalDsirFrame(spark, lb, 2L)
+    assert(fb.inputFiles.exists(f => f.contains("_data/documents-")),
+      "text-only tombstones must force the full rebuild")
+    // and the rebuild lands on exactly the survivors' counts
+    val got = TextOps.dsirCountsAt(spark, lb, 2L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = TextOps.dsirCountsOf(d1.filter(col("doc_id") =!= 2L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
   test("q104 char-mass: planted masses, max-struct tie-break, guard rows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-q104").toString
