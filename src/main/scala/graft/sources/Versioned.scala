@@ -193,6 +193,45 @@ object Versioned {
     resolveEntries(f, base, table, version).getOrElse(
       sys.error(s"versioned lake $base version $version has no table $table"))
 
+  /** How many committed versions GC keeps (newest first). Default 2 —
+    * current + one version of in-flight-reader grace. Stored as a tiny
+    * `_v/retention` file so every publisher's GC honors it; raising it
+    * is what buys deeper time travel and wider [[changesBetween]]
+    * windows (each kept manifest refcounts its data dirs, so the cost
+    * is exactly the UNSHARED bytes of the kept history — carried
+    * tables are pointers). Plain metadata, not versioned: a retention
+    * change applies from the next publish's GC onward, and LOWERING it
+    * collects the excess history then. */
+  def setRetention(spark: SparkSession, base: String, keep: Int): Unit = {
+    require(keep >= 2, "retention must keep at least current + previous")
+    val b = new Path(base)
+    val f = fs(spark, b)
+    f.mkdirs(markerDir(b))
+    val out = f.create(new Path(markerDir(b), "retention"), true)
+    try out.write(keep.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The effective retention of a lake (default 2). */
+  def retention(spark: SparkSession, base: String): Int = {
+    val b = new Path(base)
+    retentionOf(fs(spark, b), b)
+  }
+
+  private def retentionOf(f: FileSystem, b: Path): Int = {
+    val p = new Path(markerDir(b), "retention")
+    if (!f.exists(p)) 2
+    else {
+      val in = f.open(p)
+      val text = try {
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8").trim
+      } finally in.close()
+      text.toIntOption.filter(_ >= 2).getOrElse(
+        sys.error(s"corrupt retention file $p: '$text'"))
+    }
+  }
+
   /** Highest committed version, if any publish ever committed. */
   def currentVersion(spark: SparkSession, base: String): Option[Long] = {
     val b = new Path(base)
@@ -236,10 +275,11 @@ object Versioned {
       base: String, version: Long): Unit =
     if (!f.exists(new Path(markerDir(b), fmt(version)))) {
       val cur = currentVersion(spark, base)
+      val keep = retentionOf(f, b)
       sys.error(s"versioned lake $base has no committed version $version" +
-        cur.fold("")(c => s" (current is $c; versions older than ${c - 1} " +
-          "are garbage-collected — raise retention by publishing less often " +
-          "or snapshot externally)"))
+        cur.fold("")(c => s" (current is $c; versions older than " +
+          s"${c - keep + 1} are garbage-collected — raise retention with " +
+          "setRetention, or snapshot externally)"))
     }
 
   /** The MOR fold. `scanData` maps a data dir to its (possibly pruned)
@@ -1094,6 +1134,28 @@ object Versioned {
     }
   }
 
+  /** Atomic create-if-absent of an empty file — the primitive the
+    * claim protocol's exclusivity rests on. HDFS's `createNewFile` is
+    * atomic at the namenode, but Hadoop's LOCAL filesystem implements
+    * it as a non-atomic exists-then-create: two racing local writers
+    * can both "win" (caught by ConcurrencySpec's six-thread race). On
+    * `file:` URIs this routes through NIO `Files.createFile` —
+    * O_CREAT|O_EXCL, kernel-atomic; elsewhere a thrown
+    * FileAlreadyExists maps to false like the documented contract. */
+  private def atomicCreate(f: FileSystem, p: Path): Boolean =
+    if (f.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try f.createNewFile(p)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
+
   /** The claim-protocol wrapper every publish flavor runs through:
     * claim `cur + 1` exclusively, fail loudly on any race or stale
     * read, clear a crashed attempt's uncommitted leftovers, run `body`
@@ -1120,7 +1182,7 @@ object Versioned {
     // publisher; that wedges the next publish LOUDLY (message below)
     // rather than silently breaking exclusivity with a timeout guess.
     f.mkdirs(markerDir(b))
-    if (!f.createNewFile(claim)) {
+    if (!atomicCreate(f, claim)) {
       if (f.exists(marker))
         throw new PublishRaceException(
           s"publish: version $next already committed by another " +
@@ -1144,15 +1206,16 @@ object Versioned {
 
     // COMMIT: one atomic create. With the claim held this cannot lose
     // a race; a false here means external interference — fail loudly.
-    if (!f.createNewFile(marker))
+    if (!atomicCreate(f, marker))
       sys.error(s"publish: version $next already committed by another writer")
 
     gc(f, b, next)
     next
   }
 
-  /** GC after a commit of `next`: keep the current and previous
-    * version MANIFESTS, and refcount `_data` dirs (data AND tombstone
+  /** GC after a commit of `next`: keep the newest [[retention]]
+    * version MANIFESTS (default current + previous), and refcount
+    * `_data` dirs (data AND tombstone
     * entries alike) — a dir survives iff some surviving manifest
     * references it, so versions that share a carried table's files
     * never invalidate each other, and a crashed publisher's orphaned
@@ -1166,9 +1229,10 @@ object Versioned {
     * layer. */
   private def gc(f: FileSystem, b: Path, next: Long): Unit = {
     if (!f.exists(markerDir(b))) return
+    val keep = retentionOf(f, b)
     f.listStatus(markerDir(b)).toSeq
       .flatMap(s => s.getPath.getName.toLongOption)
-      .filter(_ < next - 1)
+      .filter(_ <= next - keep)
       .foreach { v =>
         f.delete(new Path(markerDir(b), fmt(v)), false)
         f.delete(new Path(markerDir(b), s"claim-${fmt(v)}"), false)

@@ -98,6 +98,27 @@ class CdcSpec extends SparkSpec {
       Set(("delete", 5L, 50L), ("insert", 5L, 555L)))
   }
 
+  test("raised retention keeps multi-version CDC windows alive") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t", facts(0, 5))))
+    Versioned.setRetention(spark, base, 4)
+    Versioned.appendPublish(spark, base, "t", facts(10, 11), Seq("k"))
+    Versioned.removePublish(spark, base, "t", Seq(1L, 10L).toDF("k"))
+    Versioned.appendPublish(spark, base, "t", facts(20, 21), Seq("k"))
+    assert(Versioned.listVersions(spark, base) == Seq(1L, 2L, 3L, 4L))
+    // the 3-publish window from v1: churn nets out (k=10 appended then
+    // removed), k=1 died once, k=20 arrived
+    assert(changes(base, 1L, 4L) ==
+      Set(("delete", 1L, 10L), ("insert", 20L, 200L)))
+    // time travel to the oldest retained version still serves k=1
+    assert(Versioned.readAt(spark, base, "t", 1L).count() == 5)
+    // lowering retention collects the excess on the next publish
+    Versioned.setRetention(spark, base, 2)
+    Versioned.appendPublish(spark, base, "t", facts(30, 31), Seq("k"))
+    assert(Versioned.listVersions(spark, base) == Seq(4L, 5L))
+    intercept[RuntimeException](Versioned.readAt(spark, base, "t", 3L))
+  }
+
   test("GC'd versions refuse CDC loudly") {
     val base = mkBase()
     Versioned.publish(spark, base, Seq(TableSpec("t", facts(0, 5))))
