@@ -2111,7 +2111,105 @@ object TextOps {
     }
   }
 
+  // -------------------------------------------------------------- q142
+  /** CCNet-style language-model quality bucketing — the shape of
+    * Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data" (arXiv:1911.00359): train a unigram
+    * LM on an in-domain corpus (here the English documents, the q137
+    * target class), score every document by its mean per-token
+    * surprisal, and split the corpus into head/middle/tail perplexity
+    * terciles — the curation cut CCNet feeds to training-data
+    * selection. KenLM's log-probabilities are libm floats and
+    * engine-divergent, so surprisal here is the integer-exact
+    * half-bit discrete log the q137/q121 discipline demands:
+    *
+    *   D      = T + V + 1              (add-one mass: T = en tokens,
+    *                                    V = [[LmVocabK]] vocab slots,
+    *                                    +1 the pooled OOV class)
+    *   qrec   = least(D div (c+1), 3·10⁹)   — reciprocal probability,
+    *                                    c = en count (0 for OOV)
+    *   s      = len(bin(qrec²)) − 1    = ⌊2·log₂ qrec⌋ — surprisal in
+    *                                    HALF-BITS, exact in both
+    *                                    engines via binary bit-length
+    *
+    * The 3·10⁹ cap bounds qrec² inside BIGINT (9·10¹⁸ < 2⁶³) and caps
+    * surprisal at 62 half-bits = 31 bits — beyond any ranking signal
+    * (a once-in-2³¹-tokens event); it also makes every downstream
+    * magnitude corpus-size-free: score = surp·10³ div n_tokens ≤
+    * 62,000 regardless of scale factor, so no product in the query
+    * can overflow at any corpus size. Tercile thresholds come from an
+    * exact HISTOGRAM of the bounded score domain (≤ 62,001 distinct
+    * values — corpus-size-free), not a global rank: the cumulative
+    * window runs over the histogram rows, so the one ordered window
+    * in the plan is bounded by the score DOMAIN, not the corpus (the
+    * q121 lesson, applied). Threshold semantics (ties share a bucket)
+    * rather than rank semantics is what makes the cut deterministic
+    * without a corpus-wide sort; the price is that a score value
+    * holding more than a tercile of mass absorbs its whole tie into
+    * the lower bucket (the synthetic corpus — one token pool for every
+    * language — degenerates this way; Zipf-distributed real text does
+    * not), which is the CCNet trade too: its cuts come from held-out
+    * perplexity thresholds, not per-document ranks.
+    *
+    * Scale shape: ONE tokenize pass builds the (doc, token, tf) grain
+    * (map-side combine), localCheckpointed for its two consumers; the
+    * LM is a top-[[LmVocabK]] cut of the grain's en re-aggregation
+    * (TakeOrderedAndProject — no global sort) broadcast back; scoring
+    * is a broadcast left-join + one doc-keyed partial agg; bucketing
+    * broadcasts a 1-row threshold frame. No corpus-sized join side,
+    * no unbounded window, no second tokenize. */
+  val LmVocabK = 2048
+  def q142LmBucket(spark: SparkSession, dir: String): DataFrame = {
+    val grain = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(wordsCol).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("lang"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds LM training AND scoring: tokenize once
+    val enCounts = grain.filter(col("lang") === "en")
+      .groupBy(col("token")).agg(sum(col("tf")).as("c"))
+    val vocab = enCounts
+      .orderBy(col("c").desc, col("token")).limit(LmVocabK)
+    val tot = enCounts.agg(sum(col("c")).as("t")) // 1 row, bounded
+    // surprisal per token: `div`, not `/` — long÷long through double
+    // rounds to nearest and can land on the wrong side of an integer
+    // once the LM mass passes 2⁵³ tokens
+    val scored = grain
+      .join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(tot)) // 1-row LM mass rides to every token
+      .select(col("doc_id"), col("lang"), col("tf"),
+        coalesce(col("c"), lit(0L)).as("cc"), col("t"))
+      .withColumn("qrec",
+        least(expr(s"(t + ${LmVocabK + 1}) div (cc + 1)"),
+          lit(3000000000L)))
+      .withColumn("s",
+        (length(bin(col("qrec") * col("qrec"))) - lit(1)).cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("s")).as("surp"))
+      .withColumn("score_mhb", expr("surp * 1000 div n_tokens"))
+      .localCheckpoint() // feeds the histogram, N, and the final cut
+    // exact terciles over the BOUNDED score domain: histogram + one
+    // domain-sized cumulative window + a 1-row threshold reduction
+    val hist = scored.groupBy(col("score_mhb")).agg(count(lit(1)).as("hn"))
+    val histW = Window.orderBy(col("score_mhb")) // ≤ 62,001 rows by cap
+    val thresholds = hist
+      .withColumn("cum", sum(col("hn")).over(histW))
+      .crossJoin(broadcast(hist.agg(sum(col("hn")).as("nd"))))
+      .agg(
+        min(when(col("cum") * 3 >= col("nd"), col("score_mhb"))).as("t1"),
+        min(when(col("cum") * 3 >= col("nd") * 2, col("score_mhb"))).as("t2"))
+    scored.crossJoin(broadcast(thresholds))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("surp"),
+        col("score_mhb"),
+        when(col("score_mhb") <= col("t1"), lit("head"))
+          .when(col("score_mhb") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_lm_bucket"      -> (q142LmBucket _),
     "q137_dsir_select"    -> (q137DsirSelect _),
     "q141_incr_dsir"      -> (q141IncrDsir _),
     "q95_subword_count"   -> (q95SubwordCount _),
@@ -2334,6 +2432,56 @@ object TextOps {
   private val bm25OracleSql: String = bm25OracleSqlOver("documents")
 
   val oracle: Map[String, String] = Map(
+    // q142: full replay — unigram LM trained on the en class (top-K
+    // vocabulary, count-desc/token tiebreak), half-bit discrete-log
+    // surprisal via binary bit-length (bin() in both engines), tercile
+    // thresholds from the bounded score histogram. Every value BIGINT;
+    // both engines truncate non-negative integer division identically.
+    "q142_lm_bucket" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, lang,
+         |  unnest(string_split_regex(text, '\\s+')) AS token
+         | FROM documents),
+         |g AS (
+         | SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS tf
+         | FROM tok WHERE token <> '' GROUP BY doc_id, lang, token),
+         |enc AS (
+         | SELECT token, CAST(SUM(tf) AS BIGINT) AS c
+         | FROM g WHERE lang = 'en' GROUP BY token),
+         |vocab AS (
+         | SELECT token, c FROM enc ORDER BY c DESC, token LIMIT $LmVocabK),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM enc),
+         |ts AS (
+         | SELECT g.doc_id, g.lang, g.tf,
+         |  least((tot.t + ${LmVocabK + 1}) // (COALESCE(v.c, 0) + 1),
+         |        3000000000) AS qrec
+         | FROM g LEFT JOIN vocab v USING (token) CROSS JOIN tot),
+         |sc AS (
+         | SELECT doc_id, lang,
+         |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(tf * (length(bin(qrec * qrec)) - 1)) AS BIGINT) AS surp
+         | FROM ts GROUP BY doc_id, lang),
+         |sc2 AS (
+         | SELECT doc_id, lang, n_tokens, surp,
+         |  CAST((surp * 1000) // n_tokens AS BIGINT) AS score_mhb
+         | FROM sc),
+         |hist AS (
+         | SELECT score_mhb, CAST(COUNT(*) AS BIGINT) AS hn
+         | FROM sc2 GROUP BY score_mhb),
+         |cumh AS (
+         | SELECT score_mhb, SUM(hn) OVER (ORDER BY score_mhb) AS cum
+         | FROM hist),
+         |nd AS (SELECT CAST(SUM(hn) AS BIGINT) AS nd FROM hist),
+         |thr AS (
+         | SELECT MIN(CASE WHEN cum * 3 >= nd THEN score_mhb END) AS t1,
+         |        MIN(CASE WHEN cum * 3 >= nd * 2 THEN score_mhb END) AS t2
+         | FROM cumh, nd)
+         |SELECT s.doc_id, s.lang, s.n_tokens, s.surp, s.score_mhb,
+         | CASE WHEN s.score_mhb <= thr.t1 THEN 'head'
+         |      WHEN s.score_mhb <= thr.t2 THEN 'middle'
+         |      ELSE 'tail' END AS bucket
+         |FROM sc2 s CROSS JOIN thr
+         |ORDER BY s.doc_id""".stripMargin,
     // q141: every maintained count and weight rebuilt from the
     // SURVIVING corpus only — subtract ≡ rebuild-over-survivors
     "q141_incr_dsir" ->

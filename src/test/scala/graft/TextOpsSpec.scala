@@ -89,6 +89,55 @@ class TextOpsSpec extends SparkSpec {
       "mixed doc lands between target-like and disjoint")
   }
 
+  test("q142 LM bucketing: hand-computed surprisal, thresholds, buckets") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-q142").toString
+    // en LM: aa×6, bb×2 ⇒ T=8, D = 8+2049 = 2057
+    //   s(aa)  = bitlen((2057 div 7)²)−1  = bitlen(293²)−1  = 16
+    //   s(bb)  = bitlen((2057 div 3)²)−1  = bitlen(685²)−1  = 18
+    //   s(oov) = bitlen(2057²)−1          = 22
+    Seq(
+      (1L, "aa aa aa aa", "en", "t"), // surp 64, score 16000
+      (2L, "aa bb bb aa", "en", "t"), // surp 68, score 17000
+      (3L, "aa aa aa", "de", "c"),    // surp 48, score 16000
+      (4L, "zz zz", "de", "c"),       // all-OOV: surp 44, score 22000
+      (5L, "aa zz", "fr", "c"))       // mixed: surp 38, score 19000
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    // N=5, hist cum over scores (16000→2, 17000→1, 19000→1, 22000→1):
+    // t1 = 16000 (first cum·3 ≥ 5), t2 = 19000 (first cum·3 ≥ 10)
+    val rows = TextOps.q142LmBucket(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(rows == Map(
+      1L -> ((4L, 64L, 16000L, "head")),
+      2L -> ((4L, 68L, 17000L, "middle")),
+      3L -> ((3L, 48L, 16000L, "head")),
+      4L -> ((2L, 44L, 22000L, "tail")),
+      5L -> ((2L, 38L, 19000L, "middle"))), s"got: $rows")
+  }
+
+  test("q142: corpus-scale bucket invariants (coverage, monotone cut, head mass)") {
+    // the synthetic corpus draws every language from one token pool, so
+    // distribution-SHAPE claims (en head-heavier than de) don't hold
+    // here — the invariants below are what the threshold cut GUARANTEES
+    // on any input; the value-level check is the DuckDB oracle
+    val rows = TextOps.q142LmBucket(spark, SparkSpec.sfDir).collect()
+    val n = rows.length
+    assert(n > 0)
+    val byBucket = rows.groupBy(_.getString(5))
+      .view.mapValues(_.map(_.getLong(4))).toMap
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    // monotone cut: every head score < every middle score < every tail
+    def maxOf(b: String) = byBucket.get(b).map(_.max)
+    def minOf(b: String) = byBucket.get(b).map(_.min)
+    for (hi <- maxOf("head"); lo <- minOf("middle")) assert(hi < lo)
+    for (hi <- maxOf("middle"); lo <- minOf("tail")) assert(hi < lo)
+    for (hi <- maxOf("head"); lo <- minOf("tail")) assert(hi < lo)
+    // cum(t1)·3 ≥ N by construction — head always holds ≥ a third
+    assert(byBucket("head").length * 3 >= n)
+  }
+
   test("q141: DSIR count maintenance reads artifact+change only; id-only tombstones force rebuild") {
     val base = TextOps.versionedCorpusWithRemoval(spark, SparkSpec.sfDir)
     // add branch (v2): prev artifact + delta, never the corpus
