@@ -826,10 +826,11 @@ object TextOps {
     import graft.sources.Versioned
     val key = graft.Tables.fileFingerprint(spark, s"$dir/documents.parquet")
     // rm2 grew text, rm3 grew lang (the class-conditional DSIR chain
-    // subtracts per-class — q141): each contract change is a new
-    // content address, so a lake built under an older contract can
-    // never be half-reused
-    val base = s"${Dedup.indexBase}/lake-rm3-$key"
+    // subtracts per-class — q141), rm4 added the frozen-LM chain's
+    // v1/v2 artifacts (q143 — the LM must train BEFORE GC collects
+    // version 1): each contract change is a new content address, so a
+    // lake built under an older contract can never be half-reused
+    val base = s"${Dedup.indexBase}/lake-rm4-$key"
     val all = docs(spark, dir)
     val fresh = uniformKeyOf(col("doc_id")) < lit(0.1)
     if (Versioned.currentVersion(spark, base).isEmpty) {
@@ -839,6 +840,7 @@ object TextOps {
       tfGrainAt(spark, base, 1L)
       Analytics.cmsAt(spark, base, 1L)
       dsirCountsAt(spark, base, 1L)
+      lmScoresAt(spark, base, 1L) // trains + freezes the LM pre-GC
     }
     if (Versioned.currentVersion(spark, base).contains(1L)) {
       Versioned.publish(spark, base, Seq(
@@ -847,6 +849,7 @@ object TextOps {
       tfGrainAt(spark, base, 2L)
       Analytics.cmsAt(spark, base, 2L)
       dsirCountsAt(spark, base, 2L)
+      lmScoresAt(spark, base, 2L)
     }
     if (Versioned.currentVersion(spark, base).contains(2L)) {
       val removed = removalSlice(all)
@@ -2189,8 +2192,17 @@ object TextOps {
         sum(col("tf") * col("s")).as("surp"))
       .withColumn("score_mhb", expr("surp * 1000 div n_tokens"))
       .localCheckpoint() // feeds the histogram, N, and the final cut
-    // exact terciles over the BOUNDED score domain: histogram + one
-    // domain-sized cumulative window + a 1-row threshold reduction
+    tercileCut(scored)
+  }
+
+  /** The tercile threshold-cut shared by [[q142LmBucket]] and
+    * [[q143IncrLmBucket]]: exact terciles over the BOUNDED score
+    * domain — a histogram, one domain-sized cumulative window, and a
+    * 1-row threshold reduction broadcast back over the scored frame.
+    * Input must carry (doc_id, lang, n_tokens, surp, score_mhb) and
+    * be materialized (both the histogram and the final cut consume
+    * it). */
+  private def tercileCut(scored: DataFrame): DataFrame = {
     val hist = scored.groupBy(col("score_mhb")).agg(count(lit(1)).as("hn"))
     val histW = Window.orderBy(col("score_mhb")) // ≤ 62,001 rows by cap
     val thresholds = hist
@@ -2208,7 +2220,219 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------- q143
+  /** Incremental maintenance of the LM-score chain under a FROZEN
+    * language model — [[q142LmBucket]]'s scores kept current across
+    * corpus versions on the frozen-codebook pattern of the IVF/PQ
+    * chains ([[graft.queries.Similarity]]): CCNet's production
+    * posture is exactly this — the quality LM is trained once on the
+    * reference corpus and every later crawl snapshot is scored under
+    * it (Wenzek et al. 2020, §3.3), because a per-version retrain
+    * both re-reads the corpus and silently re-buckets every
+    * previously scored document.
+    *
+    * Chain algebra: a document's (n_tokens, surp) under a frozen LM
+    * is a pure per-doc function, so the scored artifact is DOC-KEYED
+    * and maintenance is the cheapest kind in the ledger —
+    * `scores(v) = scores(v−1) ∪ score(Δv) ∖ tombstones(v)` — one
+    * map-side pass over the delta's tokens plus a broadcast
+    * anti-join; the standing artifact is carried by reference, never
+    * re-scored, and ID-ONLY tombstones are EXACT (contrast the CMS
+    * and DSIR chains, whose linear counters need the removed TEXT to
+    * subtract): removal ≡ never-ingested with no contract beyond the
+    * ids. The tercile thresholds are NOT maintained state — they
+    * recompute per read from the bounded score-domain histogram
+    * (≤ 62,001 rows regardless of corpus size), which is what makes
+    * serving the cut O(domain), not O(corpus), at any version.
+    *
+    * Output: version 3's maintained scores bucketed by the recomputed
+    * thresholds. The oracle rebuilds from scratch — LM from v1's en
+    * class, every SURVIVOR scored under it — so hash equality proves
+    * append+tombstone maintenance ≡ full recompute under the frozen
+    * model. */
+  def q143IncrLmBucket(spark: SparkSession, dir: String): DataFrame = {
+    val base = versionedCorpusWithRemoval(spark, dir)
+    lmScoresAt(spark, base, 1L) // chain origin: trains + freezes the LM
+    lmScoresAt(spark, base, 2L) // delta append under the frozen LM
+    val scored = lmScoresAt(spark, base, 3L) // id-only tombstone cut
+      .withColumn("score_mhb", expr("surp * 1000 div n_tokens"))
+      .localCheckpoint() // feeds the histogram AND the final cut
+    tercileCut(scored)
+  }
+
+  private[graft] def lmArtifact(lakeBase: String): String =
+    s"$lakeBase-lm-k$LmVocabK"
+  private[graft] def lmScoreArtifact(lakeBase: String, v: Long): String =
+    s"$lakeBase-lmscore-k$LmVocabK-v$v"
+
+  /** Train the unigram LM of [[q142LmBucket]] from a documents
+    * frame's en class: the top-[[LmVocabK]] (token, c) rows plus one
+    * NULL-token row carrying the total en mass T (NULL can never
+    * collide with a real token, and a left join by token never
+    * matches it). */
+  private[graft] def lmOf(df: DataFrame): DataFrame = {
+    val enc = df.filter(col("lang") === "en")
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    enc.orderBy(col("c").desc, col("token")).limit(LmVocabK)
+      .unionByName(enc.agg(coalesce(sum(col("c")), lit(0L)).as("c"))
+        .select(lit(null).cast("string").as("token"), col("c")))
+  }
+
+  /** Score a documents frame under a frozen LM artifact —
+    * [[q142LmBucket]]'s surprisal arithmetic verbatim (half-bit
+    * discrete log, BIGINT-capped), with the LM read from `lm` instead
+    * of retrained. Map-side except the doc-keyed partial agg. */
+  private[graft] def lmScoreOf(df: DataFrame, lm: DataFrame): DataFrame = {
+    val vocab = lm.filter(col("token").isNotNull)
+    val tot = lm.filter(col("token").isNull).select(col("c").as("t"))
+    df.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("lang"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"), col("tf"),
+        coalesce(col("c"), lit(0L)).as("cc"), col("t"))
+      .withColumn("qrec",
+        least(expr(s"(t + ${LmVocabK + 1}) div (cc + 1)"),
+          lit(3000000000L)))
+      .withColumn("s",
+        (length(bin(col("qrec") * col("qrec"))) - lit(1)).cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("s")).as("surp"))
+  }
+
+  /** The frozen LM of a chain: trained from the lake's version-1
+    * documents on first touch, content-addressed and never retrained
+    * — every later version scores under it by construction. */
+  private[graft] def lmAt(spark: SparkSession, lakeBase: String): DataFrame =
+    graft.sources.ArtifactStore.readOrPublish(spark, lmArtifact(lakeBase))(
+      lmOf(graft.sources.Versioned.readAt(spark, lakeBase, "documents", 1L)))
+
+  /** The maintained doc-keyed score table AT lake version `v`
+    * ([[q143IncrLmBucket]]'s engine). */
+  private[graft] def lmScoresAt(spark: SparkSession, lakeBase: String,
+      v: Long): DataFrame =
+    graft.sources.ArtifactStore.readOrPublish(
+      spark, lmScoreArtifact(lakeBase, v))(
+      incrementalLmScoreFrame(spark, lakeBase, v))
+
+  /** Maintenance frame behind [[lmScoresAt]]: previous artifact
+    * present ⇒ union it with the DELTA's scores under the frozen LM
+    * and anti-join the tombstone ids — prev rows carried verbatim
+    * (the frozen model is what licenses that), removal exact on ids
+    * alone because the artifact is doc-keyed. The delta contract
+    * (new doc_ids only, as every doc-keyed chain here assumes) is
+    * the ingest side's invariant. No usable prior ⇒ full build from
+    * the version's documents. */
+  private[graft] def incrementalLmScoreFrame(spark: SparkSession,
+      lakeBase: String, v: Long): DataFrame = {
+    import graft.sources.{ArtifactStore, Versioned}
+    val lm = lmAt(spark, lakeBase)
+    val hasDelta =
+      Versioned.tableExists(spark, lakeBase, "documents_delta", v)
+    val hasRemoved =
+      Versioned.tableExists(spark, lakeBase, "documents_removed", v)
+    ArtifactStore.readIfPresent(spark, lmScoreArtifact(lakeBase, v - 1)) match {
+      case Some(prev) if hasDelta || hasRemoved =>
+        val added = if (hasDelta)
+          prev.unionByName(lmScoreOf(
+            Versioned.readAt(spark, lakeBase, "documents_delta", v), lm))
+        else prev
+        if (hasRemoved)
+          added.join(
+            Versioned.readAt(spark, lakeBase, "documents_removed", v)
+              .select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+        else added
+      case _ => lmScoreOf(
+        Versioned.readAt(spark, lakeBase, "documents", v), lm)
+    }
+  }
+
+  // -------------------------------------------------------------- q144
+  /** Integer-exact multinomial Naive Bayes language classifier — the
+    * shape of fastText's language-ID / quality-filter stage (Joulin
+    * et al. 2017) reduced to its exactly-replayable core: train
+    * class-conditional unigram models (one per `lang`) with add-one
+    * smoothing over a shared top-[[NbVocabK]] vocabulary, score every
+    * document under EVERY class by prior + likelihood surprisal, and
+    * predict the argmin. All arithmetic is the q142 half-bit discrete
+    * log — class priors included — so prediction, not just score,
+    * replays bit-exactly cross-engine (a float NB can flip argmin in
+    * the last ulp; an integer one cannot).
+    *
+    * Scale shape: ONE tokenize pass builds the (doc, lang, token, tf)
+    * grain (map-side combine, localCheckpointed for its four
+    * consumers); the vocabulary is a TakeOrderedAndProject cut; the
+    * class-stat matrix is ≤ K·C rows and the prior/total frames C and
+    * 1 rows — all broadcast. Scoring expands the grain C-fold (every
+    * token priced under every class — the irreducible NB cost), but
+    * the expansion is map-side (broadcast nested-loop against the
+    * C-row class frame) feeding a (doc, class)-keyed partial agg; the
+    * argmin is a doc_id-PARTITIONED window (never global). C = the
+    * corpus's distinct langs, bounded by construction. */
+  val NbVocabK = 2048
+  def q144NbClassify(spark: SparkSession, dir: String): DataFrame = {
+    val grain = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(wordsCol).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("lang"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // vocab + class stats + priors + scoring
+    val vocab = grain.groupBy(col("token")).agg(sum(col("tf")).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(NbVocabK)
+      .select(col("token"))
+    // class-conditional token counts over the shared vocab (≤ K·C
+    // rows) and per-class token mass (C rows)
+    val classCounts = grain.join(broadcast(vocab), Seq("token"))
+      .groupBy(col("lang"), col("token")).agg(sum(col("tf")).as("cnt"))
+      .select(col("lang").as("cls"), col("token"), col("cnt"))
+    val classTotals = grain.groupBy(col("lang"))
+      .agg(sum(col("tf")).as("tc"))
+      .select(col("lang").as("cls"), col("tc"))
+    // priors from document counts, same half-bit discipline
+    val docCounts = grain.select(col("doc_id"), col("lang")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("ndocs"))
+    val priors = docCounts
+      .crossJoin(broadcast(docCounts.agg(sum(col("ndocs")).as("nd"))))
+      .select(col("lang").as("cls"),
+        least(expr("nd div ndocs"), lit(3000000000L)).as("qp"))
+      .select(col("cls"),
+        (length(bin(col("qp") * col("qp"))) - lit(1)).cast("long").as("ps"))
+    // price every (token, class) pair: C-fold map-side expansion
+    val perClass = grain
+      .crossJoin(broadcast(classTotals))
+      .join(broadcast(classCounts), Seq("cls", "token"), "left")
+      .withColumn("qrec",
+        least(expr(s"(tc + ${NbVocabK + 1}) div (coalesce(cnt, 0L) + 1)"),
+          lit(3000000000L)))
+      .withColumn("s",
+        (length(bin(col("qrec") * col("qrec"))) - lit(1)).cast("long"))
+      .groupBy(col("doc_id"), col("lang"), col("cls"))
+      .agg(sum(col("tf") * col("s")).as("lsurp"))
+      .join(broadcast(priors), "cls")
+      .select(col("doc_id"), col("lang"), col("cls"),
+        (col("lsurp") + col("ps")).as("surp"))
+    // argmin per doc, ties to the lexicographically first class —
+    // doc_id-partitioned window, C rows per partition key
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("surp"), col("cls"))
+    perClass
+      .withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("cls").as("pred"),
+        col("surp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_nb_classify"    -> (q144NbClassify _),
+    "q143_incr_lm"        -> (q143IncrLmBucket _),
     "q142_lm_bucket"      -> (q142LmBucket _),
     "q137_dsir_select"    -> (q137DsirSelect _),
     "q141_incr_dsir"      -> (q141IncrDsir _),
@@ -2432,6 +2656,112 @@ object TextOps {
   private val bm25OracleSql: String = bm25OracleSqlOver("documents")
 
   val oracle: Map[String, String] = Map(
+    // q143: from-scratch replay of the FROZEN-LM chain — LM trained on
+    // version 1's en class (the standing md5-slice ≥ 0.1), every
+    // SURVIVOR (corpus minus the [0.1, 0.15) removal slice) scored
+    // under it, terciles from the bounded histogram. Hash equality
+    // proves append+id-tombstone maintenance ≡ full recompute.
+    "q143_incr_lm" ->
+      s"""WITH v1 AS (
+         | SELECT lang, text FROM documents
+         | WHERE (${md5UniformSql("doc_id")}) >= 0.1),
+         |surv AS (
+         | SELECT doc_id, lang, text FROM documents
+         | WHERE NOT ((${md5UniformSql("doc_id")}) >= 0.1
+         |        AND (${md5UniformSql("doc_id")}) < 0.15)),
+         |enc AS (
+         | SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+         | FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token
+         |       FROM v1 WHERE lang = 'en')
+         | WHERE token <> '' GROUP BY token),
+         |vocab AS (
+         | SELECT token, c FROM enc ORDER BY c DESC, token LIMIT $LmVocabK),
+         |tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS t FROM enc),
+         |g AS (
+         | SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS tf
+         | FROM (SELECT doc_id, lang,
+         |        unnest(string_split_regex(text, '\\s+')) AS token
+         |       FROM surv)
+         | WHERE token <> '' GROUP BY doc_id, lang, token),
+         |ts AS (
+         | SELECT g.doc_id, g.lang, g.tf,
+         |  least((tot.t + ${LmVocabK + 1}) // (COALESCE(v.c, 0) + 1),
+         |        3000000000) AS qrec
+         | FROM g LEFT JOIN vocab v USING (token) CROSS JOIN tot),
+         |sc AS (
+         | SELECT doc_id, lang,
+         |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(tf * (length(bin(qrec * qrec)) - 1)) AS BIGINT) AS surp
+         | FROM ts GROUP BY doc_id, lang),
+         |sc2 AS (
+         | SELECT doc_id, lang, n_tokens, surp,
+         |  CAST((surp * 1000) // n_tokens AS BIGINT) AS score_mhb
+         | FROM sc),
+         |hist AS (
+         | SELECT score_mhb, CAST(COUNT(*) AS BIGINT) AS hn
+         | FROM sc2 GROUP BY score_mhb),
+         |cumh AS (
+         | SELECT score_mhb, SUM(hn) OVER (ORDER BY score_mhb) AS cum
+         | FROM hist),
+         |nd AS (SELECT CAST(SUM(hn) AS BIGINT) AS nd FROM hist),
+         |thr AS (
+         | SELECT MIN(CASE WHEN cum * 3 >= nd THEN score_mhb END) AS t1,
+         |        MIN(CASE WHEN cum * 3 >= nd * 2 THEN score_mhb END) AS t2
+         | FROM cumh, nd)
+         |SELECT s.doc_id, s.lang, s.n_tokens, s.surp, s.score_mhb,
+         | CASE WHEN s.score_mhb <= thr.t1 THEN 'head'
+         |      WHEN s.score_mhb <= thr.t2 THEN 'middle'
+         |      ELSE 'tail' END AS bucket
+         |FROM sc2 s CROSS JOIN thr
+         |ORDER BY s.doc_id""".stripMargin,
+    // q144: full NB replay — shared top-K vocabulary, class-conditional
+    // counts, add-one smoothing, half-bit surprisal for likelihood AND
+    // prior, argmin with lexicographic tie-break. Every value BIGINT.
+    "q144_nb_classify" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, lang,
+         |  unnest(string_split_regex(text, '\\s+')) AS token
+         | FROM documents),
+         |g AS (
+         | SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS tf
+         | FROM tok WHERE token <> '' GROUP BY doc_id, lang, token),
+         |vocab AS (
+         | SELECT token FROM (
+         |  SELECT token, CAST(SUM(tf) AS BIGINT) AS n
+         |  FROM g GROUP BY token)
+         | ORDER BY n DESC, token LIMIT $NbVocabK),
+         |cc AS (
+         | SELECT g.lang AS cls, g.token, CAST(SUM(g.tf) AS BIGINT) AS cnt
+         | FROM g JOIN vocab USING (token) GROUP BY g.lang, g.token),
+         |ct AS (
+         | SELECT lang AS cls, CAST(SUM(tf) AS BIGINT) AS tc
+         | FROM g GROUP BY lang),
+         |dc AS (
+         | SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
+         | FROM g GROUP BY lang),
+         |ndall AS (SELECT CAST(SUM(ndocs) AS BIGINT) AS nd FROM dc),
+         |pri AS (
+         | SELECT lang AS cls,
+         |  CAST(length(bin(least(nd // ndocs, 3000000000)
+         |                  * least(nd // ndocs, 3000000000))) - 1
+         |       AS BIGINT) AS ps
+         | FROM dc CROSS JOIN ndall),
+         |ts AS (
+         | SELECT g.doc_id, g.lang, ct.cls, g.tf,
+         |  least((ct.tc + ${NbVocabK + 1}) // (COALESCE(cc.cnt, 0) + 1),
+         |        3000000000) AS qrec
+         | FROM g CROSS JOIN ct
+         | LEFT JOIN cc ON cc.cls = ct.cls AND cc.token = g.token),
+         |pc AS (
+         | SELECT doc_id, lang, cls,
+         |  CAST(SUM(tf * (length(bin(qrec * qrec)) - 1)) AS BIGINT) AS lsurp
+         | FROM ts GROUP BY doc_id, lang, cls)
+         |SELECT pc.doc_id, pc.lang, pc.cls AS pred,
+         | CAST(pc.lsurp + pri.ps AS BIGINT) AS surp
+         |FROM pc JOIN pri USING (cls)
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY pc.doc_id ORDER BY pc.lsurp + pri.ps, pc.cls) = 1
+         |ORDER BY pc.doc_id""".stripMargin,
     // q142: full replay — unigram LM trained on the en class (top-K
     // vocabulary, count-desc/token tiebreak), half-bit discrete-log
     // surprisal via binary bit-length (bin() in both engines), tercile

@@ -138,6 +138,106 @@ class TextOpsSpec extends SparkSpec {
     assert(byBucket("head").length * 3 >= n)
   }
 
+  test("q143: LM-score maintenance reads artifact+change only; never the corpus") {
+    val base = TextOps.versionedCorpusWithRemoval(spark, SparkSpec.sfDir)
+    TextOps.lmScoresAt(spark, base, 1L)
+    // add branch (v2): prev artifact + delta + the frozen LM — the LM
+    // is chain state, the corpus is not
+    val add = TextOps.incrementalLmScoreFrame(spark, base, 2L)
+    val strayAdd = add.inputFiles.filterNot(f =>
+      f.contains(TextOps.lmScoreArtifact(base, 1L)) ||
+        f.contains(TextOps.lmArtifact(base)) ||
+        changeTableFile("documents_delta", 2L)(f))
+    assert(add.inputFiles.nonEmpty && strayAdd.isEmpty,
+      s"add maintenance reads beyond artifact+delta+LM: ${strayAdd.take(3).mkString(", ")}")
+    TextOps.lmScoresAt(spark, base, 2L)
+    // subtract branch (v3): prev artifact + tombstone ids only — no
+    // LM read, no corpus read (id-keyed anti-join needs neither)
+    val sub = TextOps.incrementalLmScoreFrame(spark, base, 3L)
+    val straySub = sub.inputFiles.filterNot(f =>
+      f.contains(TextOps.lmScoreArtifact(base, 2L)) ||
+        changeTableFile("documents_removed", 3L)(f))
+    assert(sub.inputFiles.nonEmpty && straySub.isEmpty,
+      s"subtract maintenance reads beyond artifact+tombstones: ${straySub.take(3).mkString(", ")}")
+    assert(!sub.inputFiles.exists(f =>
+      f.contains("/documents/") || f.contains("_data/documents-")),
+      "subtract maintenance re-scans the corpus")
+  }
+
+  test("q143: id-only tombstones are exact; the delta scores under the frozen v1 model") {
+    import graft.sources.Versioned
+    val lb = Files.createTempDirectory("graft-lm-idonly").toString + "/lake"
+    val v1docs = Seq((1L, "aa aa aa aa", "en"), (2L, "bb bb", "de"))
+      .toDF("doc_id", "text", "lang")
+    Versioned.publish(spark, lb, Seq(
+      Versioned.TableSpec("documents", v1docs),
+      Versioned.TableSpec("documents_delta", v1docs)))
+    TextOps.lmScoresAt(spark, lb, 1L)
+    // the delta doc's tokens would shift a RETRAINED model; the chain
+    // must score it under v1's LM
+    val delta = Seq((3L, "aa zz", "fr")).toDF("doc_id", "text", "lang")
+    Versioned.publish(spark, lb, Seq(
+      Versioned.TableSpec("documents", v1docs.unionByName(delta)),
+      Versioned.TableSpec("documents_delta", delta)))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val frozenLm = TextOps.lmOf(v1docs)
+    val v2 = keyed(TextOps.lmScoresAt(spark, lb, 2L))
+    assert(v2(3L) == keyed(TextOps.lmScoreOf(delta, frozenLm))(3L),
+      "delta doc not scored under the frozen v1 LM")
+    assert(v2.keySet == Set(1L, 2L, 3L))
+    // v3: remove doc 2 with an ID-ONLY tombstone — exact here (the
+    // artifact is doc-keyed), where the CMS/DSIR chains must rebuild
+    Versioned.publish(spark, lb, Seq(
+      Versioned.TableSpec("documents",
+        v1docs.unionByName(delta).filter(col("doc_id") =!= 2L)),
+      Versioned.TableSpec("documents_removed", Seq(2L).toDF("doc_id"))))
+    val frame = TextOps.incrementalLmScoreFrame(spark, lb, 3L)
+    assert(!frame.inputFiles.exists(f =>
+      f.contains("/documents/") || f.contains("_data/documents-")),
+      "id-only tombstones must NOT force a corpus rebuild for a doc-keyed chain")
+    val got = keyed(TextOps.lmScoresAt(spark, lb, 3L))
+    val want = keyed(TextOps.lmScoreOf(
+      v1docs.unionByName(delta).filter(col("doc_id") =!= 2L), frozenLm))
+    assert(got == want, s"removal ≠ never-ingested: $got vs $want")
+  }
+
+  test("q144 NB: hand-computed class stats, priors, argmin, lexicographic ties") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-q144").toString
+    // classes: en (docs 1,3), de (doc 2), ax (doc 4 — de's exact twin,
+    // planted to force a score tie broken lexicographically)
+    // tc: en 6, de 3, ax 3 ⇒ D: en 2055, de/ax 2052
+    //   s_en(aa)=16 s_en(bb)=20; s_de/ax(aa)=22 s_de/ax(bb)=18
+    // priors (nd=4): en qp=2→ps=2; de/ax qp=4→ps=4
+    Seq(
+      (1L, "aa aa aa", "en", "t"),
+      (2L, "bb bb bb", "de", "t"),
+      (3L, "aa aa bb", "en", "t"),
+      (4L, "bb bb bb", "ax", "t"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.q144NbClassify(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> (("en", 50L)), // 3·16+2 beats 3·22+4
+      2L -> (("ax", 58L)), // de and ax tie at 58 — 'ax' < 'de'
+      3L -> (("en", 54L)), // 2·16+20+2
+      4L -> (("ax", 58L))), s"got: $got")
+  }
+
+  test("q144: corpus-scale invariants — total coverage, preds from the class set") {
+    val rows = TextOps.q144NbClassify(spark, SparkSpec.sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "one prediction per document")
+    val langs = rows.map(_.getString(1)).toSet
+    assert(rows.map(_.getString(2)).toSet.subsetOf(langs),
+      "every prediction is an observed class")
+    assert(rows.forall(_.getLong(3) >= 0L), "surprisal is non-negative")
+  }
+
   test("q141: DSIR count maintenance reads artifact+change only; id-only tombstones force rebuild") {
     val base = TextOps.versionedCorpusWithRemoval(spark, SparkSpec.sfDir)
     // add branch (v2): prev artifact + delta, never the corpus
