@@ -2254,11 +2254,18 @@ object TextOps {
     val base = versionedCorpusWithRemoval(spark, dir)
     lmScoresAt(spark, base, 1L) // chain origin: trains + freezes the LM
     lmScoresAt(spark, base, 2L) // delta append under the frozen LM
-    val scored = lmScoresAt(spark, base, 3L) // id-only tombstone cut
-      .withColumn("score_mhb", expr("surp * 1000 div n_tokens"))
-      .localCheckpoint() // feeds the histogram AND the final cut
-    tercileCut(scored)
+    lmBucketsOf(lmScoresAt(spark, base, 3L)) // id-only tombstone cut
   }
+
+  /** Bucket a (doc_id, lang, n_tokens, surp) scores frame — the
+    * serve-side cut shared by [[q143IncrLmBucket]] and the streaming
+    * twin ([[graft.streaming.StreamingLmScores]]): derive the bounded
+    * integer score, then the tercile threshold cut. O(domain) beyond
+    * one pass over the scores. */
+  private[graft] def lmBucketsOf(scores: DataFrame): DataFrame =
+    tercileCut(scores
+      .withColumn("score_mhb", expr("surp * 1000 div n_tokens"))
+      .localCheckpoint()) // feeds the histogram AND the final cut
 
   private[graft] def lmArtifact(lakeBase: String): String =
     s"$lakeBase-lm-k$LmVocabK"
@@ -2306,12 +2313,20 @@ object TextOps {
         sum(col("tf") * col("s")).as("surp"))
   }
 
-  /** The frozen LM of a chain: trained from the lake's version-1
-    * documents on first touch, content-addressed and never retrained
-    * — every later version scores under it by construction. */
+  /** The frozen LM of a chain: trained on first touch from the OLDEST
+    * version still committed (version 1 in the maintained flow, where
+    * the chain builds at every publish; a cold start on a GC'd lake
+    * freezes the oldest surviving snapshot), content-addressed and
+    * never retrained — every later version scores under it by
+    * construction. */
   private[graft] def lmAt(spark: SparkSession, lakeBase: String): DataFrame =
-    graft.sources.ArtifactStore.readOrPublish(spark, lmArtifact(lakeBase))(
-      lmOf(graft.sources.Versioned.readAt(spark, lakeBase, "documents", 1L)))
+    graft.sources.ArtifactStore.readOrPublish(spark, lmArtifact(lakeBase)) {
+      import graft.sources.Versioned
+      val origin = Versioned.listVersions(spark, lakeBase).headOption
+        .getOrElse(sys.error(
+          s"frozen-LM chain: no committed version at $lakeBase"))
+      lmOf(Versioned.readAt(spark, lakeBase, "documents", origin))
+    }
 
   /** The maintained doc-keyed score table AT lake version `v`
     * ([[q143IncrLmBucket]]'s engine). */

@@ -108,6 +108,49 @@ class PlanSpec extends SparkSpec {
       s"window spec not partitioned by query_id in:\n$plan")
   }
 
+  test("q142/q143: the only unpartitioned window reads the bounded score histogram") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for ((name, df) <- Seq(
+        "q142" -> graft.queries.TextOps.q142LmBucket(spark, sfDir),
+        "q143" -> graft.queries.TextOps.q143IncrLmBucket(spark, sfDir))) {
+      df.collect()
+      var saw = 0
+      df.queryExecution.optimizedPlan.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          saw += 1
+          // the window's input must be the score-domain histogram: an
+          // aggregate GROUPED BY score_mhb (≤ 62,001 rows by the qrec
+          // cap — bounded by construction, not by data), never the
+          // corpus-sized scores frame
+          val agg = w.child.collectFirst { case a: Aggregate => a }
+          assert(agg.exists(_.groupingExpressions.exists(
+            _.references.exists(_.name == "score_mhb"))),
+            s"$name: unpartitioned window not over the score histogram:\n" +
+              df.queryExecution.optimizedPlan.toString)
+        case _ => ()
+      }
+      assert(saw == 1,
+        s"$name: expected exactly the one histogram window, got $saw")
+    }
+  }
+
+  test("q144: class stats broadcast; the argmin window is doc-partitioned") {
+    val df = graft.queries.TextOps.q144NbClassify(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the K·C count matrix must broadcast, not shuffle the grain:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the C-row class totals must cross map-side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized join side anywhere in the NB plan:\n$plan")
+    val winSpec = raw"windowspecdefinition\(doc_id#".r
+    val anySpec = raw"windowspecdefinition\(".r
+    val all = anySpec.findAllIn(plan).size
+    assert(all > 0 && all == winSpec.findAllIn(plan).size,
+      s"argmin window not doc_id-partitioned in:\n$plan")
+  }
+
   test("q137: weights broadcast to the grain; the cut is TakeOrdered") {
     val df = graft.queries.TextOps.q137DsirSelect(spark, sfDir)
     df.collect()

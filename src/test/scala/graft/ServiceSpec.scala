@@ -355,7 +355,7 @@ class ServiceSpec extends AnyFunSuite {
       assert(c == 200 && b.contains("\"state\":\"done\""), b)
       val chains = Seq("windows", "signatures", "clusters", "cms_rows",
         "kmv_sources", "tf_grain", "doc_lens", "corpus_stats",
-        "ivf_vectors")
+        "lm_scores", "ivf_vectors")
       chains.foreach(k =>
         assert(counts(b).get(k).exists(_ > 0), s"$k missing/empty: $b"))
 
