@@ -2445,7 +2445,122 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------- q145
+  /** BPE tokenizer training — Sennrich et al. 2016 ("Neural Machine
+    * Translation of Rare Words with Subword Units"): learn the
+    * [[BpeRounds]] most valuable byte-pair merges from the corpus's
+    * word-frequency table. Classic BPE trains on the VOCABULARY, not
+    * the corpus — one corpus pass builds (word, n), and every merge
+    * round after that touches ≤ [[BpeWordCap]] rows (the top words by
+    * count, the codebook-cut discipline of the LM/IVF families), so
+    * training cost is decoupled from corpus size the same way a
+    * centroid fit is.
+    *
+    * Determinism is the hard part, solved structurally: a word's
+    * symbol sequence is encoded as a string with each symbol wrapped
+    * in its own spaces (`'ab'` → `' a  b '`, adjacent symbols meeting
+    * at a double space), so applying merge (x, y) is ONE literal
+    * `replace(s, ' x  y ', ' xy ')` — and because both engines scan
+    * left-to-right non-overlapping, the replacement IS the greedy
+    * leftmost merge of standard BPE ('a a a' merges once), with each
+    * consumed boundary space re-emitted so back-to-back pairs
+    * ('x y x y') all merge in one round. Ties in the pair argmax
+    * break on (count desc, left, right). The per-round argmax is a
+    * 1-row collect (bounded, like the codebook collects); rounds that
+    * exhaust all pairs stop early on both engines (the oracle's
+    * exhaustion-safe LEFT JOIN keeps later stages alive with a
+    * never-matching sentinel pattern).
+    *
+    * Output: the learned merge table (round, l, r, cnt) — the
+    * tokenizer model itself, the artifact a training pipeline ships.
+    * The oracle replays all [[BpeRounds]] rounds as chained CTEs. */
+  val BpeRounds = 8
+  val BpeWordCap = 8192
+  private def spacedChars(c: Column): Column =
+    regexp_replace(c, "(.)", " $1 ")
+
+  /** The (word, n, spaced-symbols) training table — capped for
+    * training ([[q145BpeMerges]]), uncapped for application
+    * ([[q146BpeApply]]). */
+  private def bpeWords(spark: SparkSession, dir: String,
+      cap: Option[Int]): DataFrame = {
+    val w = docs(spark, dir).select(explode(wordsCol).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val spaced = cap.fold(w)(k => w.orderBy(col("n").desc, col("word")).limit(k))
+      .withColumn("s", spacedChars(col("word")))
+    // training state is re-read every merge round — pin it; the
+    // uncapped application table is consumed once, lazily
+    if (cap.isDefined) spaced.localCheckpoint() else spaced
+  }
+
+  /** The driver loop behind q145/q146: ≤ [[BpeRounds]] rounds, each a
+    * pair-count aggregate over the ≤ [[BpeWordCap]]-row state plus a
+    * 1-row argmax collect and a map-side literal replace. */
+  private[graft] def bpeLearn(spark: SparkSession, dir: String)
+      : Seq[(String, String, Long)] = {
+    var state = bpeWords(spark, dir, Some(BpeWordCap))
+    val pairExpr = expr(
+      "transform(sequence(1, size(split(trim(s), '  ')) - 1), " +
+        "i -> named_struct(" +
+        "'l', element_at(split(trim(s), '  '), i), " +
+        "'r', element_at(split(trim(s), '  '), i + 1)))")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    for (_ <- 1 to BpeRounds if !exhausted) {
+      val best = state
+        // guard BEFORE sequence(): Spark's sequence(1, 0) counts DOWN
+        .filter(size(split(trim(col("s")), "  ")) >= 2)
+        .select(col("n"), explode(pairExpr).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((l, r, c))
+        state = state.withColumn("s",
+          replace(col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  def q145BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeLearn(spark, dir).zipWithIndex
+      .map { case ((l, r, c), i) => ((i + 1).toLong, l, r, c) }
+      .toDF("round", "l", "r", "cnt")
+      .orderBy(col("round"))
+  }
+
+  // -------------------------------------------------------------- q146
+  /** Apply the learned BPE model corpus-wide: segment EVERY distinct
+    * word (no cap — train on the head, apply everywhere) by folding
+    * the [[q145BpeMerges]] merges in learned order, then report the
+    * top-100 subword tokens by corpus occurrence count. The
+    * application is [[BpeRounds]] chained map-side literal replaces
+    * over the (word, n) table — segmenting a 100 TB corpus is a scan
+    * whose per-row cost is the merge count, with no shuffle beyond
+    * the final bounded token aggregate and TakeOrdered head. */
+  def q146BpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeLearn(spark, dir)
+    val segmented = merges.foldLeft(bpeWords(spark, dir, None)) {
+      case (d, (l, r, _)) =>
+        d.withColumn("s", replace(col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
+    }
+    segmented
+      .select(col("n"), explode(split(trim(col("s")), "  ")).as("token"))
+      .groupBy(col("token")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_bpe_apply"      -> (q146BpeApply _),
+    "q145_bpe_merges"     -> (q145BpeMerges _),
     "q144_nb_classify"    -> (q144NbClassify _),
     "q143_incr_lm"        -> (q143IncrLmBucket _),
     "q142_lm_bucket"      -> (q142LmBucket _),
@@ -2670,7 +2785,73 @@ object TextOps {
 
   private val bm25OracleSql: String = bm25OracleSqlOver("documents")
 
+  /** The q145/q146 oracle's shared CTE chain, generated because the
+    * round count is a constant: one CTE triple (pair counts, argmax,
+    * merged state) per round. Exhaustion safety: if a round's best-
+    * pair CTE is empty, the LEFT JOIN + COALESCE degrade the round's
+    * replace to a never-matching chr(1) pattern, so later rounds (and
+    * the q146 application chain) see the state unchanged — exactly
+    * the Spark driver loop's early stop. */
+  private def bpeOracleCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w AS (
+       | SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+       | FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+       |       FROM documents)
+       | WHERE word <> '' GROUP BY word),
+       |st0 AS (
+       | SELECT word, n, regexp_replace(word, '(.)', ' \\1 ', 'g') AS s
+       | FROM (SELECT word, n FROM w ORDER BY n DESC, word LIMIT $BpeWordCap))""".stripMargin
+    for (r <- 1 to BpeRounds) sb ++= s""",
+       |p$r AS (
+       | SELECT n, unnest(list_transform(range(1, len(syms)),
+       |   i -> {'l': syms[i], 'r': syms[i + 1]})) AS pr
+       | FROM (SELECT n, string_split(trim(s), '  ') AS syms FROM st${r - 1})),
+       |b$r AS (
+       | SELECT pr.l AS l, pr.r AS r, CAST(SUM(n) AS BIGINT) AS cnt
+       | FROM p$r GROUP BY pr.l, pr.r
+       | ORDER BY cnt DESC, l, r LIMIT 1),
+       |st$r AS (
+       | SELECT word, n,
+       |  replace(s, COALESCE(' ' || b$r.l || '  ' || b$r.r || ' ', chr(1)),
+       |             COALESCE(' ' || b$r.l || b$r.r || ' ', '')) AS s
+       | FROM st${r - 1} LEFT JOIN b$r ON TRUE)""".stripMargin
+    sb.toString
+  }
+
+  /** q146's application chain over the UNCAPPED word table — the same
+    * merge replaces, folded over every distinct word. */
+  private def bpeApplyCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s""",
+       |af0 AS (
+       | SELECT word, n, regexp_replace(word, '(.)', ' \\1 ', 'g') AS s
+       | FROM w)""".stripMargin
+    for (r <- 1 to BpeRounds) sb ++= s""",
+       |af$r AS (
+       | SELECT word, n,
+       |  replace(s, COALESCE(' ' || b$r.l || '  ' || b$r.r || ' ', chr(1)),
+       |             COALESCE(' ' || b$r.l || b$r.r || ' ', '')) AS s
+       | FROM af${r - 1} LEFT JOIN b$r ON TRUE)""".stripMargin
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    // q145/q146: full replay of BPE training — every merge round's
+    // pair argmax and greedy leftmost application re-derived in
+    // chained CTEs over the identical double-space symbol encoding
+    // (replace() is leftmost non-overlapping in both engines).
+    "q145_bpe_merges" ->
+      (bpeOracleCtes + "\n" +
+        (1 to BpeRounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, l, r, cnt FROM b$r")
+          .mkString("", "\nUNION ALL\n", "\nORDER BY round")),
+    "q146_bpe_apply" ->
+      (bpeOracleCtes + bpeApplyCtes + s"""
+       |SELECT token, CAST(SUM(n) AS BIGINT) AS cnt
+       |FROM (SELECT n, unnest(string_split(trim(s), '  ')) AS token
+       |      FROM af$BpeRounds)
+       |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin),
     // q143: from-scratch replay of the FROZEN-LM chain — LM trained on
     // version 1's en class (the standing md5-slice ≥ 0.1), every
     // SURVIVOR (corpus minus the [0.1, 0.15) removal slice) scored

@@ -138,6 +138,39 @@ class TextOpsSpec extends SparkSpec {
     assert(byBucket("head").length * 3 >= n)
   }
 
+  test("q145/q146 BPE: hand-computed merges, greedy leftmost semantics, early stop") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bpe").toString
+    // words: abab ×2, ab ×1, a ×1
+    //  round 1 pairs: (a,b) = 2·2 + 1 = 5, (b,a) = 2 → merge (a,b)
+    //    'abab' must merge BOTH (a,b) pairs in one round (back-to-back
+    //    pairs re-emit the consumed boundary) → ' ab  ab '
+    //  round 2 pairs: (ab,ab) = 2 → merge; then NO pairs remain —
+    //    rounds 3..8 must stop early on both engines
+    Seq((1L, "abab abab ab a", "en", "t"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val merges = TextOps.q145BpeMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq((1L, "a", "b", 5L), (2L, "ab", "ab", 2L)),
+      s"got: ${merges.mkString(", ")}")
+    val tokens = TextOps.q146BpeApply(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tokens == Map("abab" -> 2L, "ab" -> 1L, "a" -> 1L),
+      s"got: $tokens")
+  }
+
+  test("q145: corpus-scale merges are well-formed and strictly learned in count order") {
+    val rows = TextOps.q145BpeMerges(spark, SparkSpec.sfDir).collect()
+    assert(rows.length == TextOps.BpeRounds)
+    assert(rows.map(_.getLong(0)).toSeq == (1 to TextOps.BpeRounds).map(_.toLong),
+      "rounds must be dense and ordered")
+    // merged symbols never contain the encoding delimiters
+    assert(rows.forall(r => !r.getString(1).contains(" ")
+      && !r.getString(2).contains(" ")))
+    assert(rows.forall(_.getLong(3) > 0L))
+  }
+
   test("q143: LM-score maintenance reads artifact+change only; never the corpus") {
     val base = TextOps.versionedCorpusWithRemoval(spark, SparkSpec.sfDir)
     TextOps.lmScoresAt(spark, base, 1L)
