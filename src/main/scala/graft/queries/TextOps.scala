@@ -2445,6 +2445,29 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** REST serving seam for the frozen-LM quality chain (`GET
+    * /quality`): the tercile verdict at the corpus lake's CURRENT
+    * version — a publish+maintain immediately changes what is served,
+    * the /search contract. Per call the only corpus-sized work is one
+    * scan of the maintained doc-keyed score artifact to histogram the
+    * bounded score domain (thresholds are global by definition); the
+    * per-doc filter pushes below the cut's sort and join. With a
+    * doc_id: that document's row (empty result = unknown id, not an
+    * error). Without: the bucket distribution — three rows. */
+  def qualityServe(spark: SparkSession, dir: String,
+      docId: Option[Long]): DataFrame = {
+    import graft.sources.Versioned
+    val base = Dedup.versionedCorpus(spark, dir)
+    val v = Versioned.currentVersion(spark, base).getOrElse(
+      sys.error(s"quality: no committed version at $base"))
+    val buckets = lmBucketsOf(lmScoresAt(spark, base, v))
+    docId match {
+      case Some(id) => buckets.filter(col("doc_id") === id)
+      case None => buckets.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n")).orderBy(col("bucket"))
+    }
+  }
+
   // -------------------------------------------------------------- q145
   /** BPE tokenizer training — Sennrich et al. 2016 ("Neural Machine
     * Translation of Rare Words with Subword Units"): learn the

@@ -417,6 +417,36 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
         }
     })
 
+  // Extension: quality verdicts served from the maintained frozen-LM
+  // chain (TextOps.qualityServe, the q143 serving seam) at the corpus
+  // lake's current version. With doc_id: that document's bucket row
+  // (empty array = unknown id). Without: the head/middle/tail
+  // distribution. GET for the same addressability as /search.
+  server.createContext("/quality", (ex: HttpExchange) =>
+    (spark, ex.getRequestMethod) match {
+      case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
+      case (_, m) if m != "GET" =>
+        reply(ex, 405, """{"detail":"method not allowed"}""")
+      case (Some(s), _) =>
+        val params = queryParams(ex)
+        val rawId = params.get("doc_id")
+        val docId = rawId.map(_.trim.toLongOption)
+        (params.get("dir"), docId) match {
+          case (None, _) => reply(ex, 422, """{"detail":"dir required"}""")
+          case (_, Some(None)) =>
+            reply(ex, 422, """{"detail":"doc_id: integer required"}""")
+          case (Some(dir), id) =>
+            try {
+              val rows = graft.queries.TextOps
+                .qualityServe(s, dir, id.flatten).toJSON.collect()
+              reply(ex, 200, rows.mkString("[", ",", "]"))
+            } catch {
+              case e: Exception => reply(ex, 500,
+                s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+            }
+        }
+    })
+
   // Extension: ad-hoc vector search — /search's sibling over the
   // maintained IVF index (Similarity.searchKnn, q132's oracle-checked
   // serving path). The query vector arrives as comma-separated floats;
@@ -531,6 +561,9 @@ object RestApi {
       |"/query/run":{"get":{"summary":"Run a registered engine query by name",
       | "parameters":[{"name":"name","in":"query","required":true,"schema":{"type":"string"}},{"name":"dir","in":"query","required":true,"schema":{"type":"string"}},{"name":"limit","in":"query","schema":{"type":"integer","default":20,"maximum":1000}}],
       | "responses":{"200":{"description":"rows"},"404":{"description":"unknown query"},"422":{"description":"name and dir required"},"503":{"description":"no spark session"}}}},
+      |"/quality":{"get":{"summary":"Quality verdict from the maintained frozen-LM chain at the corpus lake's current version: a document's perplexity-tercile bucket (doc_id given) or the corpus bucket distribution (omitted)",
+      |  "parameters":[{"name":"dir","in":"query","required":true},{"name":"doc_id","in":"query","required":false}],
+      |  "responses":{"200":{"description":"bucket row(s); empty array = unknown doc_id"},"422":{"description":"missing dir / non-integer doc_id"},"503":{"description":"no spark session"}}}},
       |"/search":{"get":{"summary":"Ad-hoc BM25 ranked search over the maintained retrieval grain at the corpus lake's current version",
       | "parameters":[{"name":"q","in":"query","required":true,"schema":{"type":"string"}},{"name":"dir","in":"query","required":true,"schema":{"type":"string"}},{"name":"limit","in":"query","schema":{"type":"integer","default":10,"maximum":1000}}],
       | "responses":{"200":{"description":"ranked rows (query_id, query, rank, doc_id, score)"},"422":{"description":"q and dir required"},"500":{"description":"search failed"},"503":{"description":"no spark session"}}}},

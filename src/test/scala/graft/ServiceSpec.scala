@@ -277,7 +277,7 @@ class ServiceSpec extends AnyFunSuite {
       assert(body.contains("\"openapi\""))
       Seq("/extract", "/missing", "/reset", "/health", "/etl/run",
         "/etl/status", "/query/daily_totals", "/query/run",
-        "/index/maintain", "/search", "/knn", "/docs")
+        "/index/maintain", "/search", "/knn", "/quality", "/docs")
         .foreach(route => assert(body.contains("\"" + route + "\""), route))
     } finally api.stop()
   }
@@ -335,6 +335,40 @@ class ServiceSpec extends AnyFunSuite {
         .toJSON.collect().mkString("[", ",", "]")
       assert(body == expect, "HTTP rows diverged from the library seam")
       assert(body.contains("\"rank\":1"), s"no ranked rows: $body")
+    } finally api.stop()
+  }
+
+  test("/quality serves chain-backed LM buckets over HTTP; contract = the library seam") {
+    val spark = SparkSpec.spark
+    val api = new RestApi(Some(spark), 0).start()
+    val dir = "/root/testdata/sf0.001"
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      // contract errors: missing dir, non-integer doc_id, wrong method
+      assert(http("GET", s"$base/quality")._1 == 422)
+      assert(http("GET", s"$base/quality?dir=$dir&doc_id=x")._1 == 422)
+      assert(http("POST", s"$base/quality?dir=$dir", Some("{}"))._1 == 405)
+      // a known doc: bucket row equal to the library seam's
+      import graft.queries.TextOps
+      val id = Tables(spark, dir, "documents")
+        .orderBy("doc_id").limit(1).collect().head.getLong(0)
+      val (code, body) = http("GET", s"$base/quality?dir=$dir&doc_id=$id")
+      assert(code == 200, body)
+      val expect = TextOps.qualityServe(spark, dir, Some(id))
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(body == expect, "HTTP rows diverged from the library seam")
+      assert(body.contains("\"bucket\":"), s"no bucket row: $body")
+      // unknown id is data, not an error
+      assert(http("GET", s"$base/quality?dir=$dir&doc_id=99999999")
+        == ((200, "[]")))
+      // the distribution covers the whole scored corpus
+      val (c2, b2) = http("GET", s"$base/quality?dir=$dir")
+      assert(c2 == 200, b2)
+      val total = "\"n\":(\\d+)".r.findAllMatchIn(b2)
+        .map(_.group(1).toLong).sum
+      val scored = TextOps.qualityServe(spark, dir, None)
+        .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0)
+      assert(total == scored && total > 0, s"distribution mass: $b2")
     } finally api.stop()
   }
 
