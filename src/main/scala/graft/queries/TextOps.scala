@@ -2581,7 +2581,51 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token")).limit(100)
   }
 
+  // -------------------------------------------------------------- q147
+  /** Tokenizer fertility evaluation — the metric multilingual
+    * tokenizer teams actually track (subwords emitted per word, and
+    * characters absorbed per subword, per language): a tokenizer
+    * trained on a mixed corpus systematically over-fragments the
+    * languages under-represented in its training head, and fertility
+    * disparity is how that shows up before any model is trained.
+    * Integer-exact in parts-per-million:
+    *
+    *   fertility_ppm   = Σ n·subwords(w) · 10⁶ div Σ n
+    *   chars_per_sub_ppm = Σ n·chars(w) · 10⁶ div Σ n·subwords(w)
+    *
+    * under the [[q145BpeMerges]] model (trained on the GLOBAL word
+    * head, applied per (lang, word) — the train-on-head
+    * apply-everywhere posture q146 established). Scale shape: one
+    * corpus pass builds the (lang, word, n) grain; segmentation is
+    * the same chained map-side replaces; the result is one bounded
+    * per-lang aggregate. No joins, no windows. */
+  def q147BpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeLearn(spark, dir)
+    val grain = docs(spark, dir)
+      .select(col("lang"), explode(wordsCol).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("s", spacedChars(col("word")))
+    val segmented = merges.foldLeft(grain) { case (d, (l, r, _)) =>
+      d.withColumn("s", replace(col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
+    }
+    segmented
+      .select(col("lang"), col("n"),
+        size(split(trim(col("s")), "  ")).cast("long").as("sub"),
+        length(col("word")).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("sub")).as("n_subwords"),
+        sum(col("n") * col("chars")).as("n_chars"))
+      .withColumn("fertility_ppm",
+        expr("n_subwords * 1000000 div n_words"))
+      .withColumn("chars_per_sub_ppm",
+        expr("n_chars * 1000000 div n_subwords"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_bpe_fertility"  -> (q147BpeFertility _),
     "q146_bpe_apply"      -> (q146BpeApply _),
     "q145_bpe_merges"     -> (q145BpeMerges _),
     "q144_nb_classify"    -> (q144NbClassify _),
@@ -2842,6 +2886,30 @@ object TextOps {
     sb.toString
   }
 
+  /** q147's application chain over the (lang, word, n) grain — the
+    * trained merges folded per language class. */
+  private def bpeFertilityCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s""",
+       |wl AS (
+       | SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+       | FROM (SELECT lang,
+       |        unnest(string_split_regex(text, '\\s+')) AS word
+       |       FROM documents)
+       | WHERE word <> '' GROUP BY lang, word),
+       |al0 AS (
+       | SELECT lang, word, n,
+       |  regexp_replace(word, '(.)', ' \\1 ', 'g') AS s
+       | FROM wl)""".stripMargin
+    for (r <- 1 to BpeRounds) sb ++= s""",
+       |al$r AS (
+       | SELECT lang, word, n,
+       |  replace(s, COALESCE(' ' || b$r.l || '  ' || b$r.r || ' ', chr(1)),
+       |             COALESCE(' ' || b$r.l || b$r.r || ' ', '')) AS s
+       | FROM al${r - 1} LEFT JOIN b$r ON TRUE)""".stripMargin
+    sb.toString
+  }
+
   /** q146's application chain over the UNCAPPED word table — the same
     * merge replaces, folded over every distinct word. */
   private def bpeApplyCtes: String = {
@@ -2875,6 +2943,23 @@ object TextOps {
        |FROM (SELECT n, unnest(string_split(trim(s), '  ')) AS token
        |      FROM af$BpeRounds)
        |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin),
+    // q147: fertility replay — the trained merges (shared CTE chain)
+    // applied to the (lang, word, n) grain, per-lang ppm aggregates.
+    "q147_bpe_fertility" ->
+      (bpeOracleCtes + bpeFertilityCtes + s"""
+       |SELECT lang,
+       | CAST(SUM(n) AS BIGINT) AS n_words,
+       | CAST(SUM(n * sub) AS BIGINT) AS n_subwords,
+       | CAST(SUM(n * chars) AS BIGINT) AS n_chars,
+       | CAST((SUM(n * sub) * 1000000) // SUM(n) AS BIGINT)
+       |   AS fertility_ppm,
+       | CAST((SUM(n * chars) * 1000000) // SUM(n * sub) AS BIGINT)
+       |   AS chars_per_sub_ppm
+       |FROM (SELECT lang, n,
+       |       CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS sub,
+       |       CAST(length(word) AS BIGINT) AS chars
+       |      FROM al$BpeRounds)
+       |GROUP BY lang ORDER BY lang""".stripMargin),
     // q143: from-scratch replay of the FROZEN-LM chain — LM trained on
     // version 1's en class (the standing md5-slice ≥ 0.1), every
     // SURVIVOR (corpus minus the [0.1, 0.15) removal slice) scored

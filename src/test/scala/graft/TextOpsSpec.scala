@@ -160,6 +160,35 @@ class TextOpsSpec extends SparkSpec {
       s"got: $tokens")
   }
 
+  test("q147: hand-computed fertility under the learned merges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fert").toString
+    // same corpus as the q145 fixture: merges (a,b) then (ab,ab) —
+    // abab segments to 1 subword (4 chars), ab to 1 (2), a to 1 (1)
+    // n_words 4, n_subwords 4, n_chars 11 ⇒ fertility 10⁶, c/s 2.75·10⁶
+    Seq((1L, "abab abab ab a", "en", "t"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TextOps.q147BpeFertility(spark, dir).collect()
+    assert(r.length == 1 && r(0).getString(0) == "en")
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4), r(0).getLong(5))
+      == ((4L, 4L, 11L, 1000000L, 2750000L)), s"got: ${r(0)}")
+  }
+
+  test("q147: corpus-scale invariants — fertility ≥ 1, chars/sub ≥ 1, every lang covered") {
+    val rows = TextOps.q147BpeFertility(spark, SparkSpec.sfDir).collect()
+    val langs = Tables(spark, SparkSpec.sfDir, "documents")
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet == langs)
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 1000000L, s"fertility < 1 word: $r")
+      assert(r.getLong(5) >= 1000000L, s"subword wider than its chars: $r")
+      assert(r.getLong(2) <= r.getLong(3),
+        s"more subwords than characters: $r")
+    }
+  }
+
   test("q145: corpus-scale merges are well-formed and strictly learned in count order") {
     val rows = TextOps.q145BpeMerges(spark, SparkSpec.sfDir).collect()
     assert(rows.length == TextOps.BpeRounds)
