@@ -2517,10 +2517,21 @@ object TextOps {
     if (cap.isDefined) spaced.localCheckpoint() else spaced
   }
 
-  /** The driver loop behind q145/q146: ≤ [[BpeRounds]] rounds, each a
-    * pair-count aggregate over the ≤ [[BpeWordCap]]-row state plus a
-    * 1-row argmax collect and a map-side literal replace. */
+  /** The driver loop behind q145/q146/q147: ≤ [[BpeRounds]] rounds,
+    * each a pair-count aggregate over the ≤ [[BpeWordCap]]-row state
+    * plus a 1-row argmax collect and a map-side literal replace.
+    * Memoized per corpus dir — the model is an artifact of the
+    * corpus, and three consumers (merge table, segmentation,
+    * fertility eval) sharing one JVM must not retrain it three times;
+    * the training inputs are deterministic, so the cache can never
+    * serve a stale model for an immutable dir. */
+  private val bpeModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String, Long)]]()
   private[graft] def bpeLearn(spark: SparkSession, dir: String)
+      : Seq[(String, String, Long)] =
+    bpeModels.computeIfAbsent(dir, _ => bpeTrain(spark, dir))
+
+  private def bpeTrain(spark: SparkSession, dir: String)
       : Seq[(String, String, Long)] = {
     var state = bpeWords(spark, dir, Some(BpeWordCap))
     val pairExpr = expr(
