@@ -2506,8 +2506,11 @@ object TextOps {
     * training ([[q145BpeMerges]]), uncapped for application
     * ([[q146BpeApply]]). */
   private def bpeWords(spark: SparkSession, dir: String,
-      cap: Option[Int]): DataFrame = {
-    val w = docs(spark, dir).select(explode(wordsCol).as("word"))
+      cap: Option[Int]): DataFrame =
+    bpeWordsOf(docs(spark, dir), cap)
+
+  private def bpeWordsOf(d: DataFrame, cap: Option[Int]): DataFrame = {
+    val w = d.select(explode(wordsCol).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
     val spaced = cap.fold(w)(k => w.orderBy(col("n").desc, col("word")).limit(k))
@@ -2529,11 +2532,19 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String, Long)]]()
   private[graft] def bpeLearn(spark: SparkSession, dir: String)
       : Seq[(String, String, Long)] =
-    bpeModels.computeIfAbsent(dir, _ => bpeTrain(spark, dir))
+    bpeModels.computeIfAbsent(dir,
+      _ => bpeTrain(bpeWords(spark, dir, Some(BpeWordCap))))
 
-  private def bpeTrain(spark: SparkSession, dir: String)
+  /** Train on an arbitrary documents frame, memoized under `key` —
+    * [[q148BpeDrift]] freezes a model on the standing slice only. */
+  private[graft] def bpeLearnOn(key: String, d: => DataFrame)
+      : Seq[(String, String, Long)] =
+    bpeModels.computeIfAbsent(key,
+      _ => bpeTrain(bpeWordsOf(d, Some(BpeWordCap))))
+
+  private def bpeTrain(state0: DataFrame)
       : Seq[(String, String, Long)] = {
-    var state = bpeWords(spark, dir, Some(BpeWordCap))
+    var state = state0
     val pairExpr = expr(
       "transform(sequence(1, size(split(trim(s), '  ')) - 1), " +
         "i -> named_struct(" +
@@ -2635,7 +2646,50 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  // -------------------------------------------------------------- q148
+  /** Tokenizer drift probe — [[q147BpeFertility]]'s metric under a
+    * model FROZEN on the standing corpus slice, evaluated side by
+    * side on standing vs fresh-delta documents (the same md5-uniform
+    * split every maintenance fixture uses: delta = u < 0.1). A
+    * production tokenizer is trained once and applied to every later
+    * crawl; its fertility on data it never saw is the signal that
+    * says when the frozen vocabulary has gone stale — the
+    * tokenizer-side twin of q125's sketch-drift probe. The fertility
+    * GAP (delta − standing) is the drift; on a shifted corpus it
+    * rises because unseen character sequences fall back to finer
+    * segmentation. Same scale shape as q147: one grain pass, chained
+    * map-side replaces, a 2-row aggregate. */
+  def q148BpeDrift(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeLearnOn(s"$dir#standing",
+      docs(spark, dir).filter(uniformKeyOf(col("doc_id")) >= lit(0.1)))
+    val grain = docs(spark, dir)
+      .select(
+        when(uniformKeyOf(col("doc_id")) >= lit(0.1), lit("standing"))
+          .otherwise(lit("delta")).as("cls"),
+        explode(wordsCol).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("cls"), col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("s", spacedChars(col("word")))
+    val segmented = merges.foldLeft(grain) { case (d, (l, r, _)) =>
+      d.withColumn("s", replace(col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
+    }
+    segmented
+      .select(col("cls"), col("n"),
+        size(split(trim(col("s")), "  ")).cast("long").as("sub"),
+        length(col("word")).cast("long").as("chars"))
+      .groupBy(col("cls"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("sub")).as("n_subwords"),
+        sum(col("n") * col("chars")).as("n_chars"))
+      .withColumn("fertility_ppm",
+        expr("n_subwords * 1000000 div n_words"))
+      .withColumn("chars_per_sub_ppm",
+        expr("n_chars * 1000000 div n_subwords"))
+      .orderBy(col("cls"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_bpe_drift"      -> (q148BpeDrift _),
     "q147_bpe_fertility"  -> (q147BpeFertility _),
     "q146_bpe_apply"      -> (q146BpeApply _),
     "q145_bpe_merges"     -> (q145BpeMerges _),
@@ -2870,12 +2924,16 @@ object TextOps {
     * replace to a never-matching chr(1) pattern, so later rounds (and
     * the q146 application chain) see the state unchanged — exactly
     * the Spark driver loop's early stop. */
-  private def bpeOracleCtes: String = {
+  private def bpeOracleCtes: String = bpeOracleCtesOver("TRUE")
+
+  /** Training-chain CTEs with a doc-level predicate — q148 trains the
+    * drift probe's frozen model on the standing slice only. */
+  private def bpeOracleCtesOver(docsWhere: String): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH w AS (
        | SELECT word, CAST(COUNT(*) AS BIGINT) AS n
        | FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
-       |       FROM documents)
+       |       FROM documents WHERE $docsWhere)
        | WHERE word <> '' GROUP BY word),
        |st0 AS (
        | SELECT word, n, regexp_replace(word, '(.)', ' \\1 ', 'g') AS s
@@ -2918,6 +2976,31 @@ object TextOps {
        |  replace(s, COALESCE(' ' || b$r.l || '  ' || b$r.r || ' ', chr(1)),
        |             COALESCE(' ' || b$r.l || b$r.r || ' ', '')) AS s
        | FROM al${r - 1} LEFT JOIN b$r ON TRUE)""".stripMargin
+    sb.toString
+  }
+
+  /** q148's application chain over the class-split (cls, word, n)
+    * grain — standing vs delta by the md5-uniform key. */
+  private def bpeDriftCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s""",
+       |wd AS (
+       | SELECT cls, word, CAST(COUNT(*) AS BIGINT) AS n
+       | FROM (SELECT CASE WHEN (${md5UniformSql("doc_id")}) >= 0.1
+       |              THEN 'standing' ELSE 'delta' END AS cls,
+       |        unnest(string_split_regex(text, '\\s+')) AS word
+       |       FROM documents)
+       | WHERE word <> '' GROUP BY cls, word),
+       |ad0 AS (
+       | SELECT cls, word, n,
+       |  regexp_replace(word, '(.)', ' \\1 ', 'g') AS s
+       | FROM wd)""".stripMargin
+    for (r <- 1 to BpeRounds) sb ++= s""",
+       |ad$r AS (
+       | SELECT cls, word, n,
+       |  replace(s, COALESCE(' ' || b$r.l || '  ' || b$r.r || ' ', chr(1)),
+       |             COALESCE(' ' || b$r.l || b$r.r || ' ', '')) AS s
+       | FROM ad${r - 1} LEFT JOIN b$r ON TRUE)""".stripMargin
     sb.toString
   }
 
@@ -2971,6 +3054,25 @@ object TextOps {
        |       CAST(length(word) AS BIGINT) AS chars
        |      FROM al$BpeRounds)
        |GROUP BY lang ORDER BY lang""".stripMargin),
+    // q148: drift replay — the training chain runs over the standing
+    // slice only; the per-class fertility aggregates run over the
+    // whole corpus split by the same md5-uniform key.
+    "q148_bpe_drift" ->
+      (bpeOracleCtesOver(s"(${md5UniformSql("doc_id")}) >= 0.1") +
+        bpeDriftCtes + s"""
+       |SELECT cls,
+       | CAST(SUM(n) AS BIGINT) AS n_words,
+       | CAST(SUM(n * sub) AS BIGINT) AS n_subwords,
+       | CAST(SUM(n * chars) AS BIGINT) AS n_chars,
+       | CAST((SUM(n * sub) * 1000000) // SUM(n) AS BIGINT)
+       |   AS fertility_ppm,
+       | CAST((SUM(n * chars) * 1000000) // SUM(n * sub) AS BIGINT)
+       |   AS chars_per_sub_ppm
+       |FROM (SELECT cls, n,
+       |       CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS sub,
+       |       CAST(length(word) AS BIGINT) AS chars
+       |      FROM ad$BpeRounds)
+       |GROUP BY cls ORDER BY cls""".stripMargin),
     // q143: from-scratch replay of the FROZEN-LM chain — LM trained on
     // version 1's en class (the standing md5-slice ≥ 0.1), every
     // SURVIVOR (corpus minus the [0.1, 0.15) removal slice) scored

@@ -189,6 +189,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q148: drift — the frozen tokenizer fragments unseen delta text") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-drift").toString
+    // md5-uniform(1)=0.77 → standing (trains the model);
+    // md5-uniform(6)=0.088 → delta (never seen): 'abab' compresses to
+    // one subword under its own merges, 'cd' stays character-split
+    Seq((1L, "abab abab", "en", "t"), (6L, "cd cd", "en", "t"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.q148BpeDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      "standing" -> ((2L, 2L, 8L, 1000000L, 4000000L)),
+      "delta"    -> ((2L, 4L, 4L, 2000000L, 1000000L))), s"got: $got")
+  }
+
+  test("q148: corpus-scale invariants — both classes, sane ppm bounds") {
+    val rows = TextOps.q148BpeDrift(spark, SparkSpec.sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("delta", "standing"))
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 1000000L && r.getLong(5) >= 1000000L,
+        s"impossible ppm: $r")
+    }
+  }
+
   test("q145: corpus-scale merges are well-formed and strictly learned in count order") {
     val rows = TextOps.q145BpeMerges(spark, SparkSpec.sfDir).collect()
     assert(rows.length == TextOps.BpeRounds)
