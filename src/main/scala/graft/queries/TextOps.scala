@@ -843,6 +843,16 @@ object TextOps {
       lmScoresAt(spark, base, 1L) // trains + freezes the LM pre-GC
     }
     if (Versioned.currentVersion(spark, base).contains(1L)) {
+      // heal a crash that landed between v1's publish and its artifact
+      // builds BEFORE v2 advances the GC horizon: every At() is a
+      // readOrPublish no-op when the prior run completed, and the LM
+      // must freeze on v1 while v1 is still readable — advancing
+      // first would let a doubly-crashed lake train the "frozen"
+      // model on the wrong version (review finding, r15)
+      tfGrainAt(spark, base, 1L)
+      Analytics.cmsAt(spark, base, 1L)
+      dsirCountsAt(spark, base, 1L)
+      lmScoresAt(spark, base, 1L)
       Versioned.publish(spark, base, Seq(
         Versioned.TableSpec("documents", all),
         Versioned.TableSpec("documents_delta", all.filter(fresh))))
@@ -852,6 +862,11 @@ object TextOps {
       lmScoresAt(spark, base, 2L)
     }
     if (Versioned.currentVersion(spark, base).contains(2L)) {
+      // same healing discipline before v3 collects v1
+      tfGrainAt(spark, base, 2L)
+      Analytics.cmsAt(spark, base, 2L)
+      dsirCountsAt(spark, base, 2L)
+      lmScoresAt(spark, base, 2L)
       val removed = removalSlice(all)
       Versioned.publish(spark, base, Seq(
         Versioned.TableSpec("documents",
@@ -2174,10 +2189,21 @@ object TextOps {
     val vocab = enCounts
       .orderBy(col("c").desc, col("token")).limit(LmVocabK)
     val tot = enCounts.agg(sum(col("c")).as("t")) // 1 row, bounded
-    // surprisal per token: `div`, not `/` — long÷long through double
-    // rounds to nearest and can land on the wrong side of an integer
-    // once the LM mass passes 2⁵³ tokens
-    val scored = grain
+    val scored = scoreGrain(grain, vocab, tot)
+      .withColumn("score_mhb", expr("surp * 1000 div n_tokens"))
+      .localCheckpoint() // feeds the histogram, N, and the final cut
+    tercileCut(scored)
+  }
+
+  /** THE surprisal scoring kernel — q142 feeds it the single-pass
+    * grain under a freshly trained LM, [[lmScoreOf]] under the frozen
+    * artifact; the qrec cap and half-bit formula live here once
+    * (mirrored only by the oracle SQL). `div`, not `/` — long÷long
+    * through double rounds to nearest and can land on the wrong side
+    * of an integer once the LM mass passes 2⁵³ tokens. */
+  private def scoreGrain(grain: DataFrame, vocab: DataFrame,
+      tot: DataFrame): DataFrame =
+    grain
       .join(broadcast(vocab), Seq("token"), "left")
       .crossJoin(broadcast(tot)) // 1-row LM mass rides to every token
       .select(col("doc_id"), col("lang"), col("tf"),
@@ -2190,10 +2216,6 @@ object TextOps {
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("s")).as("surp"))
-      .withColumn("score_mhb", expr("surp * 1000 div n_tokens"))
-      .localCheckpoint() // feeds the histogram, N, and the final cut
-    tercileCut(scored)
-  }
 
   /** The tercile threshold-cut shared by [[q142LmBucket]] and
     * [[q143IncrLmBucket]]: exact terciles over the BOUNDED score
@@ -2294,23 +2316,13 @@ object TextOps {
   private[graft] def lmScoreOf(df: DataFrame, lm: DataFrame): DataFrame = {
     val vocab = lm.filter(col("token").isNotNull)
     val tot = lm.filter(col("token").isNull).select(col("c").as("t"))
-    df.select(col("doc_id"), col("lang"),
-        explode(split(col("text"), "\\s+")).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy(col("doc_id"), col("lang"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .join(broadcast(vocab), Seq("token"), "left")
-      .crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("lang"), col("tf"),
-        coalesce(col("c"), lit(0L)).as("cc"), col("t"))
-      .withColumn("qrec",
-        least(expr(s"(t + ${LmVocabK + 1}) div (cc + 1)"),
-          lit(3000000000L)))
-      .withColumn("s",
-        (length(bin(col("qrec") * col("qrec"))) - lit(1)).cast("long"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("tf")).as("n_tokens"),
-        sum(col("tf") * col("s")).as("surp"))
+    scoreGrain(
+      df.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("doc_id"), col("lang"), col("token"))
+        .agg(count(lit(1)).as("tf")),
+      vocab, tot)
   }
 
   /** The frozen LM of a chain: trained on first touch from the OLDEST
@@ -2347,7 +2359,9 @@ object TextOps {
   private[graft] def incrementalLmScoreFrame(spark: SparkSession,
       lakeBase: String, v: Long): DataFrame = {
     import graft.sources.{ArtifactStore, Versioned}
-    val lm = lmAt(spark, lakeBase)
+    // lazy: the removal-only branch is an anti-join of prev and ids —
+    // it must not pay (or cold-train!) the LM it never reads
+    lazy val lm = lmAt(spark, lakeBase)
     val hasDelta =
       Versioned.tableExists(spark, lakeBase, "documents_delta", v)
     val hasRemoved =
@@ -2574,6 +2588,35 @@ object TextOps {
     merges.toSeq
   }
 
+  /** Fold the learned merges over a frame carrying the spaced-symbol
+    * column `s` — THE merge-application site (q146/q147/q148): the
+    * double-space encoding and the literal-replace semantics live
+    * here once, mirrored only by the oracle generator's chain. */
+  private def applyMerges(d: DataFrame,
+      merges: Seq[(String, String, Long)]): DataFrame =
+    merges.foldLeft(d) { case (acc, (l, r, _)) =>
+      acc.withColumn("s",
+        replace(col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
+    }
+
+  /** The per-key fertility aggregate shared by q147 (key = lang) and
+    * q148 (key = cls): subwords/word and chars/subword in exact ppm
+    * over a segmented (key, word, n, s) frame. */
+  private def fertilityBy(segmented: DataFrame, key: String): DataFrame =
+    segmented
+      .select(col(key), col("n"),
+        size(split(trim(col("s")), "  ")).cast("long").as("sub"),
+        length(col("word")).cast("long").as("chars"))
+      .groupBy(col(key))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("sub")).as("n_subwords"),
+        sum(col("n") * col("chars")).as("n_chars"))
+      .withColumn("fertility_ppm",
+        expr("n_subwords * 1000000 div n_words"))
+      .withColumn("chars_per_sub_ppm",
+        expr("n_chars * 1000000 div n_subwords"))
+      .orderBy(col(key))
+
   def q145BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     bpeLearn(spark, dir).zipWithIndex
@@ -2591,17 +2634,11 @@ object TextOps {
     * over the (word, n) table — segmenting a 100 TB corpus is a scan
     * whose per-row cost is the merge count, with no shuffle beyond
     * the final bounded token aggregate and TakeOrdered head. */
-  def q146BpeApply(spark: SparkSession, dir: String): DataFrame = {
-    val merges = bpeLearn(spark, dir)
-    val segmented = merges.foldLeft(bpeWords(spark, dir, None)) {
-      case (d, (l, r, _)) =>
-        d.withColumn("s", replace(col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
-    }
-    segmented
+  def q146BpeApply(spark: SparkSession, dir: String): DataFrame =
+    applyMerges(bpeWords(spark, dir, None), bpeLearn(spark, dir))
       .select(col("n"), explode(split(trim(col("s")), "  ")).as("token"))
       .groupBy(col("token")).agg(sum(col("n")).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(100)
-  }
 
   // -------------------------------------------------------------- q147
   /** Tokenizer fertility evaluation — the metric multilingual
@@ -2622,28 +2659,12 @@ object TextOps {
     * the same chained map-side replaces; the result is one bounded
     * per-lang aggregate. No joins, no windows. */
   def q147BpeFertility(spark: SparkSession, dir: String): DataFrame = {
-    val merges = bpeLearn(spark, dir)
     val grain = docs(spark, dir)
       .select(col("lang"), explode(wordsCol).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
       .withColumn("s", spacedChars(col("word")))
-    val segmented = merges.foldLeft(grain) { case (d, (l, r, _)) =>
-      d.withColumn("s", replace(col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
-    }
-    segmented
-      .select(col("lang"), col("n"),
-        size(split(trim(col("s")), "  ")).cast("long").as("sub"),
-        length(col("word")).cast("long").as("chars"))
-      .groupBy(col("lang"))
-      .agg(sum(col("n")).as("n_words"),
-        sum(col("n") * col("sub")).as("n_subwords"),
-        sum(col("n") * col("chars")).as("n_chars"))
-      .withColumn("fertility_ppm",
-        expr("n_subwords * 1000000 div n_words"))
-      .withColumn("chars_per_sub_ppm",
-        expr("n_chars * 1000000 div n_subwords"))
-      .orderBy(col("lang"))
+    fertilityBy(applyMerges(grain, bpeLearn(spark, dir)), "lang")
   }
 
   // -------------------------------------------------------------- q148
@@ -2670,22 +2691,7 @@ object TextOps {
       .filter(length(col("word")) > 0)
       .groupBy(col("cls"), col("word")).agg(count(lit(1)).as("n"))
       .withColumn("s", spacedChars(col("word")))
-    val segmented = merges.foldLeft(grain) { case (d, (l, r, _)) =>
-      d.withColumn("s", replace(col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
-    }
-    segmented
-      .select(col("cls"), col("n"),
-        size(split(trim(col("s")), "  ")).cast("long").as("sub"),
-        length(col("word")).cast("long").as("chars"))
-      .groupBy(col("cls"))
-      .agg(sum(col("n")).as("n_words"),
-        sum(col("n") * col("sub")).as("n_subwords"),
-        sum(col("n") * col("chars")).as("n_chars"))
-      .withColumn("fertility_ppm",
-        expr("n_subwords * 1000000 div n_words"))
-      .withColumn("chars_per_sub_ppm",
-        expr("n_chars * 1000000 div n_subwords"))
-      .orderBy(col("cls"))
+    fertilityBy(applyMerges(grain, merges), "cls")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2955,71 +2961,70 @@ object TextOps {
     sb.toString
   }
 
-  /** q147's application chain over the (lang, word, n) grain — the
-    * trained merges folded per language class. */
-  private def bpeFertilityCtes: String = {
-    val sb = new StringBuilder
-    sb ++= s""",
+  /** q147's chain source: the (lang, word, n) grain. */
+  private def bpeFertilityCtes: String = bpeChainCtes("al", "lang, word, n",
+    s""",
        |wl AS (
        | SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
        | FROM (SELECT lang,
        |        unnest(string_split_regex(text, '\\s+')) AS word
        |       FROM documents)
-       | WHERE word <> '' GROUP BY lang, word),
-       |al0 AS (
-       | SELECT lang, word, n,
-       |  regexp_replace(word, '(.)', ' \\1 ', 'g') AS s
-       | FROM wl)""".stripMargin
+       | WHERE word <> '' GROUP BY lang, word)""".stripMargin, "wl")
+
+  /** ONE merge-application chain generator for every BPE oracle
+    * (q146/q147/q148) — the exhaustion-safe chr(1)-sentinel replace
+    * lives here once, the SQL twin of [[applyMerges]]. `srcCtes`
+    * prepends any grain CTE the chain segments, `carry` the columns
+    * it must keep alongside `s`. */
+  private def bpeChainCtes(prefix: String, carry: String,
+      srcCtes: String, srcName: String): String = {
+    val sb = new StringBuilder
+    sb ++= srcCtes
+    sb ++= s""",
+       |${prefix}0 AS (
+       | SELECT $carry, regexp_replace(word, '(.)', ' \\1 ', 'g') AS s
+       | FROM $srcName)""".stripMargin
     for (r <- 1 to BpeRounds) sb ++= s""",
-       |al$r AS (
-       | SELECT lang, word, n,
+       |$prefix$r AS (
+       | SELECT $carry,
        |  replace(s, COALESCE(' ' || b$r.l || '  ' || b$r.r || ' ', chr(1)),
        |             COALESCE(' ' || b$r.l || b$r.r || ' ', '')) AS s
-       | FROM al${r - 1} LEFT JOIN b$r ON TRUE)""".stripMargin
+       | FROM $prefix${r - 1} LEFT JOIN b$r ON TRUE)""".stripMargin
     sb.toString
   }
 
-  /** q148's application chain over the class-split (cls, word, n)
-    * grain — standing vs delta by the md5-uniform key. */
-  private def bpeDriftCtes: String = {
-    val sb = new StringBuilder
-    sb ++= s""",
+  /** q148's chain source: the class-split (cls, word, n) grain —
+    * standing vs delta by the md5-uniform key. */
+  private def bpeDriftCtes: String = bpeChainCtes("ad", "cls, word, n",
+    s""",
        |wd AS (
        | SELECT cls, word, CAST(COUNT(*) AS BIGINT) AS n
        | FROM (SELECT CASE WHEN (${md5UniformSql("doc_id")}) >= 0.1
        |              THEN 'standing' ELSE 'delta' END AS cls,
        |        unnest(string_split_regex(text, '\\s+')) AS word
        |       FROM documents)
-       | WHERE word <> '' GROUP BY cls, word),
-       |ad0 AS (
-       | SELECT cls, word, n,
-       |  regexp_replace(word, '(.)', ' \\1 ', 'g') AS s
-       | FROM wd)""".stripMargin
-    for (r <- 1 to BpeRounds) sb ++= s""",
-       |ad$r AS (
-       | SELECT cls, word, n,
-       |  replace(s, COALESCE(' ' || b$r.l || '  ' || b$r.r || ' ', chr(1)),
-       |             COALESCE(' ' || b$r.l || b$r.r || ' ', '')) AS s
-       | FROM ad${r - 1} LEFT JOIN b$r ON TRUE)""".stripMargin
-    sb.toString
-  }
+       | WHERE word <> '' GROUP BY cls, word)""".stripMargin, "wd")
 
-  /** q146's application chain over the UNCAPPED word table — the same
-    * merge replaces, folded over every distinct word. */
-  private def bpeApplyCtes: String = {
-    val sb = new StringBuilder
-    sb ++= s""",
-       |af0 AS (
-       | SELECT word, n, regexp_replace(word, '(.)', ' \\1 ', 'g') AS s
-       | FROM w)""".stripMargin
-    for (r <- 1 to BpeRounds) sb ++= s""",
-       |af$r AS (
-       | SELECT word, n,
-       |  replace(s, COALESCE(' ' || b$r.l || '  ' || b$r.r || ' ', chr(1)),
-       |             COALESCE(' ' || b$r.l || b$r.r || ' ', '')) AS s
-       | FROM af${r - 1} LEFT JOIN b$r ON TRUE)""".stripMargin
-    sb.toString
-  }
+  /** q146's chain source: the UNCAPPED word table. */
+  private def bpeApplyCtes: String =
+    bpeChainCtes("af", "word, n", "", "w")
+
+  /** The fertility final SELECT shared by the q147/q148 oracles —
+    * the SQL twin of [[fertilityBy]]. */
+  private def fertilityOracleSelect(key: String, src: String): String = s"""
+       |SELECT $key,
+       | CAST(SUM(n) AS BIGINT) AS n_words,
+       | CAST(SUM(n * sub) AS BIGINT) AS n_subwords,
+       | CAST(SUM(n * chars) AS BIGINT) AS n_chars,
+       | CAST((SUM(n * sub) * 1000000) // SUM(n) AS BIGINT)
+       |   AS fertility_ppm,
+       | CAST((SUM(n * chars) * 1000000) // SUM(n * sub) AS BIGINT)
+       |   AS chars_per_sub_ppm
+       |FROM (SELECT $key, n,
+       |       CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS sub,
+       |       CAST(length(word) AS BIGINT) AS chars
+       |      FROM $src)
+       |GROUP BY $key ORDER BY $key""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // q145/q146: full replay of BPE training — every merge round's
@@ -3040,39 +3045,14 @@ object TextOps {
     // q147: fertility replay — the trained merges (shared CTE chain)
     // applied to the (lang, word, n) grain, per-lang ppm aggregates.
     "q147_bpe_fertility" ->
-      (bpeOracleCtes + bpeFertilityCtes + s"""
-       |SELECT lang,
-       | CAST(SUM(n) AS BIGINT) AS n_words,
-       | CAST(SUM(n * sub) AS BIGINT) AS n_subwords,
-       | CAST(SUM(n * chars) AS BIGINT) AS n_chars,
-       | CAST((SUM(n * sub) * 1000000) // SUM(n) AS BIGINT)
-       |   AS fertility_ppm,
-       | CAST((SUM(n * chars) * 1000000) // SUM(n * sub) AS BIGINT)
-       |   AS chars_per_sub_ppm
-       |FROM (SELECT lang, n,
-       |       CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS sub,
-       |       CAST(length(word) AS BIGINT) AS chars
-       |      FROM al$BpeRounds)
-       |GROUP BY lang ORDER BY lang""".stripMargin),
+      (bpeOracleCtes + bpeFertilityCtes +
+        fertilityOracleSelect("lang", s"al$BpeRounds")),
     // q148: drift replay — the training chain runs over the standing
     // slice only; the per-class fertility aggregates run over the
     // whole corpus split by the same md5-uniform key.
     "q148_bpe_drift" ->
       (bpeOracleCtesOver(s"(${md5UniformSql("doc_id")}) >= 0.1") +
-        bpeDriftCtes + s"""
-       |SELECT cls,
-       | CAST(SUM(n) AS BIGINT) AS n_words,
-       | CAST(SUM(n * sub) AS BIGINT) AS n_subwords,
-       | CAST(SUM(n * chars) AS BIGINT) AS n_chars,
-       | CAST((SUM(n * sub) * 1000000) // SUM(n) AS BIGINT)
-       |   AS fertility_ppm,
-       | CAST((SUM(n * chars) * 1000000) // SUM(n * sub) AS BIGINT)
-       |   AS chars_per_sub_ppm
-       |FROM (SELECT cls, n,
-       |       CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS sub,
-       |       CAST(length(word) AS BIGINT) AS chars
-       |      FROM ad$BpeRounds)
-       |GROUP BY cls ORDER BY cls""".stripMargin),
+        bpeDriftCtes + fertilityOracleSelect("cls", s"ad$BpeRounds")),
     // q143: from-scratch replay of the FROZEN-LM chain — LM trained on
     // version 1's en class (the standing md5-slice ≥ 0.1), every
     // SURVIVOR (corpus minus the [0.1, 0.15) removal slice) scored
