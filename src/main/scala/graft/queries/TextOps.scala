@@ -2224,23 +2224,32 @@ object TextOps {
     * Input must carry (doc_id, lang, n_tokens, surp, score_mhb) and
     * be materialized (both the histogram and the final cut consume
     * it). */
-  private def tercileCut(scored: DataFrame): DataFrame = {
+  private def tercileCut(scored: DataFrame): DataFrame =
+    cutWith(scored, lmThresholdsOf(scored)).orderBy(col("doc_id"))
+
+  /** The 1-row (t1, t2) tercile thresholds of a scored frame — the
+    * global statistic behind the cut, separated out so the serving
+    * path ([[qualityServe]]) can compute it straight off the standing
+    * artifact without materializing the corpus. */
+  private[graft] def lmThresholdsOf(scored: DataFrame): DataFrame = {
     val hist = scored.groupBy(col("score_mhb")).agg(count(lit(1)).as("hn"))
     val histW = Window.orderBy(col("score_mhb")) // ≤ 62,001 rows by cap
-    val thresholds = hist
+    hist
       .withColumn("cum", sum(col("hn")).over(histW))
       .crossJoin(broadcast(hist.agg(sum(col("hn")).as("nd"))))
       .agg(
         min(when(col("cum") * 3 >= col("nd"), col("score_mhb"))).as("t1"),
         min(when(col("cum") * 3 >= col("nd") * 2, col("score_mhb"))).as("t2"))
+  }
+
+  /** Apply a broadcast threshold frame to scored rows. */
+  private def cutWith(scored: DataFrame, thresholds: DataFrame): DataFrame =
     scored.crossJoin(broadcast(thresholds))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("surp"),
         col("score_mhb"),
         when(col("score_mhb") <= col("t1"), lit("head"))
           .when(col("score_mhb") <= col("t2"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
-      .orderBy(col("doc_id"))
-  }
 
   // -------------------------------------------------------------- q143
   /** Incremental maintenance of the LM-score chain under a FROZEN
@@ -2462,22 +2471,30 @@ object TextOps {
   /** REST serving seam for the frozen-LM quality chain (`GET
     * /quality`): the tercile verdict at the corpus lake's CURRENT
     * version — a publish+maintain immediately changes what is served,
-    * the /search contract. Per call the only corpus-sized work is one
-    * scan of the maintained doc-keyed score artifact to histogram the
-    * bounded score domain (thresholds are global by definition); the
-    * per-doc filter pushes below the cut's sort and join. With a
-    * doc_id: that document's row (empty result = unknown id, not an
-    * error). Without: the bucket distribution — three rows. */
+    * the /search contract. Unlike the batch queries' [[lmBucketsOf]]
+    * (whose localCheckpoint is right when histogram and cut share one
+    * ad-hoc computation), serving reads the STANDING artifact
+    * directly: checkpointing here would pin the whole scored corpus
+    * in executor memory per call, and worse, block the per-doc
+    * filter from reaching the parquet scan — a materialization
+    * barrier is a pushdown barrier. So: one artifact scan histograms
+    * the bounded domain into the 1-row thresholds (global by
+    * definition), and the doc probe is a second scan with the
+    * doc_id predicate pushed to parquet plus a broadcast cross.
+    * With a doc_id: that document's row (empty result = unknown id,
+    * not an error). Without: the bucket distribution — three rows. */
   def qualityServe(spark: SparkSession, dir: String,
       docId: Option[Long]): DataFrame = {
     import graft.sources.Versioned
     val base = Dedup.versionedCorpus(spark, dir)
     val v = Versioned.currentVersion(spark, base).getOrElse(
       sys.error(s"quality: no committed version at $base"))
-    val buckets = lmBucketsOf(lmScoresAt(spark, base, v))
+    val scored = lmScoresAt(spark, base, v)
+      .withColumn("score_mhb", expr("surp * 1000 div n_tokens"))
+    val thresholds = lmThresholdsOf(scored)
     docId match {
-      case Some(id) => buckets.filter(col("doc_id") === id)
-      case None => buckets.groupBy(col("bucket"))
+      case Some(id) => cutWith(scored.filter(col("doc_id") === id), thresholds)
+      case None => cutWith(scored, thresholds).groupBy(col("bucket"))
         .agg(count(lit(1)).as("n")).orderBy(col("bucket"))
     }
   }
