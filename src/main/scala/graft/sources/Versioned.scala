@@ -285,7 +285,20 @@ object Versioned {
   /** The MOR fold. `scanData` maps a data dir to its (possibly pruned)
     * frame, letting [[readPrunedAt]] share the exact fold semantics. */
   private def foldEntries(spark: SparkSession, b: Path,
-      entries: Seq[RefEntry], scanData: String => DataFrame): DataFrame = {
+      entries: Seq[RefEntry], scanData: String => DataFrame): DataFrame =
+    foldEntriesOpt(spark, b, entries, scanData).getOrElse(
+      sys.error("versioned table resolved to no data dirs — corrupt ref"))
+
+  /** The ordered merge-on-read fold — union data entries by name,
+    * anti-join tombstones, a tombstone before any data is a no-op.
+    * None ⇔ no data entries: a full table read treats that as a
+    * corrupt ref ([[foldEntries]]); a manifest WINDOW legitimately
+    * folds to nothing ([[changesBetween]]'s insert feed). ONE
+    * definition — the fold order IS the table's semantics, and two
+    * copies of it could drift (review finding, r15). */
+  private def foldEntriesOpt(spark: SparkSession, b: Path,
+      entries: Seq[RefEntry], scanData: String => DataFrame)
+      : Option[DataFrame] = {
     var acc: DataFrame = null
     entries.foreach { e =>
       val dir = new Path(b, e.rel).toString
@@ -300,9 +313,7 @@ object Versioned {
             acc = acc.join(tomb, tomb.columns.toSeq, "left_anti")
       }
     }
-    if (acc == null)
-      sys.error("versioned table resolved to no data dirs — corrupt ref")
-    acc
+    Option(acc)
   }
 
   /** Data dirs (kind 'd') of `table` at `version`, in ref order. */
@@ -420,7 +431,6 @@ object Versioned {
     dataDirsAt(spark, base, table, version).map { dir =>
       dir -> ZoneMaps.readSidecar(spark, dir).flatMap(st =>
         ZoneMaps.selectFiles(st, colName, lo, hi).map(_ -> st.size))
-        .map { case (sel, tot) => (sel, tot) }
     }
 
   /** Whether `table` was published (with a completed write) at
@@ -609,22 +619,11 @@ object Versioned {
     val (ins, del) =
       if (toE.startsWith(fromE)) {
         val window = toE.drop(fromE.size)
-        // inserts: the window folded from nothing — appended rows that
-        // survive the window's own later tombstones
-        var acc: DataFrame = null
-        window.foreach { e =>
-          val dir = new Path(b, e.rel).toString
-          e.kind match {
-            case 'd' =>
-              val df = spark.read.parquet(dir)
-              acc = if (acc == null) df
-                else acc.unionByName(df, allowMissingColumns = true)
-            case 't' =>
-              val tomb = spark.read.parquet(dir)
-              if (acc != null)
-                acc = acc.join(tomb, tomb.columns.toSeq, "left_anti")
-          }
-        }
+        // inserts: the window folded from nothing ([[foldEntriesOpt]],
+        // the one MOR fold) — appended rows that survive the window's
+        // own later tombstones
+        val acc = foldEntriesOpt(spark, b, window,
+          dir => spark.read.parquet(dir)).orNull
         // deletes: window tombstones applied to `from` in fold order;
         // splitting (semi = dead, anti = remaining) makes each from-row
         // die at most once — multiset-exact, and the tombstone key
@@ -1036,6 +1035,16 @@ object Versioned {
         "pre-manifest; run zorderPublish first")
     val (prefix, tail) = smallDataTail(f, b, entries, smallBytes)
     if (tail.isEmpty) return cur
+    // fixed point: a single tail dir already carrying the persisted
+    // curve IS a previous pass's output (this method and zorderPublish
+    // both sidecar their output) — re-clustering it would commit a
+    // spurious version per maintenance tick, and every spurious
+    // version advances GC over real time-travel history. Same no-op
+    // contract as compactTailPublish's tail.size < 2 guard.
+    if (tail.size == 1 &&
+        ZOrder.readBounds(spark, new Path(b, tail.head.rel).toString)
+          .isDefined)
+      return cur
     val bounds = entries.reverse.collectFirst(Function.unlift(e =>
         if (e.kind == 'd')
           ZOrder.readBounds(spark, new Path(b, e.rel).toString)

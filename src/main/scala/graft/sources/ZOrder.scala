@@ -44,6 +44,12 @@ object ZOrder {
     val probs = (1 to n).map(_.toDouble / (n + 1)).toArray
     cols.map { c =>
       val bs = df.stat.approxQuantile(c, probs, 0.001)
+      // approxQuantile ignores nulls: an all-null column yields an
+      // empty array, which would persist as a boundary-less curve
+      // line the reader cannot parse — refuse loudly at write time
+      require(bs.nonEmpty,
+        s"zorder: column $c has no non-null values — a curve cannot " +
+          "be placed through it; drop it from the clustering columns")
       c -> bs
     }.toMap
   }
@@ -105,8 +111,13 @@ object ZOrder {
         s"corrupt zbounds header in $p")
       val bits = hdr(2).stripPrefix("bits=").toInt
       val bnds = lines.tail.filter(_.nonEmpty).map { l =>
-        val Array(c, vs) = l.split('\t')
-        c -> vs.split(',').map(java.lang.Double.parseDouble)
+        // split with -1 limit: String.split drops trailing empty
+        // fields, so a boundary-less line would destructure-crash
+        // with a bare MatchError instead of the loud message below
+        val parts = l.split("\t", -1)
+        require(parts.length == 2 && parts(1).nonEmpty,
+          s"corrupt zbounds column line '$l' in $p")
+        parts(0) -> parts(1).split(',').map(java.lang.Double.parseDouble)
       }
       Some(Bounds(bnds.map(_._1), bits, bnds.toMap))
     }
@@ -119,8 +130,13 @@ object ZOrder {
     * the compaction scan. */
   def zcol(cols: Seq[String], bnds: Map[String, Array[Double]],
       bits: Int): Column = {
-    val ids = cols.map(c => bucketId(col(c), bnds(c)).cast("long"))
     val dims = cols.size
+    // Java shifts mask the amount mod 64: a position ≥ 64 would
+    // silently alias onto a low bit and corrupt the curve — refuse
+    require(dims * bits <= 64,
+      s"zorder: $dims dims × $bits bits = ${dims * bits} interleaved " +
+        "bits exceed one long (64) — lower bits or cluster fewer columns")
+    val ids = cols.map(c => bucketId(col(c), bnds(c)).cast("long"))
     val terms = for {
       (id, d) <- ids.zipWithIndex
       i <- 0 until bits

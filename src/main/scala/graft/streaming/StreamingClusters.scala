@@ -25,15 +25,19 @@ import graft.sources.Versioned
   * Replay discipline: `foreachBatch` can re-deliver a batch after a
   * crash between side effect and checkpoint commit. Overwrite-by-
   * batch-id (the ledger twins' idempotency) does not fit a publish —
-  * versions are immutable — so each publish carries a 1-row
-  * `batch_marker` table holding its batch id, and a replayed batch
-  * finds its already-committed version by scanning the (short,
-  * listing-cheap) version history instead of double-publishing; it
-  * then re-ensures the artifact, which [[graft.sources
-  * .ArtifactStore]] serves from the already-published result. A
-  * genuine concurrent publisher race still fails loudly via the
-  * lake's claim protocol — replay safety here never weakens writer
-  * exclusivity.
+  * versions are immutable — so each publish carries a CUMULATIVE
+  * `batch_marker` table (every batch id ever ingested, one long per
+  * batch: prev markers ∪ this id), and a replayed batch detects
+  * itself with ONE membership probe of the current version's marker
+  * table — O(1) in stream age for the probe, and robust against a
+  * version committed by ANYONE ELSE landing between a batch's
+  * publish and its replay (a current-version-only 1-row marker would
+  * miss the replayed id behind the interloper and double-ingest the
+  * batch's documents; review finding, r15). It then re-ensures the
+  * artifact, which [[graft.sources.ArtifactStore]] serves from the
+  * already-published result. A genuine concurrent publisher race
+  * still fails loudly via the lake's claim protocol — replay safety
+  * here never weakens writer exclusivity.
   *
   * Cost model, stated honestly (as [[Versioned.mergePublish]] does):
   * the carry-forward lake REWRITES the corpus per version — the
@@ -52,26 +56,28 @@ object StreamingClusters {
     import spark.implicits._
     if (batch.isEmpty) return
     val cur = Versioned.currentVersion(spark, lakeBase)
-    // replay detection: foreachBatch re-delivers only the most recent
-    // batch whose checkpoint commit was lost, so ONLY the latest
-    // version's marker can carry a replayed id — probing just it keeps
-    // per-batch overhead O(1) instead of O(stream age) version scans
-    val existing = cur.filter { c =>
-      Versioned.tableExists(spark, lakeBase, "batch_marker", c) &&
-        Versioned.readAt(spark, lakeBase, "batch_marker", c)
-          .head().getLong(0) == batchId
-    }
-    val v = existing.getOrElse {
+    // replay detection: ONE membership probe of the current version's
+    // CUMULATIVE marker table — O(1) versions touched regardless of
+    // stream age, and correct even when another publisher's version
+    // landed between this batch's publish and its replay
+    val markers = cur
+      .filter(c => Versioned.tableExists(spark, lakeBase, "batch_marker", c))
+      .map(c => Versioned.readAt(spark, lakeBase, "batch_marker", c))
+    val replayed = markers.exists(
+      _.filter(org.apache.spark.sql.functions.col("graft_batch_id")
+        === batchId).head(1).nonEmpty)
+    val v = if (replayed) cur.get else {
       val docs = cur match {
         case Some(c) =>
           Versioned.readAt(spark, lakeBase, "documents", c).unionByName(batch)
         case None => batch
       }
+      val newMarker = Seq(batchId).toDF("graft_batch_id")
       Versioned.publish(spark, lakeBase, Seq(
         Versioned.TableSpec("documents", docs),
         Versioned.TableSpec("documents_delta", batch),
         Versioned.TableSpec("batch_marker",
-          Seq(batchId).toDF("graft_batch_id"))))
+          markers.map(_.unionByName(newMarker)).getOrElse(newMarker))))
     }
     Dedup.clusterAssignmentAt(spark, lakeBase, v)
     ()

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 import graft.queries.TextOps
 
@@ -84,15 +84,6 @@ object StreamingTfGrain {
   def start(spark: SparkSession, inDir: String, outDir: String,
       schema: StructType, maxFilesPerTrigger: Int = Int.MaxValue)
       : StreamingQuery =
-    spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .parquet(inDir)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$outDir/_checkpoint")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatch(batch, batchId, outDir)
-      }
-      .start()
+    LedgerStream.start(spark, inDir, outDir, schema, maxFilesPerTrigger)(
+      writeBatch(_, _, outDir))
 }

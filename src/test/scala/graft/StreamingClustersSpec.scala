@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import graft.queries.Dedup
 import graft.sources.Versioned
 import graft.streaming.StreamingClusters
@@ -85,5 +86,27 @@ class StreamingClustersSpec extends SparkSpec {
     val asg = StreamingClusters.currentAssignment(spark, lake).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(asg == Map(1L -> 1L, 2L -> 1L, 3L -> 3L), s"unexpected: $asg")
+
+    // INTERLOPER replay: batch 1's checkpoint commit is lost, and a
+    // foreign publisher commits a version BEFORE the stream restarts.
+    // The cumulative marker table must still recognize batch 1 — a
+    // current-version-only marker would miss it behind the interloper
+    // and ingest batch 1's documents twice
+    val interloperDocs = Versioned.read(spark, lake, "documents")
+      .unionByName(Seq(9L -> "stranger text").toDF("doc_id", "text"))
+    Versioned.publish(spark, lake, Seq(
+      Versioned.TableSpec("documents", interloperDocs),
+      Versioned.TableSpec("documents_delta",
+        Seq(9L -> "stranger text").toDF("doc_id", "text")),
+      Versioned.TableSpec("batch_marker",
+        Versioned.read(spark, lake, "batch_marker"))))
+    val vAfterInterloper = Versioned.currentVersion(spark, lake)
+    StreamingClusters.ingestBatch(spark, b1, 1L, lake) // the lost replay
+    assert(Versioned.currentVersion(spark, lake) == vAfterInterloper,
+      "replay behind an interloper version must not re-publish")
+    val docs = Versioned.read(spark, lake, "documents")
+      .groupBy("doc_id").count()
+      .filter(col("count") > 1).count()
+    assert(docs == 0, "replay behind an interloper duplicated documents")
   }
 }

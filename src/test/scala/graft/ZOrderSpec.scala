@@ -160,6 +160,32 @@ class ZOrderSpec extends SparkSpec {
       smallBytes = baseBytes)
     assert(v2 == 7L)
     assert(Versioned.read(spark, base, "t").count() == 1450)
+
+    // IDEMPOTENT: a maintenance tick with nothing new to do must be a
+    // no-op — the tail is exactly the previous pass's (curve-carrying)
+    // output, and re-clustering it would commit a spurious version per
+    // tick, advancing GC over real time-travel history
+    val v3 = Versioned.zorderTailPublish(spark, base, "t", files = 2,
+      smallBytes = baseBytes)
+    assert(v3 == v2, s"no-op maintenance must not publish: $v2 -> $v3")
+    assert(Versioned.currentVersion(spark, base).contains(v2))
+  }
+
+  test("zcol refuses interleaves wider than a long; all-null columns refuse a curve") {
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.ZOrder.zcol(
+        (1 to 9).map(i => s"c$i"),
+        (1 to 9).map(i => s"c$i" -> Array(0.5)).toMap, 8)
+    }
+    assert(e.getMessage.contains("64"), e.getMessage)
+    // an all-null column has no quantiles: the curve must refuse at
+    // WRITE time (a boundary-less persisted line would be unreadable)
+    val df = spark.range(10).select(col("id").cast("double").as("x"),
+      org.apache.spark.sql.functions.lit(null).cast("double").as("y"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.ZOrder.boundaries(df, Seq("x", "y"), 4)
+    }
+    assert(e2.getMessage.contains("no non-null values"), e2.getMessage)
   }
 
   test("zorderTail without an established curve fails loudly") {
