@@ -144,4 +144,60 @@ class KernelPropertySpec extends SparkSpec {
     assert(viaExpr == viaJoin,
       "the map-side expression and the join formulation must agree exactly")
   }
+
+  test("BPE replace-merge ≡ a reference index-scan BPE on random corpora") {
+    // reference implementation: pair counts at INDEX level (overlaps
+    // included — 'aaa' holds two (a,a) positions), argmax on
+    // (count desc, l, r), merge = greedy leftmost non-overlapping
+    // scan. The engine implements the same semantics through literal
+    // string replace over the double-space encoding; the merge
+    // SEQUENCE equality below pins both the counting and the replace
+    // transitively, because every later round's counts depend on the
+    // earlier merges having been applied identically.
+    def refMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def refBpe(words: Seq[(String, Long)], rounds: Int)
+        : Seq[(String, String, Long)] = {
+      var state = words.map { case (w, n) => (w.map(_.toString).toVector, n) }
+      var out = Vector.empty[(String, String, Long)]
+      var done = false
+      for (_ <- 1 to rounds if !done) {
+        val counts = state.flatMap { case (syms, n) =>
+          syms.zip(syms.drop(1)).map(p => p -> n)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+          out :+= ((l, r, c))
+          state = state.map { case (syms, n) => (refMerge(syms, l, r), n) }
+        }
+      }
+      out
+    }
+    val wordGen = Gen.choose(1, 6).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val caseGen = for {
+      k <- Gen.choose(1, 8)
+      ws <- Gen.listOfN(k, wordGen)
+      ns <- Gen.listOfN(ws.distinct.length, Gen.choose(1, 5))
+    } yield ws.distinct.zip(ns)
+    samples(caseGen, 25).zipWithIndex.foreach { case (words, i) =>
+      val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }
+        .mkString(" ")
+      val got = TextOps.bpeLearnOn(s"prop-bpe-$i",
+        Seq((1L, text)).toDF("doc_id", "text"))
+      val want = refBpe(words.map { case (w, n) => (w, n.toLong) },
+        TextOps.BpeRounds)
+      assert(got == want,
+        s"case $i (${words.mkString(", ")}): engine $got vs reference $want")
+    }
+  }
 }
