@@ -2491,13 +2491,28 @@ object TextOps {
       sys.error(s"quality: no committed version at $base"))
     val scored = lmScoresAt(spark, base, v)
       .withColumn("score_mhb", expr("surp * 1000 div n_tokens"))
-    val thresholds = lmThresholdsOf(scored)
+    // thresholds are a pure function of the (immutable,
+    // content-addressed) score artifact — memoize per artifact path
+    // so a repeat call costs the doc probe only, never the histogram
+    // scan (the /index/maintain repeat-call discipline)
+    val key = lmScoreArtifact(base, v)
+    val (t1, t2) = lmThresholdCache.computeIfAbsent(key, _ => {
+      val r = lmThresholdsOf(scored).head()
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    })
+    import spark.implicits._
+    val thresholds = // 1-row local frame: cutWith stays THE cut logic
+      Seq((t1, t2)).toDF("t1", "t2")
     docId match {
       case Some(id) => cutWith(scored.filter(col("doc_id") === id), thresholds)
       case None => cutWith(scored, thresholds).groupBy(col("bucket"))
         .agg(count(lit(1)).as("n")).orderBy(col("bucket"))
     }
   }
+
+  private val lmThresholdCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Option[Long], Option[Long])]()
 
   // -------------------------------------------------------------- q145
   /** BPE tokenizer training — Sennrich et al. 2016 ("Neural Machine
