@@ -2576,10 +2576,33 @@ object TextOps {
     * serve a stale model for an immutable dir. */
   private val bpeModels =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String, Long)]]()
+
+  /** The persisted tokenizer model of a corpus dir: the merge table
+    * as a content-addressed artifact (round/cap/corpus-fingerprint in
+    * the address — a parameter or corpus change is a new artifact,
+    * the LM/IVF/PQ codebook discipline). The in-JVM memo above is a
+    * read-through cache; the artifact is what lets a later JVM (a
+    * serving process, the next verify run) consume the tokenizer
+    * without retraining it. */
+  private[graft] def bpeModelArtifact(spark: SparkSession,
+      dir: String): String = {
+    val key = graft.Tables.fileFingerprint(spark, s"$dir/documents.parquet")
+    s"${Dedup.indexBase}/bpe-r$BpeRounds-k$BpeWordCap-$key"
+  }
+
   private[graft] def bpeLearn(spark: SparkSession, dir: String)
       : Seq[(String, String, Long)] =
-    bpeModels.computeIfAbsent(dir,
-      _ => bpeTrain(bpeWords(spark, dir, Some(BpeWordCap))))
+    bpeModels.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      graft.sources.ArtifactStore.readOrPublish(
+          spark, bpeModelArtifact(spark, dir)) {
+          bpeTrain(bpeWords(spark, dir, Some(BpeWordCap))).zipWithIndex
+            .map { case ((l, r, c), i) => ((i + 1).toLong, l, r, c) }
+            .toDF("round", "l", "r", "cnt")
+        }
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    })
 
   /** Train on an arbitrary documents frame, memoized under `key` —
     * [[q148BpeDrift]] freezes a model on the standing slice only. */

@@ -215,6 +215,20 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("the BPE model persists as a content-addressed artifact a later JVM can consume") {
+    val merges = TextOps.q145BpeMerges(spark, SparkSpec.sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // bypass the in-JVM memo: the artifact on disk must carry the
+    // identical merge table (what a fresh serving process would read)
+    val art = TextOps.bpeModelArtifact(spark, SparkSpec.sfDir)
+    val persisted = graft.sources.ArtifactStore.readIfPresent(spark, art)
+      .getOrElse(fail(s"no persisted tokenizer artifact at $art"))
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(persisted.toSeq == merges.toSeq,
+      "persisted tokenizer diverged from the served merge table")
+  }
+
   test("q145: corpus-scale merges are well-formed and strictly learned in count order") {
     val rows = TextOps.q145BpeMerges(spark, SparkSpec.sfDir).collect()
     assert(rows.length == TextOps.BpeRounds)
