@@ -229,17 +229,37 @@ class ServiceSpec extends AnyFunSuite {
 
   test("concurrent /etl/run keeps exactly one result cached (no leak)") {
     val spark = SparkSpec.spark
+    val sc = spark.sparkContext
     val api = new RestApi(Some(spark), 0).start()
     try {
       val base = s"http://localhost:${api.boundPort}"
-      val req = Some(s"""{"csvPath":"${graft.etl.ChargesEtl.findReferenceCsv()}"}""")
-      // baseline: one sync run → its one cached intermediate
+      // All assertions below are on SET-DIFFERENCES of the persistent-
+      // RDD keyset restricted to entries THIS test creates, never the
+      // global size: the session is shared by every suite, so the
+      // global count includes caches other suites leaked, and Spark's
+      // ContextCleaner asynchronously unpersists any of those whose
+      // DataFrame became unreachable whenever a GC runs — both move
+      // the global count with zero involvement from the code under
+      // test (the r15 flake). This test's own entries stay reachable
+      // through the RestApi's held Result, so the cleaner never
+      // touches them. The csv is COPIED to a per-run temp path so the
+      // canonicalized plan (and thus the cache entry) is this test's
+      // own — earlier tests run the reference csv and would otherwise
+      // share the entry, making "new entries" empty.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-svc")
+      val csvA = tmp.resolve("a.csv")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(
+        graft.etl.ChargesEtl.findReferenceCsv()), csvA)
+      val req = Some(s"""{"csvPath":"$csvA"}""")
+      val before = sc.getPersistentRDDs.keySet.toSet
+      // baseline: one sync run → its cached intermediate(s)
       assert(http("POST", s"$base/etl/run", req)._1 == 200)
-      val after1 = spark.sparkContext.getPersistentRDDs.size
+      val mine = sc.getPersistentRDDs.keySet.toSet -- before
+      assert(mine.nonEmpty, "the ETL run cached nothing")
       // three racing sync runs: with a plain read-then-write swap two
       // threads could read the same previous Result, double-release
-      // it, and orphan the loser's cache — getAndSet makes the final
-      // count identical to the single-run baseline
+      // it, and evict the survivor's cache — getAndSet + the
+      // plan-identity guard keep the single-run baseline's entries
       val threads = (1 to 3).map(_ => new Thread(() => {
         http("POST", s"$base/etl/run", req); ()
       }))
@@ -247,24 +267,35 @@ class ServiceSpec extends AnyFunSuite {
       threads.foreach(_.join(120000))
       // same csv ⇒ same canonicalized plan ⇒ ONE shared cache entry:
       // the swap must NOT release it (that would evict the survivor's
-      // cache — the pre-fix symptom here was size 0, not a leak)
-      assert(spark.sparkContext.getPersistentRDDs.size == after1,
-        "replaced ETL results corrupted the cache (leak or over-release)")
+      // cache — the pre-fix symptom here was eviction, not a leak) …
+      val afterRace = sc.getPersistentRDDs.keySet.toSet
+      assert(mine.subsetOf(afterRace),
+        s"racing runs evicted the survivor's cache: lost ${mine -- afterRace}")
+      // … and no loser may orphan an extra entry of its own
+      assert((afterRace -- before -- mine).isEmpty,
+        s"replaced ETL results leaked cached partitions: ${afterRace -- before -- mine}")
       // serialized runs can't interleave status: final state is a
       // coherent done-summary, not a torn mix of two runs
       val status = http("GET", s"$base/etl/status")._2
       assert(status.contains("\"state\":\"done\"") &&
         status.contains("\"clean\":9986"), status)
       // a DIFFERENT csv ⇒ distinct plan ⇒ the replaced run's entry
-      // must actually be released: still exactly one entry cached
-      val copy = java.nio.file.Files.createTempDirectory("graft-svc")
-        .resolve("copy.csv")
+      // must actually be released: the old entries are gone and only
+      // the new run's entries remain cached
+      val copy = tmp.resolve("b.csv")
       java.nio.file.Files.copy(java.nio.file.Paths.get(
         graft.etl.ChargesEtl.findReferenceCsv()), copy)
       assert(http("POST", s"$base/etl/run",
         Some(s"""{"csvPath":"$copy"}"""))._1 == 200)
-      assert(spark.sparkContext.getPersistentRDDs.size == after1,
-        "a replaced ETL result leaked its cached partitions")
+      val afterSwap = sc.getPersistentRDDs.keySet.toSet
+      assert(mine.intersect(afterSwap).isEmpty,
+        s"a replaced ETL result leaked its cached partitions: ${mine.intersect(afterSwap)}")
+      assert((afterSwap -- before).nonEmpty, "the new-plan run cached nothing")
+      // suite hygiene: this test's temp-csv plans are reachable only
+      // through the api being stopped below — drop their entries so
+      // this suite doesn't leak into the shared session
+      (afterSwap -- before).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     } finally api.stop()
   }
 
@@ -369,6 +400,52 @@ class ServiceSpec extends AnyFunSuite {
       val scored = TextOps.qualityServe(spark, dir, None)
         .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0)
       assert(total == scored && total > 0, s"distribution mass: $b2")
+    } finally api.stop()
+  }
+
+  test("/quality: a mid-stream lake publish changes verdicts for subsequent calls only") {
+    val spark = SparkSpec.spark
+    val api = new RestApi(Some(spark), 0).start()
+    try {
+      import org.apache.spark.sql.functions._
+      val base = s"http://localhost:${api.boundPort}"
+      // a private corpus dir so this test owns the lake's versions
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qual").toString
+      Tables(spark, "/root/testdata/sf0.001", "documents")
+        .write.parquet(s"$tmp/documents.parquet")
+      val enc = java.net.URLEncoder.encode(tmp, UTF_8)
+      // first serving call: bootstraps the lake, maintains the chain,
+      // memoizes the thresholds under THIS version's score artifact
+      val (c1, b1) = http("GET", s"$base/quality?dir=$enc")
+      assert(c1 == 200, b1)
+      // mid-stream publish (the startVersioned discipline): a new lake
+      // version lands with 120 junk documents appended while the
+      // server keeps serving
+      import graft.sources.Versioned
+      val lake = graft.queries.Dedup.versionedCorpus(spark, tmp)
+      val v2 = Versioned.currentVersion(spark, lake).get
+      val junk = spark.range(0, 120).select(
+        (col("id") + 1000000L).as("doc_id"),
+        lit("zq zq zq zq zq zq zq zq").as("text"),
+        lit("xx").as("lang"), lit("synthetic").as("source"),
+        lit(23L).as("n_chars"))
+      Versioned.publish(spark, lake, Seq(
+        Versioned.TableSpec("documents",
+          Versioned.read(spark, lake, "documents").unionByName(junk)),
+        Versioned.TableSpec("documents_delta", junk)))
+      assert(Versioned.currentVersion(spark, lake).contains(v2 + 1))
+      // subsequent calls serve the NEW version: thresholds memoize per
+      // content-addressed score artifact (d0e6e69), so the new version
+      // is a memo MISS (fresh cut), never a stale hit from v2
+      val (c2, b2) = http("GET", s"$base/quality?dir=$enc")
+      assert(c2 == 200, b2)
+      assert(b2 != b1, "a mid-stream publish must change subsequent verdicts")
+      def mass(b: String) = "\"n\":(\\d+)".r.findAllMatchIn(b)
+        .map(_.group(1).toLong).sum
+      assert(mass(b2) == mass(b1) + 120,
+        s"appended docs missing from the served cut: $b2")
+      // repeat call = same artifact = memo hit, verdicts identical
+      assert(http("GET", s"$base/quality?dir=$enc") == ((c2, b2)))
     } finally api.stop()
   }
 

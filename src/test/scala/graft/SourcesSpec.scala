@@ -57,8 +57,10 @@ class SourcesSpec extends SparkSpec {
     // their raw text, parseable columns preserved — this is why the
     // engine's ETL does its own coerce-and-quarantine (full control of
     // what counts as malformed) instead of trusting parser modes
-    assert(df.filter(col("_corrupt").isNotNull).count() == 2)
-    assert(df.filter(col("_corrupt").isNull).count() == 2)
+    try {
+      assert(df.filter(col("_corrupt").isNotNull).count() == 2)
+      assert(df.filter(col("_corrupt").isNull).count() == 2)
+    } finally df.unpersist() // shared session — don't leak across suites
   }
 
   test("registerAll exposes every table as a SQL view") {
