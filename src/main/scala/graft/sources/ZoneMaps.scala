@@ -53,13 +53,31 @@ object ZoneMaps {
 
   val SidecarName = "_zonemap.tsv"
 
-  /** Per-file, per-column bound: `tpe` ∈ long|double|string; `flag` K
-    * (known bounds) | N (all values null) | U (no usable statistics —
-    * never prune). For K: `min`/`max` are decimal text (long), raw-bit
-    * decimal text (double — exact round-trip, no decimal-repr drift),
-    * or base64 UTF-8 (string). */
+  /** Per-file, per-column bound: `tpe` ∈ long|double|string|decimal;
+    * `flag` K (known bounds) | N (all values null) | U (no usable
+    * statistics — never prune). For K: `min`/`max` are decimal text
+    * (long), raw-bit decimal text (double — exact round-trip, no
+    * decimal-repr drift), base64 UTF-8 (string), or plain decimal text
+    * at the column's declared scale (decimal — exact, `BigDecimal`
+    * round-trip). */
   final case class ColStats(tpe: String, flag: String, min: String, max: String)
   final case class FileStats(relPath: String, cols: Map[String, ColStats])
+
+  /** Hadoop `Configuration` is Writable, not Java-serializable; this
+    * wrapper ships it into the distributed footer walk. (Spark has an
+    * internal equivalent; this stays on public API only.) */
+  private final class SerConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
 
   // ------------------------------------------------------- footer walk
 
@@ -88,11 +106,25 @@ object ZoneMaps {
         .groupBy(_.getPath.toDotString)
       val out = cols.flatMap { c =>
         chunks.get(c).map { cc =>
-          val tpe = cc.head.getPrimitiveType.getPrimitiveTypeName match {
+          val prim = cc.head.getPrimitiveType
+          // DECIMAL rides three physical encodings (Spark: INT32 for
+          // p≤9, INT64 for p≤18, FIXED_LEN_BYTE_ARRAY beyond or in
+          // legacy mode) — all carry exact unscaled stats; decode to
+          // BigDecimal bounds rather than (a) never pruning FLBA or
+          // (b) comparing UNSCALED ints against the caller's scaled
+          // probe, which would prune files that match (the one way a
+          // zone map can lose rows).
+          val decScale: Option[Int] = prim.getLogicalTypeAnnotation match {
+            case d: org.apache.parquet.schema.LogicalTypeAnnotation
+                  .DecimalLogicalTypeAnnotation => Some(d.getScale)
+            case _ => None
+          }
+          val tpe = prim.getPrimitiveTypeName match {
+            case _ if decScale.isDefined => "decimal"
             case INT32 | INT64 => "long"
             case FLOAT | DOUBLE => "double"
             case BINARY => "string"
-            case _ => "opaque" // e.g. FIXED_LEN_BYTE_ARRAY decimals
+            case _ => "opaque" // e.g. FLBA UUIDs / INT96
           }
           if (tpe == "opaque") c -> ColStats(tpe, "U", "", "")
           else {
@@ -102,6 +134,8 @@ object ZoneMaps {
             var minL = Long.MaxValue; var maxL = Long.MinValue
             var minD = Double.PositiveInfinity; var maxD = Double.NegativeInfinity
             var minB: Array[Byte] = null; var maxB: Array[Byte] = null
+            var minU: java.math.BigInteger = null // decimal, unscaled
+            var maxU: java.math.BigInteger = null
             var sawValues = false
             var unknown = false
             cc.foreach { chunk =>
@@ -130,6 +164,20 @@ object ZoneMaps {
                       .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
                     if (minB == null || unsignedLt(lo, minB)) minB = lo
                     if (maxB == null || unsignedLt(maxB, hi)) maxB = hi
+                  case "decimal" =>
+                    // INT32/INT64 backings carry the unscaled value as
+                    // a plain number; BINARY/FLBA as big-endian two's
+                    // complement — exactly BigInteger's byte form
+                    def unscaled(v: Any): java.math.BigInteger = v match {
+                      case n: Number =>
+                        java.math.BigInteger.valueOf(n.longValue)
+                      case b: org.apache.parquet.io.api.Binary =>
+                        new java.math.BigInteger(b.getBytes)
+                    }
+                    val lo = unscaled(st.genericGetMin)
+                    val hi = unscaled(st.genericGetMax)
+                    if (minU == null || lo.compareTo(minU) < 0) minU = lo
+                    if (maxU == null || maxU.compareTo(hi) < 0) maxU = hi
                 }
               }
             }
@@ -144,6 +192,11 @@ object ZoneMaps {
                 case "string" =>
                   val enc = java.util.Base64.getEncoder
                   ColStats(tpe, "K", enc.encodeToString(minB), enc.encodeToString(maxB))
+                case "decimal" =>
+                  val s = decScale.get
+                  ColStats(tpe, "K",
+                    new java.math.BigDecimal(minU, s).toPlainString,
+                    new java.math.BigDecimal(maxU, s).toPlainString)
               }
             c -> stats
           }
@@ -176,7 +229,7 @@ object ZoneMaps {
     val f = dir.getFileSystem(conf)
     val files = parquetFiles(f, dir)
     require(files.nonEmpty, s"zone map over empty data dir $dataDir")
-    val stats = files.map(fileStats(conf, dir, _, cols))
+    val stats = collectStats(spark, conf, dir, files, cols)
     cols.foreach { c =>
       require(stats.exists(_.cols.contains(c)),
         s"zone map column '$c' appears in no parquet footer under " +
@@ -195,6 +248,33 @@ object ZoneMaps {
     val out = f.create(new Path(dir, SidecarName), true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
   }
+
+  /** The per-file footer walk behind [[writeSidecar]], DISTRIBUTED: a
+    * 100 TB table has 10⁵–10⁶ files, and one driver-serial open-footer
+    * round-trip per file would serialize hours of metadata I/O through
+    * a single thread at exactly the scale the sidecar exists for. The
+    * file list fans out as a tiny RDD, each task opens its footers
+    * against its own FileSystem handle, and only the per-file bound
+    * rows (a few hundred bytes each) come back — the same
+    * stats-collection shape as Delta's per-file write-time stats.
+    * Element order is preserved by `parallelize`/`collect`, so the
+    * sidecar bytes are identical to the serial walk's; dirs below the
+    * cutoff skip the job-launch latency entirely (a spec lake
+    * publishes many 1–8-file dirs). */
+  private def collectStats(spark: SparkSession,
+      conf: org.apache.hadoop.conf.Configuration, dir: Path,
+      files: Seq[Path], cols: Seq[String]): Seq[FileStats] =
+    if (files.size < 16) files.map(fileStats(conf, dir, _, cols))
+    else {
+      val ser = new SerConf(conf)
+      val dirStr = dir.toString
+      val colsV = cols.toVector
+      val slices = math.min(files.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(files.map(_.toString), slices)
+        .map(p => fileStats(ser.value, new Path(dirStr), new Path(p), colsV))
+        .collect().toSeq
+    }
 
   /** Sidecar for a data dir, if present and well-formed. */
   def readSidecar(spark: SparkSession, dataDir: String): Option[Seq[FileStats]] = {
@@ -247,6 +327,15 @@ object ZoneMaps {
     case l: Long => l.toDouble
     case other => sys.error(s"zone map: expected a numeric bound, got $other")
   }
+  private def asBigDec(v: Any): java.math.BigDecimal = v match {
+    case d: java.math.BigDecimal => d
+    case d: BigDecimal => d.bigDecimal
+    case i: Int => java.math.BigDecimal.valueOf(i.toLong)
+    case l: Long => java.math.BigDecimal.valueOf(l)
+    case d: Double => java.math.BigDecimal.valueOf(d)
+    case s: String => new java.math.BigDecimal(s)
+    case other => sys.error(s"zone map: expected a decimal bound, got $other")
+  }
 
   /** Files that may hold rows satisfying EVERY range in `ranges`
     * (conjunction): a file survives only if, for each range on a
@@ -293,6 +382,10 @@ object ZoneMaps {
               val l = lo.toString.getBytes("UTF-8")
               val h = hi.toString.getBytes("UTF-8")
               !(unsignedLt(mx, l) || unsignedLt(h, mn))
+            case "decimal" =>
+              val mn = new java.math.BigDecimal(cs.min)
+              val mx = new java.math.BigDecimal(cs.max)
+              !(mx.compareTo(asBigDec(lo)) < 0 || mn.compareTo(asBigDec(hi)) > 0)
             case _ => true
           }
         }

@@ -153,6 +153,63 @@ class ZoneMapSpec extends SparkSpec {
     assert(collectSet(Versioned.readPruned(spark, base2, "t", "k", 0L, 10L)) == full)
   }
 
+  test("decimal bounds prune on every physical backing (incl. FLBA)") {
+    val base = mkBase()
+    // amt:  DECIMAL(16,2) → INT64-backed  (the reference money type)
+    // amt8: DECIMAL(8,2)  → INT32-backed
+    // amtB: DECIMAL(28,2) → FIXED_LEN_BYTE_ARRAY-backed (big-endian
+    //       two's-complement unscaled decode — the r15 `U` gap)
+    // amt spans negatives so the sign path is exercised on INT64 too
+    val df = spark.range(0, 400).select(
+        col("id").as("k"),
+        expr("CAST(id * 1.25 - 100 AS DECIMAL(16,2))").as("amt"),
+        expr("CAST(id * 1.25 AS DECIMAL(8,2))").as("amt8"),
+        expr("CAST(id * 1000000000.25 AS DECIMAL(28,2))").as("amtB"))
+      .repartitionByRange(4, col("k"))
+    Versioned.publish(spark, base,
+      Seq(TableSpec("t", df, statsCols = Seq("amt", "amt8", "amtB"))))
+    def bd(s: String) = new java.math.BigDecimal(s)
+    // negative slice → first file only (ids 0..99 → amt -100.00..23.75)
+    val Some((_, selNeg, total)) =
+      Versioned.prunedFilesAt(spark, base, "t", 1L, "amt", bd("-100.00"), bd("-50.00"))
+    assert(total == 4 && selNeg.size == 1, s"selected ${selNeg.size} of $total")
+    assert(collectSet(Versioned.readPruned(spark, base, "t", "amt",
+        bd("-100.00"), bd("-50.00")))
+      == collectSet(Versioned.read(spark, base, "t")
+        .filter(col("amt") >= bd("-100.00") && col("amt") <= bd("-50.00"))))
+    // INT32 backing: ids 112..136 land mid-file-1 only
+    val Some((_, sel8, _)) =
+      Versioned.prunedFilesAt(spark, base, "t", 1L, "amt8", bd("140.00"), bd("170.00"))
+    assert(sel8.size == 1, s"amt8 selected ${sel8.size}")
+    // FLBA backing: unscaled values far beyond long-from-double range
+    val Some((_, selB, _)) = Versioned.prunedFilesAt(spark, base, "t", 1L,
+      "amtB", bd("140000000035.00"), bd("170000000042.50"))
+    assert(selB.size == 1, s"amtB selected ${selB.size}")
+    assert(collectSet(Versioned.readPruned(spark, base, "t", "amtB",
+        bd("140000000035.00"), bd("170000000042.50")))
+      == collectSet(Versioned.read(spark, base, "t")
+        .filter(col("amtB") >= bd("140000000035.00") &&
+          col("amtB") <= bd("170000000042.50"))))
+  }
+
+  test("distributed stats collection (>=16 files) prunes like the serial walk") {
+    val base = mkBase()
+    // 20 files → writeSidecar takes the parallelize path; the sidecar
+    // must still describe every file (order preserved by collect)
+    val df = spark.range(0, 2000)
+      .select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartitionByRange(20, col("k"))
+    Versioned.publish(spark, base,
+      Seq(TableSpec("t", df, statsCols = Seq("k"))))
+    val Some((_, sel, total)) =
+      Versioned.prunedFilesAt(spark, base, "t", 1L, "k", 100L, 199L)
+    assert(total == 20, s"sidecar covers $total of 20 files")
+    assert(sel.size <= 2, s"selected ${sel.size} of $total")
+    assert(collectSet(Versioned.readPruned(spark, base, "t", "k", 100L, 199L))
+      == collectSet(Versioned.read(spark, base, "t")
+        .filter(col("k") >= 100 && col("k") <= 199)))
+  }
+
   test("a provably-empty range returns an empty frame with the table schema") {
     val base = mkBase()
     Versioned.publish(spark, base,
