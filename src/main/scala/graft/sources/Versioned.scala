@@ -316,6 +316,15 @@ object Versioned {
     Option(acc)
   }
 
+  /** The (kind, relative path) entry chain of `table` at `version` —
+    * ops/spec introspection of merge-on-read fold depth ('d' data,
+    * 't' tombstone; a 1-entry chain is a fully-compacted table). */
+  def entryChainAt(spark: SparkSession, base: String, table: String,
+      version: Long): Seq[(Char, String)] = {
+    val b = new Path(base)
+    entriesOrFail(fs(spark, b), b, table, version).map(e => (e.kind, e.rel))
+  }
+
   /** Data dirs (kind 'd') of `table` at `version`, in ref order. */
   private def dataDirsAt(spark: SparkSession, base: String, table: String,
       version: Long): Seq[String] = {
@@ -798,11 +807,13 @@ object Versioned {
     val statCols = statsColsAt(spark, base, table, cur)
     val appendStats = append.map(df =>
       statCols.filter(df.columns.contains(_))).getOrElse(Nil)
-    publishWith(spark, base, cur) { (f, b, next) =>
+    var chainLen = 0
+    val published = publishWith(spark, base, cur) { (f, b, next) =>
       val prior = entriesOrFail(f, b, table, cur)
       require(prior.forall(_.rel.startsWith("_data/")),
         s"merge-on-read needs a manifest table — $table at v$cur is " +
           "pre-manifest; run one rewriting publish (e.g. mergePublish) first")
+      chainLen = prior.size + tomb.size + append.size
       val tombEntry = tomb.map { df =>
         val rel = tombDirName(table, next)
         df.distinct.write.mode(SaveMode.Overwrite)
@@ -827,6 +838,17 @@ object Versioned {
         writeEntries(f, b, next, t, entriesOrFail(f, b, t, cur))
       }
     }
+    // auto-compaction ([[setAutoCompact]]): the writer that pushed the
+    // chain past the threshold retires the fold debt on its way out.
+    // Its failure must not fail the PUBLISH that already committed —
+    // e.g. a concurrent publisher winning the maintenance claim is a
+    // lost-maintenance race, not a lost write — so it degrades to the
+    // committed version and leaves compaction to the next crossing.
+    val threshold = autoCompactOf(fs(spark, new Path(base)), new Path(base))
+    if (threshold > 0 && chainLen >= threshold)
+      try compactMorTailPublish(spark, base, table)
+      catch { case scala.util.control.NonFatal(_) => published }
+    else published
   }
 
   private def checkSuccess(f: FileSystem, b: Path, table: String,
@@ -953,6 +975,157 @@ object Versioned {
     val tail = dataTail.reverse.takeWhile(e =>
       f.getContentSummary(new Path(b, e.rel)).getLength < smallBytes).reverse
     (entries.dropRight(tail.size), tail)
+  }
+
+  /** Merge-on-read TAIL compaction: [[compactTailPublish]] extended
+    * across tombstones, for the chains upserts build. A daily MoR
+    * upsert ([[mergePublish]] `rewrite = false`) appends a tombstone
+    * AND a data dir per run, so the entry chain grows by 2/day with no
+    * all-data tail for [[compactTailPublish]] to merge — after a year
+    * every read folds 365 unions and 365 anti-joins. This op rewrites
+    * the trailing run of SMALL entries (data or tombstone) into at
+    * most two: one merged tombstone and one folded data dir, carrying
+    * the prefix by reference.
+    *
+    * Equivalence (the fold order is the table's semantics, so this is
+    * the load-bearing argument): for `entries = prefix ++ tail`,
+    *   fold(prefix ++ tail)
+    *     = (fold(prefix) anti ⋃tombs(tail)) ∪ fold(∅, tail)
+    * because (a) every prefix row is accumulated before every tail
+    * tombstone, so it survives iff it matches none of them — the
+    * merged ⋃ tombstone; and (b) a tail data row survives iff no
+    * LATER tail tombstone matches it — exactly the fold of the tail
+    * from empty, which this op materializes. Hence
+    * `prefix ++ [t: ⋃tombs] ++ [d: fold(tail)]` reads identically,
+    * with chain length |prefix| + 2. [[MergeOnReadSpec]] asserts
+    * value identity over a long upsert chain.
+    *
+    * Tombstones merge only while their column sets agree (the
+    * anti-join keys ARE the frame's columns); a differently-keyed
+    * tombstone ends the tail, like a big dir does. No-ops (returning
+    * the CURRENT version, no claim taken) when the tail couldn't
+    * shrink: fewer than two entries, or nothing to fold. */
+  def compactMorTailPublish(spark: SparkSession, base: String,
+      table: String, sortBy: Seq[String] = Nil, files: Int = 1,
+      smallBytes: Long = 128L << 20): Long = {
+    import org.apache.spark.sql.functions.col
+    require(files >= 1, "compactMorTail needs files >= 1")
+    val cur = currentVersion(spark, base).getOrElse(
+      sys.error(s"compactMorTailPublish: $base has no committed version"))
+    val existing = listTables(spark, base, cur)
+    require(existing.contains(table),
+      s"compactMorTailPublish: table $table not in version $cur (has: $existing)")
+    val b = new Path(base)
+    val f = fs(spark, b)
+    val entries = entriesOrFail(f, b, table, cur)
+    require(entries.forall(_.rel.startsWith("_data/")),
+      s"compactMorTailPublish needs a manifest table — $table at v$cur is " +
+        "pre-manifest; run one rewriting publish (e.g. compactPublish) first")
+    val (prefix, tail) = smallMorTail(spark, f, b, entries, smallBytes)
+    val tombs = tail.filter(_.kind == 't')
+    val datas = tail.filter(_.kind == 'd')
+    // nothing shrinks ⇒ no-op: the rewritten shape would be ≥ the tail
+    if (tail.size < 2 || (tombs.size <= 1 && datas.size <= 1)) return cur
+    val statCols = statsColsAt(spark, base, table, cur)
+    publishWith(spark, base, cur) { (f, b, next) =>
+      val tombEntry =
+        if (tombs.isEmpty || prefix.isEmpty) None // no prefix rows to remove
+        else {
+          val merged = tombs.map(e =>
+              spark.read.parquet(new Path(b, e.rel).toString))
+            .reduce(_.unionByName(_)).distinct
+          val rel = tombDirName(table, next)
+          merged.write.mode(SaveMode.Overwrite)
+            .option("compression", "zstd")
+            .parquet(new Path(b, rel).toString)
+          checkSuccess(f, b, table, rel)
+          Some(RefEntry('t', rel))
+        }
+      val dataEntry = foldEntriesOpt(spark, b, tail,
+          dir => spark.read.parquet(dir)).map { folded =>
+        val frame =
+          if (sortBy.isEmpty) folded.coalesce(files)
+          else folded.repartitionByRange(files, sortBy.map(col): _*)
+            .sortWithinPartitions(sortBy.map(col): _*)
+        val rel = dataDirName(table, next)
+        frame.write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd")
+          .parquet(new Path(b, rel).toString)
+        checkSuccess(f, b, table, rel)
+        val present = statCols.filter(frame.columns.contains(_))
+        if (present.nonEmpty)
+          ZoneMaps.writeSidecar(spark, new Path(b, rel).toString, present)
+        RefEntry('d', rel)
+      }
+      f.mkdirs(versionDir(b, next))
+      writeEntries(f, b, next, table, prefix ++ tombEntry ++ dataEntry)
+      existing.filterNot(_ == table).foreach { t =>
+        writeEntries(f, b, next, t, entriesOrFail(f, b, t, cur))
+      }
+    }
+  }
+
+  /** The trailing run of SMALL entries — data or tombstone — with all
+    * tail tombstones sharing one column set (they must union into one
+    * anti-join frame). [[compactMorTailPublish]]'s tail; a big dir or
+    * a differently-keyed tombstone ends it. */
+  private def smallMorTail(spark: SparkSession, f: FileSystem, b: Path,
+      entries: Seq[RefEntry], smallBytes: Long)
+      : (Seq[RefEntry], Seq[RefEntry]) = {
+    var tombCols: Option[Set[String]] = None
+    val tail = entries.reverse.takeWhile { e =>
+      f.getContentSummary(new Path(b, e.rel)).getLength < smallBytes &&
+        (e.kind != 't' || {
+          val cols =
+            spark.read.parquet(new Path(b, e.rel).toString).columns.toSet
+          tombCols match {
+            case None => tombCols = Some(cols); true
+            case Some(c) => c == cols
+          }
+        })
+    }.reverse
+    (entries.dropRight(tail.size), tail)
+  }
+
+  /** Auto-compaction policy (Delta's `autoOptimize.autoCompact` role):
+    * when a merge-on-read publish leaves `table`'s entry chain at or
+    * above this many entries, the publish triggers
+    * [[compactMorTailPublish]] on its way out — the read-path fold
+    * debt is retired by the writer that created it, and the chain
+    * length stays bounded without an external maintenance scheduler.
+    * Per-lake plain metadata like retention; `0` disables. Default
+    * 16: small enough that a read never folds more than ~15 unions,
+    * large enough that daily ingests batch ~a week of deltas per
+    * rewrite (maintenance bytes stay ∝ the tail). */
+  def setAutoCompact(spark: SparkSession, base: String, maxEntries: Int): Unit = {
+    require(maxEntries == 0 || maxEntries >= 3,
+      "autoCompact threshold must be 0 (disabled) or >= 3")
+    val b = new Path(base)
+    val f = fs(spark, b)
+    f.mkdirs(markerDir(b))
+    val out = f.create(new Path(markerDir(b), "autocompact"), true)
+    try out.write(maxEntries.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The effective auto-compaction threshold of a lake (default 16). */
+  def autoCompactThreshold(spark: SparkSession, base: String): Int = {
+    val b = new Path(base)
+    autoCompactOf(fs(spark, b), b)
+  }
+
+  private def autoCompactOf(f: FileSystem, b: Path): Int = {
+    val p = new Path(markerDir(b), "autocompact")
+    if (!f.exists(p)) 16
+    else {
+      val in = f.open(p)
+      val text = try {
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8").trim
+      } finally in.close()
+      text.toIntOption.filter(n => n == 0 || n >= 3).getOrElse(
+        sys.error(s"corrupt autocompact file $p: '$text'"))
+    }
   }
 
   /** Z-ORDER compaction publish: [[compactPublish]]'s multi-dimension

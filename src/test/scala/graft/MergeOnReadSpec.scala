@@ -270,6 +270,96 @@ class MergeOnReadSpec extends SparkSpec {
       .filter(col("k").between(50, 119)).count() == 70)
   }
 
+  test("auto-compaction bounds fold depth over a long upsert chain, values identical") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t", facts(0, 100))))
+    Versioned.setAutoCompact(spark, base, 6)
+    assert(Versioned.autoCompactThreshold(spark, base) == 6)
+    // 12 MoR upserts, disjoint 5-key slices with v bumped — without
+    // the policy the chain would reach 25 entries (a tombstone + a
+    // data dir each); with it, every crossing's WRITER compacts the
+    // tail, so the observed depth never exceeds the threshold + the
+    // 2 entries the triggering publish itself added
+    (0 until 12).foreach { i =>
+      Versioned.mergePublish(spark, base, "t",
+        facts(i * 5, i * 5 + 5).withColumn("v", col("v") + 1),
+        Seq("k"), rewrite = false)
+      val cur = Versioned.currentVersion(spark, base).get
+      assert(Versioned.entryChainAt(spark, base, "t", cur).size <= 6,
+        s"fold depth unbounded after upsert $i")
+    }
+    // value identity vs the replayed history: keys < 60 took an upsert
+    val expected = collectSet(spark.range(0, 100).select(
+      col("id").as("k"),
+      (col("id") * 10 + when(col("id") < 60, 1).otherwise(0)).as("v")))
+    assert(collectSet(Versioned.read(spark, base, "t")) == expected)
+    // threshold 0 disables the policy: chains grow freely again
+    Versioned.setAutoCompact(spark, base, 0)
+    val v0 = Versioned.currentVersion(spark, base).get
+    val d0 = Versioned.entryChainAt(spark, base, "t", v0).size
+    Versioned.mergePublish(spark, base, "t",
+      facts(0, 5).withColumn("v", col("v") + 2), Seq("k"), rewrite = false)
+    val v1 = Versioned.currentVersion(spark, base).get
+    assert(v1 == v0 + 1, "disabled policy must not publish a compaction")
+    assert(Versioned.entryChainAt(spark, base, "t", v1).size == d0 + 2)
+  }
+
+  test("compactMorTail folds across tombstones; prefix rows still tombstoned") {
+    val base = mkBase()
+    // big-ish base we keep by reference, then a mixed t/d tail
+    Versioned.publish(spark, base, Seq(TableSpec("t", facts(0, 100))))
+    Versioned.setAutoCompact(spark, base, 0) // manual compaction here
+    // capture the base layout now — v1's manifest may be GC'd later,
+    // but its data dir survives by refcount
+    val baseFiles = Versioned.tableFiles(spark, base, "t", 1L).toSet
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // keep the base dir out of the tail: its byte size is the cutoff
+    val baseBytes = fs.getContentSummary(
+      new Path(s"$base/_data/t-00000001")).getLength
+    import spark.implicits._
+    Versioned.removePublish(spark, base, "t", Seq(1L, 2L).toDF("k"))
+    Versioned.appendPublish(spark, base, "t", facts(100, 110), Seq("k"))
+    Versioned.removePublish(spark, base, "t", Seq(105L, 50L).toDF("k"))
+    // 105 was just tombstoned, so re-adding it is append-legal; its
+    // fold position AFTER the tombstone must survive the compaction
+    Versioned.appendPublish(spark, base, "t", facts(105, 106)
+      .withColumn("v", col("v") + 7), Seq("k"))
+    val before = collectSet(Versioned.read(spark, base, "t"))
+    val v = Versioned.compactMorTailPublish(spark, base, "t",
+      smallBytes = baseBytes)
+    assert(v == Versioned.currentVersion(spark, base).get)
+    val chain = Versioned.entryChainAt(spark, base, "t", v)
+    assert(chain.size == 3 && chain.map(_._1) == Seq('d', 't', 'd'),
+      s"expected base + merged tombstone + folded tail, got $chain")
+    // value identity through the fold rewrite, including: prefix keys
+    // 1, 2, 50 stay tombstoned; 105 re-added AFTER its tombstone
+    // survives with the updated v
+    assert(collectSet(Versioned.read(spark, base, "t")) == before)
+    assert(Versioned.read(spark, base, "t")
+      .filter(col("k").isin(1L, 2L, 50L)).isEmpty)
+    assert(Versioned.read(spark, base, "t").filter(col("k") === 105L)
+      .head.getLong(1) == 1057L)
+    // base files untouched — carried by reference
+    assert(baseFiles.subsetOf(
+      Versioned.tableFiles(spark, base, "t", v).toSet))
+    // a tail whose tombstones disagree on key columns stops at the
+    // incompatible one (it cannot union into one anti-join frame)
+    Versioned.removePublish(spark, base, "t",
+      Seq((3L, 30L)).toDF("k", "v"))
+    Versioned.appendPublish(spark, base, "t", facts(200, 205), Seq("k"))
+    Versioned.removePublish(spark, base, "t", Seq(201L).toDF("k"))
+    Versioned.appendPublish(spark, base, "t", facts(205, 210), Seq("k"))
+    val before2 = collectSet(Versioned.read(spark, base, "t"))
+    val v2 = Versioned.compactMorTailPublish(spark, base, "t",
+      smallBytes = baseBytes)
+    val chain2 = Versioned.entryChainAt(spark, base, "t", v2)
+    // the (k,v)-keyed tombstone is the boundary: everything after it
+    // folds, it and the prefix stay put
+    assert(chain2.map(_._1).count(_ == 't') >= 2,
+      s"incompatible tombstone must survive as a boundary: $chain2")
+    assert(collectSet(Versioned.read(spark, base, "t")) == before2)
+  }
+
   test("compactTail skips big dirs: an all-big tail is a no-op") {
     val base = mkBase()
     Versioned.publish(spark, base, Seq(TableSpec("t", facts(0, 100))))
