@@ -604,7 +604,125 @@ object Relational {
     base
   }
 
+  // -------------------------------------------------------------- q149
+  /** Decimal zone-map probe (r16): the reference's own money type is
+    * `DECIMAL(16,2)` (`/root/reference/sql/01_schema.sql:14`), and an
+    * amount-range filter is the first probe a charges-style table
+    * takes — so decimal columns must PRUNE, not downgrade to a full
+    * scan. Parquet backs decimals with INT32/INT64/FLBA depending on
+    * precision; [[graft.sources.ZoneMaps]] decodes all three backings'
+    * footer statistics to exact unscaled bounds (big-endian
+    * two's-complement for FLBA), and this query keeps that path in the
+    * per-SF oracle gate: orders' amounts live as DECIMAL(16,2) in a
+    * lake compacted on the amount, and the probe reads through
+    * [[graft.sources.Versioned.readPruned]] with BigDecimal bounds.
+    * The amount is derived EXACTLY from o_orderkey (integer + 0.25 —
+    * no double→decimal rounding, so Spark and DuckDB agree digit for
+    * digit) and the range derives from max(o_orderkey), staying a
+    * fixed fraction at every scale factor. */
+  def q149ZonemapDecimal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val base = decimalLake(spark, dir)
+    val maxK = Versioned.read(spark, base, "orders")
+      .agg(max($"o_orderkey")).head.getLong(0)
+    def amtOf(k: Long) = java.math.BigDecimal.valueOf(k)
+      .add(new java.math.BigDecimal("0.25"))
+    Versioned.readPruned(spark, base, "orders", "amt",
+        amtOf(maxK * 2 / 10), amtOf(maxK * 3 / 10))
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"amt").cast("double").as("sum_amt"),
+        min($"amt").as("min_amt"),
+        max($"amt").as("max_amt"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Scratch lake: orders with an exact DECIMAL(16,2) amount column,
+    * v1 writer-arrival layout, v2 compacted on `amt` with zone-map
+    * stats — [[zonemapLake]]'s bootstrap discipline on the decimal
+    * axis. */
+  private[graft] def decimalLake(spark: SparkSession, dir: String): String = {
+    import graft.sources.Versioned
+    val key = Tables.fileFingerprint(spark, s"$dir/orders.parquet")
+    val base = s"${Dedup.indexBase}/declake-f$ZonemapFiles-$key"
+    if (Versioned.currentVersion(spark, base).isEmpty)
+      Versioned.publish(spark, base, Seq(Versioned.TableSpec("orders",
+        Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_orderkey").cast("decimal(16,2)") +
+              lit(new java.math.BigDecimal("0.25")))
+              .cast("decimal(16,2)").as("amt"))
+          .repartition(ZonemapFiles),
+        statsCols = Seq("amt"))))
+    if (Versioned.currentVersion(spark, base).contains(1L))
+      Versioned.compactPublish(spark, base, "orders",
+        Seq("amt"), ZonemapFiles)
+    base
+  }
+
+  // -------------------------------------------------------------- q150
+  /** Auto-compaction lifecycle scan (r16): orders takes FOUR
+    * merge-on-read upserts against a lake whose
+    * [[graft.sources.Versioned.setAutoCompact]] threshold is 5 — so
+    * the writers themselves trigger
+    * [[graft.sources.Versioned.compactMorTailPublish]] mid-history and
+    * the entry chain never grows past the threshold (asserted in the
+    * bootstrap: an unbounded chain here is a bug, not a slow read).
+    * The read is the post-policy fold; the DuckDB oracle replays the
+    * same upsert history as plain SQL, so a hash match proves the
+    * policy's rewrites changed no value while bounding the fold depth
+    * — the 365-daily-upserts debt of What's-missing r15 #2, retired by
+    * the writer that created it. */
+  def q150AutoCompactScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val base = autoCompactLake(spark, dir)
+    Versioned.read(spark, base, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sumd($"o_totalprice").as("sum_price"),
+        min($"o_orderkey").as("min_k"),
+        max($"o_orderkey").as("max_k"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Scratch auto-compacting lake: v1 full publish, then four MoR
+    * upserts (keys ≡ 3, 7, 11, 15 mod 20, price doubled) under an
+    * auto-compact threshold of 5 — the chain crosses the threshold
+    * twice, each crossing's writer compacts its own tail. Idempotent,
+    * fingerprint-keyed bootstrap (q135's discipline); the bounded
+    * fold depth is REQUIRED here so the per-SF gate fails loudly if
+    * the policy ever stops firing. */
+  private[graft] def autoCompactLake(spark: SparkSession, dir: String): String = {
+    import graft.sources.Versioned
+    val key = Tables.fileFingerprint(spark, s"$dir/orders.parquet")
+    val base = s"${Dedup.indexBase}/aclake-$key"
+    if (Versioned.currentVersion(spark, base).isEmpty) {
+      val orders = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Versioned.publish(spark, base,
+        Seq(Versioned.TableSpec("orders", orders)))
+      Versioned.setAutoCompact(spark, base, 5)
+      Seq(3L, 7L, 11L, 15L).foreach { m =>
+        Versioned.mergePublish(spark, base, "orders",
+          orders.filter(col("o_orderkey") % 20 === m)
+            .withColumn("o_totalprice", col("o_totalprice") * 2),
+          Seq("o_orderkey"), rewrite = false)
+      }
+      val cur = Versioned.currentVersion(spark, base).get
+      val depth = Versioned.entryChainAt(spark, base, "orders", cur).size
+      require(depth <= 5,
+        s"auto-compaction did not bound the fold depth: $depth entries")
+    }
+    base
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_zonemap_decimal" -> (q149ZonemapDecimal _),
+    "q150_autocompact_scan" -> (q150AutoCompactScan _),
     "q134_zonemap_scan"  -> (q134ZonemapScan _),
     "q135_mor_scan"      -> (q135MorScan _),
     "q136_zorder_rect"   -> (q136ZorderRect _),
@@ -628,6 +746,35 @@ object Relational {
   /** DuckDB-dialect oracles. Integer SUMs are CAST to BIGINT (DuckDB
     * widens to HUGEINT); decimal sums CAST to DOUBLE to match Spark. */
   val oracle: Map[String, String] = Map(
+    "q149_zonemap_decimal" ->
+      """WITH m AS (
+        | SELECT (max(o_orderkey) * 2) // 10 AS klo,
+        |        (max(o_orderkey) * 3) // 10 AS khi
+        | FROM orders),
+        |t AS (
+        | SELECT o_orderstatus,
+        |  CAST(CAST(o_orderkey AS DECIMAL(16,2)) + 0.25
+        |       AS DECIMAL(16,2)) AS amt
+        | FROM orders)
+        |SELECT o_orderstatus,
+        | COUNT(*) AS n,
+        | CAST(SUM(amt) AS DOUBLE) AS sum_amt,
+        | min(amt) AS min_amt, max(amt) AS max_amt
+        |FROM t, m
+        |WHERE amt BETWEEN CAST(m.klo AS DECIMAL(16,2)) + 0.25
+        |              AND CAST(m.khi AS DECIMAL(16,2)) + 0.25
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q150_autocompact_scan" ->
+      """SELECT o_orderstatus,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(price AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+        | min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        |FROM (
+        | SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 20 IN (3, 7, 11, 15)
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS price
+        | FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q134_zonemap_scan" ->
       """WITH m AS (
         | SELECT (max(l_orderkey) * 2) // 10 AS lo,
