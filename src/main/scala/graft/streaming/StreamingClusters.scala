@@ -28,12 +28,14 @@ import graft.sources.Versioned
   * versions are immutable — so each publish carries a CUMULATIVE
   * `batch_marker` table (every batch id ever ingested, one long per
   * batch: prev markers ∪ this id), and a replayed batch detects
-  * itself with ONE membership probe of the current version's marker
+  * itself with ONE membership probe of the newest surviving marker
   * table — O(1) in stream age for the probe, and robust against a
   * version committed by ANYONE ELSE landing between a batch's
-  * publish and its replay (a current-version-only 1-row marker would
-  * miss the replayed id behind the interloper and double-ingest the
-  * batch's documents; review finding, r15). It then re-ensures the
+  * publish and its replay, whether or not that publisher carried
+  * `batch_marker` forward (non-carriers are found by probing
+  * backward to the newest surviving version that has one — bounded
+  * by retention, which must cover the publish-to-replay window;
+  * review findings, r15). It then re-ensures the
   * artifact, which [[graft.sources.ArtifactStore]] serves from the
   * already-published result. A genuine concurrent publisher race
   * still fails loudly via the lake's claim protocol — replay safety
@@ -56,13 +58,24 @@ object StreamingClusters {
     import spark.implicits._
     if (batch.isEmpty) return
     val cur = Versioned.currentVersion(spark, lakeBase)
-    // replay detection: ONE membership probe of the current version's
-    // CUMULATIVE marker table — O(1) versions touched regardless of
-    // stream age, and correct even when another publisher's version
-    // landed between this batch's publish and its replay
-    val markers = cur
-      .filter(c => Versioned.tableExists(spark, lakeBase, "batch_marker", c))
-      .map(c => Versioned.readAt(spark, lakeBase, "batch_marker", c))
+    // replay detection: ONE membership probe of the newest surviving
+    // version's CUMULATIVE marker table. The common case (this stream
+    // is the only publisher, or the interloper carried the marker
+    // forward) finds it at the CURRENT version — one existence probe,
+    // O(1) in stream age. But Versioned.publish drops unlisted tables,
+    // so a version committed by a publisher that did NOT carry
+    // batch_marker would otherwise make the stream look marker-less
+    // and double-ingest a crash-replayed batch (review finding, r15);
+    // instead, probe BACKWARD to the newest surviving version that
+    // has one — bounded by the lake's retention, which is therefore a
+    // correctness knob here: retention must cover the window in which
+    // an external non-carrying publisher can land between a publish
+    // and its replay (external publishers SHOULD carry batch_marker).
+    val markerVersion = cur.flatMap(_ =>
+      Versioned.listVersions(spark, lakeBase).sorted.reverse
+        .find(v => Versioned.tableExists(spark, lakeBase, "batch_marker", v)))
+    val markers = markerVersion
+      .map(v => Versioned.readAt(spark, lakeBase, "batch_marker", v))
     val replayed = markers.exists(
       _.filter(org.apache.spark.sql.functions.col("graft_batch_id")
         === batchId).head(1).nonEmpty)

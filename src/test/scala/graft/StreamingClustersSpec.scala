@@ -108,5 +108,28 @@ class StreamingClustersSpec extends SparkSpec {
       .groupBy("doc_id").count()
       .filter(col("count") > 1).count()
     assert(docs == 0, "replay behind an interloper duplicated documents")
+
+    // NON-CARRYING interloper: a foreign publisher that does NOT list
+    // batch_marker (Versioned.publish drops unlisted tables). The
+    // stream must probe BACKWARD to the newest surviving version that
+    // carries a marker table rather than treat itself as marker-less —
+    // the r15 gap: a replay behind such a version double-ingested
+    val noCarry = Versioned.read(spark, lake, "documents")
+      .unionByName(Seq(10L -> "second stranger").toDF("doc_id", "text"))
+    Versioned.publish(spark, lake, Seq(
+      Versioned.TableSpec("documents", noCarry),
+      Versioned.TableSpec("documents_delta",
+        Seq(10L -> "second stranger").toDF("doc_id", "text"))))
+    val vAfterNoCarry = Versioned.currentVersion(spark, lake)
+    assert(!Versioned.tableExists(spark, lake, "batch_marker",
+      vAfterNoCarry.get), "precondition: interloper dropped the marker")
+    StreamingClusters.ingestBatch(spark, b1, 1L, lake) // the lost replay
+    assert(Versioned.currentVersion(spark, lake) == vAfterNoCarry,
+      "replay behind a non-carrying interloper must not re-publish")
+    val docs2 = Versioned.read(spark, lake, "documents")
+      .groupBy("doc_id").count()
+      .filter(col("count") > 1).count()
+    assert(docs2 == 0,
+      "replay behind a non-carrying interloper duplicated documents")
   }
 }
