@@ -66,6 +66,16 @@ object ScaleZone {
       ScaleMeasure.measure(spark, "pruned_v2_compacted") {
         prunedV2 = digest(Versioned.readPrunedAt(
           spark, base, "lineitem", 2L, "l_orderkey", lo, hi))
+      },
+      // publish-time stats collection in isolation: re-collect the v2
+      // sidecar (byte-identical content) and time the footer walk —
+      // the r16 distributed-walk claim is that this stays flat-ish as
+      // SPARK_GRAFT_ZONE_FILES grows (one fan-out job, not one
+      // driver-serial footer round-trip per file)
+      ScaleMeasure.measure(spark, "sidecar_collect_v2") {
+        val (dataDir, _, _) = Versioned.prunedFilesAt(
+          spark, base, "lineitem", 2L, "l_orderkey", lo, hi).get
+        graft.sources.ZoneMaps.writeSidecar(spark, dataDir, Seq("l_orderkey"))
       })
 
     require(fullV1 == fullV2 && fullV1 == prunedV1 && fullV1 == prunedV2,

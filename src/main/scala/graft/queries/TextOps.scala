@@ -2496,11 +2496,11 @@ object TextOps {
     // so a repeat call costs the doc probe only, never the histogram
     // scan (the /index/maintain repeat-call discipline)
     val key = lmScoreArtifact(base, v)
-    val (t1, t2) = lmThresholdCache.computeIfAbsent(key, _ => {
+    val (t1, t2) = memo(lmThresholdCache, key) {
       val r = lmThresholdsOf(scored).head()
       (if (r.isNullAt(0)) None else Some(r.getLong(0)),
         if (r.isNullAt(1)) None else Some(r.getLong(1)))
-    })
+    }
     import spark.implicits._
     val thresholds = // 1-row local frame: cutWith stays THE cut logic
       Seq((t1, t2)).toDF("t1", "t2")
@@ -2513,6 +2513,30 @@ object TextOps {
 
   private val lmThresholdCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Option[Long], Option[Long])]()
+
+  /** get → compute OUTSIDE any lock → putIfAbsent. `computeIfAbsent`
+    * would run a full Spark job while holding the map's bin lock, so
+    * an unrelated request hashing to the same bin blocks behind a
+    * histogram scan or a BPE training (review finding, r15). The loser
+    * of a compute race discards its (deterministic, artifact-backed)
+    * value — strictly cheaper than serializing every miss. Both memo
+    * maps key by content-addressed artifact (one entry per corpus /
+    * lake version), so a long-lived server accretes entries; the size
+    * cap bounds that by resetting the map — entries are re-readable
+    * from their artifacts, so eviction costs a memo miss, never a
+    * retrain. */
+  private def memo[K, V <: AnyRef](
+      cache: java.util.concurrent.ConcurrentHashMap[K, V], key: K)(
+      f: => V): V = {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val v = f
+      if (cache.size >= 64) cache.clear()
+      val prev = cache.putIfAbsent(key, v)
+      if (prev != null) prev else v
+    }
+  }
 
   // -------------------------------------------------------------- q145
   /** BPE tokenizer training — Sennrich et al. 2016 ("Neural Machine
@@ -2555,25 +2579,31 @@ object TextOps {
       cap: Option[Int]): DataFrame =
     bpeWordsOf(docs(spark, dir), cap)
 
+  /** The capped training table, exposed for [[graft.ScaleBpe]]'s
+    * loop-cost probe (which measures the merge loop in isolation from
+    * the one distributed word-count scan). */
+  private[graft] def bpeTrainingTable(spark: SparkSession,
+      dir: String): DataFrame = bpeWords(spark, dir, Some(BpeWordCap))
+
   private def bpeWordsOf(d: DataFrame, cap: Option[Int]): DataFrame = {
     val w = d.select(explode(wordsCol).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-    val spaced = cap.fold(w)(k => w.orderBy(col("n").desc, col("word")).limit(k))
+    // the capped training table is collected ONCE by bpeTrain (the
+    // merge loop runs in driver memory); the uncapped application
+    // table is consumed once, lazily — neither needs pinning
+    cap.fold(w)(k => w.orderBy(col("n").desc, col("word")).limit(k))
       .withColumn("s", spacedChars(col("word")))
-    // training state is re-read every merge round — pin it; the
-    // uncapped application table is consumed once, lazily
-    if (cap.isDefined) spaced.localCheckpoint() else spaced
   }
 
-  /** The driver loop behind q145/q146/q147: ≤ [[BpeRounds]] rounds,
-    * each a pair-count aggregate over the ≤ [[BpeWordCap]]-row state
-    * plus a 1-row argmax collect and a map-side literal replace.
-    * Memoized per corpus dir — the model is an artifact of the
-    * corpus, and three consumers (merge table, segmentation,
-    * fertility eval) sharing one JVM must not retrain it three times;
-    * the training inputs are deterministic, so the cache can never
-    * serve a stale model for an immutable dir. */
+  /** Trained models memoized BY CONTENT ADDRESS ([[bpeModelArtifact]]
+    * — rounds/cap/corpus-fingerprint), never by directory path: three
+    * consumers (merge table, segmentation, fertility eval) sharing one
+    * JVM must not retrain, but a dir-keyed memo would serve a STALE
+    * tokenizer from a long-lived serving JVM after an in-place corpus
+    * replacement at the same path (review finding, r15) — the
+    * fingerprint key makes that a miss, exactly like
+    * [[lmThresholdCache]]'s artifact keys. */
   private val bpeModels =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String, Long)]]()
 
@@ -2591,56 +2621,96 @@ object TextOps {
   }
 
   private[graft] def bpeLearn(spark: SparkSession, dir: String)
-      : Seq[(String, String, Long)] =
-    bpeModels.computeIfAbsent(dir, _ => {
+      : Seq[(String, String, Long)] = {
+    val art = bpeModelArtifact(spark, dir)
+    memo(bpeModels, art) {
       import spark.implicits._
-      graft.sources.ArtifactStore.readOrPublish(
-          spark, bpeModelArtifact(spark, dir)) {
+      graft.sources.ArtifactStore.readOrPublish(spark, art) {
           bpeTrain(bpeWords(spark, dir, Some(BpeWordCap))).zipWithIndex
             .map { case ((l, r, c), i) => ((i + 1).toLong, l, r, c) }
             .toDF("round", "l", "r", "cnt")
         }
         .orderBy(col("round")).collect()
         .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
-    })
+    }
+  }
 
   /** Train on an arbitrary documents frame, memoized under `key` —
-    * [[q148BpeDrift]] freezes a model on the standing slice only. */
+    * [[q148BpeDrift]] freezes a model on the standing slice only.
+    * `key` must be CONTENT-ADDRESSED by the caller (a fingerprinted
+    * artifact path + slice tag), per [[bpeModels]]'s contract. */
   private[graft] def bpeLearnOn(key: String, d: => DataFrame)
       : Seq[(String, String, Long)] =
-    bpeModels.computeIfAbsent(key,
-      _ => bpeTrain(bpeWordsOf(d, Some(BpeWordCap))))
+    memo(bpeModels, key)(bpeTrain(bpeWordsOf(d, Some(BpeWordCap))))
 
-  private def bpeTrain(state0: DataFrame)
+  /** The merge loop behind q145–q148, IN DRIVER MEMORY. The
+    * distributed part of BPE training is the one corpus scan that
+    * built the (word, n) table feeding `state0`; the state itself is
+    * ≤ [[BpeWordCap]] rows BY CONSTRUCTION, so the per-round
+    * pair-count/argmax/replace is an in-memory-sized problem — one
+    * bounded collect here, then `rounds` rounds of plain Scala. The
+    * r15 shape (one Spark job per round) was correct but the wrong
+    * substrate: at a realistic 32k-merge vocabulary it is 32,000
+    * sequential job LAUNCHES — days of scheduler overhead for kilobytes
+    * of state ([[graft.ScaleBpe]] measures the difference at 512
+    * rounds). Semantics are bit-identical to the Spark loop and the
+    * oracle's chained CTEs: `String.replace` IS the same literal
+    * leftmost non-overlapping scan as Spark's `replace`, and ties in
+    * the argmax break on (count desc, l, r) under unsigned UTF-8 byte
+    * order — Spark's and DuckDB's string order, NOT
+    * `String.compareTo`'s UTF-16 code units ([[KernelPropertySpec]]
+    * pins the loop against an independent index-scan implementation). */
+  private[graft] def bpeTrain(state0: DataFrame, rounds: Int = BpeRounds)
       : Seq[(String, String, Long)] = {
-    var state = state0
-    val pairExpr = expr(
-      "transform(sequence(1, size(split(trim(s), '  ')) - 1), " +
-        "i -> named_struct(" +
-        "'l', element_at(split(trim(s), '  '), i), " +
-        "'r', element_at(split(trim(s), '  '), i + 1)))")
+    // ≤ BpeWordCap rows by construction — a bounded collect
+    var state: Array[(String, Long)] = state0.select(col("s"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
-    for (_ <- 1 to BpeRounds if !exhausted) {
-      val best = state
-        // guard BEFORE sequence(): Spark's sequence(1, 0) counts DOWN
-        .filter(size(split(trim(col("s")), "  ")) >= 2)
-        .select(col("n"), explode(pairExpr).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+    for (_ <- 1 to rounds if !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      state.foreach { case (s, n) =>
+        val syms = s.trim.split("  ")
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
       else {
-        val (l, r, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val ((l, r), c) = counts.reduce { (a, b) =>
+          val cmp =
+            if (a._2 != b._2) if (a._2 > b._2) -1 else 1
+            else {
+              val lc = utf8Compare(a._1._1, b._1._1)
+              if (lc != 0) lc else utf8Compare(a._1._2, b._1._2)
+            }
+          if (cmp <= 0) a else b
+        }
         merges += ((l, r, c))
-        state = state.withColumn("s",
-          replace(col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
-          .localCheckpoint()
+        val pat = s" $l  $r "; val rep = s" $l$r "
+        state = state.map { case (s, n) => (s.replace(pat, rep), n) }
       }
     }
     merges.toSeq
+  }
+
+  /** Unsigned UTF-8 byte comparison — the string order Spark's
+    * UTF8String and DuckDB's memcmp both use; `String.compareTo`
+    * (UTF-16 code units) disagrees beyond the BMP. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** Fold the learned merges over a frame carrying the spaced-symbol
@@ -2736,7 +2806,7 @@ object TextOps {
     * segmentation. Same scale shape as q147: one grain pass, chained
     * map-side replaces, a 2-row aggregate. */
   def q148BpeDrift(spark: SparkSession, dir: String): DataFrame = {
-    val merges = bpeLearnOn(s"$dir#standing",
+    val merges = bpeLearnOn(s"${bpeModelArtifact(spark, dir)}#standing",
       docs(spark, dir).filter(uniformKeyOf(col("doc_id")) >= lit(0.1)))
     val grain = docs(spark, dir)
       .select(
