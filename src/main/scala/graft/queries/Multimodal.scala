@@ -167,9 +167,35 @@ object Multimodal {
 
     /** Decode one payload. Non-PCM encodings (μ-law, a-law) are routed
       * through the JDK's own converter to 16-bit signed PCM first, so
-      * the stats are always over linear samples. */
+      * the stats are always over linear samples. FLAC payloads (the
+      * JDK ships no FLAC provider) route to the engine's own
+      * [[graft.functions.FlacCodec]] — a real compressed-audio decode
+      * in the same corrupt-as-data seam (r16; the remaining lossy
+      * codecs, MP3/Vorbis, still need a codec dependency: their
+      * documented slot is the per-partition init hook in
+      * [[Multimodal.decodeAudio]], and a DSP reimplementation could
+      * not be oracle-gated bit-exactly, so it is deliberately out). */
     def decode(docId: Long, bytes: Array[Byte]): DecodedAudio = {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
+      if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
+          bytes(2) == 'a' && bytes(3) == 'C')
+        return graft.functions.FlacCodec.decode(bytes) match {
+          case Left(_) => failed(docId)
+          case Right(d) =>
+            var sum = 0L
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var n = 0L
+            d.samples.foreach(_.foreach { s =>
+              sum += s
+              if (s < mn) mn = s
+              if (s > mx) mx = s
+              n += 1
+            })
+            if (n == 0L) failed(docId)
+            else DecodedAudio(docId, ok = true, d.channels, d.sampleRate,
+              n / d.channels, sum, mn, mx)
+        }
       try {
         val raw = AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
@@ -374,13 +400,96 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------- q151
+  /** Real FLAC decode, oracle-gated end-to-end (r16): each document
+    * ships a deterministic PCM clip — `sample(c, i) = ((doc_id·131 +
+    * c·17 + i·31) mod 4001) − 2000`, `1 + doc_id % 2` channels,
+    * `8000 + (doc_id % 3)·4000` Hz, `480 + (doc_id % 7)·96` samples —
+    * ENCODED to a spec-conformant FLAC stream
+    * ([[graft.functions.FlacCodec]]: fixed predictors, Rice
+    * residuals, stereo docs cycling all four channel modes so the
+    * decoder's left-side/right-side/mid-side paths run under the
+    * gate) and DECODED back through [[decodeAudio]]'s magic-sniffing
+    * seam. The DuckDB oracle recomputes the sample statistics
+    * directly from the formula, so a hash match proves
+    * decode ∘ encode ≡ identity over the whole corpus — a Rice or
+    * predictor bug anywhere corrupts a sum. Every 29th document ships
+    * a half-truncated stream: corrupt is DATA (`ok = 0` row), per the
+    * media-family contract. Scale shape: per-row kernel, no shuffle
+    * beyond the final order. */
+  def q151FlacDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val ch = (1 + id % 2).toInt
+        val sr = (8000 + (id % 3) * 4000).toInt
+        val n = (480 + (id % 7) * 96).toInt
+        val pcm = Array.tabulate(ch, n)((c, i) =>
+          (((id * 131 + c * 17 + i.toLong * 31) % 4001) - 2000).toInt)
+        // odd ids are stereo; cycle all four stereo channel modes
+        val mode = if (ch == 2) ((id / 2) % 4).toInt else 0
+        val enc = graft.functions.FlacCodec.encode(pcm, sr, bps = 16,
+          blockSize = 256, stereoMode = mode)
+        (id, if (id % 29 == 0) enc.take(enc.length / 2) else enc)
+      }
+    decodeAudio(payloads)
+      .select(
+        col("doc_id"),
+        col("ok").cast("long").as("ok"),
+        col("channels").cast("long").as("channels"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_frames"),
+        when(col("ok"), expr("n_frames * 1000000 div sample_rate"))
+          .otherwise(0L).as("duration_us"),
+        col("sample_sum"), col("sample_min"), col("sample_max"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_multimodal_meta"     -> (q24MultimodalMeta _),
     "q25_multimodal_features" -> (q25MultimodalFeatures _),
     "q44_multimodal_resize"   -> (q44MultimodalResize _),
-    "q45_frame_sample"        -> (q45FrameSample _))
+    "q45_frame_sample"        -> (q45FrameSample _),
+    "q151_flac_decode"        -> (q151FlacDecode _))
 
   val oracle: Map[String, String] = Map(
+    "q151_flac_decode" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  1 + doc_id % 2 AS channels,
+        |  8000 + (doc_id % 3) * 4000 AS sample_rate,
+        |  480 + (doc_id % 7) * 96 AS n
+        | FROM documents),
+        |s AS (
+        | SELECT p.doc_id, p.channels, p.sample_rate, p.n,
+        |  CAST(SUM(((p.doc_id * 131 + c.c * 17 + i.i * 31) % 4001) - 2000)
+        |       AS BIGINT) AS ssum,
+        |  CAST(MIN(((p.doc_id * 131 + c.c * 17 + i.i * 31) % 4001) - 2000)
+        |       AS BIGINT) AS smin,
+        |  CAST(MAX(((p.doc_id * 131 + c.c * 17 + i.i * 31) % 4001) - 2000)
+        |       AS BIGINT) AS smax
+        | FROM p, generate_series(0, 1055) i(i), generate_series(0, 1) c(c)
+        | WHERE i.i < p.n AND c.c < p.channels
+        | GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id,
+        | CAST(CASE WHEN doc_id % 29 = 0 THEN 0 ELSE 1 END AS BIGINT) AS ok,
+        | CAST(CASE WHEN doc_id % 29 = 0 THEN 0 ELSE channels END AS BIGINT)
+        |   AS channels,
+        | CAST(CASE WHEN doc_id % 29 = 0 THEN 0 ELSE sample_rate END AS BIGINT)
+        |   AS sample_rate,
+        | CAST(CASE WHEN doc_id % 29 = 0 THEN 0 ELSE n END AS BIGINT)
+        |   AS n_frames,
+        | CAST(CASE WHEN doc_id % 29 = 0 THEN 0
+        |           ELSE n * 1000000 // sample_rate END AS BIGINT)
+        |   AS duration_us,
+        | CAST(CASE WHEN doc_id % 29 = 0 THEN 0 ELSE ssum END AS BIGINT)
+        |   AS sample_sum,
+        | CAST(CASE WHEN doc_id % 29 = 0 THEN 0 ELSE smin END AS BIGINT)
+        |   AS sample_min,
+        | CAST(CASE WHEN doc_id % 29 = 0 THEN 0 ELSE smax END AS BIGINT)
+        |   AS sample_max
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q24_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         | md5(text) AS payload_md5, source AS origin

@@ -167,6 +167,28 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(row.getAs[Long]("sample_max") - 499L) <= 1L)
   }
 
+  test("real decoder: FLAC decodes with exact sample stats through the seam") {
+    import spark.implicits._
+    // hand-picked samples: stats are computable on paper
+    val l = Array(100, -200, 300, -400, 500)
+    val r = Array(1, 2, 3, 4, 5)
+    val flac = graft.functions.FlacCodec.encode(
+      Array(l, r), 44100, bps = 16, blockSize = 4, stereoMode = 3)
+    val rows = Multimodal.decodeAudio(Seq(
+        (1L, flac),
+        (2L, flac.take(flac.length / 2)),       // truncated → data
+        (3L, "fLaC".getBytes ++ Array[Byte](9)) // header-only garbage
+      ).toDS()).orderBy("doc_id").collect()
+    val good = rows(0)
+    assert(good.getBoolean(1), "valid FLAC must decode")
+    assert(good.getInt(2) == 2 && good.getInt(3) == 44100)
+    assert(good.getLong(4) == 5)                       // frames
+    assert(good.getLong(5) == (l.sum + r.sum).toLong)  // Σ samples
+    assert(good.getLong(6) == -400L && good.getLong(7) == 500L)
+    assert(!rows(1).getBoolean(1) && !rows(2).getBoolean(1),
+      "corrupt FLAC payloads are rows, not task failures")
+  }
+
   test("stub decode is deterministic and batch-shaped") {
     val a = Multimodal.q25MultimodalFeatures(spark, sfDir).collect()
     val b = Multimodal.q25MultimodalFeatures(spark, sfDir).collect()
