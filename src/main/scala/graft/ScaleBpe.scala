@@ -57,11 +57,31 @@ object ScaleBpe {
     val m512 = TextOps.bpeTrain(words, rounds = 512)
     val s512 = secs(t512)
 
+    // full-depth cell: the sf corpora draw from a small vocabulary, so
+    // 512 rounds exhaust early there — this synthetic 8192-distinct-
+    // word table (seeded, 8–16 chars) sustains all 512 rounds at the
+    // cap the real training table is bounded by, measuring the
+    // per-round cost at full state size
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val synth = (0 until 8192).map { _ =>
+      val len = 8 + rnd.nextInt(9)
+      Array.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct.zipWithIndex.map { case (w, i) =>
+      (w.map(c => s" $c ").mkString, 1L + (i % 50)) }
+      .toDF("s", "n").localCheckpoint()
+    val nSynth = synth.count()
+    val tFull = System.nanoTime()
+    val mFull = TextOps.bpeTrain(synth, rounds = 512)
+    val sFull = secs(tFull)
+
     println(s"""{"sf":"$sfDir","vocab_words":$nWords,""" +
       s""""word_count_scan_secs":$scanSecs,""" +
       s""""merges_8":${m8.size},"loop_secs_8":$s8,""" +
       s""""merges_512":${m512.size},"loop_secs_512":$s512,""" +
-      s""""secs_per_round_512":${math.round(s512 / 512 * 1e6) / 1e6}}""")
+      s""""synth_vocab":$nSynth,"synth_merges_512":${mFull.size},""" +
+      s""""synth_loop_secs_512":$sFull,""" +
+      s""""synth_secs_per_round":${math.round(sFull / 512 * 1e6) / 1e6}}""")
     spark.stop()
   }
 }
