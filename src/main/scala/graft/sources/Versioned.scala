@@ -754,7 +754,8 @@ object Versioned {
     * (key-pruned, not a rewrite). `keys = Nil` skips the check for
     * keyless event streams. */
   def appendPublish(spark: SparkSession, base: String, table: String,
-      delta: DataFrame, keys: Seq[String] = Nil): Long = {
+      delta: DataFrame, keys: Seq[String] = Nil,
+      replacing: Seq[(String, DataFrame)] = Nil): Long = {
     val cur = currentVersion(spark, base).getOrElse(
       sys.error(s"appendPublish: $base has no committed version to append to"))
     val existing = listTables(spark, base, cur)
@@ -772,8 +773,19 @@ object Versioned {
           "disjoint; use mergePublish to upsert")
     }
     morPublish(spark, base, table, cur, existing,
-      tomb = None, append = Some(delta))
+      tomb = None, append = Some(delta), replacing = replacing)
   }
+
+  /** Newest surviving version at which `table` was published — the
+    * marker-probe primitive of streaming replay detection (the common
+    * case hits the current version in one existence probe; a
+    * non-carrying interloper pushes the walk one version back,
+    * bounded by retention). None when no surviving version carries
+    * the table. */
+  def newestVersionWith(spark: SparkSession, base: String,
+      table: String): Option[Long] =
+    listVersions(spark, base).sorted.reverse
+      .find(v => tableExists(spark, base, table, v))
 
   /** Tombstone publish: the next version is the current one with every
     * `table` row matching `tombstones` (on the tombstone frame's own
@@ -801,9 +813,19 @@ object Versioned {
     * reference. The appended dir re-collects a sidecar for whichever
     * of the table's tracked stats columns it actually carries (an
     * evolved delta may lack some). */
+  /** `replacing` tables get a FULL rewrite in the same version as the
+    * merge-on-read entry — the atomic side-table slot a streaming
+    * ingest needs for its cumulative `batch_marker` (a carried ref
+    * could never change; a separate publish would tear the
+    * batch-and-marker pair a crash replay relies on). Tables named
+    * here need not exist at `cur` (the first streamed batch CREATES
+    * the marker table). */
   private def morPublish(spark: SparkSession, base: String, table: String,
       cur: Long, existing: Seq[String],
-      tomb: Option[DataFrame], append: Option[DataFrame]): Long = {
+      tomb: Option[DataFrame], append: Option[DataFrame],
+      replacing: Seq[(String, DataFrame)] = Nil): Long = {
+    require(!replacing.exists(_._1 == table),
+      "replacing must not name the merge-on-read table itself")
     val statCols = statsColsAt(spark, base, table, cur)
     val appendStats = append.map(df =>
       statCols.filter(df.columns.contains(_))).getOrElse(Nil)
@@ -834,7 +856,16 @@ object Versioned {
       }
       f.mkdirs(versionDir(b, next))
       writeEntries(f, b, next, table, prior ++ tombEntry ++ dataEntry)
-      existing.filterNot(_ == table).foreach { t =>
+      val replMap = replacing.toMap
+      replMap.foreach { case (t, df) =>
+        val rel = dataDirName(t, next)
+        df.write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd")
+          .parquet(new Path(b, rel).toString)
+        checkSuccess(f, b, t, rel)
+        writeEntries(f, b, next, t, Seq(RefEntry('d', rel)))
+      }
+      existing.filterNot(t => t == table || replMap.contains(t)).foreach { t =>
         writeEntries(f, b, next, t, entriesOrFail(f, b, t, cur))
       }
     }

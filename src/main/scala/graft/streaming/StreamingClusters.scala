@@ -71,10 +71,8 @@ object StreamingClusters {
     // correctness knob here: retention must cover the window in which
     // an external non-carrying publisher can land between a publish
     // and its replay (external publishers SHOULD carry batch_marker).
-    val markerVersion = cur.flatMap(_ =>
-      Versioned.listVersions(spark, lakeBase).sorted.reverse
-        .find(v => Versioned.tableExists(spark, lakeBase, "batch_marker", v)))
-    val markers = markerVersion
+    val markers = cur.flatMap(_ =>
+        Versioned.newestVersionWith(spark, lakeBase, "batch_marker"))
       .map(v => Versioned.readAt(spark, lakeBase, "batch_marker", v))
     val replayed = markers.exists(
       _.filter(org.apache.spark.sql.functions.col("graft_batch_id")
