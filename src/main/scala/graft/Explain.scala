@@ -5,6 +5,7 @@ object Explain {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions","8")
       .config("spark.sql.session.timeZone","UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"

@@ -4,6 +4,7 @@ object RestDrive {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions","4")
       .config("spark.sql.session.timeZone","UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val api = new graft.service.RestApi(Some(spark), 18822).start()

@@ -720,7 +720,59 @@ object Relational {
     base
   }
 
+  // -------------------------------------------------------------- q152
+  /** Date/timestamp zone-map probe (r16): the reference's F7 —
+    * `fecha = / BETWEEN` over the charges view
+    * (`/root/reference/api/main.py:33-41`) — composed with
+    * manifest-level pruning, because a date-range scan is THE
+    * time-series access path at 100 TB and calendar columns must
+    * prune like numbers do. Lineitem lives in a lake compacted on
+    * `l_shipdate` with a zone-map sidecar; the probe passes
+    * `java.time.Instant` bounds (zone-independent, matching the
+    * UTC-normalized micros parquet stores) through
+    * [[graft.sources.Versioned.readPruned]] — selection converts them
+    * to the column's stored epoch unit, so a mixed lake (millis /
+    * micros / nanos writers) prunes each dir in its own clock. The
+    * calendar range is FIXED (TPC-H-ish dates span the same years at
+    * every SF), so the probe stays a stable ~8% slice as the corpus
+    * grows. */
+  def q152ZonemapDate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val base = dateLake(spark, dir)
+    Versioned.readPruned(spark, base, "lineitem", "l_shipdate",
+        java.time.Instant.parse("1996-06-01T00:00:00Z"),
+        java.time.Instant.parse("1996-12-31T00:00:00Z"))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sumd($"l_quantity").as("sum_qty"),
+        date_format(min($"l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("min_ship"),
+        date_format(max($"l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("max_ship"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Scratch lake: lineitem compacted on `l_shipdate` with zone-map
+    * stats — [[zonemapLake]]'s bootstrap discipline on the calendar
+    * axis. */
+  private[graft] def dateLake(spark: SparkSession, dir: String): String = {
+    import graft.sources.Versioned
+    val key = Tables.fileFingerprint(spark, s"$dir/lineitem.parquet")
+    val base = s"${Dedup.indexBase}/dtlake-f$ZonemapFiles-$key"
+    if (Versioned.currentVersion(spark, base).isEmpty)
+      Versioned.publish(spark, base, Seq(Versioned.TableSpec("lineitem",
+        Tables(spark, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"), col("l_shipdate"))
+          .repartition(ZonemapFiles),
+        statsCols = Seq("l_shipdate"))))
+    if (Versioned.currentVersion(spark, base).contains(1L))
+      Versioned.compactPublish(spark, base, "lineitem",
+        Seq("l_shipdate"), ZonemapFiles)
+    base
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_zonemap_date" -> (q152ZonemapDate _),
     "q149_zonemap_decimal" -> (q149ZonemapDecimal _),
     "q150_autocompact_scan" -> (q150AutoCompactScan _),
     "q134_zonemap_scan"  -> (q134ZonemapScan _),
@@ -746,6 +798,16 @@ object Relational {
   /** DuckDB-dialect oracles. Integer SUMs are CAST to BIGINT (DuckDB
     * widens to HUGEINT); decimal sums CAST to DOUBLE to match Spark. */
   val oracle: Map[String, String] = Map(
+    "q152_zonemap_date" ->
+      """SELECT l_returnflag,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        | strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+        | strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-06-01 00:00:00'
+        |                     AND TIMESTAMP '1996-12-31 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q149_zonemap_decimal" ->
       """WITH m AS (
         | SELECT (max(o_orderkey) * 2) // 10 AS klo,

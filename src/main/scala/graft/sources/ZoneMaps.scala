@@ -48,17 +48,24 @@ import scala.jdk.CollectionConverters._
   *  - A missing/corrupt sidecar downgrades to a full scan + filter
   *    (identical answer, no pruning), because a lake that predates
   *    zone maps must stay readable — same legacy discipline as the
-  *    pre-manifest fallback. */
+  *    pre-manifest fallback.
+  *  - Timestamp columns prune only when written as INT64
+  *    (`spark.sql.parquet.outputTimestampType = TIMESTAMP_MICROS` —
+  *    set by [[graft.GraftSession]] and every engine entry point);
+  *    Spark's default INT96 encoding carries no usable statistics, so
+  *    those chunks mark `U` — correct answers, no skipping. */
 object ZoneMaps {
 
   val SidecarName = "_zonemap.tsv"
 
-  /** Per-file, per-column bound: `tpe` ∈ long|double|string|decimal;
-    * `flag` K (known bounds) | N (all values null) | U (no usable
-    * statistics — never prune). For K: `min`/`max` are decimal text
-    * (long), raw-bit decimal text (double — exact round-trip, no
-    * decimal-repr drift), base64 UTF-8 (string), or plain decimal text
-    * at the column's declared scale (decimal — exact, `BigDecimal`
+  /** Per-file, per-column bound: `tpe` ∈ long | double | string |
+    * decimal | date | tsmillis/tsmicros/tsnanos; `flag` K (known
+    * bounds) | N (all values null) | U (no usable statistics — never
+    * prune). For K: `min`/`max` are decimal text (long and the
+    * date/timestamp kinds — epoch days / the stored epoch unit),
+    * raw-bit decimal text (double — exact round-trip, no decimal-repr
+    * drift), base64 UTF-8 (string), or plain decimal text at the
+    * column's declared scale (decimal — exact, `BigDecimal`
     * round-trip). */
   final case class ColStats(tpe: String, flag: String, min: String, max: String)
   final case class FileStats(relPath: String, cols: Map[String, ColStats])
@@ -119,8 +126,30 @@ object ZoneMaps {
                   .DecimalLogicalTypeAnnotation => Some(d.getScale)
             case _ => None
           }
+          // DATE/TIMESTAMP annotations get their own tpe so selection
+          // can convert calendar probe values (LocalDate / Instant /
+          // Timestamp) to the column's stored unit — the stats
+          // themselves are plain longs (epoch days / millis / micros /
+          // nanos) and fold through the long accumulator
+          val timeTpe: Option[String] = prim.getLogicalTypeAnnotation match {
+            case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                  .DateLogicalTypeAnnotation => Some("date")
+            case t: org.apache.parquet.schema.LogicalTypeAnnotation
+                  .TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case org.apache.parquet.schema.LogicalTypeAnnotation
+                      .TimeUnit.MILLIS => Some("tsmillis")
+                case org.apache.parquet.schema.LogicalTypeAnnotation
+                      .TimeUnit.MICROS => Some("tsmicros")
+                case org.apache.parquet.schema.LogicalTypeAnnotation
+                      .TimeUnit.NANOS => Some("tsnanos")
+                case _ => None
+              }
+            case _ => None
+          }
           val tpe = prim.getPrimitiveTypeName match {
             case _ if decScale.isDefined => "decimal"
+            case INT32 | INT64 if timeTpe.isDefined => timeTpe.get
             case INT32 | INT64 => "long"
             case FLOAT | DOUBLE => "double"
             case BINARY => "string"
@@ -147,7 +176,7 @@ object ZoneMaps {
               else if (!allNull) {
                 sawValues = true
                 tpe match {
-                  case "long" =>
+                  case "long" | "date" | "tsmillis" | "tsmicros" | "tsnanos" =>
                     val lo = st.genericGetMin.asInstanceOf[Number].longValue
                     val hi = st.genericGetMax.asInstanceOf[Number].longValue
                     if (lo < minL) minL = lo
@@ -185,7 +214,8 @@ object ZoneMaps {
               if (unknown) ColStats(tpe, "U", "", "")
               else if (!sawValues) ColStats(tpe, "N", "", "")
               else tpe match {
-                case "long" => ColStats(tpe, "K", minL.toString, maxL.toString)
+                case "long" | "date" | "tsmillis" | "tsmicros" | "tsnanos" =>
+                  ColStats(tpe, "K", minL.toString, maxL.toString)
                 case "double" => ColStats(tpe, "K",
                   java.lang.Double.doubleToRawLongBits(minD).toString,
                   java.lang.Double.doubleToRawLongBits(maxD).toString)
@@ -336,6 +366,39 @@ object ZoneMaps {
     case s: String => new java.math.BigDecimal(s)
     case other => sys.error(s"zone map: expected a decimal bound, got $other")
   }
+  private def asDateDays(v: Any): Long = v match {
+    case d: java.time.LocalDate => d.toEpochDay
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case s: String => java.time.LocalDate.parse(s).toEpochDay
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => sys.error(s"zone map: expected a date bound, got $other")
+  }
+  /** Probe value → the column's stored epoch unit. Timestamp columns
+    * store UTC-normalized units, so the natural probe types are the
+    * zone-independent ones (Instant / java.sql.Timestamp / a UTC ISO
+    * string); a raw Long passes through in the stored unit. */
+  private def asEpochUnits(v: Any, tpe: String): Long = {
+    val inst: java.time.Instant = v match {
+      case i: java.time.Instant => i
+      case t: java.sql.Timestamp => t.toInstant
+      case l: Long => return l
+      case s: String =>
+        if (s.contains("T")) java.time.Instant.parse(s)
+        else java.time.LocalDate.parse(s)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      case other => sys.error(s"zone map: expected a timestamp bound, got $other")
+    }
+    tpe match {
+      case "tsmillis" => inst.toEpochMilli
+      case "tsnanos" =>
+        Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000000L),
+          inst.getNano.toLong)
+      case _ =>
+        Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+          (inst.getNano / 1000).toLong)
+    }
+  }
 
   /** Files that may hold rows satisfying EVERY range in `ranges`
     * (conjunction): a file survives only if, for each range on a
@@ -386,6 +449,11 @@ object ZoneMaps {
               val mn = new java.math.BigDecimal(cs.min)
               val mx = new java.math.BigDecimal(cs.max)
               !(mx.compareTo(asBigDec(lo)) < 0 || mn.compareTo(asBigDec(hi)) > 0)
+            case "date" =>
+              !(cs.max.toLong < asDateDays(lo) || cs.min.toLong > asDateDays(hi))
+            case "tsmillis" | "tsmicros" | "tsnanos" =>
+              !(cs.max.toLong < asEpochUnits(lo, cs.tpe) ||
+                cs.min.toLong > asEpochUnits(hi, cs.tpe))
             case _ => true
           }
         }

@@ -44,6 +44,23 @@ class FlacCodecSpec extends AnyFunSuite {
     roundTrip(small, 16000, 192, 0, bps = 8)
   }
 
+  test("round-trip property: 40 seeded random shape/mode/bps configs") {
+    val rnd = new scala.util.Random(7)
+    (0 until 40).foreach { t =>
+      val ch = 1 + rnd.nextInt(2)
+      val n = 1 + rnd.nextInt(1500)
+      val bps = if (rnd.nextBoolean()) 16 else 8
+      val lim = if (bps == 16) 32768 else 128
+      val samples = Array.fill(ch, n)(rnd.nextInt(2 * lim) - lim)
+      val bs = Seq(192, 256, 576, 1024)(rnd.nextInt(4))
+      val mode = if (ch == 2) rnd.nextInt(4) else 0
+      val sr = 8000 + rnd.nextInt(90000)
+      withClue(s"config $t: ch=$ch n=$n bps=$bps bs=$bs mode=$mode") {
+        roundTrip(samples, sr, bs, mode, bps)
+      }
+    }
+  }
+
   test("constant, tiny, and empty clips") {
     roundTrip(Array(Array.fill(500)(-123)), 8000, 256, 0) // CONSTANT
     roundTrip(Array(Array(42)), 8000, 256, 0)             // 1 sample

@@ -192,6 +192,40 @@ class ZoneMapSpec extends SparkSpec {
           col("amtB") <= bd("170000000042.50"))))
   }
 
+  test("date and timestamp bounds prune with calendar probe values") {
+    val base = mkBase()
+    // d: DATE (INT32 epoch days); ts: TIMESTAMP (INT64 UTC micros)
+    val df = spark.range(0, 400).select(
+        col("id").as("k"),
+        expr("date_add(DATE '2020-01-01', CAST(id AS INT))").as("d"),
+        expr("timestamp_seconds(1577836800 + id * 3600)").as("ts"))
+      .repartitionByRange(4, col("k"))
+    Versioned.publish(spark, base,
+      Seq(TableSpec("t", df, statsCols = Seq("d", "ts"))))
+    // DATE probe with LocalDate values: ids 130..160 → file 1 only
+    val dLo = java.time.LocalDate.parse("2020-05-10")
+    val dHi = java.time.LocalDate.parse("2020-06-09")
+    val Some((_, selD, total)) =
+      Versioned.prunedFilesAt(spark, base, "t", 1L, "d", dLo, dHi)
+    assert(total == 4 && selD.size == 1, s"date selected ${selD.size}")
+    assert(collectSet(Versioned.readPruned(spark, base, "t", "d", dLo, dHi))
+      == collectSet(Versioned.read(spark, base, "t")
+        .filter(col("d") >= lit(dLo) && col("d") <= lit(dHi))))
+    // TIMESTAMP probe with Instants (zone-independent): hours 130..160
+    val tLo = java.time.Instant.parse("2020-01-06T10:00:00Z")
+    val tHi = java.time.Instant.parse("2020-01-07T16:00:00Z")
+    val Some((_, selT, _)) =
+      Versioned.prunedFilesAt(spark, base, "t", 1L, "ts", tLo, tHi)
+    assert(selT.size == 1, s"ts selected ${selT.size}")
+    assert(collectSet(Versioned.readPruned(spark, base, "t", "ts", tLo, tHi))
+      == collectSet(Versioned.read(spark, base, "t")
+        .filter(col("ts") >= lit(tLo) && col("ts") <= lit(tHi))))
+    // ISO strings are accepted probe values too (ops ergonomics)
+    val Some((_, selS, _)) = Versioned.prunedFilesAt(spark, base, "t", 1L,
+      "d", "2020-05-10", "2020-06-09")
+    assert(selS == selD, "string date probe must select like LocalDate")
+  }
+
   test("distributed stats collection (>=16 files) prunes like the serial walk") {
     val base = mkBase()
     // 20 files → writeSidecar takes the parallelize path; the sidecar
