@@ -382,6 +382,83 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
   server.createContext("/index/status", (ex: HttpExchange) =>
     reply(ex, 200, indexStatus.get))
 
+  // Extension: lake operations introspection — the ops face of the
+  // versioned manifest layer. Pure metadata (version markers, ref
+  // files, the retention/autocompact knobs): no Spark job runs, so
+  // the endpoint is safe to poll from a dashboard. Chain depth is the
+  // number every merge-on-read consumer cares about — it IS the
+  // read-path fold cost — and surfacing it next to the autocompact
+  // threshold makes a mis-tuned policy visible before reads slow.
+  server.createContext("/lake/status", (ex: HttpExchange) =>
+    (spark, ex.getRequestMethod) match {
+      case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
+      case (_, m) if m != "GET" =>
+        reply(ex, 405, """{"detail":"method not allowed"}""")
+      case (Some(s), _) =>
+        import graft.sources.Versioned
+        queryParams(ex).get("base") match {
+          case None => reply(ex, 422, """{"detail":"base required"}""")
+          case Some(base) =>
+            try {
+              Versioned.currentVersion(s, base) match {
+                case None =>
+                  reply(ex, 404, """{"detail":"no committed version"}""")
+                case Some(v) =>
+                  val tables = Versioned.listTables(s, base, v).sorted.map { t =>
+                    val chain = Versioned.entryChainAt(s, base, t, v)
+                    s""""${esc(t)}":{"entries":${chain.size},""" +
+                      s""""data":${chain.count(_._1 == 'd')},""" +
+                      s""""tombstones":${chain.count(_._1 == 't')}}"""
+                  }
+                  reply(ex, 200,
+                    s"""{"version":$v,""" +
+                      s""""versions":[${Versioned.listVersions(s, base).sorted.mkString(",")}],""" +
+                      s""""retention":${Versioned.retention(s, base)},""" +
+                      s""""autocompact":${Versioned.autoCompactThreshold(s, base)},""" +
+                      s""""tables":{${tables.mkString(",")}}}""")
+              }
+            } catch {
+              case e: Exception => reply(ex, 500,
+                s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+            }
+        }
+    })
+
+  // Extension: on-demand lake maintenance — /index/maintain's sibling
+  // for the table layer. POST (it publishes); `mor=true` folds across
+  // tombstones (compactMorTailPublish), otherwise the data-only tail
+  // op. A no-op compaction (nothing to shrink) returns the CURRENT
+  // version with compacted=false — idempotent to re-call, like a
+  // second OPTIMIZE.
+  server.createContext("/lake/compact", (ex: HttpExchange) =>
+    (spark, ex.getRequestMethod) match {
+      case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
+      case (_, m) if m != "POST" =>
+        reply(ex, 405, """{"detail":"method not allowed"}""")
+      case (Some(s), _) =>
+        import graft.sources.Versioned
+        val params = queryParams(ex)
+        (params.get("base"), params.get("table")) match {
+          case (None, _) | (_, None) =>
+            reply(ex, 422, """{"detail":"base and table required"}""")
+          case (Some(base), Some(table)) =>
+            try {
+              val before = Versioned.currentVersion(s, base).getOrElse(
+                sys.error("no committed version"))
+              val after =
+                if (params.get("mor").contains("true"))
+                  Versioned.compactMorTailPublish(s, base, table)
+                else Versioned.compactTailPublish(s, base, table)
+              reply(ex, 200,
+                s"""{"table":"${esc(table)}","from":$before,"to":$after,""" +
+                  s""""compacted":${after != before}}""")
+            } catch {
+              case e: Exception => reply(ex, 500,
+                s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+            }
+        }
+    })
+
   // Extension: ad-hoc ranked retrieval over the maintained grain —
   // the interactive face of the chain /index/maintain keeps current.
   // GET so a search is addressable/cacheable; the scoring itself is
@@ -570,6 +647,12 @@ object RestApi {
       |"/knn":{"get":{"summary":"Ad-hoc vector search over the maintained IVF index at the embeddings lake's current version",
       | "parameters":[{"name":"vec","in":"query","required":true,"schema":{"type":"string","description":"comma-separated floats"}},{"name":"dir","in":"query","required":true,"schema":{"type":"string"}},{"name":"limit","in":"query","schema":{"type":"integer","default":5,"maximum":1000}}],
       | "responses":{"200":{"description":"ranked rows (query_id, neighbor_id, rank, cosine)"},"422":{"description":"vec and dir required / malformed vec"},"500":{"description":"search failed"},"503":{"description":"no spark session"}}}},
+      |"/lake/status":{"get":{"summary":"Versioned-lake ops introspection: current/surviving versions, retention and auto-compaction knobs, per-table merge-on-read entry-chain depth (data dirs / tombstones) — pure metadata, no Spark job",
+      | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}}],
+      | "responses":{"200":{"description":"lake status JSON"},"404":{"description":"no committed version"},"422":{"description":"base required"},"503":{"description":"no spark session"}}}},
+      |"/lake/compact":{"post":{"summary":"On-demand tail compaction of a lake table (mor=true folds across tombstones); idempotent — nothing to shrink returns the current version with compacted=false",
+      | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}},{"name":"table","in":"query","required":true,"schema":{"type":"string"}},{"name":"mor","in":"query","schema":{"type":"boolean","default":false}}],
+      | "responses":{"200":{"description":"{table, from, to, compacted}"},"422":{"description":"base and table required"},"500":{"description":"compaction failed"},"503":{"description":"no spark session"}}}},
       |"/docs":{"get":{"summary":"This document",
       | "responses":{"200":{"description":"OpenAPI JSON"}}}}
       |}}""".stripMargin

@@ -308,7 +308,8 @@ class ServiceSpec extends AnyFunSuite {
       assert(body.contains("\"openapi\""))
       Seq("/extract", "/missing", "/reset", "/health", "/etl/run",
         "/etl/status", "/query/daily_totals", "/query/run",
-        "/index/maintain", "/search", "/knn", "/quality", "/docs")
+        "/index/maintain", "/search", "/knn", "/quality",
+        "/lake/status", "/lake/compact", "/docs")
         .foreach(route => assert(body.contains("\"" + route + "\""), route))
     } finally api.stop()
   }
@@ -446,6 +447,55 @@ class ServiceSpec extends AnyFunSuite {
         s"appended docs missing from the served cut: $b2")
       // repeat call = same artifact = memo hit, verdicts identical
       assert(http("GET", s"$base/quality?dir=$enc") == ((c2, b2)))
+    } finally api.stop()
+  }
+
+  test("/lake/status and /lake/compact: ops introspection + on-demand fold retirement") {
+    val spark = SparkSpec.spark
+    val api = new RestApi(Some(spark), 0).start()
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.sources.Versioned
+      val base = s"http://localhost:${api.boundPort}"
+      // contract errors first
+      assert(http("GET", s"$base/lake/status")._1 == 422)
+      assert(http("POST", s"$base/lake/compact", Some(""))._1 == 422)
+      assert(http("GET", s"$base/lake/compact")._1 == 405)
+      val missing = java.net.URLEncoder.encode("/tmp/graft-no-such-lake", UTF_8)
+      assert(http("GET", s"$base/lake/status?base=$missing")._1 == 404)
+      // a real lake with MoR debt: base publish + 3 appends, policy off
+      val lake = java.nio.file.Files.createTempDirectory("graft-svc-lake")
+        .toString + "/lake"
+      def facts(lo: Int, hi: Int) = spark.range(lo, hi)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      Versioned.publish(spark, lake,
+        Seq(Versioned.TableSpec("t", facts(0, 50))))
+      Versioned.setAutoCompact(spark, lake, 0)
+      (0 until 3).foreach(i =>
+        Versioned.appendPublish(spark, lake, "t",
+          facts(50 + i * 10, 60 + i * 10), Seq("k")))
+      val enc = java.net.URLEncoder.encode(lake, UTF_8)
+      val (sc1, sb1) = http("GET", s"$base/lake/status?base=$enc")
+      assert(sc1 == 200, sb1)
+      assert(sb1.contains("\"version\":4") &&
+        sb1.contains("\"autocompact\":0") &&
+        sb1.contains("\"t\":{\"entries\":4,\"data\":4,\"tombstones\":0}"), sb1)
+      // compact the tail over HTTP; values must be identical after
+      val before = Versioned.read(spark, lake, "t")
+        .collect().map(_.toSeq).toSet
+      val (cc, cb) = http("POST", s"$base/lake/compact?base=$enc&table=t",
+        Some(""))
+      assert(cc == 200 && cb.contains("\"compacted\":true"), cb)
+      val (sc2, sb2) = http("GET", s"$base/lake/status?base=$enc")
+      assert(sc2 == 200 &&
+        sb2.contains("\"t\":{\"entries\":1,\"data\":1,\"tombstones\":0}"), sb2)
+      assert(Versioned.read(spark, lake, "t")
+        .collect().map(_.toSeq).toSet == before,
+        "HTTP-triggered compaction changed values")
+      // idempotent re-call: nothing to shrink → compacted:false
+      val (cc2, cb2) = http("POST", s"$base/lake/compact?base=$enc&table=t",
+        Some(""))
+      assert(cc2 == 200 && cb2.contains("\"compacted\":false"), cb2)
     } finally api.stop()
   }
 
