@@ -45,7 +45,8 @@ object ScaleLake {
     val queries = Seq(
       "q134_zonemap_scan", "q135_mor_scan", "q136_zorder_rect",
       "q138_tail_compact_scan", "q139_cdc_scan", "q140_zorder_tail_rect",
-      "q149_zonemap_decimal", "q150_autocompact_scan", "q152_zonemap_date")
+      "q149_zonemap_decimal", "q150_autocompact_scan", "q152_zonemap_date",
+      "q153_bloom_point")
 
     def runAll(dir: String, tag: String): Seq[String] =
       queries.flatMap { q =>

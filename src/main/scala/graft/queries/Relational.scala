@@ -771,7 +771,65 @@ object Relational {
     base
   }
 
+  // -------------------------------------------------------------- q153
+  /** Bloom point-probe scan (r16): the takedown/exists path — "fetch
+    * key k" — over a WRITER-ARRIVAL layout, where zone maps can prove
+    * nothing (every round-robin file spans the key range) and exactly
+    * where per-file Bloom filters earn their keep: membership, not
+    * order, answers a point probe, so
+    * [[graft.sources.Versioned.readPoint]] opens ~1 + fpp·files
+    * instead of all of them on the layout an ingest actually lands.
+    * The lake is orders UNSORTED with a `bloomCols = o_orderkey`
+    * publish, probed at max(o_orderkey) (exists at every SF by
+    * definition) THROUGH an intervening MoR upsert — the probe reads
+    * the fold, so the oracle hash also proves the appended dir's
+    * re-collected bloom and the always-applied equality filter
+    * compose with tombstones. The bootstrap REQUIRES the bloom to
+    * have pruned (selected < total on the base dir) so the per-SF
+    * gate fails loudly if the sidecar ever stops engaging. */
+  def q153BloomPoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val base = bloomLake(spark, dir)
+    val maxK = Versioned.read(spark, base, "orders")
+      .agg(max($"o_orderkey")).head.getLong(0)
+    Versioned.readPoint(spark, base, "orders", "o_orderkey", maxK)
+      .select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".as("price")) // ×2 by the upsert — exact in double
+      .orderBy($"o_orderkey")
+  }
+
+  /** Scratch bloom lake: v1 = orders WRITER-ARRIVAL (round-robin — the
+    * layout zone maps cannot prune) with per-file key blooms; v2 = a
+    * MoR upsert doubling the max key's price, so the point probe
+    * exercises the fold + the appended dir's re-collected bloom.
+    * Bootstrap asserts the base-dir bloom actually prunes. */
+  private[graft] def bloomLake(spark: SparkSession, dir: String): String = {
+    import graft.sources.Versioned
+    val key = Tables.fileFingerprint(spark, s"$dir/orders.parquet")
+    val base = s"${Dedup.indexBase}/bmlake-f$ZonemapFiles-$key"
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    if (Versioned.currentVersion(spark, base).isEmpty)
+      Versioned.publish(spark, base, Seq(Versioned.TableSpec("orders",
+        orders.repartition(ZonemapFiles),
+        bloomCols = Seq("o_orderkey"))))
+    if (Versioned.currentVersion(spark, base).contains(1L)) {
+      val maxK = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+      val sel = Versioned.pointSelectionAt(
+        spark, base, "orders", 1L, "o_orderkey", maxK)
+      require(sel.exists(_._2.exists { case (s, n) => s.size < n }),
+        s"bloom sidecar did not prune the point probe: $sel")
+      Versioned.mergePublish(spark, base, "orders",
+        orders.filter(col("o_orderkey") === maxK)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey"), rewrite = false)
+    }
+    base
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_bloom_point" -> (q153BloomPoint _),
     "q152_zonemap_date" -> (q152ZonemapDate _),
     "q149_zonemap_decimal" -> (q149ZonemapDecimal _),
     "q150_autocompact_scan" -> (q150AutoCompactScan _),
@@ -798,6 +856,11 @@ object Relational {
   /** DuckDB-dialect oracles. Integer SUMs are CAST to BIGINT (DuckDB
     * widens to HUGEINT); decimal sums CAST to DOUBLE to match Spark. */
   val oracle: Map[String, String] = Map(
+    "q153_bloom_point" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS price
+        |FROM orders
+        |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "q152_zonemap_date" ->
       """SELECT l_returnflag,
         | COUNT(*) AS n,

@@ -110,9 +110,14 @@ object Versioned {
     * inside the data dir, enabling manifest-level file skipping via
     * [[Versioned.readPruned]]. Must be DATA columns — naming a
     * partition column (dir-encoded, absent from footers) fails the
-    * publish loudly. */
+    * publish loudly. `bloomCols` declares point-probe key columns: the
+    * publish builds per-file [[ZoneBlooms]] (one extra scan of the
+    * written dir — blooms need data, not footers), enabling file
+    * skipping for `col = value` reads via [[Versioned.readPoint]] on
+    * ANY layout, sorted or not. */
   final case class TableSpec(name: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil)
 
   /** One line of a v2 ref file: `kind` is 'd' (data dir) or 't'
     * (tombstone-key dir); `rel` is base-relative. Order is load-bearing
@@ -340,6 +345,88 @@ object Versioned {
       version: Long): Seq[String] =
     dataDirsAt(spark, base, table, version)
       .flatMap(ZoneMaps.sidecarCols(spark, _)).distinct.sorted
+
+  /** Bloom-tracked point-probe columns of `table` at `version` — the
+    * union over its data dirs' [[ZoneBlooms]] sidecars. */
+  def bloomColsAt(spark: SparkSession, base: String, table: String,
+      version: Long): Seq[String] =
+    dataDirsAt(spark, base, table, version)
+      .flatMap(ZoneBlooms.sidecarCols(spark, _)).distinct.sorted
+
+  /** Point read with bloom-level file skipping: rows of `table` at the
+    * current version with `colName = value`. Each data dir carrying a
+    * [[ZoneBlooms]] sidecar for the column contributes only files
+    * whose filter claims the key — ~1 + fpp·files opened on ANY
+    * layout, which is what the takedown/exists path needs on a
+    * writer-arrival dir where min/max can prove nothing. The equality
+    * predicate is STILL applied to every surviving row (a false
+    * positive costs bytes, never rows; a bloom miss is a PROOF of
+    * absence), tombstones fold exactly as in [[readAt]], and a dir
+    * without the sidecar full-scans — same rows, no skipping. */
+  def readPoint(spark: SparkSession, base: String, table: String,
+      colName: String, value: Any): DataFrame = {
+    val v = currentVersion(spark, base)
+      .getOrElse(sys.error(s"versioned lake $base has no committed version"))
+    readPointAt(spark, base, table, v, colName, value)
+  }
+
+  /** [[readPoint]] with time travel. */
+  def readPointAt(spark: SparkSession, base: String, table: String,
+      version: Long, colName: String, value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val b = new Path(base)
+    val f = fs(spark, b)
+    requireVersion(spark, f, b, base, version)
+    foldEntries(spark, b, entriesOrFail(f, b, table, version), dir => {
+      def all = spark.read.parquet(dir)
+      tableDirFiles(spark, dir) match {
+        case Nil => all
+        case files =>
+          ZoneBlooms.selectFiles(spark, dir, colName, value, files) match {
+            case None => all // no bloom for this column → full scan
+            case Some(Nil) =>
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                all.schema)
+            case Some(sel) if sel.size == files.size => all
+            case Some(sel) =>
+              spark.read.option("basePath", dir)
+                .parquet(sel.map(fl => new Path(dir, fl).toString): _*)
+          }
+      }
+    }).filter(col(colName) === lit(value))
+  }
+
+  /** Per-data-dir bloom selection for a point probe: (dir, None =
+    * full scan, Some((selected, total))) — ops/spec introspection,
+    * [[prunedSelectionAt]]'s point sibling. */
+  def pointSelectionAt(spark: SparkSession, base: String, table: String,
+      version: Long, colName: String, value: Any)
+      : Seq[(String, Option[(Seq[String], Int)])] =
+    dataDirsAt(spark, base, table, version).map { dir =>
+      val files = tableDirFiles(spark, dir)
+      dir -> ZoneBlooms.selectFiles(spark, dir, colName, value, files)
+        .map(_ -> files.size)
+    }
+
+  /** Base-relative parquet files of one data dir. */
+  private def tableDirFiles(spark: SparkSession, dataDir: String)
+      : Seq[String] = {
+    val dir = new Path(dataDir)
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(dir)) Nil
+    else {
+      def walk(p: Path): Seq[Path] = f.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (n.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
+      }
+      val dirPath = dir.toUri.getPath
+      walk(dir).map(_.toUri.getPath.stripPrefix(dirPath).stripPrefix("/"))
+    }
+  }
 
   /** Range read with manifest-level file skipping: rows of `table` at
     * the current version with `colName ∈ [lo, hi]`. Each data dir that
@@ -726,10 +813,12 @@ object Versioned {
         .join(delta.select(keys.map(org.apache.spark.sql.functions.col): _*),
           keys, "left_anti")
         .unionByName(delta, allowMissingColumns = true)
-      // zone maps survive maintenance: if the current data dirs declared
-      // stats columns, the merged rewrite re-collects the same ones
+      // zone maps + blooms survive maintenance: if the current data
+      // dirs declared stats/bloom columns, the merged rewrite
+      // re-collects the same ones
       publish(spark, base, Seq(TableSpec(table, merged,
-          statsCols = statsColsAt(spark, base, table, cur))),
+          statsCols = statsColsAt(spark, base, table, cur),
+          bloomCols = bloomColsAt(spark, base, table, cur))),
         carry = existing.filterNot(_ == table))
     } else {
       // MOR: tombstone ALL delta keys (tombstoning an absent key is a
@@ -829,6 +918,9 @@ object Versioned {
     val statCols = statsColsAt(spark, base, table, cur)
     val appendStats = append.map(df =>
       statCols.filter(df.columns.contains(_))).getOrElse(Nil)
+    val appendBlooms = append.map(df =>
+      bloomColsAt(spark, base, table, cur)
+        .filter(df.columns.contains(_))).getOrElse(Nil)
     var chainLen = 0
     val published = publishWith(spark, base, cur) { (f, b, next) =>
       val prior = entriesOrFail(f, b, table, cur)
@@ -852,6 +944,8 @@ object Versioned {
         checkSuccess(f, b, table, rel)
         if (appendStats.nonEmpty)
           ZoneMaps.writeSidecar(spark, new Path(b, rel).toString, appendStats)
+        if (appendBlooms.nonEmpty)
+          ZoneBlooms.writeSidecar(spark, new Path(b, rel).toString, appendBlooms)
         RefEntry('d', rel)
       }
       f.mkdirs(versionDir(b, next))
@@ -927,7 +1021,8 @@ object Versioned {
         .repartitionByRange(files, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*),
       statsCols =
-        (sortBy ++ statsColsAt(spark, base, table, cur)).distinct)),
+        (sortBy ++ statsColsAt(spark, base, table, cur)).distinct,
+      bloomCols = bloomColsAt(spark, base, table, cur))),
       carry = existing.filterNot(_ == table))
   }
 
@@ -972,6 +1067,7 @@ object Versioned {
     val (prefix, tail) = smallDataTail(f, b, entries, smallBytes)
     if (tail.size < 2) return cur
     val statCols = statsColsAt(spark, base, table, cur)
+    val bloomCols = bloomColsAt(spark, base, table, cur)
     publishWith(spark, base, cur) { (f, b, next) =>
       val merged = tail.map(e =>
           spark.read.parquet(new Path(b, e.rel).toString))
@@ -988,6 +1084,9 @@ object Versioned {
       val present = statCols.filter(frame.columns.contains(_))
       if (present.nonEmpty)
         ZoneMaps.writeSidecar(spark, new Path(b, rel).toString, present)
+      val presentB = bloomCols.filter(frame.columns.contains(_))
+      if (presentB.nonEmpty)
+        ZoneBlooms.writeSidecar(spark, new Path(b, rel).toString, presentB)
       f.mkdirs(versionDir(b, next))
       writeEntries(f, b, next, table, prefix :+ RefEntry('d', rel))
       existing.filterNot(_ == table).foreach { t =>
@@ -1058,6 +1157,7 @@ object Versioned {
     // nothing shrinks ⇒ no-op: the rewritten shape would be ≥ the tail
     if (tail.size < 2 || (tombs.size <= 1 && datas.size <= 1)) return cur
     val statCols = statsColsAt(spark, base, table, cur)
+    val bloomCols = bloomColsAt(spark, base, table, cur)
     publishWith(spark, base, cur) { (f, b, next) =>
       val tombEntry =
         if (tombs.isEmpty || prefix.isEmpty) None // no prefix rows to remove
@@ -1086,6 +1186,9 @@ object Versioned {
         val present = statCols.filter(frame.columns.contains(_))
         if (present.nonEmpty)
           ZoneMaps.writeSidecar(spark, new Path(b, rel).toString, present)
+        val presentB = bloomCols.filter(frame.columns.contains(_))
+        if (presentB.nonEmpty)
+          ZoneBlooms.writeSidecar(spark, new Path(b, rel).toString, presentB)
         RefEntry('d', rel)
       }
       f.mkdirs(versionDir(b, next))
@@ -1328,13 +1431,16 @@ object Versioned {
           .partitionBy(t.partitionBy: _*).parquet(dst)
       }
       writes.foreach(t => checkSuccess(f, b, t.name, dataDirName(t.name, next)))
-      // zone-map sidecars: written into the (still-uncommitted) data
-      // dirs after the parquet _SUCCESS check and before the manifest,
-      // so stats and data commit together or not at all
+      // zone-map + bloom sidecars: written into the (still-uncommitted)
+      // data dirs after the parquet _SUCCESS check and before the
+      // manifest, so stats and data commit together or not at all
       writes.foreach { t =>
         if (t.statsCols.nonEmpty)
           ZoneMaps.writeSidecar(spark,
             new Path(b, dataDirName(t.name, next)).toString, t.statsCols)
+        if (t.bloomCols.nonEmpty)
+          ZoneBlooms.writeSidecar(spark,
+            new Path(b, dataDirName(t.name, next)).toString, t.bloomCols)
       }
       // MANIFEST: refs for fresh writes point at this version's data
       // dirs; refs for carried tables repeat the current version's

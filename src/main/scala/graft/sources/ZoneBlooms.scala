@@ -1,0 +1,261 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Per-file Bloom filters for versioned-lake tables — the POINT-probe
+  * sibling of [[ZoneMaps]] (r16).
+  *
+  * Zone maps prune RANGE probes, and only earn selectivity on a
+  * clustered layout: on a writer-arrival dir every file spans the key
+  * range and min/max can prove nothing. But the takedown path — "does
+  * key k live in this table, and where" — is a point probe over
+  * exactly that kind of layout (ingest order, no helpful sort), and
+  * it is membership, not order, that answers it. A per-file Bloom
+  * filter gives each file a compact "definitely not here" certificate
+  * that works on ANY layout: a point read opens only the files whose
+  * filters claim the key, ~1 + fpp·files instead of all of them.
+  * Iceberg/Delta ship the same idea (puffin blobs / bloom indexes).
+  *
+  * Correctness posture is [[ZoneMaps]]'s, verbatim: selection is an
+  * OPTIMIZATION under an always-applied equality filter, and it errs
+  * toward inclusion — a file absent from the sidecar, a missing or
+  * corrupt sidecar, or an untracked column all degrade to reading
+  * everything (same rows, no skipping). A Bloom filter has no false
+  * negatives by construction, so a skipped file provably lacks the
+  * key.
+  *
+  * Build cost, stated honestly: unlike min/max stats (footer-only),
+  * blooms need the COLUMN DATA — one distributed scan of the dir per
+  * sidecar write (the price Delta pays computing stats at write
+  * time). The scan emits per-partition partial blooms that OR-merge
+  * per file (a parquet file may span Spark partitions), sized from a
+  * footer row-count pass at `bitsPerRow` bits (default 10 ≈ 1% fpp
+  * with the 7-hash double-hashing scheme below). The sidecar is
+  * streamed to disk one file-entry at a time — driver memory holds
+  * one bloom, not the dir's worth.
+  *
+  * Probe cost: a point probe must consult EVERY file's bloom, so a
+  * read costs Σ bloom bytes of the dir (~0.15% of table bytes at 10
+  * bits/row) — paid once per immutable dir and memoized in-JVM for
+  * the serving case. The knob a 100 TB deployment turns is
+  * `bitsPerRow` (fpp vs sidecar bytes), not the design. */
+object ZoneBlooms {
+
+  def sidecarName(col: String): String = s"_bloom-$col.bin"
+  private val Magic = "graft-bloom1"
+
+  /** Fixed-size Bloom filter over 64-bit hashes: double hashing
+    * (Kirsch–Mitzenmacher) with `k` probes into a `Long`-word bit
+    * array. Merge across partitions is bitwise OR — sizes agree per
+    * file by construction. */
+  final class SimpleBloom(val k: Int, val words: Array[Long])
+      extends Serializable {
+    private def nBits = words.length.toLong * 64
+    private def set(bit: Long): Unit = {
+      val b = ((bit % nBits) + nBits) % nBits
+      words((b >>> 6).toInt) |= 1L << (b & 63)
+    }
+    private def get(bit: Long): Boolean = {
+      val b = ((bit % nBits) + nBits) % nBits
+      (words((b >>> 6).toInt) & (1L << (b & 63))) != 0
+    }
+    def put(h: Long): Unit = {
+      val h1 = h
+      val h2 = mix(h)
+      var i = 0
+      while (i < k) { set(h1 + i.toLong * h2); i += 1 }
+    }
+    def mightContain(h: Long): Boolean = {
+      val h1 = h
+      val h2 = mix(h)
+      var i = 0
+      while (i < k) { if (!get(h1 + i.toLong * h2)) return false; i += 1 }
+      true
+    }
+    def orInPlace(o: SimpleBloom): SimpleBloom = {
+      require(o.words.length == words.length && o.k == k,
+        "bloom size mismatch — partials of one file must agree")
+      var i = 0
+      while (i < words.length) { words(i) |= o.words(i); i += 1 }
+      this
+    }
+  }
+
+  /** splitmix64 finalizer — the avalanche both `put` and probe share;
+    * value→hash for the supported column types below. */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+  private[graft] def hashValue(v: Any): Long = v match {
+    case null => mix(0x6e756c6cL) // "null"
+    case l: Long => mix(l)
+    case i: Int => mix(i.toLong)
+    case s: Short => mix(s.toLong)
+    case b: Byte => mix(b.toLong)
+    case s: String =>
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var h = 0x517cc1b727220a95L
+      var i = 0
+      while (i < bytes.length) { h = mix(h ^ (bytes(i) & 0xffL)); i += 1 }
+      h
+    case d: java.math.BigDecimal => hashValue(d.toPlainString)
+    case d: BigDecimal => hashValue(d.bigDecimal.toPlainString)
+    case other => sys.error(
+      s"bloom sidecar: unsupported probe type ${other.getClass.getName}")
+  }
+
+  private def bloomFor(rows: Long, bitsPerRow: Int): SimpleBloom = {
+    val bits = math.max(1024L, rows * bitsPerRow)
+    new SimpleBloom(7, new Array[Long](((bits + 63) / 64).toInt))
+  }
+
+  /** Build and write per-file blooms for `cols` over every parquet
+    * file under `dataDir`: one footer pass for row counts (sizing),
+    * one distributed data scan emitting per-partition partials,
+    * OR-merged per file and streamed into the sidecars. */
+  def writeSidecar(spark: SparkSession, dataDir: String,
+      cols: Seq[String], bitsPerRow: Int = 10): Unit = {
+    require(cols.nonEmpty, "bloom sidecar needs at least one column")
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(dataDir)
+    val f = dir.getFileSystem(conf)
+    val df0 = spark.read.parquet(dataDir)
+    cols.foreach(c => require(df0.columns.contains(c),
+      s"bloom column '$c' not in $dataDir (has ${df0.columns.mkString(",")})"))
+    // footer row counts → per-file bloom sizes (broadcast; tiny)
+    val rowCounts: Map[String, Long] = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      def files(p: Path): Seq[Path] = f.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) files(st.getPath)
+        else if (n.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
+      }
+      files(dir).map { p =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        // scheme-free absolute path: input_file_name() URIs and
+        // Hadoop Path strings disagree on slashes/scheme, the bare
+        // path is the common denominator
+        try p.toUri.getPath -> r.getRecordCount finally r.close()
+      }.toMap
+    }
+    require(rowCounts.nonEmpty, s"bloom sidecar over empty data dir $dataDir")
+    val bcCounts = spark.sparkContext.broadcast(rowCounts)
+    val bpr = bitsPerRow
+    val colsV = cols.toVector
+    // one scan: per-partition partial blooms keyed by (file, col)
+    val partials = df0
+      .select(input_file_name().as("__f") +: colsV.map(col): _*)
+      .rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap
+          .empty[(String, String), SimpleBloom]
+        it.foreach { row =>
+          // input_file_name is a (possibly percent-encoded) URI;
+          // normalize to the scheme-free path the row counts key by
+          val file = new Path(java.net.URLDecoder.decode(
+            row.getString(0), "UTF-8")).toUri.getPath
+          var i = 0
+          while (i < colsV.length) {
+            val b = acc.getOrElseUpdate((file, colsV(i)),
+              bloomFor(bcCounts.value.getOrElse(file,
+                bcCounts.value.values.max), bpr))
+            b.put(hashValue(row.get(i + 1)))
+            i += 1
+          }
+        }
+        acc.iterator
+      }
+      .reduceByKey(_ orInPlace _)
+    // stream the sidecars: one bloom in driver memory at a time
+    val byCol = colsV.map(c => c -> f.create(
+      new Path(dir, sidecarName(c)), true)).toMap
+    try {
+      byCol.values.foreach { out =>
+        out.writeUTF(Magic)
+      }
+      val dirPath = dir.toUri.getPath
+      partials.toLocalIterator.foreach { case ((file, c), bloom) =>
+        val rel = file.stripPrefix(dirPath).stripPrefix("/")
+        val out = byCol(c)
+        out.writeUTF(rel)
+        out.writeInt(bloom.k)
+        out.writeInt(bloom.words.length)
+        bloom.words.foreach(out.writeLong)
+      }
+    } finally byCol.values.foreach(_.close())
+  }
+
+  /** Blooms of a data dir for `col`, if present and well-formed —
+    * memoized per (immutable) dir+col, bounded. */
+  def readSidecar(spark: SparkSession, dataDir: String,
+      col: String): Option[Map[String, SimpleBloom]] = {
+    val key = s"$dataDir#$col"
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(dataDir)
+    val f = dir.getFileSystem(conf)
+    val p = new Path(dir, sidecarName(col))
+    val loaded: Option[Map[String, SimpleBloom]] =
+      if (!f.exists(p)) None
+      else try {
+        val in = f.open(p)
+        try {
+          if (in.readUTF() != Magic) None
+          else {
+            val m = Map.newBuilder[String, SimpleBloom]
+            var eof = false
+            while (!eof) {
+              val rel =
+                try in.readUTF()
+                catch { case _: java.io.EOFException => eof = true; null }
+              if (!eof) {
+                val k = in.readInt()
+                val n = in.readInt()
+                if (k <= 0 || k > 64 || n <= 0 || n > (1 << 28))
+                  sys.error("corrupt bloom entry")
+                val words = new Array[Long](n)
+                var i = 0
+                while (i < n) { words(i) = in.readLong(); i += 1 }
+                m += rel -> new SimpleBloom(k, words)
+              }
+            }
+            Some(m.result())
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (cache.size >= 64) cache.clear()
+    cache.putIfAbsent(key, loaded)
+    loaded
+  }
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[Map[String, SimpleBloom]]]()
+
+  /** Which columns a data dir carries bloom sidecars for. */
+  def sidecarCols(spark: SparkSession, dataDir: String): Seq[String] = {
+    val dir = new Path(dataDir)
+    val f = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("_bloom-") && n.endsWith(".bin"))
+      .map(n => n.stripPrefix("_bloom-").stripSuffix(".bin")).sorted
+  }
+
+  /** Files that may hold `col = value`: bloom-positive files plus any
+    * file the sidecar does not cover (inclusion-safe). None when no
+    * sidecar tracks the column — caller must full-scan. */
+  def selectFiles(spark: SparkSession, dataDir: String, col: String,
+      value: Any, allFiles: Seq[String]): Option[Seq[String]] =
+    readSidecar(spark, dataDir, col).map { blooms =>
+      val h = hashValue(value)
+      allFiles.filter(rel =>
+        blooms.get(rel).forall(_.mightContain(h)))
+    }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sources.{Versioned, ZoneBlooms}
+import graft.sources.Versioned.TableSpec
+
+/** Per-file Bloom point-probe skipping: selection must only ever SAVE
+  * bytes (a skipped file provably lacks the key; every fallback path
+  * serves identical rows with zero pruning), it must engage on the
+  * writer-arrival layouts zone maps cannot prune, and it must survive
+  * merge-on-read appends, tombstones, and compaction. */
+class ZoneBloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkBase() =
+    Files.createTempDirectory("graft-bloom").toString + "/lake"
+
+  /** Round-robin layout: every file spans the key range — min/max
+    * stats can prove nothing, blooms must still pinpoint a key. */
+  private def arrival = spark.range(0, 4000)
+    .select(col("id").as("k"), (col("id") % 97).as("v"),
+      concat(lit("s"), col("id") % 13).as("s"))
+    .repartition(8)
+
+  private def collectSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("point probe opens ~1 file of 8 on a layout zone maps cannot prune") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t", arrival,
+      statsCols = Seq("k"), bloomCols = Seq("k", "s"))))
+    // zone maps CANNOT prune this point probe (every file spans k)
+    val Some((_, zmSel, zmTot)) =
+      Versioned.prunedFilesAt(spark, base, "t", 1L, "k", 1234L, 1234L)
+    assert(zmTot == 8 && zmSel.size == 8, "arrival layout should defeat min/max")
+    // blooms do: the key lives in exactly one file; fpp may add a
+    // couple more, never all
+    val sel = Versioned.pointSelectionAt(spark, base, "t", 1L, "k", 1234L)
+    val (s, n) = sel.head._2.get
+    assert(n == 8 && s.size <= 3, s"bloom selected ${s.size} of $n")
+    assert(collectSet(Versioned.readPoint(spark, base, "t", "k", 1234L))
+      == collectSet(Versioned.read(spark, base, "t").filter(col("k") === 1234L)))
+    // an ABSENT key: no false negatives means any selection is fpp
+    // noise; the read must still be exactly empty
+    assert(Versioned.readPoint(spark, base, "t", "k", 999999L).isEmpty)
+    // string bloom column
+    val selS = Versioned.pointSelectionAt(spark, base, "t", 1L, "s", "s5")
+    assert(selS.head._2.isDefined, "string bloom sidecar missing")
+    assert(collectSet(Versioned.readPoint(spark, base, "t", "s", "s5"))
+      == collectSet(Versioned.read(spark, base, "t").filter(col("s") === "s5")))
+  }
+
+  test("fallbacks serve identical rows: untracked column, no sidecar, corrupt sidecar") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t", arrival,
+      bloomCols = Seq("k"))))
+    val full = collectSet(Versioned.read(spark, base, "t")
+      .filter(col("v") === 42L))
+    // untracked column → None → full scan, same rows
+    assert(Versioned.pointSelectionAt(spark, base, "t", 1L, "v", 42L)
+      .head._2.isEmpty)
+    assert(collectSet(Versioned.readPoint(spark, base, "t", "v", 42L)) == full)
+    // corrupt the sidecar in place → degrade to full scan
+    val dir = new Path(s"$base/_data/t-00000001")
+    val f = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = f.create(new Path(dir, ZoneBlooms.sidecarName("k")), true)
+    out.write("not a bloom".getBytes("UTF-8")); out.close()
+    // the read memo may hold the good blooms — a fresh dir string
+    // defeats it the way a fresh JVM would
+    assert(ZoneBlooms.readSidecar(spark,
+      s"$base/_data/../_data/t-00000001", "k").isEmpty)
+    assert(collectSet(Versioned.readPoint(spark, base, "t", "k", 1234L))
+      == collectSet(Versioned.read(spark, base, "t").filter(col("k") === 1234L)))
+  }
+
+  test("blooms survive MoR append, tombstone fold, and tail compaction") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t", arrival,
+      bloomCols = Seq("k"))))
+    Versioned.setAutoCompact(spark, base, 0)
+    // append re-collects the tracked bloom on its own dir
+    Versioned.appendPublish(spark, base, "t",
+      spark.range(4000, 4100).select(col("id").as("k"),
+        (col("id") % 97).as("v"), concat(lit("s"), col("id") % 13).as("s")),
+      Seq("k"))
+    val v2 = Versioned.currentVersion(spark, base).get
+    val sel2 = Versioned.pointSelectionAt(spark, base, "t", v2, "k", 4050L)
+    assert(sel2.size == 2 && sel2.forall(_._2.isDefined),
+      s"appended dir lost its bloom: $sel2")
+    assert(Versioned.readPoint(spark, base, "t", "k", 4050L).count() == 1)
+    // tombstone: the point read must NOT resurrect a removed key even
+    // though its bloom still claims it (blooms are inclusion-only)
+    Versioned.removePublish(spark, base, "t", Seq(1234L).toDF("k"))
+    assert(Versioned.readPoint(spark, base, "t", "k", 1234L).isEmpty,
+      "bloom point read resurrected a tombstoned key")
+    // compaction folds the chain and re-collects blooms on the new dir
+    val v = Versioned.compactMorTailPublish(spark, base, "t",
+      smallBytes = Long.MaxValue)
+    assert(v == Versioned.currentVersion(spark, base).get)
+    val selC = Versioned.pointSelectionAt(spark, base, "t", v, "k", 4050L)
+    assert(selC.forall(_._2.isDefined), s"compacted dir lost blooms: $selC")
+    assert(Versioned.readPoint(spark, base, "t", "k", 4050L).count() == 1)
+    assert(Versioned.readPoint(spark, base, "t", "k", 1234L).isEmpty)
+  }
+
+  test("bloom kernel: no false negatives ever; fpp in the designed band") {
+    val rnd = new scala.util.Random(11)
+    val b = new ZoneBlooms.SimpleBloom(7, new Array[Long](
+      ((4000L * 10 + 63) / 64).toInt))
+    val keys = (0 until 4000).map(_ => rnd.nextLong())
+    keys.foreach(k => b.put(ZoneBlooms.hashValue(k)))
+    assert(keys.forall(k => b.mightContain(ZoneBlooms.hashValue(k))),
+      "false negative — structurally impossible unless put/probe drift")
+    val probes = (0 until 20000).map(_ => rnd.nextLong())
+      .filterNot(keys.toSet)
+    val fp = probes.count(k => b.mightContain(ZoneBlooms.hashValue(k)))
+    assert(fp.toDouble / probes.size < 0.03,
+      s"fpp ${fp.toDouble / probes.size} far above the 1% design point")
+  }
+}
