@@ -1883,13 +1883,17 @@ object TextOps {
     * signature index): a production tokenizer vocabulary is trained
     * once and shipped as an artifact, so re-deriving it per query
     * would charge the wordcount to every consumer. ≤ K strings per
-    * corpus — bounded driver memory. */
+    * corpus — bounded driver memory. Read through [[memo]] (compute
+    * outside the CHM bin lock, bounded), never `computeIfAbsent` —
+    * the r15/r16 review finding on [[lmThresholdCache]] applies here
+    * identically: an unrelated request hashing to the same bin must
+    * not block behind a corpus wordcount. */
   private val vocabCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
   private def subwordVocabLit(spark: SparkSession, dir: String): Column = {
     val key = graft.Tables.fileFingerprint(spark, s"$dir/documents.parquet")
-    val grams = vocabCache.computeIfAbsent(key, _ => {
+    val grams = memo(vocabCache, key) {
       val gramsOfWord = expr(
         s"""flatten(transform(array(${SubwordNgramLens.mkString(", ")}), n ->
            |  CASE WHEN length(w) >= n
@@ -1905,7 +1909,7 @@ object TextOps {
         .limit(SubwordVocabK)
         .select("gram").collect() // ≤ K rows — bounded by construction
         .toSeq.map(_.getString(0))
-    })
+    }
     if (grams.isEmpty) typedLit(Seq.empty[String])
     else array(grams.map(lit): _*)
   }
@@ -2713,16 +2717,20 @@ object TextOps {
     x.length - y.length
   }
 
-  /** Fold the learned merges over a frame carrying the spaced-symbol
+  /** Apply the learned merges over a frame carrying the spaced-symbol
     * column `s` — THE merge-application site (q146/q147/q148): the
     * double-space encoding and the literal-replace semantics live
-    * here once, mirrored only by the oracle generator's chain. */
+    * here once, mirrored only by the oracle generator's chain. ONE
+    * [[graft.functions.BpeApply]] expression holding the whole merge
+    * table, not a fold of per-merge `replace` nodes: the apply path
+    * is the corpus-wide scan, and the fold's plan grew linearly in
+    * vocabulary size — superlinear analysis cost and an interpreted
+    * codegen fallback at a real 32k vocabulary (review finding, r16).
+    * Plan size is now O(1) in merges; per-row cost unchanged. */
   private def applyMerges(d: DataFrame,
       merges: Seq[(String, String, Long)]): DataFrame =
-    merges.foldLeft(d) { case (acc, (l, r, _)) =>
-      acc.withColumn("s",
-        replace(col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
-    }
+    d.withColumn("s", graft.functions.BpeApply.applyBpe(col("s"),
+      merges.map { case (l, r, _) => (l, r) }))
 
   /** The per-key fertility aggregate shared by q147 (key = lang) and
     * q148 (key = cls): subwords/word and chars/subword in exact ppm
