@@ -885,7 +885,8 @@ object Versioned {
     * a table rewrite. [[compactPublish]] later materializes the
     * removal and drops the tombstone from the ref chain. */
   def removePublish(spark: SparkSession, base: String, table: String,
-      tombstones: DataFrame): Long = {
+      tombstones: DataFrame,
+      replacing: Seq[(String, DataFrame)] = Nil): Long = {
     require(tombstones.columns.nonEmpty, "tombstone frame needs key columns")
     val cur = currentVersion(spark, base).getOrElse(
       sys.error(s"removePublish: $base has no committed version"))
@@ -893,7 +894,7 @@ object Versioned {
     require(existing.contains(table),
       s"removePublish: table $table not in version $cur (has: $existing)")
     morPublish(spark, base, table, cur, existing,
-      tomb = Some(tombstones), append = None)
+      tomb = Some(tombstones), append = None, replacing = replacing)
   }
 
   /** Shared merge-on-read publish body: extend `table`'s entry chain
@@ -938,14 +939,9 @@ object Versioned {
       }
       val dataEntry = append.map { df =>
         val rel = dataDirName(table, next)
-        df.write.mode(SaveMode.Overwrite)
-          .option("compression", "zstd")
-          .parquet(new Path(b, rel).toString)
+        writeDataDir(spark, df, new Path(b, rel).toString,
+          appendStats, appendBlooms)
         checkSuccess(f, b, table, rel)
-        if (appendStats.nonEmpty)
-          ZoneMaps.writeSidecar(spark, new Path(b, rel).toString, appendStats)
-        if (appendBlooms.nonEmpty)
-          ZoneBlooms.writeSidecar(spark, new Path(b, rel).toString, appendBlooms)
         RefEntry('d', rel)
       }
       f.mkdirs(versionDir(b, next))
@@ -969,12 +965,77 @@ object Versioned {
     // e.g. a concurrent publisher winning the maintenance claim is a
     // lost-maintenance race, not a lost write — so it degrades to the
     // committed version and leaves compaction to the next crossing.
+    // But degrading SILENTLY would let a persistently failing policy
+    // (corrupt sidecar, schema bug throwing on every crossing) grow
+    // chains unboundedly while every publish reports success (review
+    // finding, r16) — so the failure is recorded in lake metadata
+    // ([[autoCompactError]], surfaced by `/lake/status`) and stderr,
+    // and a later successful auto-compact clears it.
     val threshold = autoCompactOf(fs(spark, new Path(base)), new Path(base))
     if (threshold > 0 && chainLen >= threshold)
-      try compactMorTailPublish(spark, base, table)
-      catch { case scala.util.control.NonFatal(_) => published }
+      try {
+        val v = compactMorTailPublish(spark, base, table)
+        clearAutoCompactError(spark, base)
+        v
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          recordAutoCompactError(spark, base, table, e)
+          published
+      }
     else published
   }
+
+  /** Last auto-compaction failure of a lake, if the most recent
+    * threshold crossing failed (cleared by the next success) — the
+    * diagnosable signal that the self-maintenance policy has stopped
+    * doing its job while publishes keep succeeding. */
+  def autoCompactError(spark: SparkSession, base: String): Option[String] = {
+    val b = new Path(base)
+    val f = fs(spark, b)
+    val p = new Path(markerDir(b), "autocompact_error")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  private def recordAutoCompactError(spark: SparkSession, base: String,
+      table: String, e: Throwable): Unit =
+    try {
+      val b = new Path(base)
+      val f = fs(spark, b)
+      f.mkdirs(markerDir(b))
+      val msg = s"table=$table: ${e.getClass.getSimpleName}: " +
+        String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(500)
+      System.err.println(s"LAKE WARN: auto-compact failed at $base ($msg)")
+      val out = f.create(new Path(markerDir(b), "autocompact_error"), true)
+      try out.write(msg.getBytes("UTF-8")) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+
+  private def clearAutoCompactError(spark: SparkSession, base: String): Unit =
+    try {
+      val b = new Path(base)
+      val f = fs(spark, b)
+      val p = new Path(markerDir(b), "autocompact_error")
+      if (f.exists(p)) f.delete(p, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Write one flat data dir: with tracked columns the write tasks
+    * emit the zone-map/bloom sidecars as they write ([[StatsWrite]] —
+    * publish-time I/O ∝ bytes written ×1); without, the plain native
+    * write. The legacy collectors remain for partitioned layouts and
+    * for backfilling dirs written elsewhere. */
+  private def writeDataDir(spark: SparkSession, df: DataFrame, dst: String,
+      statsCols: Seq[String], bloomCols: Seq[String]): Unit =
+    if (statsCols.isEmpty && bloomCols.isEmpty)
+      df.write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(dst)
+    else StatsWrite.write(spark, df, dst, statsCols, bloomCols)
 
   private def checkSuccess(f: FileSystem, b: Path, table: String,
       rel: String): Unit = {
@@ -1077,16 +1138,10 @@ object Versioned {
         else merged.repartitionByRange(files, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
       val rel = dataDirName(table, next)
-      frame.write.mode(SaveMode.Overwrite)
-        .option("compression", "zstd")
-        .parquet(new Path(b, rel).toString)
+      writeDataDir(spark, frame, new Path(b, rel).toString,
+        statCols.filter(frame.columns.contains(_)),
+        bloomCols.filter(frame.columns.contains(_)))
       checkSuccess(f, b, table, rel)
-      val present = statCols.filter(frame.columns.contains(_))
-      if (present.nonEmpty)
-        ZoneMaps.writeSidecar(spark, new Path(b, rel).toString, present)
-      val presentB = bloomCols.filter(frame.columns.contains(_))
-      if (presentB.nonEmpty)
-        ZoneBlooms.writeSidecar(spark, new Path(b, rel).toString, presentB)
       f.mkdirs(versionDir(b, next))
       writeEntries(f, b, next, table, prefix :+ RefEntry('d', rel))
       existing.filterNot(_ == table).foreach { t =>
@@ -1179,16 +1234,10 @@ object Versioned {
           else folded.repartitionByRange(files, sortBy.map(col): _*)
             .sortWithinPartitions(sortBy.map(col): _*)
         val rel = dataDirName(table, next)
-        frame.write.mode(SaveMode.Overwrite)
-          .option("compression", "zstd")
-          .parquet(new Path(b, rel).toString)
+        writeDataDir(spark, frame, new Path(b, rel).toString,
+          statCols.filter(frame.columns.contains(_)),
+          bloomCols.filter(frame.columns.contains(_)))
         checkSuccess(f, b, table, rel)
-        val present = statCols.filter(frame.columns.contains(_))
-        if (present.nonEmpty)
-          ZoneMaps.writeSidecar(spark, new Path(b, rel).toString, present)
-        val presentB = bloomCols.filter(frame.columns.contains(_))
-        if (presentB.nonEmpty)
-          ZoneBlooms.writeSidecar(spark, new Path(b, rel).toString, presentB)
         RefEntry('d', rel)
       }
       f.mkdirs(versionDir(b, next))
@@ -1371,14 +1420,10 @@ object Versioned {
         .sortWithinPartitions(col(z))
         .drop(z)
       val rel = dataDirName(table, next)
-      frame.write.mode(SaveMode.Overwrite)
-        .option("compression", "zstd")
-        .parquet(new Path(b, rel).toString)
+      writeDataDir(spark, frame, new Path(b, rel).toString,
+        (bounds.cols ++ statCols).distinct
+          .filter(merged.columns.contains(_)), Nil)
       checkSuccess(f, b, table, rel)
-      val present = (bounds.cols ++ statCols).distinct
-        .filter(merged.columns.contains(_))
-      if (present.nonEmpty)
-        ZoneMaps.writeSidecar(spark, new Path(b, rel).toString, present)
       f.mkdirs(versionDir(b, next))
       writeEntries(f, b, next, table, prefix :+ RefEntry('d', rel))
       existing.filterNot(_ == table).foreach { t =>
@@ -1423,25 +1468,25 @@ object Versioned {
       writes.foreach { t =>
         val dst = new Path(b, dataDirName(t.name, next)).toString
         if (t.partitionBy.isEmpty)
-          t.df.write.mode(SaveMode.Overwrite)
-            .option("compression", "zstd").parquet(dst)
-        else t.df // one writer set per partition dir (no small files)
-          .repartition(t.partitionBy.map(org.apache.spark.sql.functions.col): _*)
-          .write.mode(SaveMode.Overwrite).option("compression", "zstd")
-          .partitionBy(t.partitionBy: _*).parquet(dst)
+          // stats/bloom sidecars for flat layouts are emitted BY the
+          // write tasks (StatsWrite, r17) — one input pass, never a
+          // re-scan of the dir just written
+          writeDataDir(spark, t.df, dst, t.statsCols, t.bloomCols)
+        else {
+          t.df // one writer set per partition dir (no small files)
+            .repartition(t.partitionBy.map(org.apache.spark.sql.functions.col): _*)
+            .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+            .partitionBy(t.partitionBy: _*).parquet(dst)
+          // partitioned layouts (file-per-partition-value writes don't
+          // map onto the one-file-per-task seam) keep the legacy
+          // post-write collection: still written into the
+          // (still-uncommitted) data dir after the parquet write and
+          // before the manifest, so stats and data commit together
+          if (t.statsCols.nonEmpty) ZoneMaps.writeSidecar(spark, dst, t.statsCols)
+          if (t.bloomCols.nonEmpty) ZoneBlooms.writeSidecar(spark, dst, t.bloomCols)
+        }
       }
       writes.foreach(t => checkSuccess(f, b, t.name, dataDirName(t.name, next)))
-      // zone-map + bloom sidecars: written into the (still-uncommitted)
-      // data dirs after the parquet _SUCCESS check and before the
-      // manifest, so stats and data commit together or not at all
-      writes.foreach { t =>
-        if (t.statsCols.nonEmpty)
-          ZoneMaps.writeSidecar(spark,
-            new Path(b, dataDirName(t.name, next)).toString, t.statsCols)
-        if (t.bloomCols.nonEmpty)
-          ZoneBlooms.writeSidecar(spark,
-            new Path(b, dataDirName(t.name, next)).toString, t.bloomCols)
-      }
       // MANIFEST: refs for fresh writes point at this version's data
       // dirs; refs for carried tables repeat the current version's
       // entries. All written before the marker — a crash mid-manifest

@@ -90,6 +90,12 @@ object ZoneBlooms {
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
     x ^ (x >>> 31)
   }
+  private def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 0x517cc1b727220a95L
+    var i = 0
+    while (i < bytes.length) { h = mix(h ^ (bytes(i) & 0xffL)); i += 1 }
+    h
+  }
   private[graft] def hashValue(v: Any): Long = v match {
     case null => mix(0x6e756c6cL) // "null"
     case l: Long => mix(l)
@@ -97,18 +103,37 @@ object ZoneBlooms {
     case s: Short => mix(s.toLong)
     case b: Byte => mix(b.toLong)
     case s: String =>
-      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var h = 0x517cc1b727220a95L
-      var i = 0
-      while (i < bytes.length) { h = mix(h ^ (bytes(i) & 0xffL)); i += 1 }
-      h
+      hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     case d: java.math.BigDecimal => hashValue(d.toPlainString)
     case d: BigDecimal => hashValue(d.bigDecimal.toPlainString)
     case other => sys.error(
       s"bloom sidecar: unsupported probe type ${other.getClass.getName}")
   }
 
-  private def bloomFor(rows: Long, bitsPerRow: Int): SimpleBloom = {
+  /** [[hashValue]] over CATALYST-internal values — the write-task
+    * emission path ([[StatsWrite]]) sees `UTF8String`/`Decimal`, and
+    * the hash must agree bit-for-bit with the external-value probe
+    * side or every write-time bloom silently false-negatives. */
+  private[sources] def hashInternal(v: Any): Long = v match {
+    case null => mix(0x6e756c6cL)
+    case u: org.apache.spark.unsafe.types.UTF8String => hashBytes(u.getBytes)
+    case d: org.apache.spark.sql.types.Decimal => hashValue(d.toJavaBigDecimal)
+    case other => hashValue(other)
+  }
+
+  /** Probe-side hash: None for a type the sidecar scheme does not
+    * cover. The WRITE path keeps [[hashValue]]'s loud error (building
+    * a sidecar over an unsupported column is a configuration bug to
+    * surface immediately); the READ path must instead degrade to a
+    * full scan — "errs toward inclusion" is the documented contract,
+    * and a probe value whose runtime type differs from the stored one
+    * (Double vs Long, Date vs String) must widen the read, never fail
+    * it (review finding, r16). */
+  private[graft] def hashValueOpt(v: Any): Option[Long] =
+    try Some(hashValue(v))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private[sources] def bloomFor(rows: Long, bitsPerRow: Int): SimpleBloom = {
     val bits = math.max(1024L, rows * bitsPerRow)
     new SimpleBloom(7, new Array[Long](((bits + 63) / 64).toInt))
   }
@@ -173,6 +198,10 @@ object ZoneBlooms {
         acc.iterator
       }
       .reduceByKey(_ orInPlace _)
+      // deterministic (file, col) order: sidecar bytes must not depend
+      // on shuffle-read order, so a write-time-emitted sidecar
+      // ([[StatsWrite]]) can be byte-compared against this path
+      .sortBy(_._1)
     // stream the sidecars: one bloom in driver memory at a time
     val byCol = colsV.map(c => c -> f.create(
       new Path(dir, sidecarName(c)), true)).toMap
@@ -183,13 +212,31 @@ object ZoneBlooms {
       val dirPath = dir.toUri.getPath
       partials.toLocalIterator.foreach { case ((file, c), bloom) =>
         val rel = file.stripPrefix(dirPath).stripPrefix("/")
-        val out = byCol(c)
-        out.writeUTF(rel)
-        out.writeInt(bloom.k)
-        out.writeInt(bloom.words.length)
-        bloom.words.foreach(out.writeLong)
+        writeEntry(byCol(c), rel, bloom)
       }
     } finally byCol.values.foreach(_.close())
+  }
+
+  private def writeEntry(out: org.apache.hadoop.fs.FSDataOutputStream,
+      rel: String, bloom: SimpleBloom): Unit = {
+    out.writeUTF(rel)
+    out.writeInt(bloom.k)
+    out.writeInt(bloom.words.length)
+    bloom.words.foreach(out.writeLong)
+  }
+
+  /** Write one column's sidecar from already-computed per-file blooms
+    * — the WRITE-TIME emission path ([[StatsWrite]]): the blooms were
+    * built by the tasks that wrote the files, so no second data scan
+    * happens here. Entries must arrive in deterministic (sorted-file)
+    * order for byte-identity with [[writeSidecar]]. */
+  private[sources] def writeSidecarFromParts(f: FileSystem, dataDir: Path,
+      col: String, entries: Seq[(String, SimpleBloom)]): Unit = {
+    val out = f.create(new Path(dataDir, sidecarName(col)), true)
+    try {
+      out.writeUTF(Magic)
+      entries.foreach { case (rel, b) => writeEntry(out, rel, b) }
+    } finally out.close()
   }
 
   /** Blooms of a data dir for `col`, if present and well-formed —
@@ -250,12 +297,14 @@ object ZoneBlooms {
 
   /** Files that may hold `col = value`: bloom-positive files plus any
     * file the sidecar does not cover (inclusion-safe). None when no
-    * sidecar tracks the column — caller must full-scan. */
+    * sidecar tracks the column OR the probe value's runtime type is
+    * one the scheme cannot hash — both degrade the caller to a full
+    * scan (same rows, no skipping), never to an error. */
   def selectFiles(spark: SparkSession, dataDir: String, col: String,
       value: Any, allFiles: Seq[String]): Option[Seq[String]] =
-    readSidecar(spark, dataDir, col).map { blooms =>
-      val h = hashValue(value)
-      allFiles.filter(rel =>
-        blooms.get(rel).forall(_.mightContain(h)))
-    }
+    for {
+      blooms <- readSidecar(spark, dataDir, col)
+      h <- hashValueOpt(value)
+    } yield allFiles.filter(rel =>
+      blooms.get(rel).forall(_.mightContain(h)))
 }

@@ -73,7 +73,7 @@ object ZoneMaps {
   /** Hadoop `Configuration` is Writable, not Java-serializable; this
     * wrapper ships it into the distributed footer walk. (Spark has an
     * internal equivalent; this stays on public API only.) */
-  private final class SerConf(
+  private[sources] final class SerConf(
       @transient var value: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
@@ -96,7 +96,10 @@ object ZoneMaps {
       else if (n.endsWith(".parquet")) Seq(st.getPath)
       else Nil
     }
-    walk(dir)
+    // sorted: listStatus order is filesystem-dependent, and the
+    // sidecar bytes must be deterministic (the write-time emission
+    // path emits in sorted-name order and is byte-compared to this)
+    walk(dir).sortBy(_.toString)
   }
 
   /** Read ONE file's footer and fold its row-group statistics into
@@ -237,7 +240,7 @@ object ZoneMaps {
     } finally reader.close()
   }
 
-  private def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+  private[sources] def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) {

@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{StatsWrite, ZoneBlooms, ZoneMaps}
+
+/** [[graft.sources.StatsWrite]] — write-task sidecar emission (r17).
+  * The load-bearing claim is BYTE-IDENTITY: sidecars emitted by the
+  * write tasks must equal, byte for byte, what the legacy re-scan
+  * collectors produce over the same written files — otherwise the
+  * instrumented path could silently prune differently than the path
+  * every probe family was verified against. */
+class StatsWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDir(tag: String): String =
+    Files.createTempDirectory(s"graft-sw-$tag").toString + "/t"
+
+  /** Every zone-map type in one frame: long, string (incl. unicode),
+    * decimal(16,2) (negative unscaled bounds), date, timestamp
+    * (micros), double, plus nulls sprinkled per column. Values derive
+    * from integer keys only (oracle-parity discipline). */
+  private def fixture = spark.range(0, 400)
+    .select(
+      col("id"),
+      when(col("id") % 13 === 0, lit(null))
+        .otherwise(concat(lit("ñame-"), lpad(col("id") % 37, 4, "0")))
+        .as("name"),
+      when(col("id") % 17 === 0, lit(null))
+        .otherwise((col("id") * 7 - 1400).cast("decimal(16,2)") / 100)
+        .as("amount"),
+      date_add(lit("2024-01-01").cast("date"),
+        (col("id") % 90).cast("int")).as("d"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 3600).as("ts"),
+      (col("id") * 31 % 101).cast("double").as("x"))
+    .repartition(3, col("id")) // several files, several rows each
+
+  private def bytes(p: String): Seq[Byte] = {
+    val f = new java.io.File(p)
+    assert(f.exists(), s"$p missing")
+    java.nio.file.Files.readAllBytes(f.toPath).toSeq
+  }
+
+  test("write-time sidecars ≡ legacy re-scan sidecars, byte for byte") {
+    val dir = mkDir("bytes")
+    val statsCols = Seq("id", "name", "amount", "d", "ts", "x")
+    val bloomCols = Seq("id", "name", "amount")
+    StatsWrite.write(spark, fixture, dir, statsCols, bloomCols)
+    val zm1 = bytes(s"$dir/${ZoneMaps.SidecarName}")
+    val bl1 = bloomCols.map(c => c -> bytes(s"$dir/${ZoneBlooms.sidecarName(c)}"))
+    // regenerate with the LEGACY collectors over the same files
+    ZoneMaps.writeSidecar(spark, dir, statsCols)
+    bloomCols.foreach { c => // one col at a time exercises ordering too
+      ZoneBlooms.writeSidecar(spark, dir, Seq(c))
+    }
+    assert(bytes(s"$dir/${ZoneMaps.SidecarName}") == zm1,
+      "zone-map sidecar diverged from the footer walk")
+    bl1.foreach { case (c, b1) =>
+      assert(bytes(s"$dir/${ZoneBlooms.sidecarName(c)}") == b1,
+        s"bloom sidecar for '$c' diverged from the re-scan")
+    }
+  }
+
+  test("written data round-trips exactly, with _SUCCESS") {
+    val dir = mkDir("data")
+    StatsWrite.write(spark, fixture, dir, Seq("id"), Seq("id"))
+    assert(new java.io.File(s"$dir/_SUCCESS").exists())
+    val back = spark.read.parquet(dir)
+    // parquet read-back is always nullable (native writes too) —
+    // compare names + types
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(back.schema) == shape(fixture.schema),
+      s"schema drift: ${back.schema}")
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.collect().map(_.toSeq.map(String.valueOf)).map(_.mkString("|")).sorted
+    assert(key(back).toSeq == key(fixture).toSeq)
+  }
+
+  test("pruning through the write-time sidecars matches a full scan") {
+    val dir = mkDir("prune")
+    StatsWrite.write(spark, fixture, dir, Seq("id", "d"), Seq("name"))
+    // range probe via the zone map
+    val stats = ZoneMaps.readSidecar(spark, dir).get
+    val sel = ZoneMaps.selectFiles(stats, "id", 0, 50).get
+    assert(sel.nonEmpty && sel.size <= stats.size)
+    // point probe via the bloom: a present value must never be pruned
+    // away from its file (no false negatives). Bloom entries key by
+    // bare file name (the scheme-free normalization), so list that way
+    val all = new java.io.File(dir).list()
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+    val present = ZoneBlooms.selectFiles(spark, dir, "name",
+      "ñame-0005", all).get
+    val hit = spark.read.parquet(
+        present.map(r =>
+          new org.apache.hadoop.fs.Path(dir, r).toString): _*)
+      .filter(col("name") === "ñame-0005").count()
+    val want = spark.read.parquet(dir)
+      .filter(col("name") === "ñame-0005").count()
+    assert(hit == want && want > 0)
+    // unsupported probe type degrades to full scan, never errors
+    assert(ZoneBlooms.selectFiles(spark, dir, "name", 3.14, all).isEmpty)
+  }
+
+  test("all-null column flags N; opaque types flag U — like the footer") {
+    val dir = mkDir("nulls")
+    val d = spark.range(0, 40)
+      .select(col("id"), lit(null).cast("string").as("s"),
+        (col("id") % 2 === 0).as("b"))
+      .repartition(2)
+    StatsWrite.write(spark, d, dir, Seq("s", "b"), Nil)
+    val zm1 = bytes(s"$dir/${ZoneMaps.SidecarName}")
+    ZoneMaps.writeSidecar(spark, dir, Seq("s", "b"))
+    assert(bytes(s"$dir/${ZoneMaps.SidecarName}") == zm1)
+    val stats = ZoneMaps.readSidecar(spark, dir).get
+    stats.foreach { fs =>
+      assert(fs.cols("s").flag == "N", s"all-null col: ${fs.cols("s")}")
+      assert(fs.cols("b").flag == "U", s"boolean col: ${fs.cols("b")}")
+    }
+  }
+
+  test("empty frame mirrors the legacy loud failure for stats") {
+    val dir = mkDir("empty")
+    val e = fixture.filter(col("id") < 0)
+    val ex = intercept[Exception] {
+      StatsWrite.write(spark, e, dir, Seq("id"), Nil)
+    }
+    assert(ex.getMessage.contains("zone map"), ex.getMessage)
+  }
+
+  test("a misspelled tracked column fails loudly at write time") {
+    val dir = mkDir("typo")
+    val ex = intercept[IllegalArgumentException] {
+      StatsWrite.write(spark, fixture, dir, Seq("nope"), Nil)
+    }
+    assert(ex.getMessage.contains("nope"))
+  }
+}
