@@ -828,7 +828,85 @@ object Relational {
     base
   }
 
+  // -------------------------------------------------------------- q154
+  /** Streamed ingest + takedown lifecycle scan (r17): one lake takes
+    * BOTH streaming twins — [[graft.streaming.StreamingLakeAppend]]
+    * batch 0 and [[graft.streaming.StreamingLakeTakedown]] batches 0
+    * and 1, the SAME numeric ids, because Spark checkpoints are per
+    * query and two streams composed on one lake both number from 0
+    * (the r16 review finding; markers key on (stream, batch) so
+    * neither mistakes the other's id for its own replay). The
+    * bootstrap REQUIREs the replay no-ops and the policy-bounded
+    * chain, so the per-SF gate fails loudly if either discipline
+    * stops holding; the DuckDB oracle replays the same history as
+    * plain SQL (anti-join for the tombstones, UNION ALL for the
+    * append), so a hash match proves stream ≡ batch value identity
+    * end-to-end. */
+  def q154TakedownStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val base = takedownStreamLake(spark, dir)
+    Versioned.read(spark, base, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sumd($"o_totalprice").as("sum_price"),
+        min($"o_orderkey").as("min_k"),
+        max($"o_orderkey").as("max_k"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Scratch streamed-lifecycle lake: v1 full publish of orders under
+    * an auto-compact threshold of 5, then — through the streaming
+    * twins' own batch seams — takedown batch 0 (keys ≡ 3 mod 10),
+    * append batch 0 (keys ≡ 4 mod 10, shifted past max(o_orderkey)
+    * rounded to a multiple of 10, price ×3), replays of both batch 0s
+    * (REQUIRED no-ops), then takedown batch 1 (keys ≡ 7 mod 10).
+    * Fingerprint-keyed idempotent bootstrap (q135's discipline). */
+  private[graft] def takedownStreamLake(spark: SparkSession, dir: String)
+      : String = {
+    import graft.sources.Versioned
+    import graft.streaming.{StreamingLakeAppend, StreamingLakeTakedown}
+    val key = Tables.fileFingerprint(spark, s"$dir/orders.parquet")
+    val base = s"${Dedup.indexBase}/tdlake-$key"
+    if (Versioned.currentVersion(spark, base).isEmpty) {
+      val orders = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Versioned.publish(spark, base,
+        Seq(Versioned.TableSpec("orders", orders)))
+      Versioned.setAutoCompact(spark, base, 5)
+      val maxK = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+      val shift = (maxK / 10 + 1) * 10
+      val tomb0 = orders.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"))
+      val app0 = orders.filter(col("o_orderkey") % 10 === 4)
+        .select((col("o_orderkey") + shift).as("o_orderkey"),
+          col("o_orderstatus"),
+          (col("o_totalprice") * 3).as("o_totalprice"))
+      val v1 = StreamingLakeTakedown.takedownBatch(spark, tomb0, 0L,
+        base, "orders")
+      val v2 = StreamingLakeAppend.ingestBatch(spark, app0, 0L,
+        base, "orders", Seq("o_orderkey"))
+      require(v2 > v1, "append batch 0 dropped as the takedown's replay")
+      // crash-replay discipline: both batch 0s must be recognized
+      require(StreamingLakeTakedown.takedownBatch(spark, tomb0, 0L,
+        base, "orders") == v2, "takedown replay re-published")
+      require(StreamingLakeAppend.ingestBatch(spark, app0, 0L,
+        base, "orders", Seq("o_orderkey")) == v2,
+        "append replay re-published")
+      StreamingLakeTakedown.takedownBatch(spark,
+        orders.filter(col("o_orderkey") % 10 === 7)
+          .select(col("o_orderkey")), 1L, base, "orders")
+      val cur = Versioned.currentVersion(spark, base).get
+      val depth = Versioned.entryChainAt(spark, base, "orders", cur).size
+      require(depth <= 5,
+        s"streamed lifecycle chain unbounded: $depth entries")
+    }
+    base
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_takedown_stream" -> (q154TakedownStream _),
     "q153_bloom_point" -> (q153BloomPoint _),
     "q152_zonemap_date" -> (q152ZonemapDate _),
     "q149_zonemap_decimal" -> (q149ZonemapDecimal _),
@@ -856,6 +934,22 @@ object Relational {
   /** DuckDB-dialect oracles. Integer SUMs are CAST to BIGINT (DuckDB
     * widens to HUGEINT); decimal sums CAST to DOUBLE to match Spark. */
   val oracle: Map[String, String] = Map(
+    "q154_takedown_stream" ->
+      """WITH m AS (
+        | SELECT ((max(o_orderkey) // 10) + 1) * 10 AS shift FROM orders),
+        |kept AS (
+        | SELECT o_orderkey, o_orderstatus, o_totalprice
+        | FROM orders WHERE o_orderkey % 10 NOT IN (3, 7)),
+        |appended AS (
+        | SELECT o_orderkey + m.shift AS o_orderkey, o_orderstatus,
+        |        o_totalprice * 3 AS o_totalprice
+        | FROM orders, m WHERE o_orderkey % 10 = 4)
+        |SELECT o_orderstatus,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+        | min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM appended)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q153_bloom_point" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS price
         |FROM orders

@@ -71,24 +71,22 @@ object StreamingClusters {
     // correctness knob here: retention must cover the window in which
     // an external non-carrying publisher can land between a publish
     // and its replay (external publishers SHOULD carry batch_marker).
-    val markers = cur.flatMap(_ =>
-        Versioned.newestVersionWith(spark, lakeBase, "batch_marker"))
-      .map(v => Versioned.readAt(spark, lakeBase, "batch_marker", v))
-    val replayed = markers.exists(
-      _.filter(org.apache.spark.sql.functions.col("graft_batch_id")
-        === batchId).head(1).nonEmpty)
+    // markers key on (stream, batch) — a sibling stream composed on
+    // this lake numbers its own batches from 0 ([[BatchMarkers]])
+    val streamId = "clusters:documents"
+    val markers = cur.flatMap(_ => BatchMarkers.newest(spark, lakeBase))
+    val replayed = BatchMarkers.isReplayed(markers, streamId, batchId)
     val v = if (replayed) cur.get else {
       val docs = cur match {
         case Some(c) =>
           Versioned.readAt(spark, lakeBase, "documents", c).unionByName(batch)
         case None => batch
       }
-      val newMarker = Seq(batchId).toDF("graft_batch_id")
       Versioned.publish(spark, lakeBase, Seq(
         Versioned.TableSpec("documents", docs),
         Versioned.TableSpec("documents_delta", batch),
-        Versioned.TableSpec("batch_marker",
-          markers.map(_.unionByName(newMarker)).getOrElse(newMarker))))
+        Versioned.TableSpec(BatchMarkers.Table,
+          BatchMarkers.appended(spark, markers, streamId, batchId))))
     }
     Dedup.clusterAssignmentAt(spark, lakeBase, v)
     ()

@@ -44,23 +44,19 @@ object StreamingLakeAppend {
   private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, lakeBase: String, table: String,
       keys: Seq[String] = Nil): Long = {
-    import spark.implicits._
     val cur = Versioned.currentVersion(spark, lakeBase).getOrElse(
       sys.error(s"streamed append: $lakeBase has no committed version — " +
         "bootstrap the lake with one Versioned.publish first"))
     if (batch.isEmpty) return cur // an empty batch must not burn a version
-    val markers = Versioned.newestVersionWith(spark, lakeBase, "batch_marker")
-      .map(v => Versioned.readAt(spark, lakeBase, "batch_marker", v))
-    val replayed = markers.exists(
-      _.filter(org.apache.spark.sql.functions.col("graft_batch_id")
-        === batchId).head(1).nonEmpty)
-    if (replayed) cur
-    else {
-      val newMarker = Seq(batchId).toDF("graft_batch_id")
-      Versioned.appendPublish(spark, lakeBase, table, batch, keys,
-        replacing = Seq("batch_marker" ->
-          markers.map(_.unionByName(newMarker)).getOrElse(newMarker)))
-    }
+    // markers key on (stream, batch): checkpoints are per query, so a
+    // sibling stream's batch N must not read as OUR replay
+    // ([[BatchMarkers]]; review finding, r16)
+    val streamId = s"append:$table"
+    val markers = BatchMarkers.newest(spark, lakeBase)
+    if (BatchMarkers.isReplayed(markers, streamId, batchId)) cur
+    else Versioned.appendPublish(spark, lakeBase, table, batch, keys,
+      replacing = Seq(BatchMarkers.Table ->
+        BatchMarkers.appended(spark, markers, streamId, batchId)))
   }
 
   /** Start streaming a directory of parquet files into `table` at

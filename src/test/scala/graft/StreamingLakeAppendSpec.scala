@@ -77,7 +77,7 @@ class StreamingLakeAppendSpec extends SparkSpec {
     // carrying every prior id
     StreamingLakeAppend.ingestBatch(spark, facts(20, 30), 1L, lake, "t", Seq("k"))
     val ids = Versioned.read(spark, lake, "batch_marker")
-      .collect().map(_.getLong(0)).toSet
+      .select("graft_batch_id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(0L, 1L), s"marker chain lost ids: $ids")
   }
 
