@@ -62,6 +62,23 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
   // Spark jobs — the resume probe is FS-only and the response's
   // sanity numbers come from this cache; a chain that built anything
   // recounts (a crash-retried head may have been rebuilt)
+  private val lakeCompactStatus =
+    new AtomicReference[String]("""{"state":"idle"}""")
+  private val lakeCompactLock = new Object
+  private val lakeCompactSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lakeCompactStatusSeq =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Monotone status publication (the [[setIndexStatus]] discipline):
+    * a stale async job finishing late must not clobber a newer run's
+    * state. */
+  private def setLakeCompactStatus(seq: Long, json: String): Unit =
+    lakeCompactStatus.synchronized {
+      if (seq >= lakeCompactStatusSeq.get()) {
+        lakeCompactStatusSeq.set(seq)
+        lakeCompactStatus.set(json)
+      }
+    }
+
   private val maintainCounts =
     scala.collection.mutable.Map.empty[String, Long]
 
@@ -410,11 +427,14 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
                       s""""data":${chain.count(_._1 == 'd')},""" +
                       s""""tombstones":${chain.count(_._1 == 't')}}"""
                   }
+                  val acErr = Versioned.autoCompactError(s, base)
+                    .map(m => s""""${esc(m)}"""").getOrElse("null")
                   reply(ex, 200,
                     s"""{"version":$v,""" +
                       s""""versions":[${Versioned.listVersions(s, base).sorted.mkString(",")}],""" +
                       s""""retention":${Versioned.retention(s, base)},""" +
                       s""""autocompact":${Versioned.autoCompactThreshold(s, base)},""" +
+                      s""""autocompact_error":$acErr,""" +
                       s""""tables":{${tables.mkString(",")}}}""")
               }
             } catch {
@@ -429,7 +449,11 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
   // tombstones (compactMorTailPublish), otherwise the data-only tail
   // op. A no-op compaction (nothing to shrink) returns the CURRENT
   // version with compacted=false — idempotent to re-call, like a
-  // second OPTIMIZE.
+  // second OPTIMIZE. `async=true` returns 202 immediately and exposes
+  // progress at GET /lake/compact/status — /index/maintain's posture
+  // (review finding, r16: a tail compaction of a real table runs
+  // minutes; a synchronous handler thread means client timeouts and
+  // retry storms queueing rewrites behind the OCC claim).
   server.createContext("/lake/compact", (ex: HttpExchange) =>
     (spark, ex.getRequestMethod) match {
       case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
@@ -442,20 +466,91 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
           case (None, _) | (_, None) =>
             reply(ex, 422, """{"detail":"base and table required"}""")
           case (Some(base), Some(table)) =>
-            try {
-              val before = Versioned.currentVersion(s, base).getOrElse(
-                sys.error("no committed version"))
-              val after =
-                if (params.get("mor").contains("true"))
-                  Versioned.compactMorTailPublish(s, base, table)
-                else Versioned.compactTailPublish(s, base, table)
-              reply(ex, 200,
-                s"""{"table":"${esc(table)}","from":$before,"to":$after,""" +
-                  s""""compacted":${after != before}}""")
-            } catch {
-              case e: Exception => reply(ex, 500,
-                s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+            def run(): String = lakeCompactLock.synchronized {
+              try {
+                val before = Versioned.currentVersion(s, base).getOrElse(
+                  sys.error("no committed version"))
+                val after =
+                  if (params.get("mor").contains("true"))
+                    Versioned.compactMorTailPublish(s, base, table)
+                  else Versioned.compactTailPublish(s, base, table)
+                s"""{"state":"done","table":"${esc(table)}",""" +
+                  s""""from":$before,"to":$after,""" +
+                  s""""compacted":${after != before}}"""
+              } catch {
+                case e: Exception =>
+                  s"""{"state":"failed","detail":"${
+                    esc(String.valueOf(e.getMessage))}"}"""
+              }
             }
+            val seq = lakeCompactSeq.incrementAndGet()
+            setLakeCompactStatus(seq, """{"state":"running"}""")
+            if (params.get("async").contains("true")) {
+              new Thread(() => {
+                setLakeCompactStatus(seq, run()); ()
+              }, "graft-lake-compact").start()
+              reply(ex, 202, """{"state":"running"}""")
+            } else {
+              val out = run()
+              setLakeCompactStatus(seq, out)
+              reply(ex, if (out.contains("\"done\"")) 200 else 500, out)
+            }
+        }
+    })
+
+  // Async-compaction progress (the /index/status twin). Registered
+  // under the /lake/compact prefix — com.sun HttpServer routes to the
+  // LONGEST matching prefix, so this wins for the status path.
+  server.createContext("/lake/compact/status", (ex: HttpExchange) =>
+    if (ex.getRequestMethod != "GET")
+      reply(ex, 405, """{"detail":"method not allowed"}""")
+    else reply(ex, 200, lakeCompactStatus.get))
+
+  // Extension: the point probe over the lake's bloom sidecars
+  // (Versioned.readPoint — q153's oracle-checked seam) as HTTP: the
+  // takedown-audit query ("does key k still exist, and where") the
+  // per-file blooms exist for. GET for addressability; `type` picks
+  // the probe's runtime type (the bloom hash is typed — a long probed
+  // as a string would full-scan). Unsupported/mistyped probes degrade
+  // to a full scan inside readPoint, never to an error.
+  server.createContext("/lake/point", (ex: HttpExchange) =>
+    (spark, ex.getRequestMethod) match {
+      case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
+      case (_, m) if m != "GET" =>
+        reply(ex, 405, """{"detail":"method not allowed"}""")
+      case (Some(s), _) =>
+        import graft.sources.Versioned
+        val params = queryParams(ex)
+        (params.get("base"), params.get("table"), params.get("col"),
+          params.get("value")) match {
+          case (Some(base), Some(table), Some(col), Some(raw)) =>
+            val typed: Either[String, Any] =
+              params.get("type").getOrElse("string") match {
+                case "string" => Right(raw)
+                case "long" => raw.toLongOption
+                  .toRight("value: integer required for type=long")
+                case "decimal" =>
+                  try Right(new java.math.BigDecimal(raw))
+                  catch { case _: NumberFormatException =>
+                    Left("value: decimal required for type=decimal") }
+                case other => Left(s"type: unsupported '$other'")
+              }
+            typed match {
+              case Left(err) => reply(ex, 422, s"""{"detail":"${esc(err)}"}""")
+              case Right(v) =>
+                try {
+                  val limit = RestApi.parseLimit(
+                    params.get("limit"), default = 100).getOrElse(100)
+                  val rows = Versioned.readPoint(s, base, table, col, v)
+                    .limit(limit).toJSON.collect()
+                  reply(ex, 200, rows.mkString("[", ",", "]"))
+                } catch {
+                  case e: Exception => reply(ex, 500,
+                    s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+                }
+            }
+          case _ => reply(ex, 422,
+            """{"detail":"base, table, col and value required"}""")
         }
     })
 
@@ -650,9 +745,14 @@ object RestApi {
       |"/lake/status":{"get":{"summary":"Versioned-lake ops introspection: current/surviving versions, retention and auto-compaction knobs, per-table merge-on-read entry-chain depth (data dirs / tombstones) — pure metadata, no Spark job",
       | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}}],
       | "responses":{"200":{"description":"lake status JSON"},"404":{"description":"no committed version"},"422":{"description":"base required"},"503":{"description":"no spark session"}}}},
-      |"/lake/compact":{"post":{"summary":"On-demand tail compaction of a lake table (mor=true folds across tombstones); idempotent — nothing to shrink returns the current version with compacted=false",
-      | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}},{"name":"table","in":"query","required":true,"schema":{"type":"string"}},{"name":"mor","in":"query","schema":{"type":"boolean","default":false}}],
-      | "responses":{"200":{"description":"{table, from, to, compacted}"},"422":{"description":"base and table required"},"500":{"description":"compaction failed"},"503":{"description":"no spark session"}}}},
+      |"/lake/compact":{"post":{"summary":"On-demand tail compaction of a lake table (mor=true folds across tombstones); idempotent — nothing to shrink returns the current version with compacted=false; async=true returns 202 and exposes progress at /lake/compact/status",
+      | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}},{"name":"table","in":"query","required":true,"schema":{"type":"string"}},{"name":"mor","in":"query","schema":{"type":"boolean","default":false}},{"name":"async","in":"query","schema":{"type":"boolean","default":false}}],
+      | "responses":{"200":{"description":"{state, table, from, to, compacted}"},"202":{"description":"async compaction started"},"422":{"description":"base and table required"},"500":{"description":"compaction failed"},"503":{"description":"no spark session"}}}},
+      |"/lake/compact/status":{"get":{"summary":"Progress of the latest /lake/compact run (idle | running | done | failed) — the /index/status twin",
+      | "responses":{"200":{"description":"job state JSON"}}}},
+      |"/lake/point":{"get":{"summary":"Point probe over a lake table via the per-file Bloom sidecars (Versioned.readPoint) — the takedown-audit query; type picks the probe's runtime type (string|long|decimal); untracked columns or mistyped probes degrade to a full scan",
+      | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}},{"name":"table","in":"query","required":true,"schema":{"type":"string"}},{"name":"col","in":"query","required":true,"schema":{"type":"string"}},{"name":"value","in":"query","required":true,"schema":{"type":"string"}},{"name":"type","in":"query","schema":{"type":"string","default":"string","enum":["string","long","decimal"]}},{"name":"limit","in":"query","schema":{"type":"integer","default":100}}],
+      | "responses":{"200":{"description":"matching rows as a JSON array"},"422":{"description":"missing/mistyped parameters"},"500":{"description":"probe failed"},"503":{"description":"no spark session"}}}},
       |"/docs":{"get":{"summary":"This document",
       | "responses":{"200":{"description":"OpenAPI JSON"}}}}
       |}}""".stripMargin

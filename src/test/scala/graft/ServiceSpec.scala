@@ -309,7 +309,8 @@ class ServiceSpec extends AnyFunSuite {
       Seq("/extract", "/missing", "/reset", "/health", "/etl/run",
         "/etl/status", "/query/daily_totals", "/query/run",
         "/index/maintain", "/search", "/knn", "/quality",
-        "/lake/status", "/lake/compact", "/docs")
+        "/lake/status", "/lake/compact", "/lake/compact/status",
+        "/lake/point", "/docs")
         .foreach(route => assert(body.contains("\"" + route + "\""), route))
     } finally api.stop()
   }
@@ -496,6 +497,77 @@ class ServiceSpec extends AnyFunSuite {
       val (cc2, cb2) = http("POST", s"$base/lake/compact?base=$enc&table=t",
         Some(""))
       assert(cc2 == 200 && cb2.contains("\"compacted\":false"), cb2)
+    } finally api.stop()
+  }
+
+  test("/lake/compact async lifecycle + /lake/point bloom probe over HTTP") {
+    val spark = SparkSpec.spark
+    val api = new RestApi(Some(spark), 0).start()
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      import graft.sources.Versioned
+      val base = s"http://localhost:${api.boundPort}"
+      // a bloom-tracked table with MoR debt (policy off so the HTTP
+      // compact is what retires it)
+      val lake = java.nio.file.Files.createTempDirectory("graft-svc-alake")
+        .toString + "/lake"
+      def facts(lo: Int, hi: Int) = spark.range(lo, hi)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      Versioned.publish(spark, lake, Seq(Versioned.TableSpec("t",
+        facts(0, 50), bloomCols = Seq("k"))))
+      Versioned.setAutoCompact(spark, lake, 0)
+      Versioned.appendPublish(spark, lake, "t", facts(50, 60), Seq("k"))
+      Versioned.removePublish(spark, lake, "t",
+        Seq(7L, 55L).toDF("k"))
+      val enc = java.net.URLEncoder.encode(lake, UTF_8)
+      val before = Versioned.read(spark, lake, "t")
+        .collect().map(_.toSeq).toSet
+
+      // point probe over HTTP ≡ the library seam (and errors)
+      assert(http("GET", s"$base/lake/point?base=$enc&table=t")._1 == 422)
+      assert(http("GET",
+        s"$base/lake/point?base=$enc&table=t&col=k&value=x&type=long")._1 == 422)
+      assert(http("POST",
+        s"$base/lake/point?base=$enc&table=t&col=k&value=3&type=long",
+        Some(""))._1 == 405)
+      val (pc, pb) = http("GET",
+        s"$base/lake/point?base=$enc&table=t&col=k&value=3&type=long")
+      assert(pc == 200, pb)
+      val expect = Versioned.readPoint(spark, lake, "t", "k", 3L)
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(pb == expect, s"HTTP point probe diverged: $pb vs $expect")
+      // a removed key probes to an empty set — the takedown audit
+      val (rc, rb) = http("GET",
+        s"$base/lake/point?base=$enc&table=t&col=k&value=7&type=long")
+      assert(rc == 200 && rb == "[]", rb)
+
+      // async compact: 202 now, done via status polling, values intact
+      val (ac, ab) = http("POST",
+        s"$base/lake/compact?base=$enc&table=t&mor=true&async=true",
+        Some(""))
+      assert(ac == 202 && ab.contains("\"running\""), ab)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var st = ""
+      while ({
+        st = http("GET", s"$base/lake/compact/status")._2
+        st.contains("\"running\"") && System.nanoTime() < deadline
+      }) Thread.sleep(100)
+      assert(st.contains("\"state\":\"done\"") &&
+        st.contains("\"compacted\":true"), st)
+      assert(Versioned.read(spark, lake, "t")
+        .collect().map(_.toSeq).toSet == before,
+        "async HTTP compaction changed values")
+      val (sc, sb) = http("GET", s"$base/lake/status?base=$enc")
+      assert(sc == 200 &&
+        sb.contains("\"t\":{\"entries\":1,\"data\":1,\"tombstones\":0}"), sb)
+      // the point probe still answers after the fold (fresh sidecars)
+      val (pc2, pb2) = http("GET",
+        s"$base/lake/point?base=$enc&table=t&col=k&value=3&type=long")
+      assert(pc2 == 200 && pb2.contains("\"k\":3"), pb2)
+      assert(http("GET",
+        s"$base/lake/point?base=$enc&table=t&col=k&value=7&type=long")._2
+        == "[]", "takedown audit resurrected a removed key after the fold")
     } finally api.stop()
   }
 
