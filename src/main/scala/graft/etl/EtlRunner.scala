@@ -63,10 +63,19 @@ object EtlRunner {
       // before it leaves the previous version fully readable. Charges
       // stay date-partitioned inside the version — the 100 TB layout
       // (SURVEY §7.3 step 8): date-ranged view queries prune dirs.
+      // charges registers its probe machinery at publish: zone maps on
+      // (amount, created_at) — the reference's own F6 negative-amount
+      // and F7 date-window probes (api/main.py date filters,
+      // sql/02_view.sql) then prune files instead of full-scanning —
+      // and a bloom on id, the reference's PK (sql/01_schema.sql:11),
+      // so point lookups open ~1 file. GoldenEtlSpec asserts identical
+      // rows through readPruned/readPoint plus files actually skipped.
       graft.sources.Versioned.publish(spark, s"$outDir/tables", Seq(
         graft.sources.Versioned.TableSpec("companies", r.companiesTable),
         graft.sources.Versioned.TableSpec("charges", chargesPartitioned,
-          partitionBy = Seq("part_date"))))
+          partitionBy = Seq("part_date"),
+          statsCols = Seq("amount", "created_at"),
+          bloomCols = Seq("id"))))
     }
 
     // S7 catalog flow (reference sql/01_schema.sql + 02_view.sql):
@@ -92,6 +101,10 @@ object EtlRunner {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
+      // INT96 (Spark's default timestamp encoding) carries no usable
+      // parquet statistics — created_at zone maps would silently never
+      // prune (the engine-session discipline, r16)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
