@@ -372,6 +372,15 @@ object FlacCodec {
       if (p > b.length) return Left("truncated metadata block")
     }
     if (total > (1L << 28)) return Left("implausible sample count")
+    // total = 0 is ambiguous in the format (RFC 9639 §8.2: 0 means
+    // "unknown") and this decoder's frame loop is driven BY that
+    // count. A genuinely empty clip (no frame bytes after metadata)
+    // decodes to zero samples; a stream with FRAMES but an unknown
+    // total would silently decode to an empty row — honest Left
+    // instead, matching the variable-blocksize posture (review
+    // finding, r16).
+    if (total == 0 && p < b.length)
+      return Left("unknown total samples unsupported")
     val out = Array.fill(ch)(new ArrayBuffer[Int]())
     val br = new BitReader(b)
     br.seekByte(p)
