@@ -1,0 +1,110 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Publish-time I/O of stats/bloom-tracked writes — the r17 probe for
+  * VERDICT r16 "What's missing #1".
+  *
+  * The r16 sidecar builders ran AFTER the write: a footer walk for
+  * min/max (metadata-sized) and a full column re-scan per Bloom
+  * sidecar — so a bloom-tracked publish read the table it had just
+  * written (input ≈ table bytes, ×2 total I/O). r17's
+  * [[graft.sources.StatsWrite]] emits both sidecars from the write
+  * tasks: input bytes for the same publish should be ~zero beyond the
+  * source itself.
+  *
+  * Measured via a SparkListener summing task input bytes, on a
+  * generated (zero-input) frame, so every byte READ is attributable
+  * to sidecar construction. Cells: write+sidecars via the write-task
+  * path vs the r16 shape (native write, then legacy collectors), at
+  * 2M rows — plus the byte identity of the sidecars both paths
+  * produce. Emits one JSON line. */
+object ScaleStatsWrite {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val bytesRead = new AtomicLong(0)
+    val recordsRead = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) {
+          bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+          recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+        }
+    })
+    def readPhase[A](f: => A): (A, (Long, Long), Double) = {
+      // listener events are async — give the bus a moment to drain
+      // (listenerBus.waitUntilEmpty is private API; a settle sleep is
+      // measurement-grade here)
+      Thread.sleep(1500)
+      bytesRead.set(0)
+      recordsRead.set(0)
+      val t0 = System.nanoTime()
+      val a = f
+      val secs = math.round((System.nanoTime() - t0) / 1e6) / 1e3
+      Thread.sleep(1500)
+      (a, (bytesRead.get(), recordsRead.get()), secs)
+    }
+
+    val n = 2000000L
+    val df = spark.range(0, n, 1, 16).select(
+      col("id").as("k"),
+      concat(lit("name-"), lpad(col("id") % 99991, 8, "0")).as("name"),
+      (col("id").cast("decimal(16,2)") / 100).as("amount"))
+    val statsCols = Seq("k", "amount")
+    val bloomCols = Seq("k", "name")
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-scale-sw").toString
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(p))
+    }
+
+    // r17 path: write tasks emit the sidecars
+    val (_, (readNew, recsNew), secsNew) = readPhase {
+      graft.sources.StatsWrite.write(spark, df, s"$root/new",
+        statsCols, bloomCols)
+    }
+    val tableBytes = dirBytes(s"$root/new")
+
+    // r16 shape: native write, then the legacy collectors re-scan
+    val (_, (readOld, recsOld), secsOld) = readPhase {
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(s"$root/old")
+      graft.sources.ZoneMaps.writeSidecar(spark, s"$root/old", statsCols)
+      graft.sources.ZoneBlooms.writeSidecar(spark, s"$root/old", bloomCols)
+    }
+
+    // sanity: the write-task sidecars equal what the legacy collectors
+    // would derive from the same files (byte identity, StatsWriteSpec's
+    // pin, re-checked here on the 2M-row shape)
+    val zm1 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      s"$root/new/_zonemap.tsv"))
+    graft.sources.ZoneMaps.writeSidecar(spark, s"$root/new", statsCols)
+    val zm2 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      s"$root/new/_zonemap.tsv"))
+    val identical = java.util.Arrays.equals(zm1, zm2)
+
+    println(s"""{"rows":$n,"table_bytes":$tableBytes,""" +
+      s""""writetask_read_bytes":$readNew,"writetask_read_records":$recsNew,""" +
+      s""""writetask_secs":$secsNew,""" +
+      s""""rescan_read_bytes":$readOld,"rescan_read_records":$recsOld,""" +
+      s""""rescan_secs":$secsOld,""" +
+      s""""zonemap_byte_identical":$identical}""")
+    spark.stop()
+  }
+}
