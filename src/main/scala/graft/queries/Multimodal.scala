@@ -175,26 +175,42 @@ object Multimodal {
       * documented slot is the per-partition init hook in
       * [[Multimodal.decodeAudio]], and a DSP reimplementation could
       * not be oracle-gated bit-exactly, so it is deliberately out). */
+    private def statsOf(docId: Long, channels: Int, sampleRate: Int,
+        samples: Array[Array[Int]]): DecodedAudio = {
+      var sum = 0L
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var n = 0L
+      samples.foreach(_.foreach { s =>
+        sum += s
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        n += 1
+      })
+      if (n == 0L) failed(docId)
+      else DecodedAudio(docId, ok = true, channels, sampleRate,
+        n / channels, sum, mn, mx)
+    }
+
     def decode(docId: Long, bytes: Array[Byte]): DecodedAudio = {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
       if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
           bytes(2) == 'a' && bytes(3) == 'C')
         return graft.functions.FlacCodec.decode(bytes) match {
           case Left(_) => failed(docId)
-          case Right(d) =>
-            var sum = 0L
-            var mn = Long.MaxValue
-            var mx = Long.MinValue
-            var n = 0L
-            d.samples.foreach(_.foreach { s =>
-              sum += s
-              if (s < mn) mn = s
-              if (s > mx) mx = s
-              n += 1
-            })
-            if (n == 0L) failed(docId)
-            else DecodedAudio(docId, ok = true, d.channels, d.sampleRate,
-              n / d.channels, sum, mn, mx)
+          case Right(d) => statsOf(docId, d.channels, d.sampleRate, d.samples)
+        }
+      // RIFF/WAVE routes through the engine's IMA ADPCM decoder first
+      // (the JDK ships no 0x11 provider); a non-ADPCM WAV (fmt tag 1
+      // PCM, 6/7 µ-law/a-law) falls through to the JDK converter, a
+      // CORRUPT ADPCM stream falls through and fails there too —
+      // corrupt is data either way (r17, the lossy codec member)
+      if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+          bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
+        graft.functions.AdpcmCodec.decode(bytes) match {
+          case Right(d) => return statsOf(docId, d.channels, d.sampleRate, d.samples)
+          case Left(_) => () // not IMA / corrupt → JDK path below
         }
       try {
         val raw = AudioSystem.getAudioInputStream(
@@ -446,14 +462,138 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------- q155
+  /** Real LOSSY audio decode, oracle-gated end-to-end (r17; the
+    * carried "lossy-codec PCM decode" member): each document ships a
+    * deterministic mono clip — `x(i) = ((doc_id·131 + 7·i² + 31·i)
+    * mod 4001) − 2000`, `57 + (doc_id % 5)·16` samples, `8000 +
+    * (doc_id % 3)·4000` Hz — encoded to a WAVE_FORMAT_IMA_ADPCM
+    * stream ([[graft.functions.AdpcmCodec]]: 4-bit adaptive
+    * quantization, genuinely lossy) and decoded back through
+    * [[decodeAudio]]'s magic-sniffing seam. Unlike q151's lossless
+    * member, decoded ≠ input here — so the DuckDB oracle replays the
+    * codec's INTEGER STATE MACHINE itself (a recursive CTE over the
+    * published step/index tables: quantize, reconstruct, clamp), and
+    * a hash match proves the engine's encoder and decoder implement
+    * exactly the specified arithmetic, sample for sample. Every 23rd
+    * document ships a half-truncated stream: corrupt is data
+    * (`ok = 0`). Scale shape: per-row kernel, no shuffle beyond the
+    * final order — and the per-partition init slot where an MP3/JNI
+    * codec would load stays untouched. */
+  def q155AdpcmDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val sr = (8000 + (id % 3) * 4000).toInt
+        val n = (57 + (id % 5) * 16).toInt
+        val pcm = Array.tabulate(1, n)((_, i) =>
+          (((id * 131 + 7L * i * i + 31L * i) % 4001) - 2000).toInt)
+        val enc = graft.functions.AdpcmCodec.encode(pcm, sr,
+          samplesPerBlock = 121)
+        (id, if (id % 23 == 0) enc.take(enc.length / 2) else enc)
+      }
+    decodeAudio(payloads)
+      .select(
+        col("doc_id"),
+        col("ok").cast("long").as("ok"),
+        col("channels").cast("long").as("channels"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_frames"),
+        when(col("ok"), expr("n_frames * 1000000 div sample_rate"))
+          .otherwise(0L).as("duration_us"),
+        col("sample_sum"), col("sample_min"), col("sample_max"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_multimodal_meta"     -> (q24MultimodalMeta _),
     "q25_multimodal_features" -> (q25MultimodalFeatures _),
     "q44_multimodal_resize"   -> (q44MultimodalResize _),
     "q45_frame_sample"        -> (q45FrameSample _),
-    "q151_flac_decode"        -> (q151FlacDecode _))
+    "q151_flac_decode"        -> (q151FlacDecode _),
+    "q155_adpcm_decode"       -> (q155AdpcmDecode _))
 
   val oracle: Map[String, String] = Map(
+    // q155: the oracle replays the IMA ADPCM state machine itself —
+    // the published 89-entry step table and index adjustments, the
+    // sequential quantize/reconstruct/clamp arithmetic — as a
+    // recursive CTE, so the hash pins the engine's encoder AND
+    // decoder to the specified integer semantics sample by sample
+    "q155_adpcm_decode" ->
+      """WITH RECURSIVE p AS (
+        | SELECT doc_id,
+        |  8000 + (doc_id % 3) * 4000 AS sample_rate,
+        |  57 + (doc_id % 5) * 16 AS n
+        | FROM documents),
+        |st(i, step) AS (VALUES
+        | (0,7),(1,8),(2,9),(3,10),(4,11),(5,12),(6,13),(7,14),(8,16),
+        | (9,17),(10,19),(11,21),(12,23),(13,25),(14,28),(15,31),(16,34),
+        | (17,37),(18,41),(19,45),(20,50),(21,55),(22,60),(23,66),(24,73),
+        | (25,80),(26,88),(27,97),(28,107),(29,118),(30,130),(31,143),
+        | (32,157),(33,173),(34,190),(35,209),(36,230),(37,253),(38,279),
+        | (39,307),(40,337),(41,371),(42,408),(43,449),(44,494),(45,544),
+        | (46,598),(47,658),(48,724),(49,796),(50,876),(51,963),(52,1060),
+        | (53,1166),(54,1282),(55,1411),(56,1552),(57,1707),(58,1878),
+        | (59,2066),(60,2272),(61,2499),(62,2749),(63,3024),(64,3327),
+        | (65,3660),(66,4026),(67,4428),(68,4871),(69,5358),(70,5894),
+        | (71,6484),(72,7132),(73,7845),(74,8630),(75,9493),(76,10442),
+        | (77,11487),(78,12635),(79,13899),(80,15289),(81,16818),
+        | (82,18500),(83,20350),(84,22385),(85,24623),(86,27086),
+        | (87,29794),(88,32767)),
+        |dec AS (
+        | SELECT doc_id, 0 AS t,
+        |  CAST((doc_id * 131) % 4001 - 2000 AS BIGINT) AS pred,
+        |  0 AS idx
+        | FROM p WHERE doc_id % 23 <> 0
+        | UNION ALL
+        | SELECT doc_id, t,
+        |  GREATEST(-32768, LEAST(32767,
+        |    CASE WHEN diff < 0 THEN pred0 - vpdiff
+        |         ELSE pred0 + vpdiff END)) AS pred,
+        |  GREATEST(0, LEAST(88, idx0 + CASE q WHEN 4 THEN 2 WHEN 5 THEN 4
+        |    WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END)) AS idx
+        | FROM (
+        |  SELECT doc_id, t, pred0, idx0, diff, step,
+        |   CASE WHEN ad >= step THEN 1 ELSE 0 END AS b2,
+        |   ad - b2 * step AS r2,
+        |   CASE WHEN r2 >= (step >> 1) THEN 1 ELSE 0 END AS b1,
+        |   r2 - b1 * (step >> 1) AS r1,
+        |   CASE WHEN r1 >= (step >> 2) THEN 1 ELSE 0 END AS b0,
+        |   (step >> 3) + b2 * step + b1 * (step >> 1) + b0 * (step >> 2)
+        |     AS vpdiff,
+        |   b2 * 4 + b1 * 2 + b0 AS q
+        |  FROM (
+        |   SELECT d.doc_id, d.t + 1 AS t, d.pred AS pred0, d.idx AS idx0,
+        |    st.step AS step,
+        |    ((d.doc_id * 131 + 7 * (d.t + 1) * (d.t + 1)
+        |      + 31 * (d.t + 1)) % 4001 - 2000) - d.pred AS diff,
+        |    ABS(((d.doc_id * 131 + 7 * (d.t + 1) * (d.t + 1)
+        |      + 31 * (d.t + 1)) % 4001 - 2000) - d.pred) AS ad
+        |   FROM dec d
+        |   JOIN p ON p.doc_id = d.doc_id
+        |   JOIN st ON st.i = d.idx
+        |   WHERE d.t + 1 < p.n) z1) z2),
+        |g AS (
+        | SELECT d.doc_id,
+        |  CAST(1 AS BIGINT) AS ok, CAST(1 AS BIGINT) AS channels,
+        |  CAST(p.sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(COUNT(*) * 1000000 // p.sample_rate AS BIGINT) AS duration_us,
+        |  CAST(SUM(d.pred) AS BIGINT) AS sample_sum,
+        |  CAST(MIN(d.pred) AS BIGINT) AS sample_min,
+        |  CAST(MAX(d.pred) AS BIGINT) AS sample_max
+        | FROM dec d JOIN p ON p.doc_id = d.doc_id
+        | GROUP BY d.doc_id, p.sample_rate)
+        |SELECT doc_id, ok, channels, sample_rate, n_frames, duration_us,
+        |       sample_sum, sample_min, sample_max
+        |FROM g
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |FROM p WHERE doc_id % 23 = 0
+        |ORDER BY doc_id""".stripMargin,
     "q151_flac_decode" ->
       """WITH p AS (
         | SELECT doc_id,

@@ -1,0 +1,128 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.AdpcmCodec
+
+/** [[graft.functions.AdpcmCodec]] — the lossy audio member (r17).
+  * Unlike FLAC there is no lossless round-trip to pin; the contracts
+  * are: decode∘encode is DETERMINISTIC and equals an independent
+  * in-test replay of the published state machine; quantization error
+  * is bounded by the adaptive step; stereo interleaving and
+  * multi-block framing round-trip; corrupt payloads are Left, never
+  * a wrong sample. */
+class AdpcmCodecSpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(77L + i)))
+
+  /** Independent replay of the IMA recommendation: same tables, the
+    * arithmetic written against the spec text (not the codec's
+    * methods), consuming the INPUT signal like the encoder does. */
+  private def replay(xs: Array[Int]): Array[Int] = {
+    val step = AdpcmCodec.StepTab
+    val itab = AdpcmCodec.IdxTab
+    val out = new Array[Int](xs.length)
+    out(0) = xs(0)
+    var pred = xs(0)
+    var idx = 0
+    var t = 1
+    while (t < xs.length) {
+      val s = step(idx)
+      val diff = xs(t) - pred
+      var d = math.abs(diff)
+      var q = 0
+      if (d >= s) { q |= 4; d -= s }
+      if (d >= s / 2) { q |= 2; d -= s / 2 }
+      if (d >= s / 4) q |= 1
+      val vp = s / 8 + (if ((q & 4) != 0) s else 0) +
+        (if ((q & 2) != 0) s / 2 else 0) + (if ((q & 1) != 0) s / 4 else 0)
+      pred = math.max(-32768, math.min(32767,
+        if (diff < 0) pred - vp else pred + vp))
+      idx = math.max(0, math.min(88, idx + itab(q)))
+      out(t) = pred
+      t += 1
+    }
+    out
+  }
+
+  test("decode∘encode equals the independent state-machine replay") {
+    val clipGen = for {
+      n <- Gen.choose(2, 700)
+      amp <- Gen.oneOf(60, 800, 20000)
+      xs <- Gen.listOfN(n, Gen.choose(-amp, amp))
+    } yield xs.toArray
+    samples(clipGen, 30).zipWithIndex.foreach { case (xs, i) =>
+      val enc = AdpcmCodec.encode(Array(xs), 8000, samplesPerBlock = 249)
+      val dec = AdpcmCodec.decode(enc)
+      assert(dec.isRight, s"case $i: ${dec.left}")
+      val got = dec.toOption.get
+      assert(got.sampleRate == 8000 && got.channels == 1)
+      // every block restarts at its own verbatim first sample with
+      // the header-carried index (0) — replay per block
+      val want = xs.grouped(249).flatMap(replay).toArray
+      assert(got.samples(0).toSeq == want.toSeq, s"case $i diverged")
+    }
+  }
+
+  test("the codec is genuinely lossy, with step-bounded error") {
+    // a jumpy signal cannot be represented exactly in 4 bits/sample
+    val xs = Array.tabulate(200)(i => ((i * i * 97) % 30011) - 15005)
+    val dec = AdpcmCodec.decode(
+      AdpcmCodec.encode(Array(xs), 8000, samplesPerBlock = 201))
+      .toOption.get.samples(0)
+    assert(dec.toSeq != xs.toSeq, "4-bit ADPCM reproduced a wild signal exactly?")
+    // but the first sample is verbatim and the decode tracks the input
+    assert(dec(0) == xs(0))
+    val replayed = replay(xs)
+    assert(dec.toSeq == replayed.toSeq)
+  }
+
+  test("stereo interleaving and multi-block framing round-trip the replay") {
+    val l = Array.tabulate(500)(i => ((i * 37) % 2801) - 1400)
+    val r = Array.tabulate(500)(i => ((i * 53 + 7) % 3301) - 1650)
+    // 500 samples, 57 per block → 9 blocks, final block padded
+    val enc = AdpcmCodec.encode(Array(l, r), 16000, samplesPerBlock = 57)
+    val got = AdpcmCodec.decode(enc).toOption.get
+    assert(got.channels == 2 && got.sampleRate == 16000)
+    assert(got.samples(0).length == 500 && got.samples(1).length == 500)
+    // per-block independent replay: each block restarts at its own
+    // verbatim first sample with index carried in the header (0)
+    def blockReplay(xs: Array[Int], spb: Int): Array[Int] =
+      xs.grouped(spb).flatMap(replay).toArray
+    assert(got.samples(0).toSeq == blockReplay(l, 57).toSeq, "left channel")
+    assert(got.samples(1).toSeq == blockReplay(r, 57).toSeq, "right channel")
+  }
+
+  test("corrupt payloads are Left, never a wrong sample") {
+    val xs = Array.tabulate(121)(i => (i * 31 % 997) - 498)
+    val enc = AdpcmCodec.encode(Array(xs), 8000, samplesPerBlock = 121)
+    assert(AdpcmCodec.decode(enc.take(enc.length / 2)).isLeft, "truncated")
+    assert(AdpcmCodec.decode(Array[Byte](1, 2, 3)).isLeft, "garbage")
+    assert(AdpcmCodec.decode(enc.take(11)).isLeft, "header only")
+    // flip the fmt tag to PCM: honest not-IMA Left (the decodeAudio
+    // seam then falls through to the JDK path)
+    val pcmTag = enc.clone()
+    pcmTag(20) = 1
+    assert(AdpcmCodec.decode(pcmTag).isLeft)
+    // a step index out of range is corrupt, not a crash
+    val badIdx = enc.clone()
+    val dataOff = enc.indexOfSlice("data".getBytes) + 8
+    badIdx(dataOff + 2) = 120.toByte // channel header index byte
+    assert(AdpcmCodec.decode(badIdx).isLeft)
+  }
+
+  test("decodeAudio routes WAV/IMA payloads through the codec, corrupt as data") {
+    import spark.implicits._
+    val xs = Array.tabulate(57)(i => (i * 13 % 301) - 150)
+    val enc = AdpcmCodec.encode(Array(xs), 8000, samplesPerBlock = 57)
+    val rows = graft.queries.Multimodal.decodeAudio(
+        Seq((1L, enc), (2L, enc.take(enc.length / 3))).toDS())
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(4), r.getLong(5))).toMap
+    val want = replay(xs)
+    assert(rows(1L) == ((true, 57L, want.map(_.toLong).sum)))
+    assert(rows(2L)._1 == false, "truncated ADPCM must be an ok=false row")
+  }
+}
