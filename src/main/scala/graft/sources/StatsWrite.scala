@@ -166,6 +166,270 @@ object StatsWrite {
       new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
   }
 
+  /** Partitioned sibling of [[write]] (r17): the `partitionBy` layout
+    * (`col=value` dirs, partition columns dir-encoded and EXCLUDED
+    * from the files, one file per partition value) with the same
+    * write-task sidecar emission — so the date-partitioned charges
+    * table of the reference's own ETL also publishes at I/O ×1. Rows
+    * are hash-repartitioned then sorted by the partition columns
+    * within each task, so each value is a contiguous run and the task
+    * rolls to a new file (and a fresh stats/bloom fold) at each value
+    * boundary — Spark's own sort-based dynamic-partition write shape.
+    * Supported partition value types: the dir-encodable ones the
+    * engine's lakes use (integers, strings, dates; null →
+    * `__HIVE_DEFAULT_PARTITION__`). */
+  def writePartitioned(spark: SparkSession, df: DataFrame, dst: String,
+      partitionBy: Seq[String], statsCols: Seq[String],
+      bloomCols: Seq[String], bitsPerRow: Int = 10): Unit = {
+    require(partitionBy.nonEmpty, "writePartitioned needs partition columns")
+    val schema = df.schema
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' not in schema"))
+    (statsCols ++ bloomCols).foreach(c =>
+      require(!partitionBy.contains(c),
+        s"tracked column '$c' is a partition column — dir-encoded, " +
+          "use partition pruning instead"))
+    partitionBy.foreach { c =>
+      val ok = schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType |
+             DateType => true
+        case _ => false
+      }
+      require(ok, s"unsupported partition value type for '$c': " +
+        s"${schema(c).dataType}")
+    }
+    import org.apache.spark.sql.functions.col
+    val sorted = df.repartition(partitionBy.map(col): _*)
+      .sortWithinPartitions(partitionBy.map(col): _*)
+    val partOrds = partitionBy.map(schema.fieldIndex).toArray
+    val dataIdx = schema.fields.indices.filterNot(partOrds.contains).toArray
+    val dataSchema = StructType(dataIdx.map(schema.fields))
+    writeRolling(spark, sorted, dst, schema, dataSchema, dataIdx, partOrds,
+      statsCols, bloomCols, bitsPerRow)
+  }
+
+  private final case class PartEntry(partDir: String, tmpName: String,
+      rows: Long, stats: Seq[(String, ZoneMaps.ColStats)],
+      blooms: Seq[(String, ZoneBlooms.SimpleBloom)])
+  private final case class PartFiles(idx: Int, entries: Seq[PartEntry])
+
+  /** The rolling-writer job behind [[writePartitioned]]: each task
+    * walks its partition-sorted rows, rolling to a new file (and a
+    * fresh stats/bloom fold) at every partition-value boundary;
+    * partition columns are dir-encoded and projected OUT of the file
+    * rows. */
+  private def writeRolling(spark: SparkSession,
+      sorted: org.apache.spark.sql.DataFrame, dst: String,
+      schema: StructType, dataSchema: StructType, dataIdx: Array[Int],
+      partOrds: Array[Int], statsCols: Seq[String], bloomCols: Seq[String],
+      bitsPerRow: Int): Unit = {
+    val conf = writerConf(spark, dataSchema)
+    val tsKind = spark.conf.get(
+        "spark.sql.parquet.outputTimestampType", "INT96") match {
+      case "TIMESTAMP_MICROS" => "tsmicros"
+      case "TIMESTAMP_MILLIS" => "tsmillis"
+      case _ => "opaque"
+    }
+    val dstPath = new Path(dst)
+    val f = dstPath.getFileSystem(conf)
+    if (f.exists(dstPath)) f.delete(dstPath, true)
+    f.mkdirs(dstPath)
+    val jobId = java.util.UUID.randomUUID().toString
+    val tmp = new Path(dstPath, s"_tmp-$jobId")
+    f.mkdirs(tmp)
+
+    val ser = new ZoneMaps.SerConf(conf)
+    val tmpStr = tmp.toString
+    val statsV = statsCols.toVector
+    val bloomsV = bloomCols.toVector
+    val statsOrds = statsV.map(c =>
+      (c, schema.fieldIndex(c), kindOf(schema(c).dataType, tsKind)))
+    val bloomOrds = bloomsV.map(c => (c, schema.fieldIndex(c)))
+    val dts = schema.fields.map(_.dataType)
+    val partMeta = partOrds.map(i =>
+      (schema.fields(i).name, schema.fields(i).dataType, i))
+    val dataIdxV = dataIdx
+    val bpr = bitsPerRow
+
+    val results = sorted.queryExecution.toRdd.mapPartitionsWithIndex {
+      (i, rows) =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val taskConf = ser.value
+          val attempt = Option(TaskContext.get()).map(_.taskAttemptId())
+            .getOrElse(0L)
+          val proj = org.apache.spark.sql.catalyst.expressions
+            .UnsafeProjection.create(
+              dataIdxV.toIndexedSeq.map(j =>
+                org.apache.spark.sql.catalyst.expressions.BoundReference(
+                  j, dts(j), schema.fields(j).nullable)))
+          val entries = Vector.newBuilder[PartEntry]
+          var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = null
+          var accs: Vector[ColAcc] = Vector.empty
+          var hashBufs: Vector[scala.collection.mutable.ArrayBuffer[Long]] =
+            Vector.empty
+          var n = 0L
+          var curKey: Seq[Any] = null
+          var curDir: String = null
+          var curName: String = null
+          var k = 0
+          def closeFile(): Unit = if (writer != null) {
+            writer.close()
+            val blooms = bloomOrds.zip(hashBufs).map { case ((c, _), hs) =>
+              val b = ZoneBlooms.bloomFor(n, bpr)
+              hs.foreach(b.put)
+              c -> b
+            }
+            entries += PartEntry(curDir, curName, n,
+              accs.map(a => a.name -> a.result), blooms)
+            writer = null
+          }
+          def openFile(dir: String): Unit = {
+            curDir = dir
+            curName = f"part-$i%05d-$k%04d-a$attempt.zstd.parquet"
+            k += 1
+            val p = new Path(new Path(tmpStr, dir), curName)
+            writer = new RowWriterBuilder(
+                org.apache.parquet.hadoop.util.HadoopOutputFile
+                  .fromPath(p, taskConf))
+              .withConf(taskConf)
+              .withCompressionCodec(
+                org.apache.parquet.hadoop.metadata.CompressionCodecName.ZSTD)
+              .withWriteMode(
+                org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+              .build()
+            accs = statsOrds.map { case (c, ord, kind) =>
+              new ColAcc(c, ord, kind) }.toVector
+            hashBufs = bloomOrds.map(_ =>
+              new scala.collection.mutable.ArrayBuffer[Long](1 << 10)).toVector
+            n = 0L
+          }
+          try {
+            while (rows.hasNext) {
+              val row = rows.next()
+              // stable copies of the partition values for boundary
+              // detection (UnsafeRow buffers are reused)
+              val key: Seq[Any] = partMeta.toIndexedSeq.map { case (_, dt, o) =>
+                if (row.isNullAt(o)) null
+                else dt match {
+                  case StringType => row.getUTF8String(o).toString
+                  case _ => row.get(o, dt)
+                }
+              }
+              if (curKey == null || key != curKey) {
+                closeFile()
+                curKey = key
+                openFile(partMeta.toIndexedSeq.map { case (nm, dt, o) =>
+                  partFragment(nm, dt,
+                    if (row.isNullAt(o)) null else row.get(o, dt))
+                }.mkString("/"))
+              }
+              writer.write(proj(row))
+              var j = 0
+              while (j < accs.length) {
+                accs(j).update(row, dts(accs(j).ord)); j += 1
+              }
+              j = 0
+              while (j < bloomOrds.length) {
+                val ord = bloomOrds(j)._2
+                hashBufs(j) += ZoneBlooms.hashInternal(
+                  if (row.isNullAt(ord)) null else row.get(ord, dts(ord)))
+                j += 1
+              }
+              n += 1
+            }
+            closeFile()
+          } finally if (writer != null) writer.close()
+          Iterator.single(PartFiles(i, entries.result()))
+        }
+    }.collect()
+
+    if (results.isEmpty) {
+      // empty frame: mirror the legacy path exactly
+      f.delete(tmp, true)
+      val partCols = partMeta.map(_._1).toSeq
+      sorted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .partitionBy(partCols: _*).parquet(dst)
+      if (statsCols.nonEmpty) ZoneMaps.writeSidecar(spark, dst, statsCols)
+      if (bloomCols.nonEmpty) ZoneBlooms.writeSidecar(spark, dst, bloomCols)
+      return
+    }
+
+    val finals = results.sortBy(_.idx).flatMap { r =>
+      r.entries.zipWithIndex.map { case (e, j) =>
+        val fin = f"part-${r.idx}%05d-$j%04d-$jobId.zstd.parquet"
+        val dir = new Path(dstPath, e.partDir)
+        f.mkdirs(dir)
+        val ok = f.rename(new Path(new Path(tmp, e.partDir), e.tmpName),
+          new Path(dir, fin))
+        require(ok, s"StatsWrite: rename of ${e.partDir}/${e.tmpName} failed")
+        e -> s"${e.partDir}/$fin"
+      }
+    }.sortBy(_._2) // deterministic sidecar order = sorted path order
+    f.delete(tmp, true)
+    if (statsCols.nonEmpty) {
+      val sb = new StringBuilder("graft-zonemap\tv1\n")
+      finals.foreach { case (e, rel0) =>
+        val byCol = e.stats.toMap
+        val rel = f.makeQualified(new Path(dstPath, rel0)).toString
+          .stripPrefix(dst).stripPrefix("/")
+        statsV.foreach { c =>
+          val cs = byCol(c)
+          sb.append(rel).append('\t').append(c).append('\t')
+            .append(cs.tpe).append('\t').append(cs.flag).append('\t')
+            .append(cs.min).append('\t').append(cs.max).append('\n')
+        }
+      }
+      val out = f.create(new Path(dstPath, ZoneMaps.SidecarName), true)
+      try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    }
+    bloomsV.foreach { c =>
+      ZoneBlooms.writeSidecarFromParts(f, dstPath, c,
+        finals.map { case (e, rel) => rel -> e.blooms.toMap.apply(c) }.toSeq)
+    }
+    val s = f.create(new Path(dstPath, "_SUCCESS"), true)
+    s.close()
+  }
+
+  /** The Hadoop conf a task-side ParquetWriteSupport needs: the SQL
+    * settings its init reads, set explicitly — `newHadoopConf` carries
+    * session-SET conf, not every default — plus the file schema. */
+  private def writerConf(spark: SparkSession, fileSchema: StructType)
+      : org.apache.hadoop.conf.Configuration = {
+    val conf = spark.sessionState.newHadoopConf()
+    Seq("spark.sql.parquet.writeLegacyFormat" -> "false",
+      "spark.sql.parquet.outputTimestampType" -> "INT96",
+      "spark.sql.parquet.fieldId.write.enabled" -> "true",
+      "spark.sql.parquet.variant.annotateLogicalType.enabled" -> "false",
+      "spark.sql.parquet.datetimeRebaseModeInWrite" -> "EXCEPTION",
+      "spark.sql.parquet.int96RebaseModeInWrite" -> "EXCEPTION",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "false")
+      .foreach { case (k, dflt) =>
+        conf.set(k,
+          try spark.conf.get(k, dflt)
+          catch { case scala.util.control.NonFatal(_) => dflt })
+      }
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(fileSchema, conf)
+    conf
+  }
+
+  /** Dir fragment for one partition value ("col=escaped"), matching
+    * Spark's own encoding (Hive default marker for null, ISO dates). */
+  private def partFragment(name: String, dt: DataType, v: Any): String = {
+    val s: String =
+      if (v == null) ""
+      else dt match {
+        case DateType =>
+          java.time.LocalDate.ofEpochDay(
+            v.asInstanceOf[Int].toLong).toString
+        case _ => v.toString
+      }
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .getPartitionPathString(name, s)
+  }
+
   /** Write `df` to `dst` (Overwrite semantics) with write-time sidecar
     * emission for `statsCols` (zone maps) and `bloomCols` (per-file
     * blooms). Produces the same layout contract as
@@ -211,23 +475,7 @@ object StatsWrite {
           "spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS")
     }
 
-    val conf = spark.sessionState.newHadoopConf()
-    // the SQL settings ParquetWriteSupport.init reads; set explicitly —
-    // newHadoopConf carries session-SET conf, not every default
-    Seq("spark.sql.parquet.writeLegacyFormat" -> "false",
-      "spark.sql.parquet.outputTimestampType" -> "INT96",
-      "spark.sql.parquet.fieldId.write.enabled" -> "true",
-      "spark.sql.parquet.variant.annotateLogicalType.enabled" -> "false",
-      "spark.sql.parquet.datetimeRebaseModeInWrite" -> "EXCEPTION",
-      "spark.sql.parquet.int96RebaseModeInWrite" -> "EXCEPTION",
-      "spark.sql.legacy.parquet.nanosAsLong" -> "false")
-      .foreach { case (k, dflt) =>
-        conf.set(k,
-          try spark.conf.get(k, dflt)
-          catch { case scala.util.control.NonFatal(_) => dflt })
-      }
-    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
-      .setSchema(schema, conf)
+    val conf = writerConf(spark, schema)
 
     val dstPath = new Path(dst)
     val f = dstPath.getFileSystem(conf)

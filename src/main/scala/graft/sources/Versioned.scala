@@ -1028,8 +1028,9 @@ object Versioned {
   /** Write one flat data dir: with tracked columns the write tasks
     * emit the zone-map/bloom sidecars as they write ([[StatsWrite]] —
     * publish-time I/O ∝ bytes written ×1); without, the plain native
-    * write. The legacy collectors remain for partitioned layouts and
-    * for backfilling dirs written elsewhere. */
+    * write. Partitioned layouts ride [[StatsWrite.writePartitioned]]
+    * when tracked (see the publish body); the legacy collectors
+    * remain for backfilling dirs written elsewhere. */
   private def writeDataDir(spark: SparkSession, df: DataFrame, dst: String,
       statsCols: Seq[String], bloomCols: Seq[String]): Unit =
     if (statsCols.isEmpty && bloomCols.isEmpty)
@@ -1472,19 +1473,16 @@ object Versioned {
           // write tasks (StatsWrite, r17) — one input pass, never a
           // re-scan of the dir just written
           writeDataDir(spark, t.df, dst, t.statsCols, t.bloomCols)
-        else {
-          t.df // one writer set per partition dir (no small files)
-            .repartition(t.partitionBy.map(org.apache.spark.sql.functions.col): _*)
-            .write.mode(SaveMode.Overwrite).option("compression", "zstd")
-            .partitionBy(t.partitionBy: _*).parquet(dst)
-          // partitioned layouts (file-per-partition-value writes don't
-          // map onto the one-file-per-task seam) keep the legacy
-          // post-write collection: still written into the
-          // (still-uncommitted) data dir after the parquet write and
-          // before the manifest, so stats and data commit together
-          if (t.statsCols.nonEmpty) ZoneMaps.writeSidecar(spark, dst, t.statsCols)
-          if (t.bloomCols.nonEmpty) ZoneBlooms.writeSidecar(spark, dst, t.bloomCols)
-        }
+        else if (t.statsCols.nonEmpty || t.bloomCols.nonEmpty)
+          // tracked partitioned layouts: the rolling write-task path
+          // (one file per partition value, sidecars emitted in the
+          // write loop — I/O ×1, same as flat)
+          StatsWrite.writePartitioned(spark, t.df, dst,
+            t.partitionBy, t.statsCols, t.bloomCols)
+        else t.df // one writer set per partition dir (no small files)
+          .repartition(t.partitionBy.map(org.apache.spark.sql.functions.col): _*)
+          .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+          .partitionBy(t.partitionBy: _*).parquet(dst)
       }
       writes.foreach(t => checkSuccess(f, b, t.name, dataDirName(t.name, next)))
       // MANIFEST: refs for fresh writes point at this version's data

@@ -121,6 +121,42 @@ class StatsWriteSpec extends SparkSpec {
     }
   }
 
+  test("partitioned write-time sidecars ≡ legacy re-scan, byte for byte; layout reads back") {
+    val dir = mkDir("part")
+    val d = fixture.withColumn("part_date",
+      expr("date_add(date'2024-01-01', cast(id % 7 as int))"))
+    StatsWrite.writePartitioned(spark, d, dir, Seq("part_date"),
+      Seq("id", "amount"), Seq("name"))
+    assert(new java.io.File(s"$dir/_SUCCESS").exists())
+    // layout: col=value dirs, partition col NOT in the files
+    val dirs = new java.io.File(dir).list().filter(_.startsWith("part_date="))
+    assert(dirs.length == 7, dirs.mkString(","))
+    val oneFile = new java.io.File(s"$dir/${dirs.head}").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(!spark.read.parquet(oneFile.toString).columns.contains("part_date"))
+    // read-back (partition col from the dirs) equals the input
+    val back = spark.read.parquet(dir)
+    val key = (x: org.apache.spark.sql.DataFrame) => x
+      .select("id", "name", "amount", "d", "ts", "x", "part_date")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(key(back) == key(d))
+    // sidecar byte identity with the legacy collectors over this dir
+    val zm1 = bytes(s"$dir/${ZoneMaps.SidecarName}")
+    val bl1 = bytes(s"$dir/${ZoneBlooms.sidecarName("name")}")
+    ZoneMaps.writeSidecar(spark, dir, Seq("id", "amount"))
+    ZoneBlooms.writeSidecar(spark, dir, Seq("name"))
+    assert(bytes(s"$dir/${ZoneMaps.SidecarName}") == zm1,
+      "partitioned zone-map sidecar diverged from the footer walk")
+    assert(bytes(s"$dir/${ZoneBlooms.sidecarName("name")}") == bl1,
+      "partitioned bloom sidecar diverged from the re-scan")
+    // a tracked partition column fails loudly (dir-encoded)
+    val ex = intercept[IllegalArgumentException] {
+      StatsWrite.writePartitioned(spark, d, mkDir("partbad"),
+        Seq("part_date"), Seq("part_date"), Nil)
+    }
+    assert(ex.getMessage.contains("partition column"))
+  }
+
   test("empty frame mirrors the legacy loud failure for stats") {
     val dir = mkDir("empty")
     val e = fixture.filter(col("id") < 0)
