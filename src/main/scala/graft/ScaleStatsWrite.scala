@@ -89,6 +89,29 @@ object ScaleStatsWrite {
       graft.sources.ZoneBlooms.writeSidecar(spark, s"$root/old", bloomCols)
     }
 
+    // partitioned cells (r17: the rolling writer — the ETL charges
+    // shape): same frame + a 16-value date partition column
+    val dp = df.withColumn("part_date",
+      expr("date_add(date'2024-01-01', cast(k % 16 as int))"))
+    val (_, (readNewP, recsNewP), secsNewP) = readPhase {
+      graft.sources.StatsWrite.writePartitioned(spark, dp, s"$root/newp",
+        Seq("part_date"), statsCols, bloomCols)
+    }
+    val (_, (readOldP, recsOldP), secsOldP) = readPhase {
+      dp.repartition(col("part_date"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .partitionBy("part_date").parquet(s"$root/oldp")
+      graft.sources.ZoneMaps.writeSidecar(spark, s"$root/oldp", statsCols)
+      graft.sources.ZoneBlooms.writeSidecar(spark, s"$root/oldp", bloomCols)
+    }
+    val zmp1 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      s"$root/newp/_zonemap.tsv"))
+    graft.sources.ZoneMaps.writeSidecar(spark, s"$root/newp", statsCols)
+    val zmp2 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      s"$root/newp/_zonemap.tsv"))
+    val identicalP = java.util.Arrays.equals(zmp1, zmp2)
+
     // sanity: the write-task sidecars equal what the legacy collectors
     // would derive from the same files (byte identity, StatsWriteSpec's
     // pin, re-checked here on the 2M-row shape)
@@ -104,7 +127,14 @@ object ScaleStatsWrite {
       s""""writetask_secs":$secsNew,""" +
       s""""rescan_read_bytes":$readOld,"rescan_read_records":$recsOld,""" +
       s""""rescan_secs":$secsOld,""" +
-      s""""zonemap_byte_identical":$identical}""")
+      s""""zonemap_byte_identical":$identical,""" +
+      s""""part_writetask_read_bytes":$readNewP,""" +
+      s""""part_writetask_read_records":$recsNewP,""" +
+      s""""part_writetask_secs":$secsNewP,""" +
+      s""""part_rescan_read_bytes":$readOldP,""" +
+      s""""part_rescan_read_records":$recsOldP,""" +
+      s""""part_rescan_secs":$secsOldP,""" +
+      s""""part_zonemap_byte_identical":$identicalP}""")
     spark.stop()
   }
 }
