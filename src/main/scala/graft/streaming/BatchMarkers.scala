@@ -20,9 +20,10 @@ import graft.sources.Versioned
   * and the cumulative union preserves every stream's rows through
   * every stream's rewrite — so the twins compose on one lake.
   *
-  * Scale note: the marker is one ~tens-of-bytes row per micro-batch
-  * per stream — a year of 1-minute batches from ten streams is ~5M
-  * rows, megabytes. The replay probe reads only this table, never the
+  * Scale note: each stream retains only its [[RetainPerStream]] most
+  * recent ids (safe because checkpoint commits are monotone — see
+  * there), so the marker stays ≤ streams × [[RetainPerStream]] tiny
+  * rows forever; the replay probe reads only this table, never the
   * data it marks. */
 private[streaming] object BatchMarkers {
 
@@ -51,13 +52,33 @@ private[streaming] object BatchMarkers {
     markers.exists(_.filter(col("graft_stream_id") === streamId &&
       col("graft_batch_id") === batchId).head(1).nonEmpty)
 
-  /** prev markers ∪ (streamId, batchId) — the next version's
-    * cumulative marker table. */
+  /** How many recent batch ids each stream's marker retains. The
+    * marker exists to catch a crash REPLAY, and Spark's checkpoint
+    * commits batches monotonically — after a crash, `foreachBatch`
+    * redelivers only the last uncommitted batch, never one committed
+    * long ago — so a window of the most recent ids is sufficient with
+    * enormous margin. Without the bound the cumulative table grows a
+    * row per batch AND is rewritten whole per batch: O(batches²)
+    * total marker bytes over a stream's life — a year of 1-minute
+    * batches would rewrite a 500k-row table every minute by the end. */
+  val RetainPerStream = 1024
+
+  /** prev markers ∪ (streamId, batchId), with each stream's rows
+    * trimmed to its [[RetainPerStream]] most recent ids — the next
+    * version's marker table, bounded for an indefinitely running
+    * stream. */
   def appended(spark: SparkSession, markers: Option[DataFrame],
       streamId: String, batchId: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
     import spark.implicits._
     val row = Seq((streamId, batchId))
       .toDF("graft_stream_id", "graft_batch_id")
-    markers.map(_.unionByName(row)).getOrElse(row)
+    val all = markers.map(_.unionByName(row)).getOrElse(row)
+    all.withColumn("__rn", row_number().over(Window
+        .partitionBy(col("graft_stream_id"))
+        .orderBy(col("graft_batch_id").desc)))
+      .filter(col("__rn") <= RetainPerStream)
+      .drop("__rn")
   }
 }
