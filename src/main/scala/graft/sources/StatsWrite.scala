@@ -185,10 +185,23 @@ object StatsWrite {
     val schema = df.schema
     partitionBy.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column '$c' not in schema"))
-    (statsCols ++ bloomCols).foreach(c =>
+    (statsCols ++ bloomCols).foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"tracked column '$c' not in schema " +
+          s"(${schema.fieldNames.mkString(",")})")
       require(!partitionBy.contains(c),
         s"tracked column '$c' is a partition column — dir-encoded, " +
-          "use partition pruning instead"))
+          "use partition pruning instead")
+    }
+    bloomCols.foreach { c =>
+      val ok = schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+      require(ok, s"bloom column '$c' has unsupported type " +
+        s"${schema(c).dataType}")
+    }
     partitionBy.foreach { c =>
       val ok = schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType | StringType |
