@@ -513,6 +513,77 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
   // the probe's runtime type (the bloom hash is typed — a long probed
   // as a string would full-scan). Unsupported/mistyped probes degrade
   // to a full scan inside readPoint, never to an error.
+  // Extension: the takedown REQUEST itself over HTTP — the
+  // right-to-forget shape the merge-on-read lake exists for, closing
+  // the GDPR loop with /lake/point (the audit): POST /lake/remove
+  // publishes one key-tombstone entry (bytes ∝ the keys — a few KB
+  // retire any number of standing rows, no standing byte rewritten;
+  // the auto-compact policy later folds the removed rows OUT of
+  // storage), then GET /lake/point proves the key gone. POST because
+  // it publishes; synchronous because a tombstone write is key-sized,
+  // not table-sized (unlike /lake/compact). The same typed-value
+  // contract as /lake/point; values are comma-separated.
+  server.createContext("/lake/remove", (ex: HttpExchange) =>
+    (spark, ex.getRequestMethod) match {
+      case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
+      case (_, m) if m != "POST" =>
+        reply(ex, 405, """{"detail":"method not allowed"}""")
+      case (Some(s), _) =>
+        import graft.sources.Versioned
+        val params = queryParams(ex)
+        (params.get("base"), params.get("table"), params.get("col"),
+          params.get("values")) match {
+          case (Some(base), Some(table), Some(col), Some(raw)) =>
+            val pieces = raw.split(",", -1).map(_.trim).toSeq
+            val typed: Either[String, Seq[Any]] =
+              if (pieces.exists(_.isEmpty))
+                Left("values: empty element in list")
+              else params.get("type").getOrElse("string") match {
+                case "string" => Right(pieces)
+                case "long" =>
+                  val parsed = pieces.map(_.toLongOption)
+                  if (parsed.contains(None))
+                    Left("values: integers required for type=long")
+                  else Right(parsed.flatten)
+                case "decimal" =>
+                  try Right(pieces.map(new java.math.BigDecimal(_)))
+                  catch { case _: NumberFormatException =>
+                    Left("values: decimals required for type=decimal") }
+                case other => Left(s"type: unsupported '$other'")
+              }
+            typed match {
+              case Left(err) => reply(ex, 422, s"""{"detail":"${esc(err)}"}""")
+              case Right(vs) =>
+                try {
+                  val before = Versioned.currentVersion(s, base).getOrElse(
+                    sys.error("no committed version"))
+                  val tomb = vs.map(v => org.apache.spark.sql.Row(v))
+                  val dt = vs.head match {
+                    case _: java.lang.Long => org.apache.spark.sql.types.LongType
+                    case _: java.math.BigDecimal =>
+                      org.apache.spark.sql.types.DecimalType(38, 18)
+                    case _ => org.apache.spark.sql.types.StringType
+                  }
+                  val df = s.createDataFrame(
+                    new java.util.ArrayList(
+                      scala.jdk.CollectionConverters
+                        .SeqHasAsJava(tomb).asJava),
+                    org.apache.spark.sql.types.StructType(Seq(
+                      org.apache.spark.sql.types.StructField(col, dt))))
+                  val after = Versioned.removePublish(s, base, table, df)
+                  reply(ex, 200,
+                    s"""{"table":"${esc(table)}","from":$before,""" +
+                      s""""to":$after,"tombstoned_keys":${vs.size}}""")
+                } catch {
+                  case e: Exception => reply(ex, 500,
+                    s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+                }
+            }
+          case _ => reply(ex, 422,
+            """{"detail":"base, table, col and values required"}""")
+        }
+    })
+
   server.createContext("/lake/point", (ex: HttpExchange) =>
     (spark, ex.getRequestMethod) match {
       case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
@@ -750,6 +821,9 @@ object RestApi {
       | "responses":{"200":{"description":"{state, table, from, to, compacted}"},"202":{"description":"async compaction started"},"422":{"description":"base and table required"},"500":{"description":"compaction failed"},"503":{"description":"no spark session"}}}},
       |"/lake/compact/status":{"get":{"summary":"Progress of the latest /lake/compact run (idle | running | done | failed) — the /index/status twin",
       | "responses":{"200":{"description":"job state JSON"}}}},
+      |"/lake/remove":{"post":{"summary":"Publish a key-tombstone takedown (Versioned.removePublish) — the right-to-forget request; bytes written are proportional to the keys, standing files untouched, and the auto-compaction policy later folds removed rows out of storage; values comma-separated, typed like /lake/point",
+      | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}},{"name":"table","in":"query","required":true,"schema":{"type":"string"}},{"name":"col","in":"query","required":true,"schema":{"type":"string"}},{"name":"values","in":"query","required":true,"schema":{"type":"string"}},{"name":"type","in":"query","schema":{"type":"string","default":"string","enum":["string","long","decimal"]}}],
+      | "responses":{"200":{"description":"{table, from, to, tombstoned_keys}"},"422":{"description":"missing/mistyped parameters"},"500":{"description":"publish failed"},"503":{"description":"no spark session"}}}},
       |"/lake/point":{"get":{"summary":"Point probe over a lake table via the per-file Bloom sidecars (Versioned.readPoint) — the takedown-audit query; type picks the probe's runtime type (string|long|decimal); untracked columns or mistyped probes degrade to a full scan",
       | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}},{"name":"table","in":"query","required":true,"schema":{"type":"string"}},{"name":"col","in":"query","required":true,"schema":{"type":"string"}},{"name":"value","in":"query","required":true,"schema":{"type":"string"}},{"name":"type","in":"query","schema":{"type":"string","default":"string","enum":["string","long","decimal"]}},{"name":"limit","in":"query","schema":{"type":"integer","default":100}}],
       | "responses":{"200":{"description":"matching rows as a JSON array"},"422":{"description":"missing/mistyped parameters"},"500":{"description":"probe failed"},"503":{"description":"no spark session"}}}},

@@ -310,7 +310,7 @@ class ServiceSpec extends AnyFunSuite {
         "/etl/status", "/query/daily_totals", "/query/run",
         "/index/maintain", "/search", "/knn", "/quality",
         "/lake/status", "/lake/compact", "/lake/compact/status",
-        "/lake/point", "/docs")
+        "/lake/point", "/lake/remove", "/docs")
         .foreach(route => assert(body.contains("\"" + route + "\""), route))
     } finally api.stop()
   }
@@ -568,6 +568,29 @@ class ServiceSpec extends AnyFunSuite {
       assert(http("GET",
         s"$base/lake/point?base=$enc&table=t&col=k&value=7&type=long")._2
         == "[]", "takedown audit resurrected a removed key after the fold")
+
+      // the GDPR loop over HTTP: POST /lake/remove tombstones keys,
+      // GET /lake/point audits them gone; value identity for the rest
+      assert(http("POST", s"$base/lake/remove?base=$enc&table=t",
+        Some(""))._1 == 422)
+      assert(http("POST",
+        s"$base/lake/remove?base=$enc&table=t&col=k&values=x,2&type=long",
+        Some(""))._1 == 422)
+      assert(http("GET",
+        s"$base/lake/remove?base=$enc&table=t&col=k&values=2&type=long")
+        ._1 == 405)
+      val beforeRm = Versioned.read(spark, lake, "t")
+        .collect().map(_.toSeq).toSet
+      val (mc, mb) = http("POST",
+        s"$base/lake/remove?base=$enc&table=t&col=k&values=11,23&type=long",
+        Some(""))
+      assert(mc == 200 && mb.contains("\"tombstoned_keys\":2"), mb)
+      assert(http("GET",
+        s"$base/lake/point?base=$enc&table=t&col=k&value=11&type=long")._2
+        == "[]", "removed key still probes after /lake/remove")
+      assert(Versioned.read(spark, lake, "t").collect().map(_.toSeq).toSet
+        == beforeRm.filterNot(r => r.head == 11L || r.head == 23L),
+        "HTTP takedown removed the wrong rows")
     } finally api.stop()
   }
 
