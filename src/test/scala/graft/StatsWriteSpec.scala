@@ -157,6 +157,47 @@ class StatsWriteSpec extends SparkSpec {
     assert(ex.getMessage.contains("partition column"))
   }
 
+  test("property: byte-identity holds over random shapes, all decimal backings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(31L + i)))
+    val caseGen = for {
+      rows <- Gen.choose(1, 400)
+      parts <- Gen.choose(1, 5)
+      nullEvery <- Gen.choose(2, 20)
+      seed <- Gen.choose(1, 1000000)
+    } yield (rows, parts, nullEvery, seed)
+    samples(caseGen, 8).zipWithIndex.foreach {
+      case ((rows, parts, nullEvery, seed), i) =>
+        // d7 rides INT32, d18 INT64, d20 FLBA — all three parquet
+        // decimal backings under one identity check
+        val d = spark.range(0, rows, 1, parts).select(
+          (col("id") * seed % 100003 - 50000).as("k"),
+          when(col("id") % nullEvery === 0, lit(null))
+            .otherwise(concat(lit("sé-"), col("id") * seed % 997))
+            .as("name"),
+          (col("id").cast("decimal(7,2)") - 500).as("d7"),
+          ((col("id") * seed % 10007).cast("decimal(18,4)") / 7)
+            .cast("decimal(18,4)").as("d18"),
+          ((col("id") * seed % 10007).cast("decimal(20,4)") / 3)
+            .cast("decimal(20,4)").as("d20"),
+          ((col("id") * seed % 211) - 105.0).as("x"))
+        val statsCols = Seq("k", "name", "d7", "d18", "d20", "x")
+        val dir = mkDir(s"prop$i")
+        StatsWrite.write(spark, d, dir, statsCols, Seq("k", "name"))
+        val zm1 = bytes(s"$dir/${ZoneMaps.SidecarName}")
+        val b1 = bytes(s"$dir/${ZoneBlooms.sidecarName("k")}")
+        val b2 = bytes(s"$dir/${ZoneBlooms.sidecarName("name")}")
+        ZoneMaps.writeSidecar(spark, dir, statsCols)
+        ZoneBlooms.writeSidecar(spark, dir, Seq("k", "name"))
+        assert(bytes(s"$dir/${ZoneMaps.SidecarName}") == zm1, s"case $i zm")
+        assert(bytes(s"$dir/${ZoneBlooms.sidecarName("k")}") == b1, s"case $i bk")
+        assert(bytes(s"$dir/${ZoneBlooms.sidecarName("name")}") == b2,
+          s"case $i bn")
+    }
+  }
+
   test("empty frame mirrors the legacy loud failure for stats") {
     val dir = mkDir("empty")
     val e = fixture.filter(col("id") < 0)
