@@ -905,7 +905,62 @@ object Relational {
     base
   }
 
+  // -------------------------------------------------------------- q156
+  /** Partitioned write-time emission under the oracle gate (r17): the
+    * lake publishes orders PARTITIONED by month (`ym=yyyy-MM` dirs —
+    * the reference charges table's date-partitioned layout) through
+    * [[graft.sources.StatsWrite.writePartitioned]]'s rolling writer,
+    * which emits the timestamp zone maps and the key bloom FROM the
+    * write tasks (publish I/O ×1); the probe is the reference's own
+    * date-window shape through [[graft.sources.Versioned.readPruned]].
+    * Each month's single file carries tight `o_orderdate` bounds by
+    * construction, so the window probe skips every other month at the
+    * manifest level — the bootstrap REQUIREs files were actually
+    * skipped, and the DuckDB oracle replays the window as plain SQL. */
+  def q156PartPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val base = partPruneLake(spark, dir)
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-06-30 23:59:59")
+    Versioned.readPruned(spark, base, "orders", "o_orderdate", lo, hi)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sumd($"o_totalprice").as("sum_price"),
+        min($"o_orderkey").as("min_k"),
+        max($"o_orderkey").as("max_k"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Scratch month-partitioned lake: orders under `ym=yyyy-MM` dirs
+    * with write-task-emitted timestamp zone maps + key bloom, pruning
+    * REQUIRED at bootstrap (q135's fingerprint-keyed discipline). */
+  private[graft] def partPruneLake(spark: SparkSession, dir: String): String = {
+    import graft.sources.Versioned
+    val key = Tables.fileFingerprint(spark, s"$dir/orders.parquet")
+    val base = s"${Dedup.indexBase}/pplake-$key"
+    if (Versioned.currentVersion(spark, base).isEmpty) {
+      Versioned.publish(spark, base, Seq(Versioned.TableSpec("orders",
+        Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("ym")),
+        partitionBy = Seq("ym"),
+        statsCols = Seq("o_orderdate"),
+        bloomCols = Seq("o_orderkey"))))
+      val sel = Versioned.prunedSelectionAt(spark, base, "orders", 1L,
+        "o_orderdate",
+        java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("1996-06-30 23:59:59"))
+      require(sel.exists(_._2.exists { case (s, n) => s.size < n }),
+        s"partitioned write-time zone maps did not prune: $sel")
+    }
+    base
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_part_prune" -> (q156PartPrune _),
     "q154_takedown_stream" -> (q154TakedownStream _),
     "q153_bloom_point" -> (q153BloomPoint _),
     "q152_zonemap_date" -> (q152ZonemapDate _),
@@ -934,6 +989,15 @@ object Relational {
   /** DuckDB-dialect oracles. Integer SUMs are CAST to BIGINT (DuckDB
     * widens to HUGEINT); decimal sums CAST to DOUBLE to match Spark. */
   val oracle: Map[String, String] = Map(
+    "q156_part_prune" ->
+      """SELECT o_orderstatus,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+        | min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                      AND TIMESTAMP '1996-06-30 23:59:59'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q154_takedown_stream" ->
       """WITH m AS (
         | SELECT ((max(o_orderkey) // 10) + 1) * 10 AS shift FROM orders),
