@@ -6,8 +6,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** 10× row-count probe of the lake lifecycle family (q134–q140 +
-  * q149/q150) — the one family whose SCALE evidence was file-count
-  * axes only (r15): every other family has a 1×/10× row.
+  * q149/q150, r17: + q154 streamed-lifecycle and q156 partitioned
+  * rolling-writer) — originally the one family whose SCALE evidence
+  * was file-count axes only (r15).
   *
   * [[SynthCorpus]] scales the TEXT corpus and carries the relational
   * tables through unscaled (dims stay dims), so this harness builds
@@ -46,7 +47,7 @@ object ScaleLake {
       "q134_zonemap_scan", "q135_mor_scan", "q136_zorder_rect",
       "q138_tail_compact_scan", "q139_cdc_scan", "q140_zorder_tail_rect",
       "q149_zonemap_decimal", "q150_autocompact_scan", "q152_zonemap_date",
-      "q153_bloom_point")
+      "q153_bloom_point", "q154_takedown_stream", "q156_part_prune")
 
     def runAll(dir: String, tag: String): Seq[String] =
       queries.flatMap { q =>
