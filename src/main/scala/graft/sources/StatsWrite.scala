@@ -65,7 +65,10 @@ object StatsWrite {
   private def kindOf(dt: DataType, tsKind: String): String = dt match {
     case ByteType | ShortType | IntegerType | LongType => "long"
     case DateType => "date"
-    case TimestampType | TimestampNTZType => tsKind // tsmicros/tsmillis/opaque
+    case TimestampType => tsKind // tsmicros/tsmillis/opaque per session
+    // NTZ always writes INT64 micros — outputTimestampType only
+    // governs the LTZ type, so an INT96 session must not mark it U
+    case TimestampNTZType => "tsmicros"
     case FloatType => "float"
     case DoubleType => "double"
     case StringType | BinaryType => "string"
