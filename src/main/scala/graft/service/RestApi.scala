@@ -592,28 +592,44 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
       case (Some(s), _) =>
         import graft.sources.Versioned
         val params = queryParams(ex)
+        // `value` = single probe; `values` = comma-separated batch
+        // (one read audits a whole takedown batch — readPointIn)
+        val rawList: Option[Seq[String]] =
+          (params.get("value"), params.get("values")) match {
+            case (Some(v), None) => Some(Seq(v))
+            case (None, Some(vs)) => Some(vs.split(",", -1).map(_.trim).toSeq)
+            case _ => None
+          }
         (params.get("base"), params.get("table"), params.get("col"),
-          params.get("value")) match {
-          case (Some(base), Some(table), Some(col), Some(raw)) =>
-            val typed: Either[String, Any] =
-              params.get("type").getOrElse("string") match {
-                case "string" => Right(raw)
-                case "long" => raw.toLongOption
-                  .toRight("value: integer required for type=long")
+          rawList) match {
+          case (Some(base), Some(table), Some(col), Some(raws)) =>
+            val typed: Either[String, Seq[Any]] =
+              if (raws.isEmpty || raws.exists(_.isEmpty))
+                Left("values: empty element in list")
+              else params.get("type").getOrElse("string") match {
+                case "string" => Right(raws)
+                case "long" =>
+                  val parsed = raws.map(_.toLongOption)
+                  if (parsed.contains(None))
+                    Left("value: integers required for type=long")
+                  else Right(parsed.flatten)
                 case "decimal" =>
-                  try Right(new java.math.BigDecimal(raw))
+                  try Right(raws.map(new java.math.BigDecimal(_)))
                   catch { case _: NumberFormatException =>
-                    Left("value: decimal required for type=decimal") }
+                    Left("value: decimals required for type=decimal") }
                 case other => Left(s"type: unsupported '$other'")
               }
             typed match {
               case Left(err) => reply(ex, 422, s"""{"detail":"${esc(err)}"}""")
-              case Right(v) =>
+              case Right(vs) =>
                 try {
                   val limit = RestApi.parseLimit(
                     params.get("limit"), default = 100).getOrElse(100)
-                  val rows = Versioned.readPoint(s, base, table, col, v)
-                    .limit(limit).toJSON.collect()
+                  val df =
+                    if (vs.size == 1)
+                      Versioned.readPoint(s, base, table, col, vs.head)
+                    else Versioned.readPointIn(s, base, table, col, vs)
+                  val rows = df.limit(limit).toJSON.collect()
                   reply(ex, 200, rows.mkString("[", ",", "]"))
                 } catch {
                   case e: Exception => reply(ex, 500,
@@ -621,7 +637,7 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
                 }
             }
           case _ => reply(ex, 422,
-            """{"detail":"base, table, col and value required"}""")
+            """{"detail":"base, table, col and value (or values) required"}""")
         }
     })
 
@@ -824,8 +840,8 @@ object RestApi {
       |"/lake/remove":{"post":{"summary":"Publish a key-tombstone takedown (Versioned.removePublish) — the right-to-forget request; bytes written are proportional to the keys, standing files untouched, and the auto-compaction policy later folds removed rows out of storage; values comma-separated, typed like /lake/point",
       | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}},{"name":"table","in":"query","required":true,"schema":{"type":"string"}},{"name":"col","in":"query","required":true,"schema":{"type":"string"}},{"name":"values","in":"query","required":true,"schema":{"type":"string"}},{"name":"type","in":"query","schema":{"type":"string","default":"string","enum":["string","long","decimal"]}}],
       | "responses":{"200":{"description":"{table, from, to, tombstoned_keys}"},"422":{"description":"missing/mistyped parameters"},"500":{"description":"publish failed"},"503":{"description":"no spark session"}}}},
-      |"/lake/point":{"get":{"summary":"Point probe over a lake table via the per-file Bloom sidecars (Versioned.readPoint) — the takedown-audit query; type picks the probe's runtime type (string|long|decimal); untracked columns or mistyped probes degrade to a full scan",
-      | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}},{"name":"table","in":"query","required":true,"schema":{"type":"string"}},{"name":"col","in":"query","required":true,"schema":{"type":"string"}},{"name":"value","in":"query","required":true,"schema":{"type":"string"}},{"name":"type","in":"query","schema":{"type":"string","default":"string","enum":["string","long","decimal"]}},{"name":"limit","in":"query","schema":{"type":"integer","default":100}}],
+      |"/lake/point":{"get":{"summary":"Point probe over a lake table via the per-file Bloom sidecars (Versioned.readPoint) — the takedown-audit query; `values` (comma-separated) audits a whole batch in one read (readPointIn); type picks the probe's runtime type (string|long|decimal); untracked columns or mistyped probes degrade to a full scan",
+      | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}},{"name":"table","in":"query","required":true,"schema":{"type":"string"}},{"name":"col","in":"query","required":true,"schema":{"type":"string"}},{"name":"value","in":"query","schema":{"type":"string"}},{"name":"values","in":"query","schema":{"type":"string"}},{"name":"type","in":"query","schema":{"type":"string","default":"string","enum":["string","long","decimal"]}},{"name":"limit","in":"query","schema":{"type":"integer","default":100}}],
       | "responses":{"200":{"description":"matching rows as a JSON array"},"422":{"description":"missing/mistyped parameters"},"500":{"description":"probe failed"},"503":{"description":"no spark session"}}}},
       |"/docs":{"get":{"summary":"This document",
       | "responses":{"200":{"description":"OpenAPI JSON"}}}}

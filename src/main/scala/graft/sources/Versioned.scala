@@ -397,6 +397,40 @@ object Versioned {
     }).filter(col(colName) === lit(value))
   }
 
+  /** Batch point read — `colName IN (values)` with bloom-level file
+    * skipping: the audit of a whole takedown batch in ONE read. A
+    * file is opened if its bloom claims ANY of the keys; the IN
+    * predicate still applies to every surviving row, so the result is
+    * exact on any layout. Same fallbacks as [[readPoint]]. */
+  def readPointIn(spark: SparkSession, base: String, table: String,
+      colName: String, values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty, "readPointIn needs at least one value")
+    val version = currentVersion(spark, base)
+      .getOrElse(sys.error(s"versioned lake $base has no committed version"))
+    val b = new Path(base)
+    val f = fs(spark, b)
+    requireVersion(spark, f, b, base, version)
+    foldEntries(spark, b, entriesOrFail(f, b, table, version), dir => {
+      def all = spark.read.parquet(dir)
+      tableDirFiles(spark, dir) match {
+        case Nil => all
+        case files =>
+          ZoneBlooms.selectFilesAny(spark, dir, colName, values, files) match {
+            case None => all
+            case Some(Nil) =>
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                all.schema)
+            case Some(sel) if sel.size == files.size => all
+            case Some(sel) =>
+              spark.read.option("basePath", dir)
+                .parquet(sel.map(fl => new Path(dir, fl).toString): _*)
+          }
+      }
+    }).filter(col(colName).isin(values: _*))
+  }
+
   /** Per-data-dir bloom selection for a point probe: (dir, None =
     * full scan, Some((selected, total))) — ops/spec introspection,
     * [[prunedSelectionAt]]'s point sibling. */

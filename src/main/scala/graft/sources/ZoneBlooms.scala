@@ -302,9 +302,21 @@ object ZoneBlooms {
     * scan (same rows, no skipping), never to an error. */
   def selectFiles(spark: SparkSession, dataDir: String, col: String,
       value: Any, allFiles: Seq[String]): Option[Seq[String]] =
+    selectFilesAny(spark, dataDir, col, Seq(value), allFiles)
+
+  /** Files that may hold `col = v` for ANY of `values` — the batch
+    * point probe (auditing a whole takedown batch in one read). A
+    * file survives if its bloom claims at least one of the probe
+    * hashes; any unhashable value degrades the whole probe to a full
+    * scan (inclusion-safe, like [[selectFiles]]). */
+  def selectFilesAny(spark: SparkSession, dataDir: String, col: String,
+      values: Seq[Any], allFiles: Seq[String]): Option[Seq[String]] =
     for {
       blooms <- readSidecar(spark, dataDir, col)
-      h <- hashValueOpt(value)
+      hs <- {
+        val opts = values.map(hashValueOpt)
+        if (opts.exists(_.isEmpty)) None else Some(opts.flatten)
+      }
     } yield allFiles.filter(rel =>
-      blooms.get(rel).forall(_.mightContain(h)))
+      blooms.get(rel).forall(b => hs.exists(b.mightContain)))
 }

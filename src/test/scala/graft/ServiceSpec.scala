@@ -588,6 +588,17 @@ class ServiceSpec extends AnyFunSuite {
       assert(http("GET",
         s"$base/lake/point?base=$enc&table=t&col=k&value=11&type=long")._2
         == "[]", "removed key still probes after /lake/remove")
+      // the batch audit: the whole removal batch in ONE probe
+      assert(http("GET",
+        s"$base/lake/point?base=$enc&table=t&col=k&values=11,23&type=long")._2
+        == "[]", "batch takedown audit found a removed key")
+      val (bc, bb) = http("GET",
+        s"$base/lake/point?base=$enc&table=t&col=k&values=11,12&type=long")
+      assert(bc == 200 && bb.contains("\"k\":12") && !bb.contains("\"k\":11"),
+        bb)
+      assert(http("GET",
+        s"$base/lake/point?base=$enc&table=t&col=k&values=1,,2&type=long")
+        ._1 == 422, "empty list element must 422")
       assert(Versioned.read(spark, lake, "t").collect().map(_.toSeq).toSet
         == beforeRm.filterNot(r => r.head == 11L || r.head == 23L),
         "HTTP takedown removed the wrong rows")

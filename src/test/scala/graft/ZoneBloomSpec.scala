@@ -52,6 +52,35 @@ class ZoneBloomSpec extends SparkSpec {
       == collectSet(Versioned.read(spark, base, "t").filter(col("s") === "s5")))
   }
 
+  test("batch point probe (readPointIn): exact rows, union of per-key selections") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t", arrival,
+      bloomCols = Seq("k", "s"))))
+    val keys = Seq(7L, 1234L, 3999L)
+    val got = collectSet(Versioned.readPointIn(spark, base, "t", "k", keys))
+    assert(got == collectSet(Versioned.read(spark, base, "t")
+      .filter(col("k").isin(keys: _*))))
+    assert(got.size == 3)
+    // the batch selection stays far under the full file set (three
+    // keys → at most ~3 + fpp files on the 8-file arrival layout)
+    val files = Versioned.read(spark, base, "t").inputFiles.length
+    assert(files == 8, s"fixture drifted: $files files")
+    val probe = Versioned.readPointIn(spark, base, "t", "k", keys)
+    assert(probe.inputFiles.length <= 6,
+      s"batch probe opened ${probe.inputFiles.length} of $files")
+    // absent keys contribute nothing; a mixed batch returns only hits
+    assert(Versioned.readPointIn(spark, base, "t", "k",
+      Seq(999999L, 888888L)).isEmpty)
+    assert(collectSet(Versioned.readPointIn(spark, base, "t", "k",
+      Seq(999999L, 1234L))) == collectSet(
+      Versioned.read(spark, base, "t").filter(col("k") === 1234L)))
+    // untracked column degrades to a full scan with identical rows
+    assert(collectSet(Versioned.readPointIn(spark, base, "t", "v",
+        Seq(42L, 43L))) ==
+      collectSet(Versioned.read(spark, base, "t")
+        .filter(col("v").isin(42L, 43L))))
+  }
+
   test("fallbacks serve identical rows: untracked column, no sidecar, corrupt sidecar") {
     val base = mkBase()
     Versioned.publish(spark, base, Seq(TableSpec("t", arrival,
