@@ -465,32 +465,40 @@ object Multimodal {
   // -------------------------------------------------------------- q155
   /** Real LOSSY audio decode, oracle-gated end-to-end (r17; the
     * carried "lossy-codec PCM decode" member): each document ships a
-    * deterministic mono clip — `x(i) = ((doc_id·131 + 7·i² + 31·i)
-    * mod 4001) − 2000`, `57 + (doc_id % 5)·16` samples, `8000 +
-    * (doc_id % 3)·4000` Hz — encoded to a WAVE_FORMAT_IMA_ADPCM
-    * stream ([[graft.functions.AdpcmCodec]]: 4-bit adaptive
-    * quantization, genuinely lossy) and decoded back through
+    * deterministic clip — `x(c, i) = ((doc_id·131 + c·17 + 7·i² +
+    * 31·i) mod 4001) − 2000`, `1 + doc_id % 2` channels, `57 +
+    * (doc_id % 5)·16` samples, `8000 + (doc_id % 3)·4000` Hz —
+    * encoded to a WAVE_FORMAT_IMA_ADPCM stream
+    * ([[graft.functions.AdpcmCodec]]: 4-bit adaptive quantization,
+    * genuinely lossy) at 57 samples per block, so MULTI-BLOCK framing
+    * (per-block verbatim-predictor restarts) and STEREO channel
+    * interleaving are both under the gate, and decoded back through
     * [[decodeAudio]]'s magic-sniffing seam. Unlike q151's lossless
     * member, decoded ≠ input here — so the DuckDB oracle replays the
     * codec's INTEGER STATE MACHINE itself (a recursive CTE over the
-    * published step/index tables: quantize, reconstruct, clamp), and
-    * a hash match proves the engine's encoder and decoder implement
-    * exactly the specified arithmetic, sample for sample. Every 23rd
-    * document ships a half-truncated stream: corrupt is data
-    * (`ok = 0`). Scale shape: per-row kernel, no shuffle beyond the
-    * final order — and the per-partition init slot where an MP3/JNI
-    * codec would load stays untouched. */
+    * published step/index tables, anchored per (doc, channel, block):
+    * quantize, reconstruct, clamp), and a hash match proves the
+    * engine's encoder and decoder implement exactly the specified
+    * arithmetic, sample for sample. Every 23rd document ships a
+    * half-truncated stream: corrupt is data (`ok = 0`). Scale shape:
+    * per-row kernel, no shuffle beyond the final order — and the
+    * per-partition init slot where an MP3/JNI codec would load stays
+    * untouched. */
   def q155AdpcmDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val payloads = Tables(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
       .map { id =>
         val sr = (8000 + (id % 3) * 4000).toInt
+        val ch = (1 + id % 2).toInt // odd ids stereo — interleave gated
         val n = (57 + (id % 5) * 16).toInt
-        val pcm = Array.tabulate(1, n)((_, i) =>
-          (((id * 131 + 7L * i * i + 31L * i) % 4001) - 2000).toInt)
+        val pcm = Array.tabulate(ch, n)((c, i) =>
+          (((id * 131 + c * 17 + 7L * i * i + 31L * i) % 4001) - 2000).toInt)
+        // 57 samples per block → up to 3 blocks per clip: the
+        // per-block header restart (verbatim first sample, index 0)
+        // is under the oracle, not just the unit spec
         val enc = graft.functions.AdpcmCodec.encode(pcm, sr,
-          samplesPerBlock = 121)
+          samplesPerBlock = 57)
         (id, if (id % 23 == 0) enc.take(enc.length / 2) else enc)
       }
     decodeAudio(payloads)
@@ -523,6 +531,7 @@ object Multimodal {
     "q155_adpcm_decode" ->
       """WITH RECURSIVE p AS (
         | SELECT doc_id,
+        |  1 + doc_id % 2 AS channels,
         |  8000 + (doc_id % 3) * 4000 AS sample_rate,
         |  57 + (doc_id % 5) * 16 AS n
         | FROM documents),
@@ -542,19 +551,23 @@ object Multimodal {
         | (82,18500),(83,20350),(84,22385),(85,24623),(86,27086),
         | (87,29794),(88,32767)),
         |dec AS (
-        | SELECT doc_id, 0 AS t,
-        |  CAST((doc_id * 131) % 4001 - 2000 AS BIGINT) AS pred,
+        | SELECT p.doc_id, c.c, b.t,
+        |  CAST((p.doc_id * 131 + c.c * 17 + 7 * b.t * b.t
+        |        + 31 * b.t) % 4001 - 2000 AS BIGINT) AS pred,
         |  0 AS idx
-        | FROM p WHERE doc_id % 23 <> 0
+        | FROM p
+        | JOIN (VALUES (0), (1)) c(c) ON c.c < p.channels
+        | JOIN (VALUES (0), (57), (114)) b(t) ON b.t < p.n
+        | WHERE p.doc_id % 23 <> 0
         | UNION ALL
-        | SELECT doc_id, t,
+        | SELECT doc_id, c, t,
         |  GREATEST(-32768, LEAST(32767,
         |    CASE WHEN diff < 0 THEN pred0 - vpdiff
         |         ELSE pred0 + vpdiff END)) AS pred,
         |  GREATEST(0, LEAST(88, idx0 + CASE q WHEN 4 THEN 2 WHEN 5 THEN 4
         |    WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END)) AS idx
         | FROM (
-        |  SELECT doc_id, t, pred0, idx0, diff, step,
+        |  SELECT doc_id, c, t, pred0, idx0, diff, step,
         |   CASE WHEN ad >= step THEN 1 ELSE 0 END AS b2,
         |   ad - b2 * step AS r2,
         |   CASE WHEN r2 >= (step >> 1) THEN 1 ELSE 0 END AS b1,
@@ -564,27 +577,29 @@ object Multimodal {
         |     AS vpdiff,
         |   b2 * 4 + b1 * 2 + b0 AS q
         |  FROM (
-        |   SELECT d.doc_id, d.t + 1 AS t, d.pred AS pred0, d.idx AS idx0,
-        |    st.step AS step,
-        |    ((d.doc_id * 131 + 7 * (d.t + 1) * (d.t + 1)
+        |   SELECT d.doc_id, d.c, d.t + 1 AS t, d.pred AS pred0,
+        |    d.idx AS idx0, st.step AS step,
+        |    ((d.doc_id * 131 + d.c * 17 + 7 * (d.t + 1) * (d.t + 1)
         |      + 31 * (d.t + 1)) % 4001 - 2000) - d.pred AS diff,
-        |    ABS(((d.doc_id * 131 + 7 * (d.t + 1) * (d.t + 1)
+        |    ABS(((d.doc_id * 131 + d.c * 17 + 7 * (d.t + 1) * (d.t + 1)
         |      + 31 * (d.t + 1)) % 4001 - 2000) - d.pred) AS ad
         |   FROM dec d
         |   JOIN p ON p.doc_id = d.doc_id
         |   JOIN st ON st.i = d.idx
-        |   WHERE d.t + 1 < p.n) z1) z2),
+        |   WHERE d.t + 1 < p.n AND (d.t + 1) % 57 <> 0) z1) z2),
         |g AS (
         | SELECT d.doc_id,
-        |  CAST(1 AS BIGINT) AS ok, CAST(1 AS BIGINT) AS channels,
+        |  CAST(1 AS BIGINT) AS ok,
+        |  CAST(p.channels AS BIGINT) AS channels,
         |  CAST(p.sample_rate AS BIGINT) AS sample_rate,
-        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
-        |  CAST(COUNT(*) * 1000000 // p.sample_rate AS BIGINT) AS duration_us,
+        |  CAST(COUNT(*) // p.channels AS BIGINT) AS n_frames,
+        |  CAST((COUNT(*) // p.channels) * 1000000 // p.sample_rate
+        |       AS BIGINT) AS duration_us,
         |  CAST(SUM(d.pred) AS BIGINT) AS sample_sum,
         |  CAST(MIN(d.pred) AS BIGINT) AS sample_min,
         |  CAST(MAX(d.pred) AS BIGINT) AS sample_max
         | FROM dec d JOIN p ON p.doc_id = d.doc_id
-        | GROUP BY d.doc_id, p.sample_rate)
+        | GROUP BY d.doc_id, p.channels, p.sample_rate)
         |SELECT doc_id, ok, channels, sample_rate, n_frames, duration_us,
         |       sample_sum, sample_min, sample_max
         |FROM g
