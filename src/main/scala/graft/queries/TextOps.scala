@@ -2763,10 +2763,11 @@ object TextOps {
     * word (no cap — train on the head, apply everywhere) by folding
     * the [[q145BpeMerges]] merges in learned order, then report the
     * top-100 subword tokens by corpus occurrence count. The
-    * application is [[BpeRounds]] chained map-side literal replaces
-    * over the (word, n) table — segmenting a 100 TB corpus is a scan
-    * whose per-row cost is the merge count, with no shuffle beyond
-    * the final bounded token aggregate and TakeOrdered head. */
+    * application is ONE [[graft.functions.BpeApply]] expression over
+    * the (word, n) table (r17: plan size O(1) in vocabulary) —
+    * segmenting a 100 TB corpus is a scan whose per-row cost is the
+    * merge count, with no shuffle beyond the final bounded token
+    * aggregate and TakeOrdered head. */
   def q146BpeApply(spark: SparkSession, dir: String): DataFrame =
     applyMerges(bpeWords(spark, dir, None), bpeLearn(spark, dir))
       .select(col("n"), explode(split(trim(col("s")), "  ")).as("token"))
@@ -2789,8 +2790,9 @@ object TextOps {
     * head, applied per (lang, word) — the train-on-head
     * apply-everywhere posture q146 established). Scale shape: one
     * corpus pass builds the (lang, word, n) grain; segmentation is
-    * the same chained map-side replaces; the result is one bounded
-    * per-lang aggregate. No joins, no windows. */
+    * the same single map-side [[graft.functions.BpeApply]] kernel;
+    * the result is one bounded per-lang aggregate. No joins, no
+    * windows. */
   def q147BpeFertility(spark: SparkSession, dir: String): DataFrame = {
     val grain = docs(spark, dir)
       .select(col("lang"), explode(wordsCol).as("word"))
@@ -2811,8 +2813,8 @@ object TextOps {
     * tokenizer-side twin of q125's sketch-drift probe. The fertility
     * GAP (delta − standing) is the drift; on a shifted corpus it
     * rises because unseen character sequences fall back to finer
-    * segmentation. Same scale shape as q147: one grain pass, chained
-    * map-side replaces, a 2-row aggregate. */
+    * segmentation. Same scale shape as q147: one grain pass, one
+    * map-side BpeApply kernel, a 2-row aggregate. */
   def q148BpeDrift(spark: SparkSession, dir: String): DataFrame = {
     val merges = bpeLearnOn(s"${bpeModelArtifact(spark, dir)}#standing",
       docs(spark, dir).filter(uniformKeyOf(col("doc_id")) >= lit(0.1)))
