@@ -84,13 +84,27 @@ object ScaleStreamLake {
       StreamingLakeTakedown.takedownBatch(spark, tombs, 0L, lake, "t")
       val tdSecs = secs(tT)
       val tdBytes = dirBytes(lake) - beforeTd
+      // takedown audit: the whole 1000-key batch in ONE read
+      // (readPointIn) vs a per-key probe loop (8 sample keys) —
+      // the reason the batch probe exists
+      val keys = (0 until 1000).map(i => i.toLong * (standing / 1000))
+      val tA = System.nanoTime()
+      val residue = Versioned.readPointIn(spark, lake, "t", "k", keys).count()
+      val auditBatchSecs = secs(tA)
+      val tL = System.nanoTime()
+      keys.take(8).foreach(k =>
+        Versioned.readPoint(spark, lake, "t", "k", k).count())
+      val auditLoop8Secs = secs(tL)
       s""""$scaleTag":{"standing_rows":$standing,""" +
         s""""standing_bytes":$baseBytes,""" +
         s""""append_secs":[${appends.map(_._1).mkString(",")}],""" +
         s""""append_delta_bytes":[${appends.map(_._2).mkString(",")}],""" +
         s""""depth_trajectory":[${appends.map(_._3).mkString(",")}],""" +
         s""""replay_probe_secs":$replaySecs,""" +
-        s""""takedown_secs":$tdSecs,"takedown_delta_bytes":$tdBytes}"""
+        s""""takedown_secs":$tdSecs,"takedown_delta_bytes":$tdBytes,""" +
+        s""""audit_batch1000_secs":$auditBatchSecs,""" +
+        s""""audit_residue":$residue,""" +
+        s""""audit_loop8_secs":$auditLoop8Secs}"""
     }
 
     val c1 = cell("1x", 1000000L)
