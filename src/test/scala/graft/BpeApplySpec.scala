@@ -23,16 +23,25 @@ class BpeApplySpec extends SparkSpec {
     w.map(_.toString).mkString(" ", "  ", " ")
 
   test("expression ≡ the fold-of-replace formulation on random corpora") {
+    // alphabet spans 1-byte ASCII, 2-byte Latin, 3-byte CJK and a
+    // 4-byte supplementary-plane codepoint: the kernel replaces via
+    // java.lang.String (UTF-16 code units) while Spark's `replace`
+    // works on UTF8String bytes — equal results for well-formed text,
+    // which this pins across every encoding width
+    val chars = Seq("a", "b", "é", "漢", "😀")
+    // words as SYMBOL LISTS (😀 is a surrogate pair — splitting a
+    // String by chars would tear it), spaced-encoded directly
     val wordGen = Gen.choose(1, 9).flatMap(len =>
-      Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+      Gen.listOfN(len, Gen.oneOf(chars))
+        .map(_.mkString(" ", "  ", " ")))
     val mergeGen = for {
       k <- Gen.choose(0, 12)
-      syms = Seq("a", "b", "c", "d", "ab", "bc", "cd", "abc", "bcd")
+      syms = chars ++ Seq("ab", "aé", "é漢", "漢😀", "ba")
       ms <- Gen.listOfN(k, Gen.zip(Gen.oneOf(syms), Gen.oneOf(syms)))
     } yield ms
     val caseGen = Gen.zip(Gen.listOfN(40, wordGen), mergeGen)
     samples(caseGen, 12).zipWithIndex.foreach { case ((words, merges), i) =>
-      val d = words.map(spaced).toDF("s")
+      val d = words.toDF("s")
       val got = d.withColumn("s", BpeApply.applyBpe(col("s"), merges))
         .collect().map(_.getString(0)).toSeq
       // the r16 formulation this expression must reproduce exactly
