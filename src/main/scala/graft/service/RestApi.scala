@@ -513,6 +513,63 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
   // the probe's runtime type (the bloom hash is typed — a long probed
   // as a string would full-scan). Unsupported/mistyped probes degrade
   // to a full scan inside readPoint, never to an error.
+  // Extension: manifest-level lake history — the time-travel /
+  // change-audit face of /lake/status: for each SURVIVING version
+  // (bounded by retention), the tables it carries and whether each
+  // table's ref CHANGED vs the previous surviving version (new data
+  // or tombstone entries, a compaction rewrite, a fresh table) or was
+  // carried forward by reference. Pure ref-file metadata — no Spark
+  // job — so a dashboard can render "what did publish N touch"
+  // without reading a byte of data.
+  server.createContext("/lake/history", (ex: HttpExchange) =>
+    (spark, ex.getRequestMethod) match {
+      case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
+      case (_, m) if m != "GET" =>
+        reply(ex, 405, """{"detail":"method not allowed"}""")
+      case (Some(s), _) =>
+        import graft.sources.Versioned
+        queryParams(ex).get("base") match {
+          case None => reply(ex, 422, """{"detail":"base required"}""")
+          case Some(base) =>
+            try {
+              val versions = Versioned.listVersions(s, base).sorted
+              if (versions.isEmpty)
+                reply(ex, 404, """{"detail":"no committed version"}""")
+              else {
+                def chains(v: Long): Map[String, Seq[(Char, String)]] =
+                  Versioned.listTables(s, base, v)
+                    .map(t => t -> Versioned.entryChainAt(s, base, t, v))
+                    .toMap
+                val entries = versions.foldLeft(
+                  (Option.empty[Map[String, Seq[(Char, String)]]],
+                    Vector.empty[String])) { case ((prev, acc), v) =>
+                  val cur = chains(v)
+                  val tables = cur.toSeq.sortBy(_._1).map { case (t, es) =>
+                    val changed = !prev.exists(_.get(t).contains(es))
+                    s""""${esc(t)}":{"entries":${es.size},""" +
+                      s""""data":${es.count(_._1 == 'd')},""" +
+                      s""""tombstones":${es.count(_._1 == 't')},""" +
+                      s""""changed":$changed}"""
+                  }
+                  val dropped = prev.map(_.keySet.diff(cur.keySet))
+                    .getOrElse(Set.empty).toSeq.sorted
+                  val line = s"""{"version":$v,""" +
+                    s""""tables":{${tables.mkString(",")}}""" +
+                    (if (dropped.nonEmpty)
+                      s""","dropped":[${dropped.map(t =>
+                        s""""${esc(t)}"""").mkString(",")}]"""
+                    else "") + "}"
+                  (Some(cur), acc :+ line)
+                }._2
+                reply(ex, 200, entries.mkString("[", ",", "]"))
+              }
+            } catch {
+              case e: Exception => reply(ex, 500,
+                s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+            }
+        }
+    })
+
   // Extension: the takedown REQUEST itself over HTTP — the
   // right-to-forget shape the merge-on-read lake exists for, closing
   // the GDPR loop with /lake/point (the audit): POST /lake/remove
@@ -837,6 +894,9 @@ object RestApi {
       | "responses":{"200":{"description":"{state, table, from, to, compacted}"},"202":{"description":"async compaction started"},"422":{"description":"base and table required"},"500":{"description":"compaction failed"},"503":{"description":"no spark session"}}}},
       |"/lake/compact/status":{"get":{"summary":"Progress of the latest /lake/compact run (idle | running | done | failed) — the /index/status twin",
       | "responses":{"200":{"description":"job state JSON"}}}},
+      |"/lake/history":{"get":{"summary":"Manifest-level history of the surviving versions: per version, each table's entry counts and whether its ref changed vs the previous surviving version (carried refs read as changed=false) — pure metadata, no Spark job",
+      | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}}],
+      | "responses":{"200":{"description":"JSON array, one entry per surviving version"},"404":{"description":"no committed version"},"422":{"description":"base required"},"503":{"description":"no spark session"}}}},
       |"/lake/remove":{"post":{"summary":"Publish a key-tombstone takedown (Versioned.removePublish) — the right-to-forget request; bytes written are proportional to the keys, standing files untouched, and the auto-compaction policy later folds removed rows out of storage; values comma-separated, typed like /lake/point",
       | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}},{"name":"table","in":"query","required":true,"schema":{"type":"string"}},{"name":"col","in":"query","required":true,"schema":{"type":"string"}},{"name":"values","in":"query","required":true,"schema":{"type":"string"}},{"name":"type","in":"query","schema":{"type":"string","default":"string","enum":["string","long","decimal"]}}],
       | "responses":{"200":{"description":"{table, from, to, tombstoned_keys}"},"422":{"description":"missing/mistyped parameters"},"500":{"description":"publish failed"},"503":{"description":"no spark session"}}}},

@@ -310,7 +310,7 @@ class ServiceSpec extends AnyFunSuite {
         "/etl/status", "/query/daily_totals", "/query/run",
         "/index/maintain", "/search", "/knn", "/quality",
         "/lake/status", "/lake/compact", "/lake/compact/status",
-        "/lake/point", "/lake/remove", "/docs")
+        "/lake/point", "/lake/remove", "/lake/history", "/docs")
         .foreach(route => assert(body.contains("\"" + route + "\""), route))
     } finally api.stop()
   }
@@ -602,6 +602,31 @@ class ServiceSpec extends AnyFunSuite {
       assert(Versioned.read(spark, lake, "t").collect().map(_.toSeq).toSet
         == beforeRm.filterNot(r => r.head == 11L || r.head == 23L),
         "HTTP takedown removed the wrong rows")
+
+      // manifest history: per surviving version, which tables changed
+      assert(http("GET", s"$base/lake/history")._1 == 422)
+      val missing2 = java.net.URLEncoder.encode("/tmp/graft-nope", UTF_8)
+      assert(http("GET", s"$base/lake/history?base=$missing2")._1 == 404)
+      val (hc, hb) = http("GET", s"$base/lake/history?base=$enc")
+      assert(hc == 200, hb)
+      val vs = "\"version\":(\\d+)".r.findAllMatchIn(hb)
+        .map(_.group(1).toLong).toSeq
+      assert(vs.nonEmpty && vs == vs.sorted, s"versions unsorted: $vs")
+      // the newest version is the /lake/remove publish: t changed
+      val last = hb.substring(hb.lastIndexOf("{\"version\":"))
+      assert(last.contains("\"t\":{") && last.contains("\"changed\":true"),
+        last)
+      // a version that only ADDED a sibling table carries t unchanged:
+      // publish t2 with t carried by reference, then re-read history
+      Versioned.publish(spark, lake, Seq(Versioned.TableSpec("t2",
+        facts(0, 3))), carry = Seq("t"))
+      val hb2 = http("GET", s"$base/lake/history?base=$enc")._2
+      val last2 = hb2.substring(hb2.lastIndexOf("{\"version\":"))
+      assert(last2.contains("\"t2\":{\"entries\":1,\"data\":1,\"tombstones\":0,\"changed\":true}"),
+        last2)
+      assert(last2.contains("\"t\":{") &&
+        "\"t\":\\{[^}]*\"changed\":false".r.findFirstIn(last2).isDefined,
+        s"carried table must read changed=false: $last2")
     } finally api.stop()
   }
 
