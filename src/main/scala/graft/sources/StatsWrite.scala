@@ -156,6 +156,86 @@ object StatsWrite {
     }
   }
 
+  /** Streaming per-file bloom-hash fold: bounded task memory no matter
+    * how many rows land in one file (r18; previously an
+    * `ArrayBuffer[Long]` held EVERY row's hash until close — 8 bytes ×
+    * a 10B-row hot partition is task-memory death at 100 TB scale).
+    * Hashes for all bloom columns of one row land interleaved in a
+    * fixed in-memory prefix (64Ki rows); past the prefix they stream
+    * to a LOCAL temp file — the same local-disk posture as Spark's own
+    * shuffle/sort spills, and ~8·cols bytes/row of sequential I/O,
+    * negligible next to the parquet bytes being written. At close the
+    * blooms are sized from the EXACT row count (byte-identical to the
+    * legacy footer-count sizing, which [[graft.StatsWriteSpec]] pins)
+    * and filled from prefix + spill in one sequential replay. */
+  private final class HashSpill(nCols: Int) {
+    private val PrefixRows = 1 << 16
+    private val prefix = new Array[Long](nCols * PrefixRows)
+    private var rows = 0L
+    private var spill: java.io.DataOutputStream = null
+    private var spillFile: java.io.File = null
+    private val rec = new Array[Long](nCols)
+
+    /** Stage column `j`'s hash for the current row; call [[endRow]]
+      * once per row after all columns are staged. */
+    def set(j: Int, h: Long): Unit = rec(j) = h
+    def endRow(): Unit = {
+      if (rows < PrefixRows) {
+        System.arraycopy(rec, 0, prefix, rows.toInt * nCols, nCols)
+      } else {
+        if (spill == null) {
+          spillFile = java.io.File.createTempFile("graft-bloomspill-", ".bin")
+          spill = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(spillFile), 1 << 16))
+        }
+        var j = 0
+        while (j < nCols) { spill.writeLong(rec(j)); j += 1 }
+      }
+      rows += 1
+    }
+
+    /** Replay every staged hash into `blooms` (one per column, sized by
+      * the caller from the exact row count), then release the spill. */
+    def fill(blooms: IndexedSeq[ZoneBlooms.SimpleBloom]): Unit = {
+      require(blooms.length == nCols, "bloom/column count mismatch")
+      val inPrefix = math.min(rows, PrefixRows.toLong).toInt
+      var r = 0
+      while (r < inPrefix) {
+        var j = 0
+        while (j < nCols) { blooms(j).put(prefix(r * nCols + j)); j += 1 }
+        r += 1
+      }
+      if (spill != null) {
+        spill.close()
+        spill = null
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(
+            new java.io.FileInputStream(spillFile), 1 << 16))
+        try {
+          var r2 = PrefixRows.toLong
+          while (r2 < rows) {
+            var j = 0
+            while (j < nCols) { blooms(j).put(in.readLong()); j += 1 }
+            r2 += 1
+          }
+        } finally in.close()
+        spillFile.delete()
+        spillFile = null
+      }
+    }
+
+    /** Abandon without replay (task failure path). */
+    def close(): Unit = {
+      if (spill != null) {
+        try spill.close()
+        catch { case scala.util.control.NonFatal(_) => () }
+        spill = null
+      }
+      if (spillFile != null) { spillFile.delete(); spillFile = null }
+    }
+  }
+
   /** The parquet-mr builder over Spark's own row-to-parquet
     * translation — schema and encodings ride the Hadoop conf exactly
     * as in Spark's native write path. */
@@ -169,23 +249,48 @@ object StatsWrite {
       new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
   }
 
+  /** Internal salt column appended for skewed partition values; never
+    * reaches a data file or a dir name. */
+  private val SaltCol = "__graft_salt"
+
   /** Partitioned sibling of [[write]] (r17): the `partitionBy` layout
     * (`col=value` dirs, partition columns dir-encoded and EXCLUDED
-    * from the files, one file per partition value) with the same
-    * write-task sidecar emission — so the date-partitioned charges
-    * table of the reference's own ETL also publishes at I/O ×1. Rows
-    * are hash-repartitioned then sorted by the partition columns
-    * within each task, so each value is a contiguous run and the task
-    * rolls to a new file (and a fresh stats/bloom fold) at each value
-    * boundary — Spark's own sort-based dynamic-partition write shape.
+    * from the files) with the same write-task sidecar emission — so
+    * the date-partitioned charges table of the reference's own ETL
+    * also publishes at I/O ×1. Rows are hash-repartitioned then sorted
+    * by the partition columns within each task, so each value is a
+    * contiguous run and the task rolls to a new file (and a fresh
+    * stats/bloom fold) at each value boundary — Spark's own sort-based
+    * dynamic-partition write shape.
+    *
+    * SKEW (r18, the r17 verdict's lead wart): one partition value is
+    * no longer one task/one file. A cheap pre-pass counts rows per
+    * partition value (map-side-combined aggregate over just the
+    * partition columns); any value exceeding `targetRowsPerFile` is
+    * SALTED — its rows are deterministically hashed (xxhash64 over the
+    * data columns) into `ceil(rows/target)` buckets, and the shuffle
+    * repartitions on (partition cols, salt), so a hot value's buckets
+    * land on DIFFERENT tasks and write in parallel, each bucket its
+    * own file + sidecar fold. This is the fix for the reference's own
+    * data shape (a few companies dominate the charges table): at
+    * 100 TB a hot date would otherwise serialize into one straggler
+    * task. A hard in-run roll at `targetRowsPerFile` backstops hash
+    * imbalance and stale counts. Cold values (every value, in the
+    * common small-publish case) skip the salt entirely — same plan,
+    * same single-file-per-value layout, same bytes as r17.
+    *
     * Supported partition value types: the dir-encodable ones the
     * engine's lakes use (integers, strings, dates; null →
     * `__HIVE_DEFAULT_PARTITION__`). */
   def writePartitioned(spark: SparkSession, df: DataFrame, dst: String,
       partitionBy: Seq[String], statsCols: Seq[String],
-      bloomCols: Seq[String], bitsPerRow: Int = 10): Unit = {
+      bloomCols: Seq[String], bitsPerRow: Int = 10,
+      targetRowsPerFile: Long = 1L << 20): Unit = {
     require(partitionBy.nonEmpty, "writePartitioned needs partition columns")
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
     val schema = df.schema
+    require(!schema.fieldNames.contains(SaltCol),
+      s"column name '$SaltCol' is reserved")
     partitionBy.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column '$c' not in schema"))
     (statsCols ++ bloomCols).foreach { c =>
@@ -214,14 +319,70 @@ object StatsWrite {
       require(ok, s"unsupported partition value type for '$c': " +
         s"${schema(c).dataType}")
     }
-    import org.apache.spark.sql.functions.col
-    val sorted = df.repartition(partitionBy.map(col): _*)
-      .sortWithinPartitions(partitionBy.map(col): _*)
-    val partOrds = partitionBy.map(schema.fieldIndex).toArray
-    val dataIdx = schema.fields.indices.filterNot(partOrds.contains).toArray
-    val dataSchema = StructType(dataIdx.map(schema.fields))
-    writeRolling(spark, sorted, dst, schema, dataSchema, dataIdx, partOrds,
-      statsCols, bloomCols, bitsPerRow)
+    import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, xxhash64}
+    val pcols = partitionBy.map(col)
+    val dataCols = schema.fieldNames.filterNot(partitionBy.contains).toSeq
+    // pre-pass: rows per partition value — partial aggregation makes
+    // this one map-side-combined pass over just the partition columns
+    // (column-pruned when the input is a scan). The collect is bounded
+    // by partition-value cardinality, which a dir-per-value layout
+    // already requires to be modest.
+    val cntRows = df.groupBy(pcols: _*).count().collect()
+    require(cntRows.length <= 1000000,
+      s"writePartitioned: ${cntRows.length} distinct partition values — " +
+        "a dir-per-value layout cannot hold that; partition coarser")
+    val nKeys = partitionBy.length
+    val hotValues = cntRows.count(_.getLong(nKeys) > targetRowsPerFile)
+    val salted: DataFrame =
+      if (hotValues == 0 || dataCols.isEmpty) df
+      else {
+        // (partition values, nsplit) for every value — broadcast-joined
+        // back null-safely (partition values may be null)
+        val splitRows = cntRows.toIndexedSeq.map { r =>
+          val n = math.min(Int.MaxValue.toLong,
+            (r.getLong(nKeys) + targetRowsPerFile - 1) / targetRowsPerFile)
+          org.apache.spark.sql.Row.fromSeq(
+            (0 until nKeys).map(r.get) :+ math.max(1L, n).toInt)
+        }
+        val splitSchema = StructType(
+          partitionBy.map(c => schema(c).copy(name = c)) :+
+            StructField("__graft_nsplit", IntegerType, nullable = false))
+        val splitsDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(splitRows, 1), splitSchema)
+        val cond = partitionBy.map(c => df(c) <=> splitsDf(c))
+          .reduce(_ && _)
+        partitionBy.foldLeft(df.join(broadcast(splitsDf), cond)) {
+            (d, c) => d.drop(splitsDf(c))
+          }
+          .withColumn(SaltCol,
+            pmod(xxhash64(lit(42) +: dataCols.map(col): _*),
+              col("__graft_nsplit").cast("long")).cast("int"))
+          .drop("__graft_nsplit")
+      }
+    val withSalt = salted.schema.fieldNames.contains(SaltCol)
+    val shuffleCols = if (withSalt) pcols :+ col(SaltCol) else pcols
+    // salted path pins the shuffle width: AQE's size-based coalescing
+    // would merge the hot value's buckets back into one task (they're
+    // deliberately file-sized, i.e. "small" to AQE), un-parallelizing
+    // the exact write the salt exists to spread. Buckets are already
+    // size-targeted by construction, so AQE has nothing to add here.
+    // The unsalted path keeps the coalescible shuffle — merging many
+    // COLD values into fewer tasks is pure win (same files out).
+    val sorted = (if (withSalt)
+        salted.repartition(
+          spark.sessionState.conf.numShufflePartitions, shuffleCols: _*)
+      else salted.repartition(shuffleCols: _*))
+      .sortWithinPartitions(shuffleCols: _*)
+    val schema2 = sorted.schema
+    val partOrds = partitionBy.map(schema2.fieldIndex).toArray
+    val boundaryOrds =
+      if (withSalt) partOrds :+ schema2.fieldIndex(SaltCol) else partOrds
+    val dataIdx = schema2.fields.indices
+      .filterNot(i => partOrds.contains(i) ||
+        schema2.fields(i).name == SaltCol).toArray
+    val dataSchema = StructType(dataIdx.map(schema2.fields))
+    writeRolling(spark, sorted, dst, schema2, dataSchema, dataIdx, partOrds,
+      boundaryOrds, statsCols, bloomCols, bitsPerRow, targetRowsPerFile)
   }
 
   private final case class PartEntry(partDir: String, tmpName: String,
@@ -230,15 +391,17 @@ object StatsWrite {
   private final case class PartFiles(idx: Int, entries: Seq[PartEntry])
 
   /** The rolling-writer job behind [[writePartitioned]]: each task
-    * walks its partition-sorted rows, rolling to a new file (and a
-    * fresh stats/bloom fold) at every partition-value boundary;
-    * partition columns are dir-encoded and projected OUT of the file
+    * walks its boundary-sorted rows, rolling to a new file (and a
+    * fresh stats/bloom fold) at every (partition value, salt) boundary
+    * and at `maxRowsPerFile` within a run; partition columns (and the
+    * salt) are dir-encoded / dropped and projected OUT of the file
     * rows. */
   private def writeRolling(spark: SparkSession,
       sorted: org.apache.spark.sql.DataFrame, dst: String,
       schema: StructType, dataSchema: StructType, dataIdx: Array[Int],
-      partOrds: Array[Int], statsCols: Seq[String], bloomCols: Seq[String],
-      bitsPerRow: Int): Unit = {
+      partOrds: Array[Int], boundaryOrds: Array[Int],
+      statsCols: Seq[String], bloomCols: Seq[String],
+      bitsPerRow: Int, maxRowsPerFile: Long): Unit = {
     val conf = writerConf(spark, dataSchema)
     val tsKind = spark.conf.get(
         "spark.sql.parquet.outputTimestampType", "INT96") match {
@@ -264,8 +427,10 @@ object StatsWrite {
     val dts = schema.fields.map(_.dataType)
     val partMeta = partOrds.map(i =>
       (schema.fields(i).name, schema.fields(i).dataType, i))
+    val boundaryMeta = boundaryOrds.map(i => (schema.fields(i).dataType, i))
     val dataIdxV = dataIdx
     val bpr = bitsPerRow
+    val maxRows = maxRowsPerFile
 
     val results = sorted.queryExecution.toRdd.mapPartitionsWithIndex {
       (i, rows) =>
@@ -282,8 +447,7 @@ object StatsWrite {
           val entries = Vector.newBuilder[PartEntry]
           var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = null
           var accs: Vector[ColAcc] = Vector.empty
-          var hashBufs: Vector[scala.collection.mutable.ArrayBuffer[Long]] =
-            Vector.empty
+          var fold: HashSpill = null
           var n = 0L
           var curKey: Seq[Any] = null
           var curDir: String = null
@@ -291,11 +455,15 @@ object StatsWrite {
           var k = 0
           def closeFile(): Unit = if (writer != null) {
             writer.close()
-            val blooms = bloomOrds.zip(hashBufs).map { case ((c, _), hs) =>
-              val b = ZoneBlooms.bloomFor(n, bpr)
-              hs.foreach(b.put)
-              c -> b
-            }
+            val blooms =
+              if (bloomOrds.isEmpty) Vector.empty[(String, ZoneBlooms.SimpleBloom)]
+              else {
+                val bs = bloomOrds.map { case (c, _) =>
+                  c -> ZoneBlooms.bloomFor(n, bpr) }
+                fold.fill(bs.map(_._2))
+                fold = null
+                bs
+              }
             entries += PartEntry(curDir, curName, n,
               accs.map(a => a.name -> a.result), blooms)
             writer = null
@@ -316,21 +484,21 @@ object StatsWrite {
               .build()
             accs = statsOrds.map { case (c, ord, kind) =>
               new ColAcc(c, ord, kind) }.toVector
-            hashBufs = bloomOrds.map(_ =>
-              new scala.collection.mutable.ArrayBuffer[Long](1 << 10)).toVector
+            if (bloomOrds.nonEmpty) fold = new HashSpill(bloomOrds.length)
             n = 0L
           }
           try {
             while (rows.hasNext) {
               val row = rows.next()
-              // stable copies of the partition values for boundary
-              // detection (UnsafeRow buffers are reused)
-              val key: Seq[Any] = partMeta.toIndexedSeq.map { case (_, dt, o) =>
-                if (row.isNullAt(o)) null
-                else dt match {
-                  case StringType => row.getUTF8String(o).toString
-                  case _ => row.get(o, dt)
-                }
+              // stable copies of the boundary values (partition cols +
+              // salt) for run detection (UnsafeRow buffers are reused)
+              val key: Seq[Any] = boundaryMeta.toIndexedSeq.map {
+                case (dt, o) =>
+                  if (row.isNullAt(o)) null
+                  else dt match {
+                    case StringType => row.getUTF8String(o).toString
+                    case _ => row.get(o, dt)
+                  }
               }
               if (curKey == null || key != curKey) {
                 closeFile()
@@ -339,6 +507,12 @@ object StatsWrite {
                   partFragment(nm, dt,
                     if (row.isNullAt(o)) null else row.get(o, dt))
                 }.mkString("/"))
+              } else if (n >= maxRows) {
+                // hard in-run roll: backstops salt-hash imbalance and
+                // stale pre-pass counts — same dir, next file ordinal
+                val d = curDir
+                closeFile()
+                openFile(d)
               }
               writer.write(proj(row))
               var j = 0
@@ -348,23 +522,28 @@ object StatsWrite {
               j = 0
               while (j < bloomOrds.length) {
                 val ord = bloomOrds(j)._2
-                hashBufs(j) += ZoneBlooms.hashInternal(
-                  if (row.isNullAt(ord)) null else row.get(ord, dts(ord)))
+                fold.set(j, ZoneBlooms.hashInternal(
+                  if (row.isNullAt(ord)) null else row.get(ord, dts(ord))))
                 j += 1
               }
+              if (bloomOrds.nonEmpty) fold.endRow()
               n += 1
             }
             closeFile()
-          } finally if (writer != null) writer.close()
+          } finally {
+            if (writer != null) writer.close()
+            if (fold != null) fold.close()
+          }
           Iterator.single(PartFiles(i, entries.result()))
         }
     }.collect()
 
     if (results.isEmpty) {
-      // empty frame: mirror the legacy path exactly
+      // empty frame: mirror the legacy path exactly (salt dropped —
+      // it must never reach a data file)
       f.delete(tmp, true)
       val partCols = partMeta.map(_._1).toSeq
-      sorted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      sorted.drop(SaltCol).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("compression", "zstd")
         .partitionBy(partCols: _*).parquet(dst)
       if (statsCols.nonEmpty) ZoneMaps.writeSidecar(spark, dst, statsCols)
@@ -530,36 +709,37 @@ object StatsWrite {
         val accs = statsOrds.map { case (c, ord, kind) =>
           new ColAcc(c, ord, kind) }
         // bloom sizing needs the file's row count, known only at the
-        // end — buffer the 8-byte hashes (≪ the row data being written)
-        // and fill the correctly-sized filter after the loop
-        val hashBufs = bloomOrds.map(_ =>
-          new scala.collection.mutable.ArrayBuffer[Long](1 << 12))
+        // end — the spill fold stages hashes in bounded memory and
+        // replays them into the exactly-sized filter after the loop
+        val fold =
+          if (bloomOrds.isEmpty) null else new HashSpill(bloomOrds.length)
         var n = 0L
         try {
-          while (rows.hasNext) {
-            val row = rows.next()
-            writer.write(row)
-            var j = 0
-            while (j < accs.length) {
-              accs(j).update(row, dts(accs(j).ord)); j += 1
+          try {
+            while (rows.hasNext) {
+              val row = rows.next()
+              writer.write(row)
+              var j = 0
+              while (j < accs.length) {
+                accs(j).update(row, dts(accs(j).ord)); j += 1
+              }
+              j = 0
+              while (j < bloomOrds.length) {
+                val ord = bloomOrds(j)._2
+                fold.set(j, ZoneBlooms.hashInternal(
+                  if (row.isNullAt(ord)) null else row.get(ord, dts(ord))))
+                j += 1
+              }
+              if (fold != null) fold.endRow()
+              n += 1
             }
-            j = 0
-            while (j < bloomOrds.length) {
-              val ord = bloomOrds(j)._2
-              hashBufs(j) += ZoneBlooms.hashInternal(
-                if (row.isNullAt(ord)) null else row.get(ord, dts(ord)))
-              j += 1
-            }
-            n += 1
-          }
-        } finally writer.close()
-        val blooms = bloomOrds.zip(hashBufs).map { case ((c, _), hs) =>
-          val b = ZoneBlooms.bloomFor(n, bpr)
-          hs.foreach(b.put)
-          c -> b
-        }
-        Iterator.single(PartResult(i, name, n,
-          accs.map(a => a.name -> a.result), blooms))
+          } finally writer.close()
+          val blooms = bloomOrds.map { case (c, _) =>
+            c -> ZoneBlooms.bloomFor(n, bpr) }
+          if (fold != null) fold.fill(blooms.map(_._2))
+          Iterator.single(PartResult(i, name, n,
+            accs.map(a => a.name -> a.result), blooms))
+        } finally if (fold != null) fold.close()
       }
     }.collect()
 

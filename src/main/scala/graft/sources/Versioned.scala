@@ -378,12 +378,20 @@ object Versioned {
     val f = fs(spark, b)
     requireVersion(spark, f, b, base, version)
     foldEntries(spark, b, entriesOrFail(f, b, table, version), dir => {
-      def all = spark.read.parquet(dir)
+      val all = spark.read.parquet(dir)
       tableDirFiles(spark, dir) match {
         case Nil => all
         case files =>
-          ZoneBlooms.selectFiles(spark, dir, colName, value, files) match {
-            case None => all // no bloom for this column → full scan
+          // coerce the probe to the column's STORED type before
+          // hashing (advice-high, r17): a string probe of a long
+          // column or a scale-mismatched decimal hashes differently
+          // and would wrongly prune; an uncoercible probe (or a
+          // column this dir doesn't carry) degrades to a full scan
+          val coerced = all.schema.find(_.name == colName)
+            .map(_.dataType).flatMap(ZoneBlooms.coerceProbe(_, value))
+          coerced.flatMap(cv =>
+              ZoneBlooms.selectFiles(spark, dir, colName, cv, files)) match {
+            case None => all // no bloom / uncoercible probe → full scan
             case Some(Nil) =>
               spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -412,11 +420,20 @@ object Versioned {
     val f = fs(spark, b)
     requireVersion(spark, f, b, base, version)
     foldEntries(spark, b, entriesOrFail(f, b, table, version), dir => {
-      def all = spark.read.parquet(dir)
+      val all = spark.read.parquet(dir)
       tableDirFiles(spark, dir) match {
         case Nil => all
         case files =>
-          ZoneBlooms.selectFilesAny(spark, dir, colName, values, files) match {
+          // per-value probe coercion, as in readPointAt: ANY value the
+          // column type cannot represent exactly widens the whole
+          // batch probe to a full scan (inclusion-safe)
+          val dt = all.schema.find(_.name == colName).map(_.dataType)
+          val coerced: Option[Seq[Any]] = dt.flatMap { t =>
+            val opts = values.map(ZoneBlooms.coerceProbe(t, _))
+            if (opts.exists(_.isEmpty)) None else Some(opts.flatten)
+          }
+          coerced.flatMap(cvs =>
+              ZoneBlooms.selectFilesAny(spark, dir, colName, cvs, files)) match {
             case None => all
             case Some(Nil) =>
               spark.createDataFrame(
@@ -439,7 +456,10 @@ object Versioned {
       : Seq[(String, Option[(Seq[String], Int)])] =
     dataDirsAt(spark, base, table, version).map { dir =>
       val files = tableDirFiles(spark, dir)
-      dir -> ZoneBlooms.selectFiles(spark, dir, colName, value, files)
+      val coerced = spark.read.parquet(dir).schema.find(_.name == colName)
+        .map(_.dataType).flatMap(ZoneBlooms.coerceProbe(_, value))
+      dir -> coerced
+        .flatMap(cv => ZoneBlooms.selectFiles(spark, dir, colName, cv, files))
         .map(_ -> files.size)
     }
 

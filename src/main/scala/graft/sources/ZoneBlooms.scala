@@ -133,6 +133,66 @@ object ZoneBlooms {
     try Some(hashValue(v))
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Coerce an external probe value to the STORED representation of a
+    * column of type `dt`, so the probe hash agrees bit-for-bit with
+    * the hashes the sidecar was built from. [[hashValue]] hashes by
+    * RUNTIME representation — a string `"123"` probed against a long
+    * column, or a decimal probe whose scale differs from the column's
+    * (`10.5` vs stored `10.50`; `toPlainString` is scale-sensitive),
+    * hashes differently and would WRONGLY prune the file holding the
+    * key, breaking the "a bloom miss is a proof of absence" contract
+    * (advice-high, r17). Returns None when the probe cannot exactly
+    * represent a stored value of this type — the caller must degrade
+    * to a full scan (inclusion-safe), never prune. */
+  private[graft] def coerceProbe(
+      dt: org.apache.spark.sql.types.DataType, v: Any): Option[Any] = {
+    import org.apache.spark.sql.types._
+    if (v == null) return Some(null)
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => v match {
+        // integer widths all hash via toLong — identity across widths
+        case l: Long => Some(l)
+        case i: Int => Some(i.toLong)
+        case s: Short => Some(s.toLong)
+        case b: Byte => Some(b.toLong)
+        case s: String =>
+          try Some(s.trim.toLong)
+          catch { case _: NumberFormatException => None }
+        case d: java.math.BigDecimal =>
+          try Some(d.longValueExact())
+          catch { case _: ArithmeticException => None }
+        case d: BigDecimal => coerceProbe(dt, d.bigDecimal)
+        case _ => None
+      }
+      case StringType => v match {
+        // a non-string probe of a string column cannot know the stored
+        // spelling ("010" vs "10") — only a full scan is safe
+        case s: String => Some(s)
+        case _ => None
+      }
+      case d: DecimalType =>
+        val bd: Option[java.math.BigDecimal] = v match {
+          case x: java.math.BigDecimal => Some(x)
+          case x: BigDecimal => Some(x.bigDecimal)
+          case l: Long => Some(java.math.BigDecimal.valueOf(l))
+          case i: Int => Some(java.math.BigDecimal.valueOf(i.toLong))
+          case s: Short => Some(java.math.BigDecimal.valueOf(s.toLong))
+          case b: Byte => Some(java.math.BigDecimal.valueOf(b.toLong))
+          case s: String =>
+            try Some(new java.math.BigDecimal(s.trim))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+        // stored hashes use toPlainString AT THE COLUMN SCALE; a probe
+        // needing rounding to reach that scale can't equal any stored
+        // value exactly — degrade rather than guess
+        bd.flatMap(x =>
+          try Some(x.setScale(d.scale, java.math.RoundingMode.UNNECESSARY))
+          catch { case _: ArithmeticException => None })
+      case _ => None // not a bloomable column type — full scan
+    }
+  }
+
   private[sources] def bloomFor(rows: Long, bitsPerRow: Int): SimpleBloom = {
     val bits = math.max(1024L, rows * bitsPerRow)
     new SimpleBloom(7, new Array[Long](((bits + 63) / 64).toInt))

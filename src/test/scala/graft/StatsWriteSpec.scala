@@ -157,6 +157,74 @@ class StatsWriteSpec extends SparkSpec {
     assert(ex.getMessage.contains("partition column"))
   }
 
+  test("skew: a hot partition value splits across files AND tasks; sidecars stay byte-identical") {
+    val dir = mkDir("skew")
+    // one hot date (6000 rows) vs seven cold dates (~86 rows each) —
+    // the reference's charges shape (a few values dominate)
+    val d = spark.range(0, 6600).select(
+      col("id"),
+      concat(lit("n"), col("id") % 991).as("name"),
+      when(col("id") < 6000, lit("2024-01-01").cast("date"))
+        .otherwise(expr(
+          "date_add(date'2024-02-01', cast(id % 7 as int))")).as("pd"))
+    StatsWrite.writePartitioned(spark, d, dir, Seq("pd"),
+      Seq("id"), Seq("name"), bitsPerRow = 10, targetRowsPerFile = 500)
+    // the hot value is MANY files written by MULTIPLE tasks (the final
+    // name carries the writing task's index: part-IIIII-JJJJ-job)
+    val hot = new java.io.File(s"$dir/pd=2024-01-01").list()
+      .filter(_.endsWith(".parquet")).toSeq
+    assert(hot.size >= 6, s"hot value not split: ${hot.size} files")
+    val writerTasks = hot.map(_.split("-")(1)).distinct
+    assert(writerTasks.size >= 2,
+      s"hot value serialized into ${writerTasks.size} task(s): $hot")
+    // the in-run roll bound holds: no file exceeds the target
+    hot.foreach { fl =>
+      val n = spark.read.parquet(s"$dir/pd=2024-01-01/$fl").count()
+      assert(n <= 500, s"$fl has $n rows > target 500")
+    }
+    // cold values stay one file each (no fragmentation tax)
+    (0 until 7).foreach { i =>
+      val day = java.time.LocalDate.parse("2024-02-01").plusDays(i)
+      val files = new java.io.File(s"$dir/pd=$day").list()
+        .filter(_.endsWith(".parquet"))
+      assert(files.length == 1, s"cold value pd=$day fragmented: ${files.length}")
+    }
+    // rows round-trip exactly and the salt never reaches a file
+    val back = spark.read.parquet(dir)
+    assert(!back.columns.exists(_.contains("salt")), back.columns.mkString(","))
+    val key = (x: org.apache.spark.sql.DataFrame) => x
+      .select("id", "name", "pd")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(key(back) == key(d))
+    // multi-file-per-value sidecars are byte-identical to the legacy
+    // re-scan over the same files
+    val zm1 = bytes(s"$dir/${ZoneMaps.SidecarName}")
+    val bl1 = bytes(s"$dir/${ZoneBlooms.sidecarName("name")}")
+    ZoneMaps.writeSidecar(spark, dir, Seq("id"))
+    ZoneBlooms.writeSidecar(spark, dir, Seq("name"))
+    assert(bytes(s"$dir/${ZoneMaps.SidecarName}") == zm1,
+      "skew-split zone-map sidecar diverged from the footer walk")
+    assert(bytes(s"$dir/${ZoneBlooms.sidecarName("name")}") == bl1,
+      "skew-split bloom sidecar diverged from the re-scan")
+    // and the blooms still answer point probes with zero lost rows
+    val all = {
+      def walk(f: java.io.File): Seq[String] =
+        f.listFiles().toSeq.flatMap { x =>
+          if (x.isDirectory) walk(x)
+          else if (x.getName.endsWith(".parquet"))
+            Seq(x.getPath.stripPrefix(dir).stripPrefix("/"))
+          else Nil
+        }
+      walk(new java.io.File(dir)).sorted
+    }
+    val sel = ZoneBlooms.selectFiles(spark, dir, "name", "n123", all).get
+    assert(sel.nonEmpty && sel.size < all.size)
+    val hit = spark.read.option("basePath", dir).parquet(
+        sel.map(r => new org.apache.hadoop.fs.Path(dir, r).toString): _*)
+      .filter(col("name") === "n123").count()
+    assert(hit == d.filter(col("name") === "n123").count() && hit > 0)
+  }
+
   test("property: byte-identity holds over random shapes, all decimal backings") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -134,6 +134,55 @@ class ZoneBloomSpec extends SparkSpec {
     assert(Versioned.readPoint(spark, base, "t", "k", 1234L).isEmpty)
   }
 
+  test("probe coercion: mistyped probes prune correctly or widen — never lose rows") {
+    val base = mkBase()
+    val d = spark.range(0, 4000).select(col("id").as("k"),
+      ((col("id") * 7 - 1400).cast("decimal(18,4)") / 100)
+        .cast("decimal(16,2)").as("amt"),
+      concat(lit("s"), col("id") % 13).as("s")).repartition(8)
+    Versioned.publish(spark, base, Seq(TableSpec("t", d,
+      bloomCols = Seq("k", "amt", "s"))))
+    val t = Versioned.read(spark, base, "t")
+    // a STRING probe of a long column: pre-r18 it hashed as a string,
+    // wrongly pruned the key's file, and returned [] for a live key —
+    // now it coerces to the stored long and both prunes AND hits
+    val selStr = Versioned.pointSelectionAt(spark, base, "t", 1L, "k", "1234")
+    val (sS, nS) = selStr.head._2.get
+    assert(nS == 8 && sS.size <= 3, s"string-probe coercion didn't prune: $sS")
+    assert(collectSet(Versioned.readPoint(spark, base, "t", "k", "1234"))
+      == collectSet(t.filter(col("k") === 1234L)))
+    assert(collectSet(t.filter(col("k") === 1234L)).nonEmpty)
+    // decimal probe at the WRONG scale: stored "10.50" vs probe 10.5 —
+    // toPlainString differs, so pre-r18 this false-pruned; coercion
+    // setScales to the column's 2
+    val key = new java.math.BigDecimal("10.5") // k=300 → (300*7-1400)/100
+    val selDec = Versioned.pointSelectionAt(spark, base, "t", 1L, "amt", key)
+    assert(selDec.head._2.isDefined &&
+      selDec.head._2.get._1.size <= 3, s"decimal coercion didn't prune: $selDec")
+    assert(collectSet(Versioned.readPoint(spark, base, "t", "amt", key))
+      == collectSet(t.filter(col("amt") === lit(key))))
+    // string probe of a decimal column coerces too
+    assert(collectSet(Versioned.readPointIn(spark, base, "t", "amt",
+        Seq("10.5", "-14")))
+      == collectSet(t.filter(col("amt").isin(
+        new java.math.BigDecimal("10.50"), new java.math.BigDecimal("-14.00")))))
+    // UNCOERCIBLE probes degrade to a full scan (None), never prune:
+    // a double against a long column, an unparseable string, a decimal
+    // needing rounding, a non-string against a string column
+    assert(Versioned.pointSelectionAt(spark, base, "t", 1L, "k", 3.14)
+      .head._2.isEmpty)
+    assert(Versioned.pointSelectionAt(spark, base, "t", 1L, "k", "not-a-long")
+      .head._2.isEmpty)
+    assert(Versioned.pointSelectionAt(spark, base, "t", 1L, "amt",
+      new java.math.BigDecimal("10.555")).head._2.isEmpty)
+    // a non-string probe of a string column cannot know the stored
+    // spelling — selection must widen to the full set (the equality
+    // filter itself then follows ANSI comparison semantics, as any
+    // spark.sql filter would)
+    assert(Versioned.pointSelectionAt(spark, base, "t", 1L, "s", 5L)
+      .head._2.isEmpty)
+  }
+
   test("bloom kernel: no false negatives ever; fpp in the designed band") {
     val rnd = new scala.util.Random(11)
     val b = new ZoneBlooms.SimpleBloom(7, new Array[Long](
