@@ -189,7 +189,12 @@ object AdpcmCodec {
       var samplesPerBlock = 0; var haveFmt = false
       var totalSamples = -1
       var dataFrom = -1; var dataLen = -1
-      while (p + 8 <= bytes.length && dataFrom < 0) {
+      // scan ALL chunks, not just up to the first data chunk: RIFF
+      // permits a fact chunk AFTER data (advice-low, r17 — stopping
+      // early made the total fall back to cap, decoding encoder
+      // padding as real samples); odd-length chunk bodies carry a pad
+      // byte that must be skipped or every later tag misparses
+      while (p + 8 <= bytes.length) {
         val tag = new String(Array(bytes(p), bytes(p + 1), bytes(p + 2),
           bytes(p + 3)).map(b => (b & 0xff).toChar)); p += 4
         val len = r32()
@@ -208,9 +213,12 @@ object AdpcmCodec {
           case "fact" =>
             if (len < 4) return Left("short fact")
             totalSamples = r32(); p += len - 4
-          case "data" => dataFrom = p; dataLen = len
+          case "data" =>
+            if (dataFrom >= 0) return Left("duplicate data chunk")
+            dataFrom = p; dataLen = len; p += len
           case _ => p += len
         }
+        if (len % 2 == 1 && p < bytes.length) p += 1 // RIFF pad byte
       }
       if (!haveFmt) return Left("no fmt chunk")
       if (dataFrom < 0) return Left("no data chunk")

@@ -33,8 +33,9 @@ private[streaming] object BatchMarkers {
     * (graft_stream_id, graft_batch_id) schema — probed backward past
     * interloper versions that did not carry it, bounded by retention
     * (the [[StreamingClusters]] replay discipline). Legacy
-    * single-column markers normalize to stream id "" so a modern
-    * probe never matches them. */
+    * single-column markers normalize to stream id "": modern streams
+    * never match them, but the one stream that predates the keyed
+    * scheme probes them via `alsoLegacy` (see [[isReplayed]]). */
   def newest(spark: SparkSession, lakeBase: String): Option[DataFrame] =
     Versioned.newestVersionWith(spark, lakeBase, Table)
       .map(v => normalize(Versioned.readAt(spark, lakeBase, Table, v)))
@@ -46,11 +47,26 @@ private[streaming] object BatchMarkers {
       col("graft_batch_id"))
 
   /** ONE membership probe of the newest surviving marker — O(1) in
-    * stream age, keyed on both columns. */
+    * stream age, keyed on both columns.
+    *
+    * `alsoLegacy`: the stream that predates the keyed scheme
+    * ([[StreamingClusters]]) also matches pre-upgrade single-column
+    * markers (normalized to stream id ""), so a batch whose marker
+    * landed before the upgrade but whose checkpoint commit was lost —
+    * the exact crash window markers exist for — is still recognized
+    * as replayed after upgrading instead of double-ingesting once
+    * (advice-low, r17). Safe to keep on indefinitely: "" can only
+    * come from a pre-upgrade table (every modern stream writes a
+    * non-empty id), and only this one stream existed then. */
   def isReplayed(markers: Option[DataFrame], streamId: String,
-      batchId: Long): Boolean =
-    markers.exists(_.filter(col("graft_stream_id") === streamId &&
+      batchId: Long, alsoLegacy: Boolean = false): Boolean = {
+    val idMatch =
+      if (alsoLegacy)
+        col("graft_stream_id") === streamId || col("graft_stream_id") === ""
+      else col("graft_stream_id") === streamId
+    markers.exists(_.filter(idMatch &&
       col("graft_batch_id") === batchId).head(1).nonEmpty)
+  }
 
   /** How many recent batch ids each stream's marker retains. The
     * marker exists to catch a crash REPLAY, and Spark's checkpoint

@@ -75,7 +75,10 @@ object StreamingClusters {
     // this lake numbers its own batches from 0 ([[BatchMarkers]])
     val streamId = "clusters:documents"
     val markers = cur.flatMap(_ => BatchMarkers.newest(spark, lakeBase))
-    val replayed = BatchMarkers.isReplayed(markers, streamId, batchId)
+    // alsoLegacy: this stream predates the keyed marker scheme, so a
+    // pre-upgrade single-column marker must still suppress its replay
+    val replayed =
+      BatchMarkers.isReplayed(markers, streamId, batchId, alsoLegacy = true)
     val v = if (replayed) cur.get else {
       val docs = cur match {
         case Some(c) =>

@@ -95,6 +95,37 @@ class AdpcmCodecSpec extends SparkSpec {
     assert(got.samples(1).toSeq == blockReplay(r, 57).toSeq, "right channel")
   }
 
+  test("legal RIFF orderings decode identically: fact after data, odd-length chunks") {
+    // 100 samples, 57/block → 2 blocks with padding the fact total
+    // must clip away even when fact FOLLOWS data (legal RIFF ordering;
+    // advice-low r17: the scanner used to stop at data and decode the
+    // encoder padding as real samples)
+    val xs = Array.tabulate(100)(i => (i * 41 % 1201) - 600)
+    val enc = AdpcmCodec.encode(Array(xs), 8000, samplesPerBlock = 57)
+    val want = AdpcmCodec.decode(enc).toOption.get
+    assert(want.samples(0).length == 100)
+    // rebuild: RIFF(12) ++ fmt(8+20) ++ [LIST odd chunk] ++ data ++ fact
+    val riff = enc.slice(0, 12)
+    val fmt = enc.slice(12, 40)
+    val fact = enc.slice(40, 52)
+    val data = enc.slice(52, enc.length)
+    val odd = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](7, 8, 9) ++
+      Array[Byte](0) // 3-byte body + RIFF pad byte
+    val reordered = riff ++ fmt ++ odd ++ data ++ fact
+    val got = AdpcmCodec.decode(reordered)
+    assert(got.isRight, s"reordered stream rejected: $got")
+    assert(got.toOption.get.samples(0).toSeq == want.samples(0).toSeq,
+      "fact-after-data decoded differently (padding leaked as samples?)")
+    // without ANY fact chunk the total honestly falls back to whole
+    // blocks (114 samples incl. padding) — the ordering fix must not
+    // invent a total
+    val noFact = riff ++ fmt ++ data
+    assert(AdpcmCodec.decode(noFact).toOption.get.samples(0).length == 114)
+    // two data chunks are corrupt, not silently first-wins
+    assert(AdpcmCodec.decode(riff ++ fmt ++ data ++ data ++ fact).isLeft)
+  }
+
   test("corrupt payloads are Left, never a wrong sample") {
     val xs = Array.tabulate(121)(i => (i * 31 % 997) - 498)
     val enc = AdpcmCodec.encode(Array(xs), 8000, samplesPerBlock = 121)

@@ -39,4 +39,21 @@ class BatchMarkersSpec extends SparkSpec {
       "an id older than the retention window is trimmed (checkpoint " +
         "monotonicity makes its replay impossible)")
   }
+
+  test("alsoLegacy matches pre-upgrade markers (stream id \"\"); modern streams don't") {
+    // a pre-upgrade single-column marker table normalizes to "" — the
+    // one stream that predates the keyed scheme must still suppress a
+    // replay of a batch whose checkpoint commit was lost mid-upgrade
+    val standing = (Seq(("", 7L)) ++ Seq(("append:t", 3L)))
+      .toDF("graft_stream_id", "graft_batch_id")
+    val m = Some(standing)
+    assert(BatchMarkers.isReplayed(m, "clusters:documents", 7L,
+      alsoLegacy = true), "legacy marker must suppress the upgrade replay")
+    assert(!BatchMarkers.isReplayed(m, "clusters:documents", 7L),
+      "modern probes must NOT match legacy markers")
+    assert(!BatchMarkers.isReplayed(m, "clusters:documents", 8L,
+      alsoLegacy = true), "legacy matching still keys on batch id")
+    assert(BatchMarkers.isReplayed(m, "append:t", 3L, alsoLegacy = true),
+      "alsoLegacy widens, never narrows, the modern match")
+  }
 }

@@ -555,6 +555,28 @@ class ServiceSpec extends AnyFunSuite {
       }) Thread.sleep(100)
       assert(st.contains("\"state\":\"done\"") &&
         st.contains("\"compacted\":true"), st)
+      // the status is keyed by (base, table): the keyed poll answers
+      // this job, an unknown key reads idle, and a LATER job on a
+      // different lake must not shadow this one's keyed state
+      assert(http("GET",
+        s"$base/lake/compact/status?base=$enc&table=t")._2 == st)
+      assert(http("GET",
+        s"$base/lake/compact/status?base=$enc&table=nope")._2
+        .contains("\"idle\""))
+      val lake2 = java.nio.file.Files.createTempDirectory("graft-svc-blake")
+        .toString + "/lake"
+      Versioned.publish(spark, lake2,
+        Seq(Versioned.TableSpec("u", facts(0, 10))))
+      val enc2 = java.net.URLEncoder.encode(lake2, UTF_8)
+      assert(http("POST", s"$base/lake/compact?base=$enc2&table=u",
+        Some(""))._1 == 200)
+      val keyed = http("GET",
+        s"$base/lake/compact/status?base=$enc&table=t")._2
+      assert(keyed.contains("\"state\":\"done\"") &&
+        keyed.contains("\"table\":\"t\""),
+        s"another lake's compaction shadowed this job's status: $keyed")
+      assert(http("GET", s"$base/lake/compact/status")._2
+        .contains("\"table\":\"u\""), "parameterless poll should read latest")
       assert(Versioned.read(spark, lake, "t")
         .collect().map(_.toSeq).toSet == before,
         "async HTTP compaction changed values")
