@@ -214,4 +214,24 @@ object ChargesEtl {
       .agg(sqlSum(col("ch.amount")).as("total_amount"))
       .createOrReplaceTempView("daily_company_totals")
   }
+
+  /** The daily_company_totals view computed against a HISTORICAL lake
+    * version (r18): the same SUM(amount) per company_name ×
+    * DATE(created_at) aggregation, but over the charges/companies
+    * tables the ETL published at `version` — the audit face of the
+    * manifest history ("what did the reference's own view query return
+    * before publish N?"). Served over HTTP by
+    * `GET /query/daily_totals?base=&version=|asOf=`. */
+  def dailyTotalsAt(spark: SparkSession, base: String,
+      version: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{sum => sqlSum}
+    val charges = graft.sources.Versioned.readAt(spark, base, "charges", version)
+    val companies =
+      graft.sources.Versioned.readAt(spark, base, "companies", version)
+    charges.as("ch")
+      .join(companies.as("c"), "company_id")
+      .groupBy(col("c.company_name"),
+        col("ch.created_at").cast(DateType).as("transaction_date"))
+      .agg(sqlSum(col("ch.amount")).as("total_amount"))
+  }
 }

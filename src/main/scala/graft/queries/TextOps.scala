@@ -2647,6 +2647,54 @@ object TextOps {
       : Seq[(String, String, Long)] =
     memo(bpeModels, key)(bpeTrain(bpeWordsOf(d, Some(BpeWordCap))))
 
+  /** One tokenized word: its subwords in order and their model-stable
+    * ids. A single-codepoint subword's id is its codepoint; a merged
+    * symbol's id is `0x110000 + round - 1` (beyond the Unicode range,
+    * so the two spaces can never collide), keyed by the FIRST round
+    * that produced the symbol string. */
+  final case class Tokenized(word: String, subwords: Seq[String],
+      ids: Seq[Long])
+
+  /** Serve the corpus dir's standing tokenizer over raw text (r18,
+    * the train→apply→serve completion for the BPE family — BM25/ANN's
+    * `/search`//`/knn` posture): segmentation runs DRIVER-SIDE against
+    * the memoized, content-addressed merge table ([[bpeLearn]] — a
+    * corpus replacement at the same path is a model MISS, never a
+    * stale tokenizer), so a request after warm-up runs ZERO Spark
+    * jobs. The per-word fold is `String.replace` in learned order —
+    * bit-identical to [[graft.functions.BpeApply]]'s corpus-scan
+    * kernel and the training loop by construction; the spaced-symbol
+    * encoding mirrors `spacedChars` (one " c " per CODEPOINT — Java
+    * regex "." matches whole surrogate pairs, so astral chars are one
+    * symbol there and must be here too). Returns (model content
+    * address, merge count, per-word segmentations). */
+  def tokenizeText(spark: SparkSession, dir: String, text: String)
+      : (String, Int, Seq[Tokenized]) = {
+    val merges = bpeLearn(spark, dir)
+    val art = new org.apache.hadoop.fs.Path(
+      bpeModelArtifact(spark, dir)).getName
+    val pats = merges.map { case (l, r, _) => s" $l  $r " }
+    val reps = merges.map { case (l, r, _) => s" $l$r " }
+    val idOf = scala.collection.mutable.HashMap.empty[String, Long]
+    merges.zipWithIndex.foreach { case ((l, r, _), i) =>
+      if (!idOf.contains(l + r)) idOf(l + r) = 0x110000L + i
+    }
+    val words = text.split("\\s+").filter(_.nonEmpty).toSeq
+    val toks = words.map { w =>
+      val sb = new java.lang.StringBuilder(w.length * 3)
+      w.codePoints().forEach { cp =>
+        sb.append(' ').append(Character.toChars(cp)).append(' '); ()
+      }
+      var s = sb.toString
+      var i = 0
+      while (i < pats.length) { s = s.replace(pats(i), reps(i)); i += 1 }
+      val subs = s.trim.split("  ").toSeq
+      Tokenized(w, subs, subs.map(sym =>
+        idOf.getOrElse(sym, sym.codePointAt(0).toLong)))
+    }
+    (art, merges.length, toks)
+  }
+
   /** The merge loop behind q145–q148, IN DRIVER MEMORY. The
     * distributed part of BPE training is the one corpus scan that
     * built the (word, n) table feeding `state0`; the state itself is

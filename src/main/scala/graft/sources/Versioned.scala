@@ -247,6 +247,23 @@ object Versioned {
       .maxOption
   }
 
+  /** Newest SURVIVING version whose commit is at or before `tsMillis`
+    * (epoch ms) — the `asOf` resolution for time-travel reads. The
+    * commit point is the version-marker file create, so the marker's
+    * modification time IS the commit time; retention bounds how far
+    * back an asOf can reach (older versions are GC'd, same contract as
+    * [[readAt]]). None when every surviving commit is newer. */
+  def versionAsOf(spark: SparkSession, base: String,
+      tsMillis: Long): Option[Long] = {
+    val b = new Path(base)
+    val f = fs(spark, b)
+    if (!f.exists(markerDir(b))) None
+    else f.listStatus(markerDir(b)).toSeq
+      .flatMap(s => s.getPath.getName.toLongOption.map(_ -> s.getModificationTime))
+      .filter(_._2 <= tsMillis)
+      .map(_._1).maxOption
+  }
+
   /** Read `table` at the current version. One resolve per call: a plan
     * built from this frame reads one consistent version throughout. */
   def read(spark: SparkSession, base: String, table: String): DataFrame = {
@@ -412,10 +429,16 @@ object Versioned {
     * exact on any layout. Same fallbacks as [[readPoint]]. */
   def readPointIn(spark: SparkSession, base: String, table: String,
       colName: String, values: Seq[Any]): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    require(values.nonEmpty, "readPointIn needs at least one value")
     val version = currentVersion(spark, base)
       .getOrElse(sys.error(s"versioned lake $base has no committed version"))
+    readPointInAt(spark, base, table, version, colName, values)
+  }
+
+  /** [[readPointIn]] with time travel. */
+  def readPointInAt(spark: SparkSession, base: String, table: String,
+      version: Long, colName: String, values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty, "readPointIn needs at least one value")
     val b = new Path(base)
     val f = fs(spark, b)
     requireVersion(spark, f, b, base, version)

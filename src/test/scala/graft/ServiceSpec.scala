@@ -308,7 +308,7 @@ class ServiceSpec extends AnyFunSuite {
       assert(body.contains("\"openapi\""))
       Seq("/extract", "/missing", "/reset", "/health", "/etl/run",
         "/etl/status", "/query/daily_totals", "/query/run",
-        "/index/maintain", "/search", "/knn", "/quality",
+        "/index/maintain", "/search", "/knn", "/quality", "/tokenize",
         "/lake/status", "/lake/compact", "/lake/compact/status",
         "/lake/point", "/lake/remove", "/lake/history", "/docs")
         .foreach(route => assert(body.contains("\"" + route + "\""), route))
@@ -448,6 +448,145 @@ class ServiceSpec extends AnyFunSuite {
         s"appended docs missing from the served cut: $b2")
       // repeat call = same artifact = memo hit, verdicts identical
       assert(http("GET", s"$base/quality?dir=$enc") == ((c2, b2)))
+    } finally api.stop()
+  }
+
+  test("/tokenize serves the standing BPE model; a corpus replacement bumps it") {
+    val spark = SparkSpec.spark
+    val api = new RestApi(Some(spark), 0).start()
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.queries.TextOps
+      val base = s"http://localhost:${api.boundPort}"
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tok").toString
+      def corpus(text: String, n: Long) = spark.range(0, n).select(
+        col("id").as("doc_id"), lit(text).as("text"),
+        lit("en").as("lang"), lit("synthetic").as("source"),
+        lit(text.length.toLong).as("n_chars"))
+      corpus("abab abab banana", 300)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      // contract errors first
+      assert(http("POST", s"$base/tokenize", Some("{}"))._1 == 422)
+      assert(http("GET", s"$base/tokenize")._1 == 405)
+      assert(http("POST", s"$base/tokenize",
+        Some(s"""{"text":" ","dir":"$tmp"}"""))._1 == 422)
+      // value identity with the library seam, byte for byte
+      def render(model: String, n: Int, toks: Seq[TextOps.Tokenized]) = {
+        val tj = toks.map(t =>
+          s"""{"word":"${t.word}","subwords":[${
+            t.subwords.map(x => s""""$x"""").mkString(",")}],""" +
+            s""""ids":[${t.ids.mkString(",")}]}""").mkString("[", ",", "]")
+        s"""{"model":"$model","merges":$n,"tokens":$tj}"""
+      }
+      val (c1, b1) = http("POST", s"$base/tokenize",
+        Some(s"""{"text":"abab zq","dir":"$tmp"}"""))
+      assert(c1 == 200, b1)
+      val (m1, n1, t1) = TextOps.tokenizeText(spark, tmp, "abab zq")
+      assert(b1 == render(m1, n1, t1), s"endpoint diverged: $b1")
+      // the hot pair (a,b) merged: "abab" emits the learned symbol
+      // "ab" with a merge-space id (≥ 0x110000); subwords always
+      // reassemble the word; every subword has an id
+      val ab = t1.find(_.word == "abab").get
+      assert(ab.subwords.mkString == "abab")
+      assert(ab.subwords.exists(_.length > 1),
+        s"the hot pair never merged: $ab")
+      assert(ab.ids.length == ab.subwords.length)
+      assert(ab.ids.exists(_ >= 0x110000L), s"no merged-symbol id: $ab")
+      // single-codepoint ids are codepoints
+      val zq = t1.find(_.word == "zq").get
+      assert(zq.subwords.forall(_.length == 1) ||
+        zq.ids.zip(zq.subwords).forall { case (id, s) =>
+          s.length > 1 || id == s.codePointAt(0).toLong })
+      // in-place corpus REPLACEMENT at the same dir: the model is
+      // content-addressed, so the next request serves a NEW model
+      // (the /quality mid-stream-bump discipline), never a stale one
+      corpus("cdcd cdcd qqq", 500)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val (c2, b2) = http("POST", s"$base/tokenize",
+        Some(s"""{"text":"abab zq","dir":"$tmp"}"""))
+      assert(c2 == 200, b2)
+      val model2 = "\"model\":\"([^\"]+)\"".r
+        .findFirstMatchIn(b2).get.group(1)
+      assert(model2 != m1, "corpus replacement must bump the model address")
+      assert(!b2.contains("\"ab\""),
+        s"the old corpus's (a,b) merge leaked into the new model: $b2")
+    } finally api.stop()
+  }
+
+  test("time travel over HTTP: daily_totals and /lake/point at version=/asOf=") {
+    val spark = SparkSpec.spark
+    val api = new RestApi(Some(spark), 0).start()
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      import graft.sources.Versioned
+      val base = s"http://localhost:${api.boundPort}"
+      val lake = java.nio.file.Files.createTempDirectory("graft-svc-tt")
+        .toString + "/lake"
+      def mkCharges(lo: Int, hi: Int) = spark.range(lo, hi).select(
+        col("id"), (col("id") % 2 + 1).as("company_id"),
+        (col("id") + 1).cast("decimal(16,2)").as("amount"),
+        lit("2024-03-05").cast("timestamp").as("created_at"))
+      val companies = Seq((1L, "acme"), (2L, "globex"))
+        .toDF("company_id", "company_name")
+      Versioned.publish(spark, lake, Seq(
+        Versioned.TableSpec("charges", mkCharges(0, 20),
+          bloomCols = Seq("id")),
+        Versioned.TableSpec("companies", companies)))
+      Versioned.setAutoCompact(spark, lake, 0)
+      Thread.sleep(50) // marker mtimes separate the asOf instants
+      val t1 = System.currentTimeMillis()
+      Thread.sleep(50)
+      Versioned.appendPublish(spark, lake, "charges",
+        mkCharges(20, 30), Seq("id"))
+      val enc = java.net.URLEncoder.encode(lake, UTF_8)
+
+      // the expected body at a version, computed through the library
+      // seam the endpoint rides — value identity, not just row counts
+      def expect(v: Long): String = graft.etl.ChargesEtl
+        .dailyTotalsAt(spark, lake, v)
+        .select(col("company_name"),
+          col("transaction_date").cast("string").as("d"),
+          col("total_amount").cast("string").as("total"))
+        .orderBy(col("company_name"), col("d"))
+        .collect().map(r =>
+          s"""{"company_name":"${r.getString(0)}","transaction_date":"${r.getString(1)}","total_amount":${r.getString(2)}}""")
+        .mkString("[", ",", "]")
+      val range = "from=2024-03-01&to=2024-03-31"
+      val (c1, b1) = http("GET",
+        s"$base/query/daily_totals?$range&base=$enc&version=1")
+      assert(c1 == 200 && b1 == expect(1), s"v1: $b1")
+      val (c2, b2) = http("GET",
+        s"$base/query/daily_totals?$range&base=$enc&version=2")
+      assert(c2 == 200 && b2 == expect(2), s"v2: $b2")
+      assert(b1 != b2, "the mutation must be visible across versions")
+      // no version → current; asOf=t1 → the pre-mutation version
+      assert(http("GET",
+        s"$base/query/daily_totals?$range&base=$enc")._2 == b2)
+      assert(http("GET",
+        s"$base/query/daily_totals?$range&base=$enc&asOf=$t1")._2 == b1,
+        "asOf should resolve to the newest commit at or before the instant")
+      // ISO-8601 asOf parses too
+      val iso = java.time.Instant.ofEpochMilli(t1).toString
+      assert(http("GET",
+        s"$base/query/daily_totals?$range&base=$enc&asOf=$iso")._2 == b1)
+      // contract errors: both params, bad version, pre-history asOf
+      assert(http("GET",
+        s"$base/query/daily_totals?$range&base=$enc&version=1&asOf=$t1")._1
+        == 422)
+      assert(http("GET",
+        s"$base/query/daily_totals?$range&base=$enc&version=99")._1 == 404)
+      assert(http("GET",
+        s"$base/query/daily_totals?$range&base=$enc&asOf=1000")._1 == 404)
+
+      // /lake/point time travel: a key born in v2 audits absent at v1
+      val probe = s"$base/lake/point?base=$enc&table=charges&col=id" +
+        "&value=25&type=long"
+      assert(http("GET", s"$probe&version=1")._2 == "[]",
+        "a v2-born key must audit absent at v1")
+      assert(http("GET", s"$probe&version=2")._2.contains("\"id\":25"))
+      assert(http("GET", s"$probe&asOf=$t1")._2 == "[]")
+      assert(http("GET", s"$probe&version=1&asOf=$t1")._1 == 422)
     } finally api.stop()
   }
 
