@@ -271,6 +271,28 @@ object Multimodal {
     * counterpart of [[decodeImages]], riding the identical
     * `mapPartitions` seam (decode failure is data, not a task
     * failure). */
+  /** PERCEPTUAL-CODEC SEAM — the formal deferral (r18, carried from
+    * r16/r17). The codec family splits on oracle-gateability:
+    * integer-exact codecs (PCM/WAV here, FLAC in [[graft.functions
+    * .FlacCodec]], IMA ADPCM in [[graft.functions.AdpcmCodec]] — the
+    * lossy slot) decode to bit-exact samples a DuckDB oracle can
+    * replay, and all three ship decoded and gated. Perceptual codecs
+    * (MP3/Vorbis/Opus) CANNOT be gated that way: their reference
+    * decoders specify float DSP whose output legitimately differs in
+    * the last ulp across implementations, so the honest check is
+    * spectral distance against a reference decode, not a hash.
+    * Shipping one therefore needs a decoder DEPENDENCY, and this
+    * build disallows new libraryDependencies (offline resolver).
+    * Named candidates for when that constraint lifts, all pure-JVM
+    * (no JNI, so executor provisioning stays jar-only): JLayer
+    * (javazoom, MP3), JOrbis (javazoom, Vorbis), Concentus (a Java
+    * port of libopus). Integration shape is ALREADY BUILT: register
+    * the decoder in the per-partition init slot below (where a JNI
+    * codec would load its native lib), have [[AudioDecoder.decode]]
+    * sniff the container magic (ID3/0xFFEx for MP3, OggS for
+    * Vorbis/Opus) before the javax.sound fallback, and keep decode
+    * failure as DATA (`ok = false`), never a task failure — the
+    * corrupt-as-data contract every decode seam here follows. */
   def decodeAudio(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
     import payloads.sparkSession.implicits._
     payloads
@@ -278,7 +300,9 @@ object Multimodal {
         // per-partition init hook: javax.sound providers are located
         // via a ServiceLoader scan on first use — forcing it here once
         // per partition keeps the per-row path scan-free (a JNI codec
-        // would load its native lib in this slot)
+        // would load its native lib in this slot; a pure-JVM
+        // perceptual decoder — see the seam note above — registers
+        // here too)
         javax.sound.sampled.AudioSystem.getAudioFileTypes()
         it.map { case (id, bytes) => AudioDecoder.decode(id, bytes) }
       }

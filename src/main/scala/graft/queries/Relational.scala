@@ -959,7 +959,75 @@ object Relational {
     base
   }
 
+  // -------------------------------------------------------------- q157
+  /** Schema-evolution scan (r18): the lake's orders table GROWS a
+    * column mid-life — v1 publishes without `o_score`, v2 appends a
+    * disjoint-keyed delta THAT CARRIES it (Delta's `mergeSchema`
+    * posture: the read fold unions by name, old rows serve null in the
+    * new column; time travel keeps each version's own schema). The
+    * delta's dir registers a zone map on the NEW column at append
+    * ([[graft.sources.Versioned.appendPublish]]'s `statsCols`), and
+    * the bootstrap REQUIREs a range probe on `o_score` to PRUNE the
+    * evolved dir while the legacy dir full-scans (inclusion-safe: a
+    * sidecar-less dir can never lose rows) — "prune on the new column
+    * only where present". The aggregate exposes the boundary: `n`
+    * counts every row, `n_scored` only the evolved rows, so the
+    * DuckDB oracle replaying the union with an explicit NULL leg
+    * hash-proves the fold's null semantics. */
+  def q157SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val base = evoLake(spark, dir)
+    Versioned.read(spark, base, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        count($"o_score").as("n_scored"),
+        sum($"o_score").as("sum_score"),
+        min($"o_score").as("min_score"),
+        sumd($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Scratch schema-evolution lake: v1 = orders WITHOUT `o_score`
+    * (zone maps on the key — the machinery exists, the column
+    * doesn't); v2 = an appended delta (keys ≡ 6 mod 10, shifted past
+    * max, q154's key discipline) carrying `o_score = pre-shift key %
+    * 100`, range-clustered so the new column's write-registered zone
+    * map actually prunes. Bootstrap REQUIREs the asymmetric selection
+    * (evolved dir prunes, legacy dir full-scans). */
+  private[graft] def evoLake(spark: SparkSession, dir: String): String = {
+    import graft.sources.Versioned
+    val key = Tables.fileFingerprint(spark, s"$dir/orders.parquet")
+    val base = s"${Dedup.indexBase}/evlake-f$ZonemapFiles-$key"
+    if (Versioned.currentVersion(spark, base).isEmpty) {
+      val orders = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Versioned.publish(spark, base, Seq(Versioned.TableSpec("orders",
+        orders.repartition(ZonemapFiles),
+        statsCols = Seq("o_orderkey"))))
+      val maxK = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+      val shift = (maxK / 10 + 1) * 10
+      val delta = orders.filter(col("o_orderkey") % 10 === 6)
+        .select((col("o_orderkey") + shift).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          (col("o_orderkey") % 100).as("o_score"))
+        .repartitionByRange(ZonemapFiles, col("o_score"))
+        .sortWithinPartitions(col("o_score"))
+      Versioned.appendPublish(spark, base, "orders", delta,
+        keys = Seq("o_orderkey"), statsCols = Seq("o_score"))
+      val sel = Versioned.prunedSelectionAt(spark, base, "orders", 2L,
+        "o_score", 0L, 9L)
+      require(sel.exists(_._2.exists { case (s, n) => s.size < n }),
+        s"the evolved dir's new-column zone map did not prune: $sel")
+      require(sel.exists(_._2.isEmpty),
+        s"the legacy dir must FULL-SCAN a probe on the absent column: $sel")
+    }
+    base
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_schema_evolution" -> (q157SchemaEvolution _),
     "q156_part_prune" -> (q156PartPrune _),
     "q154_takedown_stream" -> (q154TakedownStream _),
     "q153_bloom_point" -> (q153BloomPoint _),
@@ -989,6 +1057,25 @@ object Relational {
   /** DuckDB-dialect oracles. Integer SUMs are CAST to BIGINT (DuckDB
     * widens to HUGEINT); decimal sums CAST to DOUBLE to match Spark. */
   val oracle: Map[String, String] = Map(
+    "q157_schema_evolution" ->
+      """WITH m AS (
+        | SELECT ((max(o_orderkey) // 10) + 1) * 10 AS shift FROM orders),
+        |legacy AS (
+        | SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |        CAST(NULL AS BIGINT) AS o_score
+        | FROM orders),
+        |evolved AS (
+        | SELECT o_orderkey + m.shift AS o_orderkey, o_orderstatus,
+        |        o_totalprice, o_orderkey % 100 AS o_score
+        | FROM orders, m WHERE o_orderkey % 10 = 6)
+        |SELECT o_orderstatus,
+        | COUNT(*) AS n,
+        | COUNT(o_score) AS n_scored,
+        | CAST(SUM(o_score) AS BIGINT) AS sum_score,
+        | min(o_score) AS min_score,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+        |FROM (SELECT * FROM legacy UNION ALL SELECT * FROM evolved)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q156_part_prune" ->
       """SELECT o_orderstatus,
         | COUNT(*) AS n,

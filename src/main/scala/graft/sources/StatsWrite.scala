@@ -158,7 +158,7 @@ object StatsWrite {
 
   /** Streaming per-file bloom-hash fold: bounded task memory no matter
     * how many rows land in one file (r18; previously an
-    * `ArrayBuffer[Long]` held EVERY row's hash until close — 8 bytes ×
+    * growable in-memory buffer held EVERY row's hash until close — 8 bytes ×
     * a 10B-row hot partition is task-memory death at 100 TB scale).
     * Hashes for all bloom columns of one row land interleaved in a
     * fixed in-memory prefix (64Ki rows); past the prefix they stream
@@ -324,10 +324,17 @@ object StatsWrite {
     val dataCols = schema.fieldNames.filterNot(partitionBy.contains).toSeq
     // pre-pass: rows per partition value — partial aggregation makes
     // this one map-side-combined pass over just the partition columns
-    // (column-pruned when the input is a scan). The collect is bounded
-    // by partition-value cardinality, which a dir-per-value layout
-    // already requires to be modest.
-    val cntRows = df.groupBy(pcols: _*).count().collect()
+    // (column-pruned when the input is a scan; for a computed input it
+    // re-runs the plan once — callers that KNOW the layout is cold can
+    // opt out with targetRowsPerFile = Long.MaxValue). The collect is
+    // bounded by partition-value cardinality, which a dir-per-value
+    // layout already requires to be modest. Rows identical in every
+    // data column share a salt bucket (the hash can't tell them
+    // apart) — duplicates-only skew stays one file per target's worth
+    // of distinct rows.
+    val cntRows: Array[org.apache.spark.sql.Row] =
+      if (targetRowsPerFile == Long.MaxValue) Array.empty
+      else df.groupBy(pcols: _*).count().collect()
     require(cntRows.length <= 1000000,
       s"writePartitioned: ${cntRows.length} distinct partition values — " +
         "a dir-per-value layout cannot hold that; partition coarser")

@@ -918,10 +918,22 @@ object Versioned {
     * [[mergePublish]]): silent duplicate primary keys are the append
     * trap, and the check is one semi-join against the standing table
     * (key-pruned, not a rewrite). `keys = Nil` skips the check for
-    * keyless event streams. */
+    * keyless event streams.
+    *
+    * Schema EVOLUTION (r18): a delta may carry columns the standing
+    * table lacks — the read fold unions by name, so old rows serve
+    * null in the new columns (Delta's `mergeSchema` posture) and time
+    * travel keeps each version's own schema. `statsCols`/`bloomCols`
+    * register sidecars for NEW columns on the delta's dir (inherited
+    * tracked columns are re-collected automatically); from this
+    * version on the column is tracked table-wide, standing dirs
+    * simply full-scan for probes on it (a sidecar-less dir is
+    * inclusion-safe by contract) and a later compaction re-collects
+    * it across the whole fold. */
   def appendPublish(spark: SparkSession, base: String, table: String,
       delta: DataFrame, keys: Seq[String] = Nil,
-      replacing: Seq[(String, DataFrame)] = Nil): Long = {
+      replacing: Seq[(String, DataFrame)] = Nil,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val cur = currentVersion(spark, base).getOrElse(
       sys.error(s"appendPublish: $base has no committed version to append to"))
     val existing = listTables(spark, base, cur)
@@ -939,7 +951,8 @@ object Versioned {
           "disjoint; use mergePublish to upsert")
     }
     morPublish(spark, base, table, cur, existing,
-      tomb = None, append = Some(delta), replacing = replacing)
+      tomb = None, append = Some(delta), replacing = replacing,
+      extraStats = statsCols, extraBlooms = bloomCols)
   }
 
   /** Newest surviving version at which `table` was published — the
@@ -990,15 +1003,21 @@ object Versioned {
   private def morPublish(spark: SparkSession, base: String, table: String,
       cur: Long, existing: Seq[String],
       tomb: Option[DataFrame], append: Option[DataFrame],
-      replacing: Seq[(String, DataFrame)] = Nil): Long = {
+      replacing: Seq[(String, DataFrame)] = Nil,
+      extraStats: Seq[String] = Nil, extraBlooms: Seq[String] = Nil): Long = {
     require(!replacing.exists(_._1 == table),
       "replacing must not name the merge-on-read table itself")
+    (extraStats ++ extraBlooms).foreach(c =>
+      require(append.exists(_.columns.contains(c)),
+        s"tracked column '$c' not in the appended delta"))
     val statCols = statsColsAt(spark, base, table, cur)
     val appendStats = append.map(df =>
-      statCols.filter(df.columns.contains(_))).getOrElse(Nil)
+      (statCols.filter(df.columns.contains(_)) ++ extraStats).distinct)
+      .getOrElse(Nil)
     val appendBlooms = append.map(df =>
-      bloomColsAt(spark, base, table, cur)
-        .filter(df.columns.contains(_))).getOrElse(Nil)
+      (bloomColsAt(spark, base, table, cur)
+        .filter(df.columns.contains(_)) ++ extraBlooms).distinct)
+      .getOrElse(Nil)
     var chainLen = 0
     val published = publishWith(spark, base, cur) { (f, b, next) =>
       val prior = entriesOrFail(f, b, table, cur)

@@ -192,6 +192,77 @@ class VersionedLakeSpec extends SparkSpec {
     assert(after.size == 4)
   }
 
+  test("additive schema evolution: append a new column, fold across the boundary, prune only where present") {
+    import org.apache.spark.sql.functions._
+    val base = mkBase()
+    // v1: no `score` column; zone maps on the key only
+    val v1rows = spark.range(0, 200).select(
+      col("id").as("k"), (col("id") % 3).cast("string").as("grp"))
+    Versioned.publish(spark, base, Seq(TableSpec("t",
+      v1rows.repartition(4), statsCols = Seq("k"))))
+    Versioned.setAutoCompact(spark, base, 0)
+    // v2: disjoint-keyed delta CARRYING the new nullable column, range-
+    // clustered so its write-registered zone map can prune
+    val delta = spark.range(200, 400).select(
+      col("id").as("k"), (col("id") % 3).cast("string").as("grp"),
+      (col("id") % 50).as("score"))
+      .repartitionByRange(4, col("score")).sortWithinPartitions("score")
+    Versioned.appendPublish(spark, base, "t", delta, keys = Seq("k"),
+      statsCols = Seq("score"))
+    // a column NOT in the delta fails loudly at publish time
+    intercept[IllegalArgumentException] {
+      Versioned.appendPublish(spark, base, "t",
+        spark.range(400, 401).select(col("id").as("k"),
+          lit("x").as("grp")), statsCols = Seq("nope"))
+    }
+    // fold across the boundary: old rows serve null in the new column
+    val cur = Versioned.read(spark, base, "t")
+    assert(cur.count() == 400)
+    assert(cur.filter(col("score").isNull).count() == 200)
+    assert(cur.filter(col("score").isNotNull).count() == 200)
+    // time travel keeps each version's own schema
+    assert(!Versioned.readAt(spark, base, "t", 1L).columns.contains("score"))
+    assert(Versioned.readAt(spark, base, "t", 2L).columns.contains("score"))
+    // the new column is tracked table-wide from v2 on
+    assert(Versioned.statsColsAt(spark, base, "t", 2L).contains("score"))
+    // prune on the new column ONLY where present: the evolved dir
+    // skips files, the legacy dir full-scans (inclusion-safe), and the
+    // pruned read serves exactly the filter's rows
+    val sel = Versioned.prunedSelectionAt(spark, base, "t", 2L,
+      "score", 0L, 5L)
+    assert(sel.exists(_._2.exists { case (s, n) => s.size < n }),
+      s"evolved dir did not prune: $sel")
+    assert(sel.exists(_._2.isEmpty),
+      s"legacy dir must full-scan the absent column: $sel")
+    val pruned = Versioned.readPruned(spark, base, "t", "score", 0L, 5L)
+      .collect().map(_.toSeq).toSet
+    assert(pruned == cur.filter(col("score").between(0L, 5L))
+      .collect().map(_.toSeq).toSet)
+    assert(pruned.nonEmpty)
+    // a tombstone across the boundary removes legacy AND evolved rows
+    Versioned.removePublish(spark, base, "t",
+      Seq(5L, 205L).toDF("k"))
+    assert(Versioned.read(spark, base, "t").count() == 398)
+    // compaction folds across the evolution boundary: value identity,
+    // one entry, and the new column re-collected on the compacted dir
+    val before = Versioned.read(spark, base, "t")
+      .collect().map(_.toSeq).toSet
+    val vC = Versioned.compactMorTailPublish(spark, base, "t",
+      smallBytes = Long.MaxValue)
+    assert(Versioned.entryChainAt(spark, base, "t", vC).size == 1)
+    assert(Versioned.read(spark, base, "t")
+      .collect().map(_.toSeq).toSet == before,
+      "compaction across the schema boundary changed values")
+    assert(Versioned.statsColsAt(spark, base, "t", vC).contains("score"),
+      "compaction dropped the evolved column's zone map")
+    // and the compacted zone map handles the mixed null/value column:
+    // a probe still serves exactly the filter's rows
+    assert(Versioned.readPruned(spark, base, "t", "score", 0L, 5L)
+      .collect().map(_.toSeq).toSet ==
+      Versioned.read(spark, base, "t")
+        .filter(col("score").between(0L, 5L)).collect().map(_.toSeq).toSet)
+  }
+
   test("mergePublish refuses a duplicate-keyed delta before writing a byte") {
     val base = mkBase()
     Versioned.publish(spark, base, Seq(
