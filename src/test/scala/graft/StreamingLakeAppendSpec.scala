@@ -81,6 +81,43 @@ class StreamingLakeAppendSpec extends SparkSpec {
     assert(ids == Set(0L, 1L), s"marker chain lost ids: $ids")
   }
 
+  test("a mid-stream batch introduces a new column; the fold and the policy absorb it") {
+    import org.apache.spark.sql.functions.lit
+    val lake = Files.createTempDirectory("graft-sla-evo").toString + "/lake"
+    Versioned.publish(spark, lake, Seq(TableSpec("t", facts(0, 50))))
+    Versioned.setAutoCompact(spark, lake, 4)
+    // batches 0-1: the original schema; batch 2 onward: the producer
+    // upgraded and emits a `src` column (additive evolution arrives
+    // THROUGH the stream, not an offline migration)
+    StreamingLakeAppend.ingestBatch(spark, facts(50, 60), 0L, lake, "t", Seq("k"))
+    StreamingLakeAppend.ingestBatch(spark, facts(60, 70), 1L, lake, "t", Seq("k"))
+    val evolved = facts(70, 80).withColumn("src", lit("v2-producer"))
+    StreamingLakeAppend.ingestBatch(spark, evolved, 2L, lake, "t", Seq("k"))
+    val cur = Versioned.read(spark, lake, "t")
+    assert(cur.count() == 80)
+    assert(cur.filter(col("src").isNull).count() == 70,
+      "pre-evolution rows must serve null in the new column")
+    assert(collectSet(cur.filter(col("src") === "v2-producer")
+        .select("k", "v"))
+      == collectSet(facts(70, 80)), "evolved batch rows lost")
+    // a replay of the evolved batch is still a no-op
+    val v = Versioned.currentVersion(spark, lake)
+    StreamingLakeAppend.ingestBatch(spark, evolved, 2L, lake, "t", Seq("k"))
+    assert(Versioned.currentVersion(spark, lake) == v)
+    // keep streaming past the policy threshold: the compaction fold
+    // crosses the schema boundary without losing the column or a value
+    (3 to 6).foreach(i => StreamingLakeAppend.ingestBatch(spark,
+      facts(80 + (i - 3) * 10, 90 + (i - 3) * 10).withColumn("src",
+        lit("v2-producer")), i.toLong, lake, "t", Seq("k")))
+    val after = Versioned.read(spark, lake, "t")
+    assert(after.count() == 120)
+    assert(after.filter(col("src").isNull).count() == 70)
+    assert(after.filter(col("src") === "v2-producer").count() == 50)
+    val depth = Versioned.entryChainAt(spark, lake, "t",
+      Versioned.currentVersion(spark, lake).get).size
+    assert(depth <= 4, s"policy stopped bounding after evolution: $depth")
+  }
+
   test("auto-compaction bounds a long streamed chain without changing a value") {
     val lake = Files.createTempDirectory("graft-sla-ac").toString + "/lake"
     Versioned.publish(spark, lake, Seq(TableSpec("t", facts(0, 50))))
