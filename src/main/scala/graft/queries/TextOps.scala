@@ -2877,7 +2877,46 @@ object TextOps {
     fertilityBy(applyMerges(grain, merges), "cls")
   }
 
+  // -------------------------------------------------------------- q158
+  /** Fixed probe words for the tokenizer-serving oracle: a common
+    * English word (merges under most corpora), a repeated-pair word,
+    * a rare-letter word (stays near character-level), and a non-ASCII
+    * word (codepoint-id path). Constants — the oracle must replay the
+    * EXACT same probes. */
+  private val TokenizeProbes =
+    Seq("the", "abab", "aqzwx", "ñandú")
+
+  /** The tokenizer SERVING kernel under the oracle gate (r18): the
+    * same driver-side segmentation `POST /tokenize` serves
+    * ([[tokenizeText]] — `String.replace` in learned order over the
+    * spaced-symbol encoding, ids = codepoint | 0x110000+round), run
+    * over [[TokenizeProbes]] against the corpus dir's standing model,
+    * exploded to (word, pos, subword, id) rows. The DuckDB oracle
+    * retrains the model with the shared chained CTEs and replays the
+    * probe segmentation + id assignment in SQL, so a hash match
+    * proves the serving path end-to-end — train, apply, AND the id
+    * scheme — not just the corpus-scan kernel (q146). Driver-side by
+    * design: serving a request is zero Spark jobs; the distributed
+    * part (training's one corpus scan) is q145's. */
+  def q158TokenizeServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, _, toks) = tokenizeText(spark, dir, TokenizeProbes.mkString(" "))
+    toks.flatMap(t => t.subwords.zip(t.ids).zipWithIndex.map {
+        case ((s, id), i) => (t.word, i.toLong, s, id)
+      })
+      .toDF("word", "pos", "subword", "id")
+      .orderBy(col("word"), col("pos"))
+  }
+
+  /** q158's chain source: the probe words as literal values. */
+  private def tokenizeProbeCtes: String = bpeChainCtes("pw", "word",
+    s""",
+       |probes AS (SELECT * FROM (VALUES ${TokenizeProbes.map(w =>
+          s"('$w')").mkString(", ")}) AS t(word))""".stripMargin,
+    "probes")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_tokenize_serve" -> (q158TokenizeServe _),
     "q148_bpe_drift"      -> (q148BpeDrift _),
     "q147_bpe_fertility"  -> (q147BpeFertility _),
     "q146_bpe_apply"      -> (q146BpeApply _),
@@ -3225,6 +3264,27 @@ object TextOps {
        |FROM (SELECT n, unnest(string_split(trim(s), '  ')) AS token
        |      FROM af$BpeRounds)
        |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin),
+    // q158: serving replay — the trained merges applied to the fixed
+    // probe words; ids = 0x110000 + first round producing the symbol
+    // (merge products) | the codepoint (single-codepoint symbols) —
+    // the exact scheme tokenizeText serves over POST /tokenize.
+    "q158_tokenize_serve" ->
+      (bpeOracleCtes + tokenizeProbeCtes + s"""
+       |, merge_syms AS (
+       | SELECT sym, 1114112 + min(round) - 1 AS id
+       | FROM (${(1 to BpeRounds).map(r =>
+          s"SELECT $r AS round, l || r AS sym FROM b$r")
+          .mkString("\n        UNION ALL ")})
+       | GROUP BY sym),
+       |segs AS (
+       | SELECT word, unnest(list_transform(range(1, len(syms) + 1),
+       |   i -> {'pos': i - 1, 'sub': syms[i]})) AS e
+       | FROM (SELECT word, string_split(trim(s), '  ') AS syms
+       |       FROM pw$BpeRounds))
+       |SELECT word, CAST(e.pos AS BIGINT) AS pos, e.sub AS subword,
+       | CAST(COALESCE(ms.id, unicode(e.sub)) AS BIGINT) AS id
+       |FROM segs LEFT JOIN merge_syms ms ON ms.sym = e.sub
+       |ORDER BY word, pos""".stripMargin),
     // q147: fertility replay — the trained merges (shared CTE chain)
     // applied to the (lang, word, n) grain, per-lang ppm aggregates.
     "q147_bpe_fertility" ->
