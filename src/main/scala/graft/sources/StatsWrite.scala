@@ -358,12 +358,17 @@ object StatsWrite {
           spark.sparkContext.parallelize(splitRows, 1), splitSchema)
         val cond = partitionBy.map(c => df(c) <=> splitsDf(c))
           .reduce(_ && _)
-        partitionBy.foldLeft(df.join(broadcast(splitsDf), cond)) {
+        // LEFT join + nsplit default 1: a value the pre-count never
+        // saw (a nondeterministic input plan re-evaluating between
+        // the two passes) must land unsalted, never be DROPPED by an
+        // inner join — losing rows is worse than losing parallelism
+        partitionBy.foldLeft(df.join(broadcast(splitsDf), cond, "left")) {
             (d, c) => d.drop(splitsDf(c))
           }
           .withColumn(SaltCol,
             pmod(xxhash64(lit(42) +: dataCols.map(col): _*),
-              col("__graft_nsplit").cast("long")).cast("int"))
+              org.apache.spark.sql.functions.coalesce(
+                col("__graft_nsplit"), lit(1)).cast("long")).cast("int"))
           .drop("__graft_nsplit")
       }
     val withSalt = salted.schema.fieldNames.contains(SaltCol)
