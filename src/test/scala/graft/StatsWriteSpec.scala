@@ -266,6 +266,58 @@ class StatsWriteSpec extends SparkSpec {
     }
   }
 
+  test("property: salted partitioned writes round-trip + stay byte-identical over random targets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(53L + i)))
+    val caseGen = for {
+      rows <- Gen.choose(50, 1200)
+      values <- Gen.choose(1, 6) // distinct partition values
+      target <- Gen.oneOf(Gen.choose(20L, 200L), Gen.const(Long.MaxValue))
+      skewPct <- Gen.choose(0, 90) // % of rows on value 0
+      seed <- Gen.choose(1, 1000000)
+    } yield (rows, values, target, skewPct, seed)
+    samples(caseGen, 6).zipWithIndex.foreach {
+      case ((rows, values, target, skewPct, seed), i) =>
+        val d = spark.range(0, rows, 1, 4).select(
+          col("id").as("k"),
+          concat(lit("n"), (col("id") * seed) % 337).as("name"),
+          when(col("id") % 100 < skewPct, lit(0))
+            .otherwise(pmod(col("id") * seed, lit(values)))
+            .cast("int").as("pv"))
+        val dir = mkDir(s"saltprop$i")
+        StatsWrite.writePartitioned(spark, d, dir, Seq("pv"),
+          Seq("k"), Seq("name"), targetRowsPerFile = target)
+        // exact round-trip at every (rows, skew, target) shape — incl.
+        // runs landing exactly ON the roll bound
+        val back = spark.read.parquet(dir)
+        val key = (x: org.apache.spark.sql.DataFrame) => x
+          .select("k", "name", "pv")
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+        assert(key(back) == key(d), s"case $i round-trip")
+        // the roll bound holds on every file when a finite target is set
+        if (target != Long.MaxValue) {
+          def walk(f: java.io.File): Seq[java.io.File] =
+            f.listFiles().toSeq.flatMap(x =>
+              if (x.isDirectory) walk(x)
+              else if (x.getName.endsWith(".parquet")) Seq(x) else Nil)
+          walk(new java.io.File(dir)).foreach { fl =>
+            val n = spark.read.parquet(fl.toString).count()
+            assert(n <= target, s"case $i: ${fl.getName} has $n > $target")
+          }
+        }
+        // sidecars byte-identical to the legacy re-scan on every shape
+        val zm1 = bytes(s"$dir/${ZoneMaps.SidecarName}")
+        val bl1 = bytes(s"$dir/${ZoneBlooms.sidecarName("name")}")
+        ZoneMaps.writeSidecar(spark, dir, Seq("k"))
+        ZoneBlooms.writeSidecar(spark, dir, Seq("name"))
+        assert(bytes(s"$dir/${ZoneMaps.SidecarName}") == zm1, s"case $i zm")
+        assert(bytes(s"$dir/${ZoneBlooms.sidecarName("name")}") == bl1,
+          s"case $i bloom")
+    }
+  }
+
   test("empty frame mirrors the legacy loud failure for stats") {
     val dir = mkDir("empty")
     val e = fixture.filter(col("id") < 0)

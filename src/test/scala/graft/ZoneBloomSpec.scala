@@ -183,6 +183,61 @@ class ZoneBloomSpec extends SparkSpec {
       .head._2.isEmpty)
   }
 
+  test("property: every coercible probe representation hashes to the stored value's hash") {
+    import org.apache.spark.sql.types._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(77L + i)))
+    def coercedHash(dt: DataType, probe: Any): Option[Long] =
+      graft.sources.ZoneBlooms.coerceProbe(dt, probe)
+        .map(graft.sources.ZoneBlooms.hashValue)
+    // LONG columns: every integer width, the decimal spelling, and an
+    // integral BigDecimal must reach the stored hash; foreign
+    // representations must be None (full scan), never a wrong hash
+    samples(Gen.choose(Long.MinValue / 4, Long.MaxValue / 4), 200).foreach { v =>
+      val stored = graft.sources.ZoneBlooms.hashValue(v)
+      assert(coercedHash(LongType, v).contains(stored))
+      assert(coercedHash(LongType, v.toString).contains(stored))
+      assert(coercedHash(LongType, s"  $v ").contains(stored), "trimmed")
+      assert(coercedHash(LongType, new java.math.BigDecimal(v)).contains(stored))
+      if (v.isValidInt) {
+        assert(coercedHash(IntegerType, v.toInt).contains(stored))
+        assert(coercedHash(IntegerType, v).contains(stored))
+        assert(coercedHash(LongType, v.toInt).contains(stored))
+      }
+    }
+    assert(coercedHash(LongType, "12x").isEmpty)
+    assert(coercedHash(LongType, 3.5d).isEmpty)
+    assert(coercedHash(LongType, new java.math.BigDecimal("3.50")).isEmpty)
+    // DECIMAL(16,2) columns: the stored hash is toPlainString AT SCALE
+    // 2; probes at any exact-representable scale (stripped zeros, wider
+    // scale, string spelling, bare integer) must re-scale to it
+    samples(Gen.choose(-10000000L, 10000000L), 200).foreach { unscaled =>
+      val stored = new java.math.BigDecimal(java.math.BigInteger.valueOf(unscaled), 2)
+      val dt = DecimalType(16, 2)
+      val want = graft.sources.ZoneBlooms.hashValue(stored)
+      assert(coercedHash(dt, stored).contains(want))
+      assert(coercedHash(dt, stored.stripTrailingZeros).contains(want))
+      assert(coercedHash(dt, stored.setScale(5)).contains(want))
+      assert(coercedHash(dt, stored.toPlainString).contains(want))
+      assert(coercedHash(dt, BigDecimal(stored)).contains(want))
+      if (unscaled % 100 == 0)
+        assert(coercedHash(dt, unscaled / 100).contains(want), "bare long")
+    }
+    assert(coercedHash(DecimalType(16, 2),
+      new java.math.BigDecimal("1.555")).isEmpty, "needs rounding → None")
+    assert(coercedHash(DecimalType(16, 2), "not-a-number").isEmpty)
+    // STRING columns: only a string probe can know the stored spelling
+    assert(coercedHash(StringType, "s5").contains(
+      graft.sources.ZoneBlooms.hashValue("s5")))
+    assert(coercedHash(StringType, 5L).isEmpty)
+    // nulls hash to the stored null sentinel under any column type
+    Seq(LongType, StringType, DecimalType(16, 2)).foreach(dt =>
+      assert(coercedHash(dt, null).contains(
+        graft.sources.ZoneBlooms.hashValue(null))))
+  }
+
   test("bloom kernel: no false negatives ever; fpp in the designed band") {
     val rnd = new scala.util.Random(11)
     val b = new ZoneBlooms.SimpleBloom(7, new Array[Long](
