@@ -205,10 +205,11 @@ class VersionedLakeSpec extends SparkSpec {
     // clustered so its write-registered zone map can prune
     val delta = spark.range(200, 400).select(
       col("id").as("k"), (col("id") % 3).cast("string").as("grp"),
-      (col("id") % 50).as("score"))
+      (col("id") % 50).as("score"),
+      concat(lit("u"), col("id")).as("uid"))
       .repartitionByRange(4, col("score")).sortWithinPartitions("score")
     Versioned.appendPublish(spark, base, "t", delta, keys = Seq("k"),
-      statsCols = Seq("score"))
+      statsCols = Seq("score"), bloomCols = Seq("uid"))
     // a column NOT in the delta fails loudly at publish time
     intercept[IllegalArgumentException] {
       Versioned.appendPublish(spark, base, "t",
@@ -223,8 +224,21 @@ class VersionedLakeSpec extends SparkSpec {
     // time travel keeps each version's own schema
     assert(!Versioned.readAt(spark, base, "t", 1L).columns.contains("score"))
     assert(Versioned.readAt(spark, base, "t", 2L).columns.contains("score"))
-    // the new column is tracked table-wide from v2 on
+    // the new columns are tracked table-wide from v2 on
     assert(Versioned.statsColsAt(spark, base, "t", 2L).contains("score"))
+    assert(Versioned.bloomColsAt(spark, base, "t", 2L).contains("uid"))
+    // a point probe on the evolved BLOOM column: the evolved dir
+    // prunes to ~1 file, the legacy dir (no column, no sidecar)
+    // full-scans, and the read serves exactly the key's row
+    val psel = Versioned.pointSelectionAt(spark, base, "t", 2L,
+      "uid", "u250")
+    assert(psel.exists(_._2.exists { case (s, n) => s.size < n }),
+      s"evolved bloom did not prune: $psel")
+    assert(psel.exists(_._2.isEmpty),
+      s"legacy dir must full-scan the absent bloom column: $psel")
+    assert(Versioned.readPoint(spark, base, "t", "uid", "u250")
+      .select("k").collect().map(_.getLong(0)).toSeq == Seq(250L))
+    assert(Versioned.readPoint(spark, base, "t", "uid", "u9999").isEmpty)
     // prune on the new column ONLY where present: the evolved dir
     // skips files, the legacy dir full-scans (inclusion-safe), and the
     // pruned read serves exactly the filter's rows
