@@ -621,6 +621,7 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
           case Some(base) =>
             try {
               val versions = Versioned.listVersions(s, base).sorted
+              val times = Versioned.versionTimes(s, base)
               if (versions.isEmpty)
                 reply(ex, 404, """{"detail":"no committed version"}""")
               else {
@@ -641,7 +642,9 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
                   }
                   val dropped = prev.map(_.keySet.diff(cur.keySet))
                     .getOrElse(Set.empty).toSeq.sorted
+                  // committed_at = the instant asOf= resolves against
                   val line = s"""{"version":$v,""" +
+                    times.get(v).fold("")(t => s""""committed_at":$t,""") +
                     s""""tables":{${tables.mkString(",")}}""" +
                     (if (dropped.nonEmpty)
                       s""","dropped":[${dropped.map(t =>
@@ -1032,7 +1035,7 @@ object RestApi {
       | "responses":{"200":{"description":"{state, table, from, to, compacted}"},"202":{"description":"async compaction started"},"422":{"description":"base and table required"},"500":{"description":"compaction failed"},"503":{"description":"no spark session"}}}},
       |"/lake/compact/status":{"get":{"summary":"Progress of a /lake/compact run (idle | running | done | failed), keyed by base+table (concurrent jobs on different tables don't shadow each other); with no params the latest-started job answers — the /index/status twin",
       | "responses":{"200":{"description":"job state JSON"}}}},
-      |"/lake/history":{"get":{"summary":"Manifest-level history of the surviving versions: per version, each table's entry counts and whether its ref changed vs the previous surviving version (carried refs read as changed=false) — pure metadata, no Spark job",
+      |"/lake/history":{"get":{"summary":"Manifest-level history of the surviving versions: per version, its commit instant (committed_at, epoch ms — the clock asOf= resolves against) and each table's entry counts plus whether its ref changed vs the previous surviving version (carried refs read as changed=false) — pure metadata, no Spark job",
       | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}}],
       | "responses":{"200":{"description":"JSON array, one entry per surviving version"},"404":{"description":"no committed version"},"422":{"description":"base required"},"503":{"description":"no spark session"}}}},
       |"/lake/remove":{"post":{"summary":"Publish a key-tombstone takedown (Versioned.removePublish) — the right-to-forget request; bytes written are proportional to the keys, standing files untouched, and the auto-compaction policy later folds removed rows out of storage; values comma-separated, typed like /lake/point",

@@ -184,7 +184,19 @@ object StatsWrite {
         System.arraycopy(rec, 0, prefix, rows.toInt * nCols, nCols)
       } else {
         if (spill == null) {
-          spillFile = java.io.File.createTempFile("graft-bloomspill-", ".bin")
+          // spill to the executor's SCRATCH disks, not java.io.tmpdir:
+          // cluster managers point SPARK_LOCAL_DIRS/spark.local.dir at
+          // the big local volumes (tmpdir is often a small root fs) —
+          // the same dirs Spark's own shuffle/sort spills use
+          val localDir = sys.env.get("SPARK_LOCAL_DIRS")
+            .map(_.split(",").head.trim).filter(_.nonEmpty)
+            .orElse(sys.props.get("spark.local.dir")
+              .map(_.split(",").head.trim).filter(_.nonEmpty))
+            .map(new java.io.File(_)).filter(_.isDirectory)
+            .getOrElse(
+              new java.io.File(System.getProperty("java.io.tmpdir")))
+          spillFile = java.io.File.createTempFile(
+            "graft-bloomspill-", ".bin", localDir)
           spill = new java.io.DataOutputStream(
             new java.io.BufferedOutputStream(
               new java.io.FileOutputStream(spillFile), 1 << 16))

@@ -264,6 +264,18 @@ object Versioned {
       .map(_._1).maxOption
   }
 
+  /** Commit instants (epoch ms) of every surviving version — the
+    * marker files' creation times, i.e. the clock [[versionAsOf]]
+    * resolves against. Lets `/lake/history` tell a client WHICH
+    * instants exist before it picks an `asOf`. */
+  def versionTimes(spark: SparkSession, base: String): Map[Long, Long] = {
+    val b = new Path(base)
+    val f = fs(spark, b)
+    if (!f.exists(markerDir(b))) Map.empty
+    else f.listStatus(markerDir(b)).toSeq.flatMap(s =>
+      s.getPath.getName.toLongOption.map(_ -> s.getModificationTime)).toMap
+  }
+
   /** Read `table` at the current version. One resolve per call: a plan
     * built from this frame reads one consistent version throughout. */
   def read(spark: SparkSession, base: String, table: String): DataFrame = {

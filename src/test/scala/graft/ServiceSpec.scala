@@ -788,6 +788,25 @@ class ServiceSpec extends AnyFunSuite {
       assert(last2.contains("\"t\":{") &&
         "\"t\":\\{[^}]*\"changed\":false".r.findFirstIn(last2).isDefined,
         s"carried table must read changed=false: $last2")
+      // every surviving version carries its commit instant, and that
+      // instant round-trips as an asOf probe: a key tombstoned in a
+      // LATER version still audits present at an earlier committed_at
+      val times = "\"version\":(\\d+),\"committed_at\":(\\d+)".r
+        .findAllMatchIn(hb2).map(m => m.group(1).toLong -> m.group(2).toLong)
+        .toMap
+      assert(times.keySet == "\"version\":(\\d+)".r.findAllMatchIn(hb2)
+        .map(_.group(1).toLong).toSet,
+        s"some versions lack committed_at: $hb2")
+      assert(times.values.toSeq.sorted == times.toSeq.sortBy(_._1).map(_._2),
+        "commit instants must be monotone in version order")
+      // the oldest SURVIVING version's instant (earlier ones are GC'd)
+      val vMin = times.keys.min
+      val got = http("GET", s"$base/lake/point?base=$enc&table=t&col=k" +
+        s"&value=11&type=long&asOf=${times(vMin)}")._2
+      val want = Versioned.readPointAt(spark, lake, "t", vMin, "k", 11L)
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(got == want,
+        s"asOf at a committed_at must read that version: $got vs $want")
     } finally api.stop()
   }
 
