@@ -2668,16 +2668,28 @@ object TextOps {
     * regex "." matches whole surrogate pairs, so astral chars are one
     * symbol there and must be here too). Returns (model content
     * address, merge count, per-word segmentations). */
+  /** Serving kit for one tokenizer model: the replace tables and the
+    * merged-symbol id map, memoized BY CONTENT ADDRESS — rebuilding
+    * the id map per request is O(vocabulary), which at a real 32k
+    * vocabulary would dominate the per-request cost; keyed like
+    * [[bpeModels]], so a corpus replacement is a kit MISS, never a
+    * stale tokenizer. */
+  private val tokenizeKits = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[String], Array[String], Map[String, Long])]()
+
   def tokenizeText(spark: SparkSession, dir: String, text: String)
       : (String, Int, Seq[Tokenized]) = {
-    val merges = bpeLearn(spark, dir)
-    val art = new org.apache.hadoop.fs.Path(
-      bpeModelArtifact(spark, dir)).getName
-    val pats = merges.map { case (l, r, _) => s" $l  $r " }
-    val reps = merges.map { case (l, r, _) => s" $l$r " }
-    val idOf = scala.collection.mutable.HashMap.empty[String, Long]
-    merges.zipWithIndex.foreach { case ((l, r, _), i) =>
-      if (!idOf.contains(l + r)) idOf(l + r) = 0x110000L + i
+    val artPath = bpeModelArtifact(spark, dir)
+    val art = new org.apache.hadoop.fs.Path(artPath).getName
+    val (pats, reps, idOf) = memo(tokenizeKits, artPath) {
+      val merges = bpeLearn(spark, dir)
+      val idB = scala.collection.mutable.HashMap.empty[String, Long]
+      merges.zipWithIndex.foreach { case ((l, r, _), i) =>
+        if (!idB.contains(l + r)) idB(l + r) = 0x110000L + i
+      }
+      (merges.map { case (l, r, _) => s" $l  $r " }.toArray,
+        merges.map { case (l, r, _) => s" $l$r " }.toArray,
+        idB.toMap)
     }
     val words = text.split("\\s+").filter(_.nonEmpty).toSeq
     val toks = words.map { w =>
@@ -2692,7 +2704,7 @@ object TextOps {
       Tokenized(w, subs, subs.map(sym =>
         idOf.getOrElse(sym, sym.codePointAt(0).toLong)))
     }
-    (art, merges.length, toks)
+    (art, pats.length, toks)
   }
 
   /** The merge loop behind q145–q148, IN DRIVER MEMORY. The
