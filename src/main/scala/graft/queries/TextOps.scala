@@ -2681,30 +2681,43 @@ object TextOps {
       : (String, Int, Seq[Tokenized]) = {
     val artPath = bpeModelArtifact(spark, dir)
     val art = new org.apache.hadoop.fs.Path(artPath).getName
-    val (pats, reps, idOf) = memo(tokenizeKits, artPath) {
-      val merges = bpeLearn(spark, dir)
-      val idB = scala.collection.mutable.HashMap.empty[String, Long]
-      merges.zipWithIndex.foreach { case ((l, r, _), i) =>
-        if (!idB.contains(l + r)) idB(l + r) = 0x110000L + i
-      }
-      (merges.map { case (l, r, _) => s" $l  $r " }.toArray,
-        merges.map { case (l, r, _) => s" $l$r " }.toArray,
-        idB.toMap)
-    }
+    val (pats, reps, idOf) =
+      memo(tokenizeKits, artPath)(tokenizeKitOf(bpeLearn(spark, dir)))
     val words = text.split("\\s+").filter(_.nonEmpty).toSeq
-    val toks = words.map { w =>
-      val sb = new java.lang.StringBuilder(w.length * 3)
-      w.codePoints().forEach { cp =>
-        sb.append(' ').append(Character.toChars(cp)).append(' '); ()
-      }
-      var s = sb.toString
-      var i = 0
-      while (i < pats.length) { s = s.replace(pats(i), reps(i)); i += 1 }
-      val subs = s.trim.split("  ").toSeq
-      Tokenized(w, subs, subs.map(sym =>
-        idOf.getOrElse(sym, sym.codePointAt(0).toLong)))
-    }
+    val toks = words.map(tokenizeWord(pats, reps, idOf, _))
     (art, pats.length, toks)
+  }
+
+  /** One model's serving kit from its learned merges: replace tables
+    * in learned order + the merged-symbol id map (id = 0x110000 +
+    * round - 1, first-producing round wins). Shared by [[tokenizeText]]
+    * and [[graft.BpeEncodeSpec]]'s driver-side reference fold. */
+  private[graft] def tokenizeKitOf(merges: Seq[(String, String, Long)])
+      : (Array[String], Array[String], Map[String, Long]) = {
+    val idB = scala.collection.mutable.HashMap.empty[String, Long]
+    merges.zipWithIndex.foreach { case ((l, r, _), i) =>
+      if (!idB.contains(l + r)) idB(l + r) = 0x110000L + i
+    }
+    (merges.map { case (l, r, _) => s" $l  $r " }.toArray,
+      merges.map { case (l, r, _) => s" $l$r " }.toArray,
+      idB.toMap)
+  }
+
+  /** The per-word serving fold: spaced-codepoint encode, replace in
+    * learned order, symbol→id. THE reference semantics
+    * [[graft.functions.BpeEncode]]'s distributed kernel must match. */
+  private[graft] def tokenizeWord(pats: Array[String], reps: Array[String],
+      idOf: Map[String, Long], w: String): Tokenized = {
+    val sb = new java.lang.StringBuilder(w.length * 3)
+    w.codePoints().forEach { cp =>
+      sb.append(' ').append(Character.toChars(cp)).append(' '); ()
+    }
+    var s = sb.toString
+    var i = 0
+    while (i < pats.length) { s = s.replace(pats(i), reps(i)); i += 1 }
+    val subs = s.trim.split("  ").toSeq
+    Tokenized(w, subs, subs.map(sym =>
+      idOf.getOrElse(sym, sym.codePointAt(0).toLong)))
   }
 
   /** The merge loop behind q145–q148, IN DRIVER MEMORY. The
@@ -2927,7 +2940,82 @@ object TextOps {
           s"('$w')").mkString(", ")}) AS t(word))""".stripMargin,
     "probes")
 
+  // -------------------------------------------------------------- q159
+  /** The packed-sequence separator id: one reserved value above the
+    * whole model id space (codepoints end at 0x10FFFF; merge ids are
+    * 0x110000 + round, so 0x200000 is clear for any vocabulary under
+    * 983,040 merges — far past real tokenizers). */
+  val EosId: Long = 0x200000L
+
+  /** Corpus-scale token-ID encoding — THE tokenize-for-training step
+    * (r19, the train→apply→serve family's corpus face): every
+    * document's text becomes its `array<bigint>` token ids under the
+    * standing model via ONE codegen'd [[graft.functions.BpeEncode]]
+    * kernel — a pure map over the corpus, no shuffle, plan size O(1)
+    * in vocabulary. Ids follow [[tokenizeText]]'s scheme exactly
+    * (codepoint | 0x110000+round), so `POST /tokenize` and the
+    * training shards can never disagree. The ids surface here as a
+    * CSV projection only for the oracle hash; [[q160PackIds]] consumes
+    * the same arrays to build real packed training sequences.
+    *
+    * Scale shape: segmentation cost is per DISTINCT word thanks to the
+    * kernel's Zipf memo; the only post-scan work is a per-row
+    * projection. At 100 TB this is scan-bound — exactly what a
+    * tokenize pass should be. */
+  def q159TokenIds(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeLearn(spark, dir).map { case (l, r, _) => (l, r) }
+    docs(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.BpeEncode.encodeIds(col("text"), merges).as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        array_join(transform(col("ids"), _.cast("string")), ",")
+          .as("ids_csv"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------- q160
+  /** Sequence packing over REAL token ids — [[q57PackBins]]'s bin
+    * assignment and [[q63PackConcat]]'s materialization re-based from
+    * whitespace-token proxies onto the model's actual ids
+    * ([[q159TokenIds]]): budgets count model tokens, and each
+    * (source, bin) emits its packed id sequence with [[EosId]] between
+    * documents — the artifact a trainer memory-maps. Same determinism
+    * discipline as q63 (struct array_sort on unique doc_id; the
+    * oracle's `string_agg ... ORDER BY`), same per-source scoping so
+    * the running sum never serializes globally; per-group state stays
+    * O(budget). */
+  def q160PackIds(spark: SparkSession, dir: String, budget: Int = 512)
+      : DataFrame = {
+    val merges = bpeLearn(spark, dir).map { case (l, r, _) => (l, r) }
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.BpeEncode.encodeIds(col("text"), merges).as("ids"))
+      .select(col("doc_id"), col("source"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        array_join(transform(col("ids"), _.cast("string")), ",")
+          .as("ids_csv"))
+    val excl = coalesce(
+      sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    d.withColumn("bin", floor(excl / lit(budget.toLong)))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("ids_csv")))),
+            x => x.getField("ids_csv")),
+          s",$EosId,").as("packed_ids"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_token_ids"      -> (q159TokenIds _),
+    "q160_pack_ids"       -> ((s: SparkSession, d: String) => q160PackIds(s, d)),
     "q158_tokenize_serve" -> (q158TokenizeServe _),
     "q148_bpe_drift"      -> (q148BpeDrift _),
     "q147_bpe_fertility"  -> (q147BpeFertility _),
@@ -3243,6 +3331,54 @@ object TextOps {
   private def bpeApplyCtes: String =
     bpeChainCtes("af", "word, n", "", "w")
 
+  /** The merged-symbol→id map CTE shared by the q158/q159/q160
+    * oracles: id = 0x110000 (1114112) + the FIRST round producing the
+    * symbol string − 1 — [[tokenizeKitOf]]'s putIfAbsent discipline. */
+  private def mergeSymsCte: String = s""",
+       |merge_syms AS (
+       | SELECT sym, 1114112 + min(round) - 1 AS id
+       | FROM (${(1 to BpeRounds).map(r =>
+          s"SELECT $r AS round, l || r AS sym FROM b$r")
+          .mkString("\n        UNION ALL ")})
+       | GROUP BY sym)""".stripMargin
+
+  /** The token-id grain CTEs shared by the q159/q160 oracles (ride
+    * [[bpeOracleCtes]] + [[bpeApplyCtes]] + [[mergeSymsCte]]): the
+    * apply chain's segmented DISTINCT words become per-word id CSVs
+    * (`wids`), each document's ordered word list joins them back
+    * (`docw`), and `docids` re-assembles the per-document id sequence
+    * — the SQL twin of one [[graft.functions.BpeEncode]] map. `extra`
+    * carries additional doc columns (q160: source). */
+  private def tokenIdCtes(extra: String): String = {
+    val carry = if (extra.isEmpty) "" else s"$extra, "
+    s""",
+       |wseg AS (
+       | SELECT word, unnest(list_transform(range(1, len(syms) + 1),
+       |   i -> {'pos': i, 'sub': syms[i]})) AS e
+       | FROM (SELECT word, string_split(trim(s), '  ') AS syms
+       |       FROM af$BpeRounds)),
+       |wids AS (
+       | SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub,
+       |  string_agg(CAST(CAST(COALESCE(ms.id, unicode(e.sub)) AS BIGINT)
+       |    AS VARCHAR), ',' ORDER BY e.pos) AS ids_csv
+       | FROM wseg LEFT JOIN merge_syms ms ON ms.sym = e.sub
+       | GROUP BY word),
+       |docw AS (
+       | SELECT ${carry}doc_id, wi.i AS widx, wi.w AS word
+       | FROM (SELECT ${carry}doc_id,
+       |        unnest(list_transform(range(1, len(ws) + 1),
+       |          i -> {'i': i, 'w': ws[i]})) AS wi
+       |       FROM (SELECT ${carry}doc_id,
+       |              string_split_regex(text, '\\s+') AS ws
+       |             FROM documents))
+       | WHERE wi.w <> ''),
+       |docids AS (
+       | SELECT ${carry}d.doc_id, CAST(SUM(w.n_sub) AS BIGINT) AS n_tokens,
+       |  string_agg(w.ids_csv, ',' ORDER BY d.widx) AS ids_csv
+       | FROM docw d JOIN wids w USING (word)
+       | GROUP BY ${carry}d.doc_id)""".stripMargin
+  }
+
   /** The fertility final SELECT shared by the q147/q148 oracles —
     * the SQL twin of [[fertilityBy]]. */
   private def fertilityOracleSelect(key: String, src: String): String = s"""
@@ -3281,13 +3417,7 @@ object TextOps {
     // (merge products) | the codepoint (single-codepoint symbols) —
     // the exact scheme tokenizeText serves over POST /tokenize.
     "q158_tokenize_serve" ->
-      (bpeOracleCtes + tokenizeProbeCtes + s"""
-       |, merge_syms AS (
-       | SELECT sym, 1114112 + min(round) - 1 AS id
-       | FROM (${(1 to BpeRounds).map(r =>
-          s"SELECT $r AS round, l || r AS sym FROM b$r")
-          .mkString("\n        UNION ALL ")})
-       | GROUP BY sym),
+      (bpeOracleCtes + tokenizeProbeCtes + mergeSymsCte + s""",
        |segs AS (
        | SELECT word, unnest(list_transform(range(1, len(syms) + 1),
        |   i -> {'pos': i - 1, 'sub': syms[i]})) AS e
@@ -3297,6 +3427,34 @@ object TextOps {
        | CAST(COALESCE(ms.id, unicode(e.sub)) AS BIGINT) AS id
        |FROM segs LEFT JOIN merge_syms ms ON ms.sym = e.sub
        |ORDER BY word, pos""".stripMargin),
+    // q159: corpus-grain id replay — training chain + the uncapped
+    // apply chain segment every distinct word; per-doc sequences are
+    // re-assembled from ordered word positions and hashed as CSV.
+    // A match proves BpeEncode's distributed kernel ≡ the serving id
+    // scheme on EVERY document, not just q158's probe words.
+    "q159_token_ids" ->
+      (bpeOracleCtes + bpeApplyCtes + mergeSymsCte + tokenIdCtes("") + s"""
+       |SELECT doc_id, n_tokens, ids_csv
+       |FROM docids ORDER BY doc_id""".stripMargin),
+    // q160: packing replay — the same per-doc id sequences, binned by
+    // the exclusive running token count per source (q57's integer
+    // arithmetic) and concatenated with the EOS id between documents
+    // (q63's ordered string_agg discipline).
+    "q160_pack_ids" ->
+      (bpeOracleCtes + bpeApplyCtes + mergeSymsCte + tokenIdCtes("source") +
+        s""",
+       |binned AS (
+       | SELECT source, doc_id, n_tokens, ids_csv,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+       |         ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |       // 512 AS BIGINT) AS bin
+       | FROM docids)
+       |SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       | string_agg(ids_csv, ',$EosId,' ORDER BY doc_id) AS packed_ids
+       |FROM binned GROUP BY source, bin
+       |ORDER BY source, bin""".stripMargin),
     // q147: fertility replay — the trained merges (shared CTE chain)
     // applied to the (lang, word, n) grain, per-lang ppm aggregates.
     "q147_bpe_fertility" ->

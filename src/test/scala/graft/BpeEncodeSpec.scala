@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.BpeEncode
+import graft.queries.TextOps
+
+/** [[graft.functions.BpeEncode]] — corpus-scale token-ID encoding
+  * (r19). Pins: (1) ids ≡ [[TextOps.tokenizeWord]]'s driver-side
+  * serving fold on generated documents and merge tables through the
+  * real codegen path — the seam that guarantees `POST /tokenize` and
+  * the training shards can never disagree; (2) the same equivalence
+  * against the CORPUS-learned model on real sf0.001 documents via
+  * [[TextOps.tokenizeText]]; (3) plan size flat in merge count;
+  * (4) whole-stage codegen engaged at a synthetic 8192-merge
+  * vocabulary; (5) null/empty/whitespace edge behavior. */
+class BpeEncodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  /** Driver-side reference: tokenizeWord per whitespace token, ids
+    * flattened — exactly what the expression must emit per document. */
+  private def referenceIds(merges: Seq[(String, String)], text: String)
+      : Seq[Long] = {
+    val (pats, reps, idOf) =
+      TextOps.tokenizeKitOf(merges.map { case (l, r) => (l, r, 0L) })
+    text.split("\\s+").filter(_.nonEmpty).toSeq
+      .flatMap(w => TextOps.tokenizeWord(pats, reps, idOf, w).ids)
+  }
+
+  test("ids ≡ the driver-side serving fold on random docs and models") {
+    // alphabet spans 1/2/3/4-byte codepoints (😀 is a surrogate pair —
+    // the kernel iterates CODEPOINTS, which this pins)
+    val chars = Seq("a", "b", "é", "漢", "😀")
+    val wordGen = Gen.choose(1, 8).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(chars)).map(_.mkString))
+    val docGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val mergeGen = for {
+      k <- Gen.choose(0, 12)
+      syms = chars ++ Seq("ab", "aé", "é漢", "漢😀", "ba", "abb")
+      ms <- Gen.listOfN(k, Gen.zip(Gen.oneOf(syms), Gen.oneOf(syms)))
+    } yield ms
+    val caseGen = Gen.zip(Gen.listOfN(20, docGen), mergeGen)
+    samples(caseGen, 10).zipWithIndex.foreach { case ((texts, merges), i) =>
+      val got = texts.toDF("text")
+        .select(BpeEncode.encodeIds(col("text"), merges).as("ids"))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+      val want = texts.map(referenceIds(merges, _))
+      assert(got == want, s"case $i diverged (merges=$merges)")
+    }
+  }
+
+  test("corpus-learned model: expression ≡ tokenizeText on sf0.001 docs") {
+    val dir = "/root/testdata/sf0.001"
+    val merges = TextOps.bpeLearn(spark, dir).map { case (l, r, _) => (l, r) }
+    val sample = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(25)
+    val got = sample
+      .select(col("doc_id"), BpeEncode.encodeIds(col("text"), merges).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    sample.collect().foreach { r =>
+      val (_, _, toks) = TextOps.tokenizeText(spark, dir, r.getString(1))
+      assert(got(r.getLong(0)) == toks.flatMap(_.ids),
+        s"doc ${r.getLong(0)} diverged from the serving path")
+    }
+  }
+
+  test("plan size is flat in the merge count") {
+    val d = Seq("ab cd").toDF("text")
+    def planChars(n: Int): Int = {
+      val merges = (0 until n).map(i => (s"x$i", s"y$i"))
+      d.select(BpeEncode.encodeIds(col("text"), merges).as("ids"))
+        .queryExecution.optimizedPlan.treeString.length
+    }
+    val small = planChars(8)
+    val large = planChars(8192)
+    assert(large <= small + 64,
+      s"plan grew with vocabulary: $small chars at 8 merges, $large at 8192")
+  }
+
+  test("whole-stage codegen stays engaged at an 8192-merge vocabulary") {
+    val merges = (0 until 8192).map(i => (s"x$i", s"y$i")) :+ ("a" -> "b")
+    val d = spark.range(2)
+      .select(when(col("id") === 0, lit("aab ba"))
+        .otherwise(lit("ba")).as("text"))
+      .select(BpeEncode.encodeIds(col("text"), merges).as("ids"))
+    val exec = d.queryExecution.executedPlan
+    val codegenSpans = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenSpans.nonEmpty,
+      s"interpreted fallback at 8192 merges:\n$exec")
+    assert(codegenSpans.exists(_.toString.contains("bpe_encode")),
+      s"bpe_encode outside every codegen span:\n$exec")
+    // 'aab' under late merge (a,b): symbols a,ab → ids 97, 0x110000+8192
+    assert(d.collect().map(_.getSeq[Long](0).toSeq).toSet ==
+      Set(Seq(97L, 0x110000L + 8192, 98L, 97L), Seq(98L, 97L)))
+  }
+
+  test("null, empty, whitespace-only, and id-scheme edges") {
+    val d = Seq(Some("ab"), None, Some(""), Some("  \t ")).toDF("text")
+    val out = d.select(BpeEncode.encodeIds(col("text"), Nil).as("ids"))
+      .collect().map(r => Option(r.get(0)).map(_ => r.getSeq[Long](0).toSeq))
+    assert(out.toSeq == Seq(
+      Some(Seq(97L, 98L)), None, Some(Nil), Some(Nil)))
+    // merged-symbol id keyed by the FIRST producing round: (a,b) twice
+    // (via different paths) must reuse id 0x110000, and an astral
+    // codepoint id is the codepoint, not a surrogate half
+    val m = Seq("a" -> "b", "ab" -> "ab") // 'abab' → 'ab ab' → 'abab'
+    val out2 = Seq("abab 😀").toDF("text")
+      .select(BpeEncode.encodeIds(col("text"), m).as("ids"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(out2.toSeq == Seq(Seq(0x110000L + 1, 0x1F600L)))
+  }
+}
