@@ -249,31 +249,36 @@ object Versioned {
 
   /** Newest SURVIVING version whose commit is at or before `tsMillis`
     * (epoch ms) — the `asOf` resolution for time-travel reads. The
-    * commit point is the version-marker file create, so the marker's
-    * modification time IS the commit time; retention bounds how far
-    * back an asOf can reach (older versions are GC'd, same contract as
-    * [[readAt]]). None when every surviving commit is newer. */
+    * commit instant is the epoch-ms the committer stamped INTO the
+    * marker (see [[markerInstant]]; pre-r19 markers fall back to
+    * mtime), so resolution survives lake relocation; retention bounds
+    * how far back an asOf can reach (older versions are GC'd, same
+    * contract as [[readAt]]). None when every surviving commit is
+    * newer. */
   def versionAsOf(spark: SparkSession, base: String,
       tsMillis: Long): Option[Long] = {
     val b = new Path(base)
     val f = fs(spark, b)
     if (!f.exists(markerDir(b))) None
     else f.listStatus(markerDir(b)).toSeq
-      .flatMap(s => s.getPath.getName.toLongOption.map(_ -> s.getModificationTime))
+      .flatMap(s => s.getPath.getName.toLongOption
+        .map(_ -> markerInstant(f, s)))
       .filter(_._2 <= tsMillis)
       .map(_._1).maxOption
   }
 
   /** Commit instants (epoch ms) of every surviving version — the
-    * marker files' creation times, i.e. the clock [[versionAsOf]]
+    * instants stamped into the markers at commit ([[markerInstant]];
+    * mtime only for pre-r19 markers), i.e. the clock [[versionAsOf]]
     * resolves against. Lets `/lake/history` tell a client WHICH
-    * instants exist before it picks an `asOf`. */
+    * instants exist before it picks an `asOf`. The per-marker content
+    * read is bounded by retention (surviving markers only). */
   def versionTimes(spark: SparkSession, base: String): Map[Long, Long] = {
     val b = new Path(base)
     val f = fs(spark, b)
     if (!f.exists(markerDir(b))) Map.empty
     else f.listStatus(markerDir(b)).toSeq.flatMap(s =>
-      s.getPath.getName.toLongOption.map(_ -> s.getModificationTime)).toMap
+      s.getPath.getName.toLongOption.map(_ -> markerInstant(f, s))).toMap
   }
 
   /** Read `table` at the current version. One resolve per call: a plan
@@ -1626,6 +1631,59 @@ object Versioned {
       catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
     }
 
+  /** [[atomicCreate]] with the commit instant (epoch ms) written INTO
+    * the file: the exclusive CREATE is still the atomic commit point;
+    * the content makes the instant part of the lake's written bytes,
+    * so `asOf` time travel and `/lake/history`'s `committed_at`
+    * survive any relocation that rewrites mtimes (cp, rsync without
+    * -t, DistCp default, object-store copies — advice-low + What's
+    * wrong #3, r18). A reader racing the create→close window sees an
+    * empty marker and [[markerInstant]] falls back to its mtime — on
+    * the filesystem that is mid-write, the same clock. */
+  private def atomicCreateStamped(f: FileSystem, p: Path): Boolean = {
+    val stamp = System.currentTimeMillis().toString.getBytes("UTF-8")
+    if (f.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath), stamp,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try {
+        val out = f.create(p, false)
+        try out.write(stamp) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    }
+  }
+
+  /** A version's commit instant: the epoch-ms the committer stamped
+    * into the marker at [[atomicCreateStamped]] time; marker mtime
+    * ONLY as the legacy fallback (pre-r19 lakes, or the create→close
+    * race window). Content first — mtimes are filesystem metadata
+    * that copies and restores silently rewrite. */
+  private def markerInstant(f: FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Long = {
+    val len = st.getLen
+    if (len > 0 && len <= 32) {
+      try {
+        val in = f.open(st.getPath)
+        val bytes = new Array[Byte](len.toInt)
+        try in.readFully(bytes) finally in.close()
+        new String(bytes, "UTF-8").trim.toLongOption.filter(_ > 0L)
+          .getOrElse(st.getModificationTime)
+      } catch {
+        case scala.util.control.NonFatal(_) => st.getModificationTime
+      }
+    } else st.getModificationTime
+  }
+
   /** The claim-protocol wrapper every publish flavor runs through:
     * claim `cur + 1` exclusively, fail loudly on any race or stale
     * read, clear a crashed attempt's uncommitted leftovers, run `body`
@@ -1674,9 +1732,10 @@ object Versioned {
 
     body(f, b, next)
 
-    // COMMIT: one atomic create. With the claim held this cannot lose
-    // a race; a false here means external interference — fail loudly.
-    if (!atomicCreate(f, marker))
+    // COMMIT: one atomic create (instant stamped into the marker).
+    // With the claim held this cannot lose a race; a false here means
+    // external interference — fail loudly.
+    if (!atomicCreateStamped(f, marker))
       sys.error(s"publish: version $next already committed by another writer")
 
     gc(f, b, next)

@@ -533,6 +533,53 @@ class VersionedLakeSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"))
     assert(pruned.count() > 0)
   }
+
+  test("commit instants ride marker CONTENT: asOf survives a copy that rewrites mtimes") {
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t", charges(5))))
+    Thread.sleep(5) // distinct instants at ms granularity
+    Versioned.appendPublish(spark, base, "t", charges(3))
+    val times = Versioned.versionTimes(spark, base)
+    assert(times.keySet == Set(1L, 2L) && times(1L) < times(2L), s"$times")
+    assert(Versioned.versionAsOf(spark, base, times(1L)).contains(1L))
+    assert(Versioned.versionAsOf(spark, base, times(2L) - 1).contains(1L))
+    assert(Versioned.versionAsOf(spark, base, times(2L)).contains(2L))
+    assert(Versioned.versionAsOf(spark, base, times(1L) - 1).isEmpty)
+    // relocate the lake the way ops actually do (cp / DistCp default /
+    // object-store copy): bytes preserved, every mtime rewritten
+    val copy = mkBase()
+    val src = java.nio.file.Paths.get(base)
+    val dst = java.nio.file.Paths.get(copy)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    val bogus = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() + 86400000L)
+    java.nio.file.Files.walk(dst).forEach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, bogus))
+    assert(Versioned.versionTimes(spark, copy) == times,
+      "commit instants changed after relocation — asOf would resolve wrong")
+    assert(Versioned.versionAsOf(spark, copy, times(1L)).contains(1L))
+    assert(Versioned.readAt(spark, copy, "t", 1L).count() == 5)
+    assert(Versioned.readAt(spark, copy, "t", 2L).count() == 8)
+  }
+
+  test("legacy empty markers fall back to mtime; stamped and legacy coexist") {
+    val base = mkBase()
+    // hand-built pre-r19 lake: self-contained v1 dir + EMPTY marker
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    charges(7).write.parquet(s"$base/v1/t")
+    fs.mkdirs(new Path(base, "_v"))
+    fs.createNewFile(new Path(base, "_v/00000001"))
+    val legacyT = 1700000000000L
+    new java.io.File(s"$base/_v/00000001").setLastModified(legacyT)
+    assert(Versioned.versionTimes(spark, base) == Map(1L -> legacyT),
+      "legacy empty marker must resolve to its mtime")
+    assert(Versioned.versionAsOf(spark, base, legacyT).contains(1L))
+    assert(Versioned.versionAsOf(spark, base, legacyT - 1).isEmpty)
+  }
 }
 
 /** JVM-global gate for the race test: local-mode tasks run in-process,
