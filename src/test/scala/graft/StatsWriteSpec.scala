@@ -225,6 +225,28 @@ class StatsWriteSpec extends SparkSpec {
     assert(hit == d.filter(col("name") === "n123").count() && hit > 0)
   }
 
+  test("skew salting tolerates map columns: hash covers hashable cols only") {
+    // xxhash64 rejects MapType — a map-bearing table with a hot value
+    // must still write (advice-low, r19), salting on the other columns
+    val dir = mkDir("skewmap")
+    val d = spark.range(0, 1200).select(
+      col("id"),
+      map(lit("k"), col("id").cast("string")).as("attrs"),
+      when(col("id") < 1000, lit(1)).otherwise(lit(2)).as("pk"))
+    StatsWrite.writePartitioned(spark, d, dir, Seq("pk"),
+      Seq("id"), Nil, bitsPerRow = 10, targetRowsPerFile = 300)
+    val hot = new java.io.File(s"$dir/pk=1").list()
+      .filter(_.endsWith(".parquet")).toSeq
+    assert(hot.size >= 3, s"hot value not split despite map column: $hot")
+    hot.foreach { fl =>
+      val n = spark.read.parquet(s"$dir/pk=1/$fl").count()
+      assert(n <= 300, s"$fl has $n rows > target 300")
+    }
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1200)
+    assert(back.select(map_keys(col("attrs"))(0)).distinct().count() == 1)
+  }
+
   test("property: byte-identity holds over random shapes, all decimal backings") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
@@ -325,6 +347,21 @@ class StatsWriteSpec extends SparkSpec {
       StatsWrite.write(spark, e, dir, Seq("id"), Nil)
     }
     assert(ex.getMessage.contains("zone map"), ex.getMessage)
+  }
+
+  test("spill dir resolves through Spark's own local-dir machinery first") {
+    // inside a Spark JVM SparkEnv is live, so the bridge must be the
+    // source of truth (it is what covers YARN's LOCAL_DIRS contract on
+    // a real cluster — r18 probed env/sysprops and missed it); the env
+    // convention and tmpdir are fallbacks for non-Spark JVMs only
+    val bridged = org.apache.spark.GraftEnvBridge.localDir()
+    assert(bridged.isDefined, "SparkEnv live but the bridge returned None")
+    val d = graft.sources.StatsWrite.spillDir()
+    assert(d.isDirectory, s"spill dir not a directory: $d")
+    // local mode configures ONE local root — the bridge and the spill
+    // resolution must agree on it (a fallback path would diverge)
+    assert(d.getPath == bridged.get.getPath,
+      s"spillDir bypassed SparkEnv: $d vs ${bridged.get}")
   }
 
   test("a misspelled tracked column fails loudly at write time") {
