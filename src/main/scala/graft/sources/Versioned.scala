@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Multi-table atomic publish via a version-manifest layout (SURVEY S5).
   *
@@ -874,7 +875,15 @@ object Versioned {
     *
     * Schema EVOLUTION rides both: a delta with new columns widens the
     * table (old rows read null in the new columns), while time travel
-    * keeps each version's own schema from its immutable dirs. */
+    * keeps each version's own schema from its immutable dirs.
+    * Additive ONLY ([[requireAdditiveTypes]]): a delta that re-types
+    * an existing column is rejected before any byte is written.
+    * Column DROP posture: a delta LACKING standing columns never
+    * retires them — its own rows simply read null there and the
+    * column keeps serving (append-path symmetry). Retiring a column
+    * is a REWRITE: `publish` the table with the column projected
+    * away (time travel still serves it at prior versions, from their
+    * own immutable dirs). Pinned by VersionedLakeSpec. */
   def mergePublish(spark: SparkSession, base: String, table: String,
       delta: DataFrame, keys: Seq[String], rewrite: Boolean = true): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
@@ -903,6 +912,7 @@ object Versioned {
       s"mergePublish: table $table not in version $cur (has: $existing)")
     if (rewrite) {
       val current = readAt(spark, base, table, cur)
+      requireAdditiveTypes(current.schema, delta.schema, table)
       val merged = current
         .join(delta.select(keys.map(org.apache.spark.sql.functions.col): _*),
           keys, "left_anti")
@@ -946,7 +956,12 @@ object Versioned {
     * version on the column is tracked table-wide, standing dirs
     * simply full-scan for probes on it (a sidecar-less dir is
     * inclusion-safe by contract) and a later compaction re-collects
-    * it across the whole fold. */
+    * it across the whole fold. Additive ONLY
+    * ([[requireAdditiveTypes]]): a delta re-typing an existing column
+    * is rejected before any byte is written. Column DROP posture: a
+    * delta lacking standing columns never retires them (its rows read
+    * null there); retiring a column is a full-rewrite `publish` with
+    * the column projected away — prior versions keep serving it. */
   def appendPublish(spark: SparkSession, base: String, table: String,
       delta: DataFrame, keys: Seq[String] = Nil,
       replacing: Seq[(String, DataFrame)] = Nil,
@@ -1017,6 +1032,29 @@ object Versioned {
     * batch-and-marker pair a crash replay relies on). Tables named
     * here need not exist at `cur` (the first streamed batch CREATES
     * the marker table). */
+  /** Schema-evolution type contract (r19): evolution is ADDITIVE
+    * ONLY. A delta column that already exists in the standing table
+    * must match its DataType EXACTLY (no widening, no decimal-scale
+    * change, no rebinding): the fold unions immutable dirs by name,
+    * so a re-typed column would either shift the union's resolved
+    * type for every reader or fail at read time far from the write
+    * that caused it. Rejected loudly, before any byte is written,
+    * naming the column and both types. A FULL REWRITE (`publish` /
+    * `compactPublish`) may change types freely — each version reads
+    * only its own entry chain, so a rewritten table never unions
+    * across the type boundary. */
+  private def requireAdditiveTypes(standing: StructType,
+      delta: StructType, table: String): Unit =
+    delta.fields.foreach { f =>
+      standing.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { s =>
+        require(s.dataType == f.dataType,
+          s"schema evolution on '$table' is additive-only: column " +
+            s"'${f.name}' already exists as ${s.dataType.sql} but the " +
+            s"delta carries ${f.dataType.sql} — cast the delta to the " +
+            "standing type, or publish a full rewrite to re-type")
+      }
+    }
+
   private def morPublish(spark: SparkSession, base: String, table: String,
       cur: Long, existing: Seq[String],
       tomb: Option[DataFrame], append: Option[DataFrame],
@@ -1024,6 +1062,8 @@ object Versioned {
       extraStats: Seq[String] = Nil, extraBlooms: Seq[String] = Nil): Long = {
     require(!replacing.exists(_._1 == table),
       "replacing must not name the merge-on-read table itself")
+    append.foreach(df => requireAdditiveTypes(
+      readAt(spark, base, table, cur).schema, df.schema, table))
     (extraStats ++ extraBlooms).foreach(c =>
       require(append.exists(_.columns.contains(c)),
         s"tracked column '$c' not in the appended delta"))

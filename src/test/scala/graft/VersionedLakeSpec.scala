@@ -534,6 +534,71 @@ class VersionedLakeSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("schema evolution is additive-only: a re-typed column is rejected before any byte") {
+    import org.apache.spark.sql.functions._
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t",
+      spark.range(5).select(col("id"), lit(7).as("score"),
+        lit(BigDecimal("1.50")).cast("decimal(10,2)").as("amt")))))
+    def dirCount = {
+      val d = new java.io.File(base)
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) 1 + f.listFiles().map(walk).sum else 1
+      walk(d)
+    }
+    val before = dirCount
+    // int -> string rebinding: named column + both types, nothing written
+    val e1 = intercept[IllegalArgumentException] {
+      Versioned.appendPublish(spark, base, "t",
+        spark.range(5, 8).select(col("id"), lit("high").as("score"),
+          lit(BigDecimal("2.50")).cast("decimal(10,2)").as("amt")))
+    }
+    assert(e1.getMessage.contains("'score'") &&
+      e1.getMessage.contains("INT") && e1.getMessage.contains("STRING"),
+      e1.getMessage)
+    // decimal scale change is a re-type too
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.mergePublish(spark, base, "t",
+        spark.range(2).select(col("id"), lit(7).as("score"),
+          lit(BigDecimal("2.5")).cast("decimal(10,3)").as("amt")),
+        keys = Seq("id"))
+    }
+    assert(e2.getMessage.contains("'amt'") &&
+      e2.getMessage.contains("DECIMAL(10,2)") &&
+      e2.getMessage.contains("DECIMAL(10,3)"), e2.getMessage)
+    assert(Versioned.currentVersion(spark, base).contains(1L))
+    assert(dirCount == before, "a rejected delta left bytes behind")
+    // additive evolution itself is unaffected
+    Versioned.appendPublish(spark, base, "t",
+      spark.range(5, 8).select(col("id"), lit(9).as("score"),
+        lit(BigDecimal("2.50")).cast("decimal(10,2)").as("amt"),
+        lit("new").as("tag")))
+    assert(Versioned.read(spark, base, "t").filter(col("tag").isNull)
+      .count() == 5)
+  }
+
+  test("column DROP posture: a lacking delta never retires; a rewrite does, history serves") {
+    import org.apache.spark.sql.functions._
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t",
+      spark.range(4).select(col("id"), lit("keep").as("note")))))
+    // v2: delta WITHOUT `note` — the column must keep serving (delta
+    // rows read null), never silently retire
+    Versioned.appendPublish(spark, base, "t",
+      spark.range(4, 6).select(col("id")))
+    val v2 = Versioned.read(spark, base, "t")
+    assert(v2.columns.contains("note"), "append retired a standing column")
+    assert(v2.filter(col("note") === "keep").count() == 4)
+    assert(v2.filter(col("note").isNull).count() == 2)
+    // retiring is an explicit REWRITE: publish the projection
+    Versioned.publish(spark, base,
+      Seq(TableSpec("t", v2.select("id"))))
+    assert(!Versioned.read(spark, base, "t").columns.contains("note"))
+    assert(Versioned.read(spark, base, "t").count() == 6)
+    // prior versions keep each their own schema from immutable dirs
+    assert(Versioned.readAt(spark, base, "t", 2L).columns.contains("note"))
+  }
+
   test("commit instants ride marker CONTENT: asOf survives a copy that rewrites mtimes") {
     val base = mkBase()
     Versioned.publish(spark, base, Seq(TableSpec("t", charges(5))))
