@@ -262,7 +262,7 @@ object Bench {
       * flag left the `.aqe` artifact stale for two rounds (VERDICT r8
       * #3). Opt out with SPARK_GRAFT_BENCH_AQE=0 when iterating
       * locally and only the headline matters. */
-    def aqePass(sess: SparkSession): Unit = {
+    def aqePass(sess: SparkSession): Boolean = {
       val (aqeResults, aqeRaw, aqeErrors) = runSuite(sess)
       val aqeQs = aqeResults.map { case (k, v) => "\"" + esc(k) + "\":" + v }
         .mkString("{", ",", "}")
@@ -286,6 +286,17 @@ object Bench {
       val aqeLine =
         s"""{"metric":"total_aqe","value":$aqeTotal,"unit":"sec","queries":$aqeQs,"runs":${runsJson(aqeRaw)},"errors":$aqeErrJson,"vs_prev":$aqeVsPrev,"vs_prev_n":${aqeRatios.length},"top_regressions":${topRegressionsJson(aqeRatios)},"iters":$iters,"sf":"$sfDir"}"""
       println(aqeLine)
+      // a pass where EVERY query errored is a broken harness (bad
+      // child classpath, missing data dir), not a measurement — it
+      // must not advance the mirror/history as a "successful" run
+      // with -1 entries (advice-low, r19)
+      val allBroken =
+        aqeResults.nonEmpty && aqeResults.forall { case (_, v) => v < 0 }
+      if (allBroken) {
+        System.err.println("BENCH AQE BROKEN: every query errored — " +
+          "baselines NOT advanced: " + aqeErrors.keys.mkString(", "))
+        return false
+      }
       try Files.write(Paths.get(out + ".aqe"),
         (aqeLine + "\n").getBytes(StandardCharsets.UTF_8))
       catch { case t: Throwable =>
@@ -298,6 +309,7 @@ object Bench {
       if (aqeErrors.nonEmpty)
         System.err.println(
           s"BENCH AQE FAILURES: ${aqeErrors.keys.mkString(", ")}")
+      true
     }
 
     /** Fork a fresh JVM for the AQE pass (the posture-isolation fix).
@@ -309,8 +321,15 @@ object Bench {
       * back to the old in-JVM pass rather than lose the artifact. */
     def forkAqePass(): Boolean = {
       val cp = sys.env.get("SPARK_GRAFT_BENCH_CP").getOrElse {
+        // the parent's own classpath rides along by default (advice-
+        // low, r19): a jar-launched parent's dependencies may live
+        // outside /opt/spark/jars, and under sbt java.class.path is
+        // just the launcher — harmless to append, vital when it isn't
         val cls = Paths.get("target/scala-2.13/classes")
-        if (Files.exists(cls)) cls.toString + ":/opt/spark/jars/*" else ""
+        val own = System.getProperty("java.class.path", "")
+        Seq(
+          if (Files.exists(cls)) cls.toString + ":/opt/spark/jars/*" else "",
+          own).filter(_.nonEmpty).mkString(":")
       }
       if (cp.isEmpty) return false
       try {
@@ -343,8 +362,11 @@ object Bench {
     }
 
     if (posture == "aqe") {
-      // fresh-JVM child: ONLY the adaptive pass, cold block manager
-      aqePass(spark)
+      // fresh-JVM child: ONLY the adaptive pass, cold block manager.
+      // A broken pass (all queries errored) exits nonzero so the
+      // parent's fork check fails and falls back in-JVM.
+      val healthy = aqePass(spark)
+      if (!healthy) { spark.stop(); sys.exit(1) }
     } else {
       plainPass()
       if (aqeOn && !forkAqePass()) {
@@ -356,7 +378,7 @@ object Bench {
         aqe.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         aqe.conf.set("spark.sql.files.maxPartitionBytes",
           (128 * 1024 * 1024).toString)
-        aqePass(aqe)
+        val _ = aqePass(aqe)
       }
     }
     spark.stop()

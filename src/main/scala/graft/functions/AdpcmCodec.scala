@@ -194,11 +194,21 @@ object AdpcmCodec {
       // early made the total fall back to cap, decoding encoder
       // padding as real samples); odd-length chunk bodies carry a pad
       // byte that must be skipped or every later tag misparses
-      while (p + 8 <= bytes.length) {
+      var stopScan = false
+      while (!stopScan && p + 8 <= bytes.length) {
         val tag = new String(Array(bytes(p), bytes(p + 1), bytes(p + 2),
           bytes(p + 3)).map(b => (b & 0xff).toChar)); p += 4
         val len = r32()
-        if (len < 0 || p + len > bytes.length) return Left("truncated chunk")
+        // long arithmetic: a hostile length near Int.MaxValue would
+        // overflow `p + len` negative and sail past this bounds check
+        if (len < 0 || p.toLong + len > bytes.length) {
+          // trailing garbage AFTER fmt+data already parsed (an encoder
+          // footer, a torn copy past the payload) must not reject a
+          // decodable file — stop scanning instead (advice-low, r19);
+          // before both are in hand a malformed chunk is still fatal
+          if (haveFmt && dataFrom >= 0) stopScan = true
+          else return Left("truncated chunk")
+        } else {
         tag match {
           case "fmt " =>
             if (len < 20) return Left("short fmt")
@@ -219,6 +229,7 @@ object AdpcmCodec {
           case _ => p += len
         }
         if (len % 2 == 1 && p < bytes.length) p += 1 // RIFF pad byte
+        }
       }
       if (!haveFmt) return Left("no fmt chunk")
       if (dataFrom < 0) return Left("no data chunk")

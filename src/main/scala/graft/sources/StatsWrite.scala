@@ -332,7 +332,8 @@ object StatsWrite {
     }
     bloomCols.foreach { c =>
       val ok = schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType | StringType => true
+        case ByteType | ShortType | IntegerType | LongType | StringType |
+             DateType => true
         case _: DecimalType => true
         case _ => false
       }
@@ -698,7 +699,8 @@ object StatsWrite {
     bloomCols.foreach { c =>
       val dt = schema(c).dataType
       val ok = dt match {
-        case ByteType | ShortType | IntegerType | LongType | StringType => true
+        case ByteType | ShortType | IntegerType | LongType | StringType |
+             DateType => true
         case _: DecimalType => true
         case _ => false
       }

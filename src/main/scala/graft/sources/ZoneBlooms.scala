@@ -106,6 +106,12 @@ object ZoneBlooms {
       hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     case d: java.math.BigDecimal => hashValue(d.toPlainString)
     case d: BigDecimal => hashValue(d.bigDecimal.toPlainString)
+    // dates hash as epoch DAYS — the catalyst-internal Int the write
+    // task sees ([[hashInternal]] routes it through the Int arm), so
+    // the external java.sql.Date/LocalDate spellings must land on the
+    // same long for write/probe agreement (advice-low, r19)
+    case d: java.sql.Date => mix(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => mix(d.toEpochDay)
     case other => sys.error(
       s"bloom sidecar: unsupported probe type ${other.getClass.getName}")
   }
@@ -189,6 +195,18 @@ object ZoneBlooms {
         bd.flatMap(x =>
           try Some(x.setScale(d.scale, java.math.RoundingMode.UNNECESSARY))
           catch { case _: ArithmeticException => None })
+      case DateType => v match {
+        // stored hashes are epoch-day longs (catalyst Int days on the
+        // write task) — coerce every external date spelling to that;
+        // an unparseable probe degrades to a full scan (advice-low,
+        // r19: this arm was missing, so date probes never pruned)
+        case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+        case d: java.time.LocalDate => Some(d.toEpochDay)
+        case s: String =>
+          try Some(java.time.LocalDate.parse(s.trim).toEpochDay)
+          catch { case _: java.time.format.DateTimeParseException => None }
+        case _ => None
+      }
       case _ => None // not a bloomable column type — full scan
     }
   }

@@ -126,6 +126,30 @@ class AdpcmCodecSpec extends SparkSpec {
     assert(AdpcmCodec.decode(riff ++ fmt ++ data ++ data ++ fact).isLeft)
   }
 
+  test("trailing garbage after fmt+data is tolerated; before them it is fatal") {
+    // encoder footers / torn copies past the payload are common in the
+    // wild — once fmt and data are in hand, a malformed trailing chunk
+    // stops the scan instead of rejecting the file (advice-low, r19)
+    val xs = Array.tabulate(100)(i => (i * 41 % 1201) - 600)
+    val enc = AdpcmCodec.encode(Array(xs), 8000, samplesPerBlock = 57)
+    val want = AdpcmCodec.decode(enc).toOption.get.samples(0).toSeq
+    // ≥8 bytes that parse as a tag with an absurd length
+    val garbage = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, 127) ++ Array[Byte](1, 2, 3)
+    val got = AdpcmCodec.decode(enc ++ garbage)
+    assert(got.isRight, s"trailing garbage rejected a decodable file: $got")
+    assert(got.toOption.get.samples(0).toSeq == want)
+    // under 8 trailing bytes never even looked like a chunk — still fine
+    assert(AdpcmCodec.decode(enc ++ Array[Byte](9, 9, 9)).isRight)
+    // but garbage BEFORE data (fmt parsed, data not yet) is still fatal:
+    // the file's payload genuinely cannot be located
+    val riff = enc.slice(0, 12)
+    val fmt = enc.slice(12, 40)
+    val rest = enc.slice(40, enc.length) // fact ++ data
+    assert(AdpcmCodec.decode(riff ++ fmt ++ garbage ++ rest).isLeft,
+      "garbage before the data chunk must stay fatal")
+  }
+
   test("corrupt payloads are Left, never a wrong sample") {
     val xs = Array.tabulate(121)(i => (i * 31 % 997) - 498)
     val enc = AdpcmCodec.encode(Array(xs), 8000, samplesPerBlock = 121)

@@ -183,6 +183,49 @@ class ZoneBloomSpec extends SparkSpec {
       .head._2.isEmpty)
   }
 
+  test("date bloom columns: write-time ≡ re-scan bytes, every date spelling probes") {
+    // r19 (advice-low): DateType was write-rejectable and probe-blind;
+    // now it blooms as epoch-day longs end to end
+    val base = mkBase()
+    // one row per date (unique key) on a round-robin layout: min/max
+    // can't prune, the bloom must pinpoint the single carrying file
+    val d = spark.range(0, 2000).select(col("id").as("k"),
+      expr("date_add(date'2020-01-01', cast(id as int))").as("dt"))
+      .repartition(8)
+    Versioned.publish(spark, base, Seq(TableSpec("t", d,
+      bloomCols = Seq("dt"))))
+    val t = Versioned.read(spark, base, "t")
+    val want = collectSet(t.filter(col("dt") === lit("2024-03-11").cast("date")))
+    assert(want.nonEmpty)
+    // the three external spellings prune AND hit identically
+    val probes: Seq[Any] = Seq(
+      java.sql.Date.valueOf("2024-03-11"),
+      java.time.LocalDate.parse("2024-03-11"),
+      "2024-03-11")
+    probes.foreach { p =>
+      val sel = Versioned.pointSelectionAt(spark, base, "t", 1L, "dt", p)
+      val (s, n) = sel.head._2.getOrElse(
+        fail(s"date probe ${p.getClass.getSimpleName} didn't consult blooms"))
+      assert(n == 8 && s.size <= 3, s"date probe $p didn't prune: $s of $n")
+      assert(collectSet(Versioned.readPoint(spark, base, "t", "dt", p)) == want,
+        s"probe $p lost rows")
+    }
+    // unparseable / foreign probes widen to a full scan, never prune
+    assert(Versioned.pointSelectionAt(spark, base, "t", 1L, "dt", "11/03/2024")
+      .head._2.isEmpty)
+    assert(Versioned.pointSelectionAt(spark, base, "t", 1L, "dt", 19793L)
+      .head._2.isEmpty)
+    // write-time sidecar stays byte-identical to the legacy re-scan
+    // (the re-scan hashes java.sql.Date, the write task catalyst days)
+    val entries = Versioned.entryChainAt(spark, base, "t", 1L)
+    val dataDir = new Path(base, entries.head._2).toString
+    val sidecar = s"$dataDir/${graft.sources.ZoneBlooms.sidecarName("dt")}"
+    val b1 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sidecar)).toSeq
+    graft.sources.ZoneBlooms.writeSidecar(spark, dataDir, Seq("dt"))
+    val b2 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sidecar)).toSeq
+    assert(b1 == b2, "date bloom sidecar diverged between write paths")
+  }
+
   test("property: every coercible probe representation hashes to the stored value's hash") {
     import org.apache.spark.sql.types._
     import org.scalacheck.Gen
