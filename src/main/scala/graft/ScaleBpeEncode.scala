@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale token-ID encoding throughput — the r19 probe for
+  * VERDICT r18 directive #1 ("a SCALE.md row at 1×/10× corpus").
+  *
+  * [[graft.functions.BpeEncode]] is the tokenize-for-training scan:
+  * one codegen'd map from document text to `array<bigint>` ids, no
+  * shuffle, plan size O(1) in vocabulary. The claim to verify is that
+  * per-document cost is FLAT as the corpus grows (scan-bound — wall
+  * clock ∝ rows), and that the Zipf memo makes the per-word merge
+  * fold a per-DISTINCT-word cost, not a per-occurrence one.
+  *
+  * The sf corpora draw from a ~31-word vocabulary (fine for oracles,
+  * useless for throughput), so the probe generates a 32k-word seeded
+  * vocabulary, documents of 40 words each, and a 1024-pair merge
+  * table over the same alphabet (some merges fire, most are the
+  * realistic `indexOf`-miss no-ops). Cells: encode at 1× (100k docs)
+  * and 10× (1M docs), wall seconds, docs/s, emitted token counts,
+  * and the 10×/1× time ratio (flat per-row cost ⇔ ratio ≈ 10).
+  * Emits one JSON line. */
+object ScaleBpeEncode {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def secs(t0: Long): Double = math.round((System.nanoTime() - t0) / 1e6) / 1e3
+
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 32768).map { _ =>
+      val len = 4 + rnd.nextInt(9)
+      Array.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    // 1024 learned-looking merges: char pairs first (these fire on
+    // nearly every word), then composite symbols (mostly no-ops —
+    // the realistic long tail of a trained table)
+    val merges = {
+      val chars = ('a' to 'z').map(_.toString)
+      val pairs = for (l <- chars; r <- chars) yield (l, r)
+      (pairs.take(512) ++ (0 until 512).map { i =>
+        (pairs(rnd.nextInt(676))._1 * 2, chars(i % 26))
+      }).take(1024)
+    }
+
+    def docsOf(n: Long) = spark.range(0, n, 1, 32)
+      .select(col("id"), concat_ws(" ",
+        (0 until 40).map(j => element_at(typedLit(vocab),
+          (pmod(col("id") * 40 + j * 7919, lit(32768))).cast("int") + 1)): _*)
+        .as("text"))
+
+    def encodeCell(n: Long): (Double, Long) = {
+      val d = docsOf(n).localCheckpoint() // isolate generation cost
+      val t0 = System.nanoTime()
+      val toks = d.select(graft.functions.BpeEncode
+          .encodeIds(col("text"), merges).as("ids"))
+        .agg(sum(size(col("ids")))).collect()(0).getLong(0)
+      (secs(t0), toks)
+    }
+
+    // steady state first: one warm-up pass pays JIT + codegen + the
+    // memo fill, so the measured cells compare flat per-row cost, not
+    // cold-start noise (the first pass is also reported — it is the
+    // honest "memo fills once" number)
+    val (sWarm, _) = encodeCell(10000L)
+    val (s1, t1) = encodeCell(100000L)
+    val (s10, t10) = encodeCell(1000000L)
+
+    println(s"""{"merges":${merges.size},"vocab":${vocab.size},""" +
+      s""""warmup_secs":$sWarm,""" +
+      s""""docs_1x":100000,"secs_1x":$s1,"tokens_1x":$t1,""" +
+      s""""docs_10x":1000000,"secs_10x":$s10,"tokens_10x":$t10,""" +
+      s""""docs_per_sec_10x":${math.round(1000000L / s10)},""" +
+      s""""time_ratio_10x":${math.round(s10 / s1 * 100) / 100.0}}""")
+    spark.stop()
+  }
+}

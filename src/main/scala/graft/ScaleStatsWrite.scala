@@ -156,6 +156,39 @@ object ScaleStatsWrite {
       s"$root/hot/_zonemap.tsv"))
     val identicalH = java.util.Arrays.equals(zmh1, zmh2)
 
+    // compaction-fold cell (r19, VERDICT r18 directive #7): the HOT
+    // frame lives in a versioned lake — partition-published, a flat
+    // MoR append and a tombstone accrete chain debt, then
+    // compactPartitioned re-materializes the fold through the salted
+    // writer. The salt discipline must survive the composition: the
+    // hot value still writes from >1 task into target-bounded files.
+    val lake = s"$root/lake"
+    graft.sources.Versioned.publish(spark, lake,
+      Seq(graft.sources.Versioned.TableSpec("t", hot,
+        partitionBy = Seq("part_date"), statsCols = statsCols,
+        bloomCols = Seq("name"), targetRowsPerFile = 200000L)))
+    graft.sources.Versioned.appendPublish(spark, lake, "t",
+      spark.range(n, n + 100000L).select(
+        col("id").as("k"),
+        concat(lit("name-"), lpad(col("id") % 99991, 8, "0")).as("name"),
+        (col("id").cast("decimal(16,2)") / 100).as("amount"),
+        lit("2024-01-01").cast("date").as("part_date")))
+    graft.sources.Versioned.removePublish(spark, lake, "t",
+      spark.range(0, 50000L).select(col("id").as("k")))
+    val (_, (readFold, recsFold), secsFold) = readPhase {
+      graft.sources.Versioned.compactPartitioned(spark, lake, "t",
+        Seq("part_date"), targetRowsPerFile = 200000L)
+    }
+    val foldChain = graft.sources.Versioned
+      .entryChainAt(spark, lake, "t", 4L)
+    val foldDir = new java.io.File(
+      new java.io.File(lake, foldChain.head._2), "part_date=2024-01-01")
+    val foldFiles = foldDir.list().filter(_.endsWith(".parquet")).toSeq
+    val foldTasks = foldFiles.map(_.split("-")(1)).distinct.size
+    val foldMaxRows = foldFiles.map(f => spark.read.parquet(
+      s"$foldDir/$f").count()).max
+    val foldHotRows = n * 9 / 10 + 100000L - 45000L // minus tombstoned hot rows
+
     println(s"""{"rows":$n,"table_bytes":$tableBytes,""" +
       s""""writetask_read_bytes":$readNew,"writetask_read_records":$recsNew,""" +
       s""""writetask_secs":$secsNew,""" +
@@ -174,7 +207,12 @@ object ScaleStatsWrite {
       s""""hot_max_file_rows":$maxHotFileRows,""" +
       s""""hot_read_bytes":$readHot,"hot_read_records":$recsHot,""" +
       s""""hot_secs":$secsHot,""" +
-      s""""hot_zonemap_byte_identical":$identicalH}""")
+      s""""hot_zonemap_byte_identical":$identicalH,""" +
+      s""""fold_hot_rows":$foldHotRows,"fold_hot_files":${foldFiles.size},""" +
+      s""""fold_hot_write_tasks":$foldTasks,""" +
+      s""""fold_hot_max_file_rows":$foldMaxRows,""" +
+      s""""fold_read_bytes":$readFold,"fold_read_records":$recsFold,""" +
+      s""""fold_secs":$secsFold}""")
     spark.stop()
   }
 }

@@ -534,6 +534,57 @@ class VersionedLakeSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("compactPartitioned: fold keeps the dir layout and inherits the salt discipline") {
+    import org.apache.spark.sql.functions._
+    val base = mkBase()
+    // a HOT-keyed partitioned table: 90% of rows on one date
+    def slice(a: Long, b: Long) = spark.range(a, b).select(
+      col("id"),
+      concat(lit("n"), col("id") % 997).as("name"),
+      when(col("id") % 10 < 9, lit("2024-01-01").cast("date"))
+        .otherwise(lit("2024-02-01").cast("date")).as("pd"))
+    Versioned.publish(spark, base, Seq(TableSpec("t", slice(0, 3000),
+      partitionBy = Seq("pd"), statsCols = Seq("id"),
+      bloomCols = Seq("name"), targetRowsPerFile = 400L)))
+    // MoR life: flat appends + a tombstone accrete chain debt
+    Versioned.appendPublish(spark, base, "t", slice(3000, 4000))
+    Versioned.removePublish(spark, base, "t",
+      spark.range(0, 100).select(col("id")))
+    val want = Versioned.read(spark, base, "t")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(Versioned.entryChainAt(spark, base, "t", 3L).size == 3)
+    // OPTIMIZE keeping the layout: one data entry, col=value dirs,
+    // hot value split across target-bounded files from >1 task
+    Versioned.compactPartitioned(spark, base, "t", Seq("pd"),
+      targetRowsPerFile = 400L)
+    val chain = Versioned.entryChainAt(spark, base, "t", 4L)
+    assert(chain.size == 1, s"chain not materialized: $chain")
+    val dataDir = new java.io.File(base, chain.head._2)
+    val hotDir = new java.io.File(dataDir, "pd=2024-01-01")
+    assert(hotDir.isDirectory, "compaction flattened the dir layout")
+    val hotFiles = hotDir.list().filter(_.endsWith(".parquet")).toSeq
+    assert(hotFiles.size >= 6, s"hot value not split: ${hotFiles.size}")
+    assert(hotFiles.map(_.split("-")(1)).distinct.size >= 2,
+      s"hot value serialized into one task: $hotFiles")
+    hotFiles.foreach { fl =>
+      val n = spark.read.parquet(s"$hotDir/$fl").count()
+      assert(n <= 400, s"$fl has $n rows > target 400")
+    }
+    // value identity through the fold (appends in, tombstones applied)
+    val got = Versioned.read(spark, base, "t")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(got == want, "compaction changed the table's content")
+    // partition pruning still works on the compacted version
+    val pruned = Versioned.read(spark, base, "t")
+      .filter(col("pd") === "2024-02-01")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"))
+    // and the tracked bloom still probes (sidecars re-collected)
+    assert(Versioned.readPoint(spark, base, "t", "name", "n123").count() ==
+      Versioned.read(spark, base, "t")
+        .filter(col("name") === "n123").count())
+  }
+
   test("schema evolution is additive-only: a re-typed column is rejected before any byte") {
     import org.apache.spark.sql.functions._
     val base = mkBase()
