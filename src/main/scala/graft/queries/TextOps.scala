@@ -3013,7 +3013,67 @@ object TextOps {
       .orderBy(col("source"), col("bin"))
   }
 
+  // -------------------------------------------------------------- q161
+  /** FIXED-length sequence packing with document SPLITTING — the
+    * exact shard shape a trainer consumes: per source, the token-id
+    * stream (documents in doc_id order, [[EosId]] after each) is cut
+    * into sequences of exactly `seqLen` ids, documents split across
+    * sequence boundaries (GPT-style packing; [[q160PackIds]]'s
+    * greedy doc-granularity bins never split and so under-fill).
+    * Every sequence except each source's last carries exactly
+    * `seqLen` ids — the spec asserts it; the tail keeps its honest
+    * length rather than inventing padding.
+    *
+    * Scale shape: NO token-grain shuffle. Each document computes its
+    * stream offset from a per-source doc-grain running sum (one
+    * window over doc rows), then explodes into only the 1 + ⌊n/L⌋
+    * sequences it overlaps, contributing an `slice(ids)` segment to
+    * each — the exchange stays at (doc, overlapped-seq) grain, and
+    * the per-(source, seq) group holds ≤ seqLen ids by construction
+    * (skew-proof however large a source or document is). */
+  def q161PackFixed(spark: SparkSession, dir: String, seqLen: Int = 256)
+      : DataFrame = {
+    val L = seqLen.toLong
+    val merges = bpeLearn(spark, dir).map { case (l, r, _) => (l, r) }
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.BpeEncode.encodeIds(col("text"), merges).as("ids"))
+      .select(col("doc_id"), col("source"), col("ids"),
+        size(col("ids")).cast("long").as("n"))
+    // stream offset: docs occupy [start, start + n] (ids then EOS)
+    val start = coalesce(
+      sum(col("n") + 1).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    d.withColumn("start", start)
+      .withColumn("ext", concat(col("ids"), array(lit(EosId))))
+      .withColumn("seq", explode(sequence(
+        floor(col("start") / lit(L)),
+        floor((col("start") + col("n")) / lit(L)))))
+      .withColumn("from",
+        greatest(lit(0L), col("seq") * lit(L) - col("start")))
+      .withColumn("upto",
+        least(col("n"), col("seq") * lit(L) + lit(L - 1) - col("start")))
+      .withColumn("part", slice(col("ext"),
+        (col("from") + 1).cast("int"),
+        (col("upto") - col("from") + 1).cast("int")))
+      .groupBy(col("source"), col("seq"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("part")).cast("long")).as("n_ids"),
+        array_join(
+          transform(
+            flatten(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("part")))),
+              x => x.getField("part"))),
+            _.cast("string")),
+          ",").as("ids_csv"))
+      .orderBy(col("source"), col("seq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_pack_fixed"     -> ((s: SparkSession, d: String) => q161PackFixed(s, d)),
     "q159_token_ids"      -> (q159TokenIds _),
     "q160_pack_ids"       -> ((s: SparkSession, d: String) => q160PackIds(s, d)),
     "q158_tokenize_serve" -> (q158TokenizeServe _),
@@ -3455,6 +3515,39 @@ object TextOps {
        | string_agg(ids_csv, ',$EosId,' ORDER BY doc_id) AS packed_ids
        |FROM binned GROUP BY source, bin
        |ORDER BY source, bin""".stripMargin),
+    // q161: fixed-length packing replay — the same per-doc id
+    // sequences + EOS form each source's stream (exclusive running
+    // offset over n+1), every doc explodes into the sequences it
+    // overlaps, and list_slice re-cuts the same segments Spark's
+    // slice() takes (both 1-based inclusive of the computed bounds).
+    "q161_pack_fixed" ->
+      (bpeOracleCtes + bpeApplyCtes + mergeSymsCte + tokenIdCtes("source") +
+        s""",
+       |streams AS (
+       | SELECT source, doc_id, n_tokens, ids_csv,
+       |  CAST(COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY source
+       |        ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS start
+       | FROM docids),
+       |parts0 AS (
+       | SELECT source, doc_id, n_tokens, ids_csv, start,
+       |  unnest(range(start // 256, (start + n_tokens) // 256 + 1)) AS seq
+       | FROM streams),
+       |parts AS (
+       | SELECT source, doc_id, seq,
+       |  list_slice(string_split(ids_csv, ',') || ['$EosId'],
+       |    CAST(greatest(0, seq * 256 - start) + 1 AS BIGINT),
+       |    CAST(least(n_tokens, seq * 256 + 255 - start) + 1 AS BIGINT))
+       |    AS part
+       | FROM parts0)
+       |SELECT source, CAST(seq AS BIGINT) AS seq,
+       | CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(len(part)) AS BIGINT) AS n_ids,
+       | string_agg(array_to_string(part, ','), ',' ORDER BY doc_id)
+       |   AS ids_csv
+       |FROM parts GROUP BY source, seq
+       |ORDER BY source, seq""".stripMargin),
     // q147: fertility replay — the trained merges (shared CTE chain)
     // applied to the (lang, word, n) grain, per-lang ppm aggregates.
     "q147_bpe_fertility" ->

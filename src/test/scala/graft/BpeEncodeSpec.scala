@@ -102,6 +102,33 @@ class BpeEncodeSpec extends SparkSpec {
       Set(Seq(97L, 0x110000L + 8192, 98L, 97L), Seq(98L, 97L)))
   }
 
+  test("fixed-length packing: non-tail sequences exactly L, streams reassemble losslessly") {
+    val dir = "/root/testdata/sf0.001"
+    val L = 64
+    val out = TextOps.q161PackFixed(spark, dir, seqLen = L).collect()
+    // reference stream per source: each doc's ids (q159's grain) + EOS,
+    // concatenated in doc_id order
+    val idsByDoc = TextOps.q159TokenIds(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val srcOf = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val wantStream = srcOf.groupBy(_._2).map { case (src, ds) =>
+      src -> ds.map(_._1).sorted
+        .map(d => s"${idsByDoc(d)},${TextOps.EosId}").mkString(",")
+    }
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length.toLong),
+        s"$src: sequence ids not contiguous from 0")
+      sorted.init.foreach(r => assert(r.getLong(3) == L.toLong,
+        s"$src seq ${r.getLong(1)}: ${r.getLong(3)} ids — non-tail must be full"))
+      assert(sorted.last.getLong(3) > 0 && sorted.last.getLong(3) <= L.toLong)
+      assert(sorted.map(_.getString(4)).mkString(",") == wantStream(src),
+        s"$src: reassembled stream diverged — splitting lost or reordered ids")
+    }
+  }
+
   test("null, empty, whitespace-only, and id-scheme edges") {
     val d = Seq(Some("ab"), None, Some(""), Some("  \t ")).toDF("text")
     val out = d.select(BpeEncode.encodeIds(col("text"), Nil).as("ids"))
