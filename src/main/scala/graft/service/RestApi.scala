@@ -535,7 +535,17 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
         (params.get("base"), params.get("table")) match {
           case (None, _) | (_, None) =>
             reply(ex, 422, """{"detail":"base and table required"}""")
+          case (Some(base), Some(table))
+              if params.get("partition_by").exists(_.trim.nonEmpty) &&
+                params.get("mor").contains("true") =>
+            // partition-preserving compaction IS a full fold across
+            // tombstones — a combined request is contradictory, not
+            // mergeable; reject rather than guess
+            reply(ex, 422,
+              """{"detail":"partition_by and mor are mutually exclusive"}""")
           case (Some(base), Some(table)) =>
+            val partitionBy = params.get("partition_by").toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
             // success rides a structured flag, not payload sniffing
             // (advice-low, r17)
             def run(): (Boolean, String) = lakeCompactLock.synchronized {
@@ -543,7 +553,9 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
                 val before = Versioned.currentVersion(s, base).getOrElse(
                   sys.error("no committed version"))
                 val after =
-                  if (params.get("mor").contains("true"))
+                  if (partitionBy.nonEmpty)
+                    Versioned.compactPartitioned(s, base, table, partitionBy)
+                  else if (params.get("mor").contains("true"))
                     Versioned.compactMorTailPublish(s, base, table)
                   else Versioned.compactTailPublish(s, base, table)
                 (true, s"""{"state":"done","table":"${esc(table)}",""" +
@@ -1030,9 +1042,9 @@ object RestApi {
       |"/lake/status":{"get":{"summary":"Versioned-lake ops introspection: current/surviving versions, retention and auto-compaction knobs, per-table merge-on-read entry-chain depth (data dirs / tombstones) — pure metadata, no Spark job",
       | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}}],
       | "responses":{"200":{"description":"lake status JSON"},"404":{"description":"no committed version"},"422":{"description":"base required"},"503":{"description":"no spark session"}}}},
-      |"/lake/compact":{"post":{"summary":"On-demand tail compaction of a lake table (mor=true folds across tombstones); idempotent — nothing to shrink returns the current version with compacted=false; async=true returns 202 and exposes progress at /lake/compact/status",
-      | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}},{"name":"table","in":"query","required":true,"schema":{"type":"string"}},{"name":"mor","in":"query","schema":{"type":"boolean","default":false}},{"name":"async","in":"query","schema":{"type":"boolean","default":false}}],
-      | "responses":{"200":{"description":"{state, table, from, to, compacted}"},"202":{"description":"async compaction started"},"422":{"description":"base and table required"},"500":{"description":"compaction failed"},"503":{"description":"no spark session"}}}},
+      |"/lake/compact":{"post":{"summary":"On-demand compaction of a lake table: tail-only by default, mor=true folds the tail across tombstones, partition_by=col1,col2 runs the partition-preserving full rewrite (col=value dirs survive, merge-on-read chain materializes, hot values stay salted — mutually exclusive with mor); idempotent — nothing to shrink returns the current version with compacted=false; async=true returns 202 and exposes progress at /lake/compact/status",
+      | "parameters":[{"name":"base","in":"query","required":true,"schema":{"type":"string"}},{"name":"table","in":"query","required":true,"schema":{"type":"string"}},{"name":"mor","in":"query","schema":{"type":"boolean","default":false}},{"name":"partition_by","in":"query","schema":{"type":"string"},"description":"comma-separated partition columns — routes to Versioned.compactPartitioned"},{"name":"async","in":"query","schema":{"type":"boolean","default":false}}],
+      | "responses":{"200":{"description":"{state, table, from, to, compacted}"},"202":{"description":"async compaction started"},"422":{"description":"base and table required / partition_by+mor conflict"},"500":{"description":"compaction failed"},"503":{"description":"no spark session"}}}},
       |"/lake/compact/status":{"get":{"summary":"Progress of a /lake/compact run (idle | running | done | failed), keyed by base+table (concurrent jobs on different tables don't shadow each other); with no params the latest-started job answers — the /index/status twin",
       | "responses":{"200":{"description":"job state JSON"}}}},
       |"/lake/history":{"get":{"summary":"Manifest-level history of the surviving versions: per version, its commit instant (committed_at, epoch ms — the clock asOf= resolves against) and each table's entry counts plus whether its ref changed vs the previous surviving version (carried refs read as changed=false) — pure metadata, no Spark job",

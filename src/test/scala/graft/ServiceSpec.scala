@@ -639,6 +639,45 @@ class ServiceSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("/lake/compact partition_by: layout-keeping OPTIMIZE over HTTP") {
+    val spark = SparkSpec.spark
+    val api = new RestApi(Some(spark), 0).start()
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.sources.Versioned
+      val base = s"http://localhost:${api.boundPort}"
+      val lake = java.nio.file.Files.createTempDirectory("graft-svc-plake")
+        .toString + "/lake"
+      def facts(lo: Int, hi: Int) = spark.range(lo, hi).select(
+        col("id").as("k"),
+        (col("id") % 3).cast("int").as("pk"))
+      Versioned.publish(spark, lake, Seq(Versioned.TableSpec("t",
+        facts(0, 300), partitionBy = Seq("pk"), statsCols = Seq("k"))))
+      Versioned.setAutoCompact(spark, lake, 0)
+      Versioned.appendPublish(spark, lake, "t", facts(300, 400), Seq("k"))
+      val enc = java.net.URLEncoder.encode(lake, UTF_8)
+      // contradictory request rejected loudly
+      assert(http("POST",
+        s"$base/lake/compact?base=$enc&table=t&partition_by=pk&mor=true",
+        Some(""))._1 == 422)
+      val before = Versioned.read(spark, lake, "t")
+        .collect().map(_.toSeq).toSet
+      val (cc, cb) = http("POST",
+        s"$base/lake/compact?base=$enc&table=t&partition_by=pk", Some(""))
+      assert(cc == 200 && cb.contains("\"compacted\":true"), cb)
+      // value identity vs the library seam, chain materialized, and
+      // the col=value layout survived (dir pruning intact)
+      assert(Versioned.read(spark, lake, "t")
+        .collect().map(_.toSeq).toSet == before)
+      val chain = Versioned.entryChainAt(spark, lake, "t",
+        Versioned.currentVersion(spark, lake).get)
+      assert(chain.size == 1, s"chain not materialized: $chain")
+      assert(new java.io.File(
+        new java.io.File(lake, chain.head._2), "pk=1").isDirectory,
+        "partition_by compaction flattened the dir layout")
+    } finally api.stop()
+  }
+
   test("/lake/compact async lifecycle + /lake/point bloom probe over HTTP") {
     val spark = SparkSpec.spark
     val api = new RestApi(Some(spark), 0).start()
