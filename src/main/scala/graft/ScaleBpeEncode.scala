@@ -74,12 +74,56 @@ object ScaleBpeEncode {
     val (s1, t1) = encodeCell(100000L)
     val (s10, t10) = encodeCell(1000000L)
 
+    // fixed-length packing cell (q161's shape): encode + offset window
+    // + overlap explode + (source, seq) aggregate — the one data
+    // exchange is hash(source), reused by window and aggregate. 16
+    // synthetic sources so the per-source windows parallelize.
+    def packCell(n: Long): (Double, Long) = {
+      val L = 2048L
+      val d = docsOf(n)
+        .select(col("id"), pmod(col("id"), lit(16)).cast("string").as("source"),
+          col("text")).localCheckpoint()
+      val t0 = System.nanoTime()
+      val withIds = d.select(col("id").as("doc_id"), col("source"),
+          graft.functions.BpeEncode.encodeIds(col("text"), merges).as("ids"))
+        .select(col("doc_id"), col("source"), col("ids"),
+          size(col("ids")).cast("long").as("n"))
+      val start = coalesce(
+        sum(col("n") + 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(col("doc_id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)),
+        lit(0L))
+      val seqs = withIds.withColumn("start", start)
+        .withColumn("ext", concat(col("ids"), array(lit(0x200000L))))
+        .withColumn("seq", explode(sequence(
+          floor(col("start") / lit(L)),
+          floor((col("start") + col("n")) / lit(L)))))
+        .withColumn("from",
+          greatest(lit(0L), col("seq") * lit(L) - col("start")))
+        .withColumn("upto",
+          least(col("n"), col("seq") * lit(L) + lit(L - 1) - col("start")))
+        .withColumn("part", slice(col("ext"),
+          (col("from") + 1).cast("int"),
+          (col("upto") - col("from") + 1).cast("int")))
+        .groupBy(col("source"), col("seq"))
+        .agg(sum(size(col("part")).cast("long")).as("n_ids"))
+        .agg(count(lit(1)), sum(col("n_ids"))).collect()(0)
+      (secs(t0), seqs.getLong(0))
+    }
+    val (p1, sq1) = packCell(100000L)
+    val (p10, sq10) = packCell(1000000L)
+
     println(s"""{"merges":${merges.size},"vocab":${vocab.size},""" +
       s""""warmup_secs":$sWarm,""" +
       s""""docs_1x":100000,"secs_1x":$s1,"tokens_1x":$t1,""" +
       s""""docs_10x":1000000,"secs_10x":$s10,"tokens_10x":$t10,""" +
       s""""docs_per_sec_10x":${math.round(1000000L / s10)},""" +
-      s""""time_ratio_10x":${math.round(s10 / s1 * 100) / 100.0}}""")
+      s""""time_ratio_10x":${math.round(s10 / s1 * 100) / 100.0},""" +
+      s""""pack_secs_1x":$p1,"pack_seqs_1x":$sq1,""" +
+      s""""pack_secs_10x":$p10,"pack_seqs_10x":$sq10,""" +
+      s""""pack_time_ratio_10x":${math.round(p10 / p1 * 100) / 100.0}}""")
     spark.stop()
   }
 }

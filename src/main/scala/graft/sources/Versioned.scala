@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Multi-table atomic publish via a version-manifest layout (SURVEY S5).
   *
@@ -1048,11 +1048,31 @@ object Versioned {
     * `compactPublish`) may change types freely — each version reads
     * only its own entry chain, so a rewritten table never unions
     * across the type boundary. */
+  /** Type equality MODULO nullability (incl. nested containsNull /
+    * valueContainsNull): nullability differs freely between computed
+    * frames and is not a re-type — the fold's unionByName widens it
+    * fine. (Spark's own `DataType.sameType` is `private[sql]`.) */
+  private def sameIgnoringNullability(a: DataType, b: DataType): Boolean =
+    (a, b) match {
+      case (x: ArrayType, y: ArrayType) =>
+        sameIgnoringNullability(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        sameIgnoringNullability(x.keyType, y.keyType) &&
+          sameIgnoringNullability(x.valueType, y.valueType)
+      case (x: StructType, y: StructType) =>
+        x.fields.length == y.fields.length &&
+          x.fields.zip(y.fields).forall { case (f1, f2) =>
+            f1.name.equalsIgnoreCase(f2.name) &&
+              sameIgnoringNullability(f1.dataType, f2.dataType)
+          }
+      case _ => a == b
+    }
+
   private def requireAdditiveTypes(standing: StructType,
       delta: StructType, table: String): Unit =
     delta.fields.foreach { f =>
       standing.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { s =>
-        require(s.dataType == f.dataType,
+        require(sameIgnoringNullability(s.dataType, f.dataType),
           s"schema evolution on '$table' is additive-only: column " +
             s"'${f.name}' already exists as ${s.dataType.sql} but the " +
             s"delta carries ${f.dataType.sql} — cast the delta to the " +

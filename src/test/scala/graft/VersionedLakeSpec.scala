@@ -626,6 +626,19 @@ class VersionedLakeSpec extends SparkSpec {
         lit("new").as("tag")))
     assert(Versioned.read(spark, base, "t").filter(col("tag").isNull)
       .count() == 5)
+    // nullability (incl. nested containsNull) is NOT a re-type:
+    // arr lands as array<bigint> containsNull=false, the next delta
+    // carries containsNull=true — sameType, accepted
+    Versioned.appendPublish(spark, base, "t",
+      spark.range(8, 9).select(col("id"), lit(9).as("score"),
+        lit(BigDecimal("3.00")).cast("decimal(10,2)").as("amt"),
+        lit("new").as("tag"), array(lit(1L)).as("arr")))
+    Versioned.appendPublish(spark, base, "t",
+      spark.range(9, 10).select(col("id"), lit(9).as("score"),
+        lit(BigDecimal("3.50")).cast("decimal(10,2)").as("amt"),
+        lit("new").as("tag"),
+        array(lit(null).cast("long")).as("arr")))
+    assert(Versioned.read(spark, base, "t").count() == 10)
   }
 
   test("column DROP posture: a lacking delta never retires; a rewrite does, history serves") {
