@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, size}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion-time token-ID encoding into the versioned lake (r19) —
+  * the streaming face of the train→apply ladder: the tokenizer is
+  * trained ONCE on the standing corpus dir ([[graft.queries.TextOps
+  * .bpeLearn]]'s content-addressed memo — the FROZEN-model posture
+  * q148 established for drift, and exactly how production pipelines
+  * run: a model is frozen, then every later crawl tokenizes under
+  * it), and each incoming micro-batch maps through the same codegen'd
+  * [[graft.functions.BpeEncode]] kernel the batch queries (q159–q161)
+  * use, landing as `(doc_id, source, n_tokens, ids)` rows via
+  * [[StreamingLakeAppend.ingestBatch]] — so the streamed path
+  * inherits the whole ingest discipline for free: one append-publish
+  * per batch (bytes ∝ batch), the cumulative batch-marker replay
+  * probe (a crash-redelivered batch never lands twice), and the
+  * lake's auto-compaction policy bounding fold depth.
+  *
+  * Per-batch cost is the encode map alone: training's corpus scan
+  * happened before the stream started (the `bpeLearn` call below
+  * memoizes against the model dir's content address), and the
+  * kernel's Zipf memo persists across batches inside the executor
+  * JVM, so the head words of every later batch are hash lookups.
+  * [[graft.StreamingTokenizeSpec]] pins value identity against the
+  * serving seam (`tokenizeText`) per document, replay idempotence,
+  * and the frozen-model property (a batch never retrains). */
+object StreamingTokenize {
+
+  /** Tokenize one micro-batch under `merges` and ingest it,
+    * idempotently on `batchId`. */
+  private[graft] def tokenizeBatch(spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame, batchId: Long,
+      merges: Seq[(String, String)], lakeBase: String, table: String)
+      : Long = {
+    val toks = batch.select(col("doc_id"), col("source"),
+        graft.functions.BpeEncode.encodeIds(col("text"), merges).as("ids"))
+      .select(col("doc_id"), col("source"),
+        size(col("ids")).cast("long").as("n_tokens"), col("ids"))
+    StreamingLakeAppend.ingestBatch(spark, toks, batchId, lakeBase, table,
+      keys = Seq("doc_id"))
+  }
+
+  /** Start streaming `inDir`'s document parquet files (schema must
+    * carry `doc_id`, `source`, `text`) into `table` at `lakeBase` as
+    * token-id rows under `modelDir`'s standing tokenizer. Trains (or
+    * recalls) the model BEFORE the stream starts — a batch never
+    * retrains, and a corpus replacement at `modelDir` is a new model
+    * only for streams started after it. */
+  def start(spark: SparkSession, inDir: String, modelDir: String,
+      lakeBase: String, table: String, checkpointDir: String,
+      schema: StructType, maxFilesPerTrigger: Int = Int.MaxValue)
+      : StreamingQuery = {
+    val merges = graft.queries.TextOps.bpeLearn(spark, modelDir)
+      .map { case (l, r, _) => (l, r) }
+    LedgerStream.start(spark, inDir, checkpointDir, schema,
+      maxFilesPerTrigger) { (batch, batchId) =>
+      tokenizeBatch(spark, batch, batchId, merges, lakeBase, table)
+      ()
+    }
+  }
+}
