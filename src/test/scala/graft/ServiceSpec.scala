@@ -719,6 +719,24 @@ class ServiceSpec extends AnyFunSuite {
       val (rc, rb) = http("GET",
         s"$base/lake/point?base=$enc&table=t&col=k&value=7&type=long")
       assert(rc == 200 && rb == "[]", rb)
+      // a DATE bloom column probes via its ISO spelling (r19): the
+      // string probe coerces to epoch days and still prunes
+      val dlake = java.nio.file.Files.createTempDirectory("graft-svc-dlake")
+        .toString + "/lake"
+      Versioned.publish(spark, dlake, Seq(Versioned.TableSpec("d",
+        spark.range(0, 200).select(col("id").as("k"),
+          expr("date_add(date'2020-01-01', cast(id as int))").as("dt"))
+          .repartition(4),
+        bloomCols = Seq("dt"))))
+      val denc = java.net.URLEncoder.encode(dlake, UTF_8)
+      val (dc, db) = http("GET",
+        s"$base/lake/point?base=$denc&table=d&col=dt&value=2020-03-01")
+      assert(dc == 200, db)
+      val dexpect = Versioned.readPoint(spark, dlake, "d", "dt",
+          java.sql.Date.valueOf("2020-03-01"))
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(db == dexpect && db.contains("2020-03-01"),
+        s"HTTP date probe diverged: $db vs $dexpect")
 
       // async compact: 202 now, done via status polling, values intact
       val (ac, ab) = http("POST",
