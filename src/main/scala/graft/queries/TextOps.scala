@@ -3058,6 +3058,11 @@ object TextOps {
       .withColumn("part", slice(col("ext"),
         (col("from") + 1).cast("int"),
         (col("upto") - col("from") + 1).cast("int")))
+      // where each document's segment begins WITHIN the sequence —
+      // the attention-mask boundaries a trainer needs alongside the
+      // ids (0 for a continuation segment that opens the sequence)
+      .withColumn("off",
+        greatest(col("start") - col("seq") * lit(L), lit(0L)))
       .groupBy(col("source"), col("seq"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -3068,7 +3073,12 @@ object TextOps {
               array_sort(collect_list(struct(col("doc_id"), col("part")))),
               x => x.getField("part"))),
             _.cast("string")),
-          ",").as("ids_csv"))
+          ",").as("ids_csv"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("off")))),
+            x => x.getField("off").cast("string")),
+          ",").as("bounds_csv"))
       .orderBy(col("source"), col("seq"))
   }
 
@@ -3539,13 +3549,16 @@ object TextOps {
        |  list_slice(string_split(ids_csv, ',') || ['$EosId'],
        |    CAST(greatest(0, seq * 256 - start) + 1 AS BIGINT),
        |    CAST(least(n_tokens, seq * 256 + 255 - start) + 1 AS BIGINT))
-       |    AS part
+       |    AS part,
+       |  CAST(greatest(start - seq * 256, 0) AS BIGINT) AS off
        | FROM parts0)
        |SELECT source, CAST(seq AS BIGINT) AS seq,
        | CAST(COUNT(*) AS BIGINT) AS n_docs,
        | CAST(SUM(len(part)) AS BIGINT) AS n_ids,
        | string_agg(array_to_string(part, ','), ',' ORDER BY doc_id)
-       |   AS ids_csv
+       |   AS ids_csv,
+       | string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id)
+       |   AS bounds_csv
        |FROM parts GROUP BY source, seq
        |ORDER BY source, seq""".stripMargin),
     // q147: fertility replay — the trained merges (shared CTE chain)

@@ -126,6 +126,18 @@ class BpeEncodeSpec extends SparkSpec {
       assert(sorted.last.getLong(3) > 0 && sorted.last.getLong(3) <= L.toLong)
       assert(sorted.map(_.getString(4)).mkString(",") == wantStream(src),
         s"$src: reassembled stream diverged — splitting lost or reordered ids")
+      // boundary offsets: one per contributing doc, strictly
+      // increasing, inside the sequence
+      sorted.foreach { r =>
+        val bounds = r.getString(5).split(",").map(_.toLong).toSeq
+        assert(bounds.length == r.getLong(2),
+          s"$src seq ${r.getLong(1)}: ${bounds.length} bounds, " +
+            s"${r.getLong(2)} docs")
+        assert(bounds == bounds.sorted && bounds.distinct == bounds,
+          s"$src seq ${r.getLong(1)}: bounds not strictly increasing: $bounds")
+        assert(bounds.forall(b => b >= 0 && b < L),
+          s"$src seq ${r.getLong(1)}: bound outside the sequence: $bounds")
+      }
     }
   }
 
