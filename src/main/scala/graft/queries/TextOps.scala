@@ -3031,9 +3031,12 @@ object TextOps {
     * each — the exchange stays at (doc, overlapped-seq) grain, and
     * the per-(source, seq) group holds ≤ seqLen ids by construction
     * (skew-proof however large a source or document is). */
-  def q161PackFixed(spark: SparkSession, dir: String, seqLen: Int = 256)
+  /** The (source, doc_id, seq, part, off) grain behind q161/q162:
+    * each document's token ids + EOS explode into the fixed-length
+    * sequences the doc overlaps, with its segment (`part`) and the
+    * segment's offset within the sequence (`off`). */
+  private def packFixedParts(spark: SparkSession, dir: String, L: Long)
       : DataFrame = {
-    val L = seqLen.toLong
     val merges = bpeLearn(spark, dir).map { case (l, r, _) => (l, r) }
     val d = docs(spark, dir)
       .select(col("doc_id"), col("source"),
@@ -3058,11 +3061,18 @@ object TextOps {
       .withColumn("part", slice(col("ext"),
         (col("from") + 1).cast("int"),
         (col("upto") - col("from") + 1).cast("int")))
-      // where each document's segment begins WITHIN the sequence —
-      // the attention-mask boundaries a trainer needs alongside the
-      // ids (0 for a continuation segment that opens the sequence)
       .withColumn("off",
         greatest(col("start") - col("seq") * lit(L), lit(0L)))
+  }
+
+  def q161PackFixed(spark: SparkSession, dir: String, seqLen: Int = 256)
+      : DataFrame = {
+    val L = seqLen.toLong
+    packFixedParts(spark, dir, L)
+      // `off` (from the shared grain): where each document's segment
+      // begins WITHIN the sequence — the attention-mask boundaries a
+      // trainer needs alongside the ids (0 for a continuation
+      // segment that opens the sequence)
       .groupBy(col("source"), col("seq"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -3082,7 +3092,45 @@ object TextOps {
       .orderBy(col("source"), col("seq"))
   }
 
+  // -------------------------------------------------------------- q162
+  /** Packing-efficiency audit — the monitoring face of the packing
+    * ladder (q82's posture for IVF, here for training shards): per
+    * source, how well [[q161PackFixed]]'s fixed-length sequences are
+    * used. Trainer teams track exactly these: sequence count, total
+    * stream tokens, how many sequences are FULL (every one but each
+    * source's tail, by construction — the audit proves the invariant
+    * corpus-wide rather than assuming it), fill rate in exact ppm,
+    * and how many documents SPLIT across a boundary (the
+    * attention-mask cost of fixed-length packing; greedy q160 bins
+    * trade it for under-fill). Same grain as q161, re-aggregated —
+    * one extra bounded pass, no new corpus scan shape. */
+  def q162PackStats(spark: SparkSession, dir: String, seqLen: Int = 256)
+      : DataFrame = {
+    val L = seqLen.toLong
+    val parts = packFixedParts(spark, dir, L)
+    val perSeq = parts.groupBy(col("source"), col("seq"))
+      .agg(sum(size(col("part")).cast("long")).as("seq_ids"))
+    val perDoc = parts.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_seqs_of_doc"))
+    val seqStats = perSeq.groupBy(col("source")).agg(
+      count(lit(1)).as("n_seqs"),
+      sum(col("seq_ids")).as("n_stream_ids"),
+      sum(when(col("seq_ids") === L, 1L).otherwise(0L)).as("full_seqs"))
+    val docStats = perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("n_seqs_of_doc") > 1, 1L).otherwise(0L))
+        .as("split_docs"))
+    seqStats.join(docStats, Seq("source"))
+      .withColumn("fill_ppm",
+        expr(s"n_stream_ids * 1000000 div (n_seqs * $L)"))
+      .select(col("source"), col("n_seqs"), col("n_stream_ids"),
+        col("full_seqs"), col("n_docs"), col("split_docs"),
+        col("fill_ppm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_pack_stats"     -> ((s: SparkSession, d: String) => q162PackStats(s, d)),
     "q161_pack_fixed"     -> ((s: SparkSession, d: String) => q161PackFixed(s, d)),
     "q159_token_ids"      -> (q159TokenIds _),
     "q160_pack_ids"       -> ((s: SparkSession, d: String) => q160PackIds(s, d)),
@@ -3385,6 +3433,32 @@ object TextOps {
     sb.toString
   }
 
+  /** The fixed-length-packing chain shared by the q161/q162 oracles
+    * (rides [[tokenIdCtes]]'s `docids`): per-source stream offsets,
+    * the per-(doc, overlapped-seq) explode, and the sliced segments
+    * with their in-sequence offsets — the SQL twin of
+    * [[packFixedParts]] at L = 256. */
+  private def packFixedOracleCtes: String = s""",
+       |streams AS (
+       | SELECT source, doc_id, n_tokens, ids_csv,
+       |  CAST(COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY source
+       |        ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS start
+       | FROM docids),
+       |parts0 AS (
+       | SELECT source, doc_id, n_tokens, ids_csv, start,
+       |  unnest(range(start // 256, (start + n_tokens) // 256 + 1)) AS seq
+       | FROM streams),
+       |parts AS (
+       | SELECT source, doc_id, seq,
+       |  list_slice(string_split(ids_csv, ',') || ['$EosId'],
+       |    CAST(greatest(0, seq * 256 - start) + 1 AS BIGINT),
+       |    CAST(least(n_tokens, seq * 256 + 255 - start) + 1 AS BIGINT))
+       |    AS part,
+       |  CAST(greatest(start - seq * 256, 0) AS BIGINT) AS off
+       | FROM parts0)""".stripMargin
+
   /** q148's chain source: the class-split (cls, word, n) grain —
     * standing vs delta by the md5-uniform key. */
   private def bpeDriftCtes: String = bpeChainCtes("ad", "cls, word, n",
@@ -3532,26 +3606,7 @@ object TextOps {
     // slice() takes (both 1-based inclusive of the computed bounds).
     "q161_pack_fixed" ->
       (bpeOracleCtes + bpeApplyCtes + mergeSymsCte + tokenIdCtes("source") +
-        s""",
-       |streams AS (
-       | SELECT source, doc_id, n_tokens, ids_csv,
-       |  CAST(COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY source
-       |        ORDER BY doc_id
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |    AS BIGINT) AS start
-       | FROM docids),
-       |parts0 AS (
-       | SELECT source, doc_id, n_tokens, ids_csv, start,
-       |  unnest(range(start // 256, (start + n_tokens) // 256 + 1)) AS seq
-       | FROM streams),
-       |parts AS (
-       | SELECT source, doc_id, seq,
-       |  list_slice(string_split(ids_csv, ',') || ['$EosId'],
-       |    CAST(greatest(0, seq * 256 - start) + 1 AS BIGINT),
-       |    CAST(least(n_tokens, seq * 256 + 255 - start) + 1 AS BIGINT))
-       |    AS part,
-       |  CAST(greatest(start - seq * 256, 0) AS BIGINT) AS off
-       | FROM parts0)
+        packFixedOracleCtes + s"""
        |SELECT source, CAST(seq AS BIGINT) AS seq,
        | CAST(COUNT(*) AS BIGINT) AS n_docs,
        | CAST(SUM(len(part)) AS BIGINT) AS n_ids,
@@ -3561,6 +3616,34 @@ object TextOps {
        |   AS bounds_csv
        |FROM parts GROUP BY source, seq
        |ORDER BY source, seq""".stripMargin),
+    // q162: packing-efficiency replay — the q161 grain re-aggregated
+    // per source (sequence fill, full-sequence count, split docs).
+    "q162_pack_stats" ->
+      (bpeOracleCtes + bpeApplyCtes + mergeSymsCte + tokenIdCtes("source") +
+        packFixedOracleCtes + s""",
+       |perseq AS (
+       | SELECT source, seq, CAST(SUM(len(part)) AS BIGINT) AS seq_ids
+       | FROM parts GROUP BY source, seq),
+       |perdoc AS (
+       | SELECT source, doc_id, COUNT(*) AS nsq
+       | FROM parts GROUP BY source, doc_id),
+       |seqstats AS (
+       | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       |  CAST(SUM(seq_ids) AS BIGINT) AS n_stream_ids,
+       |  CAST(SUM(CASE WHEN seq_ids = 256 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS full_seqs
+       | FROM perseq GROUP BY source),
+       |docstats AS (
+       | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN nsq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS split_docs
+       | FROM perdoc GROUP BY source)
+       |SELECT s.source, n_seqs, n_stream_ids, full_seqs, n_docs,
+       | split_docs,
+       | CAST(n_stream_ids * 1000000 // (n_seqs * 256) AS BIGINT)
+       |   AS fill_ppm
+       |FROM seqstats s JOIN docstats d USING (source)
+       |ORDER BY source""".stripMargin),
     // q147: fertility replay — the trained merges (shared CTE chain)
     // applied to the (lang, word, n) grain, per-lang ppm aggregates.
     "q147_bpe_fertility" ->
