@@ -3107,10 +3107,18 @@ object TextOps {
   def q162PackStats(spark: SparkSession, dir: String, seqLen: Int = 256)
       : DataFrame = {
     val L = seqLen.toLong
-    val parts = packFixedParts(spark, dir, L)
-    val perSeq = parts.groupBy(col("source"), col("seq"))
-      .agg(sum(size(col("part")).cast("long")).as("seq_ids"))
-    val perDoc = parts.groupBy(col("source"), col("doc_id"))
+    // drop the id arrays BEFORE the checkpoint: the audit needs only
+    // segment sizes, and the two consumers (per-seq and per-doc
+    // aggregates) must not each re-run the encode+window+explode
+    // chain — one corpus pass materializes the ~24-byte/row grain
+    // (q90's two-consumer idiom)
+    val grain = packFixedParts(spark, dir, L)
+      .select(col("source"), col("doc_id"), col("seq"),
+        size(col("part")).cast("long").as("p_ids"))
+      .localCheckpoint()
+    val perSeq = grain.groupBy(col("source"), col("seq"))
+      .agg(sum(col("p_ids")).as("seq_ids"))
+    val perDoc = grain.groupBy(col("source"), col("doc_id"))
       .agg(count(lit(1)).as("n_seqs_of_doc"))
     val seqStats = perSeq.groupBy(col("source")).agg(
       count(lit(1)).as("n_seqs"),
