@@ -69,28 +69,74 @@ case class BpeEncode(child: Expression, table: BpeEncode.EncodeTable)
 
 object BpeEncode {
 
-  /** Bounded word→ids memo size per table instance. 64Ki distinct
-    * words covers the Zipf head that carries almost all occurrences;
-    * past the cap the kernel just recomputes (correctness unchanged). */
+  /** Bounded word→ids memo size per model. 64Ki distinct words covers
+    * the Zipf head that carries almost all occurrences; past the cap
+    * the kernel just recomputes (correctness unchanged). */
   private val CacheCap = 1 << 16
+
+  /** Per-JVM memo registry, keyed by [[EncodeTable.contentKey]]: one
+    * shared word→ids memo per MODEL per executor JVM, however many
+    * plans, tasks, or micro-batches reference the model (r19
+    * advice-low — the memo used to live on the table instance, which
+    * deserializes fresh per task). Bounded at [[RegistryCap]] models;
+    * a JVM juggling more than that gets unshared per-call maps for
+    * the overflow rather than unbounded driver/executor growth
+    * (correctness unchanged — the memo is a pure cache). */
+  private val memoRegistry = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, Array[Long]]]()
+
+  private val RegistryCap = 64
+
+  private[functions] def memoFor(key: String)
+      : java.util.concurrent.ConcurrentHashMap[String, Array[Long]] = {
+    if (memoRegistry.size >= RegistryCap && !memoRegistry.containsKey(key))
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    else memoRegistry.computeIfAbsent(key,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]())
+  }
 
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
   /** The learned merges as parallel pattern/replacement arrays plus
     * the merged-symbol id map, in learned order. A holder class so
     * plan strings render as a count, not 32k pairs ([[BpeApply]]'s
-    * discipline). The memo is transient: it rebuilds empty on each
-    * executor and fills from that executor's own rows. */
+    * discipline). The memo resolves through the per-JVM
+    * [[BpeEncode.memoFor]] registry by the table's content address:
+    * the EncodeTable itself deserializes once per TASK (it rides the
+    * task binary as a plan reference object), but every copy under
+    * the same model — across tasks, queries, and micro-batches in one
+    * executor JVM — shares ONE word→ids memo, so the Zipf head is
+    * paid once per executor per MODEL (r19 advice-low: the old
+    * per-instance transient map restarted empty on every task). */
   final class EncodeTable(val pats: Array[String], val reps: Array[String],
       val idOf: java.util.HashMap[String, java.lang.Long])
       extends Serializable {
     require(pats.length == reps.length, "merge table arity mismatch")
-    @transient lazy val memo =
-      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    /** Content address of the model: two tables built from the same
+      * merges — even by different queries or Spark sessions — carry
+      * the same key and therefore resolve the same shared memo. */
+    val key: String = EncodeTable.contentKey(pats, reps)
+    @transient lazy val memo = BpeEncode.memoFor(key)
     override def toString: String = s"merges(${pats.length})"
   }
 
   object EncodeTable {
+    /** Deterministic content address over the pattern/replacement
+      * arrays (length-prefixed UTF-8 into SHA-256): the registry key
+      * for [[BpeEncode.memoFor]]. Hashing both arrays keeps the key
+      * honest even for a hand-built table whose reps deviate from the
+      * `from`-constructor convention. */
+    def contentKey(pats: Array[String], reps: Array[String]): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      def put(a: Array[String]): Unit = a.foreach { s =>
+        val b = s.getBytes("UTF-8")
+        md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+        md.update(b)
+      }
+      put(pats); put(reps)
+      md.digest().map(b => f"$b%02x").mkString
+    }
+
     /** Build from (l, r) merges in learned order: merged symbol `l+r`
       * gets id `0x110000 + round - 1`, first-producing round wins —
       * the exact id scheme `tokenizeText` serves. */

@@ -98,6 +98,8 @@ object DataQuality {
       count(lit(1)).as("n_keys"),
       sum(col("n")).as("n_rows"),
       max(col("n")).as("n_max"))
+    // unpartitioned window, BOUNDED: input is the 10-row `.limit`
+    // above — adjudicated-benign single-partition warning (r19 #3)
     val top = counts.orderBy(col("n").desc, col("user_id")).limit(10)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n").desc, col("user_id"))))

@@ -737,6 +737,9 @@ object Dedup {
       : DataFrame = {
     val pairs = fuzzyMatchPairs(names)
       .select(col("name_a"), col("name_b"))
+    // unpartitioned window, BOUNDED: the distinct part-name vocabulary
+    // (dictionary-sized, not corpus-sized) — adjudicated-benign
+    // single-partition warning (r19 #3)
     val ids = names.select(col("p_name"))
       .withColumn("id",
         row_number().over(Window.orderBy(col("p_name"))).cast("long"))

@@ -23,8 +23,12 @@ import org.apache.spark.sql.types.StructType
   * Per-batch cost is the encode map alone: training's corpus scan
   * happened before the stream started (the `bpeLearn` call below
   * memoizes against the model dir's content address), and the
-  * kernel's Zipf memo persists across batches inside the executor
-  * JVM, so the head words of every later batch are hash lookups.
+  * kernel's Zipf memo genuinely persists across batches inside the
+  * executor JVM: the per-task-deserialized EncodeTable resolves its
+  * memo through [[graft.functions.BpeEncode]]'s JVM-wide registry by
+  * the model's content address (r19 advice-low — before that
+  * registry, each task restarted with an empty memo), so the head
+  * words of every later batch are hash lookups.
   * [[graft.StreamingTokenizeSpec]] pins value identity against the
   * serving seam (`tokenizeText`) per document, replay idempotence,
   * and the frozen-model property (a batch never retrains). */

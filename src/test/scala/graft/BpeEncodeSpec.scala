@@ -141,6 +141,44 @@ class BpeEncodeSpec extends SparkSpec {
     }
   }
 
+  test("empty and whitespace-only documents are outside the packing contract") {
+    // advice-low, r19: the DuckDB oracles' docids CTE joins through
+    // word positions and never sees a zero-token document, while the
+    // Spark side used to emit it (n_tokens=0) and count its EOS into
+    // q161's stream offsets — a latent divergence. The contract is now
+    // pinned on BOTH sides: zero-token docs are out, and this fixture
+    // is the corpus that exercises the edge.
+    val dir = java.nio.file.Files.createTempDirectory("graft-emptydoc")
+      .toString
+    Seq(
+      (1L, "a", "ab ab ba"),
+      (2L, "a", ""), // zero tokens — must vanish from every grain
+      (3L, "a", " \t  "), // whitespace-only — same
+      (4L, "b", "ba ab ab ab"))
+      .toDF("doc_id", "source", "text")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    val ids = TextOps.q159TokenIds(spark, dir).collect()
+    assert(ids.map(_.getLong(0)).toSeq == Seq(1L, 4L),
+      s"zero-token docs must be dropped: ${ids.mkString(", ")}")
+    assert(ids.forall(_.getLong(1) > 0))
+    // the packed streams account for EXACTLY the contentful docs:
+    // per source, Σ sequence n_ids = Σ n_tokens + one EOS per doc —
+    // an empty doc contributes neither ids nor a stray EOS offset
+    val byDoc = ids.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val packed = TextOps.q161PackFixed(spark, dir, seqLen = 4).collect()
+    def streamIds(src: String): Long =
+      packed.filter(_.getString(0) == src).map(_.getLong(3)).sum
+    assert(streamIds("a") == byDoc(1L) + 1,
+      s"source a stream carries ${streamIds("a")} ids, " +
+        s"want ${byDoc(1L)} + 1 EOS")
+    assert(streamIds("b") == byDoc(4L) + 1)
+    // and the audit sees one contentful doc per source
+    val stats = TextOps.q162PackStats(spark, dir, seqLen = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(stats == Map("a" -> 1L, "b" -> 1L),
+      s"q162 must count only contentful docs: $stats")
+  }
+
   test("null, empty, whitespace-only, and id-scheme edges") {
     val d = Seq(Some("ab"), None, Some(""), Some("  \t ")).toDF("text")
     val out = d.select(BpeEncode.encodeIds(col("text"), Nil).as("ids"))
@@ -155,5 +193,35 @@ class BpeEncodeSpec extends SparkSpec {
       .select(BpeEncode.encodeIds(col("text"), m).as("ids"))
       .collect().map(_.getSeq[Long](0).toSeq)
     assert(out2.toSeq == Seq(Seq(0x110000L + 1, 0x1F600L)))
+  }
+
+  test("the word→ids memo is shared per MODEL across table instances") {
+    // two independently built tables under the same merges (the shape
+    // q159–q162 + StreamingTokenize produce: one EncodeTable per plan)
+    // must resolve ONE JVM-wide memo — the r19 advice-low fix: a memo
+    // on the instance restarts empty per deserialized task
+    val m = Seq("qq" -> "rr", "ss" -> "tt")
+    val t1 = BpeEncode.EncodeTable.from(m)
+    val t2 = BpeEncode.EncodeTable.from(m)
+    assert(t1 ne t2)
+    assert(t1.key == t2.key)
+    assert(t1.memo eq t2.memo,
+      "same model, different plans: the memo must be one shared map")
+    // the task-binary path: a serialization round-trip (what an
+    // executor task does to the plan's reference object) lands on the
+    // same shared memo, not a fresh empty one
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(t1); oos.close()
+    val t3 = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[BpeEncode.EncodeTable]
+    assert(t3.key == t1.key)
+    assert(t3.memo eq t1.memo,
+      "a deserialized table must share the model's memo")
+    // a different model must not: the registry keys by content
+    val other = BpeEncode.EncodeTable.from(Seq("qq" -> "zz"))
+    assert(other.key != t1.key)
+    assert(other.memo ne t1.memo)
   }
 }

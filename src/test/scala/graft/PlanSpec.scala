@@ -410,6 +410,34 @@ class PlanSpec extends SparkSpec {
       s"offsets should broadcast-join back onto the curve:\n$plan")
   }
 
+  test("q160/q161: offset windows sort the skinny doc grain; payload hash-joins back") {
+    // VERDICT r19 #1: WindowExec sorts its child's COMPLETE rows in one
+    // task per source — a frame carrying the token ids makes that task
+    // sort the source's entire encoded corpus. The running sums must
+    // therefore see only (source, doc_id, n)-shaped rows, and the id
+    // payload must come back through a join, never through the window.
+    for ((name, df) <- Seq(
+        "q160" -> graft.queries.TextOps.q160PackIds(spark, sfDir),
+        "q161" -> graft.queries.TextOps.q161PackFixed(spark, sfDir))) {
+      val opt = df.queryExecution.optimizedPlan
+      val wins = opt.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.nonEmpty, s"$name lost its offset window")
+      wins.foreach { w =>
+        val carried = w.child.output.map(_.name).toSet
+        // _wN is Catalyst's projected window input (n + 1) — skinny too
+        assert(carried.forall(c =>
+          Set("source", "doc_id", "n", "n_tokens").contains(c) ||
+            c.matches("_w\\d+")),
+          s"$name window child carries payload columns: $carried")
+      }
+      assert(opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty, s"$name: offsets must join back to the id arrays")
+    }
+  }
+
   test("q91: map-only scoring — no shuffle except the output sort; scan pruned") {
     val df = graft.queries.TextOps.q91CharChisq(spark, sfDir)
     df.collect()
