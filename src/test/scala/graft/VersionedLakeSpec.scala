@@ -695,6 +695,34 @@ class VersionedLakeSpec extends SparkSpec {
     assert(Versioned.readAt(spark, copy, "t", 2L).count() == 8)
   }
 
+  test("monotone commit clock: skew can't run history backwards; instant ties resolve upward") {
+    // advice-low + directive #7, r19: a committing driver whose wall
+    // clock sits BEHIND the previous committer's must not write a
+    // smaller instant (non-monotonic versionTimes would make asOf
+    // resolve an unexpected version near the boundary). The commit
+    // stamp is clamped to the predecessor's instant; the equal
+    // instants that clamping produces resolve by version number.
+    val base = mkBase()
+    Versioned.publish(spark, base, Seq(TableSpec("t", charges(5))))
+    // simulate the skewed/legacy boundary: v1's instant a day ahead
+    val future = System.currentTimeMillis() + 86400000L
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/_v/00000001"),
+      future.toString.getBytes("UTF-8"))
+    Versioned.appendPublish(spark, base, "t", charges(3))
+    val times = Versioned.versionTimes(spark, base)
+    assert(times(2L) >= times(1L), s"commit clock ran backwards: $times")
+    assert(times(2L) == future,
+      s"v2 must clamp exactly to v1's instant, got $times")
+    // the tie the clamp just produced: asOf at that instant = HIGHER
+    // version; a millisecond earlier = nothing (both commits are
+    // 'later' on the lake's clock)
+    assert(Versioned.versionAsOf(spark, base, future).contains(2L),
+      "asOf at a tied instant must resolve the higher version")
+    assert(Versioned.versionAsOf(spark, base, future - 1).isEmpty)
+    assert(Versioned.readAt(spark, base, "t", 2L).count() == 8)
+  }
+
   test("legacy empty markers fall back to mtime; stamped and legacy coexist") {
     val base = mkBase()
     // hand-built pre-r19 lake: self-contained v1 dir + EMPTY marker
