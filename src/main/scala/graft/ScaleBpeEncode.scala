@@ -57,7 +57,19 @@ object ScaleBpeEncode {
           (pmod(col("id") * 40 + j * 7919, lit(32768))).cast("int") + 1)): _*)
         .as("text"))
 
-    def encodeCell(n: Long): (Double, Long) = {
+    // each cell's localCheckpoint blocks are dropped before the next
+    // cell (Bench.once's discipline): without this, five pack cells
+    // pile ~15 GB of checkpointed docs into the block manager and the
+    // later cells measure eviction churn, not the operator
+    def cleaned[A](body: => A): A = {
+      val pre = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      try body
+      finally spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => pre.contains(id) }
+        .values.foreach(_.unpersist(blocking = true))
+    }
+
+    def encodeCell(n: Long): (Double, Long) = cleaned {
       val d = docsOf(n).localCheckpoint() // isolate generation cost
       val t0 = System.nanoTime()
       val toks = d.select(graft.functions.BpeEncode
@@ -92,7 +104,7 @@ object ScaleBpeEncode {
     // one hot source (the ScaleStatsWrite discipline) so the family's
     // skew law is measured, not assumed.
     def packCell(n: Long, nSrc: Int, skew: Boolean = false)
-        : (Double, Long) = {
+        : (Double, Long) = cleaned {
       val L = 2048L
       val srcCol =
         if (skew)
@@ -134,6 +146,11 @@ object ScaleBpeEncode {
         .agg(count(lit(1)), sum(col("n_ids"))).collect()(0)
       (secs(t0), seqs.getLong(0))
     }
+    // steady state for the pack path too: the first pack execution
+    // pays JIT + codegen for the window/join/explode operators (a 10k
+    // cell measured 15 s at 1× vs 13 s at 10× before this warm-up —
+    // pure ordering contamination)
+    val (pWarm, _) = packCell(10000L, 16)
     val (p1, sq1) = packCell(100000L, 16)
     val (p10, sq10) = packCell(1000000L, 16)
     // ONE source: every offset flows through a single skinny window
@@ -150,6 +167,7 @@ object ScaleBpeEncode {
       s""""docs_per_sec_10x":${math.round(1000000L / s10)},""" +
       s""""time_ratio_10x":${math.round(s10 / s1 * 100) / 100.0},""" +
       s""""warm_new_query_secs":$sNewQuery,""" +
+      s""""pack_warmup_secs":$pWarm,""" +
       s""""pack_secs_1x":$p1,"pack_seqs_1x":$sq1,""" +
       s""""pack_secs_10x":$p10,"pack_seqs_10x":$sq10,""" +
       s""""pack_time_ratio_10x":${math.round(p10 / p1 * 100) / 100.0},""" +

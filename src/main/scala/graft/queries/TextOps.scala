@@ -2973,16 +2973,20 @@ object TextOps {
   def q159TokenIds(spark: SparkSession, dir: String): DataFrame = {
     val merges = bpeLearn(spark, dir).map { case (l, r, _) => (l, r) }
     docs(spark, dir)
+      // zero-token docs (empty/whitespace-only text) are outside the
+      // corpus-encoding contract, matching the oracle's word-position
+      // join exactly (advice-low, r19) — and what q160/q161 consume.
+      // The predicate is `has a word` (≡ n_tokens > 0: every word
+      // yields ≥ 1 id) spelled on the RAW text: a `n_tokens > 0`
+      // filter above the projection gets pushed BELOW it with the
+      // alias re-substituted, running the encode kernel twice per row
+      .filter(col("text").rlike("\\S"))
       .select(col("doc_id"),
         graft.functions.BpeEncode.encodeIds(col("text"), merges).as("ids"))
       .select(col("doc_id"),
         size(col("ids")).cast("long").as("n_tokens"),
         array_join(transform(col("ids"), _.cast("string")), ",")
           .as("ids_csv"))
-      // zero-token docs (empty/whitespace-only text) are outside the
-      // corpus-encoding contract, matching the oracle's word-position
-      // join exactly (advice-low, r19) — and what q160/q161 consume
-      .filter(col("n_tokens") > 0)
       .orderBy(col("doc_id"))
   }
 
@@ -3004,15 +3008,16 @@ object TextOps {
     // packing contract — on both sides: the DuckDB oracle's docids CTE
     // joins through word positions and so never sees them, and a
     // training shard has no use for a contentless document (advice-low,
-    // r19; BpeEncodeSpec's empty-doc fixture pins the edge)
+    // r19; BpeEncodeSpec's empty-doc fixture pins the edge). Spelled on
+    // the raw text (q159's pushdown note) so the encode runs once.
     val d = docs(spark, dir)
+      .filter(col("text").rlike("\\S"))
       .select(col("doc_id"), col("source"),
         graft.functions.BpeEncode.encodeIds(col("text"), merges).as("ids"))
       .select(col("doc_id"), col("source"),
         size(col("ids")).cast("long").as("n_tokens"),
         array_join(transform(col("ids"), _.cast("string")), ",")
           .as("ids_csv"))
-      .filter(col("n_tokens") > 0)
     // The per-source exclusive running sum runs over a SKINNY
     // projection — (source, doc_id, n_tokens), ~24 B/row — and the
     // resulting bin assignment hash-joins back to the id payload at
@@ -3072,12 +3077,13 @@ object TextOps {
       : DataFrame = {
     val merges = bpeLearn(spark, dir).map { case (l, r, _) => (l, r) }
     // zero-token docs out of the stream, both sides — q160's contract
+    // (raw-text spelling per q159's pushdown note)
     val d = docs(spark, dir)
+      .filter(col("text").rlike("\\S"))
       .select(col("doc_id"), col("source"),
         graft.functions.BpeEncode.encodeIds(col("text"), merges).as("ids"))
       .select(col("doc_id"), col("source"), col("ids"),
         size(col("ids")).cast("long").as("n"))
-      .filter(col("n") > 0)
     // stream offset: docs occupy [start, start + n] (ids then EOS).
     // Same skinny-window + doc-grain-join shape as q160 (VERDICT r19
     // #1): the running sum sorts only (source, doc_id, n) rows, never

@@ -110,9 +110,11 @@ object StreamingPack {
   def encodeDocs(spark: SparkSession, docs: DataFrame,
       merges: Seq[(String, String)]): Dataset[PackDoc] = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("source"),
+    // `has a word` on the raw text (≡ n_tokens > 0) — q159's pushdown
+    // note: a size(ids) filter would re-run the encode in the Filter
+    docs.filter(col("text").rlike("\\S"))
+      .select(col("doc_id"), col("source"),
         graft.functions.BpeEncode.encodeIds(col("text"), merges).as("ids"))
-      .filter(size(col("ids")) > 0)
       .as[PackDoc]
   }
 
