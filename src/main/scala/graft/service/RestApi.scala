@@ -957,6 +957,38 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
         }
     })
 
+  // The packing ladder's monitoring face over HTTP (r20): q162's
+  // per-source audit — sequence counts, stream tokens, corpus-wide
+  // full-sequence invariant, exact-ppm fill rate, split-doc counts —
+  // served the way trainer dashboards poll it. Same contract
+  // discipline as /knn: the response IS the library seam's rows.
+  server.createContext("/pack/stats", (ex: HttpExchange) =>
+    (spark, ex.getRequestMethod) match {
+      case (None, _) => reply(ex, 503, """{"detail":"no spark session"}""")
+      case (_, m) if m != "GET" =>
+        reply(ex, 405, """{"detail":"method not allowed"}""")
+      case (Some(s), _) =>
+        val params = queryParams(ex)
+        RestApi.parseLimit(params.get("seq_len"), default = 256) match {
+          case None => reply(ex, 422,
+            """{"detail":"seq_len: positive integer required"}""")
+          case Some(l) =>
+            params.get("dir") match {
+              case Some(dir) =>
+                try {
+                  val rows = graft.queries.TextOps
+                    .q162PackStats(s, dir, seqLen = l).toJSON.collect()
+                  reply(ex, 200, rows.mkString("[", ",", "]"))
+                } catch {
+                  case e: Exception => reply(ex, 500,
+                    s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+                }
+              case None =>
+                reply(ex, 422, """{"detail":"dir required"}""")
+            }
+        }
+    })
+
   // R5: OpenAPI document at /docs, mirroring the reference's
   // auto-served Swagger surface (readme.md:176-179, api/main.py:7).
   // Hand-written JSON — the route inventory IS the contract.
@@ -1036,6 +1068,9 @@ object RestApi {
       |"/knn":{"get":{"summary":"Ad-hoc vector search over the maintained IVF index at the embeddings lake's current version",
       | "parameters":[{"name":"vec","in":"query","required":true,"schema":{"type":"string","description":"comma-separated floats"}},{"name":"dir","in":"query","required":true,"schema":{"type":"string"}},{"name":"limit","in":"query","schema":{"type":"integer","default":5,"maximum":1000}}],
       | "responses":{"200":{"description":"ranked rows (query_id, neighbor_id, rank, cosine)"},"422":{"description":"vec and dir required / malformed vec"},"500":{"description":"search failed"},"503":{"description":"no spark session"}}}},
+      |"/pack/stats":{"get":{"summary":"Packing-efficiency audit of the corpus dir's fixed-length training shards (q162's grain): per source, sequence count, stream tokens, full-sequence count, exact-ppm fill rate, and split-document count — the numbers a trainer dashboard polls",
+      | "parameters":[{"name":"dir","in":"query","required":true,"schema":{"type":"string"}},{"name":"seq_len","in":"query","schema":{"type":"integer","default":256,"maximum":1000}}],
+      | "responses":{"200":{"description":"per-source audit rows"},"422":{"description":"dir required / bad seq_len"},"500":{"description":"audit failed"},"503":{"description":"no spark session"}}}},
       |"/tokenize":{"post":{"summary":"Segment raw text under the corpus dir's standing BPE tokenizer (subwords + model-stable ids per word) — the tokenizer's serving face; the model is content-addressed, so a corpus replacement at the same dir serves a NEW model (response carries its address)",
       | "requestBody":{"content":{"application/json":{"schema":{"type":"object","required":["text","dir"],"properties":{"text":{"type":"string"},"dir":{"type":"string"}}}}}},
       | "responses":{"200":{"description":"{model, merges, tokens:[{word, subwords, ids}]}"},"422":{"description":"text and dir required"},"500":{"description":"tokenization failed"},"503":{"description":"no spark session"}}}},

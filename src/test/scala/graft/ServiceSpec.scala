@@ -309,8 +309,9 @@ class ServiceSpec extends AnyFunSuite {
       Seq("/extract", "/missing", "/reset", "/health", "/etl/run",
         "/etl/status", "/query/daily_totals", "/query/run",
         "/index/maintain", "/search", "/knn", "/quality", "/tokenize",
-        "/lake/status", "/lake/compact", "/lake/compact/status",
-        "/lake/point", "/lake/remove", "/lake/history", "/docs")
+        "/pack/stats", "/lake/status", "/lake/compact",
+        "/lake/compact/status", "/lake/point", "/lake/remove",
+        "/lake/history", "/docs")
         .foreach(route => assert(body.contains("\"" + route + "\""), route))
     } finally api.stop()
   }
@@ -335,6 +336,25 @@ class ServiceSpec extends AnyFunSuite {
         .toJSON.collect().mkString("[", ",", "]")
       assert(body == expect, "HTTP rows diverged from the library seam")
       assert(body.contains("\"rank\":1"), s"no ranked rows: $body")
+    } finally api.stop()
+  }
+
+  test("/pack/stats serves the packing audit over HTTP; contract = the library seam") {
+    val spark = SparkSpec.spark
+    val api = new RestApi(Some(spark), 0).start()
+    val dir = "/root/testdata/sf0.001"
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      assert(http("GET", s"$base/pack/stats")._1 == 422)
+      assert(http("GET", s"$base/pack/stats?dir=$dir&seq_len=0")._1 == 422)
+      assert(http("GET", s"$base/pack/stats?dir=$dir&seq_len=abc")._1 == 422)
+      assert(http("POST", s"$base/pack/stats?dir=$dir", Some("{}"))._1 == 405)
+      val (code, body) = http("GET", s"$base/pack/stats?dir=$dir&seq_len=64")
+      assert(code == 200, body)
+      val expect = graft.queries.TextOps.q162PackStats(spark, dir, seqLen = 64)
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(body == expect, "HTTP rows diverged from the library seam")
+      assert(body.contains("\"fill_ppm\""), s"no audit rows: $body")
     } finally api.stop()
   }
 
