@@ -245,6 +245,20 @@ object Bench {
       val vsPrevJson = vsPrev(headRatios).map(fmtRatio).getOrElse("null")
       val line =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":${runsJson(rawRuns)},"errors":$errJson,"vs_prev":$vsPrevJson,"vs_prev_n":${headRatios.length},"top_regressions":${topRegressionsJson(headRatios)},"iters":$iters,"sf":"$sfDir"}"""
+      // aqePass's all-broken guard, mirrored (review finding, r20): a
+      // plain pass where EVERY query errored is a broken harness, and
+      // with ADVANCE set it would otherwise write a value-0/all-(-1)
+      // line into the baseline — exactly the corrupted-vs_prev
+      // denominator the flag exists to prevent.
+      val allBroken =
+        results.nonEmpty && results.forall { case (_, v) => v < 0 }
+      if (allBroken) {
+        System.err.println("BENCH BROKEN: every query errored — " +
+          "baselines NOT advanced, line withheld from stdout: " +
+          errors.keys.mkString(", "))
+        System.err.println(line)
+        return
+      }
       println(line)
       // plain-file mirror (VERDICT r1 #10): BENCH_r01 had "parsed": null
       // because the line only existed inside sbt's [info]-prefixed stdout
@@ -255,17 +269,24 @@ object Bench {
         case t: Throwable =>
           System.err.println(s"BENCH WARN: mirror write to $out failed: $t")
       }
-      // only FLAGGED full-suite runs advance this sf's baseline;
-      // probes and unflagged runs (driver round-end, judge, ad-hoc)
-      // compare but never become the next vs_prev denominator
-      if (only.isEmpty && advance)
+      // only FLAGGED, ZERO-ERROR full-suite runs advance this sf's
+      // baseline; probes and unflagged runs (driver round-end, judge,
+      // ad-hoc) compare but never become the next vs_prev
+      // denominator, and a flagged run with ANY errored query is not
+      // a baseline either (a bad data dir breaks 161/163 queries yet
+      // passes an all-broken check, because two queries read other
+      // inputs — exercised, r20)
+      if (only.isEmpty && advance && errors.isEmpty)
         try Files.write(Paths.get(histHead),
           (line + "\n").getBytes(StandardCharsets.UTF_8))
         catch { case t: Throwable =>
           System.err.println(s"BENCH WARN: history write to $histHead failed: $t") }
       else if (only.isEmpty)
         System.err.println(s"BENCH NOTE: baseline $histHead not advanced " +
-          "(set SPARK_GRAFT_BENCH_ADVANCE=1 on a deliberate baseline run)")
+          (if (advance) s"(${errors.size} queries errored — a baseline " +
+            "run must be zero-error)"
+           else "(set SPARK_GRAFT_BENCH_ADVANCE=1 on a deliberate " +
+            "baseline run)"))
       // loud on stderr (but the JSON already carries -1 + errors, and a
       // nonzero exit would make the driver drop the partial results)
       if (errors.nonEmpty)
@@ -323,14 +344,18 @@ object Bench {
         (aqeLine + "\n").getBytes(StandardCharsets.UTF_8))
       catch { case t: Throwable =>
         System.err.println(s"BENCH WARN: aqe mirror write failed: $t") }
-      if (only.isEmpty && advance)
+      // plainPass's advancement rule, verbatim: flagged AND zero-error
+      if (only.isEmpty && advance && aqeErrors.isEmpty)
         try Files.write(Paths.get(histAqe),
           (aqeLine + "\n").getBytes(StandardCharsets.UTF_8))
         catch { case t: Throwable =>
           System.err.println(s"BENCH WARN: history write to $histAqe failed: $t") }
       else if (only.isEmpty)
         System.err.println(s"BENCH NOTE: baseline $histAqe not advanced " +
-          "(set SPARK_GRAFT_BENCH_ADVANCE=1 on a deliberate baseline run)")
+          (if (advance) s"(${aqeErrors.size} queries errored — a baseline " +
+            "run must be zero-error)"
+           else "(set SPARK_GRAFT_BENCH_ADVANCE=1 on a deliberate " +
+            "baseline run)"))
       if (aqeErrors.nonEmpty)
         System.err.println(
           s"BENCH AQE FAILURES: ${aqeErrors.keys.mkString(", ")}")

@@ -78,10 +78,16 @@ object BpeEncode {
     * shared word→ids memo per MODEL per executor JVM, however many
     * plans, tasks, or micro-batches reference the model (r19
     * advice-low — the memo used to live on the table instance, which
-    * deserializes fresh per task). Bounded at [[RegistryCap]] models;
-    * a JVM juggling more than that gets unshared per-call maps for
-    * the overflow rather than unbounded driver/executor growth
-    * (correctness unchanged — the memo is a pure cache). */
+    * deserializes fresh per task). Bounded at [[RegistryCap]] models:
+    * when a NEW model arrives at a full registry, the registry is
+    * CLEARED and every model re-fills lazily — so a long-lived
+    * service JVM rolling through content-addressed model versions
+    * keeps sharing forever (model #65 must not silently revert to the
+    * per-task empty-memo behavior this registry exists to eliminate —
+    * review finding, r20), retired models' memos get dropped instead
+    * of pinned for the JVM lifetime, and only the pathological case
+    * of > 64 models LIVE at once thrashes (correctness unchanged —
+    * the memo is a pure cache). */
   private val memoRegistry = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentHashMap[String, Array[Long]]]()
 
@@ -90,8 +96,8 @@ object BpeEncode {
   private[functions] def memoFor(key: String)
       : java.util.concurrent.ConcurrentHashMap[String, Array[Long]] = {
     if (memoRegistry.size >= RegistryCap && !memoRegistry.containsKey(key))
-      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
-    else memoRegistry.computeIfAbsent(key,
+      memoRegistry.clear() // rare; racing clears are harmless (pure cache)
+    memoRegistry.computeIfAbsent(key,
       _ => new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]())
   }
 
@@ -115,25 +121,36 @@ object BpeEncode {
     /** Content address of the model: two tables built from the same
       * merges — even by different queries or Spark sessions — carry
       * the same key and therefore resolve the same shared memo. */
-    val key: String = EncodeTable.contentKey(pats, reps)
+    val key: String = EncodeTable.contentKey(pats, reps, idOf)
     @transient lazy val memo = BpeEncode.memoFor(key)
     override def toString: String = s"merges(${pats.length})"
   }
 
   object EncodeTable {
-    /** Deterministic content address over the pattern/replacement
-      * arrays (length-prefixed UTF-8 into SHA-256): the registry key
-      * for [[BpeEncode.memoFor]]. Hashing both arrays keeps the key
-      * honest even for a hand-built table whose reps deviate from the
-      * `from`-constructor convention. */
-    def contentKey(pats: Array[String], reps: Array[String]): String = {
+    /** Deterministic content address over EVERYTHING `encode` reads —
+      * the pattern/replacement arrays AND the symbol→id map
+      * (length-prefixed UTF-8 + id longs into SHA-256, id entries in
+      * sorted key order for map-iteration independence): the registry
+      * key for [[BpeEncode.memoFor]]. The memo caches ids resolved
+      * through `idOf`, so a hand-built table with the same merges but
+      * a deviating id map must NOT share a memo (review finding,
+      * r20) — the constructor is public and only the `from` path
+      * derives `idOf` from the merges by construction. */
+    def contentKey(pats: Array[String], reps: Array[String],
+        idOf: java.util.HashMap[String, java.lang.Long]): String = {
       val md = java.security.MessageDigest.getInstance("SHA-256")
-      def put(a: Array[String]): Unit = a.foreach { s =>
+      def putStr(s: String): Unit = {
         val b = s.getBytes("UTF-8")
         md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
         md.update(b)
       }
-      put(pats); put(reps)
+      pats.foreach(putStr); reps.foreach(putStr)
+      idOf.entrySet().toArray(Array.empty[java.util.Map.Entry[String, java.lang.Long]])
+        .sortBy(_.getKey).foreach { e =>
+          putStr(e.getKey)
+          md.update(java.nio.ByteBuffer.allocate(8)
+            .putLong(e.getValue.longValue).array())
+        }
       md.digest().map(b => f"$b%02x").mkString
     }
 

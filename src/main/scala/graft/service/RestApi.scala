@@ -969,12 +969,28 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
         reply(ex, 405, """{"detail":"method not allowed"}""")
       case (Some(s), _) =>
         val params = queryParams(ex)
-        RestApi.parseLimit(params.get("seq_len"), default = 256) match {
+        // NOT parseLimit: its 1000 clamp is a row-limit guard, and a
+        // trainer's L is routinely 2048/4096/8192 — silently clamping
+        // would serve an audit of shards that don't exist (review
+        // finding, r20). Out-of-range is a loud 422 instead.
+        val seqLen = params.get("seq_len") match {
+          case None => Some(256)
+          case Some(v) => v.toIntOption.filter(l => l >= 1 && l <= (1 << 20))
+        }
+        seqLen match {
           case None => reply(ex, 422,
-            """{"detail":"seq_len: positive integer required"}""")
+            """{"detail":"seq_len: positive integer <= 1048576 required"}""")
           case Some(l) =>
             params.get("dir") match {
               case Some(dir) =>
+                // q162 localCheckpoints its grain per call; a polled
+                // dashboard endpoint must not pin one grain RDD per
+                // poll in the service JVM forever — drop what THIS
+                // call persisted on the way out (Bench.once's
+                // snapshot discipline; review finding, r20)
+                val pre: Set[Int] =
+                  try s.sparkContext.getPersistentRDDs.keySet.toSet
+                  catch { case scala.util.control.NonFatal(_) => Set.empty }
                 try {
                   val rows = graft.queries.TextOps
                     .q162PackStats(s, dir, seqLen = l).toJSON.collect()
@@ -982,6 +998,11 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
                 } catch {
                   case e: Exception => reply(ex, 500,
                     s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+                } finally {
+                  try s.sparkContext.getPersistentRDDs
+                    .filterNot { case (id, _) => pre.contains(id) }
+                    .values.foreach(_.unpersist(blocking = false))
+                  catch { case scala.util.control.NonFatal(_) => () }
                 }
               case None =>
                 reply(ex, 422, """{"detail":"dir required"}""")
@@ -1069,7 +1090,7 @@ object RestApi {
       | "parameters":[{"name":"vec","in":"query","required":true,"schema":{"type":"string","description":"comma-separated floats"}},{"name":"dir","in":"query","required":true,"schema":{"type":"string"}},{"name":"limit","in":"query","schema":{"type":"integer","default":5,"maximum":1000}}],
       | "responses":{"200":{"description":"ranked rows (query_id, neighbor_id, rank, cosine)"},"422":{"description":"vec and dir required / malformed vec"},"500":{"description":"search failed"},"503":{"description":"no spark session"}}}},
       |"/pack/stats":{"get":{"summary":"Packing-efficiency audit of the corpus dir's fixed-length training shards (q162's grain): per source, sequence count, stream tokens, full-sequence count, exact-ppm fill rate, and split-document count — the numbers a trainer dashboard polls",
-      | "parameters":[{"name":"dir","in":"query","required":true,"schema":{"type":"string"}},{"name":"seq_len","in":"query","schema":{"type":"integer","default":256,"maximum":1000}}],
+      | "parameters":[{"name":"dir","in":"query","required":true,"schema":{"type":"string"}},{"name":"seq_len","in":"query","schema":{"type":"integer","default":256,"maximum":1048576}}],
       | "responses":{"200":{"description":"per-source audit rows"},"422":{"description":"dir required / bad seq_len"},"500":{"description":"audit failed"},"503":{"description":"no spark session"}}}},
       |"/tokenize":{"post":{"summary":"Segment raw text under the corpus dir's standing BPE tokenizer (subwords + model-stable ids per word) — the tokenizer's serving face; the model is content-addressed, so a corpus replacement at the same dir serves a NEW model (response carries its address)",
       | "requestBody":{"content":{"application/json":{"schema":{"type":"object","required":["text","dir"],"properties":{"text":{"type":"string"},"dir":{"type":"string"}}}}}},

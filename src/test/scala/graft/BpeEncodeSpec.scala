@@ -223,5 +223,15 @@ class BpeEncodeSpec extends SparkSpec {
     val other = BpeEncode.EncodeTable.from(Seq("qq" -> "zz"))
     assert(other.key != t1.key)
     assert(other.memo ne t1.memo)
+    // the memo caches ids resolved through idOf, so a hand-built
+    // table with t1's merges but a DEVIATING id map must not share
+    // t1's memo either (the constructor is public; review, r20)
+    val deviantIds = new java.util.HashMap[String, java.lang.Long]()
+    t1.idOf.forEach((k, v) =>
+      deviantIds.put(k, java.lang.Long.valueOf(v.longValue + 1)))
+    val deviant = new BpeEncode.EncodeTable(t1.pats, t1.reps, deviantIds)
+    assert(deviant.key != t1.key)
+    assert(deviant.memo ne t1.memo,
+      "same merges + different id map must not share a memo")
   }
 }

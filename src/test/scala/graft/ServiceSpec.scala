@@ -348,6 +348,8 @@ class ServiceSpec extends AnyFunSuite {
       assert(http("GET", s"$base/pack/stats")._1 == 422)
       assert(http("GET", s"$base/pack/stats?dir=$dir&seq_len=0")._1 == 422)
       assert(http("GET", s"$base/pack/stats?dir=$dir&seq_len=abc")._1 == 422)
+      assert(http("GET", s"$base/pack/stats?dir=$dir&seq_len=1048577")._1
+        == 422, "out-of-range seq_len must be loud, never clamped")
       assert(http("POST", s"$base/pack/stats?dir=$dir", Some("{}"))._1 == 405)
       val (code, body) = http("GET", s"$base/pack/stats?dir=$dir&seq_len=64")
       assert(code == 200, body)
@@ -355,6 +357,22 @@ class ServiceSpec extends AnyFunSuite {
         .toJSON.collect().mkString("[", ",", "]")
       assert(body == expect, "HTTP rows diverged from the library seam")
       assert(body.contains("\"fill_ppm\""), s"no audit rows: $body")
+      // a trainer-realistic L above parseLimit's 1000 row-cap must be
+      // honored, not silently clamped (review, r20) — at L=2048 every
+      // sf0.001 source packs into ONE under-filled sequence
+      val (c2, b2) = http("GET", s"$base/pack/stats?dir=$dir&seq_len=2048")
+      assert(c2 == 200, b2)
+      val expect2048 = graft.queries.TextOps
+        .q162PackStats(spark, dir, seqLen = 2048)
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(b2 == expect2048, "seq_len=2048 diverged — clamp regression")
+      // the handler drops what each call checkpointed: polling must
+      // not grow the block manager (review, r20)
+      val before = spark.sparkContext.getPersistentRDDs.size
+      (1 to 3).foreach(_ =>
+        assert(http("GET", s"$base/pack/stats?dir=$dir&seq_len=64")._1 == 200))
+      assert(spark.sparkContext.getPersistentRDDs.size <= before,
+        "served audits leaked persisted RDDs")
     } finally api.stop()
   }
 
