@@ -50,6 +50,25 @@ object Bench {
     // bench_hist.<sf>.json(.aqe). The forked AQE child inherits the
     // flag through its environment.
     val advance = sys.env.get("SPARK_GRAFT_BENCH_ADVANCE").contains("1")
+    // Timed action (r21, guide §1.4): the noop sink computes EVERY
+    // column of every row and discards it. The previous `count()`
+    // action let the optimizer prune unreferenced payload expressions
+    // — projection-only queries (q13/q91/q159...) timed as bare scans
+    // with their scoring/encode kernels pruned OUT of the measurement,
+    // and any eager materialization inside a query was charged for
+    // work count() would have skipped. That is a measurement bug, not
+    // a posture choice: the oracle path and every real consumer
+    // compute the full rows. `SPARK_GRAFT_BENCH_SINK=count` keeps the
+    // legacy action for cross-round comparability runs; vs_prev
+    // refuses to compare across sink methodologies (the cross-sf
+    // rule), and the sink rides in the JSON line.
+    val sink = sys.env.getOrElse("SPARK_GRAFT_BENCH_SINK", "noop")
+    // host load average (VERDICT r20 #1): recorded INTO the line so a
+    // loaded-box run adjudicates from data instead of forensics
+    def sysLoad(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = sysLoad()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,6 +81,8 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        (64 * 1024).toString) // see GraftSession.builder (r21)
       spark.conf.set("spark.sql.files.maxPartitionBytes",
         (128 * 1024 * 1024).toString)
     }
@@ -87,7 +108,12 @@ object Bench {
         } catch { case scala.util.control.NonFatal(_) => Set.empty }
       val t0 = System.nanoTime()
       val r =
-        try { fn(sess, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        try {
+          val df = fn(sess, sfDir)
+          if (sink == "count") df.count()
+          else df.write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        }
         catch { case t: Throwable => Left(s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}") }
       // drop this query's localCheckpoint blocks before the next one:
       // ~30 checkpointing queries × iters × 2 passes otherwise pile
@@ -171,7 +197,13 @@ object Bench {
           val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
           val prevSf = """"sf":"([^"]*)"""".r
             .findFirstMatchIn(text).map(_.group(1))
-          if (prevSf.exists(_ != sfDir)) None
+          // a mirror from a different timed action (legacy count vs
+          // noop — r21) would produce a meaningless ratio too: count
+          // pruned payload expressions noop computes. Absent field ⇒
+          // legacy count line.
+          val prevSink = """"sink":"([^"]*)"""".r
+            .findFirstMatchIn(text).map(_.group(1)).getOrElse("count")
+          if (prevSf.exists(_ != sfDir) || prevSink != sink) None
           else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(text).map(_.group(1))
             .map { qObj =>
               // signed exponent: a prev value like 1.0E-5 must parse, not
@@ -244,7 +276,7 @@ object Bench {
       val headRatios = prevHead.map(ratiosVsPrev(_, results)).getOrElse(Seq.empty)
       val vsPrevJson = vsPrev(headRatios).map(fmtRatio).getOrElse("null")
       val line =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":${runsJson(rawRuns)},"errors":$errJson,"vs_prev":$vsPrevJson,"vs_prev_n":${headRatios.length},"top_regressions":${topRegressionsJson(headRatios)},"iters":$iters,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","sink":"$sink","load_start":${fmtRatio(loadStart)},"load_end":${fmtRatio(sysLoad())},"queries":$qs,"runs":${runsJson(rawRuns)},"errors":$errJson,"vs_prev":$vsPrevJson,"vs_prev_n":${headRatios.length},"top_regressions":${topRegressionsJson(headRatios)},"iters":$iters,"sf":"$sfDir"}"""
       // aqePass's all-broken guard, mirrored (review finding, r20): a
       // plain pass where EVERY query errored is a broken harness, and
       // with ADVANCE set it would otherwise write a value-0/all-(-1)
@@ -257,6 +289,14 @@ object Bench {
           "baselines NOT advanced, line withheld from stdout: " +
           errors.keys.mkString(", "))
         System.err.println(line)
+        // drop the mirror too (ADVICE r20): returning before the mirror
+        // write left the PREVIOUS run's line standing in for this one —
+        // and the withheld line itself reads value:0, which a naive
+        // consumer would take for a 0-second run. No mirror beats a
+        // stale or misleading one; stderr carries the evidence.
+        try Files.deleteIfExists(Paths.get(out))
+        catch { case t: Throwable =>
+          System.err.println(s"BENCH WARN: stale mirror $out not deleted: $t") }
         return
       }
       println(line)
@@ -321,7 +361,7 @@ object Bench {
         prevAqe.map(ratiosVsPrev(_, aqeResults)).getOrElse(Seq.empty)
       val aqeVsPrev = vsPrev(aqeRatios).map(fmtRatio).getOrElse("null")
       val aqeLine =
-        s"""{"metric":"total_aqe","value":$aqeTotal,"unit":"sec","queries":$aqeQs,"runs":${runsJson(aqeRaw)},"errors":$aqeErrJson,"vs_prev":$aqeVsPrev,"vs_prev_n":${aqeRatios.length},"top_regressions":${topRegressionsJson(aqeRatios)},"iters":$iters,"sf":"$sfDir"}"""
+        s"""{"metric":"total_aqe","value":$aqeTotal,"unit":"sec","sink":"$sink","load_start":${fmtRatio(loadStart)},"load_end":${fmtRatio(sysLoad())},"queries":$aqeQs,"runs":${runsJson(aqeRaw)},"errors":$aqeErrJson,"vs_prev":$aqeVsPrev,"vs_prev_n":${aqeRatios.length},"top_regressions":${topRegressionsJson(aqeRatios)},"iters":$iters,"sf":"$sfDir"}"""
       // a pass where EVERY query errored is a broken harness (bad
       // child classpath, missing data dir), not a measurement — it
       // must not advance the mirror/history as a "successful" run
@@ -337,6 +377,11 @@ object Bench {
           "baselines NOT advanced, line withheld from stdout: " +
           aqeErrors.keys.mkString(", "))
         System.err.println(aqeLine)
+        // plainPass's stale-mirror rule (ADVICE r20), for the .aqe twin
+        try Files.deleteIfExists(Paths.get(out + ".aqe"))
+        catch { case t: Throwable =>
+          System.err.println(
+            s"BENCH WARN: stale mirror $out.aqe not deleted: $t") }
         return false
       }
       println(aqeLine)
@@ -426,6 +471,8 @@ object Bench {
         aqe.conf.set("spark.sql.adaptive.enabled", "true")
         aqe.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         aqe.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        aqe.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+          (64 * 1024).toString) // see GraftSession.builder (r21)
         aqe.conf.set("spark.sql.files.maxPartitionBytes",
           (128 * 1024 * 1024).toString)
         val _ = aqePass(aqe)

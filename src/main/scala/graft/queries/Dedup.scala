@@ -80,7 +80,8 @@ object Dedup {
     * (it IS the index builder's definition); every other family
     * member reads the persisted [[signatureIndex]]. */
   def q18MinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    minhashSignatures(docs(spark, dir)).orderBy(col("doc_id"))
+    minhashSignatures(graft.operators.Spread.byKey(docs(spark, dir), col("doc_id")))
+      .orderBy(col("doc_id"))
 
   /** Root for persisted signature indexes (override:
     * `SPARK_GRAFT_INDEX_DIR`). Outside the read-only corpus dirs. */
@@ -121,7 +122,9 @@ object Dedup {
     // never do (aliases preserve the partitioning through the renames)
     graft.sources.ArtifactStore.readOrPublishBucketed(
       spark, s"$indexBase/sig-b$IndexBuckets-$key", "doc_id", IndexBuckets)(
-      minhashSignatures(docs(spark, dir)))
+      // spread the one-time build (the bucketed write re-partitions by
+      // doc_id anyway, so the published layout is unchanged)
+      minhashSignatures(graft.operators.Spread.byKey(docs(spark, dir), col("doc_id"))))
   }
 
   /** LSH candidate pairs: docs sharing any band bucket, verified with
@@ -157,9 +160,10 @@ object Dedup {
     val pairs = restrictTo match {
       case None => bandCandidatePairs(sig)
       case Some(ids) =>
-        val bands = (0 until NumHashes / BandSize).map(b =>
-            sig.select(col("doc_id"), col(s"band$b").as("bucket")))
-          .reduce(_ unionByName _)
+        // one scan per side, not 4 (bandCandidatePairs' explode note)
+        val bands = sig.select(col("doc_id"), explode(array(
+            (0 until NumHashes / BandSize).map(b => col(s"band$b")): _*))
+          .as("bucket"))
         val deltaBands = bands.join(
           ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
         deltaBands.as("a").join(bands.as("b"),
@@ -280,7 +284,7 @@ object Dedup {
     * corpus, no text dragged through the shuffle. */
   def q52DedupRanked(spark: SparkSession, dir: String): DataFrame = {
     val quality = graft.queries.TextOps
-      .withQuality(docs(spark, dir))
+      .withQuality(graft.operators.Spread.byKey(docs(spark, dir), col("doc_id")))
       .select(col("doc_id"), col("quality_score"))
     q41DupClusters(spark, dir).join(quality, "doc_id")
       .groupBy(col("cluster_id"))
@@ -365,9 +369,16 @@ object Dedup {
     * stays the ONE LSH pass the dedup already paid. */
   def q73SourceDupRate(spark: SparkSession, dir: String): DataFrame = {
     val clusters = q41DupClusters(spark, dir).localCheckpoint()
-    val sizes = clusters.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("_csize"))
-    clusters.join(sizes, "cluster_id")
+    // cluster size via a cluster_id-partitioned window (r21): the
+    // groupBy-sizes + join-back form planned TWO exchanges of the
+    // assignment plus a SortMergeJoin; the window is ONE exchange +
+    // sort over the same rows, same values (count over the partition
+    // ≡ the joined count), and cluster_id is high-cardinality so the
+    // partitioning parallelizes at any corpus size
+    import org.apache.spark.sql.expressions.Window
+    clusters
+      .withColumn("_csize",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -401,10 +412,22 @@ object Dedup {
     * these edges — so ONE endpoint join suffices); the rollup is
     * ≤ |multi-member clusters| rows. */
   def q99ClusterCohesion(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = q41DupClusters(spark, dir).localCheckpoint()
+    // ONE verified-pair pass (r21): the pairs feed BOTH the transitive
+    // closure and the per-cluster edge aggregate — composed as
+    // q41 + minhashCandidatePairs they planned and RAN the whole
+    // band-join+verify pipeline twice per invocation (10 index scans
+    // in one plan). est-Jaccard values are unchanged; q41's
+    // presentation orderBy was never observable behind the aggregate.
+    val pairs = candidatePairsFrom(signatureIndex(spark, dir))
+      .localCheckpoint()
+    val verts = docs(spark, dir).select(col("doc_id").as("id"))
+    val clusters = graft.operators.ConnectedComponents.run(spark, verts,
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .localCheckpoint()
     val sizes = clusters.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
-    minhashCandidatePairs(spark, dir)
+    pairs
       .join(clusters.select(col("doc_id").as("doc_a"), col("cluster_id")),
         "doc_a")
       .groupBy(col("cluster_id"))
@@ -460,9 +483,10 @@ object Dedup {
   private[graft] def flagAgainstIndex(batchSigs: DataFrame,
       corpusSigs: DataFrame): DataFrame = {
     def bandsOf(df: DataFrame): DataFrame =
-      (0 until NumHashes / BandSize).map(b =>
-        df.select(col("doc_id"), col(s"band$b").as("bucket")))
-        .reduce(_ unionByName _)
+      // one scan per side, not 4 (bandCandidatePairs' explode note)
+      df.select(col("doc_id"), explode(array(
+          (0 until NumHashes / BandSize).map(b => col(s"band$b")): _*))
+        .as("bucket"))
     val cand = bandsOf(batchSigs).as("d")
       .join(bandsOf(corpusSigs).as("c"),
         col("d.bucket") === col("c.bucket"))
@@ -541,7 +565,7 @@ object Dedup {
   def q78Containment(spark: SparkSession, dir: String): DataFrame = {
     val sig = signatureIndex(spark, dir)
     val pairs = bandCandidatePairs(sig)
-    val sets = docs(spark, dir)
+    val sets = graft.operators.Spread.byKey(docs(spark, dir), col("doc_id"))
       .withColumn("_ws", split(col("text"), "\\s+"))
       .select(col("doc_id"),
         array_distinct(expr(shinglesExpr)).as("sh"))
@@ -566,9 +590,14 @@ object Dedup {
     * doc_b, distinct). The Σ bucket² pair generator every verify
     * kernel downstream (est-Jaccard, containment, BoW cosine) shares. */
   private def bandCandidatePairs(sig: DataFrame): DataFrame = {
-    val bands = (0 until NumHashes / BandSize).map(b =>
-      sig.select(col("doc_id"), col(s"band$b").as("bucket")))
-      .reduce(_ unionByName _)
+    // ONE index scan (r21): the 4-way unionByName planned 4 separate
+    // scans of the signature index per side; exploding the band array
+    // reads (doc_id, band0..band3) once and generates the same rows.
+    // explode keeps null ELEMENTS (short docs' null bands), exactly as
+    // the union kept null-bucket rows — both vanish in the equi-join.
+    val bands = sig.select(col("doc_id"), explode(array(
+        (0 until NumHashes / BandSize).map(b => col(s"band$b")): _*))
+      .as("bucket"))
     bands.as("a").join(bands.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -657,7 +686,7 @@ object Dedup {
     // two consumers (dot join + final assembly): materialize so the
     // Σ bucket² band self-join runs once, not once per consumer
     val cand = bandCandidatePairs(sig).localCheckpoint()
-    val tf = docs(spark, dir)
+    val tf = graft.operators.Spread.byKey(docs(spark, dir), col("doc_id"))
       .select(col("doc_id"),
         explode(split(col("text"), "\\s+")).as("token"))
       .groupBy(col("doc_id"), col("token"))
@@ -854,7 +883,7 @@ object Dedup {
     val k = WindowChars
     val base = docs(spark, dir).select($"doc_id",
       greatest(length($"text") - (k - 1), lit(0)).cast("long").as("n_windows"))
-    val grams = docs(spark, dir)
+    val grams = graft.operators.Spread.byKey(docs(spark, dir), col("doc_id"))
       .select($"doc_id", explode(expr(windowArraySql)).as("w"))
     val perDoc = grams.groupBy($"w", $"doc_id").agg(count(lit(1)).as("cnt"))
     // degree via agg + semi-join (q106's shape): rows of the (w, doc)
@@ -886,7 +915,7 @@ object Dedup {
   def q106DupSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = WindowChars
-    val pos = docs(spark, dir).select($"doc_id",
+    val pos = graft.operators.Spread.byKey(docs(spark, dir), col("doc_id")).select($"doc_id",
       posexplode(expr(windowArraySql)).as(Seq("pos", "w")))
     val dupW = pos.groupBy($"w")
       .agg(count_distinct($"doc_id").as("nd"))
@@ -930,8 +959,9 @@ object Dedup {
     // a daily delta probe |batch|-shaped instead of |index|-shaped.
     graft.sources.ArtifactStore.readOrPublishBucketed(
       spark, windowIndexPath(spark, dir), "w", IndexBuckets)(
-      distinctWindowsOf(docs(spark, dir)
-        .filter(!(TextOps.uniformKeyOf(col("doc_id")) < DeltaFracLit))))
+      distinctWindowsOf(graft.operators.Spread.byKey(docs(spark, dir)
+        .filter(!(TextOps.uniformKeyOf(col("doc_id")) < DeltaFracLit)),
+        col("doc_id"))))
 
   /** Published location of [[windowIndex]] — exposed so the scale
     * harness can re-read the same files with the layout undeclared
@@ -972,8 +1002,9 @@ object Dedup {
     * when it occurs verbatim anywhere in the standing corpus. */
   def q107DeltaWindowMass(spark: SparkSession, dir: String): DataFrame =
     massAgainstWindowIndex(
-      docs(spark, dir)
+      graft.operators.Spread.byKey(docs(spark, dir)
         .filter(TextOps.uniformKeyOf(col("doc_id")) < DeltaFracLit),
+        col("doc_id")),
       windowIndex(spark, dir))
       .orderBy(col("doc_id"))
 
@@ -1011,7 +1042,7 @@ object Dedup {
     val base = docs(spark, dir).select($"doc_id",
       greatest(length($"text") - (WindowChars - 1), lit(0))
         .cast("long").as("n_windows"))
-    val grams = docs(spark, dir)
+    val grams = graft.operators.Spread.byKey(docs(spark, dir), col("doc_id"))
       .select($"doc_id", explode(WindowHash61.windowHash61($"text")).as("h"))
     val perDoc = grams.groupBy($"h", $"doc_id").agg(count(lit(1)).as("cnt"))
     // same de-skewed degree shape as q105: agg + semi-join, no window

@@ -459,8 +459,12 @@ object Multimodal {
     * beyond the final order. */
   def q151FlacDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val payloads = Tables(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    // the codec kernel is pure per-row CPU over an 8-byte input row —
+    // spread an under-parallel scan so encode+decode use every core
+    // (no-op when the input already has enough splits)
+    val payloads = graft.operators.Spread.byKey(
+        Tables(spark, dir, "documents").select(col("doc_id")), col("doc_id"))
+      .as[Long]
       .map { id =>
         val ch = (1 + id % 2).toInt
         val sr = (8000 + (id % 3) * 4000).toInt
@@ -510,8 +514,10 @@ object Multimodal {
     * untouched. */
   def q155AdpcmDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val payloads = Tables(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    // q151's spread note: per-row codec CPU over 8-byte rows
+    val payloads = graft.operators.Spread.byKey(
+        Tables(spark, dir, "documents").select(col("doc_id")), col("doc_id"))
+      .as[Long]
       .map { id =>
         val sr = (8000 + (id % 3) * 4000).toInt
         val ch = (1 + id % 2).toInt // odd ids stereo — interleave gated

@@ -33,7 +33,9 @@ object Relational {
     * whole-stage codegen, no join. (SURVEY A3/A4 family.) */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "lineitem")
+    // the decimal partial aggregation is scan-stage CPU — spread an
+    // under-parallel single-file scan first (no-op on a real cluster)
+    graft.operators.Spread.byKey(Tables(spark, dir, "lineitem"), $"l_orderkey")
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         sumd($"l_quantity").as("sum_qty"),

@@ -756,7 +756,10 @@ object Similarity {
     * floats — literal inlining holds. */
   def q80PqEncode(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    pqEncodeWith(emb, emb.orderBy(col("vec_id")).limit(8)
+    // the 64 per-row centroid distances are scan-stage CPU — spread
+    // the single-file scan (codebook collect stays on the raw scan)
+    pqEncodeWith(graft.operators.Spread.byKey(emb, col("vec_id")),
+      emb.orderBy(col("vec_id")).limit(8)
       .select(col("vec_id"), col("embedding")).collect())
       .orderBy(col("vec_id"))
   }

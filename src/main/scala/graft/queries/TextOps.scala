@@ -171,7 +171,7 @@ object TextOps {
     * the DuckDB oracle's empty `range` yields NULL. The guard pins the
     * NULL semantics on both engines. */
   def q16Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
+    graft.operators.Spread.byKey(docs(spark, dir), col("doc_id")).select(
       col("doc_id"),
       expr("""CASE WHEN length(text) >= 8 THEN
                array_min(transform(
@@ -241,7 +241,7 @@ object TextOps {
     val nDistTok = size(array_distinct(words))
     val nBg = size(col("_bg"))
     val nDistBg = size(array_distinct(col("_bg")))
-    withWords(docs(spark, dir)).withColumn("_bg", bigrams)
+    withWords(graft.operators.Spread.byKey(docs(spark, dir), col("doc_id"))).withColumn("_bg", bigrams)
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
@@ -288,7 +288,7 @@ object TextOps {
       coalesce(meanWordLen.between(3.0, 10.0), lit(false)) &&
       coalesce(alphaFrac >= 0.8, lit(false)) &&
       coalesce(dupBigram <= 0.2, lit(false))
-    withWords(docs(spark, dir)).withColumn("_bg", bigramsExpr)
+    withWords(graft.operators.Spread.byKey(docs(spark, dir), col("doc_id"))).withColumn("_bg", bigramsExpr)
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
@@ -408,7 +408,8 @@ object TextOps {
     * per-doc top-3 is a rank window that Spark caps map-side via
     * WindowGroupLimit. */
   def q84Keywords(spark: SparkSession, dir: String): DataFrame = {
-    val tf = withWords(docs(spark, dir))
+    // spread before the scan-stage tokenize (q144's note)
+    val tf = withWords(graft.operators.Spread.byKey(docs(spark, dir), col("doc_id")))
       .select(col("doc_id"), explode(words).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -561,7 +562,7 @@ object TextOps {
   def q46PiiScrub(spark: SparkSession, dir: String): DataFrame = {
     val nEmails = regexp_count(col("text"), lit(emailPattern))
     val nPhones = regexp_count(col("text"), lit(phonePattern))
-    docs(spark, dir).select(
+    graft.operators.Spread.byKey(docs(spark, dir), col("doc_id")).select(
       col("doc_id"),
       nEmails.as("n_emails"),
       nPhones.as("n_phones"),
@@ -681,7 +682,10 @@ object TextOps {
 
   /** The (term, doc_id, tf) grain — the retrieval index's storage
     * row. One definition shared by the inline build (q101), the
-    * ranked retrieval (q121), and the version maintenance (q122). */
+    * ranked retrieval (q121), the version maintenance (q122), and the
+    * streaming ledger (whose written file layout must not change —
+    * callers that tokenize a whole under-parallel corpus spread
+    * BEFORE calling, q101/q121). */
   private[graft] def tfGrainOf(docsDf: DataFrame): DataFrame =
     withWords(docsDf)
       .select(col("doc_id"), explode(words).as("term"))
@@ -1267,7 +1271,10 @@ object TextOps {
     * materializes — it's a hash probe. */
   def q53Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    decontaminate(d.filter(col("doc_id") % 50 =!= 0),
+    // corpus side spread only: the eval side feeds driver actions
+    // (gram count / bloom build / broadcast) that re-execute per
+    // action and stay tiny by definition
+    decontaminate(graft.operators.Spread.byKey(d.filter(col("doc_id") % 50 =!= 0), col("doc_id")),
       d.filter(col("doc_id") % 50 === 0))
   }
 
@@ -1283,7 +1290,7 @@ object TextOps {
     * [[Dedup.massAgainstWindowIndex]] — at scale the eval window set
     * is the persisted `win-` artifact of the eval corpus. */
   def q110WindowDecontam(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = graft.operators.Spread.byKey(docs(spark, dir), col("doc_id"))
     Dedup.massAgainstWindowIndex(
       d.filter(col("doc_id") % 50 =!= 0),
       Dedup.distinctWindowsOf(d.filter(col("doc_id") % 50 === 0)))
@@ -1348,7 +1355,8 @@ object TextOps {
     * composition is bit-identical to q53. */
   def q60BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    decontaminateBloom(d.filter(col("doc_id") % 50 =!= 0),
+    // corpus side spread only (q53's note)
+    decontaminateBloom(graft.operators.Spread.byKey(d.filter(col("doc_id") % 50 =!= 0), col("doc_id")),
       d.filter(col("doc_id") % 50 === 0)).orderBy("doc_id")
   }
 
@@ -1394,7 +1402,8 @@ object TextOps {
     * into one long because eval ids are unbounded. */
   def q64ContamAttribution(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    contamAttribution(d.filter(col("doc_id") % 50 =!= 0),
+    // corpus side spread only (q53's note)
+    contamAttribution(graft.operators.Spread.byKey(d.filter(col("doc_id") % 50 =!= 0), col("doc_id")),
       d.filter(col("doc_id") % 50 === 0))
   }
 
@@ -1739,7 +1748,8 @@ object TextOps {
   def q91CharChisq(spark: SparkSession, dir: String): DataFrame = {
     val letters = 'a' to 'z'
     val withC = letters.foldLeft(
-      docs(spark, dir).select(col("doc_id"), col("text"))) { (df, ch) =>
+      graft.operators.Spread.byKey(docs(spark, dir).select(col("doc_id"), col("text")),
+        col("doc_id"))) { (df, ch) =>
       df.withColumn(s"_c_$ch",
         (length(col("text")) -
           length(translate(col("text"), ch.toString, ""))).cast("long"))
@@ -1774,7 +1784,10 @@ object TextOps {
     * two-level (source, bigram) aggregate with map-side partials —
     * never a corpus-wide distinct over raw rows. */
   def q93DistinctNgrams(spark: SparkSession, dir: String): DataFrame = {
-    val d = withWords(docs(spark, dir).select(col("source"), col("text")))
+    // spread by doc_id, not source: the hash key must be
+    // high-cardinality or most partitions sit empty (guide §2.5)
+    val d = withWords(graft.operators.Spread.byKey(docs(spark, dir), col("doc_id"))
+        .select(col("source"), col("text")))
       .select(col("source"), col("_ws"))
       .localCheckpoint() // two consumers: totals + distinct explode
     val totals = d.groupBy(col("source")).agg(
@@ -1830,7 +1843,7 @@ object TextOps {
     * fail closed at mass 0). Nothing here is corpus²; the widest
     * intermediate is the token stream itself. */
   def q104RepetitionMass(spark: SparkSession, dir: String): DataFrame = {
-    val tagged = withWords(docs(spark, dir))
+    val tagged = withWords(graft.operators.Spread.byKey(docs(spark, dir), col("doc_id")))
       .withColumn("_bg", bigramsExpr).withColumn("_fg", fivegramsExpr)
       .select(col("doc_id"), explode(concat(
           transform(col("_bg"), g => struct(lit("b").as("tag"), g.as("gram"))),
@@ -3010,8 +3023,10 @@ object TextOps {
     // training shard has no use for a contentless document (advice-low,
     // r19; BpeEncodeSpec's empty-doc fixture pins the edge). Spelled on
     // the raw text (q159's pushdown note) so the encode runs once.
-    val d = docs(spark, dir)
-      .filter(col("text").rlike("\\S"))
+    // Deliberately NOT materialized and NOT spread (r21, measured —
+    // packFixedParts' note): checkpoint and spread both cost more
+    // here than the memo-warm second encode they'd save.
+    val d = docs(spark, dir).filter(col("text").rlike("\\S"))
       .select(col("doc_id"), col("source"),
         graft.functions.BpeEncode.encodeIds(col("text"), merges).as("ids"))
       .select(col("doc_id"), col("source"),
@@ -3027,9 +3042,7 @@ object TextOps {
     // source's entire encoded corpus. Skinny rows sort fine at any
     // corpus size (billions of docs ≈ tens of GB spread over sources);
     // the payload only ever moves through fully-parallel hash
-    // exchanges. The second encode pass behind the self-join is
-    // scan-bound: the kernel's per-JVM memo (BpeEncode.memoFor) is
-    // already warm from the first pass.
+    // exchanges.
     val excl = coalesce(
       sum(col("n_tokens")).over(
         Window.partitionBy(col("source")).orderBy(col("doc_id"))
@@ -3069,6 +3082,24 @@ object TextOps {
     * each — the exchange stays at (doc, overlapped-seq) grain, and
     * the per-(source, seq) group holds ≤ seqLen ids by construction
     * (skew-proof however large a source or document is). */
+  /** Thread-local collector of checkpointed intermediates: a serving
+    * handler (`GET /pack/stats`) installs a buffer, the pack family
+    * registers every localCheckpoint it creates on that thread, and
+    * the handler unpersists EXACTLY those RDDs on the way out —
+    * replacing the pre/post diff of the context-global persistent-RDD
+    * registry, which raced with concurrent requests and could evict
+    * an in-flight query's lineage-truncated blocks (ADVICE r20
+    * medium). Null (no buffer installed) for every batch/bench
+    * caller, whose cleanup discipline is Bench.once's snapshot. */
+  private[graft] val checkpointTracker =
+    new ThreadLocal[scala.collection.mutable.Buffer[
+      org.apache.spark.sql.Dataset[_]]]
+  private def trackedCheckpoint(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint()
+    Option(checkpointTracker.get()).foreach(_ += out)
+    out
+  }
+
   /** The (source, doc_id, seq, part, off) grain behind q161/q162:
     * each document's token ids + EOS explode into the fixed-length
     * sequences the doc overlaps, with its segment (`part`) and the
@@ -3077,9 +3108,14 @@ object TextOps {
       : DataFrame = {
     val merges = bpeLearn(spark, dir).map { case (l, r, _) => (l, r) }
     // zero-token docs out of the stream, both sides — q160's contract
-    // (raw-text spelling per q159's pushdown note)
-    val d = docs(spark, dir)
-      .filter(col("text").rlike("\\S"))
+    // (raw-text spelling per q159's pushdown note). Deliberately NOT
+    // materialized and NOT spread (r21, both measured): the encode is
+    // memo-warm cheap at bench scale, so a localCheckpoint costs more
+    // than the second encode pass it saves, and a spread repartition
+    // added a text shuffle under BOTH self-join branches. The real
+    // retirement of the double encode is the ids-input seam VERDICT
+    // r20 names (read token ids from the lake; zero encode passes).
+    val d = docs(spark, dir).filter(col("text").rlike("\\S"))
       .select(col("doc_id"), col("source"),
         graft.functions.BpeEncode.encodeIds(col("text"), merges).as("ids"))
       .select(col("doc_id"), col("source"), col("ids"),
@@ -3160,10 +3196,9 @@ object TextOps {
     // aggregates) must not each re-run the encode+window+explode
     // chain — one corpus pass materializes the ~24-byte/row grain
     // (q90's two-consumer idiom)
-    val grain = packFixedParts(spark, dir, L)
+    val grain = trackedCheckpoint(packFixedParts(spark, dir, L)
       .select(col("source"), col("doc_id"), col("seq"),
-        size(col("part")).cast("long").as("p_ids"))
-      .localCheckpoint()
+        size(col("part")).cast("long").as("p_ids")))
     val perSeq = grain.groupBy(col("source"), col("seq"))
       .agg(sum(col("p_ids")).as("seq_ids"))
     val perDoc = grain.groupBy(col("source"), col("doc_id"))
@@ -3178,7 +3213,14 @@ object TextOps {
         .as("split_docs"))
     seqStats.join(docStats, Seq("source"))
       .withColumn("fill_ppm",
-        expr(s"n_stream_ids * 1000000 div (n_seqs * $L)"))
+        // the ×10⁶ blow-up runs in DECIMAL(38,0): in bigint it wraps
+        // silently (non-ANSI) past ~9.2e12 stream tokens — inside the
+        // corpus sizes this audit targets (ADVICE r20 low). `div`
+        // truncates identically on decimal and bigint operands, and
+        // IntegralDivide returns BIGINT either way, so the value and
+        // schema are unchanged wherever the old form didn't wrap.
+        expr(s"cast(n_stream_ids as decimal(38,0)) * 1000000" +
+          s" div (n_seqs * $L)"))
       .select(col("source"), col("n_seqs"), col("n_stream_ids"),
         col("full_seqs"), col("n_docs"), col("split_docs"),
         col("fill_ppm"))

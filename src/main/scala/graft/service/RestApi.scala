@@ -985,12 +985,17 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
               case Some(dir) =>
                 // q162 localCheckpoints its grain per call; a polled
                 // dashboard endpoint must not pin one grain RDD per
-                // poll in the service JVM forever — drop what THIS
-                // call persisted on the way out (Bench.once's
-                // snapshot discipline; review finding, r20)
-                val pre: Set[Int] =
-                  try s.sparkContext.getPersistentRDDs.keySet.toSet
-                  catch { case scala.util.control.NonFatal(_) => Set.empty }
+                // poll in the service JVM forever. Cleanup is EXACT
+                // (r21, ADVICE r20 medium): the pack family registers
+                // every checkpoint it creates on this thread into the
+                // tracker, and only THOSE RDD ids are unpersisted —
+                // the previous pre/post diff of the global registry
+                // raced with concurrent requests (another handler's
+                // mid-flight localCheckpoint landing between the
+                // snapshots lost its lineage-truncated blocks).
+                val buf = scala.collection.mutable
+                  .Buffer.empty[org.apache.spark.sql.Dataset[_]]
+                graft.queries.TextOps.checkpointTracker.set(buf)
                 try {
                   val rows = graft.queries.TextOps
                     .q162PackStats(s, dir, seqLen = l).toJSON.collect()
@@ -999,10 +1004,14 @@ final class RestApi(spark: Option[SparkSession], port: Int = 0) {
                   case e: Exception => reply(ex, 500,
                     s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
                 } finally {
-                  try s.sparkContext.getPersistentRDDs
-                    .filterNot { case (id, _) => pre.contains(id) }
-                    .values.foreach(_.unpersist(blocking = false))
-                  catch { case scala.util.control.NonFatal(_) => () }
+                  graft.queries.TextOps.checkpointTracker.remove()
+                  try {
+                    val mine = buf.flatMap(org.apache.spark.sql
+                      .GraftSqlBridge.checkpointedRddIds).toSet
+                    s.sparkContext.getPersistentRDDs
+                      .filter { case (id, _) => mine.contains(id) }
+                      .values.foreach(_.unpersist(blocking = false))
+                  } catch { case scala.util.control.NonFatal(_) => () }
                 }
               case None =>
                 reply(ex, 422, """{"detail":"dir required"}""")

@@ -301,13 +301,18 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     // the literal-inlined codebook leaves nothing to join or
-    // aggregate: the only exchange is the presentation sort's (a
-    // crossJoin + min(struct) draft planned as SortAggregate over N×8
-    // rows — the q56 lesson)
+    // aggregate: the only exchanges are the presentation sort's and
+    // (r21) the scale-adaptive spread of an under-parallel scan — a
+    // REPARTITION_BY_NUM hash exchange, present only when the input
+    // arrives in fewer splits than cores (a crossJoin + min(struct)
+    // draft planned as SortAggregate over N×8 rows — the q56 lesson)
     assert(!plan.contains("Join"), s"no join expected:\n$plan")
     assert(!plan.contains("Aggregate"), s"no aggregate expected:\n$plan")
-    assert(plan.linesIterator.count(_.contains("Exchange")) == 1,
-      s"only the orderBy range exchange expected:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"only the orderBy range + spread exchanges expected:\n$plan")
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning")) == 1,
+      s"exactly one range exchange (the orderBy) expected:\n$plan")
   }
 
   test("q85: corpus scans once into the vocab; the blocked self-join broadcasts") {
